@@ -1,0 +1,88 @@
+"""DeltaCatalog: attach-style named tables with snapshot caching.
+
+Reference analogue: ``ATTACH 'path' AS n (TYPE delta, PIN_SNAPSHOT,
+VERSION => v)`` — single-table catalog with per-entry snapshot cache and
+incremental refresh (reference: src/delta_extension.cpp:21-79,
+src/storage/delta_catalog.cpp:25-119, delta_schema_entry.cpp:108-221).
+
+``attach`` registers a Spark temp view so ``spark.sql`` sees the table; an
+unpinned entry re-resolves HEAD on each ``table()`` call, reusing the cached
+snapshot as the incremental base (only the new log tail is read — the
+analogue of delta_multi_file_list.cpp:706-718).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_delta_spark.delta.errors import InvalidTableVersionError
+from duckdb_delta_spark.delta.table import DeltaTable
+
+
+@dataclass
+class _Entry:
+    path: str
+    pinned: bool
+    version: int | None
+    table: DeltaTable
+
+
+class DeltaCatalog:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._entries: dict[str, _Entry] = {}
+
+    def attach(
+        self,
+        name: str,
+        path: str,
+        version: int | None = None,
+        pin_snapshot: bool = False,
+    ) -> DeltaTable:
+        table = DeltaTable(path, version=version)
+        self._entries[name] = _Entry(table.path, pin_snapshot or version is not None,
+                                     version, table)
+        self._register_view(name, table)
+        return table
+
+    def detach(self, name: str) -> None:
+        self._entries.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def table(self, name: str, version: int | None = None) -> DeltaTable:
+        """Resolve a table; ``version`` = the ``AT (VERSION => n)`` clause."""
+        entry = self._entries[name]
+        if version is not None:
+            if entry.table.version == version:
+                return entry.table
+            # backward moves rebuild; forward moves reuse the cached snapshot
+            base = entry.table.snapshot if version > entry.table.version else None
+            return DeltaTable(entry.path, version=version, snapshot=base)
+        if entry.pinned:
+            return entry.table
+        refreshed = entry.table.refreshed()
+        if refreshed.version != entry.table.version:
+            entry.table = refreshed
+            self._register_view(name, refreshed)
+        return entry.table
+
+    def to_df(self, name: str, version: int | None = None) -> DataFrame:
+        return self.table(name, version).to_df(self.spark)
+
+    def _register_view(self, name: str, table: DeltaTable) -> None:
+        table.to_df(self.spark).createOrReplaceTempView(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._entries
+
+    def names(self) -> list[str]:
+        return sorted(self._entries)
+
+    def time_travel_versions(self, name: str) -> list[int]:
+        entry = self._entries[name]
+        commits, _ = entry.table.log.list_log_files()
+        if not commits:
+            raise InvalidTableVersionError(f"no commits for {name}")
+        return sorted(commits)

@@ -1,0 +1,181 @@
+"""Delta log access: listing, commit/checkpoint reading, atomic commit writes.
+
+Reference analogue: snapshot resolution in delta-kernel-rs driven from
+``InitializeSnapshot`` (reference: src/functions/delta_scan/delta_multi_file_list.cpp:694-744).
+The protocol mechanics (what's in ``_delta_log``, how ``_last_checkpoint``
+works, put-if-absent commits) come from the public Delta protocol spec.
+
+Log JSON files are small relative to the data they describe (even a 100 TB
+table has a log in the low GBs, and checkpoints collapse it), so they are
+read driver-side with ``json``/``pyarrow`` — the same placement as the
+reference, whose kernel runs on the client. Nothing here touches executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Iterable
+
+from duckdb_delta_spark.delta.errors import (
+    CommitConflictError,
+    InvalidTableLocationError,
+    InvalidTableVersionError,
+    MalformedLogError,
+    MissingVersionError,
+)
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+
+ACTION_KEYS = ("metaData", "protocol", "add", "remove", "txn", "domainMetadata", "commitInfo", "cdc")
+
+
+class DeltaLog:
+    """Handle on one table's ``_delta_log`` directory."""
+
+    def __init__(self, table_path: str):
+        self.table_path = os.path.abspath(table_path)
+        self.log_path = os.path.join(self.table_path, "_delta_log")
+        if not os.path.isdir(self.log_path):
+            raise InvalidTableLocationError(
+                f"no Delta table found at {table_path!r} (missing _delta_log)"
+            )
+
+    # ---------- listing ----------
+
+    def list_log_files(self) -> tuple[dict[int, str], dict[int, list[str]]]:
+        """Return ``(commits, checkpoints)``: version → json path, and
+        version → checkpoint part paths (sorted)."""
+        commits: dict[int, str] = {}
+        checkpoints: dict[int, list[str]] = {}
+        for name in os.listdir(self.log_path):
+            m = _COMMIT_RE.match(name)
+            if m:
+                commits[int(m.group(1))] = os.path.join(self.log_path, name)
+                continue
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                checkpoints.setdefault(int(m.group(1)), []).append(
+                    os.path.join(self.log_path, name)
+                )
+        for parts in checkpoints.values():
+            parts.sort()
+        return commits, checkpoints
+
+    def latest_version(self) -> int:
+        commits, checkpoints = self.list_log_files()
+        versions = set(commits) | set(checkpoints)
+        if not versions:
+            raise MalformedLogError(f"empty _delta_log at {self.table_path}")
+        return max(versions)
+
+    def last_checkpoint_hint(self) -> dict | None:
+        """Parse ``_last_checkpoint`` (a pointer so clients can avoid a full
+        directory listing on huge logs)."""
+        path = os.path.join(self.log_path, "_last_checkpoint")
+        if not os.path.isfile(path):
+            return None
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None  # hint only; fall back to listing
+
+    # ---------- reading ----------
+
+    def read_commit(self, version: int) -> list[dict]:
+        path = os.path.join(self.log_path, f"{version:020d}.json")
+        actions: list[dict] = []
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                for lineno, line in enumerate(f, 1):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        actions.append(json.loads(line))
+                    except json.JSONDecodeError as e:
+                        raise MalformedLogError(
+                            f"{path}:{lineno}: invalid JSON ({e})"
+                        ) from None
+        except FileNotFoundError:
+            raise MissingVersionError(
+                f"commit {version} missing from log at {self.table_path}"
+            ) from None
+        return actions
+
+    def read_checkpoint(self, paths: list[str]) -> list[dict]:
+        """Read checkpoint parquet part(s) into action dicts (same shape as
+        commit-JSON actions)."""
+        import pyarrow.parquet as pq
+
+        actions: list[dict] = []
+        for path in paths:
+            table = pq.read_table(path)
+            cols = [c for c in table.column_names if c in ACTION_KEYS]
+            for row in table.select(cols).to_pylist():
+                for key in cols:
+                    val = row.get(key)
+                    if val is not None:
+                        actions.append({key: _normalize_maps(val)})
+        return actions
+
+    # ---------- writing ----------
+
+    def commit(self, version: int, actions: Iterable[dict]) -> str:
+        """Atomically write ``<version>.json`` (put-if-absent).
+
+        Local-FS atomicity = ``O_CREAT|O_EXCL``, the same single-writer
+        guarantee the reference relies on through the kernel (reference:
+        src/storage/delta_transaction.cpp:411-481). Object stores would use
+        put-if-absent; hook point kept small on purpose.
+        """
+        path = os.path.join(self.log_path, f"{version:020d}.json")
+        payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+        # write to temp then link into place so a reader never sees a torn file
+        fd, tmp = tempfile.mkstemp(dir=self.log_path, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, path)  # fails if path exists → conflict
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"version {version} already committed at {self.table_path}"
+                ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return path
+
+    def write_last_checkpoint(self, version: int, size: int) -> None:
+        path = os.path.join(self.log_path, "_last_checkpoint")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"version": version, "size": size}, f)
+
+    # ---------- helpers ----------
+
+    def resolve_version(self, version: int | None) -> int:
+        latest = self.latest_version()
+        if version is None:
+            return latest
+        if version < 0 or version > latest:
+            raise InvalidTableVersionError(
+                f"version {version} not in [0, {latest}] at {self.table_path}"
+            )
+        return version
+
+
+def _normalize_maps(value):
+    """pyarrow map columns materialize as list-of-(k, v) tuples; commit JSON
+    uses plain dicts. Normalize recursively so both read paths look alike."""
+    if isinstance(value, list) and value and isinstance(value[0], tuple) and len(value[0]) == 2:
+        return {k: _normalize_maps(v) for k, v in value}
+    if isinstance(value, dict):
+        return {k: _normalize_maps(v) for k, v in value.items()}
+    return value

@@ -1,0 +1,250 @@
+"""Snapshot: reconciled table state at a version.
+
+Reference analogue: ``DeltaMultiFileList`` — the lazily expanded file list +
+per-file metadata (reference: src/functions/delta_scan/delta_multi_file_list.hpp:56-166,
+``DeltaFileMetaData`` :22-43) plus snapshot lifecycle ``InitializeSnapshot``
+(delta_multi_file_list.cpp:694-744). Incremental refresh mirrors
+delta_multi_file_list.cpp:706-718: moving *forward* replays only the new log
+tail on top of a cached snapshot; moving backward rebuilds.
+
+The Delta ``metaData.schemaString`` is Spark's own ``StructType.json()``
+format, so schema decoding is exact via ``StructType.fromJson`` — a material
+simplification vs. the reference's FFI schema visitor
+(reference: src/delta_utils.cpp:539-573).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from dataclasses import dataclass, field
+
+from pyspark.sql.types import StructType
+
+from duckdb_delta_spark.delta.errors import (
+    MalformedLogError,
+    SchemaError,
+    UnsupportedFeatureError,
+)
+from duckdb_delta_spark.delta.log import DeltaLog
+
+#: reader features this engine implements; anything else in protocol.readerFeatures fails
+SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "typeWidening",
+    "typeWidening-preview",
+    "vacuumProtocolCheck",
+    "v2Checkpoint",  # we read classic-named checkpoints; v2 named same way works for our writer
+    "domainMetadata",
+    "appendOnly",
+    "invariants",
+}
+
+
+@dataclass
+class AddFile:
+    """One live data file (a reconciled ``add`` action)."""
+
+    path: str  # path exactly as in the log (relative url-encoded, or absolute)
+    partition_values: dict[str, str | None]
+    size: int
+    modification_time: int
+    stats: str | None = None
+    deletion_vector: dict | None = None
+    tags: dict | None = None
+
+    _parsed_stats: dict | None = field(default=None, repr=False, compare=False)
+
+    def absolute_path(self, table_path: str) -> str:
+        p = urllib.parse.unquote(self.path)
+        if "://" in p or os.path.isabs(p):
+            return p
+        return os.path.join(table_path, p)
+
+    def parsed_stats(self) -> dict:
+        """Parse the stats JSON once: {numRecords, minValues, maxValues, nullCount}."""
+        if self._parsed_stats is None:
+            try:
+                self._parsed_stats = json.loads(self.stats) if self.stats else {}
+            except json.JSONDecodeError:
+                self._parsed_stats = {}
+        return self._parsed_stats
+
+    @property
+    def num_records(self) -> int | None:
+        n = self.parsed_stats().get("numRecords")
+        return int(n) if n is not None else None
+
+    def dv_unique_id(self) -> str | None:
+        dv = self.deletion_vector
+        if not dv:
+            return None
+        return f"{dv.get('storageType')}{dv.get('pathOrInlineDv')}@{dv.get('offset') or 0}"
+
+
+class Snapshot:
+    """Reconciled state of one Delta table at one version."""
+
+    def __init__(self, log: DeltaLog, version: int):
+        self.log = log
+        self.version = version
+        self.metadata: dict = {}
+        self.protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        self.files: dict[str, AddFile] = {}  # key: path + DV id (a path may be re-added with a new DV)
+        self.app_transactions: dict[str, int] = {}
+        self.domain_metadata: dict[str, str] = {}
+        self.commit_timestamps: dict[int, int] = {}
+
+    # ---------- construction ----------
+
+    @classmethod
+    def build(
+        cls, log: DeltaLog, version: int | None = None, base: "Snapshot | None" = None
+    ) -> "Snapshot":
+        """Replay the log up to ``version`` (default HEAD).
+
+        ``base``: a previously built snapshot of the same table; when its
+        version ≤ target only the newer commits are read (incremental
+        refresh). A backward move ignores the base and rebuilds.
+        """
+        target = log.resolve_version(version)
+        if base is not None and base.log.table_path == log.table_path and base.version <= target:
+            snap = cls(log, target)
+            snap.metadata = dict(base.metadata)
+            snap.protocol = dict(base.protocol)
+            snap.files = dict(base.files)
+            snap.app_transactions = dict(base.app_transactions)
+            snap.domain_metadata = dict(base.domain_metadata)
+            snap.commit_timestamps = dict(base.commit_timestamps)
+            start = base.version + 1
+        else:
+            snap = cls(log, target)
+            start = 0
+            ckpt_version = snap._maybe_apply_checkpoint(target)
+            if ckpt_version is not None:
+                start = ckpt_version + 1
+        commits, _ = log.list_log_files()
+        for v in range(start, target + 1):
+            if v not in commits:
+                raise MalformedLogError(
+                    f"log has a gap: commit {v} missing (target {target})"
+                )
+            for action in log.read_commit(v):
+                snap._apply(action, v)
+        snap._validate()
+        return snap
+
+    def _maybe_apply_checkpoint(self, target: int) -> int | None:
+        commits, checkpoints = self.log.list_log_files()
+        hint = self.log.last_checkpoint_hint()
+        candidates = [v for v in checkpoints if v <= target]
+        if not candidates:
+            return None
+        best = max(candidates)
+        # prefer the hinted checkpoint when it's usable (≤ target and listed)
+        if hint and hint.get("version") in candidates:
+            best = max(best, int(hint["version"]))
+        for action in self.log.read_checkpoint(checkpoints[best]):
+            self._apply(action, best)
+        return best
+
+    def _apply(self, action: dict, version: int) -> None:
+        if "metaData" in action and action["metaData"]:
+            self.metadata = action["metaData"]
+        elif "protocol" in action and action["protocol"]:
+            self.protocol = action["protocol"]
+        elif "add" in action and action["add"]:
+            a = action["add"]
+            f = AddFile(
+                path=a["path"],
+                partition_values=a.get("partitionValues") or {},
+                size=int(a.get("size") or 0),
+                modification_time=int(a.get("modificationTime") or 0),
+                stats=a.get("stats"),
+                deletion_vector=a.get("deletionVector"),
+                tags=a.get("tags"),
+            )
+            # an add with the same path replaces the prior one (e.g. new DV)
+            self.files = {
+                k: v for k, v in self.files.items() if v.path != f.path
+            }
+            self.files[f.path + "\x00" + (f.dv_unique_id() or "")] = f
+        elif "remove" in action and action["remove"]:
+            path = action["remove"]["path"]
+            self.files = {k: v for k, v in self.files.items() if v.path != path}
+        elif "txn" in action and action["txn"]:
+            t = action["txn"]
+            self.app_transactions[t["appId"]] = int(t["version"])
+        elif "domainMetadata" in action and action["domainMetadata"]:
+            d = action["domainMetadata"]
+            if d.get("removed"):
+                self.domain_metadata.pop(d["domain"], None)
+            else:
+                self.domain_metadata[d["domain"]] = d.get("configuration", "")
+        elif "commitInfo" in action and action["commitInfo"]:
+            ts = action["commitInfo"].get("timestamp")
+            if ts is not None:
+                self.commit_timestamps[version] = int(ts)
+
+    def _validate(self) -> None:
+        if not self.metadata:
+            raise MalformedLogError(
+                f"no metaData action found replaying {self.log.table_path} @v{self.version}"
+            )
+        reader = int(self.protocol.get("minReaderVersion", 1))
+        if reader >= 3:
+            feats = set(self.protocol.get("readerFeatures") or [])
+            unsupported = feats - SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise UnsupportedFeatureError(
+                    f"reader features not supported: {sorted(unsupported)}"
+                )
+
+    # ---------- derived properties ----------
+
+    @property
+    def schema(self) -> StructType:
+        raw = self.metadata.get("schemaString")
+        if not raw:
+            raise SchemaError(f"metaData.schemaString missing at {self.log.table_path}")
+        try:
+            return StructType.fromJson(json.loads(raw))
+        except Exception as e:  # noqa: BLE001 - surface as taxonomy error
+            raise SchemaError(f"unparseable schemaString: {e}") from None
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def configuration(self) -> dict[str, str]:
+        return dict(self.metadata.get("configuration") or {})
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return self.configuration.get("delta.columnMapping.mode", "none")
+
+    def add_files(self) -> list[AddFile]:
+        """Live files in deterministic (path) order."""
+        return sorted(self.files.values(), key=lambda f: f.path)
+
+    def num_records_estimate(self) -> int | None:
+        """Sum of per-file numRecords stats — the reference's optimizer
+        cardinality (reference: delta_multi_file_list.cpp:1046-1071
+        ``GetCardinality``). None when any file lacks stats."""
+        total = 0
+        for f in self.files.values():
+            n = f.num_records
+            if n is None:
+                return None
+            dv = f.deletion_vector
+            total += n - int(dv.get("cardinality") or 0) if dv else n
+        return total
+
+    def transaction_version(self, app_id: str) -> int | None:
+        """Latest committed txn version for an app (reference:
+        src/functions/delta_transaction_utils/idempotency_helpers.cpp:41-145)."""
+        return self.app_transactions.get(app_id)

@@ -1,0 +1,165 @@
+"""DeltaTable: the user-facing handle (≈ ``delta_scan`` + metadata functions).
+
+Reference analogues: ``delta_scan(path)`` (src/functions/delta_scan/delta_scan.cpp:83-121),
+time travel via pinned version (delta_catalog.cpp:13-23, timetravel.test:27-33),
+``delta_list_files`` (src/functions/delta_metadata_scan.cpp:65-148),
+``delta_domain_metadata`` (src/functions/delta_domain_metadata.cpp:20-77),
+idempotent-write helpers ``delta_get/set_transaction_version``
+(idempotency_helpers.cpp:41-145).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from duckdb_delta_spark.delta.log import DeltaLog
+from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+from duckdb_delta_spark.delta.snapshot import Snapshot
+from duckdb_delta_spark.delta.writer import DeltaWriter
+
+
+class DeltaTable:
+    """One Delta table at one (possibly pinned) version."""
+
+    def __init__(self, path: str, version: int | None = None,
+                 snapshot: Snapshot | None = None):
+        self.log = DeltaLog(path)
+        self.path = self.log.table_path
+        if snapshot is not None and snapshot.version == self.log.resolve_version(version):
+            self.snapshot = snapshot
+        else:
+            # incremental forward refresh when a base snapshot is supplied
+            self.snapshot = Snapshot.build(self.log, version, base=snapshot)
+        self.version = self.snapshot.version
+
+    # ---------- read ----------
+
+    def scan(self, spark: SparkSession, pushdown: str = "all") -> DeltaScanBuilder:
+        return DeltaScanBuilder(self.snapshot, spark, pushdown=pushdown)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.scan(spark).to_df()
+
+    def refreshed(self) -> "DeltaTable":
+        """Re-resolve HEAD, reusing this snapshot as incremental base."""
+        return DeltaTable(self.path, version=None, snapshot=self.snapshot)
+
+    # ---------- write ----------
+
+    def writer(self, spark: SparkSession) -> DeltaWriter:
+        return DeltaWriter(self.path, spark)
+
+    def insert(self, df: DataFrame, **kwargs) -> int:
+        return self.writer(df.sparkSession).append(df, **kwargs)
+
+    # ---------- metadata functions ----------
+
+    def file_manifest(self, spark: SparkSession) -> DataFrame:
+        """= ``delta_list_files``: (data_file, cardinality, partition_values,
+        have_deletes, delete_count)."""
+        rows = []
+        for f in self.snapshot.add_files():
+            dv = f.deletion_vector or {}
+            rows.append(
+                (
+                    f.absolute_path(self.path),
+                    f.num_records,
+                    {k: v for k, v in f.partition_values.items()},
+                    bool(f.deletion_vector),
+                    int(dv.get("cardinality") or 0),
+                    f.size,
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("data_file", T.StringType()),
+                T.StructField("cardinality", T.LongType()),
+                T.StructField("partition_values", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("have_deletes", T.BooleanType()),
+                T.StructField("delete_count", T.LongType()),
+                T.StructField("size", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def domain_metadata(self, spark: SparkSession) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField("domain", T.StringType()),
+                T.StructField("configuration", T.StringType()),
+            ]
+        )
+        rows = sorted(self.snapshot.domain_metadata.items())
+        return spark.createDataFrame(rows, schema)
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Commit history (version, timestamp, operation) from commitInfo."""
+        commits, _ = self.log.list_log_files()
+        rows = []
+        for v in sorted(commits):
+            op = None
+            ts = None
+            for a in self.log.read_commit(v):
+                ci = a.get("commitInfo")
+                if ci:
+                    op = ci.get("operation")
+                    ts = ci.get("timestamp")
+                    break
+            rows.append((v, ts, op))
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("timestamp", T.LongType()),
+                T.StructField("operation", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def get_transaction_version(self, app_id: str) -> int | None:
+        return self.snapshot.transaction_version(app_id)
+
+    def set_transaction_version(
+        self, spark: SparkSession, app_id: str, version: int,
+        expected_last: int | None = None,
+    ) -> int:
+        """Commit a bare ``txn`` action (idempotency bookmark) — the
+        ``delta_set_transaction_version`` analogue."""
+        import time
+
+        from duckdb_delta_spark.delta.errors import IdempotencyError
+        from duckdb_delta_spark.delta.writer import _commit_info
+
+        if expected_last is not None:
+            have = self.snapshot.transaction_version(app_id)
+            if have != expected_last:
+                raise IdempotencyError(
+                    f"app {app_id!r}: expected last version {expected_last}, found {have}"
+                )
+        actions = [
+            {"commitInfo": _commit_info("SET TRANSACTION")},
+            {"txn": {"appId": app_id, "version": int(version),
+                     "lastUpdated": int(time.time() * 1000)}},
+        ]
+        v = self.log.latest_version() + 1
+        self.log.commit(v, actions)
+        return v
+
+    # ---------- introspection ----------
+
+    def schema(self) -> T.StructType:
+        return self.snapshot.schema
+
+    def detail(self) -> dict:
+        s = self.snapshot
+        return {
+            "version": s.version,
+            "numFiles": len(s.files),
+            "partitionColumns": s.partition_columns,
+            "configuration": s.configuration,
+            "sizeInBytes": sum(f.size for f in s.files.values()),
+            "numRecords": s.num_records_estimate(),
+            "schema": json.loads(s.metadata.get("schemaString", "{}")),
+        }

@@ -1,0 +1,467 @@
+"""DeltaWriter: create / blind-append / checkpoint with the Delta commit protocol.
+
+Reference analogue: the write path — ``PlanInsert`` building a parquet COPY
+with uuid filenames and hive-partitioned layout (reference:
+src/storage/delta_insert.cpp:304-408), per-file stats shaped into the Delta
+``stats`` JSON (delta_insert.cpp:114-149, delta_transaction.cpp:178-293),
+NOT NULL enforcement (delta_insert.cpp:186-203), the transaction lifecycle
+with commit-conflict handling and rollback-deletes-files
+(delta_transaction.cpp:411-537), idempotent txn app versions
+(idempotency_helpers.cpp:41-145), commitInfo stamping
+(delta_transaction.cpp:45-94), and ``CHECKPOINT``
+(delta_transaction_manager.cpp:54-74).
+
+Spark-first shape: the data job is one ``df.write.parquet`` (executors do
+all IO, hive layout via ``partitionBy``); everything after — stats from
+parquet *footers*, action JSON, put-if-absent commit — is driver-side and
+O(#files), not O(rows). Footer-based stats cost zero extra Spark jobs and
+are exact for min/max/nullCount (same numbers the reference parses from
+COPY's WRITTEN_FILE_STATISTICS).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from duckdb_delta_spark.delta.errors import (
+    CommitConflictError,
+    ConstraintViolationError,
+    IdempotencyError,
+    SchemaError,
+    UnsupportedFeatureError,
+)
+from duckdb_delta_spark.delta.log import DeltaLog
+from duckdb_delta_spark.delta.snapshot import Snapshot
+
+ENGINE_INFO = "duckdb-delta-spark/0.1"
+_STATS_TRUNC = 32
+_MAX_CODEPOINT = 0x10FFFF
+
+
+def _json_stat_value(v):
+    if isinstance(v, bytes):
+        return None  # binary: no stats (reference skips blobs too)
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, float) and (v != v):  # NaN is not a usable bound
+        return None
+    return v
+
+
+def _truncate_min(s: str) -> str:
+    return s[:_STATS_TRUNC]
+
+
+def _truncate_max(s: str) -> str | None:
+    """Truncated max must stay ≥ the true max: bump the last bumpable char
+    (reference stats fidelity concern: delta_insert.cpp:114-149)."""
+    if len(s) <= _STATS_TRUNC:
+        return s
+    prefix = s[:_STATS_TRUNC]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < _MAX_CODEPOINT:
+            return prefix[:i] + chr(cp + 1)
+    return None  # cannot bound — omit
+
+
+class DeltaWriter:
+    """Blind-append writer for one table (single logical transaction per call)."""
+
+    def __init__(self, table_path: str, spark: SparkSession):
+        self.table_path = os.path.abspath(table_path)
+        self.spark = spark
+        self.log = DeltaLog(self.table_path)
+
+    # ---------- table creation ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        configuration: dict[str, str] | None = None,
+        name: str | None = None,
+    ) -> "DeltaWriter":
+        """CREATE TABLE: version-0 commit with protocol + metaData.
+
+        (The reference throws on CREATE — delta_schema_entry.cpp:36-97 — we
+        support it because fixtures and pipelines need it.)
+        """
+        path = os.path.abspath(path)
+        partition_by = partition_by or []
+        for p in partition_by:
+            if p not in schema.fieldNames():
+                raise SchemaError(f"partition column {p!r} not in schema")
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+        log = DeltaLog(path)
+        meta = {
+            "id": str(uuid.uuid4()),
+            "name": name,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": configuration or {},
+            "createdTime": int(time.time() * 1000),
+        }
+        actions = [
+            {"commitInfo": _commit_info("CREATE TABLE")},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ]
+        log.commit(0, actions)
+        return DeltaWriter(path, spark)
+
+    # ---------- append ----------
+
+    def append(
+        self,
+        df: DataFrame,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+        txn_expected_last: int | None = None,
+        max_retries: int = 0,
+    ) -> int:
+        """Blind append. Returns the committed version.
+
+        Conflict handling: data files are written once (uuid names cannot
+        collide); on a lost commit race we re-resolve the snapshot and retry
+        the commit ``max_retries`` times, else clean up the files and raise
+        (reference default is fail: delta_transaction_manager.cpp:20-32).
+        """
+        snapshot = Snapshot.build(self.log)
+        if snapshot.column_mapping_mode != "none":
+            raise UnsupportedFeatureError("append to column-mapped table")
+        schema = snapshot.schema
+        parts = snapshot.partition_columns
+
+        # conform input columns to table schema (order + types)
+        from pyspark.sql import functions as F
+
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise SchemaError(f"input missing table columns: {missing}")
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+        if txn_app_id is not None and txn_expected_last is not None:
+            have = snapshot.transaction_version(txn_app_id)
+            if have != txn_expected_last:
+                raise IdempotencyError(
+                    f"app {txn_app_id!r}: expected last version {txn_expected_last}, "
+                    f"found {have}"
+                )
+
+        staging = os.path.join(self.table_path, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+
+        try:
+            moved = self._promote_staged_files(staging, parts)
+            adds = self._build_add_actions(moved, schema, parts)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        self._enforce_not_null(adds, schema, parts, moved)
+
+        actions: list[dict] = [{"commitInfo": _commit_info("WRITE", {"mode": "Append"})}]
+        if txn_app_id is not None and txn_version is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version),
+                         "lastUpdated": int(time.time() * 1000)}}
+            )
+        actions.extend({"add": a} for a in adds)
+
+        version = snapshot.version + 1
+        attempt = 0
+        while True:
+            try:
+                self.log.commit(version, actions)
+                return version
+            except CommitConflictError:
+                attempt += 1
+                if attempt > max_retries:
+                    self._rollback(moved)
+                    raise
+                if txn_app_id is not None and txn_expected_last is not None:
+                    fresh = Snapshot.build(self.log)
+                    if fresh.transaction_version(txn_app_id) != txn_expected_last:
+                        self._rollback(moved)
+                        raise IdempotencyError(
+                            f"app {txn_app_id!r}: version advanced during retry"
+                        ) from None
+                version = self.log.latest_version() + 1
+
+    def _promote_staged_files(self, staging: str, parts: list[str]) -> list[tuple[str, dict]]:
+        """Move staged parquet into the table dir (hive layout preserved).
+        Returns [(relative_path, partitionValues)]."""
+        moved: list[tuple[str, dict]] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                pvals: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for comp in rel_dir.split(os.sep):
+                        k, _, v = comp.partition("=")
+                        pvals[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else urllib.parse.unquote(v)
+                        )
+                # keep Spark's task-uuid basename — globally unique already
+                rel_path = name if rel_dir == "." else os.path.join(rel_dir, name)
+                dest = os.path.join(self.table_path, rel_path)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(os.path.join(root, name), dest)
+                ordered = {p: pvals.get(p) for p in parts}
+                moved.append((rel_path, ordered))
+        return moved
+
+    def _build_add_actions(
+        self, moved: list[tuple[str, dict]], schema: T.StructType, parts: list[str]
+    ) -> list[dict]:
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for rel_path, pvals in moved:
+            full = os.path.join(self.table_path, rel_path)
+            stats = _footer_stats(full, schema, set(parts))
+            adds.append(
+                {
+                    "path": urllib.parse.quote(rel_path.replace(os.sep, "/"), safe="/=-_.~"),
+                    "partitionValues": {
+                        k: (None if v is None else str(v)) for k, v in pvals.items()
+                    },
+                    "size": os.path.getsize(full),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(stats, separators=(",", ":")),
+                }
+            )
+        return adds
+
+    def _enforce_not_null(self, adds, schema, parts, moved) -> None:
+        required = [f.name for f in schema.fields if not f.nullable and f.name not in parts]
+        if not required:
+            return
+        for add in adds:
+            stats = json.loads(add["stats"])
+            nulls = stats.get("nullCount") or {}
+            for col in required:
+                if int(nulls.get(col) or 0) > 0:
+                    self._rollback(moved)
+                    raise ConstraintViolationError(
+                        f"NOT NULL constraint violated for column {col!r}"
+                    )
+
+    def _rollback(self, moved: list[tuple[str, dict]]) -> None:
+        """Failed commit ⇒ delete the orphaned data files (reference:
+        delta_transaction.cpp:483-488)."""
+        for rel_path, _ in moved:
+            try:
+                os.unlink(os.path.join(self.table_path, rel_path))
+            except OSError:
+                pass
+
+    # ---------- checkpoint ----------
+
+    def checkpoint(self) -> int:
+        """Write ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` for HEAD.
+
+        Aggregates reconciled snapshot state into one parquet file —
+        idempotent, like the reference (checkpoint.test:26-41).
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = Snapshot.build(self.log)
+        v = snap.version
+
+        rows: list[dict] = []
+        rows.append({"protocol": {
+            "minReaderVersion": int(snap.protocol.get("minReaderVersion", 1)),
+            "minWriterVersion": int(snap.protocol.get("minWriterVersion", 2)),
+        }})
+        md = snap.metadata
+        rows.append({"metaData": {
+            "id": md.get("id"),
+            "name": md.get("name"),
+            "description": md.get("description"),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": md.get("schemaString"),
+            "partitionColumns": list(md.get("partitionColumns") or []),
+            "configuration": dict(md.get("configuration") or {}),
+            "createdTime": md.get("createdTime"),
+        }})
+        for app_id, ver in sorted(snap.app_transactions.items()):
+            rows.append({"txn": {"appId": app_id, "version": ver, "lastUpdated": None}})
+        for domain, conf in sorted(snap.domain_metadata.items()):
+            rows.append({"domainMetadata": {"domain": domain, "configuration": conf,
+                                            "removed": False}})
+        for f in snap.add_files():
+            dv = f.deletion_vector
+            rows.append({"add": {
+                "path": f.path,
+                "partitionValues": {k: v for k, v in f.partition_values.items()},
+                "size": f.size,
+                "modificationTime": f.modification_time,
+                "dataChange": True,
+                "stats": f.stats,
+                "tags": f.tags,
+                "deletionVector": None if not dv else {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                },
+            }})
+
+        schema = _checkpoint_arrow_schema()
+        cols = {name: [r.get(name) for r in rows] for name in schema.names}
+        table = pa.Table.from_pydict(cols, schema=schema)
+        path = os.path.join(self.log.log_path, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(table, path)
+        self.log.write_last_checkpoint(v, len(rows))
+        return v
+
+
+def _commit_info(operation: str, params: dict | None = None) -> dict:
+    return {
+        "timestamp": int(time.time() * 1000),
+        "operation": operation,
+        "operationParameters": params or {},
+        "engineCommitInfo": {"engineInfo": ENGINE_INFO},
+        "engineInfo": ENGINE_INFO,
+    }
+
+
+def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:
+    """Exact per-file stats from the parquet footer (no extra Spark job):
+    {numRecords, minValues, maxValues, nullCount, tightBounds}."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    num_rows = meta.num_rows
+    stat_cols = [
+        f.name
+        for f in schema.fields
+        if f.name not in parts
+        and not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {c: 0 for c in stat_cols}
+    seen_stats = {c: False for c in stat_cols}
+    name_set = set(stat_cols)
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in name_set:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] += st.null_count
+            if st.has_min_max:
+                seen_stats[name] = True
+                mn, mx = st.min, st.max
+                if name not in mins or (mn is not None and mins[name] is not None and mn < mins[name]):
+                    mins[name] = mn
+                if name not in maxs or (mx is not None and maxs[name] is not None and mx > maxs[name]):
+                    maxs[name] = mx
+
+    min_values: dict = {}
+    max_values: dict = {}
+    for c in stat_cols:
+        if not seen_stats.get(c):
+            continue
+        mn = _json_stat_value(mins.get(c))
+        mx = _json_stat_value(maxs.get(c))
+        if isinstance(mn, str):
+            mn = _truncate_min(mn)
+        if isinstance(mx, str):
+            mx = _truncate_max(mx)
+        if mn is not None:
+            min_values[c] = mn
+        if mx is not None:
+            max_values[c] = mx
+    return {
+        "numRecords": num_rows,
+        "minValues": min_values,
+        "maxValues": max_values,
+        "nullCount": nulls,
+        "tightBounds": True,
+    }
+
+
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field("protocol", pa.struct([
+                pa.field("minReaderVersion", pa.int32()),
+                pa.field("minWriterVersion", pa.int32()),
+            ])),
+            pa.field("metaData", pa.struct([
+                pa.field("id", pa.string()),
+                pa.field("name", pa.string()),
+                pa.field("description", pa.string()),
+                pa.field("format", pa.struct([
+                    pa.field("provider", pa.string()),
+                    pa.field("options", str_map),
+                ])),
+                pa.field("schemaString", pa.string()),
+                pa.field("partitionColumns", pa.list_(pa.string())),
+                pa.field("configuration", str_map),
+                pa.field("createdTime", pa.int64()),
+            ])),
+            pa.field("txn", pa.struct([
+                pa.field("appId", pa.string()),
+                pa.field("version", pa.int64()),
+                pa.field("lastUpdated", pa.int64()),
+            ])),
+            pa.field("domainMetadata", pa.struct([
+                pa.field("domain", pa.string()),
+                pa.field("configuration", pa.string()),
+                pa.field("removed", pa.bool_()),
+            ])),
+            pa.field("add", pa.struct([
+                pa.field("path", pa.string()),
+                pa.field("partitionValues", str_map),
+                pa.field("size", pa.int64()),
+                pa.field("modificationTime", pa.int64()),
+                pa.field("dataChange", pa.bool_()),
+                pa.field("stats", pa.string()),
+                pa.field("tags", str_map),
+                pa.field("deletionVector", pa.struct([
+                    pa.field("storageType", pa.string()),
+                    pa.field("pathOrInlineDv", pa.string()),
+                    pa.field("offset", pa.int32()),
+                    pa.field("sizeInBytes", pa.int32()),
+                    pa.field("cardinality", pa.int64()),
+                ])),
+            ])),
+        ]
+    )

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local test profile: ``local[N]`` single JVM. The configs below are chosen so
+the *same* code is cluster-correct: AQE (runtime re-plan, skew-join handling,
+partition coalescing), parquet filter pushdown, Arrow for the pandas-UDF slow
+path, UTC session time zone (Delta partition-value timestamps are tz-naive
+strings; UTC makes Spark and the DuckDB oracle agree).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "duckdb_delta_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; on a real cluster this is
+        # sized to executors*cores (AQE coalesces down when partitions are
+        # small, and splits skewed ones).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
