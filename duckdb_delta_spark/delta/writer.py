@@ -86,6 +86,10 @@ class DeltaWriter:
         self.table_path = os.path.abspath(table_path)
         self.spark = spark
         self.log = DeltaLog(self.table_path)
+        # pin table state at transaction start, like the reference
+        # (delta_transaction.cpp:490-537): a commit that lands between
+        # construction and our commit is a conflict, not silently absorbed
+        self._snapshot = Snapshot.build(self.log)
 
     # ---------- table creation ----------
 
@@ -144,7 +148,7 @@ class DeltaWriter:
         the commit ``max_retries`` times, else clean up the files and raise
         (reference default is fail: delta_transaction_manager.cpp:20-32).
         """
-        snapshot = Snapshot.build(self.log)
+        snapshot = self._snapshot
         if snapshot.column_mapping_mode != "none":
             raise UnsupportedFeatureError("append to column-mapped table")
         schema = snapshot.schema
@@ -193,20 +197,24 @@ class DeltaWriter:
         while True:
             try:
                 self.log.commit(version, actions)
+                # refresh the pinned snapshot incrementally (reads only the
+                # commit we just wrote) so sequential appends stay cheap
+                self._snapshot = Snapshot.build(self.log, base=snapshot)
                 return version
             except CommitConflictError:
                 attempt += 1
                 if attempt > max_retries:
                     self._rollback(moved)
                     raise
+                fresh = Snapshot.build(self.log, base=snapshot)
                 if txn_app_id is not None and txn_expected_last is not None:
-                    fresh = Snapshot.build(self.log)
                     if fresh.transaction_version(txn_app_id) != txn_expected_last:
                         self._rollback(moved)
                         raise IdempotencyError(
                             f"app {txn_app_id!r}: version advanced during retry"
                         ) from None
-                version = self.log.latest_version() + 1
+                snapshot = self._snapshot = fresh
+                version = snapshot.version + 1
 
     def _promote_staged_files(self, staging: str, parts: list[str]) -> list[tuple[str, dict]]:
         """Move staged parquet into the table dir (hive layout preserved).

@@ -1,0 +1,134 @@
+"""Text analysis: tokenization, language ID, quality scoring, fingerprinting.
+
+Designed for 100 TB document corpora: all expressions are built-in Spark SQL
+functions (whole-stage codegen, no Python in the hot path); every operator
+is embarrassingly parallel over rows (no shuffle at all) except explicit
+aggregations.
+
+The constants (stopword lists, regexes) are shared with the DuckDB oracle
+generator so both engines compute the identical deterministic function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: token splitter shared with the oracle (duckdb regexp_split_to_array)
+TOKEN_SPLIT_RE = r"\s+"
+
+#: tiny embedded stopword lists — deterministic language-ID heuristic.
+#: (A real pipeline swaps in fastText/cld3; the *operator shape* — per-row
+#: scoring + argmax, zero shuffle — is what scales.)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "on", "with", "as", "this", "was"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+           "nicht", "ein", "eine", "auf", "für", "im"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los",
+           "se", "del", "las", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "du",
+           "en", "que", "pour", "dans", "sur"),
+}
+
+#: quality-score weights (shared with oracle)
+QUALITY_MIN_TOKENS = 5
+QUALITY_MAX_MEAN_TOKEN_LEN = 12.0
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empty strings removed."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_distinct_tokens, mean_token_len — the token-counting
+    primitive of a data pipeline (BPE-ish counts derive from the same shape)."""
+    t = tokens(F.col(text_col))
+    return (
+        df.withColumn("__toks", t)
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn(
+            "n_distinct_tokens", F.size(F.array_distinct("__toks")).cast("long")
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.aggregate(
+                    "__toks", F.lit(0.0), lambda acc, x: acc + F.length(x)
+                )
+                / F.greatest(F.size("__toks"), F.lit(1)),
+                4,
+            ),
+        )
+        .drop("__toks")
+    )
+
+
+def _stopword_hits(text_col: str, lang: str) -> Column:
+    toks = tokens(F.col(text_col))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic argmax-of-stopword-hits language ID.
+
+    Ties break on language code ascending (stable across engines)."""
+    out = df
+    for lang in STOPWORDS:
+        out = out.withColumn(f"__hits_{lang}", _stopword_hits(text_col, lang))
+    # argmax with lexicographic tie-break: pick lang with (-hits, lang) minimal
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"__hits_{lang}")).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in STOPWORDS
+        ]
+    )
+    out = out.withColumn("lang_detected", F.array_min(pairs).getField("lang"))
+    out = out.withColumn(
+        "stopword_hits", F.greatest(*[F.col(f"__hits_{lang}") for lang in STOPWORDS])
+    )
+    return out.drop(*[f"__hits_{lang}" for lang in STOPWORDS])
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword-ratio quality features + a [0,1] score."""
+    df = with_token_stats(df, text_col)
+    text = F.col(text_col)
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ).cast("long")
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_arr = F.array(*[F.lit(w) for w in all_sw])
+    toks = tokens(text)
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    df = (
+        df.withColumn("n_punct", n_punct)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(sw_ratio, 4))
+    )
+    score = (
+        F.when(F.col("n_tokens") < QUALITY_MIN_TOKENS, 0.0)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.col("n_distinct_tokens") / F.col("n_tokens")
+                + F.col("stopword_ratio"),
+            )
+        )
+    )
+    return df.withColumn("quality_score", F.round(score, 4))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    (Content-defined fingerprint for exact/near-exact dedup joins; md5 is
+    available verbatim in both Spark and DuckDB, so oracle-checkable.)"""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))

@@ -1,0 +1,362 @@
+"""Window / grouping / set-op / event-stream analytics suite.
+
+Covers the rest of the §2E host-engine inventory the reference's TPC-DS
+surface needs: ranking and frame windows, ROLLUP/CUBE/GROUPING SETS,
+INTERSECT/EXCEPT, pivoted conditional aggregation, JSON extraction, and
+gap-based sessionization (lag + windowed running sum) on the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_delta_spark.queries import dsum, load, register
+
+SESSION_GAP_MIN = 30
+
+
+# win: top-3 orders per customer by totalprice (ranking window, tie-broken)
+@register(
+    "win_top_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT c_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM customer JOIN orders ON c_custkey = o_custkey) t
+    WHERE rn <= 3
+    """,
+    group="window",
+)
+def win_top_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long"))
+    )
+
+
+# win: running revenue per supplier (frame window over deterministic order)
+@register(
+    "win_running_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    group="window",
+)
+def win_running_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running sums of doubles are summation-order-sensitive (duckdb's
+    # windowed SUM uses a segment tree) — accumulate exactly in decimal,
+    # round, then surface as double on both sides
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.sum(rev).over(w), 2).cast("double").alias("running_revenue"),
+    )
+
+
+# win: dense_rank of parts by retail price within brand + lead/lag delta
+@register(
+    "win_price_rank",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           dense_rank() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+           round(p_retailprice -
+                 coalesce(lag(p_retailprice) OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC, p_partkey), p_retailprice), 2)
+             AS gap_to_prev
+    FROM part
+    """,
+    group="window",
+)
+def win_price_rank(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.dense_rank().over(w).cast("long").alias("price_rank"),
+        F.round(
+            F.col("p_retailprice")
+            - F.coalesce(F.lag("p_retailprice").over(w), F.col("p_retailprice")),
+            2,
+        ).alias("gap_to_prev"),
+    )
+
+
+# rollup over lineitem flags
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    group="grouping",
+)
+def agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# cube over events
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY CUBE (event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE))
+    """,
+    group="grouping",
+)
+def agg_cube(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+    )
+
+
+# explicit GROUPING SETS with grouping() disambiguation
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    group="grouping",
+)
+def agg_grouping_sets(spark, sf_dir):
+    from duckdb_delta_spark.queries import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+# set ops: INTERSECT / EXCEPT on user activity
+@register(
+    "setop_click_and_buy",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    group="setop",
+)
+def setop_click_and_buy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "setop_view_no_buy",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    group="setop",
+)
+def setop_view_no_buy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    # EXCEPT is set-difference (a viewer who also purchased is excluded
+    # entirely) — subtract(), not exceptAll().distinct()
+    return views.subtract(buys)
+
+
+# events: hourly tumbling aggregation (the batch analogue of a stream window)
+@register(
+    "ev_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+    """,
+    group="events",
+)
+def ev_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# events: daily top spender (rank over aggregated values)
+@register(
+    "ev_daily_top_user",
+    oracle="""
+    SELECT day, user_id, spent, rnk FROM (
+      SELECT day, user_id, spent,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY spent DESC, user_id) AS rnk
+      FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+                   CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS spent
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE), user_id) t) r
+    WHERE rnk <= 3
+    """,
+    group="events",
+)
+def ev_daily_top_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"), "user_id")
+        .agg(dsum("value").alias("spent"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("spent").desc(), F.col("user_id"))
+    return (
+        daily.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# events: JSON property extraction
+@register(
+    "ev_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    group="events",
+)
+def ev_json_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# events: pivoted conditional aggregation (pivot per event type)
+@register(
+    "ev_pivot_daily",
+    oracle="""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    """,
+    group="events",
+)
+def ev_pivot_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    piv = (
+        ev.groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    cols = [F.col("day")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+        for t in ["click", "error", "purchase", "signup", "view"]
+    ]
+    return piv.select(*cols)
+
+
+# events: gap-based sessionization (lag + running sum of session starts)
+@register(
+    "ev_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_ts) > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(avg(dur_us / 1000000.0), 3) AS avg_session_secs
+    FROM per_session GROUP BY user_id
+    """,
+    group="events",
+)
+def ev_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("session_id", F.sum(is_new).over(wrun))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg(F.col("dur_us") / 1_000_000.0), 3).alias("avg_session_secs"),
+    )

@@ -1,0 +1,217 @@
+"""Delta-engine queries: our scan vs the DuckDB oracle on the raw parquet.
+
+The dual-scan equivalence pattern of the reference's DAT suite
+(reference: test/sql/dat/all.test:14-27 — delta_scan vs parquet_scan of the
+expected data): each fixture is a Delta table whose content equals a
+SQL-expressible subset of the raw testdata tables, so the oracle runs on the
+plain views while the Spark side goes through the full Delta machinery
+(log replay → checkpoint → skipping → DV mask → column mapping → scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_delta_spark.delta.table import DeltaTable
+from duckdb_delta_spark.queries import dsum, register
+from duckdb_delta_spark.testing import fixtures as FX
+
+
+def _fx(spark, sf_dir, name) -> DeltaTable:
+    root = FX.ensure_fixtures(spark, sf_dir)
+    return DeltaTable(os.path.join(root, name))
+
+
+# full scan through 3-commit log replay
+@register(
+    "delta_scan_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_scan_agg(spark, sf_dir):
+    df = _fx(spark, sf_dir, "lineitem_multi").to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total"),
+    )
+
+
+# stats-based file skipping (predicate on the commit-split key)
+@register(
+    "delta_stats_skip",
+    oracle=f"""
+    SELECT count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_orderkey < {FX.SPLITS[1]}
+    """,
+    group="delta",
+)
+def delta_stats_skip(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_multi")
+    sb = t.scan(spark).filter("l_orderkey", "<", FX.SPLITS[1])
+    df = sb.to_df()
+    assert sb.skip_report()["files_scanned"] < sb.skip_report()["files_total"]
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+# partition pruning + partition-value injection from the log
+@register(
+    "delta_partition_prune",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+    """,
+    group="delta",
+)
+def delta_partition_prune(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_part")
+    sb = t.scan(spark).filter("l_returnflag", "=", "R")
+    df = sb.to_df()
+    assert sb.skip_report()["files_skipped_by_partition"] > 0
+    return df.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total"),
+    )
+
+
+# deletion vectors: masked rows must vanish from aggregates
+@register(
+    "delta_dv_scan",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_linenumber <> {FX.DV_DELETE_LINENUMBER}
+    GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_dv_scan(spark, sf_dir):
+    df = _fx(spark, sf_dir, "lineitem_dv").to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+# time travel: version 1 sees only the first append
+@register(
+    "delta_time_travel",
+    oracle=f"""
+    SELECT count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < {FX.EVO_KEY_SPLIT}
+    """,
+    group="delta",
+)
+def delta_time_travel(spark, sf_dir):
+    root = FX.ensure_fixtures(spark, sf_dir)
+    t = DeltaTable(os.path.join(root, "orders_tt"), version=1)
+    return t.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# checkpoint read path: scan resolves through N.checkpoint.parquet
+@register(
+    "delta_checkpoint_scan",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    group="delta",
+)
+def delta_checkpoint_scan(spark, sf_dir):
+    df = _fx(spark, sf_dir, "orders_ckpt").to_df(spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# schema evolution: files written pre-ADD-COLUMN yield typed NULLs
+@register(
+    "delta_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey < {FX.EVO_KEY_SPLIT} THEN NULL
+                ELSE o_orderstatus END AS o_orderstatus,
+           count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+    group="delta",
+)
+def delta_schema_evolution(spark, sf_dir):
+    df = _fx(spark, sf_dir, "orders_evo").to_df(spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# column mapping (name mode): logical names resolve physical columns
+@register(
+    "delta_column_mapping",
+    oracle="""
+    SELECT p_brand, count(*) AS n, CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM part GROUP BY p_brand
+    """,
+    group="delta",
+)
+def delta_column_mapping(spark, sf_dir):
+    df = _fx(spark, sf_dir, "part_cm").to_df(spark)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("total")
+    )
+
+
+# metadata surface: delta_list_files analogue feeding an aggregate
+@register(
+    "delta_manifest_rows",
+    oracle="SELECT count(*) AS total_rows FROM lineitem",
+    group="delta",
+)
+def delta_manifest_rows(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_multi")
+    m = t.file_manifest(spark)
+    return m.agg(F.sum("cardinality").cast("long").alias("total_rows"))
+
+
+# write path end-to-end: append inside the query, scan back through the log
+@register(
+    "delta_append_scan",
+    oracle="""
+    SELECT count(*) AS n, CAST(round(sum(CAST(s_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM supplier
+    """,
+    group="delta",
+)
+def delta_append_scan(spark, sf_dir):
+    """Creates a throwaway table, appends supplier in two commits, scans."""
+    import shutil
+    import uuid
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    from pyspark.sql import types as T
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    path = os.path.join(FX.FIXTURE_ROOT, f"tmp_append_{uuid.uuid4().hex}")
+    try:
+        w = DeltaWriter.create(spark, path, sup.schema)
+        w.append(sup.where(F.col("s_suppkey") % 2 == 0))
+        w.append(sup.where(F.col("s_suppkey") % 2 == 1))
+        rows = (
+            DeltaTable(path)
+            .to_df(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("s_acctbal").alias("total"),
+            )
+            .collect()
+        )
+        schema = T.StructType(
+            [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

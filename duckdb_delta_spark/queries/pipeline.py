@@ -1,0 +1,358 @@
+"""Training-data pipeline queries: dedup / similarity / text / multimodal.
+
+Each entry wraps an operator from ``duckdb_delta_spark.operators`` and
+carries a DuckDB oracle that computes the *identical deterministic
+function* in SQL (md5-based hashing, shared stopword lists, driver-side
+LSH plane constants inlined into both sides), so the driver's hash compare
+is exact — not merely statistical.
+"""
+
+from __future__ import annotations
+
+from duckdb_delta_spark.operators import dedup as D
+from duckdb_delta_spark.operators import similarity as S
+from duckdb_delta_spark.operators import text as X
+from duckdb_delta_spark.queries import load, register
+
+# ---------------------------------------------------------------- helpers
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def _sw_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _hits(lang: str) -> str:
+    return (
+        f"len(list_filter({_TOKS}, x -> x IN {_sw_list(X.STOPWORDS[lang])}))"
+    )
+
+
+# ---------------------------------------------------------------- text ops
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+                 / greatest(len(t), 1), 4) AS mean_token_len
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    """,
+    group="text",
+)
+def text_token_stats(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    return X.with_token_stats(df).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "mean_token_len"
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(X.STOPWORDS)  # alphabetical = the Spark tie-break order
+    hit_cols = ", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in langs)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        others = [f"hits_{lang} >= hits_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"WHEN {cond} THEN '{lang}' "
+    case += "END"
+    greatest = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    return f"""
+    SELECT doc_id, {case} AS lang_detected,
+           CAST({greatest} AS BIGINT) AS stopword_hits
+    FROM (SELECT doc_id, {hit_cols} FROM documents)
+    """
+
+
+@register("text_language_id", oracle=_langid_oracle(), group="text")
+def text_language_id(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    return X.with_language(df).select("doc_id", "lang_detected", "stopword_hits")
+
+
+def _quality_oracle() -> str:
+    all_sw = sorted({w for ws in X.STOPWORDS.values() for w in ws})
+    return f"""
+    SELECT doc_id, n_tokens, n_distinct_tokens, mean_token_len, n_punct,
+           punct_ratio, stopword_ratio,
+           round(CASE WHEN n_tokens < {X.QUALITY_MIN_TOKENS} THEN 0.0
+                      ELSE least(1.0, n_distinct_tokens / CAST(n_tokens AS DOUBLE)
+                                      + stopword_ratio) END, 4) AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+             round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+                   / greatest(len(t), 1), 4) AS mean_token_len,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+             round(len(list_filter(t, x -> x IN {_sw_list(all_sw)}))
+                   / CAST(greatest(len(t), 1) AS DOUBLE), 4) AS stopword_ratio
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents))
+    """
+
+
+@register("text_quality", oracle=_quality_oracle(), group="text")
+def text_quality(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    return X.with_quality(df).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "mean_token_len",
+        "n_punct", "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    group="text",
+)
+def text_fingerprint(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    return X.with_fingerprint(df).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+    group="dedup",
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{s}:' || sh)) AS mh_{s}" for s in range(D.MINHASH_HASHES)
+    )
+    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh_{b * D.MINHASH_BAND_SIZE + k}" for k in range(D.MINHASH_BAND_SIZE)
+        )
+        + f") AS band_{b}"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM toks),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    SELECT doc_id, {bands} FROM sig
+    """
+
+
+@register("dedup_minhash_signatures", oracle=_minhash_sig_sql(), group="dedup")
+def dedup_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_sql() -> str:
+    sig = _minhash_sig_sql()
+    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
+        f"ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(n_bands)
+    )
+    return f"WITH sigs AS ({sig})\n{unions}"
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_pairs_sql(), group="dedup")
+def dedup_minhash_pairs(spark, sf_dir):
+    return D.minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        "sum(CASE WHEN (CAST(strpos('0123456789abcdef', substr(h, %d, 1)) - 1 AS INTEGER)"
+        " >> %d) %% 2 = 1 THEN 1 ELSE -1 END) AS v_%d" % (1 + j // 4, 3 - (j % 4), j)
+        for j in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, md5(unnest({_TOKS})) AS h FROM documents),
+    agg AS (SELECT doc_id, {votes} FROM toked GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM agg
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql(), group="dedup")
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_NGRAMS = (
+    f"list_distinct(list_transform(generate_series(1, greatest(length(n) - 2, 0)), "
+    f"i -> substr(n, i, 3)))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, lang, {_NORM} AS n FROM documents),
+    grams AS (SELECT doc_id AS id, lang, unnest({_NGRAMS}) AS g FROM norm),
+    sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang
+                                        AND a.id < b.id
+              GROUP BY a.id, b.id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4)
+             AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.5
+    """,
+    group="dedup",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- similarity
+
+_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv FROM embeddings
+               WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   AS cosv
+          FROM c, q WHERE neighbor_id <> query_id),
+    r AS (SELECT query_id, neighbor_id, cosv,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosv DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cosv, 4) AS cos, rank
+    FROM r WHERE rank <= 5
+    """,
+    group="similarity",
+)
+def ann_brute_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+def _planes(dim: int = 64):
+    return S.plane_components(S.LSH_PLANES, dim)
+
+
+def _bucket_expr(vec_expr: str = _DVEC) -> str:
+    parts = []
+    for row in _planes():
+        arr = "[" + ", ".join(f"{x!r}::DOUBLE" for x in row) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {arr}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def _lsh_bucket_sql() -> str:
+    return (
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, {_bucket_expr()} AS bucket "
+        "FROM embeddings"
+    )
+
+
+@register("ann_lsh_buckets", oracle=_lsh_bucket_sql(), group="similarity")
+def ann_lsh_buckets(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S.with_lsh_bucket(emb, _planes()).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "bucket"
+    )
+
+
+@register(
+    "ann_lsh_bucket_stats",
+    oracle=f"WITH b AS ({_lsh_bucket_sql()}) "
+    "SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket",
+    group="similarity",
+)
+def ann_lsh_bucket_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        S.with_lsh_bucket(emb, _planes())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "ann_near_pairs",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_DVEC} AS v, {_bucket_expr()} AS bucket
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 list_dot_product(a.v, b2.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v)))
+                   AS cosv
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(cosv, 4) AS cos
+    FROM p WHERE cosv >= 0.9
+    """,
+    group="similarity",
+)
+def ann_near_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_near_pairs(emb, _planes(), threshold=0.9)
+
+
+# ---------------------------------------------------------------- multimodal
+
+@register(
+    "mm_payload_stats",
+    oracle="""
+    SELECT source, count(*) AS n_payloads,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(text)) AS distinct_payloads,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+    group="multimodal",
+)
+def mm_payload_stats(spark, sf_dir):
+    from duckdb_delta_spark.operators import multimodal as M
+
+    return M.payload_stats(load(spark, sf_dir, "documents"))

@@ -1,0 +1,264 @@
+"""Deterministic Delta-table fixtures derived from the driver's parquet.
+
+Mirrors the reference's generated-data strategy
+(reference: scripts/data_generator/generate_test_data.py — multi-commit
+tables, partitioned tables, DV tables, schema evolution, checkpoints) but
+derives everything from ``/root/testdata/sf*``, so each fixture's content
+equals a SQL-expressible subset of the raw tables — which is what lets the
+driver's DuckDB oracle verify our Delta scan end-to-end.
+
+Fixtures are cached per sf_dir under ``.fixtures/delta/<sf_name>`` and
+rebuilt only when the layout version changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession, functions as F
+
+from duckdb_delta_spark.delta.log import DeltaLog
+from duckdb_delta_spark.delta.table import DeltaTable
+from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
+
+FIXTURE_ROOT = "/root/repo/.fixtures/delta"
+LAYOUT_VERSION = 4  # bump to force a rebuild
+
+#: lineitem splits by l_orderkey for multi-commit tables — must be inside
+#: the key range at EVERY sf (sf0.001 tops out at l_orderkey=1499)
+SPLITS = (0, 500, 1_000, 10_000_000_000)
+DV_DELETE_LINENUMBER = 1
+EVO_KEY_SPLIT = 750  # o_orderkey < split → first (2-col) commit
+
+
+def fixture_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(FIXTURE_ROOT, name)
+
+
+def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
+    """Build all fixtures for sf_dir once; return the fixture dir."""
+    root = fixture_dir(sf_dir)
+    marker = os.path.join(root, "_BUILT")
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(LAYOUT_VERSION):
+                return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    _build_lineitem_multi(spark, sf_dir, os.path.join(root, "lineitem_multi"))
+    _build_lineitem_part(spark, sf_dir, os.path.join(root, "lineitem_part"))
+    _build_lineitem_dv(spark, sf_dir, os.path.join(root, "lineitem_dv"))
+    _build_orders_tt(spark, sf_dir, os.path.join(root, "orders_tt"))
+    _build_orders_ckpt(spark, sf_dir, os.path.join(root, "orders_ckpt"))
+    _build_orders_evo(spark, sf_dir, os.path.join(root, "orders_evo"))
+    _build_part_cm(spark, sf_dir, os.path.join(root, "part_cm"))
+
+    with open(marker, "w") as f:
+        f.write(str(LAYOUT_VERSION))
+    return root
+
+
+def _li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _build_lineitem_multi(spark, sf_dir, path):
+    """3 append commits split by l_orderkey range, 4 files each."""
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema)
+    for lo, hi in zip(SPLITS, SPLITS[1:]):
+        w.append(
+            li.where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+            .repartition(4)
+        )
+
+
+def _build_lineitem_part(spark, sf_dir, path):
+    """Partitioned by l_returnflag (hive layout + log partition values)."""
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema, partition_by=["l_returnflag"])
+    w.append(li.repartition(4))
+
+
+def _build_lineitem_dv(spark, sf_dir, path):
+    """Single append, then a DV delete of all l_linenumber == N rows —
+    exercises the deletion-vector read path at realistic scale
+    (reference fixture analogue: lineitem_dv, generate_test_data.py:194-197)."""
+    import numpy as np
+
+    from duckdb_delta_spark.delta import dv as dvmod
+
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema)
+    w.append(li.repartition(4))
+
+    table = DeltaTable(path)
+    # row indexes to delete, per physical file
+    rows = (
+        spark.read.parquet(*[f.absolute_path(path) for f in table.snapshot.add_files()])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+            "l_linenumber",
+        )
+        .where(F.col("l_linenumber") == DV_DELETE_LINENUMBER)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("ri")).alias("rows"))
+        .collect()
+    )
+    by_uri = {r["fp"]: np.array(r["rows"], dtype=np.uint64) for r in rows}
+    actions = [{"commitInfo": _commit_info("DELETE")}]
+    adds = table.snapshot.add_files()
+    bitmaps, files_with_dv = [], []
+    for f in adds:
+        uri = "file:" + f.absolute_path(path)
+        if uri in by_uri:
+            bitmaps.append(by_uri[uri])
+            files_with_dv.append(f)
+    descs = dvmod.write_dv_file(path, bitmaps)
+    for f, desc in zip(files_with_dv, descs):
+        actions.append({"remove": {"path": f.path, "dataChange": True}})
+        actions.append(
+            {
+                "add": {
+                    "path": f.path,
+                    "partitionValues": {},
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": True,
+                    "stats": f.stats,
+                    "deletionVector": desc,
+                }
+            }
+        )
+    DeltaLog(path).commit(table.version + 1, actions)
+
+
+def _build_orders_tt(spark, sf_dir, path):
+    """Two appends split at the median key → time travel to v1."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") < EVO_KEY_SPLIT).repartition(2))
+    w.append(o.where(F.col("o_orderkey") >= EVO_KEY_SPLIT).repartition(2))
+
+
+def _build_orders_ckpt(spark, sf_dir, path):
+    """12 appends; checkpoint at v10; 2 more appends on top."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    n = 12
+    for i in range(10):
+        w.append(o.where(F.col("o_orderkey") % n == i).repartition(1))
+    w.checkpoint()
+    for i in range(10, n):
+        w.append(o.where(F.col("o_orderkey") % n == i).repartition(1))
+
+
+def _build_orders_evo(spark, sf_dir, path):
+    """Schema evolution: v0 schema (o_orderkey, o_totalprice); append old
+    rows; upgrade schema adding o_orderstatus; append new rows → old files
+    must yield NULL for the added column
+    (reference analogue: evolution_simple, timetravel.test:10-33)."""
+    from pyspark.sql import types as T
+
+    o = _orders(spark, sf_dir)
+    narrow = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()), T.StructField("o_totalprice", T.DoubleType())]
+    )
+    w = DeltaWriter.create(spark, path, narrow)
+    w.append(
+        o.where(F.col("o_orderkey") < EVO_KEY_SPLIT).select("o_orderkey", "o_totalprice").repartition(2)
+    )
+    # schema upgrade commit
+    log = DeltaLog(path)
+    snap = DeltaTable(path).snapshot
+    wide = T.StructType(
+        narrow.fields + [T.StructField("o_orderstatus", T.StringType())]
+    )
+    meta = dict(snap.metadata)
+    meta["schemaString"] = wide.json()
+    log.commit(snap.version + 1, [{"commitInfo": _commit_info("ADD COLUMN")},
+                                  {"metaData": meta}])
+    # the writer pins its snapshot at construction; re-open to see the new schema
+    w = DeltaWriter(path, spark)
+    w.append(
+        o.where(F.col("o_orderkey") >= EVO_KEY_SPLIT)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition(2)
+    )
+
+
+def _build_part_cm(spark, sf_dir, path):
+    """Column-mapping (name mode): physical column names differ from
+    logical; scan must rename via delta.columnMapping.physicalName
+    (reference analogue: evolution_column_change, column_mapping.test)."""
+    from pyspark.sql import types as T
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    logical = [("p_partkey", T.LongType()), ("p_brand", T.StringType()),
+               ("p_retailprice", T.DoubleType())]
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    phys = {name: f"col-{i:04d}" for i, (name, _) in enumerate(logical)}
+    p.select(
+        *[F.col(n).alias(phys[n]) for n, _ in logical]
+    ).repartition(2).write.mode("overwrite").parquet(os.path.join(path, "data"))
+
+    fields = []
+    for i, (name, typ) in enumerate(logical):
+        fields.append(
+            T.StructField(
+                name, typ, True,
+                {"delta.columnMapping.id": i + 1,
+                 "delta.columnMapping.physicalName": phys[name]},
+            )
+        )
+    schema = T.StructType(fields)
+    import time as _time
+    import uuid as _uuid
+
+    meta = {
+        "id": str(_uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": str(len(logical))},
+        "createdTime": int(_time.time() * 1000),
+    }
+    actions = [
+        {"commitInfo": _commit_info("CREATE TABLE")},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+    ]
+    data_dir = os.path.join(path, "data")
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(data_dir, name)
+        actions.append(
+            {
+                "add": {
+                    "path": f"data/{name}",
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": _parquet_rows(full)}),
+                }
+            }
+        )
+    DeltaLog(path).commit(0, actions)
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
