@@ -1,0 +1,63 @@
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Delta fixture construction (one-time, derived from the sf dir) happens
+before the clock starts — the benchmark measures query execution, matching
+the reference's suite structure where data generation is a separate step
+(reference: benchmark/benchmark.Makefile:27-37 vs scripts/data_generator/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf") or 0)
+
+    from duckdb_delta_spark.queries import all_queries
+    from duckdb_delta_spark.session import get_spark
+    from duckdb_delta_spark.testing.fixtures import ensure_fixtures
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # setup outside the clock: delta fixtures + JVM warmup
+    t0 = time.time()
+    ensure_fixtures(spark, sf_dir)
+    print(f"[bench] fixtures ready in {time.time() - t0:.1f}s", file=sys.stderr)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name} {timings[name]:.1f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,6 +67,10 @@ def register(name: str, oracle: str | None = None, group: str = ""):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp.
+        # Runtime-settable, so also works on a session we didn't build.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ns epoch (via nanosAsLong) → µs timestamp, truncating like the

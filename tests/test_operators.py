@@ -1,0 +1,119 @@
+"""Training-pipeline operators: dedup, similarity, text, multimodal.
+
+These are beyond-reference additions (BASELINE.json north star); the oracle
+harness checks them against DuckDB SQL — here we check algebraic properties
+(self-similarity, determinism, agreement with a numpy reference) that SQL
+oracles can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from duckdb_delta_spark.queries import load
+
+    return load(spark, SF, "documents").limit(100).cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    from duckdb_delta_spark.queries import load
+
+    return load(spark, SF, "embeddings").limit(100).cache()
+
+
+def test_exact_dedup_keeps_one_per_text(spark, docs):
+    from duckdb_delta_spark.operators.dedup import exact_dedup
+
+    doubled = docs.union(docs)
+    out = exact_dedup(doubled)
+    assert out.count() == docs.select("text").distinct().count()
+    # keeps the smallest doc_id per text group (deterministic winner)
+    base = dict(docs.groupBy("text").agg(F.min("doc_id").alias("m")).collect())
+
+
+def test_minhash_identical_docs_collide(spark, docs):
+    from duckdb_delta_spark.operators.dedup import minhash_candidate_pairs
+
+    a = docs.select("doc_id", "text")
+    clone = a.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = minhash_candidate_pairs(a.union(clone))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every doc must pair with its exact clone (identical signatures)
+    for r in a.collect():
+        assert (r["doc_id"], r["doc_id"] + 1_000_000) in got
+
+
+def test_simhash_is_deterministic_and_close_for_same_text(spark, docs):
+    from duckdb_delta_spark.operators.dedup import simhash
+
+    h1 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    h2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h1 == h2
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs):
+    import numpy as np
+
+    from duckdb_delta_spark.operators.similarity import brute_force_topk
+
+    rows = vecs.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos, kind="stable")
+    want = [
+        int(i)
+        for i in ids[order]
+        if int(i) != int(ids[0])
+    ][:5]
+
+    got = brute_force_topk(vecs, list(map(float, q)), k=5, exclude_id=int(ids[0]))
+    got_ids = [r["vec_id"] for r in got.collect()]
+    assert got_ids == want
+
+
+def test_lsh_bucket_is_stable_and_partitions_space(spark, vecs):
+    from duckdb_delta_spark.operators.similarity import plane_components, with_lsh_bucket
+
+    planes = plane_components(8, 16)
+    b1 = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(vecs, planes).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(vecs, planes).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 256 for b in b1.values())
+
+
+def test_text_stats_shapes(spark, docs):
+    from duckdb_delta_spark.operators.text import (
+        with_fingerprint,
+        with_language,
+        with_quality,
+        with_token_stats,
+    )
+
+    out = with_fingerprint(with_quality(with_language(with_token_stats(docs))))
+    row = out.first()
+    assert row["n_tokens"] >= 1
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert row["lang_guess"] is not None
+    assert isinstance(row["fingerprint"], int)
+
+
+def test_multimodal_plumbing(spark, docs):
+    from duckdb_delta_spark.operators.multimodal import decode_features, with_payload
+
+    payloads = with_payload(docs)
+    assert payloads.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_features(payloads)
+    row = feats.first()
+    assert row["n_bytes"] > 0
+    assert len(row["feature"]) == 8
