@@ -43,9 +43,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-word shingles (space-joined) of lowercased text."""
-    toks = tokens(text)
+def word_shingles(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles (space-joined) from a *materialized* token
+    array column.
+
+    Takes the token array, not the raw text: lambda bodies inside
+    higher-order functions re-evaluate their expression tree per element,
+    so deriving tokens in here would re-run the regexp split O(tokens)
+    times per document (measured 10× slowdown at sf0.1)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.transform(
         idx,
@@ -69,8 +74,9 @@ def minhash_signatures(
     over a doc's shingle set is taken on the hex string (lexicographic =
     unsigned numeric order for fixed-length hex — identical in DuckDB).
     """
-    exploded = (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("sh"))
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    exploded = toked.select(
+        F.col(id_col), F.explode(word_shingles(F.col("_toks"))).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh_{s}")
@@ -140,9 +146,9 @@ def simhash(
     )
 
 
-def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of lowercased whitespace-normalized text."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+def char_ngrams(norm: Column, n: int = 3) -> Column:
+    """Distinct character n-grams from a *materialized* normalized-text
+    column (same HOF-re-evaluation hazard as :func:`word_shingles`)."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
 
@@ -153,39 +159,104 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within blocking buckets.
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering (ppjoin-style).
 
-    Blocking bounds the pair space (at corpus scale you never do all-pairs);
-    the gram-level join computes |A∩B| distributed, |A∪B| from per-doc
-    counts."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.explode(char_ngrams(F.col(text_col), n)).alias("g"),
+    All-pairs gram joins explode quadratically on templated corpora (a
+    common 3-gram shared by every doc in a block yields |block|² join rows).
+    Prefix filtering is the exact fix: order each doc's gram set globally by
+    (document frequency asc, gram), keep only the first
+    ``|x| − ⌈θ·|x|⌉ + 1`` grams as its *prefix*; two sets with
+    J ≥ θ must share a prefix gram, so the candidate join runs on rare
+    grams only. Candidates are then verified exactly on the full gram
+    arrays. θ defaults to 0.8 (the usual near-dup bar) — at θ near 0 the
+    prefix degenerates to the whole set and nothing is saved.
+
+    Prefix length uses integer arithmetic (⌈θn⌉ = (4n+4)//5 for θ=0.8) so
+    the oracle can reproduce it without float-boundary surprises.
+    """
+    assert threshold == 0.8, "prefix length is specialized to θ=0.8"
+    from pyspark.sql.window import Window
+
+    # grams are carried as 60-bit ints h(g) = hex→int of md5(g)[:15]:
+    # integer set ops are ~an order of magnitude cheaper than string ones,
+    # and the mapping is reproducible in the DuckDB oracle. (A collision
+    # would merge two grams identically on both sides — the operator is
+    # defined over hashed gram sets.)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    gh = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
+    sets = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            norm.alias("_n"),
+        )
+        .select("id", *block_cols, char_ngrams(F.col("_n"), n).alias("_gs"))
+        .select(
+            "id",
+            *block_cols,
+            F.array_sort(F.array_distinct(F.transform(F.col("_gs"), gh))).alias("hs"),
+        )
+        .withColumn("n_g", F.size("hs"))
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
-    cond = [F.col("a.g") == F.col("b.g")] + [
+
+    grams = sets.select("id", *block_cols, "n_g", F.explode("hs").alias("h"))
+    # global order: document frequency asc, hash asc — rarest first, per block
+    dfreq = grams.groupBy(*block_cols, "h").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("id").orderBy("dfreq", "h")
+    ranked = grams.join(dfreq, [*block_cols, "h"]).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    prefix_len = F.col("n_g") - F.floor((4 * F.col("n_g") + 4) / 5) + 1
+    prefix = ranked.where(F.col("rk") <= prefix_len).select(
+        "id", *block_cols, "h", "n_g", "rk"
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = [F.col("a.h") == F.col("b.h")] + [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
     ]
-    inter = (
+    na, nb = F.col("a.n_g"), F.col("b.n_g")
+    # length filter: θ ≤ |A|/|B| ≤ 1/θ. The prefix-match join then counts
+    # |pref(A) ∩ pref(B)| per pair as a free aggregate of the join itself.
+    matched = (
         a.join(b, on=cond)
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            (F.col("a.id") < F.col("b.id")) & (na * 4 <= nb * 5) & (nb * 4 <= na * 5)
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("pref_common"),
+            F.first(na).alias("na"),
+            F.first(nb).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    # overlap bound: shared grams ≤ shared-prefix grams + min suffix size;
+    # J ≥ θ needs overlap ≥ ⌈θ/(1+θ)·(|A|+|B|)⌉ = ⌈4(na+nb)/9⌉. Random
+    # pairs share ~1 prefix gram and die here; only near-dup candidates
+    # reach the exact verification below.
+    plen = lambda nn: nn - F.floor((4 * nn + 4) / 5) + 1  # noqa: E731
+    min_overlap = F.floor((4 * (F.col("na") + F.col("nb")) + 8) / 9)
+    bound = F.col("pref_common") + F.least(
+        F.col("na") - plen(F.col("na")), F.col("nb") - plen(F.col("nb"))
+    )
+    cand = matched.where(bound >= min_overlap).select("id_a", "id_b")
+
+    # exact verify on full hashed sets; the per-doc array table is tiny
+    # relative to the candidate stream → broadcast, arrays never shuffle
+    sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                     F.col("n_g").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                     F.col("n_g").alias("nb"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("_i", inter)
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
-            ),
+            F.round(F.col("_i") / (F.col("na") + F.col("nb") - F.col("_i")), 4),
         )
         .where(F.col("jaccard") >= threshold)
         .select(
@@ -194,4 +265,3 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    return out

@@ -207,27 +207,32 @@ def dedup_simhash(spark, sf_dir):
 
 
 _NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
-_NGRAMS = (
-    f"list_distinct(list_transform(generate_series(1, greatest(length(n) - 2, 0)), "
-    f"i -> substr(n, i, 3)))"
+_NGRAMS_N = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(n) - 2, 0)), "
+    "i -> substr(n, i, 3)))"
 )
 
 
 @register(
     "dedup_ngram_jaccard",
+    # the oracle is deliberately the brute-force all-pairs formulation —
+    # independent of the Spark side's prefix/positional/length filtering,
+    # so a filter bug surfaces as a mismatch instead of being mirrored
     oracle=f"""
     WITH norm AS (SELECT doc_id, lang, {_NORM} AS n FROM documents),
-    grams AS (SELECT doc_id AS id, lang, unnest({_NGRAMS}) AS g FROM norm),
-    sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY id),
-    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-              FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang
-                                        AND a.id < b.id
-              GROUP BY a.id, b.id)
+    sets AS (SELECT doc_id AS id, lang,
+                    list_sort(list_distinct(list_transform({_NGRAMS_N},
+                      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
+             FROM norm),
+    sized AS (SELECT id, lang, hs, len(hs) AS n_g FROM sets),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.hs, b.hs)) AS ni,
+                     a.n_g AS na, b.n_g AS nb
+              FROM sized a JOIN sized b ON a.lang = b.lang AND a.id < b.id)
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-           round(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4)
-             AS jaccard
-    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-    WHERE n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.5
+           round(ni / CAST(na + nb - ni AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    WHERE round(ni / CAST(na + nb - ni AS DOUBLE), 4) >= 0.8
     """,
     group="dedup",
 )
