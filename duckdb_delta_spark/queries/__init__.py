@@ -91,6 +91,12 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
 
 def all_queries() -> dict[str, Q]:
     # import side-effect populates the registry
-    from duckdb_delta_spark.queries import tpch, analytics, pipeline, delta_suite  # noqa: F401
+    from duckdb_delta_spark.queries import (  # noqa: F401
+        analytics,
+        delta_suite,
+        pipeline,
+        streaming_suite,
+        tpch,
+    )
 
     return dict(_REGISTRY)

@@ -198,8 +198,9 @@ def delta_append_scan(spark, sf_dir):
     path = os.path.join(FX.FIXTURE_ROOT, f"tmp_append_{uuid.uuid4().hex}")
     try:
         w = DeltaWriter.create(spark, path, sup.schema)
-        w.append(sup.where(F.col("s_suppkey") % 2 == 0))
-        w.append(sup.where(F.col("s_suppkey") % 2 == 1))
+        # coalesce: supplier is small — 4 files/commit, not one per core
+        w.append(sup.where(F.col("s_suppkey") % 2 == 0).coalesce(4))
+        w.append(sup.where(F.col("s_suppkey") % 2 == 1).coalesce(4))
         rows = (
             DeltaTable(path)
             .to_df(spark)

@@ -1,0 +1,88 @@
+"""Structured Streaming suite: incremental analytics with batch oracles.
+
+Streams here are *bounded* (availableNow over the events parquet), so their
+final output is deterministic and — for the windowed aggregation — equals
+the batch answer, giving a full DuckDB oracle for a streaming pipeline.
+Sessionization closes sessions by in-batch gap detection (the per-user last
+session stays open in state when the stream ends), so its oracle is the
+batch sessionization minus each user's final session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_delta_spark.queries import register
+from duckdb_delta_spark.streaming import (
+    hourly_event_counts_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    stream_events,
+)
+
+GAP_MIN = 30
+
+
+@register(
+    "stream_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    group="streaming",
+)
+def stream_hourly(spark, sf_dir):
+    """Watermarked tumbling-window aggregation, run as a bounded stream;
+    complete-mode output over all data equals the batch answer."""
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(
+        hourly_event_counts_stream(ev), output_mode="complete"
+    ).select("hour", "event_type", "n", "total_value")
+
+
+@register(
+    "stream_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM sess GROUP BY user_id, sid)
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_start, session_end,
+           n_events
+    FROM agg WHERE sid < last_sid
+    """,
+    group="streaming",
+)
+def stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): emits
+    sessions closed by gap detection; each user's final session remains
+    open in state at end-of-stream, hence the oracle's `sid < last_sid`."""
+    ev = stream_events(spark, sf_dir)
+    # watermark beyond the data horizon: the end-of-stream watermark batch
+    # then fires no event-time timeouts, so the emitted set is exactly the
+    # gap-closed sessions (deterministic; the oracle's `sid < last_sid`)
+    out = run_stream_to_memory(
+        sessionize_stream(ev, gap_min=GAP_MIN, watermark="36500 days"),
+        output_mode="append",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )

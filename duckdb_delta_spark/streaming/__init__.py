@@ -1,0 +1,13 @@
+from duckdb_delta_spark.streaming.events import (
+    hourly_event_counts_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    stream_events,
+)
+
+__all__ = [
+    "stream_events",
+    "hourly_event_counts_stream",
+    "sessionize_stream",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,174 @@
+"""Structured Streaming operators over the events table.
+
+The reference has **no** streaming surface (SURVEY.md §2E: CDF is
+recognized-but-unsupported, src/delta_utils.cpp:805-806); this module is a
+beyond-reference extension point: the same event analytics the batch suite
+answers (hourly windows, sessionization), expressed as incremental streams.
+
+Design for scale:
+
+* Source is a file stream (``readStream.parquet``) — swap for Kafka/Delta
+  CDF by changing one line; ``maxFilesPerTrigger`` bounds batch size.
+* Watermarks bound state: late events beyond the watermark are dropped, so
+  state size is O(active windows / active sessions), not O(history).
+* Sessionization uses ``applyInPandasWithState`` — the Spark-native custom
+  stateful operator (Arrow-batched per group), with explicit state schema
+  and event-time timeout, the scalable shape for per-key streaming logic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+SESSION_GAP_MIN = 30
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events.parquet as a bounded file stream with proper event-time ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file streams take a directory: stream the sf dir, globbed to events
+    reader = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_event_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1h windows per event_type with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n", "total_value"
+        )
+    )
+
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_start", T.LongType()),  # epoch micros
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessions per user via ``applyInPandasWithState``.
+
+    State = (session_start, last_ts, n_events) per user; a session closes
+    when the event-time timeout fires (no events within the gap past the
+    watermark). Emits one row per closed session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(pdf["ts"].astype("int64") // 1000)  # ns → µs
+        ts_all.sort()
+        if not ts_all:
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_all[0], ts_all[0], 0
+        closed = []
+        for t in ts_all:
+            if t - last > gap_us:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a bounded stream to completion (availableNow) into a memory sink
+    and return the materialized result as a batch DataFrame."""
+    name = name or f"s_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return streaming_df.sparkSession.table(name)

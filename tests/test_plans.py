@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the plans we designed for are the plans we get.
+
+The reference proves its pushdown with EXPLAIN regexes ("Scanning Files:
+N/M", reference: test/sql/generated/file_skipping_all_types.test:14-24);
+here the equivalents are Spark explain() checks: parquet PushedFilters,
+pruned ReadSchema, broadcast joins where a side is dim-sized, and
+whole-stage codegen present in the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_delta_spark import DeltaTable, DeltaWriter
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_reaches_parquet_scan(spark):
+    from duckdb_delta_spark.queries import load
+
+    li = load(spark, SF, "lineitem").where(F.col("l_orderkey") < 100).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]" in plan
+    # column pruning: only the two projected columns are read
+    assert "l_extendedprice" not in plan
+
+
+def test_delta_scan_pushes_filters_and_prunes_columns(spark, tdir):
+    schema = T.StructType(
+        [T.StructField("i", T.LongType()), T.StructField("x", T.DoubleType()),
+         T.StructField("s", T.StringType())]
+    )
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(
+        spark.range(100).select(
+            F.col("id").alias("i"), (F.col("id") * 1.0).alias("x"),
+            F.lit("abc").alias("s"),
+        )
+    )
+    sb = DeltaTable(tdir).scan(spark).filter("i", ">=", 50).select("i", "x")
+    plan = _plan(sb.to_df())
+    assert "GreaterThanOrEqual(i,50)" in plan  # row-group pushdown survives
+    assert "codegen id" in plan  # hot path stays inside whole-stage codegen
+
+
+def test_small_dimension_joins_broadcast(spark):
+    from duckdb_delta_spark.queries import all_queries
+
+    q03 = all_queries()["tpch_q03"].fn(spark, SF)
+    plan = _plan(q03)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
