@@ -246,9 +246,15 @@ class DeltaWriter:
     ) -> list[dict]:
         adds = []
         now_ms = int(time.time() * 1000)
-        for rel_path, pvals in moved:
+        no_footer: list[int] = []
+        for i, (rel_path, pvals) in enumerate(moved):
             full = os.path.join(self.table_path, rel_path)
-            stats = _footer_stats(full, schema, set(parts))
+            try:
+                stats = _footer_stats(full, schema, set(parts))
+            except Exception:  # noqa: BLE001 - e.g. VARIANT logical type is
+                # unknown to this pyarrow; fall back to a Spark count below
+                stats = None
+                no_footer.append(i)
             adds.append(
                 {
                     "path": urllib.parse.quote(rel_path.replace(os.sep, "/"), safe="/=-_.~"),
@@ -258,9 +264,30 @@ class DeltaWriter:
                     "size": os.path.getsize(full),
                     "modificationTime": now_ms,
                     "dataChange": True,
-                    "stats": json.dumps(stats, separators=(",", ":")),
+                    "stats": None if stats is None else json.dumps(
+                        stats, separators=(",", ":")
+                    ),
                 }
             )
+        if no_footer:
+            from pyspark.sql import functions as F
+
+            paths = [
+                os.path.join(self.table_path, moved[i][0]) for i in no_footer
+            ]
+            counts = {
+                r["f"]: r["n"]
+                for r in self.spark.read.parquet(*paths)
+                .groupBy(F.col("_metadata.file_path").alias("f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for i in no_footer:
+                uri = "file:" + os.path.join(self.table_path, moved[i][0])
+                adds[i]["stats"] = json.dumps(
+                    {"numRecords": int(counts.get(uri, 0))},
+                    separators=(",", ":"),
+                )
         return adds
 
     def _enforce_not_null(self, adds, schema, parts, moved) -> None:

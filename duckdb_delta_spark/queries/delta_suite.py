@@ -216,3 +216,41 @@ def delta_append_scan(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# variant column through the full Delta path (parse_json on write,
+# variant_get on read); reference analogue: variant read support via the
+# legacy struct encoding (delta_utils.cpp:707-716, variant/basic.test)
+@register(
+    "delta_variant_scan",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    group="delta",
+)
+def delta_variant_scan(spark, sf_dir):
+    df = _fx(spark, sf_dir, "events_var").to_df(spark)
+    k = F.variant_get("v", "$.k", "long")
+    return df.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# domainMetadata reconciliation: latest non-removed entry per domain
+# (reference: delta_domain_metadata.cpp:20-77)
+@register(
+    "delta_domain_metadata",
+    oracle="""
+    SELECT 'engine.pipeline' AS domain, '{"stage":"bronze"}' AS configuration
+    """,
+    group="delta",
+)
+def delta_domain_metadata(spark, sf_dir):
+    t = _fx(spark, sf_dir, "events_var")
+    return t.domain_metadata(spark)

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 4  # bump to force a rebuild
+LAYOUT_VERSION = 5  # bump to force a rebuild
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
 #: the key range at EVERY sf (sf0.001 tops out at l_orderkey=1499)
@@ -56,6 +56,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_ckpt(spark, sf_dir, os.path.join(root, "orders_ckpt"))
     _build_orders_evo(spark, sf_dir, os.path.join(root, "orders_evo"))
     _build_part_cm(spark, sf_dir, os.path.join(root, "part_cm"))
+    _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -256,6 +257,44 @@ def _build_part_cm(spark, sf_dir, path):
             }
         )
     DeltaLog(path).commit(0, actions)
+
+
+def _build_events_var(spark, sf_dir, path):
+    """VARIANT column through the full Delta path (reference reads variant
+    via the legacy struct encoding, delta_utils.cpp:707-716; Spark 4 has a
+    first-class VariantType), plus domainMetadata actions: two domains set,
+    one later removed — the survivor is what delta_domain_metadata lists
+    (reference: delta_domain_metadata.cpp:20-77)."""
+    from pyspark.sql import types as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", F.parse_json("props").alias("v")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("v", T.VariantType()),
+        ]
+    )
+    w = DeltaWriter.create(spark, path, schema)
+    w.append(ev.repartition(2))
+
+    log = DeltaLog(path)
+    v = log.latest_version()
+    log.commit(v + 1, [
+        {"commitInfo": _commit_info("SET DOMAIN METADATA")},
+        {"domainMetadata": {"domain": "engine.pipeline",
+                            "configuration": '{"stage":"bronze"}',
+                            "removed": False}},
+        {"domainMetadata": {"domain": "engine.tmp",
+                            "configuration": "{}", "removed": False}},
+    ])
+    log.commit(v + 2, [
+        {"commitInfo": _commit_info("REMOVE DOMAIN METADATA")},
+        {"domainMetadata": {"domain": "engine.tmp", "configuration": "{}",
+                            "removed": True}},
+    ])
 
 
 def _parquet_rows(path: str) -> int:
