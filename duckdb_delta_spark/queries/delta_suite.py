@@ -254,3 +254,27 @@ def delta_variant_scan(spark, sf_dir):
 def delta_domain_metadata(spark, sf_dir):
     t = _fx(spark, sf_dir, "events_var")
     return t.domain_metadata(spark)
+
+
+# type widening: INT/FLOAT files upcast to the widened BIGINT/DOUBLE schema
+# (reference: typeWidening reader feature; schema_evolution.test type cases)
+@register(
+    "delta_type_widening",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(max(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS max_key,
+           CAST(round(sum(CAST(CASE WHEN o_orderkey < {FX.EVO_KEY_SPLIT}
+                         THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                         ELSE o_totalprice END AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    """,
+    group="delta",
+)
+def delta_type_widening(spark, sf_dir):
+    df = _fx(spark, sf_dir, "orders_widen").to_df(spark)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 5  # bump to force a rebuild
+LAYOUT_VERSION = 6  # bump to force a rebuild
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
 #: the key range at EVERY sf (sf0.001 tops out at l_orderkey=1499)
@@ -57,6 +57,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_evo(spark, sf_dir, os.path.join(root, "orders_evo"))
     _build_part_cm(spark, sf_dir, os.path.join(root, "part_cm"))
     _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
+    _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -257,6 +258,41 @@ def _build_part_cm(spark, sf_dir, path):
             }
         )
     DeltaLog(path).commit(0, actions)
+
+
+def _build_orders_widen(spark, sf_dir, path):
+    """Type widening: v0 files hold (INT, FLOAT); the schema is then widened
+    to (BIGINT, DOUBLE) and new files append wide — old files must upcast at
+    scan (reference: typeWidening reader feature, schema_evolution.test)."""
+    from pyspark.sql import types as T
+
+    o = _orders(spark, sf_dir)
+    narrow = T.StructType(
+        [T.StructField("o_orderkey", T.IntegerType()),
+         T.StructField("o_totalprice", T.FloatType())]
+    )
+    w = DeltaWriter.create(spark, path, narrow)
+    w.append(
+        o.where(F.col("o_orderkey") < EVO_KEY_SPLIT)
+        .select(F.col("o_orderkey").cast("int"), F.col("o_totalprice").cast("float"))
+        .repartition(2)
+    )
+    log = DeltaLog(path)
+    snap = DeltaTable(path).snapshot
+    wide = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()),
+         T.StructField("o_totalprice", T.DoubleType())]
+    )
+    meta = dict(snap.metadata)
+    meta["schemaString"] = wide.json()
+    log.commit(snap.version + 1, [{"commitInfo": _commit_info("WIDEN TYPES")},
+                                  {"metaData": meta}])
+    w = DeltaWriter(path, spark)
+    w.append(
+        o.where(F.col("o_orderkey") >= EVO_KEY_SPLIT)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(2)
+    )
 
 
 def _build_events_var(spark, sf_dir, path):
