@@ -358,12 +358,15 @@ class DeltaScanBuilder:
 
     @staticmethod
     def _spark_file_uri(path: str) -> str:
-        """Format a path the way ``_metadata.file_path`` renders it (Hadoop
-        Path.toString): local absolute paths get a bare ``file:`` scheme, no
-        percent-encoding."""
+        """Format a disk path the way ``_metadata.file_path`` renders it
+        (Hadoop Path/java.net.URI): bare ``file:`` scheme + RFC3986-escaped
+        path — space→%20, %→%25, while pchar sub-delims (``=&+,;:@…``) stay
+        literal (hive dirs like ``k=a%3Db`` render as ``k=a%253Db``)."""
+        import urllib.parse
+
         if "://" in path or path.startswith("file:"):
             return path
-        return "file:" + path
+        return "file:" + urllib.parse.quote(path, safe="/-._~!$&'()*+,;=:@")
 
     def _inject_partition_values(
         self,

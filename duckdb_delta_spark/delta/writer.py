@@ -171,6 +171,11 @@ class DeltaWriter:
                 )
 
         staging = os.path.join(self.table_path, f"_staging_{uuid.uuid4().hex}")
+        # INT96 (Spark's legacy default) carries no parquet min/max stats —
+        # write modern TIMESTAMP_MICROS so timestamp columns are skippable
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         writer = df.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
