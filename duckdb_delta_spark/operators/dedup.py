@@ -199,6 +199,9 @@ def ngram_jaccard_pairs(
             F.array_sort(F.array_distinct(F.transform(F.col("_gs"), gh))).alias("hs"),
         )
         .withColumn("n_g", F.size("hs"))
+        # consumed twice (gram explode + verify broadcast): cache so the
+        # ngram/md5 derivation runs once
+        .cache()
     )
 
     grams = sets.select("id", *block_cols, "n_g", F.explode("hs").alias("h"))

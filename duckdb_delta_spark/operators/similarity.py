@@ -205,3 +205,107 @@ def brute_force_topk_pandas(
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
                 F.col("rank").cast("long"))
     )
+
+
+# --------------------------------------------------------------------- IVF
+
+IVF_LISTS = 16
+IVF_NPROBE = 2
+IVF_CENTROID_STRIDE = 1000  # vec_id % stride == 0 → seed centroid
+
+
+def ivf_centroids(df: DataFrame, num_lists: int = IVF_LISTS,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF seed centroids: the ``num_lists`` lowest-id vectors.
+
+    A production IVF trains centroids with k-means; the *search plumbing*
+    (assignment, inverted lists, nprobe probing) is identical, and seeding
+    deterministically keeps the DuckDB oracle bit-exact. Swap this function
+    for a k-means fit without touching the search path."""
+    return (
+        df.orderBy(id_col)
+        .limit(num_lists)
+        .select(
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy(id_col)
+            ).alias("list_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties → lowest
+    list_id) via a broadcast cross join — the inverted-list build."""
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(df["*"], "list_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score queries only against vectors whose
+    inverted list is among the query's ``nprobe`` nearest centroids.
+
+    At scale the corpus assignment is precomputed/bucketed (a write-time
+    partition key) and each query touches nprobe/num_lists of the data —
+    that fraction is the whole point of IVF."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, num_lists, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    qprobe = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine(F.col("qv"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("list_id"))
+    qlists = (
+        qprobe.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+
+    scored = (
+        qlists.join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                "list_id",
+            ),
+            "list_id",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosv", cosine(F.col("qv"), F.col("cv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosv").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.round("cosv", 4).alias("cos"),
+            F.col("rank").cast("long"),
+        )
+    )

@@ -361,3 +361,64 @@ def mm_payload_stats(spark, sf_dir):
     from duckdb_delta_spark.operators import multimodal as M
 
     return M.payload_stats(load(spark, sf_dir, "documents"))
+
+
+_IVF = f"""
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS list_id, {_DVEC} AS centroid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {S.IVF_LISTS})),
+    assigned AS (
+      SELECT vec_id, cv, list_id FROM (
+        SELECT e.vec_id, e.cv, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.cv, c.centroid)
+                        / (sqrt(list_dot_product(e.cv, e.cv))
+                           * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                        c.list_id) AS rn
+        FROM (SELECT vec_id, {_DVEC} AS cv FROM embeddings) e, cents c) t
+      WHERE rn = 1),
+    qlists AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.query_id, q.qv, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.centroid)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                        c.list_id) AS rn
+        FROM (SELECT vec_id AS query_id, {_DVEC} AS qv FROM embeddings
+              WHERE vec_id < 20) q, cents c) t
+      WHERE rn <= {S.IVF_NPROBE})
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF},
+    scored AS (
+      SELECT ql.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(ql.qv, a.cv)
+               / (sqrt(list_dot_product(ql.qv, ql.qv))
+                  * sqrt(list_dot_product(a.cv, a.cv))) AS cosv
+      FROM qlists ql JOIN assigned a ON ql.list_id = a.list_id
+      WHERE a.vec_id <> ql.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosv DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cosv, 4) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    group="similarity",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors — the scale path: each query probes
+    nprobe of num_lists inverted lists instead of the full corpus."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return S.ivf_topk(emb, queries, k=5)
