@@ -36,10 +36,17 @@ ACTION_KEYS = ("metaData", "protocol", "add", "remove", "txn", "domainMetadata",
 class DeltaLog:
     """Handle on one table's ``_delta_log`` directory."""
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, log_tail: list[str] | None = None):
+        """``log_tail``: optional explicit list of commit-JSON paths (the
+        reference's CCv2 ``log_tail`` attach option, delta_utils.cpp:884-888
+        — a catalog that already knows the recent commits passes them in so
+        snapshot resolution never LISTs storage, which on object stores is
+        the slow call). When set, commit discovery uses exactly these files
+        plus the ``_last_checkpoint`` hint."""
         self.table_path = os.path.abspath(table_path)
         self.log_path = os.path.join(self.table_path, "_delta_log")
-        if not os.path.isdir(self.log_path):
+        self.log_tail = list(log_tail) if log_tail else None
+        if self.log_tail is None and not os.path.isdir(self.log_path):
             raise InvalidTableLocationError(
                 f"no Delta table found at {table_path!r} (missing _delta_log)"
             )
@@ -51,6 +58,19 @@ class DeltaLog:
         version → checkpoint part paths (sorted)."""
         commits: dict[int, str] = {}
         checkpoints: dict[int, list[str]] = {}
+        if self.log_tail is not None:
+            for p in self.log_tail:
+                m = _COMMIT_RE.match(os.path.basename(p))
+                if not m:
+                    raise MalformedLogError(f"log_tail entry is not a commit file: {p}")
+                commits[int(m.group(1))] = p
+            hint = self.last_checkpoint_hint()
+            if hint and "version" in hint:
+                v = int(hint["version"])
+                part = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+                if os.path.isfile(part):
+                    checkpoints[v] = [part]
+            return commits, checkpoints
         for name in os.listdir(self.log_path):
             m = _COMMIT_RE.match(name)
             if m:

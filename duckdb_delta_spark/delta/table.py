@@ -25,8 +25,9 @@ class DeltaTable:
     """One Delta table at one (possibly pinned) version."""
 
     def __init__(self, path: str, version: int | None = None,
-                 snapshot: Snapshot | None = None):
-        self.log = DeltaLog(path)
+                 snapshot: Snapshot | None = None,
+                 log_tail: list[str] | None = None):
+        self.log = DeltaLog(path, log_tail=log_tail)
         self.path = self.log.table_path
         if snapshot is not None and snapshot.version == self.log.resolve_version(version):
             self.snapshot = snapshot

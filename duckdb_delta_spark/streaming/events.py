@@ -162,13 +162,23 @@ def run_stream_to_memory(
     and return the materialized result as a batch DataFrame."""
     name = name or f"s_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return streaming_df.sparkSession.table(name)
+    spark = streaming_df.sparkSession
+    # stateful operators keep one state-store shard per shuffle partition
+    # (init + per-batch commit each); for bounded local runs a handful of
+    # shards beats one per core. On a real cluster this is sized once at
+    # the first run (it is baked into the checkpoint).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

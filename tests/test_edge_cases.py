@@ -86,3 +86,28 @@ def test_column_mapping_blocks_append(spark, tdir):
         DeltaWriter(f"{root}/part_cm", spark).append(
             spark.createDataFrame([(1, "b", 1.0)], "p_partkey long, p_brand string, p_retailprice double")
         )
+
+
+def test_log_tail_injection_skips_listing(spark, tdir, monkeypatch):
+    """CCv2-style log_tail: snapshot resolution from caller-supplied commit
+    paths, no directory LIST (reference: delta_utils.cpp:884-888)."""
+    import os
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(7).select(F.col("id").alias("i")))
+
+    tail = [
+        os.path.join(tdir, "_delta_log", f"{v:020d}.json") for v in (0, 1)
+    ]
+
+    real_listdir = os.listdir
+
+    def no_list(path):
+        assert not str(path).endswith("_delta_log"), "log dir was listed"
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", no_list)
+    t = DeltaTable(tdir, log_tail=tail)
+    assert t.version == 1
+    assert t.to_df(spark).count() == 7
