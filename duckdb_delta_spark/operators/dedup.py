@@ -268,3 +268,48 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def embedding_cosine_pairs(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate document pairs.
+
+    Semantic near-dup: LSH-bucket the document embeddings (random
+    hyperplanes), compare only within buckets, keep pairs with cosine ≥
+    threshold, and annotate from the documents table. The bucket join is
+    the scale lever — the quadratic compare is confined to same-bucket
+    groups, and bucket width is tunable via the plane count."""
+    from duckdb_delta_spark.operators.similarity import cosine, with_lsh_bucket
+
+    b = with_lsh_bucket(embeddings, planes)
+    left = b.select(
+        F.col(vec_id_col).alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    right = b.select(
+        F.col(vec_id_col).alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.round("cos", 4) >= threshold)
+    )
+    da = docs.select(F.col(doc_id_col).alias("id_a"), F.col("lang").alias("lang_a"))
+    db = docs.select(F.col(doc_id_col).alias("id_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("cos", 4).alias("cos"),
+            "lang_a",
+            "lang_b",
+        )
+    )

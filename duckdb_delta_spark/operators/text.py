@@ -132,3 +132,24 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     available verbatim in both Spark and DuckDB, so oracle-checkable.)"""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-style token counting: the whitespace count (`n_tokens`) plus
+    a BPE-ish pre-tokenization count (letter runs / digit runs / symbols) —
+    the usual first-order estimate of LLM token cost. Pure regexp_count,
+    JVM-side."""
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN))
+    n_ws = F.size(tokens(F.col(text_col)))
+    return (
+        df.withColumn("n_bpe_tokens", n_bpe.cast("long"))
+        .withColumn("n_ws_tokens", n_ws.cast("long"))
+        .withColumn(
+            "bpe_per_word",
+            F.round(n_bpe / F.greatest(n_ws, F.lit(1)).cast("double"), 4),
+        )
+    )

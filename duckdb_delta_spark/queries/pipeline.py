@@ -422,3 +422,49 @@ def ann_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return S.ivf_topk(emb, queries, k=5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_DVEC} AS v, {_bucket_expr()} AS bucket
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 list_dot_product(a.v, b2.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b2.v, b2.v))) AS cosv
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(cosv, 4) AS cos, da.lang AS lang_a, db.lang AS lang_b
+    FROM p JOIN documents da ON da.doc_id = id_a
+           JOIN documents db ON db.doc_id = id_b
+    WHERE round(cosv, 4) >= 0.95
+    """,
+    group="dedup",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Semantic near-dup: LSH-bucketed embedding cosine ≥ 0.95, annotated
+    from the documents table (doc_id aligns with vec_id in the testdata)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(docs, emb, _planes(), threshold=0.95)
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+           round(len(regexp_extract_all(text, '{X.BPE_PATTERN}'))
+                 / CAST(greatest(len({_TOKS}), 1) AS DOUBLE), 4) AS bpe_per_word
+    FROM documents
+    """,
+    group="text",
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenization counts — first-order LLM token cost."""
+    return X.with_bpe_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens", "bpe_per_word"
+    )
