@@ -108,3 +108,106 @@ def payload_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
             F.max(F.col("media_meta.n_bytes")).cast("long").alias("max_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int,
+    id_col: str = "doc_id", payload_col: str = "payload", mode: str = "fake",
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage.
+
+    ``mode='fake'``: deterministic byte resampling (np.interp over the raw
+    bytes to width*height samples) so shapes/sizes behave like a real
+    resize without a codec. ``mode='strict'``: NotImplementedError — the
+    seam where PIL/opencv plugs in. Output payload size is bounded by
+    width*height, so downstream partition sizing is predictable."""
+    import numpy as np
+    import pandas as pd
+
+    if mode not in ("fake", "strict"):
+        raise ValueError(mode)
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv; replace mode='strict'"
+                )
+            out = []
+            for raw in pdf[payload_col]:
+                b = np.frombuffer(raw, dtype=np.uint8)
+                if len(b) == 0:
+                    out.append(bytes(n_out))
+                    continue
+                xs = np.linspace(0, len(b) - 1, n_out)
+                out.append(
+                    np.interp(xs, np.arange(len(b)), b).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "resized": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, frame_bytes: int = 64,
+    id_col: str = "doc_id", payload_col: str = "payload", mode: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one input payload fans out to ``n_frames``
+    rows (1:N mapInPandas — the batch shape a real ffmpeg sampler has).
+    ``fake`` mode slices evenly-spaced windows from the raw bytes."""
+    import numpy as np
+    import pandas as pd
+
+    if mode not in ("fake", "strict"):
+        raise ValueError(mode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg; replace mode='strict'"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                for k in range(n_frames):
+                    start = (k * max(len(b) - frame_bytes, 0)) // max(n_frames - 1, 1)
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    frames.append(b[start:start + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)

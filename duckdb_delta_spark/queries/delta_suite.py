@@ -278,3 +278,39 @@ def delta_type_widening(spark, sf_dir):
         F.max("o_orderkey").alias("max_key"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+# snapshot-resolution micro: COUNT(*) over a 90-commit log, unpinned
+# (re-resolves HEAD) — reference: benchmark/micro/snapshot_performance/
+# delta_scan.benchmark:12-17
+@register(
+    "delta_snapshot_90commits",
+    oracle="SELECT count(*) AS n FROM lineitem",
+    group="delta",
+)
+def delta_snapshot_90commits(spark, sf_dir):
+    root = FX.ensure_fixtures(spark, sf_dir)
+    t = DeltaTable(os.path.join(root, "lineitem_90c"))
+    return t.to_df(spark).agg(F.count(F.lit(1)).alias("n"))
+
+
+# same count through a pinned catalog entry: snapshot resolved once and
+# cached (reference: snapshot_pin.benchmark:12-21, PIN_SNAPSHOT)
+_PIN_CATALOG = {}
+
+
+@register(
+    "delta_snapshot_90commits_pinned",
+    oracle="SELECT count(*) AS n FROM lineitem",
+    group="delta",
+)
+def delta_snapshot_90commits_pinned(spark, sf_dir):
+    from duckdb_delta_spark.delta.catalog import DeltaCatalog
+
+    root = FX.ensure_fixtures(spark, sf_dir)
+    cat = _PIN_CATALOG.get(id(spark)) or DeltaCatalog(spark)
+    _PIN_CATALOG[id(spark)] = cat
+    if "li90_pinned" not in cat:
+        cat.attach("li90_pinned", os.path.join(root, "lineitem_90c"),
+                   pin_snapshot=True)
+    return cat.to_df("li90_pinned").agg(F.count(F.lit(1)).alias("n"))

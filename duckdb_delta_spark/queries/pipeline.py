@@ -468,3 +468,29 @@ def text_bpe_tokens(spark, sf_dir):
     return X.with_bpe_tokens(load(spark, sf_dir, "documents")).select(
         "doc_id", "n_bpe_tokens", "n_ws_tokens", "bpe_per_word"
     )
+
+
+@register(
+    "mm_frame_sample",
+    # frame k of payload p (len L, F=64 frame bytes, N=4 frames):
+    # bytes [k*(max(L-F,0))//(N-1), +F) — evenly spaced windows; value-exact
+    # byte compare against DuckDB blob slicing
+    oracle="""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L FROM documents),
+    k AS (SELECT unnest(generate_series(0, 3)) AS frame_index)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           from_hex(substr(hx, (frame_index * greatest(L - 64, 0) // 3) * 2 + 1,
+                           128)) AS frame
+    FROM p, k
+    """,
+    group="multimodal",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: 1 payload → N frame rows via
+    mapInPandas (the fan-out batch shape of a real ffmpeg sampler)."""
+    from duckdb_delta_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents")
+    return M.sample_frames(M.with_payload(docs), n_frames=4, frame_bytes=64)

@@ -24,7 +24,8 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 6  # bump to force a rebuild
+LAYOUT_VERSION = 7  # bump to force a rebuild
+N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
 #: the key range at EVERY sf (sf0.001 tops out at l_orderkey=1499)
@@ -58,6 +59,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_part_cm(spark, sf_dir, os.path.join(root, "part_cm"))
     _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
+    _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -258,6 +260,38 @@ def _build_part_cm(spark, sf_dir, path):
             }
         )
     DeltaLog(path).commit(0, actions)
+
+
+def _build_lineitem_90c(spark, sf_dir, path):
+    """lineitem fragmented over N_FRAGMENT_COMMITS commits — the reference's
+    snapshot-resolution micro-benchmark table (tpch_sf1_90commits,
+    generate_test_data.py:94-99; benchmark/micro/snapshot_performance/*).
+    Built cheaply: ONE Spark write job into 90 files, then 90 log-only
+    commits each adding one file."""
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema)
+    staging = os.path.join(path, "_stage90")
+    li.repartition(N_FRAGMENT_COMMITS).write.mode("overwrite").parquet(staging)
+
+    files = sorted(
+        n for n in os.listdir(staging) if n.endswith(".parquet")
+    )
+    log = DeltaLog(path)
+    for i, name in enumerate(files):
+        dest = os.path.join(path, name)
+        shutil.move(os.path.join(staging, name), dest)
+        log.commit(i + 1, [
+            {"commitInfo": _commit_info("WRITE")},
+            {"add": {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(dest),
+                "modificationTime": int(os.path.getmtime(dest) * 1000),
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": _parquet_rows(dest)}),
+            }},
+        ])
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _build_orders_widen(spark, sf_dir, path):

@@ -118,3 +118,28 @@ def test_multimodal_plumbing(spark, docs):
     row = feats.first()
     assert row["n_bytes"] > 0
     assert len(row["feature"]) == 8
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    from duckdb_delta_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        with_payload,
+    )
+
+    payloads = with_payload(docs)
+    resized = resize_images(payloads, 8, 8).collect()
+    assert all(len(r["resized"]) == 64 for r in resized)
+    assert {r["doc_id"] for r in resized} == {r["doc_id"] for r in docs.collect()}
+
+    frames = sample_frames(payloads, n_frames=4, frame_bytes=64)
+    rows = frames.collect()
+    # 1:N fan-out shape: exactly 4 frames per payload, indexed 0..3
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    assert all(len(r["frame"]) <= 64 for r in rows)
+
+    with pytest.raises(Exception):
+        resize_images(payloads, 8, 8, mode="strict").collect()
