@@ -213,6 +213,7 @@ class DeltaScanBuilder:
         self.spark = spark
         self.pushdown = pushdown
         self._preds: list[Pred] = []
+        self._dyn_preds: list[Pred] = []
         self._projection: list[str] | None = None
         self._virtual: bool = False
         self._report: dict | None = None
@@ -221,6 +222,49 @@ class DeltaScanBuilder:
 
     def filter(self, column: str, op: str, value: Any = None) -> "DeltaScanBuilder":
         self._preds.append(Pred(column, op, value))
+        return self
+
+    def dynamic_filter(
+        self,
+        column: str,
+        build_df: DataFrame,
+        build_col: str | None = None,
+        max_in_set: int = 128,
+    ) -> "DeltaScanBuilder":
+        """Runtime file skipping from a join build side (reference:
+        ``DynamicFilterPushdown``, delta_multi_file_list.cpp:989-1021 —
+        there the host engine hands the scan a min/max filter computed from
+        the hash-join build side mid-query).
+
+        Spark offers no mid-query hook to re-scope an externally assembled
+        file list, so the runtime filter is derived *at plan time* with one
+        small job over the (broadcast-sized) build side: min/max of
+        ``build_col``, plus the exact distinct key set when small enough
+        for an IN-filter — strictly stronger pruning than the reference's
+        range-only filters. Derived predicates prune manifest files under
+        pushdown modes ``all``/``dynamic_only`` and are re-applied
+        row-level so Catalyst also pushes them to parquet row groups
+        beneath the join (complementing Spark's own DPP, which only covers
+        hive-partitioned layouts)."""
+        src = build_col or column
+        agg = build_df.agg(
+            F.min(src).alias("lo"),
+            F.max(src).alias("hi"),
+            F.approx_count_distinct(src).alias("nd"),
+        ).first()
+        if agg["lo"] is None:
+            # empty build side: the join can match nothing — skip every file
+            self._dyn_preds.append(Pred(column, "in", []))
+        elif agg["nd"] <= max_in_set:
+            vals = [
+                r[0]
+                for r in build_df.select(src).distinct().collect()
+                if r[0] is not None
+            ]
+            self._dyn_preds.append(Pred(column, "in", vals))
+        else:
+            self._dyn_preds.append(Pred(column, ">=", agg["lo"]))
+            self._dyn_preds.append(Pred(column, "<=", agg["hi"]))
         return self
 
     def select(self, *columns: str) -> "DeltaScanBuilder":
@@ -247,16 +291,23 @@ class DeltaScanBuilder:
     def _prune(self) -> list[AddFile]:
         files = self.snapshot.add_files()
         total = len(files)
-        skipped_partition = skipped_stats = 0
+        skipped_partition = skipped_stats = skipped_dynamic = 0
+        pairs: list[tuple[Pred, bool]] = []
         if self._preds and self.pushdown in ("all", "constant_only"):
+            pairs += [(p, False) for p in self._preds]
+        if self._dyn_preds and self.pushdown in ("all", "dynamic_only"):
+            pairs += [(p, True) for p in self._dyn_preds]
+        if pairs:
             kept: list[AddFile] = []
             pcols = self.snapshot.partition_columns
             for f in files:
                 keep = True
-                for p in self._preds:
+                for p, dynamic in pairs:
                     ok, how = _file_may_match(f, p, pcols)
                     if not ok:
-                        if how == "partition":
+                        if dynamic:
+                            skipped_dynamic += 1
+                        elif how == "partition":
                             skipped_partition += 1
                         else:
                             skipped_stats += 1
@@ -270,7 +321,9 @@ class DeltaScanBuilder:
             "files_scanned": len(files),
             "files_skipped_by_partition": skipped_partition,
             "files_skipped_by_stats": skipped_stats,
+            "files_skipped_by_dynamic": skipped_dynamic,
             "filters": [repr(p) for p in self._preds],
+            "filters_dynamic": [repr(p) for p in self._dyn_preds],
         }
         return files
 
@@ -350,6 +403,12 @@ class DeltaScanBuilder:
         # conservative); Catalyst pushes these to parquet row groups.
         for p in self._preds:
             df = df.filter(p.to_spark_column())
+        # dynamic preds are hints implied by a downstream join — row-level
+        # re-application is safe and reaches parquet row groups, but only
+        # under modes that enable dynamic pushdown (observability parity)
+        if self.pushdown in ("all", "dynamic_only"):
+            for p in self._dyn_preds:
+                df = df.filter(p.to_spark_column())
         if self._projection:
             df = df.select(*self._projection)
         return df

@@ -299,6 +299,39 @@ def delta_snapshot_90commits(spark, sf_dir):
 _PIN_CATALOG = {}
 
 
+# dynamic/runtime filter pushdown: the join build side re-scopes the fact
+# file list (reference: DynamicFilterPushdown, delta_multi_file_list.cpp:
+# 989-1021; logged as `dynamic` in custom_parameters.test:40-45)
+@register(
+    "delta_dynamic_prune",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < {FX.SPLITS[1]} AND o.o_orderpriority = '1-URGENT'
+    """,
+    group="delta",
+)
+def delta_dynamic_prune(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_multi")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderkey") < FX.SPLITS[1])
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey")
+    )
+    sb = t.scan(spark).dynamic_filter("l_orderkey", dim, "o_orderkey")
+    df = sb.to_df()
+    # commits holding l_orderkey >= SPLITS[1] must be skipped at file level
+    assert sb.skip_report()["files_skipped_by_dynamic"] > 0
+    return df.join(F.broadcast(dim), df.l_orderkey == dim.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total"),
+    )
+
+
 @register(
     "delta_snapshot_90commits_pinned",
     oracle="SELECT count(*) AS n FROM lineitem",

@@ -244,3 +244,49 @@ def test_metadata_functions(spark, tdir):
     assert [r["operation"] for r in hist] == ["CREATE TABLE", "WRITE"]
     det = t.detail()
     assert det["numRecords"] == 70 and det["partitionColumns"] == ["g"]
+
+
+def test_dynamic_filter_pushdown(spark, tdir):
+    """Runtime file skipping from a join build side; mode gating
+    (reference: DynamicFilterPushdown, delta_multi_file_list.cpp:989-1021)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(4):
+        w.append(_ids(spark, 25, lo=25 * k).coalesce(1))
+    t = DeltaTable(tdir)
+
+    dim = spark.range(10, 20).select(F.col("id").alias("k"))
+    sb = t.scan(spark).dynamic_filter("i", dim, "k")
+    df = sb.to_df()
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_dynamic"] == 3
+    assert rep["files_skipped_by_stats"] == 0
+    assert df.count() == 10 and rep["filters_dynamic"]
+
+    # wide build side (> max_in_set distinct) falls back to a min/max range
+    wide = spark.range(30, 80).select(F.col("id").alias("k"))
+    sb_r = t.scan(spark).dynamic_filter("i", wide, "k", max_in_set=5)
+    assert sb_r.to_df().count() == 50
+    # range [30,79] overlaps files 2-4 of [0-24][25-49][50-74][75-99]
+    assert sb_r.skip_report()["files_skipped_by_dynamic"] == 1
+
+    # constant_only mode ignores dynamic filters entirely
+    sb2 = t.scan(spark, pushdown="constant_only").dynamic_filter("i", dim, "k")
+    assert sb2.to_df().count() == 100
+    assert sb2.skip_report()["files_skipped_by_dynamic"] == 0
+
+    # dynamic_only prunes on dynamic but not constant preds
+    sb3 = (
+        t.scan(spark, pushdown="dynamic_only")
+        .filter("g", ">=", 0)
+        .dynamic_filter("i", dim, "k")
+    )
+    assert sb3.to_df().count() == 10
+    rep3 = sb3.skip_report()
+    assert rep3["files_skipped_by_dynamic"] == 3
+    assert rep3["files_skipped_by_stats"] == 0
+
+    # empty build side: nothing can join -> all files skipped, empty result
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    sb4 = t.scan(spark).dynamic_filter("i", empty, "k")
+    assert sb4.to_df().count() == 0
+    assert sb4.skip_report()["files_scanned"] == 0
