@@ -27,6 +27,7 @@ class _Entry:
     pinned: bool
     version: int | None
     table: DeltaTable
+    df: DataFrame | None = None  # planned DataFrame, cached per snapshot
 
 
 class DeltaCatalog:
@@ -42,9 +43,10 @@ class DeltaCatalog:
         pin_snapshot: bool = False,
     ) -> DeltaTable:
         table = DeltaTable(path, version=version)
-        self._entries[name] = _Entry(table.path, pin_snapshot or version is not None,
-                                     version, table)
-        self._register_view(name, table)
+        entry = _Entry(table.path, pin_snapshot or version is not None,
+                       version, table)
+        self._entries[name] = entry
+        self._register_view(name, entry)
         return table
 
     def detach(self, name: str) -> None:
@@ -65,14 +67,24 @@ class DeltaCatalog:
         refreshed = entry.table.refreshed()
         if refreshed.version != entry.table.version:
             entry.table = refreshed
-            self._register_view(name, refreshed)
+            entry.df = None
+            self._register_view(name, entry)
         return entry.table
 
     def to_df(self, name: str, version: int | None = None) -> DataFrame:
-        return self.table(name, version).to_df(self.spark)
+        self.table(name, version)  # refresh unpinned entries
+        entry = self._entries[name]
+        if version is not None and version != entry.table.version:
+            return DeltaTable(entry.path, version=version).to_df(self.spark)
+        if entry.df is None:
+            entry.df = entry.table.to_df(self.spark)
+        return entry.df
 
-    def _register_view(self, name: str, table: DeltaTable) -> None:
-        table.to_df(self.spark).createOrReplaceTempView(name)
+    def _register_view(self, name: str, entry: _Entry) -> None:
+        # plan once; the temp view and to_df() share the same DataFrame
+        if entry.df is None:
+            entry.df = entry.table.to_df(self.spark)
+        entry.df.createOrReplaceTempView(name)
 
     def __contains__(self, name: str) -> bool:
         return name in self._entries

@@ -34,6 +34,12 @@ def get_spark(app_name: str = "duckdb_delta_spark", cpus: int | None = None) -> 
         # timestamp — read as long, loaders convert (truncate) to µs
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Delta scans pass explicit file lists; below this many paths Spark
+        # stats them driver-side instead of launching a listing job (a
+        # 90-file table costs a 90-task job otherwise). Above it — e.g.
+        # thousands of files on an object store — the parallel listing job
+        # kicks in, which is the behavior you want at that scale.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

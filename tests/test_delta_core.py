@@ -290,3 +290,27 @@ def test_dynamic_filter_pushdown(spark, tdir):
     sb4 = t.scan(spark).dynamic_filter("i", empty, "k")
     assert sb4.to_df().count() == 0
     assert sb4.skip_report()["files_scanned"] == 0
+
+
+def test_function_veneers(spark, tdir):
+    """The reference's registered SQL functions exist 1:1 as free functions."""
+    from duckdb_delta_spark.functions import (
+        delta_domain_metadata,
+        delta_get_transaction_version,
+        delta_list_files,
+        delta_scan,
+        delta_set_transaction_version,
+    )
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 30))
+    w.append(_ids(spark, 10, lo=30))
+
+    assert delta_scan(spark, tdir).count() == 40
+    assert delta_scan(spark, tdir, version=1).count() == 30
+    man = delta_list_files(spark, tdir)
+    assert man.agg(F.sum("cardinality")).first()[0] == 40
+    assert delta_domain_metadata(spark, tdir).count() == 0
+    assert delta_get_transaction_version(tdir, "app") is None
+    delta_set_transaction_version(spark, tdir, "app", 7)
+    assert delta_get_transaction_version(tdir, "app") == 7
