@@ -40,6 +40,12 @@ def get_spark(app_name: str = "duckdb_delta_spark", cpus: int | None = None) -> 
         # thousands of files on an object store — the parallel listing job
         # kicks in, which is the behavior you want at that scale.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+        # Local test files are single small parquet files; 8 MiB splits keep
+        # all cores busy on them. On a cluster against TB-scale tables the
+        # right value is the 128 MiB default — large enough that per-task
+        # overhead amortizes, small enough to fit executor memory.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -68,3 +68,17 @@ def test_small_dimension_joins_broadcast(spark):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_dynamic_filter_reaches_parquet_scan(spark, tdir):
+    """The build-side-derived IN-set is pushed to parquet row groups."""
+    schema = T.StructType(
+        [T.StructField("i", T.LongType()), T.StructField("x", T.DoubleType())]
+    )
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(100).select(F.col("id").alias("i"),
+                                     (F.col("id") * 1.0).alias("x")))
+    dim = spark.range(5, 8).select(F.col("id").alias("k"))
+    sb = DeltaTable(tdir).scan(spark).dynamic_filter("i", dim, "k")
+    plan = _plan(sb.to_df())
+    assert "In(i, [5,6,7])" in plan or "i IN (5,6,7)" in plan.replace('"', "")
