@@ -219,6 +219,20 @@ def deserialize_bitmap(data: bytes) -> np.ndarray:
     return res
 
 
+def dv_file_path(table_path: str, descriptor: dict) -> str:
+    """Filesystem path of a file-backed (``u``/``p``) DV descriptor."""
+    storage = descriptor["storageType"]
+    if storage == "u":
+        path_part = descriptor["pathOrInlineDv"]
+        prefix, uuid_b85 = path_part[:-20], path_part[-20:]
+        uid = _uuid.UUID(bytes=z85_decode(uuid_b85)[:16])
+        dirname = os.path.join(table_path, prefix) if prefix else table_path
+        return os.path.join(dirname, f"deletion_vector_{uid}.bin")
+    if storage == "p":
+        return descriptor["pathOrInlineDv"]
+    raise DeletionVectorError(f"DV storageType {storage!r} has no file path")
+
+
 def read_dv_from_descriptor(descriptor: dict, table_path: str) -> np.ndarray:
     """Resolve a DeletionVectorDescriptor (the ``add.deletionVector`` struct)
     to the sorted uint64 array of deleted row indexes."""
@@ -227,14 +241,8 @@ def read_dv_from_descriptor(descriptor: dict, table_path: str) -> np.ndarray:
     if storage == "i":
         data = z85_decode(descriptor["pathOrInlineDv"])[:size]
         return deserialize_bitmap(data)
-    if storage == "u":
-        path_part = descriptor["pathOrInlineDv"]
-        prefix, uuid_b85 = path_part[:-20], path_part[-20:]
-        uid = _uuid.UUID(bytes=z85_decode(uuid_b85)[:16])
-        dirname = os.path.join(table_path, prefix) if prefix else table_path
-        path = os.path.join(dirname, f"deletion_vector_{uid}.bin")
-    elif storage == "p":
-        path = descriptor["pathOrInlineDv"]
+    if storage in ("u", "p"):
+        path = dv_file_path(table_path, descriptor)
     else:
         raise DeletionVectorError(f"unknown DV storageType {storage!r}")
     offset = int(descriptor.get("offset") or 1)

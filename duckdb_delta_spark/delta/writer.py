@@ -318,6 +318,167 @@ class DeltaWriter:
             except OSError:
                 pass
 
+    # ---------- maintenance: compaction / vacuum ----------
+
+    def compact(
+        self, target_file_bytes: int = 128 << 20, min_files: int = 2
+    ) -> int | None:
+        """OPTIMIZE-style bin-packing compaction. Returns the committed
+        version, or None when nothing qualified.
+
+        Beyond the reference (which supports no DML —
+        delta_schema_entry.cpp:36-97) but essential at scale: frequent
+        appends leave thousands of small files, and scan parallelism +
+        footer overhead degrade. Per partition, files smaller than
+        ``target_file_bytes`` are rewritten into ``ceil(total/target)``
+        files by one Spark job reading exactly those files; the commit
+        marks old files ``remove`` and new files ``add`` with
+        ``dataChange: false`` (readers see identical rows; incremental
+        consumers skip it). Files carrying deletion vectors are left
+        alone — this pass reorganizes layout, it does not materialize
+        deletes. Old files stay on disk for time travel until
+        :meth:`vacuum`.
+        """
+        snap = self._snapshot
+        if snap.column_mapping_mode != "none":
+            raise UnsupportedFeatureError("compact column-mapped table")
+        schema = snap.schema
+        parts = snap.partition_columns
+        phys_schema = T.StructType(
+            [f for f in schema.fields if f.name not in parts]
+        )
+
+        groups: dict[tuple, list] = {}
+        for f in snap.add_files():
+            if f.deletion_vector or f.size >= target_file_bytes:
+                continue
+            key = tuple(sorted((k, v) for k, v in f.partition_values.items()))
+            groups.setdefault(key, []).append(f)
+
+        now_ms = int(time.time() * 1000)
+        removes: list[dict] = []
+        adds: list[dict] = []
+        written: list[str] = []  # relative (decoded) paths for rollback
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        for _key, files in sorted(groups.items()):
+            if len(files) < min_files:
+                continue
+            total = sum(f.size for f in files)
+            n_out = max(1, -(-total // target_file_bytes))
+            if n_out >= len(files):
+                continue
+            # new files live in the same (hive) directory as the old ones
+            part_dir = os.path.dirname(urllib.parse.unquote(files[0].path))
+            paths = [f.absolute_path(self.table_path) for f in files]
+            staging = os.path.join(
+                self.table_path, f"_staging_{uuid.uuid4().hex}"
+            )
+            (
+                self.spark.read.schema(phys_schema)
+                .parquet(*paths)
+                .coalesce(int(n_out))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            try:
+                for name in sorted(os.listdir(staging)):
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.join(part_dir, name) if part_dir else name
+                    dest = os.path.join(self.table_path, rel)
+                    shutil.move(os.path.join(staging, name), dest)
+                    written.append(rel)
+                    stats = _footer_stats(dest, schema, set(parts))
+                    adds.append(
+                        {
+                            "path": urllib.parse.quote(
+                                rel.replace(os.sep, "/"), safe="/=-_.~"
+                            ),
+                            "partitionValues": dict(files[0].partition_values),
+                            "size": os.path.getsize(dest),
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                            "stats": json.dumps(stats, separators=(",", ":")),
+                        }
+                    )
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            removes.extend(
+                {
+                    "remove": {
+                        "path": f.path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": dict(f.partition_values),
+                        "size": f.size,
+                    }
+                }
+                for f in files
+            )
+
+        if not removes:
+            return None
+        actions = [
+            {
+                "commitInfo": _commit_info(
+                    "OPTIMIZE",
+                    {
+                        "targetSize": str(target_file_bytes),
+                        "numRemovedFiles": str(len(removes)),
+                        "numAddedFiles": str(len(adds)),
+                    },
+                )
+            }
+        ]
+        actions.extend(removes)
+        actions.extend({"add": a} for a in adds)
+        version = snap.version + 1
+        try:
+            self.log.commit(version, actions)
+        except CommitConflictError:
+            self._rollback([(rel, {}) for rel in written])
+            raise
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+        """Delete data files no longer referenced by the current snapshot
+        and older than ``retention_ms``. Returns deleted relative paths.
+
+        Standard Delta maintenance companion to :meth:`compact`; removed
+        versions older than the retention window stop being
+        time-travelable, exactly like ``VACUUM`` elsewhere.
+        """
+        snap = Snapshot.build(self.log)
+        live = set()
+        for f in snap.add_files():
+            live.add(os.path.abspath(f.absolute_path(self.table_path)))
+            dv = f.deletion_vector or {}
+            if dv.get("storageType") == "u":
+                # DV files are named from the descriptor; resolve via codec
+                from duckdb_delta_spark.delta.dv import dv_file_path
+
+                try:
+                    live.add(os.path.abspath(
+                        dv_file_path(self.table_path, dv)))
+                except Exception:  # noqa: BLE001 - unknown descriptor: keep
+                    pass
+        cutoff = time.time() - retention_ms / 1000.0
+        deleted: list[str] = []
+        for root, dirs, names in os.walk(self.table_path):
+            dirs[:] = [d for d in dirs if d != "_delta_log"]
+            for name in names:
+                full = os.path.abspath(os.path.join(root, name))
+                if not (name.endswith(".parquet") or name.endswith(".bin")):
+                    continue
+                if full in live or os.path.getmtime(full) > cutoff:
+                    continue
+                os.unlink(full)
+                deleted.append(os.path.relpath(full, self.table_path))
+        return deleted
+
     # ---------- checkpoint ----------
 
     def checkpoint(self) -> int:

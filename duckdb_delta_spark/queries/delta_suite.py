@@ -280,6 +280,27 @@ def delta_type_widening(spark, sf_dir):
     )
 
 
+# OPTIMIZE bin-packing compaction (+ vacuum): 12 small files rewritten to
+# one, content unchanged — beyond the reference (no DML there), core
+# maintenance at scale
+@register(
+    "delta_compacted_scan",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_compacted_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_compacted")
+    assert len(t.snapshot.add_files()) == 1  # 12 small files became one
+    return t.to_df(spark).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("qty"),
+    )
+
+
 # snapshot-resolution micro: COUNT(*) over a 90-commit log, unpinned
 # (re-resolves HEAD) — reference: benchmark/micro/snapshot_performance/
 # delta_scan.benchmark:12-17

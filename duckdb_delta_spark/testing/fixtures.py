@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 7  # bump to force a rebuild
+LAYOUT_VERSION = 8  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -60,6 +60,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
+    _build_lineitem_compacted(spark, sf_dir, os.path.join(root, "lineitem_compacted"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -292,6 +293,22 @@ def _build_lineitem_90c(spark, sf_dir, path):
             }},
         ])
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _build_lineitem_compacted(spark, sf_dir, path):
+    """lineitem appended as 12 small files (3 commits x 4), then
+    OPTIMIZE-compacted — content stays exactly `lineitem`, so the oracle
+    runs on the plain view while Spark reads the compacted layout."""
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema)
+    for lo, hi in zip(SPLITS, SPLITS[1:]):
+        w.append(
+            li.where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+            .repartition(4)
+        )
+    v = w.compact(target_file_bytes=256 << 20)
+    assert v is not None
+    w.vacuum(retention_ms=0)
 
 
 def _build_orders_widen(spark, sf_dir, path):

@@ -314,3 +314,56 @@ def test_function_veneers(spark, tdir):
     assert delta_get_transaction_version(tdir, "app") is None
     delta_set_transaction_version(spark, tdir, "app", 7)
     assert delta_get_transaction_version(tdir, "app") == 7
+
+
+def test_compact_and_vacuum(spark, tdir):
+    """OPTIMIZE bin-packing: many small files -> few, rows identical,
+    dataChange=false in the log; vacuum removes the dead files."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(6):
+        w.append(_ids(spark, 20, lo=20 * k).coalesce(1))
+    t0 = DeltaTable(tdir)
+    assert len(t0.snapshot.add_files()) == 6
+
+    v = w.compact(target_file_bytes=64 << 20)
+    assert v == 7
+    t1 = DeltaTable(tdir)
+    assert len(t1.snapshot.add_files()) == 1
+    got = t1.to_df(spark)
+    assert got.count() == 120
+    assert {r["i"] for r in got.collect()} == set(range(120))
+    # log artifact: OPTIMIZE commit is dataChange=false on both sides
+    actions = [json.loads(line) for line in open(
+        os.path.join(tdir, "_delta_log", f"{v:020d}.json"))]
+    assert all(not a["remove"]["dataChange"] for a in actions if "remove" in a)
+    assert all(not a["add"]["dataChange"] for a in actions if "add" in a)
+    # pre-compaction version still time-travels (old files remain on disk)
+    assert DeltaTable(tdir, version=6).to_df(spark).count() == 120
+    # second compact is a no-op
+    assert DeltaWriter(tdir, spark).compact(target_file_bytes=64 << 20) is None
+
+    deleted = DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert len(deleted) == 6
+    assert DeltaTable(tdir).to_df(spark).count() == 120
+
+
+def test_compact_partitioned(spark, tdir):
+    w = DeltaWriter.create(spark, tdir, SCHEMA, partition_by=["g"])
+    w.append(_ids(spark, 70).coalesce(1))
+    w.append(_ids(spark, 70, lo=70).coalesce(1))
+    before = DeltaTable(tdir).snapshot.add_files()
+    assert len(before) == 14  # 7 partitions x 2 commits
+
+    v = w.compact(target_file_bytes=64 << 20)
+    assert v is not None
+    t = DeltaTable(tdir)
+    files = t.snapshot.add_files()
+    assert len(files) == 7
+    assert all(f.partition_values.get("g") is not None for f in files)
+    assert all(f.path.startswith("g=") for f in files)
+    got = t.to_df(spark)
+    assert got.count() == 140
+    # partition pruning still works on the compacted layout
+    sb = t.scan(spark).filter("g", "=", 3)
+    assert sb.to_df().count() == 20
+    assert sb.skip_report()["files_skipped_by_partition"] == 6
