@@ -258,13 +258,20 @@ def read_dv_from_descriptor(descriptor: dict, table_path: str) -> np.ndarray:
     return deserialize_bitmap(data)
 
 
-def write_dv_file(table_path: str, bitmaps: list[np.ndarray]) -> list[dict]:
+def write_dv_file(
+    table_path: str, bitmaps: list[np.ndarray], seed: str | None = None
+) -> list[dict]:
     """Write one on-disk DV file holding one DV per entry of ``bitmaps``.
 
     Returns one DeletionVectorDescriptor dict per bitmap (storageType ``u``).
     Used by the writer/fixture layer; the reference only *reads* DVs.
+    ``seed`` makes the (otherwise input-deterministic) filename unique —
+    required when repeated deletes may write the same bitmap count, else
+    the second write would clobber a file older versions still reference.
     """
-    uid = _uuid.uuid5(_uuid.NAMESPACE_URL, f"dv:{table_path}:{len(bitmaps)}")
+    uid = _uuid.uuid5(
+        _uuid.NAMESPACE_URL, f"dv:{table_path}:{seed or len(bitmaps)}"
+    )
     fname = f"deletion_vector_{uid}.bin"
     blob = bytearray(b"\x01")
     descriptors = []

@@ -318,6 +318,124 @@ class DeltaWriter:
             except OSError:
                 pass
 
+    # ---------- DELETE (deletion vectors) ----------
+
+    def delete(self, condition) -> tuple[int, int] | None:
+        """Row-level DELETE via deletion vectors. Returns
+        ``(committed_version, rows_deleted)``, or None when nothing matched.
+
+        Beyond the reference (DELETE throws there —
+        delta_schema_entry.cpp:36-97), but it is the natural write-side
+        complement of the DV *read* path both engines have: no data file
+        is rewritten; matching rows are masked by per-file roaring
+        bitmaps, the same mechanism delta-spark uses under
+        ``delta.enableDeletionVectors``.
+
+        Scale shape: ONE distributed job finds matching ``(file,
+        row_index)`` pairs (scanning only stats-surviving files, with the
+        predicate pushed to parquet row groups); only the matched indexes
+        — DV-sized, not row-sized — return to the driver, which merges
+        existing DVs, writes one DV file, and commits
+        remove+add-with-DV per touched file. Files whose every live row
+        matched are dropped outright (remove, no re-add).
+
+        ``condition`` is a Spark Column or SQL string over the table's
+        logical schema (partition columns included).
+        """
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta import dv as dvmod
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        snap = self._snapshot
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+
+        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
+        matched = (
+            scan.to_df()
+            .where(condition)
+            .groupBy(F.col("filename").alias("f"))
+            .agg(F.sort_array(F.collect_list("file_row_number")).alias("rows"))
+            .collect()
+        )
+        if not matched:
+            return None
+
+        by_uri = {
+            DeltaScanBuilder._spark_file_uri(
+                f.absolute_path(self.table_path)
+            ): f
+            for f in snap.add_files()
+        }
+        touched: list[tuple] = []  # (AddFile, merged_rows, fully_deleted)
+        n_deleted = 0
+        for r in matched:
+            f = by_uri[r["f"]]
+            rows = np.asarray(r["rows"], dtype=np.uint64)
+            n_deleted += len(rows)
+            if f.deletion_vector:
+                prior = dvmod.read_dv_from_descriptor(
+                    f.deletion_vector, self.table_path
+                )
+                rows = np.union1d(rows, prior)
+            full = (
+                f.num_records is not None and len(rows) >= f.num_records
+            )
+            touched.append((f, rows, full))
+
+        keep = [(f, rows) for f, rows, full in touched if not full]
+        descriptors = (
+            dvmod.write_dv_file(
+                self.table_path,
+                [rows for _f, rows in keep],
+                seed=uuid.uuid4().hex,
+            )
+            if keep
+            else []
+        )
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": _commit_info(
+                    "DELETE", {"numDeletedRows": str(n_deleted)}
+                )
+            }
+        ]
+        for f, _rows, _full in touched:
+            actions.append(
+                {
+                    "remove": {
+                        "path": f.path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": dict(f.partition_values),
+                        "size": f.size,
+                    }
+                }
+            )
+        for (f, _rows), desc in zip(keep, descriptors):
+            actions.append(
+                {
+                    "add": {
+                        "path": f.path,
+                        "partitionValues": dict(f.partition_values),
+                        "size": f.size,
+                        "modificationTime": f.modification_time,
+                        "dataChange": True,
+                        "stats": f.stats,
+                        "deletionVector": desc,
+                    }
+                }
+            )
+
+        version = snap.version + 1
+        self.log.commit(version, actions)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version, n_deleted
+
     # ---------- maintenance: compaction / vacuum ----------
 
     def compact(

@@ -280,6 +280,26 @@ def delta_type_widening(spark, sf_dir):
     )
 
 
+# engine-written DELETE: DeltaWriter.delete masks l_linenumber >= 5 with
+# deletion vectors (write-side DV path; the read side is delta_dv_scan)
+@register(
+    "delta_delete_scan",
+    oracle="""
+    SELECT l_linenumber, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM lineitem WHERE l_linenumber < 5
+    GROUP BY l_linenumber
+    """,
+    group="delta",
+)
+def delta_delete_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_del")
+    return t.to_df(spark).groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total"),
+    )
+
+
 # OPTIMIZE bin-packing compaction (+ vacuum): 12 small files rewritten to
 # one, content unchanged — beyond the reference (no DML there), core
 # maintenance at scale

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 8  # bump to force a rebuild
+LAYOUT_VERSION = 9  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -61,6 +61,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
     _build_lineitem_compacted(spark, sf_dir, os.path.join(root, "lineitem_compacted"))
+    _build_lineitem_del(spark, sf_dir, os.path.join(root, "lineitem_del"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -309,6 +310,18 @@ def _build_lineitem_compacted(spark, sf_dir, path):
     v = w.compact(target_file_bytes=256 << 20)
     assert v is not None
     w.vacuum(retention_ms=0)
+
+
+def _build_lineitem_del(spark, sf_dir, path):
+    """Engine-written DELETE: append lineitem as 4 files, then
+    ``DeltaWriter.delete`` masks high line numbers via deletion vectors —
+    the write-side DV path end-to-end (vs lineitem_dv, which handcrafts
+    the DV commit to isolate the read path)."""
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema)
+    w.append(li.repartition(4))
+    res = w.delete(F.col("l_linenumber") >= 5)
+    assert res is not None and res[1] > 0
 
 
 def _build_orders_widen(spark, sf_dir, path):

@@ -367,3 +367,41 @@ def test_compact_partitioned(spark, tdir):
     sb = t.scan(spark).filter("g", "=", 3)
     assert sb.to_df().count() == 20
     assert sb.skip_report()["files_skipped_by_partition"] == 6
+
+
+def test_delete_with_deletion_vectors(spark, tdir):
+    """DELETE masks rows via DVs: no file rewrite, repeated deletes merge,
+    fully-deleted files are dropped, time travel sees pre-delete rows."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(4):
+        w.append(_ids(spark, 25, lo=25 * k).coalesce(1))
+    data_files = {f.path for f in DeltaTable(tdir).snapshot.add_files()}
+
+    v, n = w.delete(F.col("i") % 10 == 0)
+    assert (v, n) == (5, 10)
+    t = DeltaTable(tdir)
+    assert t.to_df(spark).count() == 90
+    # same data files, now DV-masked — nothing rewritten
+    assert {f.path for f in t.snapshot.add_files()} == data_files
+    assert all(f.deletion_vector for f in t.snapshot.add_files())
+
+    # second delete merges into existing DVs (union, not replace)
+    v2, n2 = w.delete("i % 10 = 1")
+    assert (v2, n2) == (6, 10)
+    assert DeltaTable(tdir).to_df(spark).count() == 80
+
+    # deleting a whole file's remaining rows drops the file
+    # (file 1 holds i in [0,25): 6 rows already DV-masked, 19 live)
+    v3, n3 = w.delete(F.col("i") < 25)
+    assert n3 == 19
+    t3 = DeltaTable(tdir)
+    assert len(t3.snapshot.add_files()) == 3
+    assert t3.to_df(spark).count() == 61
+
+    # nothing matches -> no commit
+    assert w.delete(F.col("i") < 0) is None
+    # time travel: pre-delete version unchanged
+    assert DeltaTable(tdir, version=4).to_df(spark).count() == 100
+    # vacuum honors DV files still referenced
+    DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert DeltaTable(tdir).to_df(spark).count() == 61
