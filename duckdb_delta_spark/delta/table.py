@@ -56,6 +56,18 @@ class DeltaTable:
     def insert(self, df: DataFrame, **kwargs) -> int:
         return self.writer(df.sparkSession).append(df, **kwargs)
 
+    def delete(self, spark: SparkSession, condition) -> tuple[int, int] | None:
+        """Row-level DELETE via deletion vectors (see DeltaWriter.delete)."""
+        return self.writer(spark).delete(condition)
+
+    def compact(self, spark: SparkSession, **kwargs) -> int | None:
+        """OPTIMIZE bin-packing compaction (see DeltaWriter.compact)."""
+        return self.writer(spark).compact(**kwargs)
+
+    def vacuum(self, spark: SparkSession, **kwargs) -> list[str]:
+        """Delete unreferenced data/DV files (see DeltaWriter.vacuum)."""
+        return self.writer(spark).vacuum(**kwargs)
+
     # ---------- metadata functions ----------
 
     def file_manifest(self, spark: SparkSession) -> DataFrame:

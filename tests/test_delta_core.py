@@ -405,3 +405,21 @@ def test_delete_with_deletion_vectors(spark, tdir):
     # vacuum honors DV files still referenced
     DeltaWriter(tdir, spark).vacuum(retention_ms=0)
     assert DeltaTable(tdir).to_df(spark).count() == 61
+
+
+def test_table_dml_passthroughs(spark, tdir):
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 10, lo=10 * k).coalesce(1))
+    t = DeltaTable(tdir)
+    v, n = t.delete(spark, "i >= 25")
+    assert n == 5
+    assert DeltaTable(tdir).to_df(spark).count() == 25
+    assert DeltaTable(tdir).compact(spark, target_file_bytes=64 << 20) is not None
+    # the two DV-free files compacted into one; the DV-masked file is
+    # deliberately left alone (compact reorganizes, never materializes deletes)
+    files = DeltaTable(tdir).snapshot.add_files()
+    assert len(files) == 2
+    assert sum(1 for f in files if f.deletion_vector) == 1
+    DeltaTable(tdir).vacuum(spark, retention_ms=0)
+    assert DeltaTable(tdir).to_df(spark).count() == 25
