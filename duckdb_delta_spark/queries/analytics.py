@@ -196,19 +196,24 @@ def setop_click_and_buy(spark, sf_dir):
 
 @register(
     "setop_view_no_buy",
+    # per-day grain: every user both views and purchases at some point in the
+    # synthetic data, so the all-time set difference was provably empty —
+    # (day, user) keeps the EXCEPT non-vacuous at every SF
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+    FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+    FROM events WHERE event_type = 'purchase'
     """,
     group="setop",
 )
 def setop_view_no_buy(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select("user_id")
-    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
-    # EXCEPT is set-difference (a viewer who also purchased is excluded
-    # entirely) — subtract(), not exceptAll().distinct()
+    ev = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    views = ev.where(F.col("event_type") == "view").select("day", "user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("day", "user_id")
+    # EXCEPT is set-difference (a viewer who also purchased that day is
+    # excluded entirely) — subtract(), not exceptAll().distinct()
     return views.subtract(buys)
 
 
@@ -276,11 +281,15 @@ def ev_daily_top_user(spark, sf_dir):
     group="events",
 )
 def ev_json_props(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # Project the JSON extraction once pre-aggregation: Catalyst does not
+    # guarantee CSE across aggregate expressions, so referencing the parse
+    # in both avg() and max() parsed every row twice.
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
     )
 
 

@@ -9,6 +9,8 @@ is exact — not merely statistical.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from duckdb_delta_spark.operators import dedup as D
 from duckdb_delta_spark.operators import similarity as S
 from duckdb_delta_spark.operators import text as X
@@ -323,11 +325,41 @@ def ann_lsh_bucket_stats(spark, sf_dir):
     )
 
 
+# Near-dup seeding: the raw embeddings have no near-duplicates (max pairwise
+# cosine ≈ 0.51), which made the near-pair proofs vacuous (0 rows = 0 rows).
+# Both sides therefore union in scaled-by-2 copies of the first N_SEED
+# vectors under shifted ids — "same item ingested twice". x*2 is exact in
+# float on both engines, the scaled copy lands in the SAME hyperplane bucket
+# by construction (signs are scale-invariant), and cos(v, 2v) == 1.0 exactly
+# in IEEE double, so Spark and DuckDB agree bit-for-bit.
+N_SEED = 8
+SEED_OFFSET = 10_000_000
+
+_AUG_EMB = f"""aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {SEED_OFFSET},
+             CAST(list_transform(embedding, x -> x * 2) AS FLOAT[]) AS embedding
+      FROM embeddings WHERE vec_id < {N_SEED})"""
+
+
+def _aug_embeddings(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id") < N_SEED).select(
+        (F.col("vec_id") + SEED_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(dup)
+
+
 @register(
     "ann_near_pairs",
     oracle=f"""
-    WITH b AS (SELECT vec_id, {_DVEC} AS v, {_bucket_expr()} AS bucket
-               FROM embeddings),
+    WITH {_AUG_EMB},
+    b AS (SELECT vec_id, {_DVEC} AS v, {_bucket_expr()} AS bucket
+               FROM aug),
     p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                  list_dot_product(a.v, b2.v)
                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v)))
@@ -340,7 +372,7 @@ def ann_lsh_bucket_stats(spark, sf_dir):
     group="similarity",
 )
 def ann_near_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _aug_embeddings(spark, sf_dir)
     return S.lsh_near_pairs(emb, _planes(), threshold=0.9)
 
 
@@ -427,8 +459,13 @@ def ann_ivf_topk(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH b AS (SELECT vec_id, {_DVEC} AS v, {_bucket_expr()} AS bucket
-               FROM embeddings),
+    WITH {_AUG_EMB},
+    docs AS (SELECT doc_id, lang FROM documents
+             UNION ALL
+             SELECT doc_id + {SEED_OFFSET}, lang FROM documents
+             WHERE doc_id < {N_SEED}),
+    b AS (SELECT vec_id, {_DVEC} AS v, {_bucket_expr()} AS bucket
+               FROM aug),
     p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                  list_dot_product(a.v, b2.v)
                    / (sqrt(list_dot_product(a.v, a.v))
@@ -436,17 +473,23 @@ def ann_ivf_topk(spark, sf_dir):
           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            round(cosv, 4) AS cos, da.lang AS lang_a, db.lang AS lang_b
-    FROM p JOIN documents da ON da.doc_id = id_a
-           JOIN documents db ON db.doc_id = id_b
+    FROM p JOIN docs da ON da.doc_id = id_a
+           JOIN docs db ON db.doc_id = id_b
     WHERE round(cosv, 4) >= 0.95
     """,
     group="dedup",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Semantic near-dup: LSH-bucketed embedding cosine ≥ 0.95, annotated
-    from the documents table (doc_id aligns with vec_id in the testdata)."""
-    docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
+    from the documents table (doc_id aligns with vec_id in the testdata;
+    seeded re-ingested copies — see _AUG_EMB — keep the proof non-vacuous)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = docs.unionByName(
+        docs.where(F.col("doc_id") < N_SEED).select(
+            (F.col("doc_id") + SEED_OFFSET).alias("doc_id"), "lang"
+        )
+    )
+    emb = _aug_embeddings(spark, sf_dir)
     return D.embedding_cosine_pairs(docs, emb, _planes(), threshold=0.95)
 
 
@@ -474,15 +517,16 @@ def text_bpe_tokens(spark, sf_dir):
     "mm_frame_sample",
     # frame k of payload p (len L, F=64 frame bytes, N=4 frames):
     # bytes [k*(max(L-F,0))//(N-1), +F) — evenly spaced windows; value-exact
-    # byte compare against DuckDB blob slicing
+    # byte compare against DuckDB blob slicing. Emitted as hex so the
+    # harness canonicalizer (pandas sort) never touches raw binary.
     oracle="""
     WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
                       octet_length(encode(text)) AS L FROM documents),
     k AS (SELECT unnest(generate_series(0, 3)) AS frame_index)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(frame_index AS INTEGER) AS frame_index,
-           from_hex(substr(hx, (frame_index * greatest(L - 64, 0) // 3) * 2 + 1,
-                           128)) AS frame
+           substr(hx, (frame_index * greatest(L - 64, 0) // 3) * 2 + 1,
+                  128) AS frame_hex
     FROM p, k
     """,
     group="multimodal",
@@ -493,4 +537,7 @@ def mm_frame_sample(spark, sf_dir):
     from duckdb_delta_spark.operators import multimodal as M
 
     docs = load(spark, sf_dir, "documents")
-    return M.sample_frames(M.with_payload(docs), n_frames=4, frame_bytes=64)
+    frames = M.sample_frames(M.with_payload(docs), n_frames=4, frame_bytes=64)
+    return frames.select(
+        "doc_id", "frame_index", F.hex(F.col("frame")).alias("frame_hex")
+    )

@@ -787,7 +787,10 @@ def q21(spark, sf_dir):
     )
 
 
-# q22 (adapted) — anti-join + global-average threshold
+# q22 (adapted) — anti-join + global-average threshold. The anti-join is
+# against URGENT orders (not all orders): the synthetic testdata gives every
+# customer at least one order, which made the original form return 0 rows at
+# every SF — a vacuous proof.
 @register(
     "tpch_q22",
     oracle=f"""
@@ -796,7 +799,8 @@ def q21(spark, sf_dir):
           FROM customer
           WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                              WHERE c_acctbal > 0.0)
-            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')) custsale
     GROUP BY cntrycode
     """,
     group="tpch",
@@ -810,7 +814,8 @@ def q22(spark, sf_dir):
               FROM customer
               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                                  WHERE c_acctbal > 0.0)
-                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
+                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')) custsale
         GROUP BY cntrycode
         """
     )
