@@ -108,6 +108,11 @@ class DeltaLog:
 
     def read_commit(self, version: int) -> list[dict]:
         path = os.path.join(self.log_path, f"{version:020d}.json")
+        if self.log_tail is not None:
+            # log_tail entries may live OUTSIDE _delta_log (CCv2 staged
+            # commits) — resolve through the same map listing produced
+            commits, _ = self.list_log_files()
+            path = commits.get(version, path)
         actions: list[dict] = []
         try:
             with open(path, "r", encoding="utf-8") as f:
@@ -129,19 +134,27 @@ class DeltaLog:
 
     def read_checkpoint(self, paths: list[str]) -> list[dict]:
         """Read checkpoint parquet part(s) into action dicts (same shape as
-        commit-JSON actions)."""
+        commit-JSON actions). Slow generic path — snapshot replay uses
+        :meth:`read_checkpoint_table` + columnar apply instead."""
+        actions: list[dict] = []
+        table = self.read_checkpoint_table(paths)
+        cols = [c for c in table.column_names if c in ACTION_KEYS]
+        for row in table.select(cols).to_pylist():
+            for key in cols:
+                val = row.get(key)
+                if val is not None:
+                    actions.append({key: _normalize_maps(val)})
+        return actions
+
+    def read_checkpoint_table(self, paths: list[str]):
+        """Checkpoint part(s) as one concatenated pyarrow Table."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        actions: list[dict] = []
-        for path in paths:
-            table = pq.read_table(path)
-            cols = [c for c in table.column_names if c in ACTION_KEYS]
-            for row in table.select(cols).to_pylist():
-                for key in cols:
-                    val = row.get(key)
-                    if val is not None:
-                        actions.append({key: _normalize_maps(val)})
-        return actions
+        tables = [pq.read_table(p) for p in paths]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(
+            tables, promote_options="permissive"
+        )
 
     # ---------- writing ----------
 

@@ -79,10 +79,13 @@ class AddFile:
         return int(n) if n is not None else None
 
     def dv_unique_id(self) -> str | None:
-        dv = self.deletion_vector
-        if not dv:
-            return None
-        return f"{dv.get('storageType')}{dv.get('pathOrInlineDv')}@{dv.get('offset') or 0}"
+        return _dv_unique_id(self.deletion_vector)
+
+
+def _dv_unique_id(dv: dict | None) -> str | None:
+    if not dv:
+        return None
+    return f"{dv.get('storageType')}{dv.get('pathOrInlineDv')}@{dv.get('offset') or 0}"
 
 
 class Snapshot:
@@ -93,7 +96,18 @@ class Snapshot:
         self.version = version
         self.metadata: dict = {}
         self.protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
-        self.files: dict[str, AddFile] = {}  # key: path + DV id (a path may be re-added with a new DV)
+        # Reconciliation key is the Delta spec's add/remove primary key
+        # (path, deletionVector.uniqueId): a commit may legitimately carry
+        # add(path, dvNew) AND remove(path, dvOld) for the same path in any
+        # order, so a remove only evicts the entry whose dvId matches its
+        # own descriptor (kernel semantics); every action applies O(1).
+        self.files: dict[str, AddFile] = {}
+        #: remove tombstones: path → latest remove action (vacuum gates file
+        #: deletion on remove.deletionTimestamp, not fs mtime)
+        self.tombstones: dict[str, dict] = {}
+        #: (storageType, pathOrInlineDv) of DV files referenced by removes →
+        #: latest deletionTimestamp (vacuum retention for replaced DVs)
+        self.dv_tombstones: dict[tuple, int] = {}
         self.app_transactions: dict[str, int] = {}
         self.domain_metadata: dict[str, str] = {}
         self.commit_timestamps: dict[int, int] = {}
@@ -116,6 +130,8 @@ class Snapshot:
             snap.metadata = dict(base.metadata)
             snap.protocol = dict(base.protocol)
             snap.files = dict(base.files)
+            snap.tombstones = dict(base.tombstones)
+            snap.dv_tombstones = dict(base.dv_tombstones)
             snap.app_transactions = dict(base.app_transactions)
             snap.domain_metadata = dict(base.domain_metadata)
             snap.commit_timestamps = dict(base.commit_timestamps)
@@ -147,9 +163,90 @@ class Snapshot:
         # prefer the hinted checkpoint when it's usable (≤ target and listed)
         if hint and hint.get("version") in candidates:
             best = max(best, int(hint["version"]))
-        for action in self.log.read_checkpoint(checkpoints[best]):
-            self._apply(action, best)
+        self._apply_checkpoint_columnar(
+            self.log.read_checkpoint_table(checkpoints[best]), best
+        )
         return best
+
+    def _apply_checkpoint_columnar(self, table, version: int) -> None:
+        """Replay a checkpoint from pyarrow columns.
+
+        The add manifest is the bulk of a checkpoint (1M rows for a 1M-file
+        table); materializing it as per-row Python dicts (``to_pylist`` of
+        the full struct + recursive map normalization) is GBs of driver
+        garbage. Instead each struct FIELD converts once, columnar →
+        flat Python lists, and stats stay lazy JSON strings
+        (SURVEY §3.1's driver-side manifest plan).
+        """
+        import pyarrow.compute as pc
+
+        from duckdb_delta_spark.delta.log import _normalize_maps
+
+        names = set(table.column_names)
+        # low-cardinality actions: generic dict path is fine
+        for key in ("protocol", "metaData", "txn", "domainMetadata"):
+            if key not in names:
+                continue
+            col = table.column(key)
+            if col.null_count == len(col):
+                continue
+            for val in pc.drop_null(col).to_pylist():
+                self._apply({key: _normalize_maps(val)}, version)
+
+        for key, bulk in (("add", self._apply_adds_columnar),
+                          ("remove", self._apply_removes_columnar)):
+            if key in names:
+                col = table.column(key).combine_chunks()
+                if col.null_count < len(col):
+                    bulk(col.drop_null())
+
+    @staticmethod
+    def _struct_field_list(arr, name: str, n: int) -> list:
+        if name not in {f.name for f in arr.type}:
+            return [None] * n
+        return arr.field(name).to_pylist()
+
+    def _apply_adds_columnar(self, arr) -> None:
+        n = len(arr)
+        fl = self._struct_field_list
+        paths = fl(arr, "path", n)
+        pvals = fl(arr, "partitionValues", n)
+        sizes = fl(arr, "size", n)
+        mtimes = fl(arr, "modificationTime", n)
+        stats = fl(arr, "stats", n)
+        dvs = fl(arr, "deletionVector", n)
+        tags = fl(arr, "tags", n)
+        files = self.files
+        tombstones = self.tombstones
+        for i in range(n):
+            pv = pvals[i]
+            if isinstance(pv, list):  # pyarrow map → list of (k, v)
+                pv = dict(pv)
+            f = AddFile(
+                path=paths[i],
+                partition_values=pv or {},
+                size=int(sizes[i] or 0),
+                modification_time=int(mtimes[i] or 0),
+                stats=stats[i],
+                deletion_vector=dvs[i],
+                tags=dict(tags[i]) if isinstance(tags[i], list) else tags[i],
+            )
+            files[f.path + "\x00" + (f.dv_unique_id() or "")] = f
+            tombstones.pop(f.path, None)
+
+    def _apply_removes_columnar(self, arr) -> None:
+        n = len(arr)
+        fl = self._struct_field_list
+        paths = fl(arr, "path", n)
+        tss = fl(arr, "deletionTimestamp", n)
+        dvs = fl(arr, "deletionVector", n)
+        for i in range(n):
+            self._apply(
+                {"remove": {"path": paths[i],
+                            "deletionTimestamp": tss[i],
+                            "deletionVector": dvs[i]}},
+                0,
+            )
 
     def _apply(self, action: dict, version: int) -> None:
         if "metaData" in action and action["metaData"]:
@@ -167,14 +264,24 @@ class Snapshot:
                 deletion_vector=a.get("deletionVector"),
                 tags=a.get("tags"),
             )
-            # an add with the same path replaces the prior one (e.g. new DV)
-            self.files = {
-                k: v for k, v in self.files.items() if v.path != f.path
-            }
+            # same (path, dvId) replaces; a different dvId for the same path
+            # coexists until its remove tombstone lands (spec reconciliation)
             self.files[f.path + "\x00" + (f.dv_unique_id() or "")] = f
+            self.tombstones.pop(f.path, None)
         elif "remove" in action and action["remove"]:
-            path = action["remove"]["path"]
-            self.files = {k: v for k, v in self.files.items() if v.path != path}
+            r = action["remove"]
+            path = r["path"]
+            dv = r.get("deletionVector")
+            evicted = self.files.pop(path + "\x00" + (_dv_unique_id(dv) or ""), None)
+            ts = int(r.get("deletionTimestamp") or 0)
+            prev = self.tombstones.get(path)
+            if prev is None or int(prev.get("deletionTimestamp") or 0) <= ts:
+                self.tombstones[path] = r
+            # the removed entry's DV file becomes vacuum-able after retention
+            for d in (dv, evicted.deletion_vector if evicted else None):
+                if d and d.get("storageType") in ("u", "p"):
+                    key = (d["storageType"], d["pathOrInlineDv"])
+                    self.dv_tombstones[key] = max(self.dv_tombstones.get(key, 0), ts)
         elif "txn" in action and action["txn"]:
             t = action["txn"]
             self.app_transactions[t["appId"]] = int(t["version"])

@@ -287,8 +287,14 @@ class DeltaWriter:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
             for i in no_footer:
-                uri = "file:" + os.path.join(self.table_path, moved[i][0])
+                # key must match _metadata.file_path rendering (percent-
+                # escaped), else paths with spaces/% record numRecords=0
+                uri = DeltaScanBuilder._spark_file_uri(
+                    os.path.join(self.table_path, moved[i][0])
+                )
                 adds[i]["stats"] = json.dumps(
                     {"numRecords": int(counts.get(uri, 0))},
                     separators=(",", ":"),
@@ -331,37 +337,32 @@ class DeltaWriter:
         bitmaps, the same mechanism delta-spark uses under
         ``delta.enableDeletionVectors``.
 
-        Scale shape: ONE distributed job finds matching ``(file,
-        row_index)`` pairs (scanning only stats-surviving files, with the
-        predicate pushed to parquet row groups); only the matched indexes
-        — DV-sized, not row-sized — return to the driver, which merges
-        existing DVs, writes one DV file, and commits
-        remove+add-with-DV per touched file. Files whose every live row
-        matched are dropped outright (remove, no re-add).
+        Scale shape: ONE distributed job finds matching rows (scanning
+        only stats-surviving files, predicate pushed to parquet row
+        groups), then ``groupBy(file).applyInPandas`` builds, merges
+        (with any prior DV, decoded executor-side) and WRITES each
+        file's roaring bitmap on the executor that owns the group. Only
+        O(#touched-files) descriptor rows ever reach the driver, which
+        turns them into the commit — deleting 10% of a 100 TB table
+        ships kilobytes, not billions of row indexes. Files whose every
+        live row matched are dropped outright (remove, no re-add).
+
+        Spec compliance: the first DV write upgrades the protocol to
+        (3, 7) + ``deletionVectors`` feature, and every remove carries
+        the replaced file's DV descriptor so external kernels reconcile
+        (path, dvId) correctly.
 
         ``condition`` is a Spark Column or SQL string over the table's
         logical schema (partition columns included).
         """
-        import numpy as np
+        import pandas as pd
         from pyspark.sql import functions as F
 
-        from duckdb_delta_spark.delta import dv as dvmod
         from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 
         snap = self._snapshot
         if isinstance(condition, str):
             condition = F.expr(condition)
-
-        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
-        matched = (
-            scan.to_df()
-            .where(condition)
-            .groupBy(F.col("filename").alias("f"))
-            .agg(F.sort_array(F.collect_list("file_row_number")).alias("rows"))
-            .collect()
-        )
-        if not matched:
-            return None
 
         by_uri = {
             DeltaScanBuilder._spark_file_uri(
@@ -369,33 +370,62 @@ class DeltaWriter:
             ): f
             for f in snap.add_files()
         }
-        touched: list[tuple] = []  # (AddFile, merged_rows, fully_deleted)
-        n_deleted = 0
-        for r in matched:
-            f = by_uri[r["f"]]
-            rows = np.asarray(r["rows"], dtype=np.uint64)
-            n_deleted += len(rows)
-            if f.deletion_vector:
-                prior = dvmod.read_dv_from_descriptor(
-                    f.deletion_vector, self.table_path
-                )
+        # small per-file context shipped to executors: prior DV + row count
+        ctx = {
+            uri: (f.deletion_vector, f.num_records) for uri, f in by_uri.items()
+        }
+        table_path = self.table_path
+        ctx_bc = self.spark.sparkContext.broadcast(ctx)
+
+        def _build_dv(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from duckdb_delta_spark.delta import dv as dvmod
+
+            uri = pdf["f"].iloc[0]
+            rows = np.unique(pdf["r"].to_numpy(dtype="uint64"))
+            n_new = len(rows)
+            prior_desc, num_records = ctx_bc.value.get(uri, (None, None))
+            if prior_desc:
+                prior = dvmod.read_dv_from_descriptor(prior_desc, table_path)
                 rows = np.union1d(rows, prior)
-            full = (
-                f.num_records is not None and len(rows) >= f.num_records
+            # numRecords == 0 with matched rows means the stat is wrong —
+            # never treat that as a full-file delete
+            full = bool(
+                num_records is not None
+                and num_records > 0
+                and len(rows) >= num_records
             )
-            touched.append((f, rows, full))
+            desc = None
+            if not full:
+                desc = dvmod.write_dv_file(
+                    table_path, [rows], seed=uuid.uuid4().hex
+                )[0]
+            return pd.DataFrame(
+                {
+                    "f": [uri],
+                    "n_new": [n_new],
+                    "full": [full],
+                    "desc": [None if desc is None else json.dumps(desc)],
+                }
+            )
 
-        keep = [(f, rows) for f, rows, full in touched if not full]
-        descriptors = (
-            dvmod.write_dv_file(
-                self.table_path,
-                [rows for _f, rows in keep],
-                seed=uuid.uuid4().hex,
+        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
+        results = (
+            scan.to_df()
+            .where(condition)
+            .select(
+                F.col("filename").alias("f"),
+                F.col("file_row_number").alias("r"),
             )
-            if keep
-            else []
+            .groupBy("f")
+            .applyInPandas(_build_dv, "f string, n_new long, full boolean, desc string")
+            .collect()
         )
+        if not results:
+            return None
 
+        n_deleted = sum(r["n_new"] for r in results)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -404,32 +434,53 @@ class DeltaWriter:
                 )
             }
         ]
-        for f, _rows, _full in touched:
+        proto = snap.protocol
+        if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in (
+            proto.get("readerFeatures") or []
+        ):
+            # legacy (1,2) implies appendOnly+invariants as writer features
             actions.append(
                 {
-                    "remove": {
-                        "path": f.path,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                        "partitionValues": dict(f.partition_values),
-                        "size": f.size,
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(proto.get("readerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or ["appendOnly", "invariants"])
+                            | {"deletionVectors"}
+                        ),
                     }
                 }
             )
-        for (f, _rows), desc in zip(keep, descriptors):
-            actions.append(
-                {
-                    "add": {
-                        "path": f.path,
-                        "partitionValues": dict(f.partition_values),
-                        "size": f.size,
-                        "modificationTime": f.modification_time,
-                        "dataChange": True,
-                        "stats": f.stats,
-                        "deletionVector": desc,
+        for r in results:
+            f = by_uri[r["f"]]
+            remove = {
+                "path": f.path,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+            }
+            if f.deletion_vector:
+                remove["deletionVector"] = f.deletion_vector
+            actions.append({"remove": remove})
+            if not r["full"]:
+                actions.append(
+                    {
+                        "add": {
+                            "path": f.path,
+                            "partitionValues": dict(f.partition_values),
+                            "size": f.size,
+                            "modificationTime": f.modification_time,
+                            "dataChange": True,
+                            "stats": f.stats,
+                            "deletionVector": json.loads(r["desc"]),
+                        }
                     }
-                }
-            )
+                )
 
         version = snap.version + 1
         self.log.commit(version, actions)
@@ -474,19 +525,19 @@ class DeltaWriter:
             groups.setdefault(key, []).append(f)
 
         now_ms = int(time.time() * 1000)
-        removes: list[dict] = []
-        adds: list[dict] = []
-        written: list[str] = []  # relative (decoded) paths for rollback
         self.spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        for _key, files in sorted(groups.items()):
-            if len(files) < min_files:
-                continue
+
+        def _compact_group(files):
+            """Rewrite one partition group. Returns (removes, adds, written)."""
+            g_removes: list[dict] = []
+            g_adds: list[dict] = []
+            g_written: list[str] = []
             total = sum(f.size for f in files)
             n_out = max(1, -(-total // target_file_bytes))
             if n_out >= len(files):
-                continue
+                return g_removes, g_adds, g_written
             # new files live in the same (hive) directory as the old ones
             part_dir = os.path.dirname(urllib.parse.unquote(files[0].path))
             paths = [f.absolute_path(self.table_path) for f in files]
@@ -507,9 +558,9 @@ class DeltaWriter:
                     rel = os.path.join(part_dir, name) if part_dir else name
                     dest = os.path.join(self.table_path, rel)
                     shutil.move(os.path.join(staging, name), dest)
-                    written.append(rel)
+                    g_written.append(rel)
                     stats = _footer_stats(dest, schema, set(parts))
-                    adds.append(
+                    g_adds.append(
                         {
                             "path": urllib.parse.quote(
                                 rel.replace(os.sep, "/"), safe="/=-_.~"
@@ -523,7 +574,7 @@ class DeltaWriter:
                     )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
-            removes.extend(
+            g_removes.extend(
                 {
                     "remove": {
                         "path": f.path,
@@ -535,6 +586,23 @@ class DeltaWriter:
                 }
                 for f in files
             )
+            return g_removes, g_adds, g_written
+
+        # Submit group rewrites CONCURRENTLY: Spark's scheduler interleaves
+        # the jobs across executors, so 10k partitions is a pool-bounded
+        # stream of jobs, not 10k serial driver round-trips.
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [fs for _k, fs in sorted(groups.items()) if len(fs) >= min_files]
+        removes: list[dict] = []
+        adds: list[dict] = []
+        written: list[str] = []  # relative (decoded) paths for rollback
+        if todo:
+            with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+                for g_removes, g_adds, g_written in pool.map(_compact_group, todo):
+                    removes.extend(g_removes)
+                    adds.extend(g_adds)
+                    written.extend(g_written)
 
         if not removes:
             return None
@@ -563,12 +631,18 @@ class DeltaWriter:
 
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Delete data files no longer referenced by the current snapshot
-        and older than ``retention_ms``. Returns deleted relative paths.
+        whose remove tombstone is older than ``retention_ms``. Returns
+        deleted relative paths.
 
-        Standard Delta maintenance companion to :meth:`compact`; removed
-        versions older than the retention window stop being
-        time-travelable, exactly like ``VACUUM`` elsewhere.
+        Standard Delta VACUUM semantics: the clock is the remove action's
+        ``deletionTimestamp``, NOT the file's mtime — a file created long
+        ago but compacted away seconds ago must survive the retention
+        window so pinned readers and time travel keep working. Orphans the
+        log never mentions (e.g. crashed staging leftovers) have no
+        tombstone and fall back to the mtime gate.
         """
+        from duckdb_delta_spark.delta.dv import dv_file_path
+
         snap = Snapshot.build(self.log)
         live = set()
         for f in snap.add_files():
@@ -576,14 +650,31 @@ class DeltaWriter:
             dv = f.deletion_vector or {}
             if dv.get("storageType") == "u":
                 # DV files are named from the descriptor; resolve via codec
-                from duckdb_delta_spark.delta.dv import dv_file_path
-
                 try:
                     live.add(os.path.abspath(
                         dv_file_path(self.table_path, dv)))
                 except Exception:  # noqa: BLE001 - unknown descriptor: keep
                     pass
-        cutoff = time.time() - retention_ms / 1000.0
+        # tombstone timestamps keyed by the absolute path they govern
+        tomb_ts: dict[str, int] = {}
+        for path, r in snap.tombstones.items():
+            p = urllib.parse.unquote(path)
+            if "://" not in p and not os.path.isabs(p):
+                p = os.path.join(self.table_path, p)
+            tomb_ts[os.path.abspath(p)] = int(r.get("deletionTimestamp") or 0)
+        for (storage, path_or_inline), ts in snap.dv_tombstones.items():
+            try:
+                p = dv_file_path(
+                    self.table_path,
+                    {"storageType": storage, "pathOrInlineDv": path_or_inline},
+                )
+                tomb_ts[os.path.abspath(p)] = max(
+                    ts, tomb_ts.get(os.path.abspath(p), 0)
+                )
+            except Exception:  # noqa: BLE001 - unknown descriptor: skip
+                pass
+        now_ms = int(time.time() * 1000)
+        cutoff_ms = now_ms - retention_ms
         deleted: list[str] = []
         for root, dirs, names in os.walk(self.table_path):
             dirs[:] = [d for d in dirs if d != "_delta_log"]
@@ -591,7 +682,13 @@ class DeltaWriter:
                 full = os.path.abspath(os.path.join(root, name))
                 if not (name.endswith(".parquet") or name.endswith(".bin")):
                     continue
-                if full in live or os.path.getmtime(full) > cutoff:
+                if full in live:
+                    continue
+                ts = tomb_ts.get(full)
+                if ts is None:
+                    # no tombstone: orphan — mtime is the only signal
+                    ts = int(os.path.getmtime(full) * 1000)
+                if ts > cutoff_ms:
                     continue
                 os.unlink(full)
                 deleted.append(os.path.relpath(full, self.table_path))
@@ -615,6 +712,8 @@ class DeltaWriter:
         rows.append({"protocol": {
             "minReaderVersion": int(snap.protocol.get("minReaderVersion", 1)),
             "minWriterVersion": int(snap.protocol.get("minWriterVersion", 2)),
+            "readerFeatures": snap.protocol.get("readerFeatures"),
+            "writerFeatures": snap.protocol.get("writerFeatures"),
         }})
         md = snap.metadata
         rows.append({"metaData": {
@@ -642,6 +741,22 @@ class DeltaWriter:
                 "dataChange": True,
                 "stats": f.stats,
                 "tags": f.tags,
+                "deletionVector": None if not dv else {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                },
+            }})
+        # remove tombstones survive checkpointing (spec: they expire only
+        # after the retention window) so VACUUM keeps its deletion clocks
+        for path, r in sorted(snap.tombstones.items()):
+            dv = r.get("deletionVector")
+            rows.append({"remove": {
+                "path": path,
+                "deletionTimestamp": int(r.get("deletionTimestamp") or 0),
+                "dataChange": bool(r.get("dataChange", False)),
                 "deletionVector": None if not dv else {
                     "storageType": dv.get("storageType"),
                     "pathOrInlineDv": dv.get("pathOrInlineDv"),
@@ -737,11 +852,20 @@ def _checkpoint_arrow_schema():
     import pyarrow as pa
 
     str_map = pa.map_(pa.string(), pa.string())
+    dv_struct = pa.struct([
+        pa.field("storageType", pa.string()),
+        pa.field("pathOrInlineDv", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("sizeInBytes", pa.int32()),
+        pa.field("cardinality", pa.int64()),
+    ])
     return pa.schema(
         [
             pa.field("protocol", pa.struct([
                 pa.field("minReaderVersion", pa.int32()),
                 pa.field("minWriterVersion", pa.int32()),
+                pa.field("readerFeatures", pa.list_(pa.string())),
+                pa.field("writerFeatures", pa.list_(pa.string())),
             ])),
             pa.field("metaData", pa.struct([
                 pa.field("id", pa.string()),
@@ -774,13 +898,13 @@ def _checkpoint_arrow_schema():
                 pa.field("dataChange", pa.bool_()),
                 pa.field("stats", pa.string()),
                 pa.field("tags", str_map),
-                pa.field("deletionVector", pa.struct([
-                    pa.field("storageType", pa.string()),
-                    pa.field("pathOrInlineDv", pa.string()),
-                    pa.field("offset", pa.int32()),
-                    pa.field("sizeInBytes", pa.int32()),
-                    pa.field("cardinality", pa.int64()),
-                ])),
+                pa.field("deletionVector", dv_struct),
+            ])),
+            pa.field("remove", pa.struct([
+                pa.field("path", pa.string()),
+                pa.field("deletionTimestamp", pa.int64()),
+                pa.field("dataChange", pa.bool_()),
+                pa.field("deletionVector", dv_struct),
             ])),
         ]
     )

@@ -49,6 +49,13 @@ def get_spark(app_name: str = "duckdb_delta_spark", cpus: int | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # DV decode + DELETE bitmap-build UDFs import this package on
+        # executors; local mode resolves it via the driver cwd, a real
+        # cluster needs the path shipped (or the wheel installed)
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

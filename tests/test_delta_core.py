@@ -423,3 +423,167 @@ def test_table_dml_passthroughs(spark, tdir):
     assert sum(1 for f in files if f.deletion_vector) == 1
     DeltaTable(tdir).vacuum(spark, retention_ms=0)
     assert DeltaTable(tdir).to_df(spark).count() == 25
+
+
+def test_dv_aware_reconciliation_order(spark, tdir):
+    """Spec reconciliation key is (path, dvUniqueId): a commit carrying
+    add(path, dvNew) BEFORE remove(path, dvOld) — legal, order within a
+    commit is arbitrary — must not drop the live file (delta-kernel
+    semantics; an external DELETE commit looks exactly like this)."""
+    from duckdb_delta_spark.delta import dv as dvmod
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 30).coalesce(1))
+    w.delete(F.col("i") < 5)  # gives the file dvOld
+    t = DeltaTable(tdir)
+    (f,) = t.snapshot.add_files()
+    dv_old = f.deletion_vector
+    assert dv_old
+
+    # hand-build the next delete commit with add FIRST, remove LAST
+    import numpy as np
+
+    prior = dvmod.read_dv_from_descriptor(dv_old, tdir)
+    merged = np.union1d(prior, np.arange(5, 8, dtype=np.uint64))
+    (dv_new,) = dvmod.write_dv_file(tdir, [merged], seed="order-test")
+    actions = [
+        {"commitInfo": _commit_info("DELETE")},
+        {"add": {"path": f.path, "partitionValues": {}, "size": f.size,
+                 "modificationTime": f.modification_time, "dataChange": True,
+                 "stats": f.stats, "deletionVector": dv_new}},
+        {"remove": {"path": f.path, "deletionTimestamp": 1, "dataChange": True,
+                    "deletionVector": dv_old}},
+    ]
+    DeltaLog(tdir).commit(t.version + 1, actions)
+
+    t2 = DeltaTable(tdir)
+    files = t2.snapshot.add_files()
+    assert len(files) == 1  # file survives; old-DV entry evicted
+    assert files[0].dv_unique_id() is not None
+    assert files[0].deletion_vector["pathOrInlineDv"] == dv_new["pathOrInlineDv"]
+    assert t2.to_df(spark).count() == 22  # 30 - 8 masked
+
+
+def test_delete_upgrades_protocol_and_tombstones_dv(spark, tdir):
+    """First DV write must upgrade to (3,7)+deletionVectors, and removes of
+    DV-bearing files must carry the replaced descriptor (spec compliance
+    for external readers)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 40).coalesce(1))
+    v1, _ = w.delete("i < 4")
+    actions = [json.loads(line) for line in open(
+        os.path.join(tdir, "_delta_log", f"{v1:020d}.json"))]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert len(protos) == 1
+    assert protos[0]["minReaderVersion"] == 3
+    assert protos[0]["minWriterVersion"] == 7
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    assert "deletionVectors" in protos[0]["writerFeatures"]
+
+    # second delete: no second upgrade; remove carries the replaced DV
+    v2, _ = w.delete("i >= 4 and i < 8")
+    actions2 = [json.loads(line) for line in open(
+        os.path.join(tdir, "_delta_log", f"{v2:020d}.json"))]
+    assert not any("protocol" in a for a in actions2)
+    removes = [a["remove"] for a in actions2 if "remove" in a]
+    assert len(removes) == 1 and removes[0].get("deletionVector")
+    assert DeltaTable(tdir).to_df(spark).count() == 32
+
+
+def test_vacuum_respects_tombstone_timestamp(spark, tdir):
+    """A file compacted away seconds ago must survive a 7-day-retention
+    vacuum even if its mtime is ancient (pinned readers / time travel),
+    and be reclaimed once the tombstone leaves the window."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 30, lo=30 * k).coalesce(1))
+    old_files = [f.path for f in DeltaTable(tdir).snapshot.add_files()]
+    # age the data files' mtime by 30 days — the old (buggy) gate would nuke them
+    for rel in old_files:
+        p = os.path.join(tdir, rel)
+        os.utime(p, (os.path.getmtime(p) - 30 * 86400,) * 2)
+
+    assert w.compact(target_file_bytes=64 << 20) is not None
+    deleted = DeltaWriter(tdir, spark).vacuum()  # default 7-day retention
+    assert deleted == []  # tombstones are seconds old -> all retained
+    # pinned pre-compaction snapshot still reads
+    assert DeltaTable(tdir, version=3).to_df(spark).count() == 90
+    # retention 0: tombstone (written now) is immediately outside the window
+    deleted2 = DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert sorted(deleted2) == sorted(old_files)
+    assert DeltaTable(tdir).to_df(spark).count() == 90
+
+
+def test_checkpoint_preserves_tombstones_and_protocol_features(spark, tdir):
+    """Checkpoint must carry protocol features and remove tombstones so a
+    post-checkpoint vacuum still has its deletion clocks."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 30).coalesce(1))
+    w.append(_ids(spark, 30, lo=30).coalesce(1))
+    w.delete("i < 3")
+    w = DeltaWriter(tdir, spark)
+    w.append(_ids(spark, 30, lo=60).coalesce(1))
+    w.append(_ids(spark, 30, lo=90).coalesce(1))
+    assert w.compact(target_file_bytes=64 << 20) is not None  # 3 DV-free files
+    ckpt_v = w.checkpoint()
+
+    t = DeltaTable(tdir)
+    snap = t.snapshot
+    assert int(snap.protocol["minReaderVersion"]) == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    assert len(snap.tombstones) == 3  # compacted-away files, via checkpoint
+    assert all(
+        int(r.get("deletionTimestamp") or 0) > 0 for r in snap.tombstones.values()
+    )
+    # force checkpoint-only replay: the snapshot at ckpt version must match
+    t2 = DeltaTable(tdir, version=ckpt_v)
+    assert t2.to_df(spark).count() == 117
+
+
+def test_checkpoint_replay_100k_files_fast(tdir):
+    """Log replay must be O(n): a 100k-file checkpoint builds in seconds
+    (the old per-action dict-rebuild was O(n^2) — minutes of driver CPU).
+    Columnar replay keeps the manifest out of per-row Python dicts."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+    from duckdb_delta_spark.delta.writer import _checkpoint_arrow_schema
+
+    os.makedirs(os.path.join(tdir, "_delta_log"))
+    n = 100_000
+    cschema = _checkpoint_arrow_schema()
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2,
+                      "readerFeatures": None, "writerFeatures": None}},
+        {"metaData": {"id": "x", "name": None, "description": None,
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": SCHEMA.json(),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+    ]
+    stats = json.dumps({"numRecords": 10, "minValues": {"i": 0},
+                        "maxValues": {"i": 9}, "nullCount": {"i": 0}})
+    for k in range(n):
+        rows.append({"add": {"path": f"part-{k:07d}.parquet",
+                             "partitionValues": {}, "size": 1000,
+                             "modificationTime": 1, "dataChange": True,
+                             "stats": stats, "tags": None,
+                             "deletionVector": None}})
+    cols = {name: [r.get(name) for r in rows] for name in cschema.names}
+    pq.write_table(pa.Table.from_pydict(cols, schema=cschema),
+                   os.path.join(tdir, "_delta_log", f"{0:020d}.checkpoint.parquet"))
+    with open(os.path.join(tdir, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": len(rows)}, f)
+
+    t0 = time.time()
+    snap = Snapshot.build(DeltaLog(tdir))
+    elapsed = time.time() - t0
+    assert len(snap.files) == n
+    assert snap.num_records_estimate() == n * 10
+    assert elapsed < 5.0, f"100k-file replay took {elapsed:.1f}s"
