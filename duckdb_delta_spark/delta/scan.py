@@ -35,6 +35,7 @@ import datetime as _dt
 from decimal import Decimal
 from typing import Any, Iterable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -133,6 +134,16 @@ def _coerce(value: Any, like: Any) -> Any:
     return value
 
 
+def _stats_get(d: Any, dotted: str) -> Any:
+    """Nested stats lookup: ``a.b.c`` descends minValues/maxValues/nullCount
+    objects; scalar results only (a dict means we stopped at a struct)."""
+    for k in dotted.split("."):
+        if not isinstance(d, dict):
+            return None
+        d = d.get(k)
+    return None if isinstance(d, dict) else d
+
+
 def _file_may_match(f: AddFile, pred: Pred, partition_columns: list[str]) -> tuple[bool, str]:
     """Tri-state stats check collapsed to keep/skip (+which evidence).
 
@@ -172,9 +183,12 @@ def _file_may_match(f: AddFile, pred: Pred, partition_columns: list[str]) -> tup
     if not stats:
         return (True, "none")
     num = stats.get("numRecords")
-    nulls = (stats.get("nullCount") or {}).get(col)
-    lo = _coerce((stats.get("minValues") or {}).get(col), pred.value if pred.op != "in" else (pred.value[0] if pred.value else None))
-    hi = _coerce((stats.get("maxValues") or {}).get(col), pred.value if pred.op != "in" else (pred.value[0] if pred.value else None))
+    like = pred.value if pred.op != "in" else (pred.value[0] if pred.value else None)
+    # dotted paths descend the nested stats objects (reference:
+    # delta_utils.cpp:1133-1173 VisitStructExtractFilter + stats visitor)
+    nulls = _stats_get(stats.get("nullCount"), col)
+    lo = _coerce(_stats_get(stats.get("minValues"), col), like)
+    hi = _coerce(_stats_get(stats.get("maxValues"), col), like)
 
     if pred.op == "is null":
         return (nulls is None or int(nulls) > 0, "stats")
@@ -509,7 +523,6 @@ class DeltaScanBuilder:
         # big-DV path: broadcast only the O(#files) DESCRIPTORS; each
         # executor decodes just the DV files behind the splits it reads
         # (driver work stays O(#descriptors), never O(deleted rows))
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         bc = self.spark.sparkContext.broadcast(descriptors)

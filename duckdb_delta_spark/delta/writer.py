@@ -160,7 +160,12 @@ class DeltaWriter:
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
             raise SchemaError(f"input missing table columns: {missing}")
-        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # cast to the nullable shape — Spark refuses to cast a nullable
+        # value into a non-nullable struct field, and NOT NULL enforcement
+        # is ours (stats-based, post-write) anyway
+        df = df.select(
+            *[F.col(f.name).cast(_nullable_type(f.dataType)) for f in schema.fields]
+        )
 
         if txn_app_id is not None and txn_expected_last is not None:
             have = snapshot.transaction_version(txn_app_id)
@@ -302,14 +307,35 @@ class DeltaWriter:
         return adds
 
     def _enforce_not_null(self, adds, schema, parts, moved) -> None:
-        required = [f.name for f in schema.fields if not f.nullable and f.name not in parts]
+        # nested constraints count too (reference extracts them from struct
+        # children: delta_multi_file_list.cpp:567-584)
+        required: list[str] = []
+
+        def walk(prefix: str, fields) -> None:
+            for f in fields:
+                name = f"{prefix}.{f.name}" if prefix else f.name
+                if name in parts:
+                    continue
+                if not f.nullable:
+                    required.append(name)
+                if isinstance(f.dataType, T.StructType):
+                    walk(name, f.dataType.fields)
+
+        walk("", schema.fields)
         if not required:
             return
         for add in adds:
-            stats = json.loads(add["stats"])
+            stats = json.loads(add["stats"]) if add.get("stats") else {}
             nulls = stats.get("nullCount") or {}
             for col in required:
-                if int(nulls.get(col) or 0) > 0:
+                v = _get_nested(nulls, col)
+                if isinstance(v, dict):
+                    # struct node: parquet leaf counts conflate parent-null
+                    # with child-null, so the node itself is unverifiable
+                    # from stats; its non-nullable child leaves (also in
+                    # `required`) catch the parent-null case
+                    continue
+                if int(v or 0) > 0:
                     self._rollback(moved)
                     raise ConstraintViolationError(
                         f"NOT NULL constraint violated for column {col!r}"
@@ -785,20 +811,66 @@ def _commit_info(operation: str, params: dict | None = None) -> dict:
     }
 
 
+def _nullable_type(dt: T.DataType) -> T.DataType:
+    """Deep copy of a type with every nested field marked nullable."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_type(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _nullable_type(dt.valueType), True)
+    return dt
+
+
+def _stat_leaf_paths(schema: T.StructType, parts: set[str]) -> list[str]:
+    """Dotted paths of every stat-able leaf, descending into structs
+    (reference collects nested stats: delta_insert.cpp:114-149). Array/map
+    subtrees and binary leaves carry no usable min/max and are skipped."""
+    out: list[str] = []
+
+    def walk(prefix: str, fields) -> None:
+        for f in fields:
+            name = f"{prefix}.{f.name}" if prefix else f.name
+            if isinstance(f.dataType, T.StructType):
+                walk(name, f.dataType.fields)
+            elif not isinstance(f.dataType, (T.ArrayType, T.MapType, T.BinaryType)):
+                out.append(name)
+
+    walk("", [f for f in schema.fields if f.name not in parts])
+    return out
+
+
+def _set_nested(d: dict, dotted: str, value) -> None:
+    keys = dotted.split(".")
+    for k in keys[:-1]:
+        d = d.setdefault(k, {})
+    d[keys[-1]] = value
+
+
+def _get_nested(d: dict | None, dotted: str):
+    for k in dotted.split("."):
+        if not isinstance(d, dict):
+            return None
+        d = d.get(k)
+    return d
+
+
 def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:
     """Exact per-file stats from the parquet footer (no extra Spark job):
-    {numRecords, minValues, maxValues, nullCount, tightBounds}."""
+    {numRecords, minValues, maxValues, nullCount, tightBounds}. Nested
+    struct leaves appear as nested JSON objects, matching the Delta stats
+    shape external engines skip on."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     meta = pf.metadata
     num_rows = meta.num_rows
-    stat_cols = [
-        f.name
-        for f in schema.fields
-        if f.name not in parts
-        and not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
-    ]
+    stat_cols = _stat_leaf_paths(schema, parts)
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {c: 0 for c in stat_cols}
@@ -808,7 +880,7 @@ def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            name = col.path_in_schema
+            name = col.path_in_schema  # dotted for nested leaves
             if name not in name_set:
                 continue
             st = col.statistics
@@ -836,14 +908,17 @@ def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:
         if isinstance(mx, str):
             mx = _truncate_max(mx)
         if mn is not None:
-            min_values[c] = mn
+            _set_nested(min_values, c, mn)
         if mx is not None:
-            max_values[c] = mx
+            _set_nested(max_values, c, mx)
+    null_counts: dict = {}
+    for c, v in nulls.items():
+        _set_nested(null_counts, c, v)
     return {
         "numRecords": num_rows,
         "minValues": min_values,
         "maxValues": max_values,
-        "nullCount": nulls,
+        "nullCount": null_counts,
         "tightBounds": True,
     }
 

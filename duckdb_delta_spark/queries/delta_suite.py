@@ -15,7 +15,7 @@ import os
 from pyspark.sql import functions as F
 
 from duckdb_delta_spark.delta.table import DeltaTable
-from duckdb_delta_spark.queries import dsum, register
+from duckdb_delta_spark.queries import dsum, osum, register
 from duckdb_delta_spark.testing import fixtures as FX
 
 
@@ -388,3 +388,91 @@ def delta_snapshot_90commits_pinned(spark, sf_dir):
         cat.attach("li90_pinned", os.path.join(root, "lineitem_90c"),
                    pin_snapshot=True)
     return cat.to_df("li90_pinned").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---- DAT-style dual-scan coverage (reference: test/sql/dat/all.test:14-27)
+
+
+# every §1.2 primitive type through the full Delta path, value-exact
+# (reference DAT table analogue: all_primitive_types)
+@register(
+    "delta_all_types_scan",
+    oracle=f"""
+    SELECT l_orderkey AS b_big,
+           CAST(l_linenumber AS INTEGER) AS b_int_key,
+           l_orderkey % 2 = 0 AS b_bool,
+           CAST(l_linenumber AS TINYINT) AS b_tiny,
+           CAST(l_quantity AS SMALLINT) AS b_small,
+           CAST(l_partkey % 100000 AS INTEGER) AS b_int,
+           CAST(l_discount AS REAL) AS b_float,
+           l_extendedprice AS b_double,
+           CAST(l_partkey AS DECIMAL(18,3)) AS b_dec,
+           l_returnflag || '-' || l_linestatus AS b_str,
+           hex(encode(l_returnflag)) AS b_bin_hex,
+           CAST(l_shipdate AS DATE) AS b_date,
+           l_shipdate AS b_ts,
+           l_shipdate AS b_ts_ntz
+    FROM lineitem WHERE l_orderkey < {FX.ALL_TYPES_KEY_MAX}
+    """,
+    group="delta",
+)
+def delta_all_types_scan(spark, sf_dir):
+    df = _fx(spark, sf_dir, "all_types").to_df(spark)
+    cols = [c for c in df.columns if c != "b_bin"]
+    return df.select(*cols, F.hex(F.col("b_bin")).alias("b_bin_hex"))
+
+
+# nested struct/array/map through scan + NESTED-PATH stats pruning
+# (reference: partitioned_with_structs.test; predicate visitor
+# delta_utils.cpp:1133-1173)
+@register(
+    "delta_nested_scan",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {osum('o_totalprice')} AS total,
+           CAST(sum(o_orderkey % 5) AS BIGINT) AS a0_sum,
+           CAST(sum(o_custkey) AS BIGINT) AS mk_sum
+    FROM orders WHERE o_orderkey < {FX.SPLITS[1]}
+    GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_nested_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "nested_types")
+    sb = t.scan(spark).filter("s.k", "<", FX.SPLITS[1])
+    df = sb.to_df()
+    # the nested-path predicate must skip the commits whose s.k range
+    # is disjoint (nested minValues/maxValues consulted)
+    assert sb.skip_report()["files_skipped_by_stats"] > 0
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("s.inner.p")).alias("total"),
+        F.sum(F.element_at("arr", 1)).cast("long").alias("a0_sum"),
+        F.sum(F.element_at(F.col("m"), F.lit("k"))).cast("long").alias("mk_sum"),
+    )
+
+
+# deletion vector spanning multiple roaring containers, decoded
+# EXECUTOR-side (forced big-DV path) — reference analogue:
+# big_deletion_vectors.test_slow
+@register(
+    "delta_big_dv_scan",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n, {osum('l_quantity')} AS qty
+    FROM lineitem, range(0, {FX.BIGDV_MAX_COPIES}) t(c)
+    WHERE c < greatest(2, CAST(ceil({FX.BIGDV_TARGET_ROWS}.0
+                                    / (SELECT count(*) FROM lineitem)) AS BIGINT))
+      AND NOT (l_partkey % 2 = 1)
+    GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_big_dv_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_bigdv")
+    (f,) = t.snapshot.add_files()
+    assert int(f.deletion_vector["cardinality"]) > 65_536  # multi-container
+    sb = t.scan(spark)
+    sb.DV_ANTI_JOIN_MAX = 0  # force the executor-decode path
+    return sb.to_df().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 9  # bump to force a rebuild
+LAYOUT_VERSION = 10  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -62,6 +62,9 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
     _build_lineitem_compacted(spark, sf_dir, os.path.join(root, "lineitem_compacted"))
     _build_lineitem_del(spark, sf_dir, os.path.join(root, "lineitem_del"))
+    _build_all_types(spark, sf_dir, os.path.join(root, "all_types"))
+    _build_nested_types(spark, sf_dir, os.path.join(root, "nested_types"))
+    _build_lineitem_bigdv(spark, sf_dir, os.path.join(root, "lineitem_bigdv"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -401,3 +404,88 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+# ---- DAT-style fixtures (reference: test/sql/dat/all.test:14-27 pattern:
+# the same content reachable both through the Delta machinery and through a
+# plain SQL derivation of the raw tables) ----
+
+ALL_TYPES_KEY_MAX = 1_000  # keep the value-exact compare set modest
+BIGDV_TARGET_ROWS = 140_000  # > 2 * 65536 ⇒ DV spans multiple roaring containers
+BIGDV_MAX_COPIES = 64
+
+
+def bigdv_copies(sf_dir: str) -> int:
+    """Duplication factor so the single-file table exceeds BIGDV_TARGET_ROWS
+    rows at every SF. MUST stay in lockstep with the oracle SQL's
+    range-filter formula (queries/delta_suite.py)."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    return max(2, -(-BIGDV_TARGET_ROWS // n))
+
+
+def _build_all_types(spark, sf_dir, path):
+    """Every §1.2 primitive type in one table (DAT all_primitive_types
+    analogue): bool/int8..64/float/double/decimal/string/binary/date/
+    timestamp/timestamp_ntz, derived cast-by-cast from lineitem so the
+    DuckDB oracle can rebuild the exact values."""
+    li = _li(spark, sf_dir).where(F.col("l_orderkey") < ALL_TYPES_KEY_MAX)
+    df = li.select(
+        F.col("l_orderkey").alias("b_big"),
+        F.col("l_linenumber").cast("int").alias("b_int_key"),
+        (F.col("l_orderkey") % 2 == 0).alias("b_bool"),
+        F.col("l_linenumber").cast("byte").alias("b_tiny"),
+        F.col("l_quantity").cast("short").alias("b_small"),
+        (F.col("l_partkey") % 100000).cast("int").alias("b_int"),
+        F.col("l_discount").cast("float").alias("b_float"),
+        F.col("l_extendedprice").alias("b_double"),
+        F.col("l_partkey").cast("decimal(18,3)").alias("b_dec"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("b_str"),
+        F.encode(F.col("l_returnflag"), "UTF-8").alias("b_bin"),
+        F.col("l_shipdate").cast("date").alias("b_date"),
+        F.col("l_shipdate").alias("b_ts"),
+        F.col("l_shipdate").cast("timestamp_ntz").alias("b_ts_ntz"),
+    )
+    w = DeltaWriter.create(spark, path, df.schema)
+    w.append(df.coalesce(2))
+
+
+def _build_nested_types(spark, sf_dir, path):
+    """Nested struct/array/map columns on a hive-partitioned table
+    (reference analogue: partitioned_with_structs.test + DAT nested_types):
+    three commits split by o_orderkey so nested-path stats pruning on
+    ``s.k`` has files to skip."""
+    o = _orders(spark, sf_dir)
+    df = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.struct(F.col("o_totalprice").alias("p")).alias("inner"),
+        ).alias("s"),
+        F.array(F.col("o_orderkey") % 5, F.col("o_orderkey") % 7).alias("arr"),
+        F.create_map(F.lit("k"), F.col("o_custkey")).alias("m"),
+    )
+    w = DeltaWriter.create(
+        spark, path, df.schema, partition_by=["o_orderpriority"]
+    )
+    for lo, hi in zip(SPLITS, SPLITS[1:]):
+        w.append(
+            df.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1)
+        )
+
+
+def _build_lineitem_bigdv(spark, sf_dir, path):
+    """One large single-file table, then a DELETE masking ~half its rows —
+    the deletion vector's row indexes span multiple roaring containers
+    (reference analogue: big_deletion_vectors.test_slow)."""
+    copies = bigdv_copies(sf_dir)
+    li = _li(spark, sf_dir)
+    df = li.crossJoin(
+        spark.range(copies).select(F.col("id").alias("c"))
+    )
+    w = DeltaWriter.create(spark, path, df.schema)
+    w.append(df.repartition(1))
+    assert w.delete("l_partkey % 2 = 1") is not None

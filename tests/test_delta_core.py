@@ -587,3 +587,66 @@ def test_checkpoint_replay_100k_files_fast(tdir):
     assert len(snap.files) == n
     assert snap.num_records_estimate() == n * 10
     assert elapsed < 5.0, f"100k-file replay took {elapsed:.1f}s"
+
+
+NESTED_SCHEMA = T.StructType([
+    T.StructField("i", T.LongType()),
+    T.StructField("s", T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("deep", T.StructType([
+            T.StructField("b", T.DoubleType()),
+        ])),
+    ])),
+])
+
+
+def test_nested_stats_write_and_prune(spark, tdir):
+    """Write-side stats carry nested paths as nested JSON (mirror of the
+    reference's write_stats_primitives.test:33-45) and Pred("s.a", ...)
+    skips files on them (delta_utils.cpp:1133-1173)."""
+    w = DeltaWriter.create(spark, tdir, NESTED_SCHEMA)
+    for k in range(4):
+        df = spark.range(25 * k, 25 * (k + 1)).select(
+            F.col("id").alias("i"),
+            F.struct(
+                F.col("id").alias("a"),
+                F.struct((F.col("id") * 2.0).alias("b")).alias("deep"),
+            ).alias("s"),
+        )
+        w.append(df.coalesce(1))
+
+    # log artifact: nested minValues/maxValues/nullCount objects
+    actions = [json.loads(line) for line in open(
+        os.path.join(tdir, "_delta_log", "00000000000000000001.json"))]
+    stats = json.loads([a["add"] for a in actions if "add" in a][0]["stats"])
+    assert stats["minValues"]["s"]["a"] == 0
+    assert stats["maxValues"]["s"]["a"] == 24
+    assert stats["minValues"]["s"]["deep"]["b"] == 0.0
+    assert stats["maxValues"]["s"]["deep"]["b"] == 48.0
+    assert stats["nullCount"]["s"]["deep"]["b"] == 0
+
+    # nested-path predicate prunes 3 of 4 files
+    t = DeltaTable(tdir)
+    sb = t.scan(spark).filter("s.a", ">=", 75)
+    assert sb.to_df().count() == 25
+    assert sb.skip_report()["files_skipped_by_stats"] == 3
+    # two levels deep
+    sb2 = t.scan(spark).filter("s.deep.b", "<", 10.0)
+    assert sb2.to_df().count() == 5
+    assert sb2.skip_report()["files_skipped_by_stats"] == 3
+
+
+def test_nested_not_null_enforced(spark, tdir):
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType(), False),
+        ])),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    ok = spark.sql("SELECT 1 AS i, named_struct('a', 5L) AS s")
+    w.append(ok)
+    bad = spark.sql("SELECT 2 AS i, named_struct('a', CAST(NULL AS BIGINT)) AS s")
+    with pytest.raises(errors.ConstraintViolationError):
+        w.append(bad)
+    assert DeltaTable(tdir).to_df(spark).count() == 1
