@@ -324,6 +324,18 @@ class DeltaScanBuilder:
         if pairs:
             kept: list[AddFile] = []
             pcols = self.snapshot.partition_columns
+            phys = self._phys_name_map()
+            if phys:
+                # stats/partitionValues are keyed by physical names on
+                # mapped tables; translate the top-level path segment
+                def xlate(p: Pred) -> Pred:
+                    head, _, rest = p.column.partition(".")
+                    col = phys.get(head, head) + ("." + rest if rest else "")
+                    q = Pred(col, p.op, p.value)
+                    return q
+
+                pairs = [(xlate(p), d) for p, d in pairs]
+                pcols = [phys.get(c, c) for c in pcols]
             for f in files:
                 keep = True
                 for p, dynamic in pairs:
@@ -351,8 +363,8 @@ class DeltaScanBuilder:
         }
         return files
 
-    def _physical_fields(self) -> tuple[list[tuple[str, str, T.DataType]], str]:
-        """[(logical, physical, type)] for data columns + mapping mode."""
+    def _physical_fields(self) -> tuple[list[tuple[str, str, T.DataType, int | None]], str]:
+        """[(logical, physical, type, field_id)] for data columns + mode."""
         mode = self.snapshot.column_mapping_mode
         pcols = set(self.snapshot.partition_columns)
         out = []
@@ -360,18 +372,33 @@ class DeltaScanBuilder:
             if field.name in pcols:
                 continue
             phys = field.name
+            fid = None
             if mode in ("name", "id"):
-                phys = (field.metadata or {}).get(
-                    "delta.columnMapping.physicalName", field.name
-                )
-            out.append((field.name, phys, field.dataType))
+                md = field.metadata or {}
+                phys = md.get("delta.columnMapping.physicalName", field.name)
+                fid = md.get("delta.columnMapping.id")
+            out.append((field.name, phys, field.dataType, fid))
         return out, mode
+
+    def _phys_name_map(self) -> dict[str, str]:
+        """logical → physical top-level name (identity when unmapped).
+        Stats JSON keys and partitionValues keys use PHYSICAL names on
+        column-mapped tables (Delta spec), so pruning must translate."""
+        if self.snapshot.column_mapping_mode == "none":
+            return {}
+        out = {}
+        for field in self.snapshot.schema.fields:
+            md = field.metadata or {}
+            out[field.name] = md.get(
+                "delta.columnMapping.physicalName", field.name
+            )
+        return out
 
     def to_df(self) -> DataFrame:
         snap = self.snapshot
         spark = self.spark
         files = self._prune()
-        fields, _mode = self._physical_fields()
+        fields, mode = self._physical_fields()
         pcols = snap.partition_columns
         ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
 
@@ -385,18 +412,36 @@ class DeltaScanBuilder:
 
         if not files:
             out_schema = T.StructType(
-                [T.StructField(n, t) for n, _, t in fields]
+                [T.StructField(n, t) for n, _, t, _ in fields]
                 + [T.StructField(p, ptypes[p]) for p in pcols]
             )
             df = spark.createDataFrame([], out_schema)
             return df.select(*self._projection) if self._projection else df
 
-        phys_schema = T.StructType([T.StructField(phys, t) for _, phys, t in fields])
+        if mode == "id":
+            # id mode resolves physical columns by parquet.field.id from
+            # the file footers (reference: delta_utils.hpp:300-311) —
+            # Spark-first: put the ids on the read schema and let the
+            # parquet reader match by id, whatever the file names say
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            phys_schema = T.StructType(
+                [
+                    T.StructField(
+                        phys, t, True,
+                        {"parquet.field.id": int(fid)} if fid is not None else {},
+                    )
+                    for _, phys, t, fid in fields
+                ]
+            )
+        else:
+            phys_schema = T.StructType(
+                [T.StructField(phys, t) for _, phys, t, _ in fields]
+            )
         paths = [f.absolute_path(snap.log.table_path) for f in files]
         reader = spark.read.schema(phys_schema)
         df = reader.parquet(*paths)
 
-        sel = [F.col(phys).alias(logical) for logical, phys, _ in fields]
+        sel = [F.col(phys).alias(logical) for logical, phys, _, _ in fields]
         if need_file_col:
             sel.append(F.col("_metadata.file_path").alias(FILE_COL))
         if has_dv or self._virtual:
@@ -460,11 +505,13 @@ class DeltaScanBuilder:
     ) -> DataFrame:
         """Partition constants from the log, via a broadcast map join
         (reference: ``FinalizeBind``, delta_multi_file_reader.cpp:193-230)."""
+        phys = self._phys_name_map()
+        keys = [phys.get(p, p) for p in pcols]  # log keys are physical names
         rows = []
         for f in files:
             vals = [
-                None if (v := f.partition_values.get(p)) in (None, "") else str(v)
-                for p in pcols
+                None if (v := f.partition_values.get(k)) in (None, "") else str(v)
+                for k in keys
             ]
             rows.append((self._spark_file_uri(f.absolute_path(self.snapshot.log.table_path)), *vals))
         schema = T.StructType(

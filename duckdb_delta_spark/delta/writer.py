@@ -123,9 +123,12 @@ class DeltaWriter:
             "configuration": configuration or {},
             "createdTime": int(time.time() * 1000),
         }
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
+            proto = {"minReaderVersion": 2, "minWriterVersion": 5}
         actions = [
             {"commitInfo": _commit_info("CREATE TABLE")},
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": proto},
             {"metaData": meta},
         ]
         log.commit(0, actions)
@@ -149,8 +152,6 @@ class DeltaWriter:
         (reference default is fail: delta_transaction_manager.cpp:20-32).
         """
         snapshot = self._snapshot
-        if snapshot.column_mapping_mode != "none":
-            raise UnsupportedFeatureError("append to column-mapped table")
         schema = snapshot.schema
         parts = snapshot.partition_columns
 
@@ -166,6 +167,14 @@ class DeltaWriter:
         df = df.select(
             *[F.col(f.name).cast(_nullable_type(f.dataType)) for f in schema.fields]
         )
+
+        # Column mapping (name/id mode): write under PHYSICAL names with
+        # parquet.field.id so both name- and id-resolving readers work
+        # (reference reads ids from footers: delta_utils.hpp:300-311).
+        # Stats / partitionValues below are keyed by these physical names,
+        # as the Delta spec requires on mapped tables.
+        if snapshot.column_mapping_mode != "none":
+            schema, parts, df = self._to_physical(df, schema, parts)
 
         if txn_app_id is not None and txn_expected_last is not None:
             have = snapshot.transaction_version(txn_app_id)
@@ -225,6 +234,47 @@ class DeltaWriter:
                         ) from None
                 snapshot = self._snapshot = fresh
                 version = snapshot.version + 1
+
+    def _to_physical(self, df, schema: T.StructType, parts: list[str]):
+        """Rename columns to their column-mapping physical names and attach
+        parquet field ids for the write. Top-level mapping only — nested
+        mapped names are not supported on the write path."""
+        from pyspark.sql import functions as F
+
+        def _has_nested_mapping(dt: T.DataType) -> bool:
+            if isinstance(dt, T.StructType):
+                return any(
+                    "delta.columnMapping.physicalName" in (f.metadata or {})
+                    or _has_nested_mapping(f.dataType)
+                    for f in dt.fields
+                )
+            if isinstance(dt, T.ArrayType):
+                return _has_nested_mapping(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return _has_nested_mapping(dt.valueType)
+            return False
+
+        phys_fields = []
+        sel = []
+        for f in schema.fields:
+            if _has_nested_mapping(f.dataType):
+                raise UnsupportedFeatureError(
+                    f"append with nested column-mapping names ({f.name!r})"
+                )
+            md = f.metadata or {}
+            phys = md.get("delta.columnMapping.physicalName", f.name)
+            fid = md.get("delta.columnMapping.id")
+            meta = {"parquet.field.id": int(fid)} if fid is not None else {}
+            phys_fields.append(
+                T.StructField(phys, f.dataType, f.nullable, meta)
+            )
+            sel.append(F.col(f.name).alias(phys, metadata=meta))
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        phys_parts = []
+        for p in parts:
+            md = next(f.metadata or {} for f in schema.fields if f.name == p)
+            phys_parts.append(md.get("delta.columnMapping.physicalName", p))
+        return T.StructType(phys_fields), phys_parts, df.select(*sel)
 
     def _promote_staged_files(self, staging: str, parts: list[str]) -> list[tuple[str, dict]]:
         """Move staged parquet into the table dir (hive layout preserved).

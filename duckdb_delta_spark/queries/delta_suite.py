@@ -476,3 +476,27 @@ def delta_big_dv_scan(spark, sf_dir):
     return sb.to_df().groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
     )
+
+
+# column mapping ID mode: physical columns resolved by parquet.field.id
+# from the file footers, across two file generations with different
+# physical names (reference: column_mapping_id_mode.test,
+# delta_utils.hpp:300-311)
+@register(
+    "delta_column_mapping_id",
+    oracle=f"""
+    SELECT p_brand, count(*) AS n,
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM (SELECT p_brand, p_retailprice FROM part
+          UNION ALL
+          SELECT p_brand, p_retailprice FROM part
+          WHERE p_partkey < {FX.CM_ID_APPEND_KEY_MAX})
+    GROUP BY p_brand
+    """,
+    group="delta",
+)
+def delta_column_mapping_id(spark, sf_dir):
+    df = _fx(spark, sf_dir, "part_cm_id").to_df(spark)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("total")
+    )

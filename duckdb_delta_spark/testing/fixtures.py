@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 10  # bump to force a rebuild
+LAYOUT_VERSION = 11  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -57,6 +57,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_ckpt(spark, sf_dir, os.path.join(root, "orders_ckpt"))
     _build_orders_evo(spark, sf_dir, os.path.join(root, "orders_evo"))
     _build_part_cm(spark, sf_dir, os.path.join(root, "part_cm"))
+    _build_part_cm_id(spark, sf_dir, os.path.join(root, "part_cm_id"))
     _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
@@ -489,3 +490,76 @@ def _build_lineitem_bigdv(spark, sf_dir, path):
     w = DeltaWriter.create(spark, path, df.schema)
     w.append(df.repartition(1))
     assert w.delete("l_partkey % 2 = 1") is not None
+
+
+CM_ID_APPEND_KEY_MAX = 100  # second generation: part rows with key < this
+
+
+def _build_part_cm_id(spark, sf_dir, path):
+    """Column-mapping ID mode (reference: column_mapping_id_mode.test):
+    generation 1 is parquet whose column NAMES match neither logical nor
+    physical names — only parquet.field.id aligns; generation 2 is appended
+    through DeltaWriter (physical names + field ids). Readers must resolve
+    both by field id."""
+    from pyspark.sql import types as T
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    logical = [("p_partkey", T.LongType()), ("p_brand", T.StringType()),
+               ("p_retailprice", T.DoubleType())]
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    p.select(
+        *[
+            F.col(n).alias(f"junk_{9 - i}", metadata={"parquet.field.id": i + 1})
+            for i, (n, _) in enumerate(logical)
+        ]
+    ).repartition(2).write.mode("overwrite").parquet(os.path.join(path, "data"))
+
+    fields = [
+        T.StructField(
+            name, typ, True,
+            {"delta.columnMapping.id": i + 1,
+             "delta.columnMapping.physicalName": f"col-{i:04d}"},
+        )
+        for i, (name, typ) in enumerate(logical)
+    ]
+    schema = T.StructType(fields)
+    import time as _time
+    import uuid as _uuid
+
+    meta = {
+        "id": str(_uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": str(len(logical))},
+        "createdTime": int(_time.time() * 1000),
+    }
+    actions = [
+        {"commitInfo": _commit_info("CREATE TABLE")},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+    ]
+    data_dir = os.path.join(path, "data")
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(data_dir, name)
+        actions.append(
+            {
+                "add": {
+                    "path": f"data/{name}",
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": _parquet_rows(full)}),
+                }
+            }
+        )
+    DeltaLog(path).commit(0, actions)
+    # generation 2 through the writer (physical names col-XXXX + ids)
+    DeltaWriter(path, spark).append(
+        p.where(F.col("p_partkey") < CM_ID_APPEND_KEY_MAX).coalesce(1)
+    )

@@ -9,6 +9,8 @@ null partition serialization (delta_insert.cpp:222-223).
 from __future__ import annotations
 
 import datetime as dt
+import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -75,17 +77,124 @@ def test_empty_table_scan(spark, tdir):
     assert df.schema.fieldNames() == ["i"]
 
 
-def test_column_mapping_blocks_append(spark, tdir):
-    """Appends to column-mapped tables are unsupported (mirrors the
-    reference's writer scope: blind appends to plain tables)."""
-    from duckdb_delta_spark import errors
-    from duckdb_delta_spark.testing.fixtures import ensure_fixtures
+def _mapped_schema(mode_fields):
+    return T.StructType(
+        [
+            T.StructField(
+                name, typ, True,
+                {"delta.columnMapping.id": i + 1,
+                 "delta.columnMapping.physicalName": f"col-{i:04d}"},
+            )
+            for i, (name, typ) in enumerate(mode_fields)
+        ]
+    )
 
-    root = ensure_fixtures(spark, "/root/testdata/sf0.001")
-    with pytest.raises(errors.UnsupportedFeatureError):
-        DeltaWriter(f"{root}/part_cm", spark).append(
-            spark.createDataFrame([(1, "b", 1.0)], "p_partkey long, p_brand string, p_retailprice double")
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_column_mapping_append_roundtrip(spark, tdir, mode):
+    """Appends to column-mapped tables write PHYSICAL column names +
+    parquet field ids; reads resolve by physicalName (name mode) or by
+    parquet.field.id from the footer (id mode — reference:
+    delta_utils.hpp:300-311, column_mapping_id_mode.test)."""
+    import pyarrow.parquet as pq
+
+    schema = _mapped_schema(
+        [("k", T.LongType()), ("v", T.StringType()), ("x", T.DoubleType())]
+    )
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": mode,
+                       "delta.columnMapping.maxColumnId": "3"},
+    )
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") * 0.5).alias("x"),
+    )
+    w.append(df.coalesce(1))
+
+    t = DeltaTable(tdir)
+    (f,) = t.snapshot.add_files()
+    # physical layout on disk: renamed columns + field ids in the footer
+    pf = pq.ParquetFile(f.absolute_path(tdir))
+    arrow_names = [fld.name for fld in pf.schema_arrow]
+    assert arrow_names == ["col-0000", "col-0001", "col-0002"]
+    assert pf.schema_arrow.field(0).metadata[b"PARQUET:field_id"] == b"1"
+    # stats keyed by physical names (Delta spec on mapped tables)
+    stats = json.loads(f.stats)
+    assert stats["minValues"]["col-0000"] == 0
+    assert stats["maxValues"]["col-0000"] == 49
+
+    got = t.to_df(spark)
+    assert got.columns == ["k", "v", "x"]
+    assert got.count() == 50
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(50))
+    # stats pruning through the logical->physical translation
+    sb = t.scan(spark).filter("k", ">=", 100)
+    assert sb.to_df().count() == 0
+    assert sb.skip_report()["files_skipped_by_stats"] == 1
+
+
+def test_column_mapping_id_resolves_by_field_id(spark, tdir):
+    """id mode must match columns by field id even when the parquet file's
+    column NAMES are unrelated garbage (the reference's generated
+    column_mapping_id_mode fixture has exactly this shape)."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    schema = _mapped_schema([("k", T.LongType()), ("v", T.StringType())])
+    os.makedirs(os.path.join(tdir, "_delta_log"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    # data written under names matching NEITHER logical nor physicalName
+    spark.range(20).select(
+        F.col("id").alias("zz_9", metadata={"parquet.field.id": 1}),
+        F.concat(F.lit("s"), F.col("id")).alias("aa_0", metadata={"parquet.field.id": 2}),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tdir, "data"))
+    meta = {
+        "id": str(_uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2"},
+        "createdTime": int(_time.time() * 1000),
+    }
+    actions = [
+        {"commitInfo": _commit_info("CREATE TABLE")},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+    ]
+    data_dir = os.path.join(tdir, "data")
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet"):
+            full = os.path.join(data_dir, name)
+            actions.append({"add": {
+                "path": f"data/{name}", "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+                "stats": _json.dumps({"numRecords": 20}),
+            }})
+    DeltaLog(tdir).commit(0, actions)
+
+    got = DeltaTable(tdir).to_df(spark)
+    assert got.columns == ["k", "v"]
+    assert got.count() == 20
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(20))
+    # a second generation appended by OUR writer coexists (different
+    # physical names, same field ids)
+    DeltaWriter(tdir, spark).append(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), F.concat(F.lit("s"), F.col("id")).alias("v")
         )
+    )
+    got2 = DeltaTable(tdir).to_df(spark)
+    assert got2.count() == 30
+    assert got2.agg(F.sum("k")).collect()[0][0] == sum(range(30))
 
 
 def test_log_tail_injection_skips_listing(spark, tdir, monkeypatch):
