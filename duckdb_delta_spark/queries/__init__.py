@@ -96,6 +96,7 @@ def all_queries() -> dict[str, Q]:
         delta_suite,
         pipeline,
         streaming_suite,
+        tpcds_shapes,
         tpch,
     )
 
