@@ -166,8 +166,19 @@ class DeltaLog:
         src/storage/delta_transaction.cpp:411-481). Object stores would use
         put-if-absent; hook point kept small on purpose.
         """
+        from duckdb_delta_spark.delta.logging import emit
+
         path = os.path.join(self.log_path, f"{version:020d}.json")
+        actions = list(actions)
         payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+        operation = next(
+            (
+                a["commitInfo"].get("operation")
+                for a in actions
+                if isinstance(a.get("commitInfo"), dict)
+            ),
+            None,
+        )
         # write to temp then link into place so a reader never sees a torn file
         fd, tmp = tempfile.mkstemp(dir=self.log_path, suffix=".tmp")
         try:
@@ -176,6 +187,7 @@ class DeltaLog:
             try:
                 os.link(tmp, path)  # fails if path exists → conflict
             except FileExistsError:
+                emit("commit.conflict", table_path=self.table_path, version=version)
                 raise CommitConflictError(
                     f"version {version} already committed at {self.table_path}"
                 ) from None
@@ -184,6 +196,13 @@ class DeltaLog:
                 os.unlink(tmp)
             except OSError:
                 pass
+        emit(
+            "commit.write",
+            table_path=self.table_path,
+            version=version,
+            operation=operation,
+            n_actions=len(actions),
+        )
         return path
 
     def write_last_checkpoint(self, version: int, size: int) -> None:

@@ -395,9 +395,17 @@ class DeltaScanBuilder:
         return out
 
     def to_df(self) -> DataFrame:
+        from duckdb_delta_spark.delta.logging import emit
+
         snap = self.snapshot
         spark = self.spark
         files = self._prune()
+        emit(
+            "scan.plan",
+            table_path=snap.log.table_path,
+            version=snap.version,
+            **self._report,
+        )
         fields, mode = self._physical_fields()
         pcols = snap.partition_columns
         ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
@@ -549,6 +557,15 @@ class DeltaScanBuilder:
 
         if not descriptors:
             return df
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "scan.dv_route",
+            table_path=table_path,
+            n_descriptors=len(descriptors),
+            cardinality=total,
+            route="anti_join" if total <= self.DV_ANTI_JOIN_MAX else "executor_decode",
+        )
         if total <= self.DV_ANTI_JOIN_MAX:
             # small: decode on the driver, pure-JVM broadcast anti-join
             pairs = [

@@ -151,6 +151,16 @@ class Snapshot:
             for action in log.read_commit(v):
                 snap._apply(action, v)
         snap._validate()
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "snapshot.build",
+            table_path=log.table_path,
+            version=target,
+            n_files=len(snap.files),
+            incremental=base is not None and start > 0,
+            replay_start=start,
+        )
         return snap
 
     def _maybe_apply_checkpoint(self, target: int) -> int | None:

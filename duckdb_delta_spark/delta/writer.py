@@ -560,6 +560,15 @@ class DeltaWriter:
 
         version = snap.version + 1
         self.log.commit(version, actions)
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "delete.apply",
+            table_path=self.table_path,
+            version=version,
+            n_deleted=n_deleted,
+            n_files=len(results),
+        )
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version, n_deleted
 
@@ -702,6 +711,15 @@ class DeltaWriter:
         except CommitConflictError:
             self._rollback([(rel, {}) for rel in written])
             raise
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "compact.apply",
+            table_path=self.table_path,
+            version=version,
+            n_removed=len(removes),
+            n_added=len(adds),
+        )
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
@@ -768,6 +786,14 @@ class DeltaWriter:
                     continue
                 os.unlink(full)
                 deleted.append(os.path.relpath(full, self.table_path))
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "vacuum.apply",
+            table_path=self.table_path,
+            n_deleted=len(deleted),
+            retention_ms=retention_ms,
+        )
         return deleted
 
     # ---------- checkpoint ----------
@@ -848,6 +874,14 @@ class DeltaWriter:
         path = os.path.join(self.log.log_path, f"{v:020d}.checkpoint.parquet")
         pq.write_table(table, path)
         self.log.write_last_checkpoint(v, len(rows))
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "checkpoint.write",
+            table_path=self.table_path,
+            version=v,
+            n_rows=len(rows),
+        )
         return v
 
 

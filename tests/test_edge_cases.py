@@ -220,3 +220,36 @@ def test_log_tail_injection_skips_listing(spark, tdir, monkeypatch):
     t = DeltaTable(tdir, log_tail=tail)
     assert t.version == 1
     assert t.to_df(spark).count() == 7
+
+
+def test_structured_logging_sink(spark, tdir):
+    """Engine operations emit structured records through registered sinks
+    (reference analogue: delta_kernel_logging -> LoggerCallback,
+    delta_utils.cpp:1175-1242). A sink raising must never fail the op."""
+    from duckdb_delta_spark.delta import logging as dlog
+
+    records = []
+    dlog.add_sink(records.append)
+    dlog.add_sink(lambda r: 1 / 0)  # hostile sink: must be swallowed
+    try:
+        w = DeltaWriter.create(spark, tdir, T.StructType(
+            [T.StructField("i", T.LongType())]))
+        w.append(spark.range(40).select(F.col("id").alias("i")).coalesce(2))
+        w.delete("i < 4")
+        w.checkpoint()
+        sb = DeltaTable(tdir).scan(spark).filter("i", ">=", 10)
+        sb.to_df().count()
+    finally:
+        dlog.remove_sink(records.append)  # no-op (different object) — fine
+        dlog._SINKS.clear()
+
+    events = [r["event"] for r in records]
+    for expected in ("commit.write", "snapshot.build", "delete.apply",
+                     "checkpoint.write", "scan.plan"):
+        assert expected in events, f"missing {expected} in {set(events)}"
+    commit = next(r for r in records if r["event"] == "commit.write"
+                  and r.get("operation") == "DELETE")
+    assert commit["version"] == 2
+    plan = [r for r in records if r["event"] == "scan.plan"][-1]
+    assert plan["files_total"] >= 1 and "files_skipped_by_stats" in plan
+    assert all("ts_ms" in r and r["table_path"] for r in records)
