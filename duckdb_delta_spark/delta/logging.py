@@ -36,6 +36,8 @@ EVENTS = (
     "commit.conflict",     # table_path, version
     "checkpoint.write",    # table_path, version, n_rows
     "delete.apply",        # table_path, version, n_deleted, n_files
+    "update.apply",        # table_path, version, n_updated
+    "merge.apply",         # table_path, version, n_matched, n_inserted
     "compact.apply",       # table_path, version, n_removed, n_added
     "vacuum.apply",        # table_path, n_deleted
 )

@@ -60,6 +60,14 @@ class DeltaTable:
         """Row-level DELETE via deletion vectors (see DeltaWriter.delete)."""
         return self.writer(spark).delete(condition)
 
+    def update(self, spark: SparkSession, condition, assignments) -> tuple[int, int] | None:
+        """Row-level UPDATE via DV mask + image append (see DeltaWriter.update)."""
+        return self.writer(spark).update(condition, assignments)
+
+    def merge(self, spark: SparkSession, source: DataFrame, on, **kwargs):
+        """MERGE INTO upsert (see DeltaWriter.merge)."""
+        return self.writer(spark).merge(source, on, **kwargs)
+
     def compact(self, spark: SparkSession, **kwargs) -> int | None:
         """OPTIMIZE bin-packing compaction (see DeltaWriter.compact)."""
         return self.writer(spark).compact(**kwargs)

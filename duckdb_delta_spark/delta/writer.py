@@ -184,24 +184,7 @@ class DeltaWriter:
                     f"found {have}"
                 )
 
-        staging = os.path.join(self.table_path, f"_staging_{uuid.uuid4().hex}")
-        # INT96 (Spark's legacy default) carries no parquet min/max stats —
-        # write modern TIMESTAMP_MICROS so timestamp columns are skippable
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        writer = df.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
-
-        try:
-            moved = self._promote_staged_files(staging, parts)
-            adds = self._build_add_actions(moved, schema, parts)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
-
-        self._enforce_not_null(adds, schema, parts, moved)
+        moved, adds = self._write_data(df, schema, parts)
 
         actions: list[dict] = [{"commitInfo": _commit_info("WRITE", {"mode": "Append"})}]
         if txn_app_id is not None and txn_version is not None:
@@ -234,6 +217,33 @@ class DeltaWriter:
                         ) from None
                 snapshot = self._snapshot = fresh
                 version = snapshot.version + 1
+
+    def _write_data(
+        self, df: DataFrame, schema: T.StructType, parts: list[str]
+    ) -> tuple[list[tuple[str, dict]], list[dict]]:
+        """Write ``df`` as table data files (hive layout for partitioned
+        tables): ONE distributed write job, then driver-side promote +
+        footer stats + NOT NULL enforcement. Returns (moved, add_actions)
+        — nothing is committed."""
+        staging = os.path.join(self.table_path, f"_staging_{uuid.uuid4().hex}")
+        # INT96 (Spark's legacy default) carries no parquet min/max stats —
+        # write modern TIMESTAMP_MICROS so timestamp columns are skippable
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+
+        try:
+            moved = self._promote_staged_files(staging, parts)
+            adds = self._build_add_actions(moved, schema, parts)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        self._enforce_not_null(adds, schema, parts, moved)
+        return moved, adds
 
     def _to_physical(self, df, schema: T.StructType, parts: list[str]):
         """Rename columns to their column-mapping physical names and attach
@@ -431,7 +441,6 @@ class DeltaWriter:
         ``condition`` is a Spark Column or SQL string over the table's
         logical schema (partition columns included).
         """
-        import pandas as pd
         from pyspark.sql import functions as F
 
         from duckdb_delta_spark.delta.scan import DeltaScanBuilder
@@ -440,12 +449,64 @@ class DeltaWriter:
         if isinstance(condition, str):
             condition = F.expr(condition)
 
-        by_uri = {
+        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
+        matched = (
+            scan.to_df()
+            .where(condition)
+            .select(
+                F.col("filename").alias("f"),
+                F.col("file_row_number").alias("r"),
+            )
+        )
+        results = self._dv_results(snap, matched)
+        if not results:
+            return None
+
+        n_deleted = sum(r["n_new"] for r in results)
+        actions: list[dict] = [
+            {
+                "commitInfo": _commit_info(
+                    "DELETE", {"numDeletedRows": str(n_deleted)}
+                )
+            }
+        ]
+        proto_action = self._dv_protocol_upgrade(snap)
+        if proto_action:
+            actions.append(proto_action)
+        actions.extend(self._dv_actions(snap, results))
+
+        version = snap.version + 1
+        self.log.commit(version, actions)
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "delete.apply",
+            table_path=self.table_path,
+            version=version,
+            n_deleted=n_deleted,
+            n_files=len(results),
+        )
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version, n_deleted
+
+    def _by_uri(self, snap: Snapshot) -> dict:
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        return {
             DeltaScanBuilder._spark_file_uri(
                 f.absolute_path(self.table_path)
             ): f
             for f in snap.add_files()
         }
+
+    def _dv_results(self, snap: Snapshot, matched: DataFrame) -> list:
+        """Distributed DV construction: ``matched`` is (f: file uri, r: row
+        index). Each file group builds, merges (with any prior DV) and
+        WRITES its roaring bitmap executor-side; only descriptor rows
+        return. Columns: f, n_new, full, desc(JSON)."""
+        import pandas as pd
+
+        by_uri = self._by_uri(snap)
         # small per-file context shipped to executors: prior DV + row count
         ctx = {
             uri: (f.deletion_vector, f.num_records) for uri, f in by_uri.items()
@@ -486,51 +547,40 @@ class DeltaWriter:
                 }
             )
 
-        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
-        results = (
-            scan.to_df()
-            .where(condition)
-            .select(
-                F.col("filename").alias("f"),
-                F.col("file_row_number").alias("r"),
-            )
-            .groupBy("f")
+        return (
+            matched.groupBy("f")
             .applyInPandas(_build_dv, "f string, n_new long, full boolean, desc string")
             .collect()
         )
-        if not results:
-            return None
 
-        n_deleted = sum(r["n_new"] for r in results)
-        now_ms = int(time.time() * 1000)
-        actions: list[dict] = [
-            {
-                "commitInfo": _commit_info(
-                    "DELETE", {"numDeletedRows": str(n_deleted)}
-                )
-            }
-        ]
+    def _dv_protocol_upgrade(self, snap: Snapshot) -> dict | None:
+        """First DV write upgrades to (3,7) + deletionVectors feature."""
         proto = snap.protocol
-        if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in (
+        if int(proto.get("minReaderVersion", 1)) >= 3 and "deletionVectors" in (
             proto.get("readerFeatures") or []
         ):
-            # legacy (1,2) implies appendOnly+invariants as writer features
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(
-                            set(proto.get("readerFeatures") or [])
-                            | {"deletionVectors"}
-                        ),
-                        "writerFeatures": sorted(
-                            set(proto.get("writerFeatures") or ["appendOnly", "invariants"])
-                            | {"deletionVectors"}
-                        ),
-                    }
-                }
-            )
+            return None
+        # legacy (1,2) implies appendOnly+invariants as writer features
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or ["appendOnly", "invariants"])
+                    | {"deletionVectors"}
+                ),
+            }
+        }
+
+    def _dv_actions(self, snap: Snapshot, results: list) -> list[dict]:
+        """remove + add-with-DV actions for the touched files (fully
+        deleted files get remove only)."""
+        by_uri = self._by_uri(snap)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = []
         for r in results:
             f = by_uri[r["f"]]
             remove = {
@@ -557,20 +607,223 @@ class DeltaWriter:
                         }
                     }
                 )
+        return actions
+
+    # ---------- UPDATE / MERGE (DV-masked rewrite) ----------
+
+    def update(self, condition, assignments: dict) -> tuple[int, int] | None:
+        """Row-level UPDATE: mask matched rows with deletion vectors and
+        append their updated images — ONE atomic commit, no file rewrite.
+
+        ``assignments`` maps column name → SQL expression string (or
+        Column) evaluated against the pre-update row. Returns
+        ``(version, rows_updated)`` or None when nothing matched.
+
+        Scale shape: the matched set streams through the same distributed
+        DV build as DELETE, and the updated images are one distributed
+        write job — driver handles only descriptors + the commit.
+        """
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        snap = self._snapshot
+        if snap.column_mapping_mode != "none":
+            raise UnsupportedFeatureError("update on column-mapped table")
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        schema = snap.schema
+        bad = [c for c in assignments if c not in schema.fieldNames()]
+        if bad:
+            raise SchemaError(f"assignments target unknown columns: {bad}")
+
+        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
+        full = scan.to_df()
+        matched = full.where(condition)
+        results = self._dv_results(
+            snap,
+            matched.select(
+                F.col("filename").alias("f"), F.col("file_row_number").alias("r")
+            ),
+        )
+        if not results:
+            return None
+        n_updated = sum(r["n_new"] for r in results)
+
+        def _assigned(name):
+            a = assignments.get(name)
+            if a is None:
+                return F.col(name)
+            return F.expr(a) if isinstance(a, str) else a
+
+        new_rows = matched.select(
+            *[
+                _assigned(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        moved, adds_new = self._write_data(new_rows, schema, snap.partition_columns)
+
+        actions: list[dict] = [
+            {"commitInfo": _commit_info("UPDATE", {"numUpdatedRows": str(n_updated)})}
+        ]
+        proto_action = self._dv_protocol_upgrade(snap)
+        if proto_action:
+            actions.append(proto_action)
+        actions.extend(self._dv_actions(snap, results))
+        actions.extend({"add": a} for a in adds_new)
 
         version = snap.version + 1
-        self.log.commit(version, actions)
+        try:
+            self.log.commit(version, actions)
+        except CommitConflictError:
+            self._rollback(moved)
+            raise
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
-            "delete.apply",
+            "update.apply",
             table_path=self.table_path,
             version=version,
-            n_deleted=n_deleted,
-            n_files=len(results),
+            n_updated=n_updated,
         )
         self._snapshot = Snapshot.build(self.log, base=snap)
-        return version, n_deleted
+        return version, n_updated
+
+    def merge(
+        self,
+        source: DataFrame,
+        on,
+        when_matched_update: dict | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> tuple[int, int, int] | None:
+        """MERGE INTO: upsert ``source`` into the table — ONE atomic commit.
+
+        ``on`` is a join condition (SQL string or Column) between the
+        target (alias ``t``) and source (alias ``s``). Matched target rows
+        are DV-masked and, for ``when_matched_update``, re-appended with
+        the assignment expressions applied (expressions may reference
+        ``s.<col>``/``t.<col>``). ``when_not_matched_insert`` appends
+        source rows with no target match (source must carry the table's
+        columns). Returns ``(version, n_matched, n_inserted)`` or None
+        when the merge is a no-op.
+
+        The source should be unique on the join keys (standard MERGE
+        precondition); duplicate matches would duplicate rows exactly as
+        they do elsewhere.
+        """
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        snap = self._snapshot
+        if snap.column_mapping_mode != "none":
+            raise UnsupportedFeatureError("merge on column-mapped table")
+        if when_matched_update and when_matched_delete:
+            raise ValueError("choose either when_matched_update or when_matched_delete")
+        schema = snap.schema
+        on_expr = F.expr(on) if isinstance(on, str) else on
+
+        scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
+        t = scan.to_df().alias("t")
+        s = source.alias("s")
+
+        results = []
+        n_matched = 0
+        touch_matched = bool(when_matched_update) or when_matched_delete
+        if touch_matched:
+            matched_t = t.join(s, on_expr, "left_semi")
+            results = self._dv_results(
+                snap,
+                matched_t.select(
+                    F.col("filename").alias("f"),
+                    F.col("file_row_number").alias("r"),
+                ),
+            )
+            n_matched = sum(r["n_new"] for r in results)
+
+        new_parts = []
+        if when_matched_update and results:
+            upd = t.join(s, on_expr, "inner")
+            new_parts.append(
+                upd.select(
+                    *[
+                        (
+                            F.expr(when_matched_update[f.name])
+                            if f.name in when_matched_update
+                            else F.col("t." + f.name)
+                        )
+                        .cast(_nullable_type(f.dataType))
+                        .alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            )
+        n_inserted = 0
+        if when_not_matched_insert:
+            missing = [f.name for f in schema.fields if f.name not in source.columns]
+            if missing:
+                raise SchemaError(f"merge source missing table columns: {missing}")
+            ins = s.join(t, on_expr, "left_anti").select(
+                *[
+                    F.col("s." + f.name)
+                    .cast(_nullable_type(f.dataType))
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            n_inserted = ins.count()
+            if n_inserted:
+                new_parts.append(ins)
+
+        if not results and not n_inserted:
+            return None
+
+        moved, adds_new = [], []
+        if new_parts:
+            new_rows = new_parts[0]
+            for p in new_parts[1:]:
+                new_rows = new_rows.unionByName(p)
+            moved, adds_new = self._write_data(
+                new_rows, schema, snap.partition_columns
+            )
+
+        actions: list[dict] = [
+            {
+                "commitInfo": _commit_info(
+                    "MERGE",
+                    {
+                        "numTargetRowsMatched": str(n_matched),
+                        "numTargetRowsInserted": str(n_inserted),
+                    },
+                )
+            }
+        ]
+        if results:
+            proto_action = self._dv_protocol_upgrade(snap)
+            if proto_action:
+                actions.append(proto_action)
+            actions.extend(self._dv_actions(snap, results))
+        actions.extend({"add": a} for a in adds_new)
+
+        version = snap.version + 1
+        try:
+            self.log.commit(version, actions)
+        except CommitConflictError:
+            self._rollback(moved)
+            raise
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "merge.apply",
+            table_path=self.table_path,
+            version=version,
+            n_matched=n_matched,
+            n_inserted=n_inserted,
+        )
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version, n_matched, n_inserted
 
     # ---------- maintenance: compaction / vacuum ----------
 

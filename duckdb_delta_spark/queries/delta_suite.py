@@ -500,3 +500,41 @@ def delta_column_mapping_id(spark, sf_dir):
     return df.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("total")
     )
+
+
+# engine-written UPDATE: DV mask + updated images in one commit
+# (beyond the reference, which supports no DML)
+@register(
+    "delta_update_scan",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {osum('CASE WHEN o_orderpriority = %s THEN o_totalprice * 2 ELSE o_totalprice END' % "'1-URGENT'")} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_update_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_upd")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# engine-written MERGE: overlap updated via DV+re-append, tail inserted
+@register(
+    "delta_merge_scan",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n, {osum('p')} AS total
+    FROM (SELECT o_orderstatus,
+                 CASE WHEN o_orderkey >= {FX.MERGE_LO}
+                      THEN o_totalprice * 2 ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey < {FX.MERGE_END}) t
+    GROUP BY o_orderstatus
+    """,
+    group="delta",
+)
+def delta_merge_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_merge")
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 11  # bump to force a rebuild
+LAYOUT_VERSION = 12  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -66,6 +66,8 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_all_types(spark, sf_dir, os.path.join(root, "all_types"))
     _build_nested_types(spark, sf_dir, os.path.join(root, "nested_types"))
     _build_lineitem_bigdv(spark, sf_dir, os.path.join(root, "lineitem_bigdv"))
+    _build_orders_upd(spark, sf_dir, os.path.join(root, "orders_upd"))
+    _build_orders_merge(spark, sf_dir, os.path.join(root, "orders_merge"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -563,3 +565,36 @@ def _build_part_cm_id(spark, sf_dir, path):
     DeltaWriter(path, spark).append(
         p.where(F.col("p_partkey") < CM_ID_APPEND_KEY_MAX).coalesce(1)
     )
+
+
+MERGE_LO, MERGE_HI, MERGE_END = 500, 1_000, 1_500  # key ranges (valid at every SF)
+
+
+def _build_orders_upd(spark, sf_dir, path):
+    """UPDATE through the writer: urgent orders get o_totalprice doubled
+    (x*2 is exact in IEEE double, so the oracle can rebuild values)."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.repartition(2))
+    res = w.update(
+        "o_orderpriority = '1-URGENT'", {"o_totalprice": "o_totalprice * 2"}
+    )
+    assert res is not None
+
+
+def _build_orders_merge(spark, sf_dir, path):
+    """MERGE through the writer: target keys [0, MERGE_HI); source keys
+    [MERGE_LO, MERGE_END) with doubled prices — overlap updates, the tail
+    inserts."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") < MERGE_HI).repartition(2))
+    src = (
+        o.where((F.col("o_orderkey") >= MERGE_LO) & (F.col("o_orderkey") < MERGE_END))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    res = w.merge(
+        src, "t.o_orderkey = s.o_orderkey",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+    )
+    assert res is not None and res[1] > 0 and res[2] > 0

@@ -650,3 +650,63 @@ def test_nested_not_null_enforced(spark, tdir):
     with pytest.raises(errors.ConstraintViolationError):
         w.append(bad)
     assert DeltaTable(tdir).to_df(spark).count() == 1
+
+
+def test_update_rows(spark, tdir):
+    """UPDATE = DV-mask matched rows + append updated images, one commit."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 20, lo=20 * k).coalesce(1))
+
+    v, n = w.update(F.col("i") % 10 == 3, {"x": "x + 1000.0", "g": "99"})
+    assert n == 6
+    t = DeltaTable(tdir)
+    got = {r["i"]: (r["g"], r["x"]) for r in t.to_df(spark).collect()}
+    assert len(got) == 60  # no duplicates, no losses
+    for i in range(60):
+        if i % 10 == 3:
+            assert got[i] == (99, i * 1.5 + 1000.0)
+        else:
+            assert got[i] == (i % 7, i * 1.5)
+    # one commit: DV remove/adds + new data files together
+    actions = [json.loads(line) for line in open(
+        os.path.join(tdir, "_delta_log", f"{v:020d}.json"))]
+    assert any("remove" in a for a in actions)
+    new_adds = [a["add"] for a in actions if "add" in a and not a["add"].get("deletionVector")]
+    assert new_adds  # the updated images
+    # pre-update version unchanged
+    assert DeltaTable(tdir, version=3).to_df(spark).where("g = 99").count() == 0
+    # nothing matched -> no commit
+    assert w.update("i > 1000", {"x": "0.0"}) is None
+
+
+def test_merge_upsert(spark, tdir):
+    """MERGE: matched rows updated (via DV + re-append), unmatched source
+    rows inserted, one atomic commit."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 40).coalesce(2))  # i in [0, 40)
+
+    src = _ids(spark, 40, lo=20).withColumn("x", F.col("x") * 10)  # i in [20, 60)
+    v, n_matched, n_inserted = w.merge(
+        src, "t.i = s.i", when_matched_update={"x": "s.x", "g": "s.g"}
+    )
+    assert (n_matched, n_inserted) == (20, 20)
+    t = DeltaTable(tdir)
+    got = {r["i"]: r["x"] for r in t.to_df(spark).collect()}
+    assert len(got) == 60
+    for i in range(60):
+        assert got[i] == (i * 1.5 * 10 if i >= 20 else i * 1.5)
+
+    # matched-delete flavor: remove everything the source touches
+    v2 = w.merge(
+        _ids(spark, 10, lo=50), "t.i = s.i",
+        when_matched_delete=True, when_not_matched_insert=False,
+    )
+    assert v2[1] == 10 and v2[2] == 0
+    assert DeltaTable(tdir).to_df(spark).count() == 50
+    # insert-only flavor (no matches by construction)
+    v3 = w.merge(_ids(spark, 5, lo=100), "t.i = s.i")
+    assert v3[1] == 0 and v3[2] == 5
+    assert DeltaTable(tdir).to_df(spark).count() == 55
+    # full no-op
+    assert w.merge(_ids(spark, 5, lo=100).limit(0), "t.i = s.i") is None
