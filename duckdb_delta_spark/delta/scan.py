@@ -241,6 +241,7 @@ class DeltaScanBuilder:
         self._projection: list[str] | None = None
         self._virtual: bool = False
         self._report: dict | None = None
+        self._only_paths: set[str] | None = None
 
     # ---------- fluent config ----------
 
@@ -301,6 +302,13 @@ class DeltaScanBuilder:
         self._virtual = True
         return self
 
+    def restrict_paths(self, paths: Iterable[str]) -> "DeltaScanBuilder":
+        """Scan only the given add-file paths (log-form, as in
+        ``AddFile.path``). Used by change-feed computation to scan the
+        files one commit touched."""
+        self._only_paths = set(paths)
+        return self
+
     # ---------- reporting ----------
 
     def skip_report(self) -> dict:
@@ -314,6 +322,8 @@ class DeltaScanBuilder:
 
     def _prune(self) -> list[AddFile]:
         files = self.snapshot.add_files()
+        if self._only_paths is not None:
+            files = [f for f in files if f.path in self._only_paths]
         total = len(files)
         skipped_partition = skipped_stats = skipped_dynamic = 0
         pairs: list[tuple[Pred, bool]] = []

@@ -60,6 +60,20 @@ class DeltaTable:
         """Row-level DELETE via deletion vectors (see DeltaWriter.delete)."""
         return self.writer(spark).delete(condition)
 
+    def changes(
+        self,
+        spark: SparkSession,
+        starting_version: int,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed for commits (starting_version,
+        ending_version]: table columns + _change_type + _commit_version
+        (see delta/changes.py — derived from the log, no _change_data
+        files needed)."""
+        from duckdb_delta_spark.delta.changes import table_changes
+
+        return table_changes(self.log, spark, starting_version, ending_version)
+
     def update(self, spark: SparkSession, condition, assignments) -> tuple[int, int] | None:
         """Row-level UPDATE via DV mask + image append (see DeltaWriter.update)."""
         return self.writer(spark).update(condition, assignments)

@@ -538,3 +538,26 @@ def delta_merge_scan(spark, sf_dir):
     return t.to_df(spark).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
     )
+
+
+# change feed derived from the log: the UPDATE commit on orders_upd reads
+# back as delete+insert pairs for exactly the urgent rows
+@register(
+    "delta_changes_scan",
+    oracle=f"""
+    SELECT _change_type, count(*) AS n, {osum('p')} AS total
+    FROM (SELECT 'delete' AS _change_type, o_totalprice AS p
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT 'insert' AS _change_type, o_totalprice * 2 AS p
+          FROM orders WHERE o_orderpriority = '1-URGENT') t
+    GROUP BY _change_type
+    """,
+    group="delta",
+)
+def delta_changes_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_upd")
+    ch = t.changes(spark, 1)  # the UPDATE commit only
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )

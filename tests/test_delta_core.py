@@ -710,3 +710,43 @@ def test_merge_upsert(spark, tdir):
     assert DeltaTable(tdir).to_df(spark).count() == 55
     # full no-op
     assert w.merge(_ids(spark, 5, lo=100).limit(0), "t.i = s.i") is None
+
+
+def test_change_feed(spark, tdir):
+    """Row-level changes derived from the log: append -> inserts,
+    delete -> deletes (DV diff), update -> delete+insert pairs,
+    compact -> nothing."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 30).coalesce(1))                      # v1: +30
+    w.append(_ids(spark, 30, lo=30).coalesce(2))               # v2: +30
+    w.delete("i < 5")                                          # v3: -5
+    w.update(F.col("i") % 20 == 7, {"x": "x + 1.0"})           # v4: 3 del+ins
+    w = DeltaWriter(tdir, spark)
+    assert w.compact(target_file_bytes=64 << 20) is not None   # v5: nothing
+
+    t = DeltaTable(tdir)
+    ch = t.changes(spark, 0)  # everything since v0
+    rows = ch.collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["_commit_version"], r["_change_type"]), []).append(r)
+    assert len(by[(1, "insert")]) == 30
+    assert len(by[(2, "insert")]) == 30
+    assert sorted(r["i"] for r in by[(3, "delete")]) == [0, 1, 2, 3, 4]
+    assert sorted(r["i"] for r in by[(4, "delete")]) == [7, 27, 47]
+    ins4 = {r["i"]: r["x"] for r in by[(4, "insert")]}
+    assert ins4 == {7: 7 * 1.5 + 1.0, 27: 27 * 1.5 + 1.0, 47: 47 * 1.5 + 1.0}
+    assert (5, "insert") not in by and (5, "delete") not in by
+
+    # windowed read: only the delete commit
+    ch3 = t.changes(spark, 2, 3)
+    assert {(r["_change_type"], r["i"]) for r in ch3.collect()} == {
+        ("delete", i) for i in range(5)
+    }
+    # replaying the feed reconstructs the table: inserts minus deletes
+    net = ch.groupBy("i", "_change_type").count()
+    inserts = {r["i"] for r in net.where("_change_type='insert'").collect()}
+    deletes = {r["i"] for r in net.where("_change_type='delete'").collect()}
+    live = {r["i"] for r in t.to_df(spark).collect()}
+    assert (inserts - deletes) | {i for i in inserts & deletes
+                                  if i % 20 == 7} == live
