@@ -828,7 +828,10 @@ class DeltaWriter:
     # ---------- maintenance: compaction / vacuum ----------
 
     def compact(
-        self, target_file_bytes: int = 128 << 20, min_files: int = 2
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+        sort_by: list[str] | None = None,
     ) -> int | None:
         """OPTIMIZE-style bin-packing compaction. Returns the committed
         version, or None when nothing qualified.
@@ -845,15 +848,49 @@ class DeltaWriter:
         alone — this pass reorganizes layout, it does not materialize
         deletes. Old files stay on disk for time travel until
         :meth:`vacuum`.
+
+        ``sort_by``: cluster the rewrite on these columns — output files
+        get DISJOINT ranges (``repartitionByRange`` + sorted runs), so
+        stats-based file skipping on those columns prunes aggressively
+        afterwards (the OPTIMIZE ... ZORDER role, lexicographic).
+        Column-mapped tables are handled by rewriting under physical
+        names with field ids (sort_by names stay logical).
         """
         snap = self._snapshot
-        if snap.column_mapping_mode != "none":
-            raise UnsupportedFeatureError("compact column-mapped table")
         schema = snap.schema
         parts = snap.partition_columns
-        phys_schema = T.StructType(
-            [f for f in schema.fields if f.name not in parts]
-        )
+        mode = snap.column_mapping_mode
+        phys_of: dict[str, str] = {}
+        if mode != "none":
+            for f in schema.fields:
+                md = f.metadata or {}
+                phys_of[f.name] = md.get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            phys_schema = T.StructType(
+                [
+                    T.StructField(
+                        phys_of[f.name],
+                        f.dataType,
+                        True,
+                        {"parquet.field.id": int((f.metadata or {})["delta.columnMapping.id"])}
+                        if "delta.columnMapping.id" in (f.metadata or {})
+                        else {},
+                    )
+                    for f in schema.fields
+                    if f.name not in parts
+                ]
+            )
+        else:
+            phys_schema = T.StructType(
+                [f for f in schema.fields if f.name not in parts]
+            )
+        sort_cols = [phys_of.get(c, c) for c in (sort_by or [])]
+        for c in sort_cols:
+            if c not in phys_schema.fieldNames():
+                raise SchemaError(f"sort_by column {c!r} not a data column")
 
         groups: dict[tuple, list] = {}
         for f in snap.add_files():
@@ -874,21 +911,27 @@ class DeltaWriter:
             g_written: list[str] = []
             total = sum(f.size for f in files)
             n_out = max(1, -(-total // target_file_bytes))
-            if n_out >= len(files):
+            if n_out >= len(files) and not sort_cols:
+                # without clustering there is nothing to gain from a
+                # rewrite that doesn't shrink the file count
                 return g_removes, g_adds, g_written
+            n_out = min(n_out, len(files))
             # new files live in the same (hive) directory as the old ones
             part_dir = os.path.dirname(urllib.parse.unquote(files[0].path))
             paths = [f.absolute_path(self.table_path) for f in files]
             staging = os.path.join(
                 self.table_path, f"_staging_{uuid.uuid4().hex}"
             )
-            (
-                self.spark.read.schema(phys_schema)
-                .parquet(*paths)
-                .coalesce(int(n_out))
-                .write.mode("overwrite")
-                .parquet(staging)
-            )
+            src = self.spark.read.schema(phys_schema).parquet(*paths)
+            if sort_cols:
+                # range-cluster: each output file owns a disjoint range of
+                # the sort key → post-compaction stats skipping bites
+                src = src.repartitionByRange(
+                    int(n_out), *sort_cols
+                ).sortWithinPartitions(*sort_cols)
+            else:
+                src = src.coalesce(int(n_out))
+            src.write.mode("overwrite").parquet(staging)
             try:
                 for name in sorted(os.listdir(staging)):
                     if not name.endswith(".parquet"):
@@ -897,7 +940,9 @@ class DeltaWriter:
                     dest = os.path.join(self.table_path, rel)
                     shutil.move(os.path.join(staging, name), dest)
                     g_written.append(rel)
-                    stats = _footer_stats(dest, schema, set(parts))
+                    # phys_schema matches the parquet column names (logical
+                    # == physical on unmapped tables)
+                    stats = _footer_stats(dest, phys_schema, set())
                     g_adds.append(
                         {
                             "path": urllib.parse.quote(

@@ -750,3 +750,78 @@ def test_change_feed(spark, tdir):
     live = {r["i"] for r in t.to_df(spark).collect()}
     assert (inserts - deletes) | {i for i in inserts & deletes
                                   if i % 20 == 7} == live
+
+
+def test_compact_sort_by_clusters_ranges(spark, tdir):
+    """compact(sort_by=...) range-clusters the rewrite: output files own
+    disjoint key ranges, so stats skipping prunes where the original
+    shuffled layout could not."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    # 6 files, each containing a SHUFFLED slice of the key space — every
+    # file's [min, max] spans ~everything, stats skipping is useless
+    for k in range(6):
+        w.append(
+            _ids(spark, 300).where(F.col("i") % 6 == k).coalesce(1)
+        )
+    t0 = DeltaTable(tdir)
+    sb0 = t0.scan(spark).filter("i", "<", 50)
+    assert sb0.to_df().count() == 50
+    assert sb0.skip_report()["files_skipped_by_stats"] == 0  # no pruning
+
+    v = w.compact(target_file_bytes=8 << 10, sort_by=["i"])  # tiny target
+    assert v is not None
+    t1 = DeltaTable(tdir)
+    files = t1.snapshot.add_files()
+    assert len(files) > 1
+    # disjoint ranges across output files
+    bounds = sorted(
+        (json.loads(f.stats)["minValues"]["i"], json.loads(f.stats)["maxValues"]["i"])
+        for f in files
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+    sb1 = t1.scan(spark).filter("i", "<", 50)
+    assert sb1.to_df().count() == 50
+    assert sb1.skip_report()["files_skipped_by_stats"] > 0
+    assert t1.to_df(spark).count() == 300
+
+
+def test_compact_column_mapped(spark, tdir):
+    """Compaction now handles column-mapped tables: rewrite under physical
+    names + field ids, stats keyed physically."""
+    schema = _cm_schema()
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": "id",
+                       "delta.columnMapping.maxColumnId": "2"},
+    )
+    for k in range(3):
+        w.append(
+            spark.range(k * 10, (k + 1) * 10).select(
+                F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+            ).coalesce(1)
+        )
+    v = w.compact(target_file_bytes=64 << 20)
+    assert v is not None
+    t = DeltaTable(tdir)
+    (f,) = t.snapshot.add_files()
+    assert json.loads(f.stats)["minValues"]["col-0000"] == 0
+    got = t.to_df(spark)
+    assert got.columns == ["k", "v"]
+    assert got.count() == 30
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(30))
+
+
+def _cm_schema():
+    return T.StructType(
+        [
+            T.StructField(
+                name, typ, True,
+                {"delta.columnMapping.id": i + 1,
+                 "delta.columnMapping.physicalName": f"col-{i:04d}"},
+            )
+            for i, (name, typ) in enumerate(
+                [("k", T.LongType()), ("v", T.StringType())]
+            )
+        ]
+    )
