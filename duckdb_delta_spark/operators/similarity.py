@@ -260,16 +260,23 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score queries only against vectors whose
     inverted list is among the query's ``nprobe`` nearest centroids.
 
-    At scale the corpus assignment is precomputed/bucketed (a write-time
-    partition key) and each query touches nprobe/num_lists of the data —
-    that fraction is the whole point of IVF."""
+    ``centroids``: a (list_id, centroid) frame — e.g. k-means output via
+    :func:`centroids_df` — else the deterministic seed centroids. At scale
+    the corpus assignment is precomputed/bucketed (a write-time partition
+    key) and each query touches nprobe/num_lists of the data — that
+    fraction is the whole point of IVF."""
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(corpus, num_lists, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, num_lists, id_col, vec_col)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     qprobe = (
@@ -308,4 +315,125 @@ def ivf_topk(
             F.round("cosv", 4).alias("cos"),
             F.col("rank").cast("long"),
         )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = IVF_LISTS,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the real IVF
+    centroid trainer (``ivf_centroids`` keeps the deterministic seed
+    variant for the bit-exact oracle path).
+
+    Scale shape per iteration: centroids broadcast (k x dim floats), the
+    assignment is one Arrow-batched ``mapInPandas`` doing a blocked numpy
+    matmul (BLAS) emitting only (cluster, dim-sums, count) PARTIALS per
+    batch — so the shuffle is O(batches x k), never O(rows) — and the
+    k x dim re-average lands on the driver. Deterministic: seeds are the
+    k lowest-id vectors, ties break to the lowest cluster id.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    # deterministic farthest-point seeding on a hash-ordered sample — the
+    # k lowest ids can all sit in one cluster, which strands centroids in
+    # local optima; greedy max-min spread on a 4096-vector sample is the
+    # scale-safe k-means++ stand-in (one pass, driver does k x sample)
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(max(4096, 4 * k))
+        .collect()
+    )
+    pts = np.array([r[1] for r in sample], dtype="float64")
+    pn = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    min_sim = pn @ pn[0]
+    while len(chosen) < min(k, len(pts)):
+        nxt = int(np.argmin(min_sim))  # farthest (lowest cosine) point
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, pn @ pn[nxt])
+    cents = pts[chosen]
+    dim = cents.shape[1]
+    vec_df = df.select(F.col(vec_col).alias("v"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            c = bc.value
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            for pdf in batches:
+                m = np.array(pdf["v"].tolist(), dtype="float64")
+                if m.size == 0:
+                    continue
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                # cosine assignment; argmax takes the LOWEST index on ties
+                a = np.argmax(mn @ cn.T, axis=1)
+                rows = []
+                for cl in np.unique(a):
+                    sel = m[a == cl]
+                    rows.append(
+                        (int(cl), sel.sum(axis=0).tolist(), int(len(sel)))
+                    )
+                yield pd.DataFrame(rows, columns=["cluster", "sums", "n"])
+
+        agg = (
+            vec_df.mapInPandas(_partials, out_schema)
+            .groupBy("cluster")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.element_at("sums", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("sums"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            if r["n"]:
+                new[r["cluster"]] = np.array(r["sums"]) / r["n"]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        bc.unpersist()
+        if shift <= tol:
+            break
+    return [c.tolist() for c in cents]
+
+
+def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """Trained centroids as the (list_id, centroid) frame ivf_assign/
+    ivf_topk consume (list_id is 1-based like ivf_centroids)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)], schema
     )

@@ -143,3 +143,51 @@ def test_multimodal_resize_and_frames(spark, docs):
 
     with pytest.raises(Exception):
         resize_images(payloads, 8, 8, mode="strict").collect()
+
+
+def test_kmeans_ivf_training(spark):
+    """Lloyd's k-means converges on separable blobs, is deterministic, and
+    trained centroids beat the seed stub on IVF recall."""
+    import numpy as np
+    from pyspark.sql import functions as F, types as T
+
+    from duckdb_delta_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 120
+    blobs = rng.normal(size=(4, dim)) * 5
+    rows = []
+    for b, center in enumerate(blobs):
+        pts = center + rng.normal(scale=0.3, size=(per, dim))
+        rows += [
+            (b * per + i, [float(x) for x in pts[i]]) for i in range(per)
+        ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    cents = S.kmeans_fit(df, k=4, max_iter=15)
+    cents2 = S.kmeans_fit(df, k=4, max_iter=15)
+    assert cents == cents2  # deterministic
+    # every trained centroid sits near one true blob center (cosine)
+    c = np.array(cents)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    bn = blobs / np.linalg.norm(blobs, axis=1, keepdims=True)
+    best = (cn @ bn.T).max(axis=1)
+    assert (best > 0.99).all(), best
+
+    # recall@5 of IVF with trained centroids vs exact brute force
+    queries = df.where(F.col("vec_id") % 60 == 0)
+    exact = S.brute_force_topk(df, queries, k=5)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    approx = S.ivf_topk(
+        df, queries, k=5, nprobe=1,
+        centroids=S.centroids_df(spark, cents),
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall  # blobs are separable; nprobe=1 suffices
