@@ -38,6 +38,7 @@ EVENTS = (
     "delete.apply",        # table_path, version, n_deleted, n_files
     "update.apply",        # table_path, version, n_updated
     "merge.apply",         # table_path, version, n_matched, n_inserted
+    "restore.apply",       # table_path, version, restored_to, n_readded, n_removed
     "compact.apply",       # table_path, version, n_removed, n_added
     "vacuum.apply",        # table_path, n_deleted
 )

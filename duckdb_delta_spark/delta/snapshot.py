@@ -30,6 +30,21 @@ from duckdb_delta_spark.delta.errors import (
 from duckdb_delta_spark.delta.log import DeltaLog
 
 #: reader features this engine implements; anything else in protocol.readerFeatures fails
+#: writer features this engine honors when committing; a table listing
+#: anything else in protocol.writerFeatures must not be written to
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "typeWidening",
+    "typeWidening-preview",
+    "domainMetadata",
+    "vacuumProtocolCheck",
+}
+
 SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",

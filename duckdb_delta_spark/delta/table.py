@@ -82,6 +82,10 @@ class DeltaTable:
         """MERGE INTO upsert (see DeltaWriter.merge)."""
         return self.writer(spark).merge(source, on, **kwargs)
 
+    def restore(self, spark: SparkSession, version: int) -> int | None:
+        """RESTORE TABLE TO VERSION (see DeltaWriter.restore)."""
+        return self.writer(spark).restore(version)
+
     def compact(self, spark: SparkSession, **kwargs) -> int | None:
         """OPTIMIZE bin-packing compaction (see DeltaWriter.compact)."""
         return self.writer(spark).compact(**kwargs)

@@ -41,7 +41,7 @@ from duckdb_delta_spark.delta.errors import (
     UnsupportedFeatureError,
 )
 from duckdb_delta_spark.delta.log import DeltaLog
-from duckdb_delta_spark.delta.snapshot import Snapshot
+from duckdb_delta_spark.delta.snapshot import SUPPORTED_WRITER_FEATURES, Snapshot
 
 ENGINE_INFO = "duckdb-delta-spark/0.1"
 _STATS_TRUNC = 32
@@ -143,8 +143,15 @@ class DeltaWriter:
         txn_version: int | None = None,
         txn_expected_last: int | None = None,
         max_retries: int = 0,
+        merge_schema: bool = False,
     ) -> int:
         """Blind append. Returns the committed version.
+
+        ``merge_schema``: columns in ``df`` the table lacks widen the
+        table schema (added nullable) in the SAME commit — the mergeSchema
+        append users expect; old files read the new columns as typed NULLs
+        (the schema-evolution read path). With it set, existing columns
+        absent from ``df`` fill with NULL instead of erroring.
 
         Conflict handling: data files are written once (uuid names cannot
         collide); on a lost commit race we re-resolve the snapshot and retry
@@ -158,15 +165,44 @@ class DeltaWriter:
         # conform input columns to table schema (order + types)
         from pyspark.sql import functions as F
 
-        missing = [f.name for f in schema.fields if f.name not in df.columns]
-        if missing:
-            raise SchemaError(f"input missing table columns: {missing}")
-        # cast to the nullable shape — Spark refuses to cast a nullable
-        # value into a non-nullable struct field, and NOT NULL enforcement
-        # is ours (stats-based, post-write) anyway
-        df = df.select(
-            *[F.col(f.name).cast(_nullable_type(f.dataType)) for f in schema.fields]
-        )
+        self._assert_writable("WRITE")
+        schema_widened = False
+        if merge_schema:
+            known = set(schema.fieldNames())
+            new_fields = [f for f in df.schema.fields if f.name not in known]
+            if new_fields:
+                if snapshot.column_mapping_mode != "none":
+                    raise UnsupportedFeatureError(
+                        "merge_schema on a column-mapped table (new columns "
+                        "need mapping ids)"
+                    )
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField(f.name, _nullable_type(f.dataType), True)
+                        for f in new_fields
+                    ]
+                )
+                schema_widened = True
+            sel = [
+                (
+                    F.col(f.name) if f.name in df.columns else F.lit(None)
+                ).cast(_nullable_type(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+        else:
+            missing = [f.name for f in schema.fields if f.name not in df.columns]
+            if missing:
+                raise SchemaError(f"input missing table columns: {missing}")
+            # cast to the nullable shape — Spark refuses to cast a nullable
+            # value into a non-nullable struct field, and NOT NULL
+            # enforcement is ours (stats-based, post-write) anyway
+            sel = [
+                F.col(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+        df = df.select(*sel)
+        self._enforce_check_constraints(df)
 
         # Column mapping (name/id mode): write under PHYSICAL names with
         # parquet.field.id so both name- and id-resolving readers work
@@ -187,6 +223,10 @@ class DeltaWriter:
         moved, adds = self._write_data(df, schema, parts)
 
         actions: list[dict] = [{"commitInfo": _commit_info("WRITE", {"mode": "Append"})}]
+        if schema_widened:
+            meta = dict(snapshot.metadata)
+            meta["schemaString"] = schema.json()
+            actions.append({"metaData": meta})
         if txn_app_id is not None and txn_version is not None:
             actions.append(
                 {"txn": {"appId": txn_app_id, "version": int(txn_version),
@@ -217,6 +257,65 @@ class DeltaWriter:
                         ) from None
                 snapshot = self._snapshot = fresh
                 version = snapshot.version + 1
+
+    def _assert_writable(self, operation: str, removes_rows: bool = False) -> None:
+        """Writer-protocol gate (Delta spec: a writer must not commit to a
+        table whose writer features/config it cannot honor)."""
+        snap = self._snapshot
+        proto = snap.protocol
+        if int(proto.get("minWriterVersion", 2)) >= 7:
+            unsupported = set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
+            if unsupported:
+                raise UnsupportedFeatureError(
+                    f"writer features not supported: {sorted(unsupported)}"
+                )
+        conf = snap.configuration
+        if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
+            # honoring CDF means producing _change_data files; we derive
+            # changes from the log instead (delta/changes.py) but must not
+            # write to tables whose consumers expect _change_data
+            raise UnsupportedFeatureError(
+                "write to a table with delta.enableChangeDataFeed"
+            )
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            if "delta.generationExpression" in md or any(
+                k.startswith("delta.identity.") for k in md
+            ):
+                raise UnsupportedFeatureError(
+                    f"write with generated/identity column {f.name!r}"
+                )
+        if removes_rows and conf.get("delta.appendOnly", "").lower() == "true":
+            raise UnsupportedFeatureError(
+                f"{operation} on an append-only table (delta.appendOnly)"
+            )
+
+    def _enforce_check_constraints(self, df: DataFrame) -> None:
+        """CHECK constraints from ``delta.constraints.<name>`` config —
+        violated when the expression is FALSE (NULL passes), evaluated in
+        ONE job across all constraints (writer feature checkConstraints)."""
+        from pyspark.sql import functions as F
+
+        checks = [
+            (name[len("delta.constraints."):], expr)
+            for name, expr in self._snapshot.configuration.items()
+            if name.startswith("delta.constraints.")
+        ]
+        if not checks:
+            return
+        flags = df.agg(
+            *[
+                F.max(
+                    F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, (_n, e) in enumerate(checks)
+            ]
+        ).first()
+        for i, (name, expr) in enumerate(checks):
+            if flags[f"c{i}"]:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name!r} violated: {expr}"
+                )
 
     def _write_data(
         self, df: DataFrame, schema: T.StructType, parts: list[str]
@@ -446,6 +545,7 @@ class DeltaWriter:
         from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 
         snap = self._snapshot
+        self._assert_writable("DELETE", removes_rows=True)
         if isinstance(condition, str):
             condition = F.expr(condition)
 
@@ -628,6 +728,7 @@ class DeltaWriter:
         from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 
         snap = self._snapshot
+        self._assert_writable("UPDATE", removes_rows=True)
         if snap.column_mapping_mode != "none":
             raise UnsupportedFeatureError("update on column-mapped table")
         if isinstance(condition, str):
@@ -662,6 +763,7 @@ class DeltaWriter:
                 for f in schema.fields
             ]
         )
+        self._enforce_check_constraints(new_rows)
         moved, adds_new = self._write_data(new_rows, schema, snap.partition_columns)
 
         actions: list[dict] = [
@@ -718,6 +820,9 @@ class DeltaWriter:
         from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 
         snap = self._snapshot
+        self._assert_writable(
+            "MERGE", removes_rows=bool(when_matched_update) or when_matched_delete
+        )
         if snap.column_mapping_mode != "none":
             raise UnsupportedFeatureError("merge on column-mapped table")
         if when_matched_update and when_matched_delete:
@@ -785,6 +890,7 @@ class DeltaWriter:
             new_rows = new_parts[0]
             for p in new_parts[1:]:
                 new_rows = new_rows.unionByName(p)
+            self._enforce_check_constraints(new_rows)
             moved, adds_new = self._write_data(
                 new_rows, schema, snap.partition_columns
             )
@@ -825,6 +931,99 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version, n_matched, n_inserted
 
+    # ---------- RESTORE ----------
+
+    def restore(self, version: int) -> int | None:
+        """RESTORE TABLE TO VERSION: commit the diff that makes HEAD's file
+        set equal the target version's (standard Delta RESTORE — history is
+        preserved, the restore is itself a new commit). Returns the new
+        version, or None when HEAD already matches.
+
+        Raises MissingVersionError when a required data file has been
+        vacuumed away (restore outside the retention window).
+        """
+        from duckdb_delta_spark.delta.errors import MissingVersionError
+
+        snap_now = self._snapshot
+        self._assert_writable("RESTORE", removes_rows=True)
+        snap_old = Snapshot.build(self.log, version)
+
+        re_add = [
+            f for k, f in snap_old.files.items() if k not in snap_now.files
+        ]
+        drop = [
+            f for k, f in snap_now.files.items() if k not in snap_old.files
+        ]
+        meta_changed = snap_old.metadata.get("schemaString") != snap_now.metadata.get(
+            "schemaString"
+        ) or snap_old.metadata.get("partitionColumns") != snap_now.metadata.get(
+            "partitionColumns"
+        )
+        if not re_add and not drop and not meta_changed:
+            return None
+        for f in re_add:
+            if not os.path.exists(f.absolute_path(self.table_path)):
+                raise MissingVersionError(
+                    f"cannot restore to version {version}: data file "
+                    f"{f.path!r} no longer exists (vacuumed)"
+                )
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": _commit_info(
+                    "RESTORE",
+                    {
+                        "version": str(version),
+                        "numRestoredFiles": str(len(re_add)),
+                        "numRemovedFiles": str(len(drop)),
+                    },
+                )
+            }
+        ]
+        if meta_changed:
+            actions.append({"metaData": dict(snap_old.metadata)})
+        for f in re_add:
+            add = {
+                "path": f.path,
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+                "modificationTime": f.modification_time,
+                "dataChange": True,
+                "stats": f.stats,
+            }
+            if f.tags:
+                add["tags"] = f.tags
+            if f.deletion_vector:
+                add["deletionVector"] = f.deletion_vector
+            actions.append({"add": add})
+        for f in drop:
+            remove = {
+                "path": f.path,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+            }
+            if f.deletion_vector:
+                remove["deletionVector"] = f.deletion_vector
+            actions.append({"remove": remove})
+
+        new_version = snap_now.version + 1
+        self.log.commit(new_version, actions)
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "restore.apply",
+            table_path=self.table_path,
+            version=new_version,
+            restored_to=version,
+            n_readded=len(re_add),
+            n_removed=len(drop),
+        )
+        self._snapshot = Snapshot.build(self.log, base=snap_now)
+        return new_version
+
     # ---------- maintenance: compaction / vacuum ----------
 
     def compact(
@@ -857,6 +1056,7 @@ class DeltaWriter:
         names with field ids (sort_by names stay logical).
         """
         snap = self._snapshot
+        self._assert_writable("OPTIMIZE")
         schema = snap.schema
         parts = snap.partition_columns
         mode = snap.column_mapping_mode

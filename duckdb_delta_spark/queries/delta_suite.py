@@ -561,3 +561,22 @@ def delta_changes_scan(spark, sf_dir):
     return ch.groupBy("_change_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
     )
+
+
+# engine-written RESTORE: HEAD equals version 1's content, as a new commit
+@register(
+    "delta_restore_scan",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < {FX.EVO_KEY_SPLIT}
+    GROUP BY o_orderstatus
+    """,
+    group="delta",
+)
+def delta_restore_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_restore")
+    assert t.version >= 3  # the restore commit exists
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 12  # bump to force a rebuild
+LAYOUT_VERSION = 13  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -68,6 +68,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_lineitem_bigdv(spark, sf_dir, os.path.join(root, "lineitem_bigdv"))
     _build_orders_upd(spark, sf_dir, os.path.join(root, "orders_upd"))
     _build_orders_merge(spark, sf_dir, os.path.join(root, "orders_merge"))
+    _build_orders_restore(spark, sf_dir, os.path.join(root, "orders_restore"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -598,3 +599,13 @@ def _build_orders_merge(spark, sf_dir, path):
         when_matched_update={"o_totalprice": "s.o_totalprice"},
     )
     assert res is not None and res[1] > 0 and res[2] > 0
+
+
+def _build_orders_restore(spark, sf_dir, path):
+    """RESTORE through the writer: two appends split at EVO_KEY_SPLIT,
+    then restore to v1 — final content is exactly the first half."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") < EVO_KEY_SPLIT).repartition(2))
+    w.append(o.where(F.col("o_orderkey") >= EVO_KEY_SPLIT).repartition(2))
+    assert w.restore(1) == 3

@@ -825,3 +825,103 @@ def _cm_schema():
             )
         ]
     )
+
+
+def test_append_only_and_check_constraints(spark, tdir):
+    """Writer-protocol gates: delta.appendOnly blocks row-removing ops
+    (appends/OPTIMIZE stay legal); delta.constraints.* CHECK expressions
+    reject violating writes in one job (NULL passes, per spec)."""
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("x", T.DoubleType())])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.appendOnly": "true",
+                       "delta.constraints.positive_x": "x > 0"},
+    )
+    ok = spark.range(10).select(F.col("id").alias("i"), (F.col("id") + 1.0).alias("x"))
+    w.append(ok.coalesce(1))
+    w.append(ok.coalesce(1))
+
+    with pytest.raises(errors.ConstraintViolationError, match="positive_x"):
+        w.append(spark.sql("SELECT 1L AS i, -5.0 AS x"))
+    # NULL passes a CHECK constraint
+    w.append(spark.sql("SELECT 2L AS i, CAST(NULL AS DOUBLE) AS x"))
+
+    for op in (lambda: w.delete("i = 1"),
+               lambda: w.update("i = 1", {"x": "0.0"}),
+               lambda: w.merge(ok, "t.i = s.i",
+                               when_matched_delete=True,
+                               when_not_matched_insert=False),
+               lambda: w.restore(1)):
+        with pytest.raises(errors.UnsupportedFeatureError, match="append-only"):
+            op()
+    # OPTIMIZE only reorganizes — allowed on append-only tables
+    assert DeltaWriter(tdir, spark).compact(target_file_bytes=64 << 20) is not None
+
+
+def test_unsupported_writer_feature_blocks_commit(spark, tdir):
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(5).select(F.col("id").alias("i")))
+    DeltaLog(tdir).commit(2, [
+        {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["appendOnly", "icebergCompatV2"]}},
+    ])
+    with pytest.raises(errors.UnsupportedFeatureError, match="icebergCompatV2"):
+        DeltaWriter(tdir, spark).append(
+            spark.range(5).select(F.col("id").alias("i")))
+
+
+def test_restore_to_version(spark, tdir):
+    """RESTORE re-commits the target version's file set; history stays."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 20).coalesce(1))            # v1
+    w.append(_ids(spark, 20, lo=20).coalesce(1))     # v2
+    w.delete("i < 5")                                # v3
+    v = w.restore(1)                                 # v4: back to 20 rows
+    assert v == 4
+    t = DeltaTable(tdir)
+    assert t.to_df(spark).count() == 20
+    assert {r["i"] for r in t.to_df(spark).collect()} == set(range(20))
+    # post-restore history intact: v3 still shows the deleted state
+    assert DeltaTable(tdir, version=3).to_df(spark).count() == 35
+    # idempotent: restoring to HEAD-equal state is a no-op
+    assert DeltaWriter(tdir, spark).restore(4) is None
+    # appends continue on top
+    DeltaWriter(tdir, spark).append(_ids(spark, 5, lo=100).coalesce(1))
+    assert DeltaTable(tdir).to_df(spark).count() == 25
+    # restore beyond vacuum: drop a file v1 referenced, expect the guard
+    w2 = DeltaWriter(tdir, spark)
+    w2.delete("i >= 100")
+    DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    # v5's appended file is gone from disk now
+    with pytest.raises(errors.MissingVersionError):
+        DeltaWriter(tdir, spark).restore(5)
+
+
+def test_merge_schema_append(spark, tdir):
+    """mergeSchema append: new columns widen the table in the same commit;
+    old files read them as typed NULLs; absent existing columns fill NULL."""
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(10).select(F.col("id").alias("i")))
+
+    wide = spark.range(10, 20).select(
+        F.col("id").alias("i"), (F.col("id") * 2.0).alias("y")
+    )
+    w.append(wide, merge_schema=True)
+
+    t = DeltaTable(tdir)
+    assert set(t.snapshot.schema.fieldNames()) == {"i", "y"}
+    got = {r["i"]: r["y"] for r in t.to_df(spark).collect()}
+    assert len(got) == 20
+    assert got[5] is None          # pre-evolution file -> typed NULL
+    assert got[15] == 30.0
+    # appending the OLD shape still works (y fills NULL)
+    DeltaWriter(tdir, spark).append(
+        spark.range(20, 25).select(F.col("id").alias("i")), merge_schema=True
+    )
+    assert DeltaTable(tdir).to_df(spark).count() == 25
