@@ -313,3 +313,68 @@ def embedding_cosine_pairs(
             "lang_b",
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster candidate duplicate pairs into components:
+    (id, cluster_id = min id reachable). The canonical dedup finishing
+    step — MinHash/LSH emits PAIRS, but "keep one per duplicate GROUP"
+    needs the transitive closure.
+
+    Distributed min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until a fixpoint — the
+    simple variant of the large-star/small-star map-reduce algorithm.
+    Each iteration is one join + one aggregation (shuffles on id); rounds
+    needed = graph diameter in label-halving steps (log-ish for real dup
+    clusters, which are near-cliques). The edge set is cached — it is
+    re-joined every round — and convergence is a count of changed labels.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # undirected: both directions, plus self-loops to keep isolated ends
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # every node: min(own label, neighbors' labels)
+        neigh = (
+            sym.join(labels, sym.b == labels.id)
+            .select(sym.a.alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("id").cast("long"), F.col("label").cast("long").alias("cluster_id")
+    )

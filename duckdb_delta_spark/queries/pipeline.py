@@ -541,3 +541,41 @@ def mm_frame_sample(spark, sf_dir):
     return frames.select(
         "doc_id", "frame_index", F.hex(F.col("frame")).alias("frame_hex")
     )
+
+
+def _components_sql() -> str:
+    sig = _minhash_sig_sql()
+    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
+        f"ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(n_bands)
+    )
+    # transitive closure by recursive CTE, then min reachable id per node —
+    # tractable because the candidate graph is the SAME bounded pair set
+    # the Spark side clusters (the 0-hop + k-hop closure of dup groups)
+    return f"""
+    WITH RECURSIVE sigs AS ({sig}),
+    pairs AS ({unions}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS id, id AS r FROM nodes
+      UNION
+      SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id)
+    SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """
+
+
+@register("dedup_cluster", oracle=_components_sql(), group="dedup")
+def dedup_cluster(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs: connected components over the
+    MinHash/LSH candidate graph (min-label propagation — the large-star
+    family's simple variant). cluster_id = smallest doc_id reachable, the
+    canonical "keep this one" choice."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    return D.connected_components(pairs)

@@ -191,3 +191,21 @@ def test_kmeans_ivf_training(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, recall  # blobs are separable; nprobe=1 suffices
+
+
+def test_connected_components(spark):
+    """Min-label propagation finds transitive duplicate groups, including
+    a chain (a-b, b-c, c-d) no single pair join would close."""
+    from duckdb_delta_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> one cluster, label 1
+         (10, 11),                     # simple pair
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
