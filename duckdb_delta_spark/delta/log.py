@@ -67,9 +67,21 @@ class DeltaLog:
             hint = self.last_checkpoint_hint()
             if hint and "version" in hint:
                 v = int(hint["version"])
-                part = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
-                if os.path.isfile(part):
-                    checkpoints[v] = [part]
+                n = int(hint.get("parts") or 0)
+                if n:
+                    parts = [
+                        os.path.join(
+                            self.log_path,
+                            f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet",
+                        )
+                        for i in range(n)
+                    ]
+                    if all(os.path.isfile(p) for p in parts):
+                        checkpoints[v] = parts
+                else:
+                    part = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+                    if os.path.isfile(part):
+                        checkpoints[v] = [part]
             return commits, checkpoints
         for name in os.listdir(self.log_path):
             m = _COMMIT_RE.match(name)
@@ -205,10 +217,15 @@ class DeltaLog:
         )
         return path
 
-    def write_last_checkpoint(self, version: int, size: int) -> None:
+    def write_last_checkpoint(
+        self, version: int, size: int, parts: int | None = None
+    ) -> None:
         path = os.path.join(self.log_path, "_last_checkpoint")
+        hint: dict = {"version": version, "size": size}
+        if parts:
+            hint["parts"] = parts
         with open(path, "w", encoding="utf-8") as f:
-            json.dump({"version": version, "size": size}, f)
+            json.dump(hint, f)
 
     # ---------- helpers ----------
 

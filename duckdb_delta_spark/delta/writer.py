@@ -1296,11 +1296,15 @@ class DeltaWriter:
 
     # ---------- checkpoint ----------
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, max_rows_per_part: int | None = None) -> int:
         """Write ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` for HEAD.
 
-        Aggregates reconciled snapshot state into one parquet file —
-        idempotent, like the reference (checkpoint.test:26-41).
+        Aggregates reconciled snapshot state into parquet — idempotent,
+        like the reference (checkpoint.test:26-41). ``max_rows_per_part``
+        splits the manifest into classic multi-part checkpoint files
+        (``<v>.checkpoint.<i>.<n>.parquet``) so a 10M-file table's
+        checkpoint is written (and later read) in bounded chunks instead
+        of one giant row group.
         """
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -1369,9 +1373,24 @@ class DeltaWriter:
         schema = _checkpoint_arrow_schema()
         cols = {name: [r.get(name) for r in rows] for name in schema.names}
         table = pa.Table.from_pydict(cols, schema=schema)
-        path = os.path.join(self.log.log_path, f"{v:020d}.checkpoint.parquet")
-        pq.write_table(table, path)
-        self.log.write_last_checkpoint(v, len(rows))
+        if max_rows_per_part and len(rows) > max_rows_per_part:
+            n_parts = -(-len(rows) // max_rows_per_part)
+            for i in range(n_parts):
+                part = table.slice(i * max_rows_per_part, max_rows_per_part)
+                pq.write_table(
+                    part,
+                    os.path.join(
+                        self.log.log_path,
+                        f"{v:020d}.checkpoint.{i + 1:010d}.{n_parts:010d}.parquet",
+                    ),
+                )
+            self.log.write_last_checkpoint(v, len(rows), parts=n_parts)
+        else:
+            path = os.path.join(
+                self.log.log_path, f"{v:020d}.checkpoint.parquet"
+            )
+            pq.write_table(table, path)
+            self.log.write_last_checkpoint(v, len(rows))
         from duckdb_delta_spark.delta.logging import emit
 
         emit(

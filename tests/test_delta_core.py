@@ -925,3 +925,21 @@ def test_merge_schema_append(spark, tdir):
         spark.range(20, 25).select(F.col("id").alias("i")), merge_schema=True
     )
     assert DeltaTable(tdir).to_df(spark).count() == 25
+
+
+def test_multipart_checkpoint(spark, tdir):
+    """Classic multi-part checkpoints: manifest split across
+    <v>.checkpoint.<i>.<n>.parquet, replayed by concatenating parts."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(8):
+        w.append(_ids(spark, 10, lo=10 * k).coalesce(1))
+    v = w.checkpoint(max_rows_per_part=4)
+    names = sorted(os.listdir(os.path.join(tdir, "_delta_log")))
+    parts = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(parts) == 3  # 10 rows (protocol+meta+8 adds) / 4 per part
+    hint = json.load(open(os.path.join(tdir, "_delta_log", "_last_checkpoint")))
+    assert hint == {"version": v, "size": 10, "parts": 3}
+    # replay through the multi-part checkpoint (+ a later commit)
+    w.append(_ids(spark, 10, lo=80).coalesce(1))
+    assert DeltaTable(tdir).to_df(spark).count() == 90
+    assert DeltaTable(tdir, version=v).to_df(spark).count() == 80
