@@ -315,24 +315,32 @@ def embedding_cosine_pairs(
     )
 
 
+#: candidate graphs at or below this many edges collapse on the driver
+#: (union-find); above it, distributed min-label propagation
+CC_DRIVER_MAX_EDGES = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Cluster candidate duplicate pairs into components:
     (id, cluster_id = min id reachable). The canonical dedup finishing
     step — MinHash/LSH emits PAIRS, but "keep one per duplicate GROUP"
     needs the transitive closure.
 
-    Distributed min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbors until a fixpoint — the
-    simple variant of the large-star/small-star map-reduce algorithm.
+    The edge set is orders of magnitude smaller than the corpus (it's the
+    near-dup graph), so ≤ ``driver_max_edges`` edges collapse with a
+    driver-side union-find — exact, one collect, no iterative jobs. Above
+    that, distributed min-label propagation: every node repeatedly adopts
+    the smallest label among itself and its neighbors until a fixpoint —
+    the simple variant of the large-star/small-star map-reduce algorithm.
     Each iteration is one join + one aggregation (shuffles on id); rounds
     needed = graph diameter in label-halving steps (log-ish for real dup
-    clusters, which are near-cliques). The edge set is cached — it is
-    re-joined every round — and convergence is a count of changed labels.
+    clusters, which are near-cliques).
     """
     edges = (
         pairs.select(
@@ -341,6 +349,28 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        rows = edges.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so cluster_id is the smallest member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(out, "id long, cluster_id long")
     # undirected: both directions, plus self-loops to keep isolated ends
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -204,8 +204,12 @@ def test_connected_components(spark):
          (20, 21), (21, 22), (20, 22)],  # triangle
         "id_a long, id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20}
     got = {r["id"]: r["cluster_id"]
            for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
-                   10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    assert got == want  # driver union-find path
+    got_dist = {r["id"]: r["cluster_id"]
+                for r in connected_components(pairs, driver_max_edges=0).collect()}
+    assert got_dist == want  # distributed label-propagation path

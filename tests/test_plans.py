@@ -82,3 +82,55 @@ def test_dynamic_filter_reaches_parquet_scan(spark, tdir):
     sb = DeltaTable(tdir).scan(spark).dynamic_filter("i", dim, "k")
     plan = _plan(sb.to_df())
     assert "In(i, [5,6,7])" in plan or "i IN (5,6,7)" in plan.replace('"', "")
+
+
+def test_nested_filter_reaches_parquet_scan(spark, tdir):
+    """A dotted-path predicate must survive to the parquet reader as a
+    nested pushed filter AND prune unread struct branches."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+        ])),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(
+        spark.range(100).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a"), (F.col("id") * 2.0).alias("b")).alias("s"),
+        )
+    )
+    sb = DeltaTable(tdir).scan(spark).filter("s.a", ">=", 50).select("i", "s")
+    plan = _plan(sb.to_df())
+    assert "s.a" in plan and "GreaterThanOrEqual" in plan
+
+
+def test_tpcds_shape_joins_broadcast(spark):
+    """The stacked rollup+window query broadcasts its dim joins and keeps
+    one shuffle for the aggregate."""
+    from duckdb_delta_spark.queries import all_queries
+
+    q = all_queries()["ds_rollup_window"].fn(spark, SF)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" in plan  # ROLLUP lowered to Expand, not repeated scans
+    assert "Window" in plan
+
+
+def test_merge_matched_scan_reuses_broadcast(spark, tdir):
+    """MERGE's matched-row discovery joins the source BROADCAST against
+    the target scan (source is dim-sized by construction)."""
+    schema = T.StructType(
+        [T.StructField("i", T.LongType()), T.StructField("x", T.DoubleType())]
+    )
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(1000).select(F.col("id").alias("i"),
+                                      (F.col("id") * 1.0).alias("x")))
+    src = spark.range(10).select(F.col("id").alias("i"), F.lit(0.0).alias("x"))
+    sb = DeltaTable(tdir).scan(spark).with_virtual_columns()
+    matched = sb.to_df().alias("t").join(
+        F.broadcast(src.alias("s")), F.expr("t.i = s.i"), "left_semi"
+    )
+    plan = _plan(matched)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
