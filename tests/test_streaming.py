@@ -44,3 +44,69 @@ def test_sessionize_stream_emits_closed_sessions(spark):
     for r in out:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_delta_py_streaming_source(spark, tmp_path):
+    """readStream.format('delta_py'): offsets are log versions; each
+    restart resumes from the checkpoint and sees only NEW commits."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    tdir = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    w.append(spark.range(20).select(F.col("id").alias("i"),
+                                    (F.col("id") % 2).alias("g")))
+
+    def run_batch():
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", tdir)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    got = spark.read.schema(schema).parquet(out)
+    assert got.count() == 20
+    assert got.agg(F.sum("i")).collect()[0][0] == sum(range(20))
+    assert {r["g"] for r in got.select("g").distinct().collect()} == {0, 1}
+
+    # second commit; a resumed stream picks up ONLY the delta
+    DeltaWriter(tdir, spark).append(
+        spark.range(20, 30).select(F.col("id").alias("i"),
+                                   (F.col("id") % 2).alias("g")))
+    run_batch()
+    got2 = spark.read.schema(schema).parquet(out)
+    assert got2.count() == 30
+    assert got2.agg(F.sum("i")).collect()[0][0] == sum(range(30))
+
+    # OPTIMIZE is invisible to the stream; a DELETE fails it by default
+    assert DeltaWriter(tdir, spark).compact(target_file_bytes=64 << 20) is not None
+    run_batch()
+    assert spark.read.schema(schema).parquet(out).count() == 30
+    DeltaWriter(tdir, spark).delete("i < 2")
+    import pyspark.errors
+
+    try:
+        run_batch()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "stream over a DELETE commit must fail without ignoreChanges"
