@@ -86,3 +86,44 @@ def stream_sessionize(spark, sf_dir):
         "session_end",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "stream_delta_source",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="streaming",
+)
+def stream_delta_source(spark, sf_dir):
+    """The Delta STREAMING source end-to-end: follow the 3-commit
+    lineitem_multi fixture through readStream.format('delta_py') from
+    version 0 (offsets = log versions, per-file partitions, executor-side
+    pyarrow reads), aggregate in complete mode — equals the batch answer."""
+    import os
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    stream = (
+        spark.readStream.format("delta_py")
+        .option("path", os.path.join(root, "lineitem_multi"))
+        .option("startingVersion", "0")
+        .load()
+    )
+    agg = stream.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("qty"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete").select(
+        "l_returnflag", "n", "qty"
+    )
