@@ -33,7 +33,9 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -69,6 +71,9 @@ class DeltaPySource(DataSource):
 
     def streamReader(self, schema: StructType) -> "DeltaStreamReader":
         return DeltaStreamReader(self._path, schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "DeltaStreamWriter":
+        return DeltaStreamWriter(self._path, schema, self.options)
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -188,3 +193,102 @@ def _coerce_pv(v, dtype):
     if isinstance(dtype, T.DateType):
         return dt.date.fromisoformat(str(v)[:10])
     return v
+
+
+# ---------------------------------------------------------------- sink side
+
+
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    rel_path: str
+    size: int
+
+
+class DeltaStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("delta_py")`` — every micro-batch is one Delta
+    commit, made EXACTLY-ONCE by the transaction-version machinery: the
+    commit carries ``txn(appId, version=batchId)``, and a replayed batch
+    (failure → Spark re-runs it) is detected from the snapshot's
+    app-transaction map and skipped instead of double-appended.
+
+    Executors write parquet slices straight into the table directory
+    (uuid names cannot collide); the driver turns the commit messages
+    into add actions with footer stats. Unpartitioned tables only —
+    partitioned streaming writes need per-partition file splitting.
+    """
+
+    def __init__(self, table_path: str, schema: StructType, options):
+        self.table_path = os.path.abspath(table_path)
+        self.schema = schema
+        self.app_id = options.get(
+            "txnAppId", f"delta_py_sink:{self.table_path}"
+        )
+
+    def write(self, iterator) -> _WrittenFile | None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        names = [f.name for f in self.schema.fields]
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            # the API requires a message even for empty partitions
+            return _WrittenFile(rel_path="", size=0)
+        table = pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in rows], schema=arrow_schema
+        )
+        rel = f"part-stream-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.table_path, rel)
+        pq.write_table(table, full)
+        return _WrittenFile(rel_path=rel, size=os.path.getsize(full))
+
+    def commit(self, messages, batchId: int) -> None:
+        import time
+
+        from duckdb_delta_spark.delta.log import DeltaLog
+        from duckdb_delta_spark.delta.snapshot import Snapshot
+        from duckdb_delta_spark.delta.writer import _commit_info, _footer_stats
+
+        log = DeltaLog(self.table_path)
+        snap = Snapshot.build(log)
+        last = snap.transaction_version(self.app_id)
+        files = [m for m in messages if m is not None and m.rel_path]
+        if last is not None and batchId <= last:
+            # replayed batch: already committed — drop the rewritten files
+            for m in files:
+                try:
+                    os.unlink(os.path.join(self.table_path, m.rel_path))
+                except OSError:
+                    pass
+            return
+        now_ms = int(time.time() * 1000)
+        actions = [
+            {"commitInfo": _commit_info(
+                "STREAMING UPDATE", {"epochId": str(batchId)})},
+            {"txn": {"appId": self.app_id, "version": int(batchId),
+                     "lastUpdated": now_ms}},
+        ]
+        for m in files:
+            full = os.path.join(self.table_path, m.rel_path)
+            stats = _footer_stats(full, self.schema, set())
+            actions.append({"add": {
+                "path": m.rel_path,
+                "partitionValues": {},
+                "size": m.size,
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": json.dumps(stats, separators=(",", ":")),
+            }})
+        log.commit(snap.version + 1, actions)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.rel_path:
+                try:
+                    os.unlink(os.path.join(self.table_path, m.rel_path))
+                except OSError:
+                    pass

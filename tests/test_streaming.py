@@ -110,3 +110,68 @@ def test_delta_py_streaming_source(spark, tmp_path):
     except Exception:
         raised = True
     assert raised, "stream over a DELETE commit must fail without ignoreChanges"
+
+
+def test_delta_py_streaming_sink_roundtrip(spark, tmp_path):
+    """Delta -> stream -> Delta: the sink commits one Delta version per
+    micro-batch with txn(appId, batchId) idempotency; a second availableNow
+    run with the same checkpoint adds nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    src_dir = str(tmp_path / "src")
+    dst_dir = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("x", T.DoubleType())])
+    w = DeltaWriter.create(spark, src_dir, schema)
+    w.append(spark.range(25).select(F.col("id").alias("i"),
+                                    (F.col("id") * 0.5).alias("x")))
+    DeltaWriter.create(spark, dst_dir, schema)
+
+    def run():
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", src_dir)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("delta_py")
+            .option("path", dst_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    t = DeltaTable(dst_dir)
+    assert t.to_df(spark).count() == 25
+    assert t.to_df(spark).agg(F.sum("i")).collect()[0][0] == sum(range(25))
+    # add actions carry footer stats; commit carries the txn action
+    (last_v,) = [t.version]
+    import json as _json
+    import os as _os
+
+    actions = [
+        _json.loads(line)
+        for line in open(_os.path.join(
+            dst_dir, "_delta_log", f"{last_v:020d}.json"))
+    ]
+    assert any("txn" in a for a in actions)
+    add = next(a["add"] for a in actions if "add" in a)
+    assert _json.loads(add["stats"])["numRecords"] > 0
+
+    # re-running with the same checkpoint must not duplicate anything
+    run()
+    assert DeltaTable(dst_dir).to_df(spark).count() == 25
+    # a new source commit flows through as exactly one new version
+    DeltaWriter(src_dir, spark).append(
+        spark.range(25, 30).select(F.col("id").alias("i"),
+                                   (F.col("id") * 0.5).alias("x")))
+    run()
+    assert DeltaTable(dst_dir).to_df(spark).count() == 30
