@@ -127,3 +127,65 @@ def stream_delta_source(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete").select(
         "l_returnflag", "n", "qty"
     )
+
+
+@register(
+    "stream_delta_sink",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    group="streaming",
+)
+def stream_delta_sink(spark, sf_dir):
+    """Delta → Delta streaming roundtrip: readStream over the 3-commit
+    lineitem_multi fixture, writeStream through the exactly-once Delta
+    sink (one commit per micro-batch, txn(appId,batchId) idempotency,
+    Arrow batches end-to-end), then a plain DeltaTable scan of the
+    DESTINATION — equal to the batch answer over lineitem iff every row
+    survived the roundtrip exactly once."""
+    import os
+    import shutil
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    src = os.path.join(root, "lineitem_multi")
+    rt_root = os.path.join(root, "_sink_roundtrip")
+    shutil.rmtree(rt_root, ignore_errors=True)
+    dst = os.path.join(rt_root, "dst")
+    DeltaWriter.create(spark, dst, DeltaTable(src).schema())
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", dst)
+        .option("checkpointLocation", os.path.join(rt_root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        DeltaTable(dst)
+        .to_df(spark)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

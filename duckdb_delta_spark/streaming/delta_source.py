@@ -32,8 +32,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -151,8 +151,14 @@ class DeltaStreamReader(DataSourceStreamReader):
     # ---- executor-side read ----
 
     def read(self, partition: _FileSlice):
+        """Yield pyarrow RecordBatches (Spark 4.1 Arrow fast path) — the
+        data never materializes as Python rows on either side of the
+        socket; DV masks and partition constants are applied columnar."""
         import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         table = pq.read_table(partition.path)
         if partition.dv:
@@ -165,15 +171,21 @@ class DeltaStreamReader(DataSourceStreamReader):
             keep[deleted.astype("int64")] = False
             table = table.filter(keep)
 
+        arrow_schema = to_arrow_schema(self.schema)
         pvals = dict(partition.partition_values)
         cols = []
-        for f in self.schema.fields:
+        for f, af in zip(self.schema.fields, arrow_schema):
             if f.name in pvals:
-                v = pvals[f.name]
-                cols.append([_coerce_pv(v, f.dataType)] * table.num_rows)
+                v = _coerce_pv(pvals[f.name], f.dataType)
+                cols.append(
+                    pa.nulls(table.num_rows, af.type)
+                    if v is None
+                    else pa.array([v] * table.num_rows, type=af.type)
+                )
             else:
-                cols.append(table.column(f.name).to_pylist())
-        yield from zip(*cols) if table.num_rows else iter(())
+                cols.append(table.column(f.name).cast(af.type))
+        out = pa.Table.from_arrays(cols, schema=arrow_schema)
+        yield from out.to_batches()
 
 
 def _coerce_pv(v, dtype):
@@ -204,17 +216,18 @@ class _WrittenFile(WriterCommitMessage):
     size: int
 
 
-class DeltaStreamWriter(DataSourceStreamWriter):
+class DeltaStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("delta_py")`` — every micro-batch is one Delta
     commit, made EXACTLY-ONCE by the transaction-version machinery: the
     commit carries ``txn(appId, version=batchId)``, and a replayed batch
     (failure → Spark re-runs it) is detected from the snapshot's
     app-transaction map and skipped instead of double-appended.
 
-    Executors write parquet slices straight into the table directory
-    (uuid names cannot collide); the driver turns the commit messages
-    into add actions with footer stats. Unpartitioned tables only —
-    partitioned streaming writes need per-partition file splitting.
+    Executors stream Arrow RecordBatches straight into parquet slices in
+    the table directory (uuid names cannot collide) — no Python row
+    materialization; the driver turns the commit messages into add
+    actions with footer stats. Unpartitioned tables only — partitioned
+    streaming writes need per-partition file splitting.
     """
 
     def __init__(self, table_path: str, schema: StructType, options):
@@ -233,17 +246,22 @@ class DeltaStreamWriter(DataSourceStreamWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
-        names = [f.name for f in self.schema.fields]
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            # the API requires a message even for empty partitions
-            return _WrittenFile(rel_path="", size=0)
-        table = pa.Table.from_pylist(
-            [dict(zip(names, r)) for r in rows], schema=arrow_schema
-        )
         rel = f"part-stream-{uuid.uuid4().hex}.parquet"
         full = os.path.join(self.table_path, rel)
-        pq.write_table(table, full)
+        writer = None
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            if tbl.schema != arrow_schema:
+                tbl = tbl.cast(arrow_schema)
+            if writer is None:
+                writer = pq.ParquetWriter(full, arrow_schema)
+            writer.write_table(tbl)
+        if writer is None:
+            # the API requires a message even for empty partitions
+            return _WrittenFile(rel_path="", size=0)
+        writer.close()
         return _WrittenFile(rel_path=rel, size=os.path.getsize(full))
 
     def commit(self, messages, batchId: int) -> None:
