@@ -126,11 +126,14 @@ def resize_images(
 ) -> DataFrame:
     """Image resize as an Arrow-batched mapInPandas stage.
 
-    ``mode='fake'``: deterministic byte resampling (np.interp over the raw
-    bytes to width*height samples) so shapes/sizes behave like a real
-    resize without a codec. ``mode='strict'``: NotImplementedError — the
-    seam where PIL/opencv plugs in. Output payload size is bounded by
-    width*height, so downstream partition sizing is predictable."""
+    ``mode='fake'``: deterministic box-filter pooling — byte ``i`` of an
+    ``L``-byte payload lands in bucket ``i*n_out//L`` and each of the
+    ``n_out = width*height`` output bytes is the floored mean of its
+    bucket (integer-exact, so the SQL oracle reproduces it bit-for-bit;
+    a real resize is the same shape with pixel windows). ``mode='strict'``:
+    NotImplementedError — the seam where PIL/opencv plugs in. Output
+    payload size is bounded by width*height, so downstream partition
+    sizing is predictable."""
     import numpy as np
     import pandas as pd
 
@@ -150,9 +153,13 @@ def resize_images(
                 if len(b) == 0:
                     out.append(bytes(n_out))
                     continue
-                xs = np.linspace(0, len(b) - 1, n_out)
+                idx = (np.arange(len(b)) * n_out) // len(b)
+                sums = np.bincount(
+                    idx, weights=b.astype(np.float64), minlength=n_out
+                )
+                cnts = np.bincount(idx, minlength=n_out)
                 out.append(
-                    np.interp(xs, np.arange(len(b)), b).astype(np.uint8).tobytes()
+                    (sums // np.maximum(cnts, 1)).astype(np.uint8).tobytes()
                 )
             yield pd.DataFrame(
                 {

@@ -543,6 +543,56 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
+_RESIZE_N = 64  # 8×8 output "image"
+
+
+@register(
+    "mm_image_resize",
+    # fake resize = box pooling: byte i of an L-byte payload → bucket
+    # i*N//L; output byte j = floored mean of bucket j (0 if empty).
+    # Integer-exact, so the oracle rebuilds the identical blob from the
+    # hex of the payload — value-exact proof of the resize plumbing.
+    oracle=f"""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L FROM documents),
+    bytes AS (SELECT doc_id, L, unnest(range(0, L)) AS i FROM p),
+    vals AS (
+      SELECT b.doc_id, (b.i * {_RESIZE_N}) // b.L AS j,
+             (strpos('0123456789ABCDEF',
+                     substr(p.hx, CAST(b.i*2+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF',
+                      substr(p.hx, CAST(b.i*2+2 AS INT), 1)) - 1 AS v
+      FROM bytes b JOIN p USING (doc_id)),
+    pooled AS (
+      SELECT doc_id, j, CAST(sum(v) // count(*) AS INT) AS pv
+      FROM vals GROUP BY doc_id, j),
+    k AS (SELECT unnest(range(0, {_RESIZE_N})) AS j),
+    filled AS (
+      SELECT p.doc_id, k.j, coalesce(pl.pv, 0) AS pv
+      FROM p CROSS JOIN k
+      LEFT JOIN pooled pl ON pl.doc_id = p.doc_id AND pl.j = k.j)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           string_agg(printf('%02X', pv), '' ORDER BY j) AS resized_hex
+    FROM filled GROUP BY doc_id
+    """,
+    group="multimodal",
+)
+def mm_image_resize(spark, sf_dir):
+    """Image-resize plumbing: payload → fixed 8×8 byte grid via the
+    Arrow-batched mapInPandas box-pool stub (a real PIL/opencv resize
+    swaps in at the documented strict-mode seam with the same schema,
+    batch shape, and bounded output size)."""
+    from duckdb_delta_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents")
+    out = M.resize_images(M.with_payload(docs), width=8, height=8)
+    return out.select(
+        "doc_id", "width", "height",
+        F.hex(F.col("resized")).alias("resized_hex"),
+    )
+
+
 def _components_sql() -> str:
     sig = _minhash_sig_sql()
     n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
