@@ -59,7 +59,7 @@ SUPPORTED_READER_FEATURES = {
 }
 
 
-@dataclass
+@dataclass(slots=True)
 class AddFile:
     """One live data file (a reconciled ``add`` action)."""
 
@@ -227,15 +227,46 @@ class Snapshot:
 
     @staticmethod
     def _struct_field_list(arr, name: str, n: int) -> list:
+        """One checkpoint struct field → flat Python list. All-null fields
+        (deletionVector/tags on most tables) short-circuit: ``to_pylist``
+        of 1M nulls still costs ~1s/field."""
         if name not in {f.name for f in arr.type}:
             return [None] * n
-        return arr.field(name).to_pylist()
+        f = arr.field(name)
+        if f.null_count == n:
+            return [None] * n
+        return f.to_pylist()
+
+    @staticmethod
+    def _map_field_dicts(arr, name: str, n: int) -> list:
+        """A map<str,str> struct field → list of dicts (or None for empty).
+
+        ``MapArray.to_pylist`` materializes a list of (k, v) tuples per row
+        — ~5s for 1M rows even when every map is EMPTY. Decoding from the
+        flattened keys/items + offsets skips the tuple garbage; the common
+        unpartitioned case (all offsets equal) is pure numpy."""
+        if name not in {f.name for f in arr.type}:
+            return [None] * n
+        import pyarrow as pa
+
+        f = arr.field(name)
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        offs = f.offsets.to_numpy(zero_copy_only=False)
+        if offs[-1] == offs[0]:  # every map empty (unpartitioned table)
+            return [None] * n
+        keys = f.keys.to_pylist()
+        vals = f.items.to_pylist()
+        return [
+            dict(zip(keys[lo:hi], vals[lo:hi])) if hi > lo else None
+            for lo, hi in zip(offs[:-1], offs[1:])
+        ]
 
     def _apply_adds_columnar(self, arr) -> None:
         n = len(arr)
         fl = self._struct_field_list
         paths = fl(arr, "path", n)
-        pvals = fl(arr, "partitionValues", n)
+        pvals = self._map_field_dicts(arr, "partitionValues", n)
         sizes = fl(arr, "size", n)
         mtimes = fl(arr, "modificationTime", n)
         stats = fl(arr, "stats", n)
@@ -244,12 +275,9 @@ class Snapshot:
         files = self.files
         tombstones = self.tombstones
         for i in range(n):
-            pv = pvals[i]
-            if isinstance(pv, list):  # pyarrow map → list of (k, v)
-                pv = dict(pv)
             f = AddFile(
                 path=paths[i],
-                partition_values=pv or {},
+                partition_values=pvals[i] or {},
                 size=int(sizes[i] or 0),
                 modification_time=int(mtimes[i] or 0),
                 stats=stats[i],
