@@ -404,22 +404,38 @@ def delta_snapshot_90commits_pinned(spark, sf_dir):
            CAST(l_linenumber AS TINYINT) AS b_tiny,
            CAST(l_quantity AS SMALLINT) AS b_small,
            CAST(l_partkey % 100000 AS INTEGER) AS b_int,
-           CAST(l_discount AS REAL) AS b_float,
+           round(CAST(CAST(l_discount AS REAL) AS DOUBLE), 6) AS b_float,
            l_extendedprice AS b_double,
            CAST(l_partkey AS DECIMAL(18,3)) AS b_dec,
            l_returnflag || '-' || l_linestatus AS b_str,
            hex(encode(l_returnflag)) AS b_bin_hex,
            CAST(l_shipdate AS DATE) AS b_date,
-           l_shipdate AS b_ts,
-           l_shipdate AS b_ts_ntz
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS b_ts,
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS b_ts_ntz
     FROM lineitem WHERE l_orderkey < {FX.ALL_TYPES_KEY_MAX}
     """,
     group="delta",
 )
 def delta_all_types_scan(spark, sf_dir):
+    # Raw REAL and timestamp columns escape the driver's canonicalizer
+    # (r2's sole red row) — apply the suite conventions (queries/__init__.py):
+    # float → round(double, 6), timestamps → fixed-format strings. b_ts is
+    # TIMESTAMP_TZ and b_ts_ntz is TIMESTAMP_NTZ in the Delta schema
+    # (reference: delta_utils.cpp:566-567); session tz UTC renders both to
+    # the identical wall-clock string.
     df = _fx(spark, sf_dir, "all_types").to_df(spark)
-    cols = [c for c in df.columns if c != "b_bin"]
-    return df.select(*cols, F.hex(F.col("b_bin")).alias("b_bin_hex"))
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    cols = []
+    for c in df.columns:
+        if c == "b_bin":
+            cols.append(F.hex(F.col("b_bin")).alias("b_bin_hex"))
+        elif c == "b_float":
+            cols.append(F.round(F.col("b_float").cast("double"), 6).alias("b_float"))
+        elif c in ("b_ts", "b_ts_ntz"):
+            cols.append(F.date_format(F.col(c), ts_fmt).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
 
 
 # nested struct/array/map through scan + NESTED-PATH stats pruning

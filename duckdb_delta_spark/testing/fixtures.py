@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 13  # bump to force a rebuild
+LAYOUT_VERSION = 14  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -448,7 +448,10 @@ def _build_all_types(spark, sf_dir, path):
         F.concat_ws("-", "l_returnflag", "l_linestatus").alias("b_str"),
         F.encode(F.col("l_returnflag"), "UTF-8").alias("b_bin"),
         F.col("l_shipdate").cast("date").alias("b_date"),
-        F.col("l_shipdate").alias("b_ts"),
+        # reference distinguishes TIMESTAMP_TZ (UTC-adjusted `timestamp`)
+        # from `timestamp_ntz` (delta_utils.cpp:566-567); session tz is UTC
+        # so both carry the same wall-clock instant here.
+        F.col("l_shipdate").cast("timestamp").alias("b_ts"),
         F.col("l_shipdate").cast("timestamp_ntz").alias("b_ts_ntz"),
     )
     w = DeltaWriter.create(spark, path, df.schema)
