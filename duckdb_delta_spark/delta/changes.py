@@ -87,10 +87,18 @@ def table_changes(
             parts.append(_tag(ins, "insert", v))
 
         if masked:
-            diffs = _dv_diffs(log.table_path, adds, removes, masked)
-            if diffs:
-                dels = _rows_at(prev, spark, list(diffs), diffs)
+            pairs, card = _dv_diff_descriptors(adds, removes, masked)
+            if pairs and card > DIFF_JOIN_MAX:
+                # big diffs: never decode on the driver — ship descriptor
+                # PAIRS, decode + setdiff1d executor-side (scan big-DV
+                # pattern, scan.py _apply_deletion_vectors)
+                dels = _rows_at_big(prev, spark, pairs)
                 parts.append(_tag(dels, "delete", v))
+            elif pairs:
+                diffs = _dv_diffs(log.table_path, pairs)
+                if diffs:
+                    dels = _rows_at(prev, spark, list(diffs), diffs)
+                    parts.append(_tag(dels, "delete", v))
 
         if dropped:
             dels = (
@@ -121,16 +129,31 @@ def _tag(df: DataFrame, change: str, version: int) -> DataFrame:
     )
 
 
-def _dv_diffs(
-    table_path: str, adds: dict, removes: dict, masked: list[str]
-) -> dict[str, np.ndarray]:
-    """Per path: row indexes newly deleted in this commit (dvNew − dvOld)."""
-    out: dict[str, np.ndarray] = {}
+def _dv_diff_descriptors(
+    adds: dict, removes: dict, masked: list[str]
+) -> tuple[dict[str, tuple[dict | None, dict | None]], int]:
+    """Per path: the (dvNew, dvOld) DESCRIPTOR pair when the mask changed,
+    plus an upper bound on diff rows (sum of dvNew cardinalities) — routing
+    needs no decode, exactly like the scan's DV router."""
+    out: dict[str, tuple[dict | None, dict | None]] = {}
+    card = 0
     for path in masked:
         dv_new = adds[path].get("deletionVector")
         dv_old = removes[path].get("deletionVector")
         if _dv_unique_id(dv_new) == _dv_unique_id(dv_old):
             continue  # same mask re-added (e.g. metadata-only rewrite)
+        out[path] = (dv_new, dv_old)
+        card += int((dv_new or {}).get("cardinality") or 0)
+    return out, card
+
+
+def _dv_diffs(
+    table_path: str, pairs: dict[str, tuple[dict | None, dict | None]]
+) -> dict[str, np.ndarray]:
+    """Small-diff path: decode on the driver (bounded by DIFF_JOIN_MAX
+    cardinality), per path dvNew − dvOld row indexes."""
+    out: dict[str, np.ndarray] = {}
+    for path, (dv_new, dv_old) in pairs.items():
         new_rows = (
             read_dv_from_descriptor(dv_new, table_path)
             if dv_new
@@ -145,6 +168,89 @@ def _dv_diffs(
         if len(diff):
             out[path] = diff.astype("int64")
     return out
+
+
+def _rows_at_big(
+    prev: Snapshot,
+    spark: SparkSession,
+    pairs: dict[str, tuple[dict | None, dict | None]],
+) -> DataFrame:
+    """Big-diff path: broadcast only the O(#files) descriptor PAIRS; each
+    executor decodes the two DV files behind its splits and keeps rows in
+    ``dvNew − dvOld``. Driver memory stays O(#descriptors) — never
+    O(deleted rows) (mirror of scan.py's big-DV route)."""
+    from duckdb_delta_spark.delta.logging import emit
+    from duckdb_delta_spark.delta.scan import FILE_COL, ROW_COL
+
+    table_path = prev.log.table_path
+    paths = list(pairs)
+    emit(
+        "changes.dv_route",
+        table_path=table_path,
+        n_descriptors=len(pairs),
+        route="executor_decode",
+    )
+    sb = DeltaScanBuilder(prev, spark).with_virtual_columns().restrict_paths(paths)
+    df = sb.to_df()
+    by_uri = {
+        DeltaScanBuilder._spark_file_uri(
+            f.absolute_path(table_path)
+        ): pairs[f.path]
+        for f in prev.add_files()
+        if f.path in pairs
+    }
+    bc = spark.sparkContext.broadcast(by_uri)
+
+    @F.pandas_udf(T.BooleanType())
+    def _in_diff(file_path: pd.Series, row_index: pd.Series) -> pd.Series:
+        from duckdb_delta_spark.delta import dv as dvmod
+        from duckdb_delta_spark.delta.scan import _executor_dv_cache
+
+        cache = _executor_dv_cache()
+        keep = np.zeros(len(file_path), dtype=bool)
+        for uri, grp in pd.DataFrame(
+            {"f": file_path, "r": row_index}
+        ).groupby("f", sort=False):
+            descs = bc.value.get(uri)
+            if descs is None:
+                continue
+            dv_new, dv_old = descs
+            key = (
+                table_path,
+                "diff",
+                (dv_new or {}).get("pathOrInlineDv"),
+                (dv_new or {}).get("offset"),
+                (dv_old or {}).get("pathOrInlineDv"),
+                (dv_old or {}).get("offset"),
+            )
+            arr = cache.get(key)
+            if arr is None:
+                new_rows = (
+                    dvmod.read_dv_from_descriptor(dv_new, table_path)
+                    if dv_new
+                    else np.empty(0, dtype=np.uint64)
+                )
+                old_rows = (
+                    dvmod.read_dv_from_descriptor(dv_old, table_path)
+                    if dv_old
+                    else np.empty(0, dtype=np.uint64)
+                )
+                arr = np.setdiff1d(new_rows, old_rows).astype("int64")
+                cache[key] = arr
+            if len(arr) == 0:
+                continue
+            rows = grp["r"].to_numpy(dtype="int64")
+            pos = np.searchsorted(arr, rows)
+            hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == rows)
+            keep[grp.index.to_numpy()] = hit
+        return pd.Series(keep)
+
+    data_cols = [c for c in df.columns
+                 if c not in ("filename", "file_row_number", "delta_file_number",
+                              FILE_COL, ROW_COL)]
+    return df.filter(
+        _in_diff(F.col("filename"), F.col("file_row_number"))
+    ).select(*data_cols)
 
 
 def _rows_at(
@@ -162,44 +268,23 @@ def _rows_at(
         for f in prev.add_files()
         if f.path in rows_by_path
     }
-    total = sum(len(v) for v in by_uri.values())
     from duckdb_delta_spark.delta.scan import FILE_COL, ROW_COL
 
     data_cols = [c for c in df.columns
                  if c not in ("filename", "file_row_number", "delta_file_number",
                               FILE_COL, ROW_COL)]
-    if total <= DIFF_JOIN_MAX:
-        pairs = [(uri, int(r)) for uri, arr in by_uri.items() for r in arr]
-        wanted = spark.createDataFrame(
-            pairs,
-            T.StructType(
-                [
-                    T.StructField("filename", T.StringType()),
-                    T.StructField("file_row_number", T.LongType()),
-                ]
-            ),
-        )
-        return df.join(
-            F.broadcast(wanted), on=["filename", "file_row_number"], how="left_semi"
-        ).select(*data_cols)
-
-    bc = spark.sparkContext.broadcast(by_uri)
-
-    @F.pandas_udf(T.BooleanType())
-    def _wanted(file_path: pd.Series, row_index: pd.Series) -> pd.Series:
-        keep = np.zeros(len(file_path), dtype=bool)
-        for uri, grp in pd.DataFrame(
-            {"f": file_path, "r": row_index}
-        ).groupby("f", sort=False):
-            arr = bc.value.get(uri)
-            if arr is None or len(arr) == 0:
-                continue
-            rows = grp["r"].to_numpy(dtype="int64")
-            pos = np.searchsorted(arr, rows)
-            hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == rows)
-            keep[grp.index.to_numpy()] = hit
-        return pd.Series(keep)
-
-    return df.filter(
-        _wanted(F.col("filename"), F.col("file_row_number"))
+    # only reached on the small route (diff cardinality ≤ DIFF_JOIN_MAX):
+    # pure-JVM broadcast semi-join; big diffs go through _rows_at_big
+    wanted_pairs = [(uri, int(r)) for uri, arr in by_uri.items() for r in arr]
+    wanted = spark.createDataFrame(
+        wanted_pairs,
+        T.StructType(
+            [
+                T.StructField("filename", T.StringType()),
+                T.StructField("file_row_number", T.LongType()),
+            ]
+        ),
+    )
+    return df.join(
+        F.broadcast(wanted), on=["filename", "file_row_number"], how="left_semi"
     ).select(*data_cols)

@@ -471,15 +471,27 @@ class DeltaScanBuilder:
         if has_dv:
             df = self._apply_deletion_vectors(df, files)
         if self._virtual:
+            # file→number is known driver-side (same ordering dense_rank
+            # would produce) — a broadcast map join keeps the scan fully
+            # partitioned; a global Window.orderBy(file) would funnel the
+            # whole table through ONE partition at 100 TB.
+            uris = sorted(
+                self._spark_file_uri(f.absolute_path(snap.log.table_path))
+                for f in files
+            )
+            fmap = self.spark.createDataFrame(
+                [(u, i + 1) for i, u in enumerate(uris)],
+                T.StructType(
+                    [
+                        T.StructField(FILE_COL, T.StringType()),
+                        T.StructField("delta_file_number", T.IntegerType()),
+                    ]
+                ),
+            )
             df = (
                 df.withColumn("filename", F.col(FILE_COL))
                 .withColumn("file_row_number", F.col(ROW_COL))
-                .withColumn(
-                    "delta_file_number",
-                    F.dense_rank().over(
-                        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(FILE_COL)
-                    ),
-                )
+                .join(F.broadcast(fmap), on=FILE_COL, how="left")
             )
 
         drop = [c for c in (FILE_COL, ROW_COL) if c in df.columns and not self._virtual]

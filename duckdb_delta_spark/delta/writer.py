@@ -740,31 +740,38 @@ class DeltaWriter:
 
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
         full = scan.to_df()
-        matched = full.where(condition)
-        results = self._dv_results(
-            snap,
-            matched.select(
-                F.col("filename").alias("f"), F.col("file_row_number").alias("r")
-            ),
-        )
-        if not results:
-            return None
-        n_updated = sum(r["n_new"] for r in results)
+        # matched feeds two jobs (DV build + new-image write) — persist so
+        # the scan/filter runs once, spilling to disk if it doesn't fit
+        matched = full.where(condition).persist()
+        try:
+            results = self._dv_results(
+                snap,
+                matched.select(
+                    F.col("filename").alias("f"), F.col("file_row_number").alias("r")
+                ),
+            )
+            if not results:
+                return None
+            n_updated = sum(r["n_new"] for r in results)
 
-        def _assigned(name):
-            a = assignments.get(name)
-            if a is None:
-                return F.col(name)
-            return F.expr(a) if isinstance(a, str) else a
+            def _assigned(name):
+                a = assignments.get(name)
+                if a is None:
+                    return F.col(name)
+                return F.expr(a) if isinstance(a, str) else a
 
-        new_rows = matched.select(
-            *[
-                _assigned(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
-                for f in schema.fields
-            ]
-        )
-        self._enforce_check_constraints(new_rows)
-        moved, adds_new = self._write_data(new_rows, schema, snap.partition_columns)
+            new_rows = matched.select(
+                *[
+                    _assigned(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            self._enforce_check_constraints(new_rows)
+            moved, adds_new = self._write_data(
+                new_rows, schema, snap.partition_columns
+            )
+        finally:
+            matched.unpersist()
 
         actions: list[dict] = [
             {"commitInfo": _commit_info("UPDATE", {"numUpdatedRows": str(n_updated)})}
@@ -865,7 +872,7 @@ class DeltaWriter:
                     ]
                 )
             )
-        n_inserted = 0
+        ins = None
         if when_not_matched_insert:
             missing = [f.name for f in schema.fields if f.name not in source.columns]
             if missing:
@@ -878,22 +885,32 @@ class DeltaWriter:
                     for f in schema.fields
                 ]
             )
-            n_inserted = ins.count()
+
+        # ONE write job per branch, each frame computed exactly once —
+        # n_inserted comes from the written files' footer numRecords
+        # instead of a separate count() job re-running the anti-join
+        moved, adds_new, n_inserted = [], [], 0
+        for branch in new_parts:
+            self._enforce_check_constraints(branch)
+            m, a = self._write_data(branch, schema, snap.partition_columns)
+            moved.extend(m)
+            adds_new.extend(a)
+        if ins is not None:
+            self._enforce_check_constraints(ins)
+            m, a = self._write_data(ins, schema, snap.partition_columns)
+            n_inserted = sum(
+                int(json.loads(ad.get("stats") or "{}").get("numRecords") or 0)
+                for ad in a
+            )
             if n_inserted:
-                new_parts.append(ins)
+                moved.extend(m)
+                adds_new.extend(a)
+            else:
+                self._rollback(m)
 
         if not results and not n_inserted:
+            self._rollback(moved)
             return None
-
-        moved, adds_new = [], []
-        if new_parts:
-            new_rows = new_parts[0]
-            for p in new_parts[1:]:
-                new_rows = new_rows.unionByName(p)
-            self._enforce_check_constraints(new_rows)
-            moved, adds_new = self._write_data(
-                new_rows, schema, snap.partition_columns
-            )
 
         actions: list[dict] = [
             {

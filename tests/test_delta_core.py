@@ -752,6 +752,32 @@ def test_change_feed(spark, tdir):
                                   if i % 20 == 7} == live
 
 
+def test_change_feed_big_diff_executor_decode(spark, tdir, monkeypatch):
+    """Forcing the big-diff route: descriptor pairs ship to executors,
+    the DRIVER never decodes a DV (read_dv_from_descriptor monkeypatched
+    to raise on the driver — executor workers are separate processes)."""
+    from duckdb_delta_spark.delta import changes as chmod
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 40).coalesce(1))        # v1
+    w.delete("i < 6")                            # v2: dvNew vs none
+    w.delete("i < 10")                           # v3: dvNew vs dvOld
+
+    monkeypatch.setattr(chmod, "DIFF_JOIN_MAX", 0)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side DV decode on the big path")
+
+    monkeypatch.setattr(chmod, "read_dv_from_descriptor", _boom)
+    ch = DeltaTable(tdir).changes(spark, 1)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["i"]) for r in ch.collect()
+    )
+    assert got == [(2, "delete", i) for i in range(6)] + [
+        (3, "delete", i) for i in range(6, 10)
+    ]
+
+
 def test_compact_sort_by_clusters_ranges(spark, tdir):
     """compact(sort_by=...) range-clusters the rewrite: output files own
     disjoint key ranges, so stats skipping prunes where the original

@@ -134,3 +134,28 @@ def test_merge_matched_scan_reuses_broadcast(spark, tdir):
     )
     plan = _plan(matched)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_virtual_file_number_no_global_window(spark, tdir):
+    """delta_file_number comes from a broadcast file→index map, never a
+    global unpartitioned Window (which would funnel the scan through one
+    partition at scale)."""
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    for lo in (0, 100, 200):
+        w.append(spark.range(lo, lo + 100).select(F.col("id").alias("i")).coalesce(1))
+    df = DeltaTable(tdir).scan(spark).with_virtual_columns().to_df()
+    out = df.select("i", "delta_file_number", "filename")
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = out.collect()
+    nums = {r.delta_file_number for r in rows}
+    assert nums == {1, 2, 3}
+    # numbering follows filename sort order, matching dense_rank semantics
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.filename, set()).add(r.delta_file_number)
+    assert all(len(v) == 1 for v in by_file.values())
+    ordered = [n for _, (n,) in sorted((f, tuple(v)) for f, v in by_file.items())]
+    assert ordered == [1, 2, 3]
