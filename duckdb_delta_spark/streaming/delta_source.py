@@ -95,6 +95,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         # partition columns fixed at stream start
         snap = Snapshot.build(self._log)
         self._partition_columns = snap.partition_columns
+        if snap.column_mapping_mode != "none":
+            # footers carry PHYSICAL names the slice reader would miss
+            from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+
+            raise UnsupportedFeatureError(
+                "delta_py streaming source on a column-mapped table"
+            )
 
     # ---- offsets ----
 
@@ -182,6 +189,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if v is None
                     else pa.array([v] * table.num_rows, type=af.type)
                 )
+            elif f.name not in table.column_names:
+                # file predates a mergeSchema widening (startingVersion=0
+                # replay / RESTORE re-add) — surface typed NULLs, exactly
+                # like the batch scan's missing-column defaulting
+                cols.append(pa.nulls(table.num_rows, af.type))
             else:
                 cols.append(table.column(f.name).cast(af.type))
         out = pa.Table.from_arrays(cols, schema=arrow_schema)
@@ -216,6 +228,13 @@ class _WrittenFile(WriterCommitMessage):
     size: int
 
 
+#: driver-side snapshot cache for streaming sinks, keyed by table path —
+#: deliberately MODULE level: the writer object itself is pickled to
+#: executors for write(), and a Snapshot on self would ship the whole
+#: file manifest with every task
+_SINK_SNAP_CACHE: dict = {}
+
+
 class DeltaStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("delta_py")`` — every micro-batch is one Delta
     commit, made EXACTLY-ONCE by the transaction-version machinery: the
@@ -236,6 +255,52 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         self.app_id = options.get(
             "txnAppId", f"delta_py_sink:{self.table_path}"
         )
+        self._gate()
+
+    def _gate(self) -> None:
+        """Writer-protocol gate at stream start (mirror of
+        DeltaWriter._assert_writable): refuse tables this sink's blind
+        appends would corrupt or whose features it cannot honor."""
+        from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+        from duckdb_delta_spark.delta.log import DeltaLog
+        from duckdb_delta_spark.delta.snapshot import (
+            SUPPORTED_WRITER_FEATURES,
+            Snapshot,
+        )
+
+        snap = Snapshot.build(DeltaLog(self.table_path))
+        _SINK_SNAP_CACHE[self.table_path] = snap
+        if snap.partition_columns:
+            raise UnsupportedFeatureError(
+                "delta_py streaming sink on a partitioned table (adds would "
+                "carry empty partitionValues)"
+            )
+        if snap.column_mapping_mode != "none":
+            raise UnsupportedFeatureError(
+                "delta_py streaming sink on a column-mapped table"
+            )
+        proto = snap.protocol
+        if int(proto.get("minWriterVersion", 2)) >= 7:
+            unsupported = (
+                set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
+            )
+            if unsupported:
+                raise UnsupportedFeatureError(
+                    f"writer features not supported: {sorted(unsupported)}"
+                )
+        conf = snap.configuration
+        if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
+            raise UnsupportedFeatureError(
+                "write to a table with delta.enableChangeDataFeed"
+            )
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            if "delta.generationExpression" in md or any(
+                k.startswith("delta.identity.") for k in md
+            ):
+                raise UnsupportedFeatureError(
+                    f"write with generated/identity column {f.name!r}"
+                )
 
     def write(self, iterator) -> _WrittenFile | None:
         import uuid
@@ -272,7 +337,10 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         from duckdb_delta_spark.delta.writer import _commit_info, _footer_stats
 
         log = DeltaLog(self.table_path)
-        snap = Snapshot.build(log)
+        # incremental refresh from the cached snapshot: replays only the
+        # commits since the previous batch — a long-lived stream must not
+        # pay O(log length) driver replay per batch (O(n²) cumulative)
+        snap = Snapshot.build(log, base=_SINK_SNAP_CACHE.get(self.table_path))
         last = snap.transaction_version(self.app_id)
         files = [m for m in messages if m is not None and m.rel_path]
         if last is not None and batchId <= last:
@@ -282,6 +350,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     os.unlink(os.path.join(self.table_path, m.rel_path))
                 except OSError:
                     pass
+            _SINK_SNAP_CACHE[self.table_path] = snap
             return
         now_ms = int(time.time() * 1000)
         actions = [
@@ -302,6 +371,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 "stats": json.dumps(stats, separators=(",", ":")),
             }})
         log.commit(snap.version + 1, actions)
+        _SINK_SNAP_CACHE[self.table_path] = snap
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -175,3 +175,137 @@ def test_delta_py_streaming_sink_roundtrip(spark, tmp_path):
                                    (F.col("id") * 0.5).alias("x")))
     run()
     assert DeltaTable(dst_dir).to_df(spark).count() == 30
+
+
+def test_sink_commit_snapshot_cache_incremental(spark, tmp_path):
+    """The sink's per-batch snapshot refresh is INCREMENTAL from a cached
+    snapshot (replay_start == previous version + 1) — a long-lived stream
+    must not pay O(log length) driver replay per batch. Driven directly
+    (Spark runs commit() in a separate Python runner process, so the
+    in-process log sink can only observe a direct call)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.delta import logging as dlog
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaStreamWriter,
+        _WrittenFile,
+    )
+
+    dst = str(tmp_path / "dst")
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    DeltaWriter.create(spark, dst, schema)
+
+    sink = DeltaStreamWriter(dst, schema, {"txnAppId": "probe"})
+    events = []
+    dlog.add_sink(events.append)
+    try:
+        for batch_id in (0, 1, 2):
+            rel = f"probe-{batch_id}.parquet"
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {"i": [batch_id]}, schema=to_arrow_schema(schema)
+                ),
+                f"{dst}/{rel}",
+            )
+            sink.commit(
+                [_WrittenFile(rel_path=rel, size=100)], batchId=batch_id
+            )
+    finally:
+        dlog.remove_sink(events.append)
+
+    t = DeltaTable(dst)
+    assert t.version == 3
+    assert sorted(r["i"] for r in t.to_df(spark).collect()) == [0, 1, 2]
+    builds = [e for e in events
+              if e["event"] == "snapshot.build" and e["table_path"] == dst]
+    incr = [e for e in builds if e.get("incremental")]
+    assert incr, "sink must refresh its snapshot incrementally"
+    # each refresh replays AT MOST the one commit the sink itself wrote
+    # (replay_start == version+1 when the cache is already current)
+    assert all(e["replay_start"] >= e["version"] for e in incr)
+    # batches 1 and 2 both refresh incrementally — never a full replay
+    assert len(incr) >= 2
+
+
+def test_sink_and_source_gates(spark, tmp_path):
+    """Stream-start gating mirrors DeltaWriter._assert_writable: the sink
+    refuses partitioned / column-mapped / CDF tables instead of corrupting
+    them; the source refuses column-mapped tables it cannot read."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaWriter
+    from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaStreamReader,
+        DeltaStreamWriter,
+    )
+
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("g", T.LongType())])
+
+    part = str(tmp_path / "part")
+    DeltaWriter.create(spark, part, schema, partition_by=["g"])
+    with pytest.raises(UnsupportedFeatureError, match="partitioned"):
+        DeltaStreamWriter(part, schema, {})
+
+    cdf = str(tmp_path / "cdf")
+    DeltaWriter.create(spark, cdf, schema,
+                       configuration={"delta.enableChangeDataFeed": "true"})
+    with pytest.raises(UnsupportedFeatureError, match="ChangeDataFeed"):
+        DeltaStreamWriter(cdf, schema, {})
+
+    cm = str(tmp_path / "cm")
+    DeltaWriter.create(spark, cm, schema,
+                       configuration={"delta.columnMapping.mode": "name"})
+    with pytest.raises(UnsupportedFeatureError, match="column-mapped"):
+        DeltaStreamWriter(cm, schema, {})
+    with pytest.raises(UnsupportedFeatureError, match="column-mapped"):
+        DeltaStreamReader(cm, schema, {"startingVersion": "0"})
+
+
+def test_source_old_files_yield_nulls_for_widened_schema(spark, tmp_path):
+    """startingVersion=0 replay across a mergeSchema widening: files from
+    before the widening yield typed NULLs for the new column (batch scan's
+    missing-column defaulting, mirrored in the Arrow slice reader)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    tdir = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    s1 = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, s1)
+    w.append(spark.range(5).select(F.col("id").alias("i")))
+    wide = spark.range(5, 8).select(
+        F.col("id").alias("i"), F.lit(1.5).alias("x"))
+    DeltaWriter(tdir, spark).append(wide, merge_schema=True)
+
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s2 = T.StructType([T.StructField("i", T.LongType()),
+                       T.StructField("x", T.DoubleType())])
+    got = spark.read.schema(s2).parquet(out)
+    assert got.count() == 8
+    assert got.where("x IS NULL").count() == 5
+    assert got.where("x = 1.5").count() == 3
