@@ -29,14 +29,61 @@ from duckdb_delta_spark.delta.errors import (
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+_CHECKPOINT_PART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet$")
+#: v2 checkpoints: UUID-named manifest (json or parquet) + optional sidecars
+#: under _delta_log/_sidecars/ (Delta protocol spec, v2Checkpoint feature)
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\.(json|parquet)$"
+)
 
 ACTION_KEYS = ("metaData", "protocol", "add", "remove", "txn", "domainMetadata", "commitInfo", "cdc")
+
+
+class LogStore:
+    """Commit-file store: the ONE seam object stores differ on.
+
+    The Delta protocol needs exactly one primitive for transactional
+    correctness: conditional create ("put-if-absent") of the next commit
+    file. Local filesystems get it from ``O_EXCL`` links; S3/GCS/Azure get
+    it from conditional PUT (If-None-Match) — the reference reaches the
+    same seam through the kernel's object-store clients
+    (delta_multi_file_list.cpp:65-335 builder). Implement
+    :meth:`put_if_absent` for a new backend and every commit path
+    (append/DELETE/UPDATE/MERGE/OPTIMIZE/streaming sink) inherits it."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Create ``path`` with ``data`` iff it does not exist; raise
+        FileExistsError when it does (→ CommitConflictError upstream)."""
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """Local-FS conditional create: write a temp file, ``os.link`` it into
+    place — the link fails atomically when the target exists."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.link(tmp, path)  # fails if path exists → conflict
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 class DeltaLog:
     """Handle on one table's ``_delta_log`` directory."""
 
-    def __init__(self, table_path: str, log_tail: list[str] | None = None):
+    def __init__(
+        self,
+        table_path: str,
+        log_tail: list[str] | None = None,
+        store: LogStore | None = None,
+    ):
         """``log_tail``: optional explicit list of commit-JSON paths (the
         reference's CCv2 ``log_tail`` attach option, delta_utils.cpp:884-888
         — a catalog that already knows the recent commits passes them in so
@@ -46,6 +93,7 @@ class DeltaLog:
         self.table_path = os.path.abspath(table_path)
         self.log_path = os.path.join(self.table_path, "_delta_log")
         self.log_tail = list(log_tail) if log_tail else None
+        self.store = store or LocalLogStore()
         if self.log_tail is None and not os.path.isdir(self.log_path):
             raise InvalidTableLocationError(
                 f"no Delta table found at {table_path!r} (missing _delta_log)"
@@ -82,20 +130,64 @@ class DeltaLog:
                     part = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
                     if os.path.isfile(part):
                         checkpoints[v] = [part]
+                    else:
+                        import glob as _glob
+
+                        v2 = [
+                            p
+                            for p in _glob.glob(
+                                os.path.join(self.log_path, f"{v:020d}.checkpoint.*")
+                            )
+                            if _CHECKPOINT_V2_RE.match(os.path.basename(p))
+                        ]
+                        if v2:
+                            checkpoints[v] = [sorted(v2)[-1]]
             return commits, checkpoints
+        raw: dict[int, list[str]] = {}
         for name in os.listdir(self.log_path):
             m = _COMMIT_RE.match(name)
             if m:
                 commits[int(m.group(1))] = os.path.join(self.log_path, name)
                 continue
-            m = _CHECKPOINT_RE.match(name)
+            m = _CHECKPOINT_RE.match(name) or _CHECKPOINT_V2_RE.match(name)
             if m:
-                checkpoints.setdefault(int(m.group(1)), []).append(
+                raw.setdefault(int(m.group(1)), []).append(
                     os.path.join(self.log_path, name)
                 )
-        for parts in checkpoints.values():
-            parts.sort()
+        for v, parts in raw.items():
+            usable = self._validate_checkpoint_parts(v, parts)
+            if usable:
+                checkpoints[v] = usable
         return commits, checkpoints
+
+    @staticmethod
+    def _validate_checkpoint_parts(version: int, paths: list[str]) -> list[str] | None:
+        """Reduce a version's checkpoint files to ONE complete, usable set —
+        or None when nothing complete exists.
+
+        The Delta spec requires readers to verify ALL n parts of a
+        multi-part checkpoint before using it: a crash mid-checkpoint (or a
+        concurrent reader racing the writer) leaves a partial part set that
+        would otherwise silently replay as a TRUNCATED snapshot — lost
+        files at read time, and a subsequent vacuum() deleting live data."""
+        paths = sorted(paths)
+        single = [p for p in paths
+                  if _CHECKPOINT_RE.match(os.path.basename(p))
+                  and not _CHECKPOINT_PART_RE.match(os.path.basename(p))]
+        if single:
+            return [single[0]]
+        multi: dict[int, dict[int, str]] = {}
+        for p in paths:
+            m = _CHECKPOINT_PART_RE.match(os.path.basename(p))
+            if m:
+                multi.setdefault(int(m.group(3)), {})[int(m.group(2))] = p
+        for n, by_idx in sorted(multi.items()):
+            if len(by_idx) == n and set(by_idx) == set(range(1, n + 1)):
+                return [by_idx[i] for i in range(1, n + 1)]
+        v2 = [p for p in paths if _CHECKPOINT_V2_RE.match(os.path.basename(p))]
+        if v2:
+            return [v2[-1]]  # any one manifest is self-complete
+        return None
 
     def latest_version(self) -> int:
         commits, checkpoints = self.list_log_files()
@@ -159,11 +251,87 @@ class DeltaLog:
         return actions
 
     def read_checkpoint_table(self, paths: list[str]):
-        """Checkpoint part(s) as one concatenated pyarrow Table."""
+        """Checkpoint part(s) as one concatenated pyarrow Table.
+
+        v2 (UUID-named manifest): sidecar references resolve against
+        ``_delta_log/_sidecars/``; a missing sidecar is a loud
+        MalformedLogError, never a silently truncated snapshot."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if len(paths) == 1 and _CHECKPOINT_V2_RE.match(os.path.basename(paths[0])):
+            return self._read_checkpoint_v2(paths[0])
         tables = [pq.read_table(p) for p in paths]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(
+            tables, promote_options="permissive"
+        )
+
+    def _read_checkpoint_v2(self, manifest_path: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sidecar_dir = os.path.join(self.log_path, "_sidecars")
+
+        def _sidecar_table(rel: str):
+            full = os.path.join(sidecar_dir, rel)
+            if not os.path.isfile(full):
+                raise MalformedLogError(
+                    f"v2 checkpoint sidecar missing: {full} "
+                    f"(manifest {manifest_path})"
+                )
+            return pq.read_table(full)
+
+        if manifest_path.endswith(".parquet"):
+            manifest = pq.read_table(manifest_path)
+            tables = [manifest]
+            if "sidecar" in manifest.column_names:
+                import pyarrow.compute as pc
+
+                for sc in pc.drop_null(manifest.column("sidecar")).to_pylist():
+                    rel = (sc or {}).get("path")
+                    if rel:
+                        tables.append(_sidecar_table(rel))
+                tables[0] = manifest.drop_columns(["sidecar"])
+            return tables[0] if len(tables) == 1 else pa.concat_tables(
+                tables, promote_options="permissive"
+            )
+
+        # JSON manifest: actions parsed driver-side (manifests are small —
+        # the bulk file actions live in the parquet sidecars)
+        meta_rows: list[dict] = []
+        sidecars: list[str] = []
+        with open(manifest_path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("sidecar"):
+                    sidecars.append(a["sidecar"]["path"])
+                elif a.get("add") or a.get("remove"):
+                    # spec-legal but writer-unusual; refuse loudly rather
+                    # than mis-shape the columnar replay
+                    raise MalformedLogError(
+                        "inline file actions in a JSON v2 checkpoint "
+                        f"manifest are not supported: {manifest_path}"
+                    )
+                elif any(a.get(k) for k in
+                         ("protocol", "metaData", "txn", "domainMetadata")):
+                    meta_rows.append(a)
+        tables = [_sidecar_table(rel) for rel in sidecars]
+        if meta_rows:
+            # one inferred column per action key (from_pylist would infer
+            # the schema from the first row only and drop the rest)
+            keys = [k for k in ("protocol", "metaData", "txn", "domainMetadata")
+                    if any(r.get(k) is not None for r in meta_rows)]
+            tables.insert(
+                0,
+                pa.Table.from_pydict(
+                    {k: [r.get(k) for r in meta_rows] for k in keys}
+                ),
+            )
+        if not tables:
+            raise MalformedLogError(f"empty v2 checkpoint manifest: {manifest_path}")
         return tables[0] if len(tables) == 1 else pa.concat_tables(
             tables, promote_options="permissive"
         )
@@ -191,23 +359,13 @@ class DeltaLog:
             ),
             None,
         )
-        # write to temp then link into place so a reader never sees a torn file
-        fd, tmp = tempfile.mkstemp(dir=self.log_path, suffix=".tmp")
         try:
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(payload)
-            try:
-                os.link(tmp, path)  # fails if path exists → conflict
-            except FileExistsError:
-                emit("commit.conflict", table_path=self.table_path, version=version)
-                raise CommitConflictError(
-                    f"version {version} already committed at {self.table_path}"
-                ) from None
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            self.store.put_if_absent(path, payload.encode("utf-8"))
+        except FileExistsError:
+            emit("commit.conflict", table_path=self.table_path, version=version)
+            raise CommitConflictError(
+                f"version {version} already committed at {self.table_path}"
+            ) from None
         emit(
             "commit.write",
             table_path=self.table_path,

@@ -52,7 +52,7 @@ SUPPORTED_READER_FEATURES = {
     "typeWidening",
     "typeWidening-preview",
     "vacuumProtocolCheck",
-    "v2Checkpoint",  # we read classic-named checkpoints; v2 named same way works for our writer
+    "v2Checkpoint",  # UUID-named manifests (json/parquet) + _sidecars resolved in DeltaLog
     "domainMetadata",
     "appendOnly",
     "invariants",

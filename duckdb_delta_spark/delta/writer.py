@@ -82,10 +82,12 @@ def _truncate_max(s: str) -> str | None:
 class DeltaWriter:
     """Blind-append writer for one table (single logical transaction per call)."""
 
-    def __init__(self, table_path: str, spark: SparkSession):
+    def __init__(self, table_path: str, spark: SparkSession, store=None):
         self.table_path = os.path.abspath(table_path)
         self.spark = spark
-        self.log = DeltaLog(self.table_path)
+        # ``store``: optional LogStore (put-if-absent seam) — object-store
+        # backends plug in conditional-PUT here (delta/log.py LogStore)
+        self.log = DeltaLog(self.table_path, store=store)
         # pin table state at transaction start, like the reference
         # (delta_transaction.cpp:490-537): a commit that lands between
         # construction and our commit is a conflict, not silently absorbed
@@ -255,6 +257,13 @@ class DeltaWriter:
                         raise IdempotencyError(
                             f"app {txn_app_id!r}: version advanced during retry"
                         ) from None
+                try:
+                    actions = self._revalidate_after_conflict(
+                        snapshot, fresh, actions, df, schema, schema_widened
+                    )
+                except Exception:
+                    self._rollback(moved)
+                    raise
                 snapshot = self._snapshot = fresh
                 version = snapshot.version + 1
 
@@ -499,6 +508,73 @@ class DeltaWriter:
                     raise ConstraintViolationError(
                         f"NOT NULL constraint violated for column {col!r}"
                     )
+
+    def _revalidate_after_conflict(
+        self,
+        old: Snapshot,
+        fresh: Snapshot,
+        actions: list[dict],
+        df: DataFrame,
+        write_schema: T.StructType,
+        schema_widened: bool,
+    ) -> list[dict]:
+        """Logical conflict re-validation for the append retry loop.
+
+        A retry re-commits against a table that MOVED: blindly replaying
+        the stale action list would clobber a concurrent schema change with
+        our old metaData, and skip CHECK constraints / appendOnly / writer
+        features added by the intervening commits. Re-run the gates when
+        protocol/metadata changed, recompute the widened schema against the
+        fresh snapshot, and abort (SchemaError) when our already-written
+        files no longer conform."""
+        prev_snap = self._snapshot
+        self._snapshot = fresh
+        try:
+            meta_changed = fresh.metadata != old.metadata
+            if fresh.protocol != old.protocol or meta_changed:
+                self._assert_writable("WRITE")
+                if fresh.configuration != old.configuration:
+                    self._enforce_check_constraints(df)
+            schema_changed = fresh.metadata.get("schemaString") != old.metadata.get(
+                "schemaString"
+            )
+            if schema_changed and fresh.column_mapping_mode != "none":
+                raise SchemaError(
+                    "concurrent schema change on a column-mapped table "
+                    "during commit retry"
+                )
+            if schema_changed or (schema_widened and meta_changed):
+                fresh_fields = {f.name: f for f in fresh.schema.fields}
+                # every column our files carry must still exist, same type
+                for f in write_schema.fields:
+                    ff = fresh_fields.get(f.name)
+                    if ff is not None and _nullable_type(ff.dataType) != _nullable_type(
+                        f.dataType
+                    ):
+                        raise SchemaError(
+                            f"concurrent schema change retyped column {f.name!r} "
+                            "during commit retry"
+                        )
+                    if ff is None and not schema_widened:
+                        raise SchemaError(
+                            f"concurrent schema change dropped column {f.name!r} "
+                            "during commit retry"
+                        )
+                actions = [a for a in actions if "metaData" not in a]
+                if schema_widened:
+                    new_fields = [
+                        T.StructField(f.name, _nullable_type(f.dataType), True)
+                        for f in write_schema.fields
+                        if f.name not in fresh_fields
+                    ]
+                    if new_fields:
+                        merged = T.StructType(list(fresh.schema.fields) + new_fields)
+                        meta = dict(fresh.metadata)
+                        meta["schemaString"] = merged.json()
+                        actions.insert(1, {"metaData": meta})
+            return actions
+        finally:
+            self._snapshot = prev_snap
 
     def _rollback(self, moved: list[tuple[str, dict]]) -> None:
         """Failed commit ⇒ delete the orphaned data files (reference:
@@ -1390,11 +1466,18 @@ class DeltaWriter:
         schema = _checkpoint_arrow_schema()
         cols = {name: [r.get(name) for r in rows] for name in schema.names}
         table = pa.Table.from_pydict(cols, schema=schema)
+        def _write_atomic(part_table, final_path):
+            # temp + rename: a concurrent reader listing the log mid-write
+            # must never see (and validate) a torn or short parquet part
+            tmp = final_path + ".tmp"
+            pq.write_table(part_table, tmp)
+            os.replace(tmp, final_path)
+
         if max_rows_per_part and len(rows) > max_rows_per_part:
             n_parts = -(-len(rows) // max_rows_per_part)
             for i in range(n_parts):
                 part = table.slice(i * max_rows_per_part, max_rows_per_part)
-                pq.write_table(
+                _write_atomic(
                     part,
                     os.path.join(
                         self.log.log_path,
@@ -1403,10 +1486,10 @@ class DeltaWriter:
                 )
             self.log.write_last_checkpoint(v, len(rows), parts=n_parts)
         else:
-            path = os.path.join(
-                self.log.log_path, f"{v:020d}.checkpoint.parquet"
+            _write_atomic(
+                table,
+                os.path.join(self.log.log_path, f"{v:020d}.checkpoint.parquet"),
             )
-            pq.write_table(table, path)
             self.log.write_last_checkpoint(v, len(rows))
         from duckdb_delta_spark.delta.logging import emit
 

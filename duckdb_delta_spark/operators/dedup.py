@@ -381,6 +381,10 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .cache()
     )
+    # iterative joins grow the logical plan exponentially round over round;
+    # localCheckpoint truncates lineage so each round plans O(1) work
+    labels = labels.localCheckpoint(eager=True)
+    changed = 1
     for _ in range(max_iter):
         # every node: min(own label, neighbors' labels)
         neigh = (
@@ -391,20 +395,45 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .cache()
+        )
+        # pointer jumping (label := label-of-label): halves the remaining
+        # path length every round, guaranteeing log-diameter convergence —
+        # min-neighbor alone needs diameter rounds on a chain graph
+        jumped = (
+            new_labels.alias("x")
+            .join(
+                new_labels.select(
+                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                ),
+                F.col("x.label") == F.col("jid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("jlabel"), F.col("x.label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = jumped
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # returning partial labels would be silently WRONG clusters
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit("dedup.cc_no_convergence", max_iter=max_iter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(pathological graph diameter); raise max_iter"
+        )
     return labels.select(
         F.col("id").cast("long"), F.col("label").cast("long").alias("cluster_id")
     )

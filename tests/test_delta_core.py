@@ -192,6 +192,104 @@ def test_commit_conflict_and_retry(spark, tdir):
     assert DeltaTable(tdir).to_df(spark).count() == 10
 
 
+class _FakeConditionalPutStore:
+    """Object-store-style conditional PUT (If-None-Match semantics): the
+    store tracks its own key set and refuses a second PUT — exercising the
+    LogStore seam with non-O_EXCL mechanics."""
+
+    def __init__(self):
+        self.keys = set()
+        self.puts = 0
+
+    def put_if_absent(self, path, data):
+        self.puts += 1
+        if path in self.keys or os.path.exists(path):
+            raise FileExistsError(path)
+        with open(path, "wb") as f:
+            f.write(data)
+        self.keys.add(path)
+
+
+def test_commit_conflict_and_retry_fake_store(spark, tdir):
+    """The conflict/retry flow runs unchanged against a pluggable
+    conditional-put LogStore (the object-store commit seam)."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+    store = _FakeConditionalPutStore()
+    racer = DeltaWriter(tdir, spark, store=store)  # pins snapshot at v1
+    DeltaLog(tdir).commit(2, [{"commitInfo": {"timestamp": 0, "operation": "RACE"}}])
+    with pytest.raises(errors.CommitConflictError):
+        racer.append(_ids(spark, 5, lo=5), max_retries=0)
+    assert store.puts == 1
+    # with retries the same store wins the next version
+    v = DeltaWriter(tdir, spark, store=store).append(
+        _ids(spark, 5, lo=5), max_retries=2
+    )
+    assert v == 3
+    assert store.puts == 2  # conflict PUT at v2, winning PUT at v3
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+
+
+def test_retry_revalidates_concurrent_schema_change(spark, tdir):
+    """A mergeSchema append retried after losing a race to ANOTHER
+    mergeSchema append must not clobber the winner's column: the retried
+    metaData is recomputed against the fresh snapshot (both columns
+    survive)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+
+    loser = DeltaWriter(tdir, spark)  # pins snapshot at v1
+    # winner lands a merge_schema append adding column y
+    DeltaWriter(tdir, spark).append(
+        _ids(spark, 3, lo=5).withColumn("y", F.lit(7.0)), merge_schema=True
+    )
+    v = loser.append(
+        _ids(spark, 3, lo=8).withColumn("z", F.lit(9.0)),
+        merge_schema=True,
+        max_retries=2,
+    )
+    t = DeltaTable(tdir)
+    assert t.version == v
+    names = set(t.snapshot.schema.fieldNames())
+    assert {"y", "z"} <= names, f"concurrent column clobbered: {names}"
+    df = t.to_df(spark)
+    assert df.count() == 11
+    assert df.where("y = 7.0").count() == 3
+    assert df.where("z = 9.0").count() == 3
+    assert df.where("y IS NULL").count() == 8
+
+
+def test_retry_reenforces_new_check_constraint(spark, tdir):
+    """A retry against a snapshot that gained a CHECK constraint re-runs
+    constraint enforcement: data violating the NEW constraint aborts with
+    ConstraintViolationError and leaves no orphan files."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+
+    loser = DeltaWriter(tdir, spark)  # pins snapshot at v1
+    log = DeltaLog(tdir)
+    snap = Snapshot.build(log)
+    meta = dict(snap.metadata)
+    meta["configuration"] = dict(meta.get("configuration") or {})
+    meta["configuration"]["delta.constraints.small_i"] = "i < 100"
+    log.commit(2, [{"commitInfo": _commit_info("ADD CONSTRAINT")},
+                   {"metaData": meta}])
+
+    with pytest.raises(errors.ConstraintViolationError, match="small_i"):
+        loser.append(_ids(spark, 5, lo=200), max_retries=2)
+    n_disk = sum(1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".parquet"))
+    assert n_disk == len(DeltaTable(tdir).snapshot.files)
+    # conforming data still lands after the constraint
+    DeltaWriter(tdir, spark).append(_ids(spark, 5, lo=10), max_retries=2)
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+
+
 def test_idempotent_txn_versions(spark, tdir):
     w = DeltaWriter.create(spark, tdir, SCHEMA)
     w.append(_ids(spark, 5), txn_app_id="app", txn_version=1)
@@ -969,3 +1067,120 @@ def test_multipart_checkpoint(spark, tdir):
     w.append(_ids(spark, 10, lo=80).coalesce(1))
     assert DeltaTable(tdir).to_df(spark).count() == 90
     assert DeltaTable(tdir, version=v).to_df(spark).count() == 80
+
+
+def test_incomplete_multipart_checkpoint_ignored(spark, tdir):
+    """A partial multi-part set (crash mid-checkpoint / racing reader) must
+    NOT replay as a truncated snapshot — the spec requires verifying all n
+    parts; incomplete sets fall back to full commit replay."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(8):
+        w.append(_ids(spark, 10, lo=10 * k).coalesce(1))
+    v = w.checkpoint(max_rows_per_part=4)
+    log_dir = os.path.join(tdir, "_delta_log")
+    parts = sorted(n for n in os.listdir(log_dir)
+                   if ".checkpoint." in n and n.endswith(".parquet"))
+    assert len(parts) == 3
+    os.unlink(os.path.join(log_dir, parts[1]))  # lose the middle part
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    _, ckpts = DeltaLog(tdir).list_log_files()
+    assert v not in ckpts, "incomplete part set must not be offered"
+    # snapshot falls back to replaying the commit JSONs — nothing lost
+    assert DeltaTable(tdir).to_df(spark).count() == 80
+    # and a fresh checkpoint repairs the table
+    assert DeltaWriter(tdir, spark).checkpoint() == v
+    assert DeltaTable(tdir).to_df(spark).count() == 80
+
+
+def _split_classic_checkpoint_to_v2(tdir, manifest_ext: str):
+    """Rewrite a table's classic checkpoint as a v2 manifest + sidecar."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(tdir, "_delta_log")
+    classic = sorted(n for n in os.listdir(log_dir)
+                     if n.endswith(".checkpoint.parquet"))[-1]
+    v = int(classic.split(".")[0])
+    table = pq.read_table(os.path.join(log_dir, classic))
+
+    file_mask = pc.is_valid(table.column("add").combine_chunks())
+    # sidecars carry ONLY file actions (spec: add/remove columns)
+    files_tbl = table.filter(file_mask).select(
+        [c for c in ("add", "remove") if c in table.column_names]
+    )
+    meta_tbl = table.filter(pc.invert(file_mask))
+
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    sidecar_name = f"{uuid.uuid4()}.parquet"
+    pq.write_table(files_tbl, os.path.join(sidecar_dir, sidecar_name))
+
+    manifest = f"{v:020d}.checkpoint.{uuid.uuid4()}.{manifest_ext}"
+    if manifest_ext == "parquet":
+        sidecar_row = pa.Table.from_pylist(
+            [{"sidecar": {"path": sidecar_name,
+                          "sizeInBytes": os.path.getsize(
+                              os.path.join(sidecar_dir, sidecar_name))}}]
+        )
+        out = pa.concat_tables([meta_tbl, sidecar_row],
+                               promote_options="permissive")
+        pq.write_table(out, os.path.join(log_dir, manifest))
+    else:
+        from duckdb_delta_spark.delta.log import _normalize_maps
+
+        lines = []
+        for row in meta_tbl.to_pylist():
+            for key in ("protocol", "metaData", "txn", "domainMetadata"):
+                if row.get(key) is not None:
+                    lines.append(json.dumps({key: _normalize_maps(row[key])}))
+        lines.append(json.dumps({"sidecar": {"path": sidecar_name}}))
+        with open(os.path.join(log_dir, manifest), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    os.unlink(os.path.join(log_dir, classic))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": table.num_rows}, f)
+    # drop the replayed commits to PROVE the v2 checkpoint is what's read
+    for n in list(os.listdir(log_dir)):
+        if (n.endswith(".json") and ".checkpoint." not in n
+                and int(n.split(".")[0]) <= v):
+            os.unlink(os.path.join(log_dir, n))
+    return v, os.path.join(log_dir, "_sidecars", sidecar_name)
+
+
+@pytest.mark.parametrize("ext", ["parquet", "json"])
+def test_v2_checkpoint_sidecars(spark, tdir, ext):
+    """v2Checkpoint reader support: UUID-named manifest (parquet or json)
+    whose file actions live in _delta_log/_sidecars/ parquet files
+    (reader feature v2Checkpoint, Delta protocol spec)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 10, lo=10 * k).coalesce(1))
+    w.checkpoint()
+    v, _ = _split_classic_checkpoint_to_v2(tdir, ext)
+
+    t = DeltaTable(tdir)
+    assert t.version == v
+    df = t.to_df(spark)
+    assert df.count() == 30
+    assert df.agg(F.sum("i")).collect()[0][0] == sum(range(30))
+    # and further commits on top replay incrementally
+    DeltaWriter(tdir, spark).append(_ids(spark, 5, lo=30).coalesce(1))
+    assert DeltaTable(tdir).to_df(spark).count() == 35
+
+
+def test_v2_checkpoint_missing_sidecar_fails_loud(spark, tdir):
+    """A v2 manifest whose sidecar is gone must raise MalformedLogError —
+    never silently read a truncated snapshot."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 10).coalesce(1))
+    w.checkpoint()
+    _, sidecar = _split_classic_checkpoint_to_v2(tdir, "parquet")
+    os.unlink(sidecar)
+    with pytest.raises(errors.MalformedLogError, match="sidecar missing"):
+        DeltaTable(tdir).to_df(spark)

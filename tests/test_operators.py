@@ -213,3 +213,25 @@ def test_connected_components(spark):
     got_dist = {r["id"]: r["cluster_id"]
                 for r in connected_components(pairs, driver_max_edges=0).collect()}
     assert got_dist == want  # distributed label-propagation path
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain (diameter 59) converges in ≤8 distributed rounds:
+    pointer jumping halves the remaining path every round — min-neighbor
+    alone would need 59 rounds and previously returned silently-wrong
+    partial labels when max_iter ran out."""
+    import pytest
+
+    from duckdb_delta_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(
+               pairs, driver_max_edges=0, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(n)}
+    # exhausting max_iter now fails loud instead of returning partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, driver_max_edges=0, max_iter=1).collect()
