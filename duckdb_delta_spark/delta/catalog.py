@@ -41,8 +41,13 @@ class DeltaCatalog:
         path: str,
         version: int | None = None,
         pin_snapshot: bool = False,
+        timestamp=None,
     ) -> DeltaTable:
-        table = DeltaTable(path, version=version)
+        """``timestamp``: the ``AT (TIMESTAMP => ...)`` clause — attach
+        pinned at the latest version committed at or before it."""
+        table = DeltaTable(path, version=version, timestamp=timestamp)
+        if timestamp is not None:
+            version = table.version
         entry = _Entry(table.path, pin_snapshot or version is not None,
                        version, table)
         self._entries[name] = entry

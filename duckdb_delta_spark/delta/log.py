@@ -387,6 +387,31 @@ class DeltaLog:
 
     # ---------- helpers ----------
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Timestamp → version: the LATEST commit whose timestamp is
+        ≤ ``ts_ms`` (standard Delta timestamp travel). The clock is the
+        commit file's modification time, exactly as delta-spark resolves
+        it; raises InvalidTableVersionError for a timestamp before the
+        table existed."""
+        commits, checkpoints = self.list_log_files()
+        best: int | None = None
+        earliest: tuple[int, int] | None = None
+        for v, path in commits.items():
+            try:
+                mtime_ms = int(os.path.getmtime(path) * 1000)
+            except OSError:
+                continue
+            if earliest is None or mtime_ms < earliest[1]:
+                earliest = (v, mtime_ms)
+            if mtime_ms <= ts_ms and (best is None or v > best):
+                best = v
+        if best is None:
+            raise InvalidTableVersionError(
+                f"no commit at or before timestamp {ts_ms} at {self.table_path}"
+                + (f" (earliest commit is {earliest[1]})" if earliest else "")
+            )
+        return best
+
     def resolve_version(self, version: int | None) -> int:
         latest = self.latest_version()
         if version is None:

@@ -21,14 +21,39 @@ from duckdb_delta_spark.delta.snapshot import Snapshot
 from duckdb_delta_spark.delta.writer import DeltaWriter
 
 
+def _to_epoch_ms(ts) -> int:
+    """datetime / ISO-8601 string / epoch millis → epoch millis (UTC)."""
+    import datetime as dt
+
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = dt.datetime.fromisoformat(ts)
+    if isinstance(ts, dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp {ts!r}")
+
+
 class DeltaTable:
     """One Delta table at one (possibly pinned) version."""
 
     def __init__(self, path: str, version: int | None = None,
                  snapshot: Snapshot | None = None,
-                 log_tail: list[str] | None = None):
+                 log_tail: list[str] | None = None,
+                 timestamp=None):
+        """``timestamp``: time travel to the latest version committed at or
+        before it (datetime, ISO-8601 string, or epoch millis) — the
+        ``AT (TIMESTAMP => ...)`` analogue, resolved against commit-file
+        modification times like delta-spark. Mutually exclusive with
+        ``version``."""
         self.log = DeltaLog(path, log_tail=log_tail)
         self.path = self.log.table_path
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass either version or timestamp, not both")
+            version = self.log.version_at_timestamp(_to_epoch_ms(timestamp))
         if snapshot is not None and snapshot.version == self.log.resolve_version(version):
             self.snapshot = snapshot
         else:

@@ -1360,23 +1360,50 @@ class DeltaWriter:
                 pass
         now_ms = int(time.time() * 1000)
         cutoff_ms = now_ms - retention_ms
-        deleted: list[str] = []
-        for root, dirs, names in os.walk(self.table_path):
-            dirs[:] = [d for d in dirs if d != "_delta_log"]
-            for name in names:
-                full = os.path.abspath(os.path.join(root, name))
-                if not (name.endswith(".parquet") or name.endswith(".bin")):
-                    continue
-                if full in live:
-                    continue
-                ts = tomb_ts.get(full)
-                if ts is None:
-                    # no tombstone: orphan — mtime is the only signal
+
+        # the table tree walk is pure IO — at millions of files a serial
+        # os.walk is a long driver stall; fan the per-directory listings
+        # and the stat+unlink decisions across a thread pool (listing on
+        # object stores would parallelize the same way, per prefix)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _scan_dir(d: str) -> tuple[list[str], list[str]]:
+            fs: list[str] = []
+            ds: list[str] = []
+            with os.scandir(d) as it:
+                for e in it:
+                    if e.is_dir(follow_symlinks=False):
+                        if e.name != "_delta_log":
+                            ds.append(e.path)
+                    elif e.name.endswith((".parquet", ".bin")):
+                        fs.append(os.path.abspath(e.path))
+            return fs, ds
+
+        def _maybe_delete(full: str) -> str | None:
+            if full in live:
+                return None
+            ts = tomb_ts.get(full)
+            if ts is None:
+                # no tombstone: orphan — mtime is the only signal
+                try:
                     ts = int(os.path.getmtime(full) * 1000)
-                if ts > cutoff_ms:
-                    continue
-                os.unlink(full)
-                deleted.append(os.path.relpath(full, self.table_path))
+                except OSError:
+                    return None  # raced away
+            if ts > cutoff_ms:
+                return None
+            os.unlink(full)
+            return os.path.relpath(full, self.table_path)
+
+        candidates: list[str] = []
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            pending = [self.table_path]
+            while pending:
+                batch = list(ex.map(_scan_dir, pending))
+                pending = []
+                for fs, ds in batch:
+                    candidates.extend(fs)
+                    pending.extend(ds)
+            deleted = [r for r in ex.map(_maybe_delete, candidates) if r]
         from duckdb_delta_spark.delta.logging import emit
 
         emit(

@@ -226,6 +226,17 @@ def _coerce_pv(v, dtype):
 class _WrittenFile(WriterCommitMessage):
     rel_path: str
     size: int
+    # hive-partitioned sinks: ((col, value-or-None), ...) carried into the
+    # add action's partitionValues
+    partition_values: tuple = ()
+
+
+@dataclass
+class _WrittenFiles(WriterCommitMessage):
+    """Per-task commit message: a partitioned task writes one file PER
+    PARTITION VALUE it sees."""
+
+    files: tuple = ()
 
 
 #: driver-side snapshot cache for streaming sinks, keyed by table path —
@@ -245,8 +256,9 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
     Executors stream Arrow RecordBatches straight into parquet slices in
     the table directory (uuid names cannot collide) — no Python row
     materialization; the driver turns the commit messages into add
-    actions with footer stats. Unpartitioned tables only — partitioned
-    streaming writes need per-partition file splitting.
+    actions with footer stats. Partitioned tables split Arrow-side: each
+    task writes one hive-pathed file per partition value it sees, and the
+    add actions carry the matching partitionValues.
     """
 
     def __init__(self, table_path: str, schema: StructType, options):
@@ -255,6 +267,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         self.app_id = options.get(
             "txnAppId", f"delta_py_sink:{self.table_path}"
         )
+        self.partition_columns: list[str] = []
         self._gate()
 
     def _gate(self) -> None:
@@ -270,10 +283,12 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
 
         snap = Snapshot.build(DeltaLog(self.table_path))
         _SINK_SNAP_CACHE[self.table_path] = snap
-        if snap.partition_columns:
+        self.partition_columns = list(snap.partition_columns)
+        missing = [c for c in self.partition_columns
+                   if c not in self.schema.fieldNames()]
+        if missing:
             raise UnsupportedFeatureError(
-                "delta_py streaming sink on a partitioned table (adds would "
-                "carry empty partitionValues)"
+                f"streaming sink input lacks partition columns {missing}"
             )
         if snap.column_mapping_mode != "none":
             raise UnsupportedFeatureError(
@@ -302,32 +317,82 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     f"write with generated/identity column {f.name!r}"
                 )
 
-    def write(self, iterator) -> _WrittenFile | None:
+    def write(self, iterator) -> _WrittenFiles:
         import uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
-        rel = f"part-stream-{uuid.uuid4().hex}.parquet"
-        full = os.path.join(self.table_path, rel)
-        writer = None
+        parts = self.partition_columns
+        # hive layout: partition columns live in the PATH + log, not the file
+        file_schema = (
+            pa.schema([f for f in arrow_schema if f.name not in parts])
+            if parts
+            else arrow_schema
+        )
+        # one open writer per partition tuple seen by this task
+        writers: dict[tuple, tuple] = {}  # pv_tuple -> (writer, rel, full)
+
+        def _open(pv: tuple):
+            dirs = "/".join(
+                f"{c}=" + (
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if v is None
+                    else urllib.parse.quote(v, safe="")
+                )
+                for c, v in pv
+            )
+            rel = (f"{dirs}/" if dirs else "") + \
+                f"part-stream-{uuid.uuid4().hex}.parquet"
+            full = os.path.join(self.table_path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            return pq.ParquetWriter(full, file_schema), rel, full
+
+        def _sink(pv: tuple, tbl: pa.Table):
+            w = writers.get(pv)
+            if w is None:
+                w = writers[pv] = _open(pv)
+            w[0].write_table(tbl)
+
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([batch])
             if tbl.schema != arrow_schema:
                 tbl = tbl.cast(arrow_schema)
-            if writer is None:
-                writer = pq.ParquetWriter(full, arrow_schema)
-            writer.write_table(tbl)
-        if writer is None:
-            # the API requires a message even for empty partitions
-            return _WrittenFile(rel_path="", size=0)
-        writer.close()
-        return _WrittenFile(rel_path=rel, size=os.path.getsize(full))
+            if not parts:
+                _sink((), tbl)
+                continue
+            # split by distinct partition tuples (few per batch by design)
+            keys = tbl.select(parts)
+            distinct = keys.group_by(parts).aggregate([]).to_pylist()
+            for combo in distinct:
+                mask = None
+                for c in parts:
+                    v = combo[c]
+                    m = (
+                        pc.is_null(tbl.column(c))
+                        if v is None
+                        else pc.equal(tbl.column(c), pa.scalar(v))
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+                pv = tuple(
+                    (c, None if combo[c] is None else _pv_str(combo[c]))
+                    for c in parts
+                )
+                _sink(pv, tbl.filter(mask).select(file_schema.names))
+
+        out = []
+        for pv, (w, rel, full) in writers.items():
+            w.close()
+            out.append(_WrittenFile(
+                rel_path=rel, size=os.path.getsize(full), partition_values=pv
+            ))
+        return _WrittenFiles(files=tuple(out))
 
     def commit(self, messages, batchId: int) -> None:
         import time
@@ -342,7 +407,8 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         # pay O(log length) driver replay per batch (O(n²) cumulative)
         snap = Snapshot.build(log, base=_SINK_SNAP_CACHE.get(self.table_path))
         last = snap.transaction_version(self.app_id)
-        files = [m for m in messages if m is not None and m.rel_path]
+        files = [f for m in messages if m is not None
+                 for f in _message_files(m) if f.rel_path]
         if last is not None and batchId <= last:
             # replayed batch: already committed — drop the rewritten files
             for m in files:
@@ -359,12 +425,13 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             {"txn": {"appId": self.app_id, "version": int(batchId),
                      "lastUpdated": now_ms}},
         ]
+        pcols = set(self.partition_columns)
         for m in files:
             full = os.path.join(self.table_path, m.rel_path)
-            stats = _footer_stats(full, self.schema, set())
+            stats = _footer_stats(full, self.schema, pcols)
             actions.append({"add": {
                 "path": m.rel_path,
-                "partitionValues": {},
+                "partitionValues": dict(m.partition_values),
                 "size": m.size,
                 "modificationTime": now_ms,
                 "dataChange": True,
@@ -375,8 +442,33 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None and m.rel_path:
-                try:
-                    os.unlink(os.path.join(self.table_path, m.rel_path))
-                except OSError:
-                    pass
+            if m is None:
+                continue
+            for f in _message_files(m):
+                if f.rel_path:
+                    try:
+                        os.unlink(os.path.join(self.table_path, f.rel_path))
+                    except OSError:
+                        pass
+
+
+def _message_files(m) -> tuple:
+    """Both message shapes: per-task _WrittenFiles or a bare _WrittenFile."""
+    if isinstance(m, _WrittenFiles):
+        return m.files
+    return (m,)
+
+
+def _pv_str(v) -> str:
+    """Python partition value → Delta-log partitionValues string."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)

@@ -120,6 +120,38 @@ def test_time_travel_and_catalog(spark, tdir):
     cat.detach("tt")
 
 
+def test_timestamp_time_travel(spark, tdir):
+    """AT (TIMESTAMP => ...): latest version committed at or before the
+    timestamp, resolved from commit-file mtimes (delta-spark semantics)."""
+    import datetime as dt
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 10))                       # v1
+    log_dir = os.path.join(tdir, "_delta_log")
+    # pin deterministic mtimes: v0@t=1000s, v1@t=2000s, v2@t=3000s
+    w.append(_ids(spark, 10, lo=10))                # v2
+    for v, t in ((0, 1000), (1, 2000), (2, 3000)):
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (t, t))
+
+    assert DeltaTable(tdir, timestamp=2000_000).version == 1
+    assert DeltaTable(tdir, timestamp=2999_000).version == 1
+    assert DeltaTable(tdir, timestamp=3000_000).version == 2
+    assert DeltaTable(tdir, timestamp=2000_000).to_df(spark).count() == 10
+    # datetime and ISO-string forms resolve identically
+    d = dt.datetime.fromtimestamp(2500, tz=dt.timezone.utc)
+    assert DeltaTable(tdir, timestamp=d).version == 1
+    assert DeltaTable(tdir, timestamp=d.isoformat()).version == 1
+    with pytest.raises(errors.InvalidTableVersionError):
+        DeltaTable(tdir, timestamp=500_000)  # before the table existed
+    with pytest.raises(ValueError):
+        DeltaTable(tdir, version=1, timestamp=2000_000)
+
+    cat = DeltaCatalog(spark)
+    cat.attach("tt_ts", tdir, timestamp=2000_000)
+    assert spark.sql("SELECT count(*) AS n FROM tt_ts").collect()[0]["n"] == 10
+    cat.detach("tt_ts")
+
+
 def test_deletion_vector_read(spark, tdir):
     import numpy as np
 

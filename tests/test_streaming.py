@@ -251,8 +251,9 @@ def test_sink_and_source_gates(spark, tmp_path):
 
     part = str(tmp_path / "part")
     DeltaWriter.create(spark, part, schema, partition_by=["g"])
-    with pytest.raises(UnsupportedFeatureError, match="partitioned"):
-        DeltaStreamWriter(part, schema, {})
+    narrow = T.StructType([T.StructField("i", T.LongType())])
+    with pytest.raises(UnsupportedFeatureError, match="partition columns"):
+        DeltaStreamWriter(part, narrow, {})  # input lacks partition col g
 
     cdf = str(tmp_path / "cdf")
     DeltaWriter.create(spark, cdf, schema,
@@ -309,3 +310,56 @@ def test_source_old_files_yield_nulls_for_widened_schema(spark, tmp_path):
     assert got.count() == 8
     assert got.where("x IS NULL").count() == 5
     assert got.where("x = 1.5").count() == 3
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path):
+    """Streaming sink on a hive-partitioned table: each task splits its
+    Arrow batches per partition value, files land under col=value/ dirs,
+    and the add actions carry matching partitionValues — so the batch
+    scan's partition pruning works on the streamed table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    src_dir = str(tmp_path / "src")
+    dst_dir = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, src_dir, schema)
+    w.append(spark.range(30).select(F.col("id").alias("i"),
+                                    (F.col("id") % 3).alias("g")))
+    DeltaWriter.create(spark, dst_dir, schema, partition_by=["g"])
+
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src_dir)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", dst_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    t = DeltaTable(dst_dir)
+    df = t.to_df(spark)
+    assert df.count() == 30
+    assert df.agg(F.sum("i")).collect()[0][0] == sum(range(30))
+    assert {r["g"] for r in df.select("g").distinct().collect()} == {0, 1, 2}
+    # add actions carry partitionValues; files live in hive dirs
+    for f in t.snapshot.add_files():
+        assert f.partition_values.get("g") in {"0", "1", "2"}
+        assert f.path.startswith(f"g={f.partition_values['g']}/")
+    # partition pruning prunes streamed files like batch-written ones
+    sb = t.scan(spark).filter("g", "=", 1)
+    out = sb.to_df()
+    assert out.count() == 10
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_partition"] > 0
