@@ -43,6 +43,7 @@ SUPPORTED_WRITER_FEATURES = {
     "typeWidening-preview",
     "domainMetadata",
     "vacuumProtocolCheck",
+    "generatedColumns",  # computed when absent, enforced when provided (writer.py)
 }
 
 SUPPORTED_READER_FEATURES = {

@@ -126,6 +126,10 @@ class DeltaWriter:
             "createdTime": int(time.time() * 1000),
         }
         proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if _generated_exprs(schema):
+            # generated columns are a writer concern (Delta spec: legacy
+            # minWriterVersion 4); readers are unaffected
+            proto = {"minReaderVersion": 1, "minWriterVersion": 4}
         if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
             proto = {"minReaderVersion": 2, "minWriterVersion": 5}
         actions = [
@@ -169,6 +173,7 @@ class DeltaWriter:
 
         self._assert_writable("WRITE")
         schema_widened = False
+        computed: list[str] = []
         if merge_schema:
             known = set(schema.fieldNames())
             new_fields = [f for f in df.schema.fields if f.name not in known]
@@ -186,25 +191,39 @@ class DeltaWriter:
                     ]
                 )
                 schema_widened = True
+            gen = _generated_exprs(schema)
+            computed = [f.name for f in schema.fields
+                        if f.name not in df.columns and f.name in gen]
             sel = [
                 (
-                    F.col(f.name) if f.name in df.columns else F.lit(None)
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else (F.expr(gen[f.name]) if f.name in gen else F.lit(None))
                 ).cast(_nullable_type(f.dataType)).alias(f.name)
                 for f in schema.fields
             ]
         else:
+            gen = _generated_exprs(schema)
             missing = [f.name for f in schema.fields if f.name not in df.columns]
+            computed = [c for c in missing if c in gen]
+            missing = [c for c in missing if c not in gen]
             if missing:
                 raise SchemaError(f"input missing table columns: {missing}")
             # cast to the nullable shape — Spark refuses to cast a nullable
             # value into a non-nullable struct field, and NOT NULL
             # enforcement is ours (stats-based, post-write) anyway
             sel = [
-                F.col(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
+                (
+                    F.expr(gen[f.name]) if f.name in computed else F.col(f.name)
+                ).cast(_nullable_type(f.dataType)).alias(f.name)
                 for f in schema.fields
             ]
         df = df.select(*sel)
         self._enforce_check_constraints(df)
+        # generated columns the caller provided must MATCH their expression
+        # (Delta spec: writers enforce generation exprs as invariants);
+        # absent ones were computed above
+        self._enforce_generated_columns(df, schema, skip=set(computed))
 
         # Column mapping (name/id mode): write under PHYSICAL names with
         # parquet.field.id so both name- and id-resolving readers work
@@ -288,15 +307,53 @@ class DeltaWriter:
             )
         for f in snap.schema.fields:
             md = f.metadata or {}
-            if "delta.generationExpression" in md or any(
-                k.startswith("delta.identity.") for k in md
-            ):
+            # generated columns are SUPPORTED (computed when absent,
+            # enforced when provided — _generated_exprs); identity columns
+            # need monotonic value allocation we don't implement
+            if any(k.startswith("delta.identity.") for k in md):
                 raise UnsupportedFeatureError(
-                    f"write with generated/identity column {f.name!r}"
+                    f"write with identity column {f.name!r}"
                 )
         if removes_rows and conf.get("delta.appendOnly", "").lower() == "true":
             raise UnsupportedFeatureError(
                 f"{operation} on an append-only table (delta.appendOnly)"
+            )
+
+    def _enforce_generated_columns(
+        self, df: DataFrame, schema: T.StructType, skip: set[str] = frozenset()
+    ) -> None:
+        """Generation expressions are writer invariants (Delta spec,
+        writerFeature generatedColumns): a provided value must equal the
+        expression's result row-for-row. Columns in ``skip`` were computed
+        BY the expression and need no re-check. One job for all columns."""
+        gen = _generated_exprs(schema)
+        checks = [
+            (name, expr) for name, expr in gen.items() if name not in skip
+        ]
+        if not checks:
+            return
+        from pyspark.sql import functions as F
+
+        conds = [
+            F.when(
+                ~F.col(name).eqNullSafe(F.expr(expr).cast(
+                    _nullable_type(schema[name].dataType))),
+                F.lit(name),
+            )
+            for name, expr in checks
+        ]
+        bad = (
+            df.select(F.array(*conds).alias("_viol"))
+            .select(F.explode("_viol").alias("c"))
+            .where(F.col("c").isNotNull())
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            name = bad[0]["c"]
+            raise ConstraintViolationError(
+                f"generated column {name!r} does not match its expression: "
+                f"{gen[name]}"
             )
 
     def _enforce_check_constraints(self, df: DataFrame) -> None:
@@ -842,7 +899,15 @@ class DeltaWriter:
                     for f in schema.fields
                 ]
             )
+            # generated columns not explicitly assigned are RE-COMPUTED
+            # (sources may have changed); explicitly assigned ones are
+            # enforced against their expression
+            gen = _generated_exprs(schema)
+            new_rows = _apply_generated(new_rows, schema, keep=set(assignments))
             self._enforce_check_constraints(new_rows)
+            self._enforce_generated_columns(
+                new_rows, schema, skip={c for c in gen if c not in assignments}
+            )
             moved, adds_new = self._write_data(
                 new_rows, schema, snap.partition_columns
             )
@@ -931,31 +996,43 @@ class DeltaWriter:
             )
             n_matched = sum(r["n_new"] for r in results)
 
-        new_parts = []
+        gen = _generated_exprs(schema)
+        new_parts = []  # (frame, generated-cols-already-consistent)
         if when_matched_update and results:
-            upd = t.join(s, on_expr, "inner")
+            upd = t.join(s, on_expr, "inner").select(
+                *[
+                    (
+                        F.expr(when_matched_update[f.name])
+                        if f.name in when_matched_update
+                        else F.col("t." + f.name)
+                    )
+                    .cast(_nullable_type(f.dataType))
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            # recompute generated columns the assignments didn't set
+            # (their sources may have changed); enforce the assigned ones
+            upd = _apply_generated(upd, schema, keep=set(when_matched_update))
             new_parts.append(
-                upd.select(
-                    *[
-                        (
-                            F.expr(when_matched_update[f.name])
-                            if f.name in when_matched_update
-                            else F.col("t." + f.name)
-                        )
-                        .cast(_nullable_type(f.dataType))
-                        .alias(f.name)
-                        for f in schema.fields
-                    ]
-                )
+                (upd, {c for c in gen if c not in when_matched_update})
             )
         ins = None
+        ins_skip: set = set()
         if when_not_matched_insert:
             missing = [f.name for f in schema.fields if f.name not in source.columns]
+            computable = [c for c in missing if c in gen]
+            missing = [c for c in missing if c not in gen]
             if missing:
                 raise SchemaError(f"merge source missing table columns: {missing}")
+            ins_skip = set(computable)
             ins = s.join(t, on_expr, "left_anti").select(
                 *[
-                    F.col("s." + f.name)
+                    (
+                        F.expr(gen[f.name])
+                        if f.name in ins_skip
+                        else F.col("s." + f.name)
+                    )
                     .cast(_nullable_type(f.dataType))
                     .alias(f.name)
                     for f in schema.fields
@@ -966,13 +1043,15 @@ class DeltaWriter:
         # n_inserted comes from the written files' footer numRecords
         # instead of a separate count() job re-running the anti-join
         moved, adds_new, n_inserted = [], [], 0
-        for branch in new_parts:
+        for branch, gen_skip in new_parts:
             self._enforce_check_constraints(branch)
+            self._enforce_generated_columns(branch, schema, skip=gen_skip)
             m, a = self._write_data(branch, schema, snap.partition_columns)
             moved.extend(m)
             adds_new.extend(a)
         if ins is not None:
             self._enforce_check_constraints(ins)
+            self._enforce_generated_columns(ins, schema, skip=ins_skip)
             m, a = self._write_data(ins, schema, snap.partition_columns)
             n_inserted = sum(
                 int(json.loads(ad.get("stats") or "{}").get("numRecords") or 0)
@@ -1527,6 +1606,40 @@ class DeltaWriter:
             n_rows=len(rows),
         )
         return v
+
+
+def _apply_generated(
+    df: DataFrame, schema: T.StructType, keep: set = frozenset()
+) -> DataFrame:
+    """Recompute every generated column not in ``keep`` from its
+    generation expression (unqualified references — call on a frame whose
+    columns match the table schema)."""
+    from pyspark.sql import functions as F
+
+    gen = _generated_exprs(schema)
+    recompute = {c for c in gen if c not in keep}
+    if not recompute:
+        return df
+    return df.select(
+        *[
+            (
+                F.expr(gen[f.name]) if f.name in recompute else F.col(f.name)
+            ).cast(_nullable_type(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _generated_exprs(schema: T.StructType) -> dict[str, str]:
+    """column → ``delta.generationExpression`` (SQL string) from field
+    metadata (Delta spec: Generated Columns)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        expr = md.get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
 
 
 def _commit_info(operation: str, params: dict | None = None) -> dict:

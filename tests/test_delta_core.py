@@ -1216,3 +1216,48 @@ def test_v2_checkpoint_missing_sidecar_fails_loud(spark, tdir):
     os.unlink(sidecar)
     with pytest.raises(errors.MalformedLogError, match="sidecar missing"):
         DeltaTable(tdir).to_df(spark)
+
+
+def test_generated_columns(spark, tdir):
+    """Generated columns (Delta spec, minWriterVersion 4): computed from
+    delta.generationExpression when absent from the input, enforced
+    row-for-row when provided; UPDATE/MERGE recompute unassigned ones."""
+    gschema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("i2", T.LongType(), True,
+                      {"delta.generationExpression": "i * 2"}),
+    ])
+    w = DeltaWriter.create(spark, tdir, gschema)
+    assert DeltaTable(tdir).snapshot.protocol["minWriterVersion"] == 4
+
+    base = spark.range(10).select(
+        F.col("id").alias("i"), (F.col("id") * 1.5).alias("x"))
+    w.append(base)  # i2 absent -> computed
+    t = DeltaTable(tdir).to_df(spark)
+    assert t.where("i2 = i * 2").count() == 10
+
+    # provided-and-consistent passes; provided-and-wrong fails loud
+    DeltaWriter(tdir, spark).append(
+        base.withColumn("i", F.col("i") + 10).withColumn(
+            "i2", (F.col("i")) * 2))
+    with pytest.raises(errors.ConstraintViolationError, match="i2"):
+        DeltaWriter(tdir, spark).append(
+            base.withColumn("i", F.col("i") + 50).withColumn("i2", F.lit(1)))
+    assert DeltaTable(tdir).to_df(spark).where("i2 = i * 2").count() == 20
+
+    # UPDATE that changes the source recomputes the generated column
+    DeltaWriter(tdir, spark).update("i = 3", {"i": "i + 100"})
+    row = DeltaTable(tdir).to_df(spark).where("i = 103").collect()[0]
+    assert row["i2"] == 206
+
+    # MERGE: source without the generated column computes it; update
+    # branch recomputes on source change
+    src = spark.range(200, 203).select(
+        F.col("id").alias("i"), F.lit(0.0).alias("x"))
+    DeltaWriter(tdir, spark).merge(
+        src, "t.i = s.i", when_matched_update={"x": "s.x"},
+    )
+    got = DeltaTable(tdir).to_df(spark).where("i >= 200")
+    assert got.count() == 3
+    assert got.where("i2 = i * 2").count() == 3
