@@ -66,11 +66,20 @@ def table_changes(
         snap = Snapshot.build(log, v, base=prev)
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
+        cdcs: list[dict] = []
         for action in log.read_commit(v):
-            if action.get("add") and action["add"].get("dataChange", True):
+            if action.get("cdc"):
+                cdcs.append(action["cdc"])
+            elif action.get("add") and action["add"].get("dataChange", True):
                 adds[action["add"]["path"]] = action["add"]
             elif action.get("remove") and action["remove"].get("dataChange", True):
                 removes[action["remove"]["path"]] = action["remove"]
+        if cdcs:
+            # Delta spec: when a commit carries cdc actions, readers use
+            # the _change_data files EXCLUSIVELY for that commit — richer
+            # than the derived view (update_preimage/update_postimage)
+            parts.append(_read_cdc(snap, spark, cdcs, v))
+            continue
         if not adds and not removes:
             continue
 
@@ -120,6 +129,65 @@ def table_changes(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def _read_cdc(
+    snap: Snapshot, spark: SparkSession, cdcs: list[dict], version: int
+) -> DataFrame:
+    """Materialize a commit's ``_change_data`` files: table columns (with
+    partition constants injected from the cdc actions) + the file-borne
+    ``_change_type`` + ``_commit_version``."""
+    from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+
+    if snap.column_mapping_mode != "none":
+        raise UnsupportedFeatureError(
+            "change feed from cdc files on a column-mapped table"
+        )
+    pcols = snap.partition_columns
+    schema = snap.schema
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    file_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+        + [T.StructField(CHANGE_TYPE, T.StringType())]
+    )
+
+    def _pv_col(raw, typ):
+        if raw in (None, ""):
+            return F.lit(None).cast(typ)
+        c = F.lit(str(raw))
+        if isinstance(typ, T.TimestampType):
+            return F.to_timestamp(c)
+        if isinstance(typ, T.DateType):
+            return F.to_date(c)
+        if isinstance(typ, T.BinaryType):
+            return F.encode(c, "utf-8")
+        return c.cast(typ)
+
+    import os
+    import urllib.parse
+
+    by_pv: dict[tuple, list[str]] = {}
+    for c in cdcs:
+        pv = tuple((k, c.get("partitionValues", {}).get(k)) for k in pcols)
+        rel = urllib.parse.unquote(c["path"])
+        full = (
+            rel if "://" in rel or os.path.isabs(rel)
+            else os.path.join(snap.log.table_path, rel)
+        )
+        by_pv.setdefault(pv, []).append(full)
+
+    out = None
+    for pv, paths in by_pv.items():
+        df = spark.read.schema(file_schema).parquet(*paths)
+        for name, raw in pv:
+            df = df.withColumn(name, _pv_col(raw, ptypes[name]))
+        df = df.select(
+            *[F.col(f.name) for f in schema.fields],
+            F.col(CHANGE_TYPE),
+            F.lit(version).cast("long").alias(COMMIT_VERSION),
+        )
+        out = df if out is None else out.unionByName(df)
     return out
 
 

@@ -298,13 +298,9 @@ class DeltaWriter:
                     f"writer features not supported: {sorted(unsupported)}"
                 )
         conf = snap.configuration
-        if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
-            # honoring CDF means producing _change_data files; we derive
-            # changes from the log instead (delta/changes.py) but must not
-            # write to tables whose consumers expect _change_data
-            raise UnsupportedFeatureError(
-                "write to a table with delta.enableChangeDataFeed"
-            )
+        # delta.enableChangeDataFeed is honored: DELETE/UPDATE/MERGE write
+        # _change_data files + cdc actions (_write_cdc); appends need none
+        # (readers derive inserts from the add actions, per spec)
         for f in snap.schema.fields:
             md = f.metadata or {}
             # generated columns are SUPPORTED (computed when absent,
@@ -409,6 +405,68 @@ class DeltaWriter:
 
         self._enforce_not_null(adds, schema, parts, moved)
         return moved, adds
+
+    def _cdf_enabled(self, snap: Snapshot) -> bool:
+        return (
+            snap.configuration.get("delta.enableChangeDataFeed", "").lower()
+            == "true"
+        )
+
+    def _write_cdc(
+        self, df: DataFrame, parts: list[str]
+    ) -> tuple[list[tuple[str, dict]], list[dict]]:
+        """Write change-data rows (table columns + ``_change_type``) as
+        hive-partitioned parquet under ``_change_data/`` and return
+        (moved, cdc_actions) — the CDF write half of the Delta spec: a
+        commit carrying cdc actions is read from THOSE files exclusively.
+        One distributed write job; nothing is committed here."""
+        staging = os.path.join(self.table_path, f"_staging_cdc_{uuid.uuid4().hex}")
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        moved: list[tuple[str, dict]] = []
+        actions: list[dict] = []
+        try:
+            for root, _dirs, names in os.walk(staging):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, staging)
+                    pvals: dict[str, str | None] = {}
+                    if rel_dir != ".":
+                        for comp in rel_dir.split(os.sep):
+                            k, _, v = comp.partition("=")
+                            pvals[k] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else urllib.parse.unquote(v)
+                            )
+                    rel_path = os.path.join(
+                        "_change_data",
+                        name if rel_dir == "." else os.path.join(rel_dir, name),
+                    )
+                    dest = os.path.join(self.table_path, rel_path)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    shutil.move(os.path.join(root, name), dest)
+                    moved.append((rel_path, {p: pvals.get(p) for p in parts}))
+                    actions.append({"cdc": {
+                        "path": urllib.parse.quote(
+                            rel_path.replace(os.sep, "/"), safe="/=-_.~"
+                        ),
+                        "partitionValues": {
+                            p: (None if pvals.get(p) is None else str(pvals[p]))
+                            for p in parts
+                        },
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }})
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return moved, actions
 
     def _to_physical(self, df, schema: T.StructType, parts: list[str]):
         """Rename columns to their column-mapping physical names and attach
@@ -683,17 +741,31 @@ class DeltaWriter:
             condition = F.expr(condition)
 
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
-        matched = (
-            scan.to_df()
-            .where(condition)
-            .select(
+        cdf = self._cdf_enabled(snap)
+        rows = scan.to_df().where(condition)
+        if cdf:
+            rows = rows.persist()  # consumed twice: DV build + cdc write
+        cdc_moved: list[tuple[str, dict]] = []
+        cdc_actions: list[dict] = []
+        try:
+            matched = rows.select(
                 F.col("filename").alias("f"),
                 F.col("file_row_number").alias("r"),
             )
-        )
-        results = self._dv_results(snap, matched)
-        if not results:
-            return None
+            results = self._dv_results(snap, matched)
+            if not results:
+                return None
+            if cdf:
+                pre = rows.select(
+                    *[F.col(f.name) for f in snap.schema.fields],
+                    F.lit("delete").alias("_change_type"),
+                )
+                cdc_moved, cdc_actions = self._write_cdc(
+                    pre, snap.partition_columns
+                )
+        finally:
+            if cdf:
+                rows.unpersist()
 
         n_deleted = sum(r["n_new"] for r in results)
         actions: list[dict] = [
@@ -707,9 +779,14 @@ class DeltaWriter:
         if proto_action:
             actions.append(proto_action)
         actions.extend(self._dv_actions(snap, results))
+        actions.extend(cdc_actions)
 
         version = snap.version + 1
-        self.log.commit(version, actions)
+        try:
+            self.log.commit(version, actions)
+        except CommitConflictError:
+            self._rollback(cdc_moved)
+            raise
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -911,6 +988,21 @@ class DeltaWriter:
             moved, adds_new = self._write_data(
                 new_rows, schema, snap.partition_columns
             )
+            cdc_actions: list[dict] = []
+            if self._cdf_enabled(snap):
+                data_cols = [F.col(f.name) for f in schema.fields]
+                cdc = matched.select(
+                    *data_cols, F.lit("update_preimage").alias("_change_type")
+                ).unionByName(
+                    new_rows.select(
+                        *data_cols,
+                        F.lit("update_postimage").alias("_change_type"),
+                    )
+                )
+                cdc_moved, cdc_actions = self._write_cdc(
+                    cdc, snap.partition_columns
+                )
+                moved = moved + cdc_moved
         finally:
             matched.unpersist()
 
@@ -922,6 +1014,7 @@ class DeltaWriter:
             actions.append(proto_action)
         actions.extend(self._dv_actions(snap, results))
         actions.extend({"add": a} for a in adds_new)
+        actions.extend(cdc_actions)
 
         version = snap.version + 1
         try:
@@ -1067,6 +1160,38 @@ class DeltaWriter:
             self._rollback(moved)
             return None
 
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            data_cols = [F.col(f.name) for f in schema.fields]
+            cdc_parts = []
+            if results:
+                pre_tag = (
+                    "update_preimage" if when_matched_update else "delete"
+                )
+                cdc_parts.append(
+                    t.join(s, on_expr, "left_semi").select(
+                        *data_cols, F.lit(pre_tag).alias("_change_type")
+                    )
+                )
+            if when_matched_update and results:
+                for branch, _skip in new_parts:
+                    cdc_parts.append(branch.select(
+                        *data_cols,
+                        F.lit("update_postimage").alias("_change_type"),
+                    ))
+            if ins is not None and n_inserted:
+                cdc_parts.append(ins.select(
+                    *data_cols, F.lit("insert").alias("_change_type")
+                ))
+            if cdc_parts:
+                cdc = cdc_parts[0]
+                for p in cdc_parts[1:]:
+                    cdc = cdc.unionByName(p)
+                cdc_moved, cdc_actions = self._write_cdc(
+                    cdc, snap.partition_columns
+                )
+                moved = moved + cdc_moved
+
         actions: list[dict] = [
             {
                 "commitInfo": _commit_info(
@@ -1084,6 +1209,7 @@ class DeltaWriter:
                 actions.append(proto_action)
             actions.extend(self._dv_actions(snap, results))
         actions.extend({"add": a} for a in adds_new)
+        actions.extend(cdc_actions)
 
         version = snap.version + 1
         try:
