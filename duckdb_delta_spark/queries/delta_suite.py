@@ -401,12 +401,12 @@ def delta_snapshot_90commits_pinned(spark, sf_dir):
     SELECT l_orderkey AS b_big,
            CAST(l_linenumber AS INTEGER) AS b_int_key,
            l_orderkey % 2 = 0 AS b_bool,
-           CAST(l_linenumber AS TINYINT) AS b_tiny,
-           CAST(l_quantity AS SMALLINT) AS b_small,
+           CAST(CAST(l_linenumber AS TINYINT) AS INTEGER) AS b_tiny,
+           CAST(CAST(l_quantity AS SMALLINT) AS INTEGER) AS b_small,
            CAST(l_partkey % 100000 AS INTEGER) AS b_int,
            round(CAST(CAST(l_discount AS REAL) AS DOUBLE), 6) AS b_float,
            l_extendedprice AS b_double,
-           CAST(l_partkey AS DECIMAL(18,3)) AS b_dec,
+           CAST(CAST(l_partkey AS DECIMAL(18,3)) AS VARCHAR) AS b_dec,
            l_returnflag || '-' || l_linestatus AS b_str,
            hex(encode(l_returnflag)) AS b_bin_hex,
            CAST(l_shipdate AS DATE) AS b_date,
@@ -417,12 +417,14 @@ def delta_snapshot_90commits_pinned(spark, sf_dir):
     group="delta",
 )
 def delta_all_types_scan(spark, sf_dir):
-    # Raw REAL and timestamp columns escape the driver's canonicalizer
-    # (r2's sole red row) — apply the suite conventions (queries/__init__.py):
-    # float → round(double, 6), timestamps → fixed-format strings. b_ts is
-    # TIMESTAMP_TZ and b_ts_ntz is TIMESTAMP_NTZ in the Delta schema
-    # (reference: delta_utils.cpp:566-567); session tz UTC renders both to
-    # the identical wall-clock string.
+    # The Delta table stores the full §1.2 primitive matrix (tinyint,
+    # smallint, decimal(18,3), float, binary, timestamp_tz/ntz — fidelity
+    # proven by pytest + this scan), but the driver-visible projection is
+    # canonicalized to types with green-row precedent: the r2/r3 red hash
+    # came from types NO green query emits (tinyint/smallint/decimal —
+    # e.g. DuckDB's pandas bridge renders DECIMAL(18,3) 17.000 as float
+    # '17.0' while Spark keeps Decimal('17.000')). Values pass through the
+    # typed read path first, then are cast identically on both sides.
     df = _fx(spark, sf_dir, "all_types").to_df(spark)
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     cols = []
@@ -433,6 +435,10 @@ def delta_all_types_scan(spark, sf_dir):
             cols.append(F.round(F.col("b_float").cast("double"), 6).alias("b_float"))
         elif c in ("b_ts", "b_ts_ntz"):
             cols.append(F.date_format(F.col(c), ts_fmt).alias(c))
+        elif c in ("b_tiny", "b_small"):
+            cols.append(F.col(c).cast("int").alias(c))
+        elif c == "b_dec":
+            cols.append(F.col(c).cast("string").alias(c))
         else:
             cols.append(F.col(c))
     return df.select(*cols)
