@@ -660,6 +660,7 @@ class DeltaWriter:
                 )
             if schema_changed or (schema_widened and meta_changed):
                 fresh_fields = {f.name: f for f in fresh.schema.fields}
+                old_names = {f.name for f in old.schema.fields}
                 # every column our files carry must still exist, same type
                 for f in write_schema.fields:
                     ff = fresh_fields.get(f.name)
@@ -670,17 +671,22 @@ class DeltaWriter:
                             f"concurrent schema change retyped column {f.name!r} "
                             "during commit retry"
                         )
-                    if ff is None and not schema_widened:
+                    if ff is None and (f.name in old_names or not schema_widened):
+                        # a column from the PINNED schema vanished: a
+                        # concurrent commit dropped it — the mergeSchema
+                        # re-merge below must not resurrect it, so abort
                         raise SchemaError(
                             f"concurrent schema change dropped column {f.name!r} "
                             "during commit retry"
                         )
                 actions = [a for a in actions if "metaData" not in a]
                 if schema_widened:
+                    # only the columns OUR write introduced (absent from the
+                    # pinned schema) may be re-merged into the fresh metadata
                     new_fields = [
                         T.StructField(f.name, _nullable_type(f.dataType), True)
                         for f in write_schema.fields
-                        if f.name not in fresh_fields
+                        if f.name not in fresh_fields and f.name not in old_names
                     ]
                     if new_fields:
                         merged = T.StructType(list(fresh.schema.fields) + new_fields)
@@ -742,6 +748,14 @@ class DeltaWriter:
 
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
         cdf = self._cdf_enabled(snap)
+        if cdf and snap.column_mapping_mode != "none":
+            # change-data files must use the same column-mapping PHYSICAL
+            # names as data files (Delta spec); _write_cdc writes logical
+            # names, so external readers would mis-resolve them — and our
+            # own _read_cdc refuses column-mapped tables
+            raise UnsupportedFeatureError(
+                "DELETE with change data feed on a column-mapped table"
+            )
         rows = scan.to_df().where(condition)
         if cdf:
             rows = rows.persist()  # consumed twice: DV build + cdc write
@@ -781,12 +795,26 @@ class DeltaWriter:
         actions.extend(self._dv_actions(snap, results))
         actions.extend(cdc_actions)
 
+        undo = cdc_moved + self._dv_moved(results)
         version = snap.version + 1
-        try:
-            self.log.commit(version, actions)
-        except CommitConflictError:
-            self._rollback(cdc_moved)
-            raise
+        attempt = 0
+        while True:
+            try:
+                self.log.commit(version, actions)
+                break
+            except CommitConflictError:
+                attempt += 1
+                if attempt > 3:
+                    self._rollback(undo)
+                    raise
+                fresh = Snapshot.build(self.log, base=snap)
+                try:
+                    self._revalidate_dv_retry(snap, fresh, results, "DELETE")
+                except Exception:
+                    self._rollback(undo)
+                    raise
+                snap = fresh
+                version = snap.version + 1
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -862,6 +890,45 @@ class DeltaWriter:
             .applyInPandas(_build_dv, "f string, n_new long, full boolean, desc string")
             .collect()
         )
+
+    def _dv_moved(self, results: list) -> list[tuple[str, dict]]:
+        """Rollback entries for the DV ``.bin`` files written by
+        ``_dv_results`` — a failed commit must delete them too, else they
+        sit orphaned for vacuum's full retention window (no tombstone, so
+        only the mtime gate ever reclaims them)."""
+        from duckdb_delta_spark.delta.dv import dv_file_path
+
+        out: list[tuple[str, dict]] = []
+        for r in results:
+            if r["desc"]:
+                full = dv_file_path(self.table_path, json.loads(r["desc"]))
+                out.append((os.path.relpath(full, self.table_path), {}))
+        return out
+
+    def _revalidate_dv_retry(
+        self, old: Snapshot, fresh: Snapshot, results: list, operation: str
+    ) -> None:
+        """Retry safety for DV-building DML: each executor-built bitmap
+        merged the touched file's PRIOR DV, so the retry is only valid when
+        every intervening commit left those files untouched (same path,
+        same DV descriptor). Also re-runs the writer-protocol gate against
+        the fresh snapshot (appendOnly / writer features may have changed)."""
+        prev = self._snapshot
+        self._snapshot = fresh
+        try:
+            self._assert_writable(operation, removes_rows=True)
+        finally:
+            self._snapshot = prev
+        old_by = self._by_uri(old)
+        fresh_by = self._by_uri(fresh)
+        for r in results:
+            f_old = old_by[r["f"]]
+            f_new = fresh_by.get(r["f"])
+            if f_new is None or f_new.deletion_vector != f_old.deletion_vector:
+                raise CommitConflictError(
+                    f"concurrent commit modified file {f_old.path!r} "
+                    f"during {operation} retry"
+                )
 
     def _dv_protocol_upgrade(self, snap: Snapshot) -> dict | None:
         """First DV write upgrades to (3,7) + deletionVectors feature."""
@@ -1596,7 +1663,10 @@ class DeltaWriter:
                     return None  # raced away
             if ts > cutoff_ms:
                 return None
-            os.unlink(full)
+            try:
+                os.unlink(full)
+            except OSError:
+                return None  # raced away / permission — leave for next run
             return os.path.relpath(full, self.table_path)
 
         candidates: list[str] = []

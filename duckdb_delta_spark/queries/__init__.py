@@ -80,6 +80,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # newer testdata writes TIMESTAMP(MICROS) without tz → NTZ in
+            # Spark; unix_micros/watermarks need TIMESTAMP. Session tz is
+            # UTC, so the cast preserves wall-clock exactly (same values
+            # the old ns→µs path produced)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -44,6 +44,10 @@ def stream_events(
     df = reader.parquet(sf_dir)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (tz-adjusted); session tz is UTC so
+        # wall-clock values are preserved exactly
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

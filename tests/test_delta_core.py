@@ -1261,3 +1261,112 @@ def test_generated_columns(spark, tdir):
     got = DeltaTable(tdir).to_df(spark).where("i >= 200")
     assert got.count() == 3
     assert got.where("i2 = i * 2").count() == 3
+
+
+def test_delete_cdf_gated_on_column_mapping(spark, tdir):
+    """DELETE with CDF enabled on a column-mapped table must refuse: the
+    cdc write would carry LOGICAL column names while the spec requires the
+    same physical names as data files (and our own _read_cdc refuses
+    column-mapped tables)."""
+    w = DeltaWriter.create(
+        spark, tdir, _cm_schema(),
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.columnMapping.maxColumnId": "2",
+                       "delta.enableChangeDataFeed": "true"},
+    )
+    w.append(spark.range(10).select(
+        F.col("id").alias("k"), F.lit("v").alias("v")))
+    with pytest.raises(errors.UnsupportedFeatureError, match="column-mapped"):
+        w.delete("k < 3")
+    # without CDF the DV path works fine on a column-mapped table
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+
+
+def test_retry_does_not_resurrect_concurrently_dropped_column(spark, tdir):
+    """mergeSchema retry vs a concurrent commit that DROPPED a pinned
+    column: the retry must abort (SchemaError), not re-add the dropped
+    column via the widen re-merge."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+
+    loser = DeltaWriter(tdir, spark)  # pins snapshot at v1 (i, g, x)
+    # winner drops column x
+    log = DeltaLog(tdir)
+    snap = Snapshot.build(log)
+    meta = dict(snap.metadata)
+    dropped = T.StructType([f for f in SCHEMA.fields if f.name != "x"])
+    meta["schemaString"] = dropped.json()
+    log.commit(2, [{"commitInfo": _commit_info("DROP COLUMN")},
+                   {"metaData": meta}])
+
+    with pytest.raises(errors.SchemaError, match="dropped column 'x'"):
+        loser.append(
+            _ids(spark, 3, lo=5).withColumn("z", F.lit(9.0)),
+            merge_schema=True,
+            max_retries=2,
+        )
+    # no orphan files, and x stayed dropped
+    t = DeltaTable(tdir)
+    n_disk = sum(1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".parquet"))
+    assert n_disk == len(t.snapshot.files)
+    assert "x" not in set(t.snapshot.schema.fieldNames())
+
+
+def test_delete_conflict_retries_and_cleans_dv_files(spark, tdir):
+    """DELETE losing a commit race: (a) retry succeeds when intervening
+    commits left the touched files alone; (b) when the race modified a
+    touched file's DV, the DELETE aborts AND removes its orphaned DV
+    .bin files."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 30).coalesce(1))
+
+    # (a) benign race: an unrelated commitInfo lands first -> retry wins
+    loser = DeltaWriter(tdir, spark)
+    DeltaLog(tdir).commit(2, [{"commitInfo": {"timestamp": 0, "operation": "RACE"}}])
+    v, n = loser.delete("i < 5")
+    assert (v, n) == (3, 5)
+    assert DeltaTable(tdir).to_df(spark).count() == 25
+
+    # (b) hostile race: another writer DELETEs rows in the same file
+    # (changing its DV) -> retry unsafe, abort, DV garbage cleaned
+    loser = DeltaWriter(tdir, spark)  # pins v3
+    DeltaWriter(tdir, spark).delete("i >= 25")  # v4 rewrites the file's DV
+    n_bins_before = sum(
+        1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".bin"))
+    with pytest.raises(errors.CommitConflictError):
+        loser.delete("i < 10")
+    n_bins_after = sum(
+        1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".bin"))
+    assert n_bins_after == n_bins_before, "orphaned DV files left behind"
+    assert DeltaTable(tdir).to_df(spark).count() == 20
+
+
+def test_vacuum_survives_unlink_race(spark, tdir, monkeypatch):
+    """A file that disappears (or turns undeletable) between listing and
+    unlink must not abort VACUUM mid-run."""
+    import duckdb_delta_spark.delta.writer as wmod
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 20).coalesce(2))
+    w.compact(target_file_bytes=64 << 20)  # tombstones the 2 originals
+
+    real_unlink = os.unlink
+    blown = []
+
+    def flaky_unlink(p, *a, **k):
+        if p.endswith(".parquet") and not blown:
+            blown.append(p)
+            raise OSError(13, "Permission denied", p)
+        return real_unlink(p, *a, **k)
+
+    monkeypatch.setattr(wmod.os, "unlink", flaky_unlink)
+    deleted = DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert blown, "test should have exercised the unlink failure"
+    assert len(deleted) == 1  # the other tombstone still got reclaimed
+    assert DeltaTable(tdir).to_df(spark).count() == 20
