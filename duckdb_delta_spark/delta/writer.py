@@ -1296,6 +1296,155 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version, n_matched, n_inserted
 
+    # ---------- OVERWRITE (INSERT OVERWRITE / replaceWhere) ----------
+
+    def overwrite(self, df: DataFrame, where=None) -> int:
+        """INSERT OVERWRITE: atomically replace the whole table
+        (``where=None``) or exactly the rows matching ``where``
+        (replaceWhere) with ``df`` — ONE commit. Returns the version.
+
+        Beyond the reference (all DML throws there —
+        delta_schema_entry.cpp:36-97); semantics follow delta-spark's
+        ``mode("overwrite")`` / ``replaceWhere``, including the contract
+        that every input row must satisfy ``where``.
+
+        Scale shape: the new data is one distributed write job. For
+        replaceWhere the replaced region is handled WITHOUT rewriting
+        unmatched rows: matching rows stream through the same distributed
+        DV build as DELETE, so files wholly inside the predicate become
+        plain removes and straddling files get a deletion vector. A
+        full overwrite never reads old data at all (remove actions come
+        from the manifest) unless change data feed needs preimages.
+        """
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        snap = self._snapshot
+        self._assert_writable("OVERWRITE", removes_rows=True)
+        cdf = self._cdf_enabled(snap)
+        if cdf and snap.column_mapping_mode != "none":
+            raise UnsupportedFeatureError(
+                "OVERWRITE with change data feed on a column-mapped table"
+            )
+
+        schema = snap.schema
+        parts = snap.partition_columns
+        gen = _generated_exprs(schema)
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        computed = [c for c in missing if c in gen]
+        missing = [c for c in missing if c not in gen]
+        if missing:
+            raise SchemaError(f"input missing table columns: {missing}")
+        df = df.select(
+            *[
+                (F.expr(gen[f.name]) if f.name in computed else F.col(f.name))
+                .cast(_nullable_type(f.dataType))
+                .alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        self._enforce_check_constraints(df)
+        self._enforce_generated_columns(df, schema, skip=set(computed))
+
+        pred_str = where if isinstance(where, str) else None
+        if isinstance(where, str):
+            where = F.expr(where)
+        if where is not None and df.where(~where).limit(1).count() > 0:
+            raise ConstraintViolationError(
+                "overwrite(where=...): input rows fall outside the "
+                "replaced region (replaceWhere contract)"
+            )
+
+        data_cols = [F.col(f.name) for f in schema.fields]
+        now_ms = int(time.time() * 1000)
+        results: list = []
+        removes: list[dict] = []
+        pre = None  # CDF delete-preimages of the replaced rows
+        rows = None
+        if where is None:
+            for f in snap.add_files():
+                r = {
+                    "path": f.path,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": dict(f.partition_values),
+                    "size": f.size,
+                }
+                if f.deletion_vector:
+                    r["deletionVector"] = f.deletion_vector
+                removes.append({"remove": r})
+            if cdf and removes:
+                pre = DeltaScanBuilder(snap, self.spark).to_df()
+        else:
+            scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
+            rows = scan.to_df().where(where)
+            if cdf:
+                rows = rows.persist()  # consumed twice: DV build + cdc
+
+        cdc_moved: list[tuple[str, dict]] = []
+        cdc_actions: list[dict] = []
+        try:
+            if rows is not None:
+                matched = rows.select(
+                    F.col("filename").alias("f"),
+                    F.col("file_row_number").alias("r"),
+                )
+                results = self._dv_results(snap, matched)
+                if cdf and results:
+                    pre = rows  # still pinned to the pre-overwrite file set
+            if cdf:
+                ins = df.select(
+                    *data_cols, F.lit("insert").alias("_change_type")
+                )
+                cdc = ins
+                if pre is not None:
+                    cdc = pre.select(
+                        *data_cols, F.lit("delete").alias("_change_type")
+                    ).unionByName(ins)
+                cdc_moved, cdc_actions = self._write_cdc(cdc, parts)
+        finally:
+            if rows is not None and cdf:
+                rows.unpersist()
+
+        write_schema, write_parts, wdf = schema, parts, df
+        if snap.column_mapping_mode != "none":
+            write_schema, write_parts, wdf = self._to_physical(df, schema, parts)
+        moved, adds = self._write_data(wdf, write_schema, write_parts)
+
+        info = {"mode": "Overwrite"}
+        if where is not None:
+            info["predicate"] = pred_str or str(where)
+        actions: list[dict] = [{"commitInfo": _commit_info("WRITE", info)}]
+        if results:
+            proto_action = self._dv_protocol_upgrade(snap)
+            if proto_action:
+                actions.append(proto_action)
+            actions.extend(self._dv_actions(snap, results))
+        actions.extend(removes)
+        actions.extend({"add": a} for a in adds)
+        actions.extend(cdc_actions)
+
+        undo = moved + cdc_moved + self._dv_moved(results)
+        version = snap.version + 1
+        try:
+            self.log.commit(version, actions)
+        except CommitConflictError:
+            self._rollback(undo)
+            raise
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "overwrite.apply",
+            table_path=self.table_path,
+            version=version,
+            n_removed_files=len(removes),
+            n_dv_files=len(results),
+            n_added_files=len(adds),
+        )
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     # ---------- RESTORE ----------
 
     def restore(self, version: int) -> int | None:

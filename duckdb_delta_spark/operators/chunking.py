@@ -1,0 +1,138 @@
+"""Chunking / sequence packing / stratified sampling — the steps between a
+raw document corpus and a training batch.
+
+Scale shape (designed for 100 TB corpora):
+
+* ``chunk_documents`` and ``stratified_sample`` are embarrassingly
+  parallel row transforms — built-in Spark expressions only (whole-stage
+  codegen, zero shuffle, no Python).
+* ``pack_greedy`` shuffles ONCE on a bounded shard key and runs one
+  window per shard; shard count scales with the cluster, and per-shard
+  state is a running sum — no global ordering, no driver involvement.
+
+Every function is deterministic (md5-derived hashing, fixed tie-breaks)
+so the DuckDB oracles compare exact values, not statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from duckdb_delta_spark.operators.text import TOKEN_SPLIT_RE
+
+
+def ws_tokens(text: Column) -> Column:
+    """Raw whitespace tokens, case preserved (chunk text must roundtrip)."""
+    return F.filter(F.split(F.trim(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def hash_bucket(col: Column, buckets: int, salt: str = "") -> Column:
+    """Deterministic uniform bucket from md5 — identical in Spark and the
+    DuckDB oracle (both hash the same UTF-8 string)."""
+    s = F.concat(col.cast("string"), F.lit(":" + salt)) if salt else col.cast("string")
+    return (F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % buckets)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-budget overlapping token windows per document.
+
+    ``stride = chunk_tokens - overlap``; chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``. A document with ``n`` tokens
+    yields ``max(1, ceil((n - overlap) / stride))`` chunks, so every token
+    lands in at least one chunk and consecutive chunks share ``overlap``
+    tokens. Empty documents yield nothing.
+
+    Output: (id, chunk_idx, chunk_tokens, chunk_hash) — the hash is md5 of
+    the space-joined chunk so equality checks are exact without shipping
+    chunk text. One explode, zero shuffle, all codegen.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    out = (
+        df.withColumn("__toks", ws_tokens(F.col(text_col)))
+        .withColumn("__n", F.size("__toks"))
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "__n_chunks",
+            F.greatest(
+                F.lit(1),
+                F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(stride))),
+            ).cast("int"),
+        )
+        .withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1))
+        )
+        .withColumn(
+            "__chunk",
+            F.slice("__toks", F.col("chunk_idx") * stride + 1, chunk_tokens),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join("__chunk", " ")).alias("chunk_hash"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 32,
+) -> DataFrame:
+    """Pack documents into fixed token-budget bins (training sequences).
+
+    Documents are sharded by a deterministic hash, ordered by id within
+    the shard, and assigned ``bin = floor(exclusive_cumsum / budget)`` —
+    the streaming analogue of greedy first-fit packing that needs only a
+    per-shard running sum. Bins may overflow by at most one document
+    (documents are never split); callers chunk first if that matters.
+
+    Output: one row per (shard, bin) with n_docs and token totals.
+    """
+    shard = hash_bucket(F.col(id_col), shards)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    toks = F.col(tok_col).cast("long")
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__cum", F.sum(toks).over(w))
+        .withColumn(
+            "bin", F.floor((F.col("__cum") - toks) / F.lit(budget)).cast("long")
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("bin_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (dataset mixing weights).
+
+    Keeps a row iff ``md5(id:salt) % 100 < rates_pct[stratum]`` — exactly
+    reproducible across engines and runs, no RNG state, embarrassingly
+    parallel. Changing the salt redraws the sample.
+    """
+    bucket = hash_bucket(F.col(id_col), 100, salt=salt)
+    rate = F.lit(default_pct)
+    for k, v in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.where(bucket < rate)

@@ -542,6 +542,28 @@ def delta_update_scan(spark, sf_dir):
     )
 
 
+# engine-written INSERT OVERWRITE: a partition-aligned replaceWhere
+# (whole-file removes) then a straddling one (DV masks) — both in the
+# same fixture, so the scan crosses removes, DVs and fresh adds
+# (beyond the reference, which supports no DML)
+@register(
+    "delta_overwrite_scan",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {osum(f"CASE WHEN o_orderkey < {FX.OW_KEY_MAX} THEN o_totalprice * 5 "
+                 "WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 3 "
+                 "ELSE o_totalprice END")} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_overwrite_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_ow")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
 # engine-written MERGE: overlap updated via DV+re-append, tail inserted
 @register(
     "delta_merge_scan",

@@ -629,3 +629,113 @@ def dedup_cluster(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_candidate_pairs(docs)
     return D.connected_components(pairs)
+
+
+# ------------------------------------------------------- chunking / packing
+
+# chunk geometry shared by Spark and oracle
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 8
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+_RAW_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, CAST(ceil((len(toks) - {CHUNK_OVERLAP})
+                                   / {_STRIDE}.0) AS INT)) AS nc
+      FROM t WHERE len(toks) > 0),
+    e AS (
+      SELECT doc_id, toks,
+             CAST(unnest(range(0, nc)) AS INT) AS chunk_idx
+      FROM c)
+    SELECT doc_id, chunk_idx,
+           CAST(len(toks[chunk_idx*{_STRIDE}+1 : chunk_idx*{_STRIDE}+{CHUNK_TOKENS}]) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(
+               toks[chunk_idx*{_STRIDE}+1 : chunk_idx*{_STRIDE}+{CHUNK_TOKENS}], ' '))
+             AS chunk_hash
+    FROM e
+    """,
+    group="chunking",
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Fixed-budget overlapping chunk windows: md5 chunk hashes prove the
+    chunk CONTENT (not just counts) matches the oracle exactly."""
+    from duckdb_delta_spark.operators import chunking as C
+
+    docs = load(spark, sf_dir, "documents")
+    return C.chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+PACK_BUDGET, PACK_SHARDS = 2048, 16
+
+
+@register(
+    "doc_pack_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+               % {PACK_SHARDS} AS shard,
+             CAST(len({_RAW_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT shard, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM t)
+    SELECT shard, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY shard, bin
+    """,
+    group="chunking",
+)
+def doc_pack_bins(spark, sf_dir):
+    """Greedy sequence packing into fixed token budgets: one shuffle on a
+    bounded shard key, per-shard running-sum window — first-fit packing
+    that survives any corpus size."""
+    from duckdb_delta_spark.operators import chunking as C
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(C.ws_tokens(F.col("text"))).cast("long")
+    )
+    return C.pack_greedy(
+        docs, budget=PACK_BUDGET, shards=PACK_SHARDS
+    )
+
+
+MIX_RATES = {"en": 35, "de": 80, "es": 80, "fr": 80, "zh": 50}
+MIX_SALT = "mix1"
+
+
+@register(
+    "doc_sample_stratified",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{MIX_SALT}'),1,8))::BIGINT
+            % 100
+          < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))} ELSE 0 END
+    GROUP BY lang
+    """,
+    group="chunking",
+)
+def doc_sample_stratified(spark, sf_dir):
+    """Deterministic dataset-mixing sample: per-language keep rates via
+    md5 bucketing — reproducible across engines/runs, zero shuffle."""
+    from duckdb_delta_spark.operators import chunking as C
+
+    docs = load(spark, sf_dir, "documents")
+    kept = C.stratified_sample(docs, MIX_RATES, salt=MIX_SALT)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 14  # bump to force a rebuild
+LAYOUT_VERSION = 15  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -69,6 +69,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_upd(spark, sf_dir, os.path.join(root, "orders_upd"))
     _build_orders_merge(spark, sf_dir, os.path.join(root, "orders_merge"))
     _build_orders_restore(spark, sf_dir, os.path.join(root, "orders_restore"))
+    _build_orders_ow(spark, sf_dir, os.path.join(root, "orders_ow"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -612,3 +613,34 @@ def _build_orders_restore(spark, sf_dir, path):
     w.append(o.where(F.col("o_orderkey") < EVO_KEY_SPLIT).repartition(2))
     w.append(o.where(F.col("o_orderkey") >= EVO_KEY_SPLIT).repartition(2))
     assert w.restore(1) == 3
+
+
+OW_KEY_MAX = 400  # straddling replaceWhere region for orders_ow
+
+
+def _build_orders_ow(spark, sf_dir, path):
+    """INSERT OVERWRITE through the writer, both shapes: a partition-
+    aligned replaceWhere (whole-file removes, no DVs) then a straddling
+    predicate (DV masks). Final contents are SQL-derivable from orders:
+    keys < OW_KEY_MAX carry price*5, remaining urgent rows price*3."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(
+        spark, path, o.schema, partition_by=["o_orderpriority"]
+    )
+    w.append(o.repartition(2))
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 3
+    )
+    w.overwrite(urgent, where="o_orderpriority = '1-URGENT'")
+    from duckdb_delta_spark.delta.table import DeltaTable as _DT
+
+    assert all(
+        f.deletion_vector is None for f in _DT(path).snapshot.add_files()
+    ), "partition-aligned replace must not need DVs"
+    low = o.where(F.col("o_orderkey") < OW_KEY_MAX).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 5
+    )
+    w.overwrite(low, where=f"o_orderkey < {OW_KEY_MAX}")
+    assert any(
+        f.deletion_vector is not None for f in _DT(path).snapshot.add_files()
+    ), "straddling replace should DV-mask"

@@ -1370,3 +1370,80 @@ def test_vacuum_survives_unlink_race(spark, tdir, monkeypatch):
     assert blown, "test should have exercised the unlink failure"
     assert len(deleted) == 1  # the other tombstone still got reclaimed
     assert DeltaTable(tdir).to_df(spark).count() == 20
+
+
+def test_overwrite_full_table(spark, tdir):
+    """overwrite(None) atomically replaces everything: old files are
+    tombstoned (vacuum reclaims them), new data is the whole table, and
+    time travel still reads the pre-overwrite version."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 40).coalesce(2))
+    v = w.overwrite(_ids(spark, 7, lo=100))
+    t = DeltaTable(tdir)
+    assert t.version == v
+    got = sorted(r["i"] for r in t.to_df(spark).collect())
+    assert got == list(range(100, 107))
+    # pre-overwrite version intact via time travel
+    assert DeltaTable(tdir, version=1).to_df(spark).count() == 40
+    # tombstones carry the old files; vacuum(0) reclaims exactly them
+    deleted = DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert len(deleted) == 2
+    assert DeltaTable(tdir).to_df(spark).count() == 7
+
+
+def test_overwrite_replace_where(spark, tdir):
+    """replaceWhere: partition-aligned predicate drops whole files (plain
+    removes, no DV); a straddling predicate DV-masks; rows outside the
+    region violate the contract."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA, partition_by=["g"])
+    w.append(_ids(spark, 100))
+
+    # partition-aligned: g=3 rows (i % 7 == 3) replaced by 2 fresh rows
+    repl = spark.createDataFrame([(1000, 3, 0.5), (1001, 3, 1.5)], SCHEMA)
+    w.overwrite(repl, where="g = 3")
+    t = DeltaTable(tdir)
+    df = t.to_df(spark)
+    assert df.where("g = 3").count() == 2
+    assert df.count() == 100 - 14 + 2  # i%7==3 has 14 of 100
+    # no deletion vectors needed for a partition-aligned replace
+    assert all(f.deletion_vector is None for f in t.snapshot.add_files())
+
+    # straddling predicate: i < 10 crosses every partition -> DV masks
+    repl2 = spark.createDataFrame([(5, 5, 9.9)], SCHEMA)
+    w.overwrite(repl2, where="i < 10")
+    t = DeltaTable(tdir)
+    df = t.to_df(spark)
+    assert df.where("i < 10").count() == 1
+    assert df.where("i = 5").collect()[0]["x"] == 9.9
+    assert any(f.deletion_vector is not None for f in t.snapshot.add_files())
+
+    # contract: input rows must fall inside the replaced region
+    with pytest.raises(errors.ConstraintViolationError, match="replaceWhere"):
+        w.overwrite(spark.createDataFrame([(50, 1, 0.0)], SCHEMA),
+                    where="i < 10")
+
+
+def test_overwrite_change_feed(spark, tdir):
+    """CDF on overwrite: the commit carries cdc files — replaced rows as
+    delete preimages, new rows as inserts — readable via changes()."""
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.enableChangeDataFeed": "true"})
+    w.append(_ids(spark, 10).coalesce(1))
+    # replacement rows must satisfy the predicate (replaceWhere contract)
+    w.overwrite(_ids(spark, 3), where="i < 4")
+
+    ch = DeltaTable(tdir).changes(spark, 1).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["_change_type"], []).append(r["i"])
+    assert sorted(by["delete"]) == [0, 1, 2, 3]
+    assert sorted(by["insert"]) == [0, 1, 2]
+
+    # full overwrite: every live row is a delete preimage
+    w.overwrite(_ids(spark, 2, lo=90))  # commits version 3
+    ch2 = DeltaTable(tdir).changes(spark, 2).collect()
+    pre = sorted(r["i"] for r in ch2 if r["_change_type"] == "delete")
+    ins = sorted(r["i"] for r in ch2 if r["_change_type"] == "insert")
+    assert ins == [90, 91]
+    assert pre == sorted({0, 1, 2} | (set(range(10)) - {0, 1, 2, 3}))

@@ -159,3 +159,36 @@ def test_virtual_file_number_no_global_window(spark, tdir):
     assert all(len(v) == 1 for v in by_file.values())
     ordered = [n for _, (n,) in sorted((f, tuple(v)) for f, v in by_file.items())]
     assert ordered == [1, 2, 3]
+
+
+def test_chunking_zero_shuffle(spark):
+    """chunk_documents and stratified_sample are row transforms: no
+    Exchange in the plan, no Python (BatchEvalPython/ArrowEvalPython)."""
+    from duckdb_delta_spark.operators import chunking as C
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    for df in (
+        C.chunk_documents(docs),
+        C.stratified_sample(docs, {"en": 50}, salt="t"),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_pack_greedy_single_shuffle(spark):
+    """pack_greedy: exactly one data Exchange (the shard repartition for
+    the window); the groupBy rides the same partitioning."""
+    from duckdb_delta_spark.operators import chunking as C
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents").withColumn(
+        "n_tokens", F.size(C.ws_tokens(F.col("text"))).cast("long")
+    )
+    import re
+
+    plan = _plan(C.pack_greedy(docs, budget=512, shards=8))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "EvalPython" not in plan, plan
