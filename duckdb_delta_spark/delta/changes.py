@@ -137,18 +137,26 @@ def _read_cdc(
 ) -> DataFrame:
     """Materialize a commit's ``_change_data`` files: table columns (with
     partition constants injected from the cdc actions) + the file-borne
-    ``_change_type`` + ``_commit_version``."""
-    from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+    ``_change_type`` + ``_commit_version``.
 
-    if snap.column_mapping_mode != "none":
-        raise UnsupportedFeatureError(
-            "change feed from cdc files on a column-mapped table"
-        )
+    Column-mapped tables: cdc files mirror data files (Delta spec), so
+    columns are read under their PHYSICAL names and renamed to logical;
+    cdc-action partitionValues are keyed physically too."""
     pcols = snap.partition_columns
     schema = snap.schema
     ptypes = {f.name: f.dataType for f in schema.fields}
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
     file_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
+        [
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
         + [T.StructField(CHANGE_TYPE, T.StringType())]
     )
 
@@ -169,7 +177,9 @@ def _read_cdc(
 
     by_pv: dict[tuple, list[str]] = {}
     for c in cdcs:
-        pv = tuple((k, c.get("partitionValues", {}).get(k)) for k in pcols)
+        pv = tuple(
+            (k, c.get("partitionValues", {}).get(phys[k])) for k in pcols
+        )
         rel = urllib.parse.unquote(c["path"])
         full = (
             rel if "://" in rel or os.path.isabs(rel)
@@ -180,6 +190,15 @@ def _read_cdc(
     out = None
     for pv, paths in by_pv.items():
         df = spark.read.schema(file_schema).parquet(*paths)
+        # physical → logical rename for the data columns
+        df = df.select(
+            *[
+                F.col(phys[f.name]).alias(f.name)
+                for f in schema.fields
+                if f.name not in pcols
+            ],
+            F.col(CHANGE_TYPE),
+        )
         for name, raw in pv:
             df = df.withColumn(name, _pv_col(raw, ptypes[name]))
         df = df.select(

@@ -387,23 +387,52 @@ class DeltaLog:
 
     # ---------- helpers ----------
 
+    def read_ict(self, version: int) -> int | None:
+        """``commitInfo.inCommitTimestamp`` of a commit, or None when the
+        commit predates the feature (or is unreadable)."""
+        if version < 0:
+            return None
+        try:
+            for action in self.read_commit(version):
+                ci = action.get("commitInfo")
+                if ci is not None:
+                    v = ci.get("inCommitTimestamp")
+                    return int(v) if v is not None else None
+        except Exception:  # noqa: BLE001 - truncated/foreign log: no ICT
+            return None
+        return None
+
     def version_at_timestamp(self, ts_ms: int) -> int:
         """Timestamp → version: the LATEST commit whose timestamp is
-        ≤ ``ts_ms`` (standard Delta timestamp travel). The clock is the
-        commit file's modification time, exactly as delta-spark resolves
-        it; raises InvalidTableVersionError for a timestamp before the
-        table existed."""
+        ≤ ``ts_ms`` (standard Delta timestamp travel). The clock is
+        ``commitInfo.inCommitTimestamp`` when the table writes them
+        (inCommitTimestamp feature — robust to file copies/restores),
+        else the commit file's modification time, exactly as delta-spark
+        resolves it; raises InvalidTableVersionError for a timestamp
+        before the table existed."""
         commits, checkpoints = self.list_log_files()
+        # feature detection: one read of the newest commit
+        use_ict = bool(commits) and self.read_ict(max(commits)) is not None
+
+        def clock(v: int, path: str) -> int | None:
+            if use_ict:
+                ict = self.read_ict(v)
+                if ict is not None:
+                    return ict
+            try:
+                return int(os.path.getmtime(path) * 1000)
+            except OSError:
+                return None
+
         best: int | None = None
         earliest: tuple[int, int] | None = None
         for v, path in commits.items():
-            try:
-                mtime_ms = int(os.path.getmtime(path) * 1000)
-            except OSError:
+            t = clock(v, path)
+            if t is None:
                 continue
-            if earliest is None or mtime_ms < earliest[1]:
-                earliest = (v, mtime_ms)
-            if mtime_ms <= ts_ms and (best is None or v > best):
+            if earliest is None or t < earliest[1]:
+                earliest = (v, t)
+            if t <= ts_ms and (best is None or v > best):
                 best = v
         if best is None:
             raise InvalidTableVersionError(

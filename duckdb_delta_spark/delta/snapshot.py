@@ -44,6 +44,8 @@ SUPPORTED_WRITER_FEATURES = {
     "domainMetadata",
     "vacuumProtocolCheck",
     "generatedColumns",  # computed when absent, enforced when provided (writer.py)
+    "changeDataFeed",  # DML writes _change_data + cdc actions (writer._write_cdc)
+    "inCommitTimestamp",  # monotonic commitInfo.inCommitTimestamp (writer._commit)
 }
 
 SUPPORTED_READER_FEATURES = {

@@ -132,11 +132,33 @@ class DeltaWriter:
             proto = {"minReaderVersion": 1, "minWriterVersion": 4}
         if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
             proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        if (configuration or {}).get(
+            "delta.enableInCommitTimestamps", ""
+        ).lower() == "true":
+            # inCommitTimestamp is a v7 table feature: list it alongside
+            # the features the legacy writer version implied
+            implied = {
+                2: {"appendOnly", "invariants"},
+                4: {"appendOnly", "invariants", "checkConstraints",
+                    "changeDataFeed", "generatedColumns"},
+                5: {"appendOnly", "invariants", "checkConstraints",
+                    "changeDataFeed", "generatedColumns", "columnMapping"},
+            }[proto["minWriterVersion"]]
+            proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(implied | {"inCommitTimestamp"}),
+            }
         actions = [
             {"commitInfo": _commit_info("CREATE TABLE")},
             {"protocol": proto},
             {"metaData": meta},
         ]
+        if proto.get("writerFeatures") and "inCommitTimestamp" in proto["writerFeatures"]:
+            # the enablement commit itself carries the first ICT
+            actions[0]["commitInfo"]["inCommitTimestamp"] = int(
+                time.time() * 1000
+            )
         log.commit(0, actions)
         return DeltaWriter(path, spark)
 
@@ -259,7 +281,7 @@ class DeltaWriter:
         attempt = 0
         while True:
             try:
-                self.log.commit(version, actions)
+                self._commit(version, actions, snapshot)
                 # refresh the pinned snapshot incrementally (reads only the
                 # commit we just wrote) so sequential appends stay cheap
                 self._snapshot = Snapshot.build(self.log, base=snapshot)
@@ -285,6 +307,31 @@ class DeltaWriter:
                     raise
                 snapshot = self._snapshot = fresh
                 version = snapshot.version + 1
+
+    def _commit(self, version: int, actions: list[dict], snap: Snapshot) -> None:
+        """``log.commit`` plus in-commit timestamps: when
+        ``delta.enableInCommitTimestamps`` is true the commitInfo gets a
+        MONOTONIC ``inCommitTimestamp`` — max(wall clock, predecessor's
+        ICT + 1), predecessor read in O(1) (Delta 'inCommitTimestamp'
+        writer feature; timestamp travel then survives file copies whose
+        mtimes lie). Re-stamped on every retry so monotonicity holds
+        against the commit that won the race."""
+        if (
+            snap.configuration.get("delta.enableInCommitTimestamps", "")
+            .lower()
+            == "true"
+        ):
+            prev = self.log.read_ict(version - 1) or 0
+            ict = max(int(time.time() * 1000), prev + 1)
+            for a in actions:
+                if "commitInfo" in a:
+                    a["commitInfo"]["inCommitTimestamp"] = ict
+                    break
+            else:
+                info = _commit_info("COMMIT")
+                info["inCommitTimestamp"] = ict
+                actions.insert(0, {"commitInfo": info})
+        self.log.commit(version, actions)
 
     def _assert_writable(self, operation: str, removes_rows: bool = False) -> None:
         """Writer-protocol gate (Delta spec: a writer must not commit to a
@@ -419,7 +466,16 @@ class DeltaWriter:
         hive-partitioned parquet under ``_change_data/`` and return
         (moved, cdc_actions) — the CDF write half of the Delta spec: a
         commit carrying cdc actions is read from THOSE files exclusively.
-        One distributed write job; nothing is committed here."""
+        One distributed write job; nothing is committed here.
+
+        Column-mapped tables: data columns are written under their
+        PHYSICAL names with parquet field ids (the spec requires cdc
+        files to mirror data files); ``_change_type`` stays literal."""
+        snap = self._snapshot
+        if snap.column_mapping_mode != "none":
+            _, parts, df = self._to_physical(
+                df, snap.schema, parts, extra_cols=("_change_type",)
+            )
         staging = os.path.join(self.table_path, f"_staging_cdc_{uuid.uuid4().hex}")
         self.spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
@@ -468,10 +524,18 @@ class DeltaWriter:
             shutil.rmtree(staging, ignore_errors=True)
         return moved, actions
 
-    def _to_physical(self, df, schema: T.StructType, parts: list[str]):
+    def _to_physical(
+        self,
+        df,
+        schema: T.StructType,
+        parts: list[str],
+        extra_cols: tuple[str, ...] = (),
+    ):
         """Rename columns to their column-mapping physical names and attach
         parquet field ids for the write. Top-level mapping only — nested
-        mapped names are not supported on the write path."""
+        mapped names are not supported on the write path. ``extra_cols``
+        pass through unrenamed (e.g. the cdc ``_change_type``, which the
+        spec keeps literal in change-data files)."""
         from pyspark.sql import functions as F
 
         def _has_nested_mapping(dt: T.DataType) -> bool:
@@ -502,6 +566,8 @@ class DeltaWriter:
                 T.StructField(phys, f.dataType, f.nullable, meta)
             )
             sel.append(F.col(f.name).alias(phys, metadata=meta))
+        for c in extra_cols:
+            sel.append(F.col(c))
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         phys_parts = []
         for p in parts:
@@ -748,14 +814,6 @@ class DeltaWriter:
 
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
         cdf = self._cdf_enabled(snap)
-        if cdf and snap.column_mapping_mode != "none":
-            # change-data files must use the same column-mapping PHYSICAL
-            # names as data files (Delta spec); _write_cdc writes logical
-            # names, so external readers would mis-resolve them — and our
-            # own _read_cdc refuses column-mapped tables
-            raise UnsupportedFeatureError(
-                "DELETE with change data feed on a column-mapped table"
-            )
         rows = scan.to_df().where(condition)
         if cdf:
             rows = rows.persist()  # consumed twice: DV build + cdc write
@@ -800,7 +858,7 @@ class DeltaWriter:
         attempt = 0
         while True:
             try:
-                self.log.commit(version, actions)
+                self._commit(version, actions, snap)
                 break
             except CommitConflictError:
                 attempt += 1
@@ -1006,8 +1064,6 @@ class DeltaWriter:
 
         snap = self._snapshot
         self._assert_writable("UPDATE", removes_rows=True)
-        if snap.column_mapping_mode != "none":
-            raise UnsupportedFeatureError("update on column-mapped table")
         if isinstance(condition, str):
             condition = F.expr(condition)
         schema = snap.schema
@@ -1052,9 +1108,14 @@ class DeltaWriter:
             self._enforce_generated_columns(
                 new_rows, schema, skip={c for c in gen if c not in assignments}
             )
-            moved, adds_new = self._write_data(
-                new_rows, schema, snap.partition_columns
+            w_schema, w_parts, w_rows = (
+                schema, snap.partition_columns, new_rows
             )
+            if snap.column_mapping_mode != "none":
+                w_schema, w_parts, w_rows = self._to_physical(
+                    new_rows, schema, snap.partition_columns
+                )
+            moved, adds_new = self._write_data(w_rows, w_schema, w_parts)
             cdc_actions: list[dict] = []
             if self._cdf_enabled(snap):
                 data_cols = [F.col(f.name) for f in schema.fields]
@@ -1085,7 +1146,7 @@ class DeltaWriter:
 
         version = snap.version + 1
         try:
-            self.log.commit(version, actions)
+            self._commit(version, actions, snap)
         except CommitConflictError:
             self._rollback(moved)
             raise
@@ -1131,8 +1192,6 @@ class DeltaWriter:
         self._assert_writable(
             "MERGE", removes_rows=bool(when_matched_update) or when_matched_delete
         )
-        if snap.column_mapping_mode != "none":
-            raise UnsupportedFeatureError("merge on column-mapped table")
         if when_matched_update and when_matched_delete:
             raise ValueError("choose either when_matched_update or when_matched_delete")
         schema = snap.schema
@@ -1202,17 +1261,26 @@ class DeltaWriter:
         # ONE write job per branch, each frame computed exactly once —
         # n_inserted comes from the written files' footer numRecords
         # instead of a separate count() job re-running the anti-join
+        def _write_images(frame):
+            """Branch write under column-mapping physical names if mapped."""
+            if snap.column_mapping_mode != "none":
+                ws, wp, wf = self._to_physical(
+                    frame, schema, snap.partition_columns
+                )
+                return self._write_data(wf, ws, wp)
+            return self._write_data(frame, schema, snap.partition_columns)
+
         moved, adds_new, n_inserted = [], [], 0
         for branch, gen_skip in new_parts:
             self._enforce_check_constraints(branch)
             self._enforce_generated_columns(branch, schema, skip=gen_skip)
-            m, a = self._write_data(branch, schema, snap.partition_columns)
+            m, a = _write_images(branch)
             moved.extend(m)
             adds_new.extend(a)
         if ins is not None:
             self._enforce_check_constraints(ins)
             self._enforce_generated_columns(ins, schema, skip=ins_skip)
-            m, a = self._write_data(ins, schema, snap.partition_columns)
+            m, a = _write_images(ins)
             n_inserted = sum(
                 int(json.loads(ad.get("stats") or "{}").get("numRecords") or 0)
                 for ad in a
@@ -1280,7 +1348,7 @@ class DeltaWriter:
 
         version = snap.version + 1
         try:
-            self.log.commit(version, actions)
+            self._commit(version, actions, snap)
         except CommitConflictError:
             self._rollback(moved)
             raise
@@ -1323,10 +1391,6 @@ class DeltaWriter:
         snap = self._snapshot
         self._assert_writable("OVERWRITE", removes_rows=True)
         cdf = self._cdf_enabled(snap)
-        if cdf and snap.column_mapping_mode != "none":
-            raise UnsupportedFeatureError(
-                "OVERWRITE with change data feed on a column-mapped table"
-            )
 
         schema = snap.schema
         parts = snap.partition_columns
@@ -1428,7 +1492,7 @@ class DeltaWriter:
         undo = moved + cdc_moved + self._dv_moved(results)
         version = snap.version + 1
         try:
-            self.log.commit(version, actions)
+            self._commit(version, actions, snap)
         except CommitConflictError:
             self._rollback(undo)
             raise
@@ -1524,7 +1588,7 @@ class DeltaWriter:
             actions.append({"remove": remove})
 
         new_version = snap_now.version + 1
-        self.log.commit(new_version, actions)
+        self._commit(new_version, actions, snap_now)
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -1719,7 +1783,7 @@ class DeltaWriter:
         actions.extend({"add": a} for a in adds)
         version = snap.version + 1
         try:
-            self.log.commit(version, actions)
+            self._commit(version, actions, snap)
         except CommitConflictError:
             self._rollback([(rel, {}) for rel in written])
             raise

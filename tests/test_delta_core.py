@@ -1263,11 +1263,12 @@ def test_generated_columns(spark, tdir):
     assert got.where("i2 = i * 2").count() == 3
 
 
-def test_delete_cdf_gated_on_column_mapping(spark, tdir):
-    """DELETE with CDF enabled on a column-mapped table must refuse: the
-    cdc write would carry LOGICAL column names while the spec requires the
-    same physical names as data files (and our own _read_cdc refuses
-    column-mapped tables)."""
+def test_cdf_on_column_mapped_table(spark, tdir):
+    """DELETE/UPDATE with CDF on a column-mapped table: cdc files carry
+    PHYSICAL column names + field ids (Delta spec: cdc mirrors data
+    files); changes() renames back to logical."""
+    import pyarrow.parquet as pq
+
     w = DeltaWriter.create(
         spark, tdir, _cm_schema(),
         configuration={"delta.columnMapping.mode": "name",
@@ -1275,11 +1276,56 @@ def test_delete_cdf_gated_on_column_mapping(spark, tdir):
                        "delta.enableChangeDataFeed": "true"},
     )
     w.append(spark.range(10).select(
-        F.col("id").alias("k"), F.lit("v").alias("v")))
-    with pytest.raises(errors.UnsupportedFeatureError, match="column-mapped"):
-        w.delete("k < 3")
-    # without CDF the DV path works fine on a column-mapped table
-    assert DeltaTable(tdir).to_df(spark).count() == 10
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")))
+    w.delete("k < 3")                        # v2
+    w.update("k = 5", {"v": "'patched'"})    # v3
+
+    # on-disk cdc files use physical names, not logical
+    cdc_dir = os.path.join(tdir, "_change_data")
+    cdc_files = [os.path.join(r, f) for r, _, fs in os.walk(cdc_dir)
+                 for f in fs if f.endswith(".parquet")]
+    assert cdc_files
+    names = set(pq.read_schema(cdc_files[0]).names)
+    assert "col-0000" in names and "k" not in names
+    assert "_change_type" in names
+
+    ch = DeltaTable(tdir).changes(spark, 1).collect()
+    got = sorted((r["_commit_version"], r["_change_type"], r["k"]) for r in ch)
+    assert got == [
+        (2, "delete", 0), (2, "delete", 1), (2, "delete", 2),
+        (3, "update_postimage", 5), (3, "update_preimage", 5),
+    ]
+    post = [r for r in ch if r["_change_type"] == "update_postimage"][0]
+    assert post["v"] == "patched"
+
+
+def test_update_merge_on_column_mapped_table(spark, tdir):
+    """UPDATE and MERGE now work on column-mapped tables: new image files
+    are written under physical names with field ids, so both name- and
+    id-resolving readers stay correct."""
+    import pyarrow.parquet as pq
+
+    w = DeltaWriter.create(
+        spark, tdir, _cm_schema(),
+        configuration={"delta.columnMapping.mode": "id",
+                       "delta.columnMapping.maxColumnId": "2"},
+    )
+    w.append(spark.range(10).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")))
+    w.update("k >= 8", {"v": "'hi'"})
+    src = spark.range(9, 12).select(
+        F.col("id").alias("k"), F.lit("merged").alias("v"))
+    w.merge(src, "t.k = s.k", when_matched_update={"v": "s.v"})
+
+    t = DeltaTable(tdir)
+    got = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got[8] == "hi" and got[9] == "merged"
+    assert got[10] == "merged" and got[11] == "merged"
+    assert got[0] == "v0" and len(got) == 12
+    # every live data file resolves physically (field ids present)
+    for f in t.snapshot.add_files():
+        sch = pq.read_schema(f.absolute_path(tdir))
+        assert set(sch.names) == {"col-0000", "col-0001"}, sch.names
 
 
 def test_retry_does_not_resurrect_concurrently_dropped_column(spark, tdir):
@@ -1447,3 +1493,41 @@ def test_overwrite_change_feed(spark, tdir):
     ins = sorted(r["i"] for r in ch2 if r["_change_type"] == "insert")
     assert ins == [90, 91]
     assert pre == sorted({0, 1, 2} | (set(range(10)) - {0, 1, 2, 3}))
+
+
+def test_in_commit_timestamps(spark, tdir):
+    """delta.enableInCommitTimestamps: every commit carries a MONOTONIC
+    commitInfo.inCommitTimestamp; timestamp time travel resolves from the
+    ICTs, immune to commit-file mtimes (the spec's motivation: mtimes lie
+    after copies/restores)."""
+    import time as _time
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.enableInCommitTimestamps": "true"})
+    w.append(_ids(spark, 5))
+    w.append(_ids(spark, 5, lo=5))
+    w.delete("i = 0")
+
+    log = DeltaLog(tdir)
+    icts = [log.read_ict(v) for v in range(4)]
+    assert all(t is not None for t in icts), icts
+    assert icts == sorted(icts) and len(set(icts)) == 4, icts
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+
+    # corrupt every commit file's mtime; ICT travel must be unaffected
+    for v in range(4):
+        os.utime(os.path.join(
+            tdir, "_delta_log", f"{v:020d}.json"), (0, 0))
+    assert log.version_at_timestamp(icts[2]) == 2
+    assert log.version_at_timestamp(icts[1]) == 1
+    assert log.version_at_timestamp(int(_time.time() * 1000) + 10_000) == 3
+    with pytest.raises(errors.InvalidTableVersionError):
+        log.version_at_timestamp(icts[0] - 10)
+
+    # table reads fine and the timestamp-travel API sees ICT clocks
+    assert DeltaTable(tdir).to_df(spark).count() == 9
