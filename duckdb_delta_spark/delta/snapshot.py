@@ -46,6 +46,7 @@ SUPPORTED_WRITER_FEATURES = {
     "generatedColumns",  # computed when absent, enforced when provided (writer.py)
     "changeDataFeed",  # DML writes _change_data + cdc actions (writer._write_cdc)
     "inCommitTimestamp",  # monotonic commitInfo.inCommitTimestamp (writer._commit)
+    "v2Checkpoint",  # sidecar checkpoints written by writer._checkpoint_v2
 }
 
 SUPPORTED_READER_FEATURES = {

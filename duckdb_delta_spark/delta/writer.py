@@ -1904,7 +1904,9 @@ class DeltaWriter:
 
     # ---------- checkpoint ----------
 
-    def checkpoint(self, max_rows_per_part: int | None = None) -> int:
+    def checkpoint(
+        self, max_rows_per_part: int | None = None, v2: bool = False
+    ) -> int:
         """Write ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` for HEAD.
 
         Aggregates reconciled snapshot state into parquet — idempotent,
@@ -1913,11 +1915,23 @@ class DeltaWriter:
         (``<v>.checkpoint.<i>.<n>.parquet``) so a 10M-file table's
         checkpoint is written (and later read) in bounded chunks instead
         of one giant row group.
+
+        ``v2=True`` writes the v2Checkpoint layout instead: file actions
+        go to parquet SIDECARS under ``_delta_log/_sidecars/`` (split by
+        ``max_rows_per_part``) and a UUID-named manifest carries the
+        protocol/metaData/txn/domainMetadata rows, a checkpointMetadata
+        action and the sidecar references — readable by this engine's
+        existing v2 reader and by any v2Checkpoint-capable kernel.
         """
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         snap = Snapshot.build(self.log)
+        if v2:
+            # spec: tables must advertise the v2Checkpoint reader feature
+            # before a v2 checkpoint exists — upgrade (one commit) if absent
+            snap = self._ensure_v2_checkpoint_feature(snap)
+            self._snapshot = snap  # the upgrade advanced the table
         v = snap.version
 
         rows: list[dict] = []
@@ -1978,6 +1992,9 @@ class DeltaWriter:
                 },
             }})
 
+        if v2:
+            return self._checkpoint_v2(v, rows, max_rows_per_part)
+
         schema = _checkpoint_arrow_schema()
         cols = {name: [r.get(name) for r in rows] for name in schema.names}
         table = pa.Table.from_pydict(cols, schema=schema)
@@ -2013,6 +2030,135 @@ class DeltaWriter:
             table_path=self.table_path,
             version=v,
             n_rows=len(rows),
+        )
+        return v
+
+    def _ensure_v2_checkpoint_feature(self, snap: Snapshot) -> Snapshot:
+        """Commit a (3,7) protocol upgrade adding v2Checkpoint (plus the
+        features the legacy versions implied) when the table doesn't have
+        it yet; returns the (possibly advanced) snapshot."""
+        proto = snap.protocol
+        if "v2Checkpoint" in (proto.get("readerFeatures") or []):
+            return snap
+        r_legacy = {1: set(), 2: {"columnMapping"}}.get(
+            int(proto.get("minReaderVersion", 1)),
+            set(proto.get("readerFeatures") or []),
+        )
+        w_implied = {
+            2: {"appendOnly", "invariants"},
+            3: {"appendOnly", "invariants", "checkConstraints"},
+            4: {"appendOnly", "invariants", "checkConstraints",
+                "changeDataFeed", "generatedColumns"},
+            5: {"appendOnly", "invariants", "checkConstraints",
+                "changeDataFeed", "generatedColumns", "columnMapping"},
+        }.get(
+            int(proto.get("minWriterVersion", 2)),
+            set(proto.get("writerFeatures") or []),
+        )
+        if any(isinstance(f.dataType, T.TimestampNTZType)
+               for f in snap.schema.fields):
+            r_legacy = r_legacy | {"timestampNtz"}
+            w_implied = w_implied | {"timestampNtz"}
+        actions = [
+            {"commitInfo": _commit_info(
+                "UPGRADE PROTOCOL", {"newFeature": "v2Checkpoint"})},
+            {"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(r_legacy | {"v2Checkpoint"}),
+                "writerFeatures": sorted(w_implied | {"v2Checkpoint"}),
+            }},
+        ]
+        self._commit(snap.version + 1, actions, snap)
+        return Snapshot.build(self.log, base=snap)
+
+    def _checkpoint_v2(
+        self, v: int, rows: list[dict], max_rows_per_part: int | None
+    ) -> int:
+        """v2Checkpoint writer: sidecar parquet files (add/remove actions)
+        + a UUID-named parquet manifest (meta actions, checkpointMetadata,
+        sidecar references). Mirrors ``DeltaLog._read_checkpoint_v2``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _write_atomic(tbl, final_path):
+            tmp = final_path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final_path)
+
+        full = _checkpoint_arrow_schema()
+        file_rows = [r for r in rows if "add" in r or "remove" in r]
+        meta_rows = [r for r in rows if "add" not in r and "remove" not in r]
+
+        file_schema = pa.schema([full.field("add"), full.field("remove")])
+        side_dir = os.path.join(self.log.log_path, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        chunk = max_rows_per_part or max(len(file_rows), 1)
+        sidecars: list[dict] = []
+        for i in range(0, max(len(file_rows), 1), chunk):
+            part = file_rows[i : i + chunk]
+            tbl = pa.Table.from_pydict(
+                {n: [r.get(n) for r in part] for n in file_schema.names},
+                schema=file_schema,
+            )
+            rel = f"{uuid.uuid4()}.parquet"
+            dest = os.path.join(side_dir, rel)
+            _write_atomic(tbl, dest)
+            sidecars.append(
+                {
+                    "path": rel,
+                    "sizeInBytes": os.path.getsize(dest),
+                    "modificationTime": now_ms,
+                }
+            )
+
+        man_schema = pa.schema(
+            [
+                full.field("protocol"),
+                full.field("metaData"),
+                full.field("txn"),
+                full.field("domainMetadata"),
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([pa.field("version", pa.int64())]),
+                ),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field("sizeInBytes", pa.int64()),
+                            pa.field("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        man_rows = (
+            meta_rows
+            + [{"checkpointMetadata": {"version": v}}]
+            + [{"sidecar": sc} for sc in sidecars]
+        )
+        _write_atomic(
+            pa.Table.from_pydict(
+                {n: [r.get(n) for r in man_rows] for n in man_schema.names},
+                schema=man_schema,
+            ),
+            os.path.join(
+                self.log.log_path, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            ),
+        )
+        self.log.write_last_checkpoint(v, len(rows))
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "checkpoint.write",
+            table_path=self.table_path,
+            version=v,
+            n_rows=len(rows),
+            v2=True,
+            n_sidecars=len(sidecars),
         )
         return v
 

@@ -564,6 +564,56 @@ def delta_overwrite_scan(spark, sf_dir):
     )
 
 
+# engine-WRITTEN v2 checkpoint: replay crosses the UUID manifest, parquet
+# sidecars and a post-checkpoint JSON commit (read side proven in r3;
+# this fixture exercises the writer, writer._checkpoint_v2)
+@register(
+    "delta_v2_checkpoint_scan",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    group="delta",
+)
+def delta_v2_checkpoint_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_v2ckpt")
+    assert "v2Checkpoint" in (
+        t.snapshot.protocol.get("readerFeatures") or []
+    )
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# in-commit timestamps: timestamp travel resolved from the MONOTONIC
+# commitInfo.inCommitTimestamp clocks (v7 inCommitTimestamp feature),
+# pinned to version 1 = the first append
+@register(
+    "delta_ict_travel_scan",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < {FX.EVO_KEY_SPLIT}
+    """,
+    group="delta",
+)
+def delta_ict_travel_scan(spark, sf_dir):
+    import os as _os
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    root = FX.ensure_fixtures(spark, sf_dir)
+    path = _os.path.join(root, "orders_ict")
+    log = DeltaLog(path)
+    ict_v1 = log.read_ict(1)
+    assert ict_v1 is not None and log.version_at_timestamp(ict_v1) == 1
+    t = DeltaTable(path, timestamp=ict_v1)
+    return t.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
 # engine-written MERGE: overlap updated via DV+re-append, tail inserted
 @register(
     "delta_merge_scan",

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 15  # bump to force a rebuild
+LAYOUT_VERSION = 16  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -70,6 +70,8 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_merge(spark, sf_dir, os.path.join(root, "orders_merge"))
     _build_orders_restore(spark, sf_dir, os.path.join(root, "orders_restore"))
     _build_orders_ow(spark, sf_dir, os.path.join(root, "orders_ow"))
+    _build_orders_v2ckpt(spark, sf_dir, os.path.join(root, "orders_v2ckpt"))
+    _build_orders_ict(spark, sf_dir, os.path.join(root, "orders_ict"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -644,3 +646,34 @@ def _build_orders_ow(spark, sf_dir, path):
     assert any(
         f.deletion_vector is not None for f in _DT(path).snapshot.add_files()
     ), "straddling replace should DV-mask"
+
+
+def _build_orders_v2ckpt(spark, sf_dir, path):
+    """v2 checkpoint through the writer: three appends, then a sidecar
+    checkpoint (split into multiple sidecars) + one post-checkpoint
+    append — replay crosses manifest, sidecars and a JSON tail."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") % 3 == 0).repartition(2))
+    w.append(o.where(F.col("o_orderkey") % 3 == 1).repartition(2))
+    w.checkpoint(max_rows_per_part=3, v2=True)
+    w.append(o.where(F.col("o_orderkey") % 3 == 2).repartition(2))
+
+
+def _build_orders_ict(spark, sf_dir, path):
+    """In-commit-timestamp table: two appends under
+    delta.enableInCommitTimestamps, second half restored away via
+    timestamp travel (resolved from ICTs, not mtimes)."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(
+        spark, path, o.schema,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    w.append(o.where(F.col("o_orderkey") < EVO_KEY_SPLIT).repartition(2))
+    w.append(o.where(F.col("o_orderkey") >= EVO_KEY_SPLIT).repartition(2))
+    from duckdb_delta_spark.delta.log import DeltaLog as _DL
+
+    log = _DL(path)
+    assert [log.read_ict(v) for v in range(3)] == sorted(
+        log.read_ict(v) for v in range(3)
+    )

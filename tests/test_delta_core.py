@@ -1531,3 +1531,48 @@ def test_in_commit_timestamps(spark, tdir):
 
     # table reads fine and the timestamp-travel API sees ICT clocks
     assert DeltaTable(tdir).to_df(spark).count() == 9
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tdir):
+    """checkpoint(v2=True): protocol auto-upgrades with the v2Checkpoint
+    feature, file actions land in _sidecars parquet (split by
+    max_rows_per_part), the UUID manifest carries meta actions +
+    checkpointMetadata + sidecar refs — and replay through the v2 reader
+    reproduces the table exactly (incl. a DV delete and tombstones)."""
+    import glob
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 20).coalesce(2))
+    w.append(_ids(spark, 20, lo=20).coalesce(2))
+    w.delete("i < 3")
+    v = w.checkpoint(max_rows_per_part=2, v2=True)
+    assert v == 4  # 3 data commits + the protocol upgrade commit
+
+    manifests = glob.glob(os.path.join(tdir, "_delta_log",
+                                       "*.checkpoint.*-*.parquet"))
+    assert len(manifests) == 1
+    sidecars = glob.glob(os.path.join(tdir, "_delta_log", "_sidecars",
+                                      "*.parquet"))
+    assert len(sidecars) >= 2  # split: adds(+DV re-add) + tombstones > 2 rows
+
+    import pyarrow.parquet as pq
+    man = pq.read_table(manifests[0])
+    assert "checkpointMetadata" in man.column_names
+    assert "sidecar" in man.column_names
+    assert "add" not in man.column_names
+
+    t = DeltaTable(tdir)
+    proto = t.snapshot.protocol
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert {r["i"] for r in t.to_df(spark).collect()} == set(range(3, 40))
+
+    # replay must come from the checkpoint: drop the pre-checkpoint
+    # commit JSONs and re-read
+    for vv in range(0, 5):
+        os.unlink(os.path.join(tdir, "_delta_log", f"{vv:020d}.json"))
+    t2 = DeltaTable(tdir)
+    assert {r["i"] for r in t2.to_df(spark).collect()} == set(range(3, 40))
+
+    # the table stays writable after the upgrade
+    DeltaWriter(tdir, spark).append(_ids(spark, 2, lo=100))
+    assert DeltaTable(tdir).to_df(spark).count() == 39
