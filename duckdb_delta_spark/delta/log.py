@@ -389,15 +389,26 @@ class DeltaLog:
 
     def read_ict(self, version: int) -> int | None:
         """``commitInfo.inCommitTimestamp`` of a commit, or None when the
-        commit predates the feature (or is unreadable)."""
+        commit predates the feature (or is unreadable). Streams the commit
+        line-by-line and stops at the first commitInfo (the spec pins it
+        to the first action when ICT is enabled), so the probe is O(1)
+        even for thousand-add-file commits."""
         if version < 0:
             return None
+        path = os.path.join(self.log_path, f"{version:020d}.json")
+        if self.log_tail is not None:
+            commits, _ = self.list_log_files()
+            path = commits.get(version, path)
         try:
-            for action in self.read_commit(version):
-                ci = action.get("commitInfo")
-                if ci is not None:
-                    v = ci.get("inCommitTimestamp")
-                    return int(v) if v is not None else None
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    ci = json.loads(line).get("commitInfo")
+                    if ci is not None:
+                        v = ci.get("inCommitTimestamp")
+                        return int(v) if v is not None else None
         except Exception:  # noqa: BLE001 - truncated/foreign log: no ICT
             return None
         return None
@@ -413,12 +424,28 @@ class DeltaLog:
         commits, checkpoints = self.list_log_files()
         # feature detection: one read of the newest commit
         use_ict = bool(commits) and self.read_ict(max(commits)) is not None
+        # Partition the search at the ICT enablement version (Delta spec):
+        # commits >= the first ICT-bearing version resolve via ICT ONLY,
+        # the contiguous pre-ICT prefix via mtime. Mixing clocks per-commit
+        # need not be monotonic when ICT was enabled mid-life (foreign
+        # writers), so 'latest version <= ts' could skip versions.
+        # ICT presence is monotone in version → binary search, O(log n) reads.
+        ict_boundary = None
+        if use_ict:
+            versions = sorted(commits)
+            lo, hi = 0, len(versions) - 1
+            ict_boundary = versions[-1]
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                if self.read_ict(versions[mid]) is not None:
+                    ict_boundary = versions[mid]
+                    hi = mid - 1
+                else:
+                    lo = mid + 1
 
         def clock(v: int, path: str) -> int | None:
-            if use_ict:
-                ict = self.read_ict(v)
-                if ict is not None:
-                    return ict
+            if ict_boundary is not None and v >= ict_boundary:
+                return self.read_ict(v)
             try:
                 return int(os.path.getmtime(path) * 1000)
             except OSError:

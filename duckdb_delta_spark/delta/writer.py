@@ -47,6 +47,50 @@ ENGINE_INFO = "duckdb-delta-spark/0.1"
 _STATS_TRUNC = 32
 _MAX_CODEPOINT = 0x10FFFF
 
+# Delta spec (table features appendix): legacy protocol versions imply
+# feature sets; a (3,7) upgrade must list EVERY implied feature explicitly
+# or spec-compliant readers/writers (delta-spark, kernel) reject the table.
+_READER_LEGACY_FEATURES = {1: frozenset(), 2: frozenset({"columnMapping"})}
+_WRITER_LEGACY_FEATURES = {
+    1: frozenset(),
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"appendOnly", "invariants", "checkConstraints"}),
+    4: frozenset({"appendOnly", "invariants", "checkConstraints",
+                  "changeDataFeed", "generatedColumns"}),
+    5: frozenset({"appendOnly", "invariants", "checkConstraints",
+                  "changeDataFeed", "generatedColumns", "columnMapping"}),
+    6: frozenset({"appendOnly", "invariants", "checkConstraints",
+                  "changeDataFeed", "generatedColumns", "columnMapping",
+                  "identityColumns"}),
+}
+
+
+def _legacy_features(proto: dict) -> tuple[set[str], set[str]]:
+    """(readerFeatures, writerFeatures) a protocol carries — explicit
+    lists for (3,7) tables, the spec's implied sets for legacy versions.
+    Shared by every (3,7) upgrade path so no upgrade drops columnMapping /
+    changeDataFeed / etc. Refuses loudly on versions the spec doesn't
+    define rather than silently dropping features."""
+    r_ver = int(proto.get("minReaderVersion", 1))
+    w_ver = int(proto.get("minWriterVersion", 2))
+    if r_ver >= 3:
+        r = set(proto.get("readerFeatures") or [])
+    elif r_ver in _READER_LEGACY_FEATURES:
+        r = set(_READER_LEGACY_FEATURES[r_ver])
+    else:
+        raise UnsupportedFeatureError(
+            f"unknown legacy minReaderVersion {r_ver}"
+        )
+    if w_ver >= 7:
+        w = set(proto.get("writerFeatures") or [])
+    elif w_ver in _WRITER_LEGACY_FEATURES:
+        w = set(_WRITER_LEGACY_FEATURES[w_ver])
+    else:
+        raise UnsupportedFeatureError(
+            f"unknown legacy minWriterVersion {w_ver}"
+        )
+    return r, w
+
 
 def _json_stat_value(v):
     if isinstance(v, bytes):
@@ -137,13 +181,7 @@ class DeltaWriter:
         ).lower() == "true":
             # inCommitTimestamp is a v7 table feature: list it alongside
             # the features the legacy writer version implied
-            implied = {
-                2: {"appendOnly", "invariants"},
-                4: {"appendOnly", "invariants", "checkConstraints",
-                    "changeDataFeed", "generatedColumns"},
-                5: {"appendOnly", "invariants", "checkConstraints",
-                    "changeDataFeed", "generatedColumns", "columnMapping"},
-            }[proto["minWriterVersion"]]
+            implied = _legacy_features(proto)[1]
             proto = {
                 "minReaderVersion": proto["minReaderVersion"],
                 "minWriterVersion": 7,
@@ -316,11 +354,18 @@ class DeltaWriter:
         writer feature; timestamp travel then survives file copies whose
         mtimes lie). Re-stamped on every retry so monotonicity holds
         against the commit that won the race."""
-        if (
+        enabled = (
             snap.configuration.get("delta.enableInCommitTimestamps", "")
             .lower()
             == "true"
-        ):
+        )
+        if not enabled and "delta.enableInCommitTimestamps" not in snap.configuration:
+            # a concurrent commit may have enabled ICT between snapshot
+            # pin and now; the predecessor carrying an ICT is the O(1)
+            # tell (the enablement commit itself is stamped), keeping the
+            # every-commit-carries-ICT invariant across races
+            enabled = self.log.read_ict(version - 1) is not None
+        if enabled:
             prev = self.log.read_ict(version - 1) or 0
             ict = max(int(time.time() * 1000), prev + 1)
             for a in actions:
@@ -989,24 +1034,24 @@ class DeltaWriter:
                 )
 
     def _dv_protocol_upgrade(self, snap: Snapshot) -> dict | None:
-        """First DV write upgrades to (3,7) + deletionVectors feature."""
+        """First DV write upgrades to (3,7) + deletionVectors feature.
+        Carries over EVERY feature the legacy versions implied (a
+        column-mapped (2,5) table keeps columnMapping in readerFeatures,
+        changeDataFeed/checkConstraints stay in writerFeatures) — dropping
+        them would make spec-compliant external readers reject the table
+        even though this engine derives mapping from metadata."""
         proto = snap.protocol
         if int(proto.get("minReaderVersion", 1)) >= 3 and "deletionVectors" in (
             proto.get("readerFeatures") or []
         ):
             return None
-        # legacy (1,2) implies appendOnly+invariants as writer features
+        r, w = _legacy_features(proto)
         return {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": sorted(
-                    set(proto.get("readerFeatures") or []) | {"deletionVectors"}
-                ),
-                "writerFeatures": sorted(
-                    set(proto.get("writerFeatures") or ["appendOnly", "invariants"])
-                    | {"deletionVectors"}
-                ),
+                "readerFeatures": sorted(r | {"deletionVectors"}),
+                "writerFeatures": sorted(w | {"deletionVectors"}),
             }
         }
 
@@ -1414,7 +1459,12 @@ class DeltaWriter:
         pred_str = where if isinstance(where, str) else None
         if isinstance(where, str):
             where = F.expr(where)
-        if where is not None and df.where(~where).limit(1).count() > 0:
+        # NULL predicate counts as a violation (replaceWhere constraint
+        # semantics, matching delta-spark): ~where alone drops NULL rows.
+        if (
+            where is not None
+            and df.where(~F.coalesce(where, F.lit(False))).limit(1).count() > 0
+        ):
             raise ConstraintViolationError(
                 "overwrite(where=...): input rows fall outside the "
                 "replaced region (replaceWhere contract)"
@@ -2040,21 +2090,7 @@ class DeltaWriter:
         proto = snap.protocol
         if "v2Checkpoint" in (proto.get("readerFeatures") or []):
             return snap
-        r_legacy = {1: set(), 2: {"columnMapping"}}.get(
-            int(proto.get("minReaderVersion", 1)),
-            set(proto.get("readerFeatures") or []),
-        )
-        w_implied = {
-            2: {"appendOnly", "invariants"},
-            3: {"appendOnly", "invariants", "checkConstraints"},
-            4: {"appendOnly", "invariants", "checkConstraints",
-                "changeDataFeed", "generatedColumns"},
-            5: {"appendOnly", "invariants", "checkConstraints",
-                "changeDataFeed", "generatedColumns", "columnMapping"},
-        }.get(
-            int(proto.get("minWriterVersion", 2)),
-            set(proto.get("writerFeatures") or []),
-        )
+        r_legacy, w_implied = _legacy_features(proto)
         if any(isinstance(f.dataType, T.TimestampNTZType)
                for f in snap.schema.fields):
             r_legacy = r_legacy | {"timestampNtz"}

@@ -1298,6 +1298,16 @@ def test_cdf_on_column_mapped_table(spark, tdir):
     post = [r for r in ch if r["_change_type"] == "update_postimage"][0]
     assert post["v"] == "patched"
 
+    # the DV-triggered (3,7) upgrade must keep the legacy-implied
+    # features: columnMapping stays in readerFeatures, changeDataFeed /
+    # columnMapping in writerFeatures (external readers reject otherwise)
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert {"columnMapping", "changeDataFeed", "deletionVectors",
+            "appendOnly", "invariants"} <= set(proto["writerFeatures"])
+
 
 def test_update_merge_on_column_mapped_table(spark, tdir):
     """UPDATE and MERGE now work on column-mapped tables: new image files
@@ -1326,6 +1336,11 @@ def test_update_merge_on_column_mapped_table(spark, tdir):
     for f in t.snapshot.add_files():
         sch = pq.read_schema(f.absolute_path(tdir))
         assert set(sch.names) == {"col-0000", "col-0001"}, sch.names
+    # (2,5) -> (3,7) upgrade preserved the implied columnMapping feature
+    proto = t.snapshot.protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "columnMapping" in proto["readerFeatures"]
+    assert {"columnMapping", "deletionVectors"} <= set(proto["writerFeatures"])
 
 
 def test_retry_does_not_resurrect_concurrently_dropped_column(spark, tdir):
@@ -1468,6 +1483,12 @@ def test_overwrite_replace_where(spark, tdir):
         w.overwrite(spark.createDataFrame([(50, 1, 0.0)], SCHEMA),
                     where="i < 10")
 
+    # NULL predicate is a violation too (delta-spark semantics): a row
+    # whose x is NULL makes "x < 10" NULL — it must NOT slip past
+    null_row = spark.createDataFrame([(5, 5, None)], SCHEMA)
+    with pytest.raises(errors.ConstraintViolationError, match="replaceWhere"):
+        w.overwrite(null_row, where="x < 10.0")
+
 
 def test_overwrite_change_feed(spark, tdir):
     """CDF on overwrite: the commit carries cdc files — replaced rows as
@@ -1531,6 +1552,79 @@ def test_in_commit_timestamps(spark, tdir):
 
     # table reads fine and the timestamp-travel API sees ICT clocks
     assert DeltaTable(tdir).to_df(spark).count() == 9
+
+
+def test_ict_enabled_mid_life_partitions_clock_domains(spark, tdir):
+    """Foreign-written table that enabled ICT mid-life: timestamp travel
+    must partition the search at the enablement version — ICT-only at or
+    above it, mtime only for the contiguous pre-ICT prefix. A commit
+    above the boundary MISSING its ICT (spec-violating foreign writer)
+    is skipped, never resolved by its (lying) mtime."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    base = 1_700_000_000_000  # epoch ms
+    w = DeltaWriter.create(spark, tdir, SCHEMA)   # v0, no ICT
+    w.append(_ids(spark, 5))                      # v1, no ICT
+
+    log = DeltaLog(tdir)
+    ci2 = _commit_info("FOREIGN")
+    ci2["inCommitTimestamp"] = base + 100
+    log.commit(2, [{"commitInfo": ci2}])          # v2: ICT enablement
+    log.commit(3, [{"add": {"path": "x.parquet", "partitionValues": {},
+                            "size": 1, "modificationTime": 0,
+                            "dataChange": True}}])  # v3: NO commitInfo
+    ci4 = _commit_info("FOREIGN")
+    ci4["inCommitTimestamp"] = base + 200
+    log.commit(4, [{"commitInfo": ci4}])          # v4: ICT
+
+    # mtimes: prefix commits well before the ICTs; v3's mtime LIES
+    # (between v0/v1 and v2's ICT) — per-commit fallback would pick it
+    for v, ms in [(0, base + 10), (1, base + 20), (3, base + 50)]:
+        p = os.path.join(tdir, "_delta_log", f"{v:020d}.json")
+        os.utime(p, (ms / 1000, ms / 1000))
+
+    assert log.version_at_timestamp(base + 60) == 1   # NOT 3
+    assert log.version_at_timestamp(base + 15) == 0
+    assert log.version_at_timestamp(base + 150) == 2
+    assert log.version_at_timestamp(base + 999) == 4
+
+
+def test_concurrent_ict_enablement_stamps_commit(spark, tdir):
+    """A writer whose pinned snapshot predates ICT enablement must still
+    stamp its commit once a concurrent commit enabled the feature — the
+    every-commit-carries-ICT invariant survives the race."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+    loser = DeltaWriter(tdir, spark)  # pins v1: no ICT in configuration
+
+    # concurrent enablement commit (metaData config + v7 protocol + ICT)
+    log = DeltaLog(tdir)
+    snap = Snapshot.build(log)
+    meta = dict(snap.metadata)
+    cfg = dict(meta.get("configuration") or {})
+    cfg["delta.enableInCommitTimestamps"] = "true"
+    meta["configuration"] = cfg
+    ci = _commit_info("SET TBLPROPERTIES")
+    ict0 = int(__import__("time").time() * 1000)
+    ci["inCommitTimestamp"] = ict0
+    log.commit(2, [
+        {"commitInfo": ci},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["appendOnly", "invariants",
+                                         "inCommitTimestamp"]}},
+        {"metaData": meta},
+    ])
+
+    # conflicts at v2, retries at v3
+    loser.append(_ids(spark, 3, lo=5), max_retries=2)
+    ict3 = DeltaLog(tdir).read_ict(3)
+    assert ict3 is not None and ict3 > ict0, (ict3, ict0)
+    assert DeltaTable(tdir).to_df(spark).count() == 8
 
 
 def test_v2_checkpoint_write_roundtrip(spark, tdir):
