@@ -674,3 +674,30 @@ def delta_restore_scan(spark, sf_dir):
     return t.to_df(spark).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
     )
+
+
+# spec-interop: a table this engine did NOT write — hand-authored
+# delta-spark layout (foreign commit JSON, URL-encoded paths under
+# hive-escaped partition dirs, string stats, spec-byte DV file with run
+# containers, classic map-typed checkpoint parquet; testing/foreign.py).
+# The oracle re-derives the semantic content from raw parquet, so any
+# self-consistent deviation in DV decode / checkpoint replay / path
+# handling shows up as a value mismatch here.
+@register(
+    "delta_foreign_scan",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total,
+           max(p_size) AS max_size
+    FROM part WHERE p_size <= 40 AND p_partkey % 7 <> 0
+    GROUP BY p_brand
+    """,
+    group="delta",
+)
+def delta_foreign_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "part_foreign")
+    return t.to_df(spark).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("p_retailprice").alias("total"),
+        F.max("p_size").alias("max_size"),
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 16  # bump to force a rebuild
+LAYOUT_VERSION = 17  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -72,6 +72,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_ow(spark, sf_dir, os.path.join(root, "orders_ow"))
     _build_orders_v2ckpt(spark, sf_dir, os.path.join(root, "orders_v2ckpt"))
     _build_orders_ict(spark, sf_dir, os.path.join(root, "orders_ict"))
+    _build_part_foreign(sf_dir, os.path.join(root, "part_foreign"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -677,3 +678,13 @@ def _build_orders_ict(spark, sf_dir, path):
     assert [log.read_ict(v) for v in range(3)] == sorted(
         log.read_ict(v) for v in range(3)
     )
+
+
+def _build_part_foreign(sf_dir, path):
+    """Hand-authored delta-spark-layout table (see testing/foreign.py) —
+    the spec-interop fixture: foreign log JSON, URL-encoded paths under
+    hive-escaped partition dirs, spec-byte DV file, classic checkpoint.
+    Content = part rows with p_size <= 40 minus p_partkey % 7 == 0."""
+    from duckdb_delta_spark.testing.foreign import build_foreign_part
+
+    build_foreign_part(path, sf_dir)

@@ -1,0 +1,543 @@
+"""Hand-authored *foreign* Delta fixtures — the spec-interop gate.
+
+Every other fixture in this repo is produced by its own ``DeltaWriter``, so
+a self-consistent spec deviation (DV bit layout, checkpoint shape,
+column-mapping metadata, path encoding) would be invisible: writer and
+reader would agree with each other while both disagree with the spec.
+These builders author tables the way OTHER engines lay them out —
+delta-spark-style commit JSON (``engineInfo`` stamped, stats as JSON
+strings, URL-encoded paths, Hive-escaped partition dirs), a classic
+checkpoint parquet in delta-spark's column shape, and deletion-vector
+bytes derived field-by-field from the published spec — using ONLY
+``json``/``struct``/``pyarrow``, never ``DeltaWriter`` or the encoders in
+``delta.dv``.
+
+Reference analogue: the DAT suite and kernel golden tables play exactly
+this role for the reference engine
+(/root/reference/test/sql/dat/all.test:14-27,
+ /root/reference/test/sql/golden_tests/generated.test:12-28). No
+third-party Delta implementation is installable in this sandbox, so the
+fixtures are derived from the public Delta protocol spec (PROTOCOL.md:
+"Deletion Vectors", "Checkpoints", "Column Mapping", "File Paths") and the
+public RoaringFormatSpec, with the derivation inline in comments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import urllib.parse
+import uuid
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------------------
+# Independent spec encoders (deliberately NOT imported from delta.dv)
+# ---------------------------------------------------------------------------
+
+# ZeroMQ Z85 alphabet (https://rfc.zeromq.org/spec/32/) — what
+# delta-spark's Base85Codec uses for DV uuids and inline bitmaps.
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def z85(data: bytes) -> str:
+    """Z85 per the ZeroMQ spec: 4-byte big-endian blocks → 5 chars,
+    most significant digit first. Zero-pad to a 4-byte multiple."""
+    data = data + b"\x00" * ((-len(data)) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        (block,) = struct.unpack(">I", data[i : i + 4])
+        digits = []
+        for _ in range(5):
+            digits.append(_Z85[block % 85])
+            block //= 85
+        out.extend(reversed(digits))
+    return "".join(out)
+
+
+def roaring32_array(values: list[int]) -> bytes:
+    """One standard 32-bit roaring bitmap, array containers only
+    (RoaringFormatSpec): cookie 12346 (int32 LE) + container count
+    (int32 LE) + per-container <key:uint16 LE><card-1:uint16 LE> +
+    offset header (int32 LE each, mandatory for cookie 12346) + sorted
+    uint16 LE container payloads."""
+    values = sorted(set(values))
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(buckets)
+    out = struct.pack("<II", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(buckets[k]) - 1)
+    off = len(out) + 4 * len(keys)
+    payloads = []
+    for k in keys:
+        body = b"".join(struct.pack("<H", v) for v in buckets[k])
+        out += struct.pack("<I", off)
+        payloads.append(body)
+        off += len(body)
+    return out + b"".join(payloads)
+
+
+def roaring32_runs(runs: list[tuple[int, int]]) -> bytes:
+    """One 32-bit roaring bitmap with a single RUN container covering
+    ``runs`` = [(start16, length)] within key 0 — the shape
+    ``runOptimize()``'d foreign bitmaps take. Format (RoaringFormatSpec,
+    run cookie): <cookie 12347 | (count-1)<<16 : int32 LE>
+    <run flag bitset: ceil(count/8) bytes> (no offset header below 4
+    containers) <n_runs: uint16 LE> <start:uint16 LE><len-1... NO:
+    length field is 'number of elements - 1' per spec> per run."""
+    n_containers = 1
+    cookie = 12347 | ((n_containers - 1) << 16)
+    out = struct.pack("<I", cookie)
+    out += bytes([0b1])  # container 0 is a run container
+    card = sum(l + 1 for _, l in runs)
+    out += struct.pack("<HH", 0, card - 1)  # key 0, cardinality-1
+    out += struct.pack("<H", len(runs))
+    for start, length in runs:
+        out += struct.pack("<HH", start, length)
+    return out
+
+
+def dv_payload(bitmaps: list[bytes]) -> bytes:
+    """DV ``data`` payload (PROTOCOL.md "Deletion Vector Format"):
+    <magic 1681511377: int32 LE> <n_bitmaps: int64 LE> then the 32-bit
+    bitmaps with implicit keys 0..n-1 (value v in bitmap i marks row
+    i*2^32 + v)."""
+    return (
+        struct.pack("<I", 1681511377)
+        + struct.pack("<q", len(bitmaps))
+        + b"".join(bitmaps)
+    )
+
+
+def write_dv_file(
+    table_dir: str, payloads: list[bytes], prefix: str = ""
+) -> list[dict]:
+    """On-disk DV file, spec framing: one version byte (1), then each DV
+    at its descriptor ``offset``: <dataSize: int32 BE> <data>
+    <crc32(data): int32 BE>. Returns storageType-``u`` descriptors whose
+    ``pathOrInlineDv`` is ``<prefix><z85(16-byte uuid)>`` (20 chars of
+    Z85 for the uuid; optional random prefix dir, delta-spark's
+    ``randomPrefixLength``). ``cardinality`` must be set by the caller
+    on the returned dicts (it is part of the descriptor, not the file)."""
+    uid = uuid.uuid4()
+    blob = bytearray(b"\x01")
+    descs = []
+    for data in payloads:
+        offset = len(blob)
+        blob += struct.pack(">i", len(data))
+        blob += data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descs.append(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": prefix + z85(uid.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+            }
+        )
+    dirname = os.path.join(table_dir, prefix) if prefix else table_dir
+    os.makedirs(dirname, exist_ok=True)
+    with open(os.path.join(dirname, f"deletion_vector_{uid}.bin"), "wb") as f:
+        f.write(bytes(blob))
+    return descs
+
+
+# ---------------------------------------------------------------------------
+# delta-spark-layout log authoring
+# ---------------------------------------------------------------------------
+
+ENGINE_INFO = "Apache-Spark/3.5.1 Delta-Lake/3.2.0"
+
+
+def hive_escape(value: str) -> str:
+    """Hive partition-directory escaping (what delta-spark uses for
+    physical partition dir names): percent-encode the chars Hive
+    reserves. The add.path URL-encoding is applied ON TOP of this."""
+    reserved = '"#%\'*/:=?\\{}[]^ \x7f'
+    out = []
+    for ch in value:
+        if ch in reserved or ord(ch) < 0x20:
+            out.append("%%%02X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def commit_info(operation: str) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": 1_700_000_000_000,
+            "operation": operation,
+            "operationParameters": {},
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
+        }
+    }
+
+
+def spark_field(name: str, typ: str, field_id: int | None = None,
+                physical: str | None = None) -> dict:
+    """Schema field in delta-spark's schemaString layout; with column
+    mapping, per-field metadata carries delta.columnMapping.id +
+    .physicalName (PROTOCOL.md "Column Mapping")."""
+    meta: dict = {}
+    if field_id is not None:
+        meta["delta.columnMapping.id"] = field_id
+        meta["delta.columnMapping.physicalName"] = physical
+    return {"name": name, "type": typ, "nullable": True, "metadata": meta}
+
+
+def write_commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    with open(path, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+
+def stats_json(tbl: pa.Table, cols: list[str]) -> str:
+    """delta-spark-shape stats string: numRecords first, then
+    minValues/maxValues/nullCount objects."""
+    mins, maxs, nulls = {}, {}, {}
+    for c in cols:
+        col = tbl.column(c)
+        nulls[c] = col.null_count
+        if col.length() - col.null_count > 0:
+            import pyarrow.compute as pc
+
+            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            mins[c], maxs[c] = mn, mx
+    return json.dumps(
+        {"numRecords": tbl.num_rows, "minValues": mins,
+         "maxValues": maxs, "nullCount": nulls},
+        separators=(",", ":"), default=str,
+    )
+
+
+def add_action(rel_path: str, full_path: str, tbl: pa.Table,
+               partition_values: dict, stats_cols: list[str],
+               dv: dict | None = None) -> dict:
+    """delta-spark-shape add: path URL-encoded (PROTOCOL.md "File Paths":
+    RFC 2396 relative path), partitionValues as a string map, stats as a
+    JSON string."""
+    add = {
+        "path": urllib.parse.quote(rel_path, safe="/=-_.~"),
+        "partitionValues": {k: (None if v is None else str(v))
+                            for k, v in partition_values.items()},
+        "size": os.path.getsize(full_path),
+        "modificationTime": 1_700_000_000_000,
+        "dataChange": True,
+        "stats": stats_json(tbl, stats_cols),
+    }
+    if dv is not None:
+        add["deletionVector"] = dv
+    return {"add": add}
+
+
+def part_file_name(index: int) -> str:
+    return f"part-{index:05d}-{uuid.uuid4()}-c000.snappy.parquet"
+
+
+# ---------------------------------------------------------------------------
+# classic checkpoint parquet, delta-spark column shape
+# ---------------------------------------------------------------------------
+
+_STR_MAP = pa.map_(pa.string(), pa.string())
+_DV_STRUCT = pa.struct(
+    [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+     ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+     ("cardinality", pa.int64())]
+)
+_CHECKPOINT_SCHEMA = pa.schema(
+    [
+        ("txn", pa.struct([("appId", pa.string()), ("version", pa.int64()),
+                           ("lastUpdated", pa.int64())])),
+        ("add", pa.struct([
+            ("path", pa.string()), ("partitionValues", _STR_MAP),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()), ("stats", pa.string()),
+            ("tags", _STR_MAP), ("deletionVector", _DV_STRUCT),
+        ])),
+        ("remove", pa.struct([
+            ("path", pa.string()), ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("extendedFileMetadata", pa.bool_()),
+            ("partitionValues", _STR_MAP), ("size", pa.int64()),
+            ("deletionVector", _DV_STRUCT),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()), ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", _STR_MAP)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", _STR_MAP), ("createdTime", pa.int64()),
+        ])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+    ]
+)
+
+
+def write_classic_checkpoint(log_dir: str, version: int,
+                             actions: list[dict]) -> None:
+    """``<v>.checkpoint.parquet`` + ``_last_checkpoint``, one column per
+    action type (delta-spark's classic single-part shape; map-typed
+    partitionValues/configuration, stats as string)."""
+    rows = []
+    for a in actions:
+        (key, val), = a.items()
+        if key == "commitInfo":
+            continue
+        row = {c: None for c in _CHECKPOINT_SCHEMA.names}
+        val = dict(val)
+        if key in ("add", "remove") and "partitionValues" in val:
+            val["partitionValues"] = list(
+                (val["partitionValues"] or {}).items())
+        if key == "metaData":
+            val["configuration"] = list((val.get("configuration") or {}).items())
+            fmt = dict(val.get("format") or {})
+            fmt["options"] = list((fmt.get("options") or {}).items())
+            val["format"] = fmt
+        row[key] = val
+        rows.append(row)
+    tbl = pa.Table.from_pylist(rows, schema=_CHECKPOINT_SCHEMA)
+    pq.write_table(tbl, os.path.join(
+        log_dir, f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+
+
+# ---------------------------------------------------------------------------
+# the full foreign table used by queries()/oracle
+# ---------------------------------------------------------------------------
+
+
+def build_foreign_part(dest: str, sf_dir: str) -> None:
+    """A delta-spark-layout table over ``part.parquet``, exercising in one
+    place everything a foreign writer would produce:
+
+    * hive-escaped partition dirs (``p_brand=Brand%2313``) with add.path
+      URL-encoded ON TOP (``Brand%252313``)
+    * stats as JSON strings, partitionValues as string maps
+    * a spec-framed DV file (independent encoder) deleting every
+      ``p_partkey % 7 == 0`` row — so the oracle is
+      ``WHERE p_partkey % 7 <> 0`` over raw parquet
+    * a classic checkpoint parquet at version 2 + _last_checkpoint
+    * a post-checkpoint JSON commit (version 3)
+    * a remove tombstone for a compacted-away file
+
+    Semantics: rows of ``part`` with ``p_size <= 40`` (v3 re-adds what the
+    tombstoned file held), minus the ``% 7`` DV rows on every live file.
+    """
+    src = pq.read_table(os.path.join(sf_dir, "part.parquet"))
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            spark_field("p_partkey", "long"),
+            spark_field("p_name", "string"),
+            spark_field("p_brand", "string"),
+            spark_field("p_size", "integer"),
+            spark_field("p_retailprice", "double"),
+        ],
+    }, separators=(",", ":"))
+    cols = ["p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"]
+    src = src.select(cols)
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "foreign_part")),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["p_brand"],
+            "configuration": {},
+            "createdTime": 1_700_000_000_000,
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["appendOnly", "invariants",
+                               "deletionVectors"],
+        }
+    }
+    write_commit(log_dir, 0, [commit_info("CREATE TABLE"), proto, meta])
+
+    import pyarrow.compute as pc
+
+    brands = sorted(set(src.column("p_brand").to_pylist()))
+    stats_cols = ["p_partkey", "p_name", "p_size", "p_retailprice"]
+
+    def _write_part_file(tbl: pa.Table, brand: str, index: int):
+        rel_dir = f"p_brand={hive_escape(brand)}"
+        os.makedirs(os.path.join(dest, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/{part_file_name(index)}"
+        data = tbl.drop_columns(["p_brand"])
+        pq.write_table(data, os.path.join(dest, rel))
+        return rel, data
+
+    # v1: one file per brand, p_size <= 25
+    adds_v1, file_rows = [], {}
+    lo = src.filter(pc.less_equal(src.column("p_size"), 25))
+    for i, b in enumerate(brands):
+        tbl = lo.filter(pc.equal(lo.column("p_brand"), b))
+        if tbl.num_rows == 0:
+            continue
+        rel, data = _write_part_file(tbl, b, i)
+        adds_v1.append(add_action(rel, os.path.join(dest, rel), data,
+                                  {"p_brand": b}, stats_cols))
+        file_rows[rel] = tbl
+    write_commit(log_dir, 1, [commit_info("WRITE"), *adds_v1])
+
+    # v2: a small file that v3 "compacts" away (remove + re-add), then
+    # the classic checkpoint snapshotting v0..v2
+    mid = src.filter(
+        pc.and_(pc.greater(src.column("p_size"), 25),
+                pc.less_equal(src.column("p_size"), 40)))
+    b0 = brands[0]
+    mid0 = mid.filter(pc.equal(mid.column("p_brand"), b0))
+    rel_tmp, data_tmp = _write_part_file(mid0, b0, 90)
+    add_tmp = add_action(rel_tmp, os.path.join(dest, rel_tmp), data_tmp,
+                         {"p_brand": b0}, stats_cols)
+    write_commit(log_dir, 2, [commit_info("WRITE"), add_tmp])
+    write_classic_checkpoint(
+        log_dir, 2, [proto, meta, *adds_v1, add_tmp])
+
+    # v3: compaction-style remove of the v2 file + one replacement file
+    # per remaining brand for the 25 < p_size <= 40 slice, each carrying
+    # a DV that deletes its p_partkey % 7 == 0 rows. v1 files get DV'd
+    # via remove+re-add (how foreign engines commit DV updates).
+    actions_v3: list[dict] = [commit_info("OPTIMIZE")]
+    actions_v3.append({"remove": {
+        "path": urllib.parse.quote(rel_tmp, safe="/=-_.~"),
+        "deletionTimestamp": 1_700_000_100_000, "dataChange": False,
+        "extendedFileMetadata": True, "partitionValues": {"p_brand": b0},
+        "size": os.path.getsize(os.path.join(dest, rel_tmp)),
+    }})
+    new_files: list[tuple[str, pa.Table, dict]] = []
+    for i, b in enumerate(brands):
+        tbl = mid.filter(pc.equal(mid.column("p_brand"), b))
+        if tbl.num_rows == 0:
+            continue
+        rel, data = _write_part_file(tbl, b, 100 + i)
+        new_files.append((rel, data, {"p_brand": b}))
+    for rel, tbl in file_rows.items():
+        new_files.append((rel, tbl.drop_columns(["p_brand"]),
+                          dict(zip(["p_brand"],
+                                   [tbl.column("p_brand")[0].as_py()]))))
+
+    payloads, cards, with_dv = [], [], []
+    for rel, data, pvals in new_files:
+        keys = np.asarray(data.column("p_partkey").to_pylist())
+        idx = np.nonzero(keys % 7 == 0)[0]
+        if len(idx) == 0:
+            continue
+        # exercise both container kinds: runs when indexes are contiguous
+        if len(idx) > 1 and np.all(np.diff(idx) == 1) and idx[-1] < 65536:
+            payloads.append(dv_payload(
+                [roaring32_runs([(int(idx[0]), int(len(idx) - 1))])]))
+        else:
+            payloads.append(dv_payload([roaring32_array(idx.tolist())]))
+        cards.append(len(idx))
+        with_dv.append((rel, data, pvals))
+    descs = write_dv_file(dest, payloads, prefix="ab")
+    for (rel, data, pvals), desc, card in zip(with_dv, descs, cards):
+        desc["cardinality"] = card
+        full = os.path.join(dest, rel)
+        if rel in file_rows:  # previously-live file: remove + re-add
+            actions_v3.append({"remove": {
+                "path": urllib.parse.quote(rel, safe="/=-_.~"),
+                "deletionTimestamp": 1_700_000_100_000,
+                "dataChange": True, "extendedFileMetadata": True,
+                "partitionValues": pvals,
+                "size": os.path.getsize(full),
+            }})
+        actions_v3.append(add_action(rel, full, data, pvals, stats_cols,
+                                     dv=desc))
+    # DV-less new files still need their add
+    dv_rels = {rel for rel, _, _ in with_dv}
+    for rel, data, pvals in new_files:
+        if rel not in dv_rels and rel not in file_rows:
+            actions_v3.append(add_action(rel, os.path.join(dest, rel),
+                                         data, pvals, stats_cols))
+    write_commit(log_dir, 3, [*actions_v3])
+
+
+def build_foreign_cm(dest: str, mode: str = "name") -> None:
+    """Tiny column-mapped table laid out the way delta-spark emits it:
+    physical names ``col-<uuid>`` (NOT this engine's ``col-0000`` shape),
+    parquet ``PARQUET:field_id`` metadata, per-field
+    delta.columnMapping.id/.physicalName, protocol (2,5) with the legacy
+    implied feature sets (PROTOCOL.md "Column Mapping")."""
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+    phys_k = "col-" + str(uuid.uuid5(uuid.NAMESPACE_URL, "cm-k"))
+    phys_v = "col-" + str(uuid.uuid5(uuid.NAMESPACE_URL, "cm-v"))
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            spark_field("k", "long", field_id=1, physical=phys_k),
+            spark_field("v", "string", field_id=2, physical=phys_v),
+        ],
+    }, separators=(",", ":"))
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, f"foreign_cm_{mode}")),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": "2",
+            },
+            "createdTime": 1_700_000_000_000,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    write_commit(log_dir, 0, [commit_info("CREATE TABLE"), proto, meta])
+
+    arrow_schema = pa.schema([
+        pa.field(phys_k, pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field(phys_v, pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    tbl = pa.Table.from_pydict(
+        {phys_k: list(range(10)), phys_v: [f"v{i}" for i in range(10)]},
+        schema=arrow_schema,
+    )
+    rel = part_file_name(0)
+    pq.write_table(tbl, os.path.join(dest, rel))
+    # stats keyed by PHYSICAL name (what delta-spark writes under mapping)
+    add = {
+        "path": rel,
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(dest, rel)),
+        "modificationTime": 1_700_000_000_000,
+        "dataChange": True,
+        "stats": json.dumps({
+            "numRecords": 10,
+            "minValues": {phys_k: 0, phys_v: "v0"},
+            "maxValues": {phys_k: 9, phys_v: "v9"},
+            "nullCount": {phys_k: 0, phys_v: 0},
+        }, separators=(",", ":")),
+    }
+    write_commit(log_dir, 1, [commit_info("WRITE"), {"add": add}])

@@ -1,0 +1,238 @@
+"""Spec-interop goldens: fixtures NOT produced by this repo's writer.
+
+Every byte here is authored from the public Delta protocol spec /
+RoaringFormatSpec (via ``testing/foreign.py``'s independent encoders, or
+literal struct.pack calls in the tests themselves), the way delta-spark
+lays tables out. Two independent implementations agreeing on the same
+bytes is the closest available substitute for the reference's DAT /
+kernel-golden cross-engine suites
+(/root/reference/test/sql/dat/all.test:14-27)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from duckdb_delta_spark.delta.dv import (
+    read_dv_from_descriptor,
+    z85_encode,
+)
+from duckdb_delta_spark.delta.table import DeltaTable
+from duckdb_delta_spark.testing import foreign
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# deletion-vector bytes: literal, field-by-field from the spec
+# ---------------------------------------------------------------------------
+
+
+def test_dv_spec_literal_bytes(tmp_path):
+    """A DV file hand-assembled byte-by-byte per PROTOCOL.md "Deletion
+    Vector Format" + RoaringFormatSpec — decoding it with delta/dv.py
+    proves the codec against spec bytes it did not produce.
+
+    Deleted rows: {0, 9, 300000, 2^32 + 5} →
+      bitmap 0 (rows < 2^32): containers key=0 [0, 9], key=4 [37856]
+        (300000 = 4*65536 + 37856)
+      bitmap 1 (rows in [2^32, 2^33)): container key=0 [5]
+    """
+    # --- 32-bit bitmap 0: cookie 12346, 2 array containers
+    bm0 = struct.pack("<II", 12346, 2)          # cookie, n_containers
+    bm0 += struct.pack("<HH", 0, 1)             # key 0, card-1 = 1
+    bm0 += struct.pack("<HH", 4, 0)             # key 4, card-1 = 0
+    # offset header: first container at 4+4+8(desc)+8(offsets) = 24
+    bm0 += struct.pack("<II", 24, 28)
+    bm0 += struct.pack("<HH", 0, 9)             # container key=0: values
+    bm0 += struct.pack("<H", 37856)             # container key=4: value
+    # --- 32-bit bitmap 1: one container, value 5
+    bm1 = struct.pack("<II", 12346, 1)
+    bm1 += struct.pack("<HH", 0, 0)
+    bm1 += struct.pack("<I", 16)
+    bm1 += struct.pack("<H", 5)
+    # --- DV data: magic int32 LE, n_bitmaps int64 LE, bitmaps
+    data = struct.pack("<I", 1681511377) + struct.pack("<q", 2) + bm0 + bm1
+    # --- file framing: version byte, then <size BE><data><crc32 BE>
+    blob = b"\x01" + struct.pack(">i", len(data)) + data
+    blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    uid_bytes = bytes(range(16))
+    dv_dir = tmp_path / "tbl"
+    dv_dir.mkdir()
+    import uuid as _uuid
+
+    uid = _uuid.UUID(bytes=uid_bytes)
+    (dv_dir / f"deletion_vector_{uid}.bin").write_bytes(blob)
+
+    desc = {
+        "storageType": "u",
+        "pathOrInlineDv": foreign.z85(uid_bytes),  # independent Z85
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": 4,
+    }
+    rows = read_dv_from_descriptor(desc, str(dv_dir))
+    assert rows.tolist() == [0, 9, 300000, 2**32 + 5]
+
+
+def test_dv_run_and_bitmap_containers(tmp_path):
+    """Foreign bitmaps arrive run-optimized (cookie 12347) or as 8-KiB
+    bitset containers (card > 4096) — decode both from independently
+    assembled bytes."""
+    # run container: rows 100..199 and 500..501  (lengths are card-1)
+    run_bm = foreign.roaring32_runs([(100, 99), (500, 1)])
+    # bitmap container: 5000 even values — assembled with numpy directly
+    vals = np.arange(0, 10000, 2, dtype=np.uint16)
+    bits = np.zeros(65536, dtype=np.uint8)
+    bits[vals] = 1
+    bitset = np.packbits(bits, bitorder="little").tobytes()
+    assert len(bitset) == 8192
+    bm = struct.pack("<II", 12346, 1)
+    bm += struct.pack("<HH", 1, len(vals) - 1)  # key 1, card 5000 > 4096
+    bm += struct.pack("<I", 16)
+    bm += bitset
+
+    expected_run = list(range(100, 200)) + [500, 501]
+    expected_bitmap = [(1 << 16) | v for v in range(0, 10000, 2)]
+    for payload_bits, expected in [
+        ([run_bm], expected_run),
+        ([bm], expected_bitmap),
+    ]:
+        data = foreign.dv_payload(payload_bits)
+        descs = foreign.write_dv_file(str(tmp_path), [data])
+        descs[0]["cardinality"] = len(expected)
+        rows = read_dv_from_descriptor(descs[0], str(tmp_path))
+        assert rows.tolist() == expected
+
+
+def test_dv_inline_z85_and_alphabet(tmp_path):
+    """Inline ('i') descriptors Z85-encode the payload itself; the two
+    independent Z85 implementations must agree on the ZeroMQ alphabet
+    (Python's base64.b85encode uses a DIFFERENT one — using it here is
+    exactly the kind of deviation this test exists to catch)."""
+    payload = foreign.dv_payload([foreign.roaring32_array([1, 3, 7])])
+    assert foreign.z85(payload) == z85_encode(payload)
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": foreign.z85(payload),
+        "sizeInBytes": len(payload),
+        "cardinality": 3,
+    }
+    rows = read_dv_from_descriptor(desc, str(tmp_path))
+    assert rows.tolist() == [1, 3, 7]
+
+
+# ---------------------------------------------------------------------------
+# full foreign table: log layout, paths, stats, checkpoint
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def foreign_part(tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("foreign") / "part_foreign")
+    foreign.build_foreign_part(dest, SF_DIR)
+    return dest
+
+
+def _expected_part_pdf():
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "part.parquet"))
+    t = t.select(["p_partkey", "p_name", "p_brand", "p_size",
+                  "p_retailprice"])
+    keys = np.asarray(t.column("p_partkey").to_pylist())
+    sizes = np.asarray(t.column("p_size").to_pylist())
+    mask = (sizes <= 40) & (keys % 7 != 0)
+    return t.filter(pa_mask(mask))
+
+
+def pa_mask(mask):
+    import pyarrow as pa
+
+    return pa.array(mask.tolist())
+
+
+def test_foreign_table_scan(spark, foreign_part):
+    """End-to-end read of the delta-spark-layout table: URL-encoded paths
+    under hive-escaped partition dirs, string stats, spec-byte DVs,
+    remove+re-add DV commits, a tombstoned compacted file."""
+    got = (
+        DeltaTable(foreign_part)
+        .to_df(spark)
+        .select("p_partkey", "p_size", "p_brand")
+        .collect()
+    )
+    exp = _expected_part_pdf()
+    exp_keys = sorted(exp.column("p_partkey").to_pylist())
+    assert sorted(r["p_partkey"] for r in got) == exp_keys
+    # partition values came from the LOG map (raw "Brand#13"), not the
+    # escaped directory name
+    brands = {r["p_brand"] for r in got}
+    assert all("#" in b and "%" not in b for b in brands), brands
+    # no deleted row survived
+    assert all(r["p_partkey"] % 7 != 0 for r in got)
+
+
+def test_foreign_checkpoint_only_replay(spark, foreign_part, tmp_path):
+    """Replay must work from the classic checkpoint parquet ALONE
+    (delta-spark shape: map-typed partitionValues, string stats) — the
+    pre-checkpoint JSON commits are deleted to prove it is really used."""
+    dest = str(tmp_path / "ckpt_only")
+    shutil.copytree(foreign_part, dest)
+    for v in range(3):
+        os.remove(os.path.join(dest, "_delta_log", f"{v:020d}.json"))
+    got = DeltaTable(dest).to_df(spark).collect()
+    exp = _expected_part_pdf()
+    assert sorted(r["p_partkey"] for r in got) == sorted(
+        exp.column("p_partkey").to_pylist()
+    )
+
+
+def test_foreign_stats_skipping(spark, foreign_part):
+    """Foreign string-stats must drive file skipping exactly like our
+    own: a p_size predicate outside every file's [min,max] reads 0
+    files, and a partition predicate on the raw '#' value prunes."""
+    t = DeltaTable(foreign_part)
+    sb = t.scan(spark).filter("p_size", ">", 1000)
+    assert sb.to_df().count() == 0
+    rep = sb.skip_report()
+    assert rep["files_scanned"] == 0 and rep["files_total"] > 0, rep
+
+    brand = DeltaTable(foreign_part).snapshot.add_files()[0].partition_values[
+        "p_brand"
+    ]
+    sb2 = t.scan(spark).filter("p_brand", "=", brand)
+    df2 = sb2.to_df()
+    rep2 = sb2.skip_report()
+    assert rep2["files_skipped_by_partition"] > 0, rep2
+    assert df2.select("p_brand").distinct().collect()[0][0] == brand
+
+
+def test_foreign_column_mapping(spark, tmp_path):
+    """delta-spark-style column mapping: uuid physical names +
+    PARQUET:field_id metadata, read in BOTH name and id modes."""
+    for mode in ("name", "id"):
+        dest = str(tmp_path / f"cm_{mode}")
+        foreign.build_foreign_cm(dest, mode=mode)
+        df = DeltaTable(dest).to_df(spark)
+        assert set(df.columns) == {"k", "v"}
+        rows = {r["k"]: r["v"] for r in df.collect()}
+        assert rows == {i: f"v{i}" for i in range(10)}
+
+
+def test_foreign_cm_stats_skipping(spark, tmp_path):
+    """Stats in a column-mapped foreign table are keyed by PHYSICAL
+    column name — skipping on the logical predicate must still engage."""
+    dest = str(tmp_path / "cm_stats")
+    foreign.build_foreign_cm(dest, mode="name")
+    sb = DeltaTable(dest).scan(spark).filter("k", ">", 100)
+    assert sb.to_df().count() == 0
+    rep = sb.skip_report()
+    assert rep["files_scanned"] == 0 and rep["files_total"] == 1, rep
