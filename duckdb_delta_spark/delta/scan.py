@@ -223,6 +223,90 @@ def _file_may_match(f: AddFile, pred: Pred, partition_columns: list[str]) -> tup
     return (keep, "stats")
 
 
+def _np_mask(arrow_bool, fill: bool):
+    """Arrow boolean array → numpy, nulls (no evidence) → ``fill``."""
+    import pyarrow.compute as pc
+
+    return pc.fill_null(arrow_bool, fill).to_numpy(zero_copy_only=False)
+
+
+def _manifest_child(man, root: str, dotted: str):
+    """``minValues``/``maxValues``/``nullCount`` child array for a dotted
+    column path, or None when absent / still a struct (loop parity:
+    ``_stats_get`` returns None when it stops on a dict)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if root not in man.column_names:
+        return None
+    arr = man.column(root)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        out = pc.struct_field(arr, dotted.split("."))
+    except (KeyError, IndexError, pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+    if pa.types.is_struct(out.type) or pa.types.is_list(out.type):
+        return None
+    return out
+
+
+def _coerce_array(arr, like):
+    """Cast a stats/partition array so it compares against the literal
+    ``like`` — vectorized mirror of ``_coerce``. None → caller falls back
+    to the per-file Python path (exact semantics preserved)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    try:
+        if isinstance(like, bool):
+            if pa.types.is_string(t):
+                return pc.equal(pc.utf8_lower(arr), "true")
+            return arr if pa.types.is_boolean(t) else None
+        if isinstance(like, (int, float)):
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                return arr
+            if pa.types.is_string(t):
+                target = pa.float64() if isinstance(like, float) else pa.int64()
+                return pc.cast(arr, target)
+            return None
+        if isinstance(like, _dt.datetime):
+            if pa.types.is_timestamp(t):
+                return arr if t.tz is None else None
+            if pa.types.is_string(t):
+                cleaned = pc.replace_substring(
+                    pc.replace_substring(arr, "Z", ""), "T", " "
+                )
+                return pc.cast(
+                    pc.cast(cleaned, pa.string()), pa.timestamp("us")
+                )
+            return None
+        if isinstance(like, _dt.date):
+            if pa.types.is_date(t):
+                return arr
+            if pa.types.is_timestamp(t):
+                return pc.cast(arr, pa.date32())
+            if pa.types.is_string(t):
+                return pc.cast(pc.utf8_slice_codeunits(arr, 0, 10), pa.date32())
+            return None
+        if isinstance(like, str):
+            return arr if pa.types.is_string(t) else pc.cast(arr, pa.string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return None
+    return None  # Decimal and exotic literals: exact Python semantics
+
+
+def _cmp(arr, op: str, value):
+    import pyarrow.compute as pc
+
+    return {
+        "<": pc.less, "<=": pc.less_equal,
+        ">": pc.greater, ">=": pc.greater_equal,
+        "=": pc.equal, "!=": pc.not_equal,
+    }[op](arr, value)
+
+
 class DeltaScanBuilder:
     """Fluent scan over one snapshot. ``to_df()`` materializes the plan."""
 
@@ -320,6 +404,113 @@ class DeltaScanBuilder:
 
     # ---------- the scan ----------
 
+    def _partition_mask(self, files: list[AddFile], p: Pred):
+        """Vectorized partition-value pruning mask (numpy bool, True =
+        keep), or None → per-file Python fallback. Null/'' partition
+        values keep for every op except '=' (loop parity)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        raw = [f.partition_values.get(p.column) for f in files]
+        try:
+            arr = pa.array(
+                [None if v in (None, "") else str(v) for v in raw],
+                type=pa.string(),
+            )
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return None
+        if p.op == "is null":
+            return pc.is_null(arr).to_numpy(zero_copy_only=False)
+        if p.op == "is not null":
+            return pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        like = p.value if p.op != "in" else (p.value[0] if p.value else None)
+        if like is None:
+            return None
+        carr = _coerce_array(arr, like)
+        if carr is None:
+            return None
+        fill = p.op != "="
+        try:
+            if p.op == "in":
+                m = pc.is_in(carr, value_set=pa.array(list(p.value)))
+            else:
+                m = _cmp(carr, p.op, p.value)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                TypeError):
+            return None
+        return _np_mask(m, fill)
+
+    def _stats_mask(self, man, p: Pred):
+        """Vectorized min/max/nullCount pruning mask over the columnar
+        stats manifest (True = keep; absent evidence keeps — loop
+        parity), or None → per-file Python fallback."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = man.num_rows
+        ones = np.ones(n, dtype=bool)
+        like = p.value if p.op != "in" else (p.value[0] if p.value else None)
+        if isinstance(like, Decimal):
+            return None  # exact decimal semantics live in _coerce
+        try:
+            nc = _manifest_child(man, "nullCount", p.column)
+            nc = pc.cast(nc, pa.int64()) if nc is not None else None
+            if p.op == "is null":
+                if nc is None:
+                    return ones
+                return _np_mask(pc.greater(nc, 0), True)
+            if p.op == "is not null":
+                if nc is None or "numRecords" not in man.column_names:
+                    return ones
+                num = pc.cast(man.column("numRecords"), pa.int64())
+                return ~_np_mask(pc.greater_equal(nc, num), False)
+            if like is None or (p.op == "in" and not p.value):
+                return None
+            lo = _manifest_child(man, "minValues", p.column)
+            hi = _manifest_child(man, "maxValues", p.column)
+            clo = _coerce_array(lo, like) if lo is not None else None
+            chi = _coerce_array(hi, like) if hi is not None else None
+            if (lo is not None and clo is None) or (
+                hi is not None and chi is None
+            ):
+                return None  # coercion failed → exact Python path
+            if p.op in ("<", "<="):
+                if clo is None:
+                    return ones
+                return _np_mask(_cmp(clo, p.op, p.value), True)
+            if p.op in (">", ">="):
+                if chi is None:
+                    return ones
+                return _np_mask(_cmp(chi, p.op, p.value), True)
+
+            def eq_window(v):
+                m1 = ones if clo is None else _np_mask(pc.less_equal(clo, v), True)
+                m2 = ones if chi is None else _np_mask(pc.greater_equal(chi, v), True)
+                return m1 & m2
+
+            if p.op == "=":
+                return eq_window(p.value)
+            if p.op == "in":
+                m = np.zeros(n, dtype=bool)
+                for v in p.value:
+                    m |= eq_window(v)
+                return m
+            if p.op == "!=":
+                if clo is None or chi is None:
+                    return ones
+                eq = _np_mask(
+                    pc.and_(pc.equal(clo, p.value), pc.equal(chi, p.value)),
+                    False,
+                )
+                nz = ones if nc is None else _np_mask(pc.equal(nc, 0), True)
+                return ~(eq & nz)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                TypeError, ValueError):
+            return None
+        return None
+
     def _prune(self) -> list[AddFile]:
         files = self.snapshot.add_files()
         if self._only_paths is not None:
@@ -332,7 +523,6 @@ class DeltaScanBuilder:
         if self._dyn_preds and self.pushdown in ("all", "dynamic_only"):
             pairs += [(p, True) for p in self._dyn_preds]
         if pairs:
-            kept: list[AddFile] = []
             pcols = self.snapshot.partition_columns
             phys = self._phys_name_map()
             if phys:
@@ -346,22 +536,44 @@ class DeltaScanBuilder:
 
                 pairs = [(xlate(p), d) for p, d in pairs]
                 pcols = [phys.get(c, c) for c in pcols]
-            for f in files:
-                keep = True
-                for p, dynamic in pairs:
-                    ok, how = _file_may_match(f, p, pcols)
-                    if not ok:
-                        if dynamic:
-                            skipped_dynamic += 1
-                        elif how == "partition":
-                            skipped_partition += 1
-                        else:
-                            skipped_stats += 1
-                        keep = False
-                        break
-                if keep:
-                    kept.append(f)
-            files = kept
+
+            # Vectorized evaluation over the columnar stats manifest —
+            # the 100-TB path: 1M add-files prune in well under a second
+            # instead of a files×preds Python loop with per-file JSON
+            # parsing. Falls back per-pred (or wholly, when the manifest
+            # can't batch-parse) to _file_may_match, which stays the
+            # semantics oracle for exotic types (Decimal, tz, structs).
+            import numpy as np
+
+            man = (
+                self.snapshot.stats_manifest()
+                if self._only_paths is None
+                else None
+            )
+            n = len(files)
+            alive = np.ones(n, dtype=bool)
+            for p, dynamic in pairs:
+                is_part = p.column in pcols
+                mask = None
+                if is_part:
+                    mask = self._partition_mask(files, p)
+                elif man is not None:
+                    mask = self._stats_mask(man, p)
+                if mask is None:
+                    mask = np.fromiter(
+                        (_file_may_match(f, p, pcols)[0] for f in files),
+                        dtype=bool,
+                        count=n,
+                    )
+                newly = int((alive & ~mask).sum())
+                if dynamic:
+                    skipped_dynamic += newly
+                elif is_part:
+                    skipped_partition += newly
+                else:
+                    skipped_stats += newly
+                alive &= mask
+            files = [f for f, k in zip(files, alive) if k]
         self._report = {
             "files_total": total,
             "files_scanned": len(files),

@@ -651,13 +651,13 @@ class DeltaWriter:
         adds = []
         now_ms = int(time.time() * 1000)
         no_footer: list[int] = []
+        fulls = [os.path.join(self.table_path, rel) for rel, _ in moved]
+        results = _footer_stats_many(fulls, schema, set(parts))
         for i, (rel_path, pvals) in enumerate(moved):
-            full = os.path.join(self.table_path, rel_path)
-            try:
-                stats = _footer_stats(full, schema, set(parts))
-            except Exception:  # noqa: BLE001 - e.g. VARIANT logical type is
-                # unknown to this pyarrow; fall back to a Spark count below
-                stats = None
+            stats, size = results[i]
+            if stats is None:
+                # e.g. VARIANT logical type is unknown to this pyarrow;
+                # fall back to a Spark count below
                 no_footer.append(i)
             adds.append(
                 {
@@ -665,7 +665,7 @@ class DeltaWriter:
                     "partitionValues": {
                         k: (None if v is None else str(v)) for k, v in pvals.items()
                     },
-                    "size": os.path.getsize(full),
+                    "size": size,
                     "modificationTime": now_ms,
                     "dataChange": True,
                     "stats": None if stats is None else json.dumps(
@@ -1761,6 +1761,7 @@ class DeltaWriter:
                 src = src.coalesce(int(n_out))
             src.write.mode("overwrite").parquet(staging)
             try:
+                rels: list[tuple[str, str]] = []
                 for name in sorted(os.listdir(staging)):
                     if not name.endswith(".parquet"):
                         continue
@@ -1768,19 +1769,25 @@ class DeltaWriter:
                     dest = os.path.join(self.table_path, rel)
                     shutil.move(os.path.join(staging, name), dest)
                     g_written.append(rel)
-                    # phys_schema matches the parquet column names (logical
-                    # == physical on unmapped tables)
-                    stats = _footer_stats(dest, phys_schema, set())
+                    rels.append((rel, dest))
+                # phys_schema matches the parquet column names (logical
+                # == physical on unmapped tables); footer reads pooled
+                results = _footer_stats_many(
+                    [d for _, d in rels], phys_schema, set()
+                )
+                for (rel, dest), (stats, size) in zip(rels, results):
                     g_adds.append(
                         {
                             "path": urllib.parse.quote(
                                 rel.replace(os.sep, "/"), safe="/=-_.~"
                             ),
                             "partitionValues": dict(files[0].partition_values),
-                            "size": os.path.getsize(dest),
+                            "size": size,
                             "modificationTime": now_ms,
                             "dataChange": False,
-                            "stats": json.dumps(stats, separators=(",", ":")),
+                            "stats": None if stats is None else json.dumps(
+                                stats, separators=(",", ":")
+                            ),
                         }
                     )
             finally:
@@ -2290,6 +2297,31 @@ def _get_nested(d: dict | None, dotted: str):
             return None
         d = d.get(k)
     return d
+
+
+def _footer_stats_many(
+    paths: list[str], schema: T.StructType, parts: set[str],
+    max_workers: int = 16,
+) -> list[tuple[dict | None, int]]:
+    """(stats-or-None, file size) per path with the footer reads
+    THREAD-POOLED: a thousand-file commit issues its footer reads as
+    concurrent object-store round-trips, never a sequential driver loop
+    (the 100-TB seam flagged in round 4 — pyarrow releases the GIL on
+    IO; pattern shared with the VACUUM lister). Per-file failures map to
+    (None, size): callers fall back to a Spark count for those files."""
+    def one(p: str) -> tuple[dict | None, int]:
+        size = os.path.getsize(p)
+        try:
+            return _footer_stats(p, schema, parts), size
+        except Exception:  # noqa: BLE001 - exotic logical types
+            return None, size
+
+    if len(paths) <= 1:
+        return [one(p) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        return list(ex.map(one, paths))
 
 
 def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:

@@ -229,6 +229,11 @@ class _WrittenFile(WriterCommitMessage):
     # hive-partitioned sinks: ((col, value-or-None), ...) carried into the
     # add action's partitionValues
     partition_values: tuple = ()
+    #: stats JSON computed EXECUTOR-SIDE right after the task closed the
+    #: file (local footer read) and shipped in the commit message — the
+    #: driver never loops sequential footer reads at commit time (the
+    #: 100-TB seam flagged in round 4). None → driver pooled fallback.
+    stats: str | None = None
 
 
 @dataclass
@@ -389,8 +394,19 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         out = []
         for pv, (w, rel, full) in writers.items():
             w.close()
+            try:
+                from duckdb_delta_spark.delta.writer import _footer_stats
+
+                stats = json.dumps(
+                    _footer_stats(full, self.schema,
+                                  set(self.partition_columns)),
+                    separators=(",", ":"),
+                )
+            except Exception:  # noqa: BLE001 - driver fallback fills in
+                stats = None
             out.append(_WrittenFile(
-                rel_path=rel, size=os.path.getsize(full), partition_values=pv
+                rel_path=rel, size=os.path.getsize(full),
+                partition_values=pv, stats=stats,
             ))
         return _WrittenFiles(files=tuple(out))
 
@@ -399,7 +415,10 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
 
         from duckdb_delta_spark.delta.log import DeltaLog
         from duckdb_delta_spark.delta.snapshot import Snapshot
-        from duckdb_delta_spark.delta.writer import _commit_info, _footer_stats
+        from duckdb_delta_spark.delta.writer import (
+            _commit_info,
+            _footer_stats_many,
+        )
 
         log = DeltaLog(self.table_path)
         # incremental refresh from the cached snapshot: replays only the
@@ -426,16 +445,28 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                      "lastUpdated": now_ms}},
         ]
         pcols = set(self.partition_columns)
+        # stats normally arrive in the commit messages (computed by the
+        # task that wrote each file); pool the footer reads only for
+        # stragglers
+        missing = [m for m in files if getattr(m, "stats", None) is None]
+        fallback: dict[str, str] = {}
+        if missing:
+            results = _footer_stats_many(
+                [os.path.join(self.table_path, m.rel_path) for m in missing],
+                self.schema, pcols,
+            )
+            for m, (stats, _size) in zip(missing, results):
+                if stats is not None:
+                    fallback[m.rel_path] = json.dumps(
+                        stats, separators=(",", ":"))
         for m in files:
-            full = os.path.join(self.table_path, m.rel_path)
-            stats = _footer_stats(full, self.schema, pcols)
             actions.append({"add": {
                 "path": m.rel_path,
                 "partitionValues": dict(m.partition_values),
                 "size": m.size,
                 "modificationTime": now_ms,
                 "dataChange": True,
-                "stats": json.dumps(stats, separators=(",", ":")),
+                "stats": getattr(m, "stats", None) or fallback.get(m.rel_path),
             }})
         log.commit(snap.version + 1, actions)
         _SINK_SNAP_CACHE[self.table_path] = snap

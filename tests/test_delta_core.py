@@ -1670,3 +1670,196 @@ def test_v2_checkpoint_write_roundtrip(spark, tdir):
     # the table stays writable after the upgrade
     DeltaWriter(tdir, spark).append(_ids(spark, 2, lo=100))
     assert DeltaTable(tdir).to_df(spark).count() == 39
+
+
+def test_manifest_prune_1m_files_vectorized(tdir):
+    """100-TB seam: pruning a 1M-add-file manifest must be vectorized
+    (columnar pyarrow.json stats parse + pyarrow.compute evaluation),
+    never a files × predicates Python loop with per-file JSON decode —
+    that is tens of driver seconds per query plan at this scale."""
+    import time as _time
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+    from duckdb_delta_spark.delta.snapshot import AddFile, Snapshot
+    from duckdb_delta_spark.delta.writer import _commit_info
+
+    os.makedirs(os.path.join(tdir, "_delta_log"))
+    log = DeltaLog(tdir)
+    log.commit(0, [
+        {"commitInfo": _commit_info("CREATE TABLE")},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": SCHEMA.json(),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+    ])
+    snap = Snapshot.build(log)
+    n = 1_000_000
+    for k in range(n):
+        path = f"part-{k:07d}.parquet"
+        stats = (f'{{"numRecords":10,"minValues":{{"i":{k * 10}}},'
+                 f'"maxValues":{{"i":{k * 10 + 9}}},"nullCount":{{"i":0}}}}')
+        snap.files[path] = AddFile(
+            path=path, partition_values={}, size=1000,
+            modification_time=1, stats=stats)
+
+    sb = DeltaScanBuilder(snap, None).filter("i", "<", n * 5)
+    t0 = _time.time()
+    files = sb._prune()
+    elapsed = _time.time() - t0
+    rep = sb.skip_report()
+    assert len(files) == n // 2
+    assert rep["files_skipped_by_stats"] == n - n // 2
+    assert elapsed < 2.0, f"1M-file prune took {elapsed:.1f}s"
+
+    # warm manifest: a second predicate replans well under a second
+    sb2 = DeltaScanBuilder(snap, None).filter("i", ">=", n * 10 - 100)
+    t0 = _time.time()
+    files2 = sb2._prune()
+    elapsed2 = _time.time() - t0
+    assert len(files2) == 10
+    assert elapsed2 < 1.0, f"warm re-prune took {elapsed2:.1f}s"
+
+
+def test_vectorized_prune_matches_python_fallback(spark, tdir):
+    """Parity gate: the pyarrow fast path and the per-file Python oracle
+    (_file_may_match) must prune identical file sets with identical skip
+    attribution, across types, ops, nulls, and partition values."""
+    import datetime as _dt
+
+    from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("g", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    rows = []
+    for k in range(40):
+        rows.append((
+            k if k % 7 else None,
+            f"s{k:03d}" if k % 5 else None,
+            k * 1.5,
+            _dt.date(2024, 1 + k % 12, 1 + k % 28),
+            k % 4,
+        ))
+    w.append(spark.createDataFrame(rows, schema).repartition(8))
+
+    preds = [
+        ("i", "<", 12), ("i", ">=", 30), ("i", "=", 21), ("i", "!=", 3),
+        ("i", "in", [3, 17, 99]), ("i", "is null", None),
+        ("i", "is not null", None),
+        ("s", ">", "s020"), ("s", "=", "s013"),
+        ("x", "<=", 10.5), ("x", ">", 55.0),
+        ("d", ">=", _dt.date(2024, 9, 1)),
+        ("g", "=", 2), ("g", "in", [0, 3]), ("g", "!=", 1),
+        ("g", "is not null", None),
+    ]
+    snap = DeltaTable(tdir).snapshot
+    assert snap.stats_manifest() is not None
+    for col, op, val in preds:
+        fast = DeltaScanBuilder(snap, None)
+        slow = DeltaScanBuilder(snap, None)
+        for b in (fast, slow):
+            if op in ("is null", "is not null"):
+                b.filter(col, op)
+            else:
+                b.filter(col, op, val)
+        # force the Python oracle path on `slow`
+        slow.snapshot = _ManifestlessSnap(snap)
+        f_fast = [f.path for f in fast._prune()]
+        f_slow = [f.path for f in slow._prune()]
+        assert f_fast == f_slow, (col, op, val)
+        rf, rs = fast.skip_report(), slow.skip_report()
+        for key in ("files_scanned", "files_skipped_by_partition",
+                    "files_skipped_by_stats"):
+            assert rf[key] == rs[key], (col, op, val, key, rf, rs)
+
+
+class _ManifestlessSnap:
+    """Proxy that hides stats_manifest so _prune takes the Python path."""
+
+    def __init__(self, snap):
+        self._snap = snap
+
+    def stats_manifest(self):
+        return None
+
+    def __getattr__(self, name):
+        return getattr(self._snap, name)
+
+
+def test_commit_footer_stats_reads_are_pooled(tdir, monkeypatch):
+    """100-TB seam: commit-path footer stats must issue as CONCURRENT
+    reads (thread pool), not a sequential driver loop — 100 paths at
+    20ms simulated object-store RTT each must finish far below the 2s a
+    serial loop would take."""
+    import time as _time
+
+    import duckdb_delta_spark.delta.writer as W
+
+    os.makedirs(tdir)
+    paths = []
+    for k in range(100):
+        p = os.path.join(tdir, f"f{k}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x")
+        paths.append(p)
+
+    def slow_footer(path, schema, parts):
+        _time.sleep(0.02)
+        return {"numRecords": 1}
+
+    monkeypatch.setattr(W, "_footer_stats", slow_footer)
+    t0 = _time.time()
+    results = W._footer_stats_many(paths, SCHEMA, set())
+    elapsed = _time.time() - t0
+    assert [r[0] for r in results] == [{"numRecords": 1}] * 100
+    assert [r[1] for r in results] == [1] * 100
+    assert elapsed < 1.0, f"footer reads look sequential: {elapsed:.2f}s"
+
+
+def test_streaming_sink_messages_carry_stats(spark, tdir):
+    """The sink's add actions get their stats from the EXECUTOR commit
+    messages (footer read local to the task that wrote the file); every
+    committed add must carry stats without any driver footer loop."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.streaming.delta_source import (
+        _WrittenFile,
+        _WrittenFiles,
+    )
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+
+    import duckdb_delta_spark.streaming.delta_source as DS
+
+    sink = DS.DeltaStreamWriter.__new__(DS.DeltaStreamWriter)
+    sink.table_path = tdir
+    sink.app_id = "test-app"
+    sink.partition_columns = []
+    sink.schema = SCHEMA
+    # message WITH stats: committed verbatim; message WITHOUT: pooled
+    # driver fallback fills it from the real footer
+    df = _ids(spark, 3, lo=100).coalesce(1)
+    rel1, rel2 = "extra1.parquet", "extra2.parquet"
+    df.toPandas().to_parquet(os.path.join(tdir, rel1))
+    df.toPandas().to_parquet(os.path.join(tdir, rel2))
+    msg = _WrittenFiles(files=(
+        _WrittenFile(rel_path=rel1, size=1, partition_values=(),
+                     stats='{"numRecords":3}'),
+        _WrittenFile(rel_path=rel2, size=1, partition_values=(),
+                     stats=None),
+    ))
+    sink.commit([msg], batchId=0)
+    adds = [a["add"] for a in DeltaLog(tdir).read_commit(2) if "add" in a]
+    by = {a["path"]: a for a in adds}
+    assert by[rel1]["stats"] == '{"numRecords":3}'
+    assert by[rel2]["stats"] is not None
+    assert json.loads(by[rel2]["stats"])["numRecords"] == 3
