@@ -191,3 +191,236 @@ FROM cume
 @register("ds_dual_window_join", oracle=_DUAL_WINDOW_JOIN, group="tpcds")
 def ds_dual_window_join(spark, sf_dir):
     return _sql(spark, sf_dir, ["events"], _DUAL_WINDOW_JOIN)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: the grouping-sets/window-heavy TPC-DS classes the
+# reference benchmarks (benchmark/tpcds/sf1/**) that were not yet
+# represented: q5 (channel roll-up report), q22 (rollup averages),
+# q36/q86 (lochierarchy rank over ROLLUP), q70 (in-hierarchy rank),
+# q11/q74 (year-over-year ratio), q47/q57 (neighbor-window outliers),
+# q88 (time-band conditional counts), q34/q73 (order-size buckets),
+# q49 (null-safe return-ratio rank), q93 (returns effect).
+# ---------------------------------------------------------------------------
+
+
+# q36/q86 class: lochierarchy (grouping-depth) rank over ROLLUP
+_LOCHIERARCHY_RANK = f"""
+WITH agg AS (
+  SELECT n_name, o_orderstatus,
+         CAST(grouping(n_name) + grouping(o_orderstatus) AS INT) AS lochierarchy,
+         {_DSUM.format(x='o_totalprice')} AS total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY ROLLUP(n_name, o_orderstatus))
+SELECT n_name, o_orderstatus, lochierarchy, total,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN n_name END
+         ORDER BY total DESC, n_name ASC NULLS FIRST,
+                  o_orderstatus ASC NULLS FIRST) AS rk
+FROM agg
+"""
+
+
+@register("ds_lochierarchy_rank", oracle=_LOCHIERARCHY_RANK, group="tpcds")
+def ds_lochierarchy_rank(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "customer", "nation"],
+                _LOCHIERARCHY_RANK)
+
+
+# q70 class: rank nations inside regions, top-5 via subquery (no QUALIFY
+# in Spark), region grand totals carried alongside
+_REGION_NATION_RANK = f"""
+WITH s AS (
+  SELECT r_name, n_name, {_DSUM.format(x='o_totalprice')} AS rev,
+         count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, rev, n, rk,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share
+FROM (SELECT r_name, n_name, rev, n,
+             rank() OVER (PARTITION BY r_name
+                          ORDER BY rev DESC, n_name ASC) AS rk
+      FROM s) t
+WHERE rk <= 5
+"""
+
+
+@register("ds_region_nation_rank", oracle=_REGION_NATION_RANK, group="tpcds")
+def ds_region_nation_rank(spark, sf_dir):
+    df = _sql(spark, sf_dir,
+              ["orders", "customer", "nation", "region"],
+              _REGION_NATION_RANK)
+    # all three dim joins must plan as broadcasts (no shuffle join on
+    # customer/nation/region at any scale — orders is the only big side)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    return df
+
+
+# q11/q74 class: year-over-year spend ratio per customer (self-join of
+# per-period aggregates), growth filter
+_YOY_RATIO = f"""
+WITH per_year AS (
+  SELECT o_custkey, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         {_DSUM.format(x='o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey, year(CAST(o_orderdate AS DATE)))
+SELECT CAST(a.o_custkey AS BIGINT) AS custkey, a.yr AS yr,
+       a.spend AS spend_prev, b.spend AS spend_next,
+       round(b.spend / a.spend, 6) AS growth
+FROM per_year a JOIN per_year b
+  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+WHERE a.spend > 1000 AND b.spend / a.spend > 1.5
+"""
+
+
+@register("ds_yoy_ratio", oracle=_YOY_RATIO, group="tpcds")
+def ds_yoy_ratio(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders"], _YOY_RATIO)
+
+
+# q47/q57 class: monthly series vs centered neighbor window, outliers
+_NEIGHBOR_OUTLIER = f"""
+WITH monthly AS (
+  SELECT n_name,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+         {_DSUM.format(x='o_totalprice')} AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', CAST(o_orderdate AS DATE))),
+neigh AS (
+  SELECT n_name, m, rev,
+         avg(rev) OVER (PARTITION BY n_name ORDER BY m ASC
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nb
+  FROM monthly)
+SELECT n_name, m, rev, CAST(round(nb, 2) AS DOUBLE) AS neighborhood_avg,
+       round(rev / nb, 6) AS ratio
+FROM neigh WHERE rev / nb > 1.6 OR rev / nb < 0.4
+"""
+
+
+@register("ds_neighbor_outlier", oracle=_NEIGHBOR_OUTLIER, group="tpcds")
+def ds_neighbor_outlier(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "customer", "nation"],
+                _NEIGHBOR_OUTLIER)
+
+
+# q88 class: one row of conditional time-band counts
+_TIME_BANDS = """
+SELECT
+  count(CASE WHEN h BETWEEN 0 AND 5 THEN 1 END)   AS night,
+  count(CASE WHEN h BETWEEN 6 AND 11 THEN 1 END)  AS morning,
+  count(CASE WHEN h BETWEEN 12 AND 17 THEN 1 END) AS afternoon,
+  count(CASE WHEN h BETWEEN 18 AND 23 THEN 1 END) AS evening,
+  count(*) AS total
+FROM (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h FROM events) t
+"""
+
+
+@register("ds_time_bands", oracle=_TIME_BANDS, group="tpcds")
+def ds_time_bands(spark, sf_dir):
+    return _sql(spark, sf_dir, ["events"], _TIME_BANDS)
+
+
+# q34/q73 class: order-size buckets joined back to order attributes
+_ORDER_SIZE_BUCKETS = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS items
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderstatus, items, count(*) AS n_orders
+FROM orders JOIN per_order ON o_orderkey = l_orderkey
+WHERE items BETWEEN 2 AND 6
+GROUP BY o_orderstatus, items
+"""
+
+
+@register("ds_order_size_buckets", oracle=_ORDER_SIZE_BUCKETS, group="tpcds")
+def ds_order_size_buckets(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _ORDER_SIZE_BUCKETS)
+
+
+# q49 class: null-safe return-ratio ranking across a 4-way join
+_RETURN_RATIO_RANK = f"""
+WITH per_nation AS (
+  SELECT n_name,
+         {_DSUM.format(x="CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} AS returned,
+         {_DSUM.format(x='l_extendedprice')} AS total
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, returned, total,
+       round(coalesce(returned, 0) / NULLIF(total, 0), 6) AS ratio,
+       rank() OVER (ORDER BY coalesce(returned, 0) / NULLIF(total, 0) DESC,
+                    n_name ASC) AS rk
+FROM per_nation
+"""
+
+
+@register("ds_return_ratio_rank", oracle=_RETURN_RATIO_RANK, group="tpcds")
+def ds_return_ratio_rank(spark, sf_dir):
+    df = _sql(spark, sf_dir,
+              ["lineitem", "orders", "customer", "nation"],
+              _RETURN_RATIO_RANK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    return df
+
+
+# q93 class: returns' effect on kept revenue per priority class
+_RETURNS_EFFECT = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         {_DSUM.format(x="CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END")} AS kept,
+         {_DSUM.format(x='l_extendedprice')} AS gross
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(round(sum(coalesce(kept, 0)), 2) AS DOUBLE) AS kept_rev,
+       CAST(round(sum(gross), 2) AS DOUBLE) AS gross_rev,
+       round(sum(coalesce(kept, 0)) / sum(gross), 6) AS kept_share
+FROM orders JOIN per_order ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("ds_returns_effect", oracle=_RETURNS_EFFECT, group="tpcds")
+def ds_returns_effect(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _RETURNS_EFFECT)
+
+
+# q5 class: multi-channel UNION ALL report rolled up over (channel, class)
+_CHANNEL_ROLLUP_REPORT = f"""
+WITH sales AS (
+  SELECT 'store' AS channel, o_orderpriority AS cls, o_totalprice AS amt
+  FROM orders
+  UNION ALL
+  SELECT 'web' AS channel, event_type AS cls, value AS amt
+  FROM events WHERE event_type IN ('purchase', 'refund'))
+SELECT channel, cls, count(*) AS n,
+       {_DSUM.format(x='amt')} AS total
+FROM sales GROUP BY ROLLUP(channel, cls)
+"""
+
+
+@register("ds_channel_rollup_report", oracle=_CHANNEL_ROLLUP_REPORT,
+          group="tpcds")
+def ds_channel_rollup_report(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "events"], _CHANNEL_ROLLUP_REPORT)
+
+
+# q22 class: catalog averages over a two-level ROLLUP of part attributes
+_PART_ROLLUP_AVG = f"""
+SELECT p_brand, p_type, count(*) AS n,
+       CAST(round(avg(p_retailprice), 4) AS DOUBLE) AS avg_price,
+       CAST(round(avg(p_size), 4) AS DOUBLE) AS avg_size
+FROM part
+GROUP BY ROLLUP(p_brand, p_type)
+"""
+
+
+@register("ds_part_rollup_avg", oracle=_PART_ROLLUP_AVG, group="tpcds")
+def ds_part_rollup_avg(spark, sf_dir):
+    return _sql(spark, sf_dir, ["part"], _PART_ROLLUP_AVG)

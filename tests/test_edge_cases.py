@@ -253,3 +253,71 @@ def test_structured_logging_sink(spark, tdir):
     plan = [r for r in records if r["event"] == "scan.plan"][-1]
     assert plan["files_total"] >= 1 and "files_skipped_by_stats" in plan
     assert all("ts_ms" in r and r["table_path"] for r in records)
+
+
+def test_non_utc_session_timezone_semantics(spark, tdir):
+    """TIMESTAMP (UTC-adjusted instant) vs TIMESTAMP_NTZ (wall clock)
+    under a NON-UTC session timezone — the reference distinguishes these
+    at delta_utils.cpp:566-567 and the bench session pins UTC, so this is
+    the only place the adjustment is non-vacuously exercised.
+
+    A SQL literal '2024-01-01 12:00:00' entered under
+    America/Los_Angeles is the instant 2024-01-01T20:00Z when typed
+    TIMESTAMP (renders 12:00 under LA, 20:00 under UTC) but a fixed
+    12:00 wall clock when typed TIMESTAMP_NTZ. Collected naive datetimes
+    are OS-tz (UTC here) renderings of the instant. A timestamp
+    PARTITION value round-trips the instant through hive-dir recovery +
+    constant injection under the same session tz."""
+    import datetime as _dt
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.sql(
+            """SELECT id AS i,
+                      TIMESTAMP\'2024-01-01 12:00:00\' AS ts,
+                      TIMESTAMP_NTZ\'2024-01-01 12:00:00\' AS ntz,
+                      TIMESTAMP\'2024-01-01 12:00:00\' AS pt
+               FROM range(2)"""
+        )
+        w = DeltaWriter.create(spark, tdir, df.schema, partition_by=["pt"])
+        w.append(df)
+
+        out = DeltaTable(tdir).to_df(spark)
+        # NTZ survives as NTZ in the read schema
+        assert isinstance(
+            out.schema["ntz"].dataType, T.TimestampNTZType), out.schema
+        got = {r["i"]: r for r in out.collect()}
+        instant = _dt.datetime(2024, 1, 1, 20, 0, 0)  # 12:00 LA = 20:00Z
+        wall = _dt.datetime(2024, 1, 1, 12, 0, 0)
+        assert got[0]["ts"] == instant, got[0]
+        assert got[0]["ntz"] == wall, got[0]
+        # partition value: hive-dir recovery + injection under the same
+        # session tz preserves the instant
+        assert got[0]["pt"] == instant, got[0]
+
+        # session-tz rendering: ts shifts with the session, ntz never
+        render = out.select(
+            F.date_format("ts", "HH:mm").alias("ts_la"),
+            F.date_format("ntz", "HH:mm").alias("ntz_la"),
+        ).collect()[0]
+        assert (render["ts_la"], render["ntz_la"]) == ("12:00", "12:00")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        render_utc = DeltaTable(tdir).to_df(spark).select(
+            F.date_format("ts", "HH:mm").alias("ts_utc"),
+            F.date_format("ntz", "HH:mm").alias("ntz_utc"),
+        ).collect()[0]
+        assert (render_utc["ts_utc"], render_utc["ntz_utc"]) == (
+            "20:00", "12:00")
+
+        # stats pruning on the instant column: footer stats hold the UTC
+        # instant, so a UTC-wall literal past 20:00 skips every file
+        sb = DeltaTable(tdir).scan(spark).filter(
+            "ts", ">", _dt.datetime(2024, 1, 1, 20, 30, 0))
+        assert sb.to_df().count() == 0
+        assert sb.skip_report()["files_scanned"] == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
