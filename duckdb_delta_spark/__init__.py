@@ -18,13 +18,38 @@ reference — which swaps the file list under DuckDB's parquet scan
 the file list *before* building the DataFrame.
 """
 
-from duckdb_delta_spark.delta.log import DeltaLog
-from duckdb_delta_spark.delta.snapshot import Snapshot
-from duckdb_delta_spark.delta.scan import DeltaScanBuilder
-from duckdb_delta_spark.delta.table import DeltaTable
-from duckdb_delta_spark.delta.writer import DeltaWriter
-from duckdb_delta_spark.delta.catalog import DeltaCatalog
-from duckdb_delta_spark.delta import errors
+# Lazy re-exports (PEP 562): importing the bare package must stay cheap.
+# Every executor-side Python worker that unpickles a streaming source /
+# sink object imports this package first — eagerly pulling pyspark.sql +
+# pandas here cost ~0.6s PER WORKER SPAWN, which dominated the
+# cold-session cost of the streaming queries.
+_EXPORTS = {
+    "DeltaLog": "duckdb_delta_spark.delta.log",
+    "Snapshot": "duckdb_delta_spark.delta.snapshot",
+    "DeltaScanBuilder": "duckdb_delta_spark.delta.scan",
+    "DeltaTable": "duckdb_delta_spark.delta.table",
+    "DeltaWriter": "duckdb_delta_spark.delta.writer",
+    "DeltaCatalog": "duckdb_delta_spark.delta.catalog",
+    "errors": "duckdb_delta_spark.delta.errors",
+}
+
+
+def __getattr__(name):
+    if name == "errors":
+        import duckdb_delta_spark.delta.errors as mod
+
+        return mod
+    mod_name = _EXPORTS.get(name)
+    if mod_name is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
+
 
 __version__ = "0.1.0"
 

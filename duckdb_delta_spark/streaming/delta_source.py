@@ -112,6 +112,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         return {"version": self._log.latest_version()}
 
     def partitions(self, start: dict, end: dict):
+        import time as _time
+
+        _t0 = _time.time()
         parts: list[_FileSlice] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, has_removal = self._classify(v)
@@ -140,6 +143,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                         table_path=self.table_path,
                     )
                 )
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "stream.source.plan",
+            table_path=self.table_path,
+            start_version=int(start["version"]),
+            end_version=int(end["version"]),
+            n_slices=len(parts),
+            duration_ms=int((_time.time() - _t0) * 1000),
+        )
         return parts
 
     def _classify(self, version: int):
@@ -411,7 +424,17 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         return _WrittenFiles(files=tuple(out))
 
     def commit(self, messages, batchId: int) -> None:
+        """Per-batch exactly-once commit. Wall-clock profile (structured
+        event ``stream.sink.commit``): with stats computed executor-side
+        and shipped in the messages, this is one incremental snapshot
+        refresh + one O(files) action build + one put-if-absent — the
+        per-batch cost is O(new files) with NO sequential footer reads;
+        the dominant cold-session cost of a streaming query is Spark's
+        own Python-worker fleet startup, which a long-running stream
+        amortizes to zero."""
         import time
+
+        _t0 = time.time()
 
         from duckdb_delta_spark.delta.log import DeltaLog
         from duckdb_delta_spark.delta.snapshot import Snapshot
@@ -470,6 +493,17 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             }})
         log.commit(snap.version + 1, actions)
         _SINK_SNAP_CACHE[self.table_path] = snap
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "stream.sink.commit",
+            table_path=self.table_path,
+            version=snap.version + 1,
+            batch_id=int(batchId),
+            n_files=len(files),
+            n_stats_fallback=len(missing),
+            duration_ms=int((time.time() - _t0) * 1000),
+        )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
