@@ -541,3 +541,72 @@ def build_foreign_cm(dest: str, mode: str = "name") -> None:
         }, separators=(",", ":")),
     }
     write_commit(log_dir, 1, [commit_info("WRITE"), {"add": add}])
+
+
+def write_multipart_checkpoint(
+    log_dir: str, version: int, actions: list[dict], n_parts: int,
+    with_stats_parsed: bool = False,
+) -> None:
+    """delta-spark's MULTI-PART classic checkpoint:
+    ``<v>.checkpoint.<i>.<n>.parquet`` (1-based, zero-padded to 10),
+    actions round-robined across parts, ``_last_checkpoint`` carrying
+    ``parts``. With ``with_stats_parsed``, adds add.stats_parsed as a
+    TYPED STRUCT column alongside the stats string — what delta-spark
+    emits under ``checkpoint.writeStatsAsStruct`` — which readers that
+    key off ``stats`` must tolerate."""
+    schema = _CHECKPOINT_SCHEMA
+    if with_stats_parsed:
+        add_t = schema.field("add").type
+        sp = pa.struct([
+            ("numRecords", pa.int64()),
+            ("minValues", pa.struct([("p_partkey", pa.int64())])),
+            ("maxValues", pa.struct([("p_partkey", pa.int64())])),
+            ("nullCount", pa.struct([("p_partkey", pa.int64())])),
+        ])
+        fields = [add_t.field(i) for i in range(add_t.num_fields)]
+        fields.append(pa.field("stats_parsed", sp))
+        schema = pa.schema([
+            f if f.name != "add" else pa.field("add", pa.struct(fields))
+            for f in schema
+        ])
+
+    rows = []
+    for a in actions:
+        (key, val), = a.items()
+        if key == "commitInfo":
+            continue
+        row = {c: None for c in schema.names}
+        val = dict(val)
+        if key in ("add", "remove") and "partitionValues" in val:
+            val["partitionValues"] = list((val["partitionValues"] or {}).items())
+        if key == "metaData":
+            val["configuration"] = list((val.get("configuration") or {}).items())
+            fmt = dict(val.get("format") or {})
+            fmt["options"] = list((fmt.get("options") or {}).items())
+            val["format"] = fmt
+        if key == "add" and with_stats_parsed and val.get("stats"):
+            parsed = json.loads(val["stats"])
+            val["stats_parsed"] = {
+                "numRecords": parsed.get("numRecords"),
+                "minValues": {"p_partkey":
+                              (parsed.get("minValues") or {}).get("p_partkey")},
+                "maxValues": {"p_partkey":
+                              (parsed.get("maxValues") or {}).get("p_partkey")},
+                "nullCount": {"p_partkey":
+                              (parsed.get("nullCount") or {}).get("p_partkey")},
+            }
+        row[key] = val
+        rows.append(row)
+
+    parts: list[list] = [[] for _ in range(n_parts)]
+    for i, row in enumerate(rows):
+        parts[i % n_parts].append(row)
+    for i, chunk in enumerate(parts):
+        tbl = pa.Table.from_pylist(chunk, schema=schema)
+        pq.write_table(tbl, os.path.join(
+            log_dir,
+            f"{version:020d}.checkpoint.{i + 1:010d}.{n_parts:010d}.parquet",
+        ))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows),
+                   "parts": n_parts}, f)

@@ -236,3 +236,51 @@ def test_foreign_cm_stats_skipping(spark, tmp_path):
     assert sb.to_df().count() == 0
     rep = sb.skip_report()
     assert rep["files_scanned"] == 0 and rep["files_total"] == 1, rep
+
+
+def test_foreign_multipart_checkpoint_replay(spark, foreign_part, tmp_path):
+    """delta-spark's multi-part classic checkpoint
+    (<v>.checkpoint.<i>.<n>.parquet + parts hint): replace the single-part
+    checkpoint with a 3-part one — round-robined actions, add.stats_parsed
+    struct column alongside the stats string (writeStatsAsStruct shape) —
+    delete the pre-checkpoint commits, and replay must be identical."""
+    import json as _json
+
+    dest = str(tmp_path / "multipart")
+    shutil.copytree(foreign_part, dest)
+    log_dir = os.path.join(dest, "_delta_log")
+    # recover the v2 checkpoint's actions from the single-part file
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(
+        log_dir, f"{2:020d}.checkpoint.parquet"))
+    actions = []
+    for row in tbl.to_pylist():
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
+            v = row.get(key)
+            if v is not None:
+                if "partitionValues" in v and isinstance(
+                        v["partitionValues"], list):
+                    v["partitionValues"] = dict(v["partitionValues"])
+                if key == "metaData":
+                    v["configuration"] = dict(v.get("configuration") or [])
+                    v["format"] = {
+                        "provider": v["format"]["provider"],
+                        "options": dict(v["format"]["options"] or []),
+                    }
+                actions.append({key: v})
+    os.remove(os.path.join(log_dir, f"{2:020d}.checkpoint.parquet"))
+    foreign.write_multipart_checkpoint(
+        log_dir, 2, actions, n_parts=3, with_stats_parsed=True)
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    got = DeltaTable(dest).to_df(spark).collect()
+    exp = _expected_part_pdf()
+    assert sorted(r["p_partkey"] for r in got) == sorted(
+        exp.column("p_partkey").to_pylist()
+    )
+    # stats skipping still keys off the stats string next to stats_parsed
+    sb = DeltaTable(dest).scan(spark).filter("p_size", ">", 1000)
+    assert sb.to_df().count() == 0
+    assert sb.skip_report()["files_scanned"] == 0
