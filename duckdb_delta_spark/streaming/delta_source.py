@@ -86,6 +86,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        #: delta-spark parity: cap how many FILES one micro-batch admits.
+        #: On a 100-TB backlog the first batch otherwise swallows the
+        #: whole table; with the cap, latestOffset advances commit-by-
+        #: commit until the file budget is spent (always ≥ 1 commit so
+        #: the stream can't stall on an over-budget commit).
+        mft = options.get("maxFilesPerTrigger")
+        self.max_files_per_trigger = int(mft) if mft is not None else None
+        self._rate_pos: int | None = None  # last offset handed to Spark
         self._log = DeltaLog(self.table_path)
         start = options.get("startingVersion")
         if start is None:
@@ -109,7 +117,22 @@ class DeltaStreamReader(DataSourceStreamReader):
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": self._log.latest_version()}
+        head = self._log.latest_version()
+        if self.max_files_per_trigger is None:
+            return {"version": head}
+        base = self._rate_pos if self._rate_pos is not None else self._initial
+        budget = self.max_files_per_trigger
+        v = base
+        while v < head:
+            n = len(self._classify(v + 1)[0])
+            if v > base and n > budget:
+                break
+            v += 1
+            budget -= n
+            if budget <= 0:
+                break
+        self._rate_pos = v
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         import time as _time

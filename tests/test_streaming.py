@@ -363,3 +363,38 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     assert out.count() == 10
     rep = sb.skip_report()
     assert rep["files_skipped_by_partition"] > 0
+
+
+def test_source_max_files_per_trigger(spark, tdir):
+    """delta-spark parity: .option('maxFilesPerTrigger', N) bounds each
+    micro-batch's file admission — latestOffset walks commit-by-commit
+    spending the budget (≥1 commit per batch), instead of jumping the
+    whole backlog into one batch."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamReader
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    for k in range(3):
+        w.append(spark.range(40 * k, 40 * (k + 1)).select(
+            F.col("id").alias("i"), (F.col("id") % 2).alias("g"))
+            .repartition(4))  # 4 files each
+
+    schema = DeltaTable(tdir).schema()
+    r = DeltaStreamReader(
+        tdir, schema, {"startingVersion": "0", "maxFilesPerTrigger": "4"})
+    assert r.initialOffset() == {"version": -1}
+    # each poll admits exactly one 4-file commit
+    assert r.latestOffset() == {"version": 1}
+    assert len(r.partitions({"version": -1}, {"version": 1})) == 4
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 3}
+    assert r.latestOffset() == {"version": 3}  # caught up: no progress
+
+    # unlimited: straight to HEAD
+    r2 = DeltaStreamReader(tdir, schema, {"startingVersion": "0"})
+    assert r2.latestOffset() == {"version": 3}
