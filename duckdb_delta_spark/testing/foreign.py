@@ -610,3 +610,82 @@ def write_multipart_checkpoint(
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows),
                    "parts": n_parts}, f)
+
+
+def write_foreign_v2_checkpoint(
+    log_dir: str, version: int, actions: list[dict]
+) -> None:
+    """V2 checkpoint the way a v2Checkpoint-enabled foreign writer emits
+    it (PROTOCOL.md "V2 spec checkpoints"): a UUID-named parquet manifest
+    ``<v>.checkpoint.<uuid>.parquet`` carrying the non-file actions +
+    ``checkpointMetadata`` + ``sidecar`` references, with the add/remove
+    actions split across TWO parquet sidecars under ``_sidecars/``."""
+    import uuid as _uuid
+
+    file_rows, meta_rows = [], []
+    for a in actions:
+        (key, val), = a.items()
+        if key == "commitInfo":
+            continue
+        val = dict(val)
+        if key in ("add", "remove") and "partitionValues" in val:
+            val["partitionValues"] = list((val["partitionValues"] or {}).items())
+        if key == "metaData":
+            val["configuration"] = list((val.get("configuration") or {}).items())
+            fmt = dict(val.get("format") or {})
+            fmt["options"] = list((fmt.get("options") or {}).items())
+            val["format"] = fmt
+        (file_rows if key in ("add", "remove") else meta_rows).append(
+            (key, val))
+
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    file_schema = pa.schema([
+        _CHECKPOINT_SCHEMA.field("add"), _CHECKPOINT_SCHEMA.field("remove")])
+    halves = [file_rows[0::2], file_rows[1::2]]
+    sidecar_refs = []
+    for chunk in halves:
+        rows = []
+        for key, val in chunk:
+            row = {"add": None, "remove": None}
+            row[key] = val
+            rows.append(row)
+        name = f"{_uuid.uuid4()}.parquet"
+        full = os.path.join(sidecar_dir, name)
+        pq.write_table(pa.Table.from_pylist(rows, schema=file_schema), full)
+        sidecar_refs.append({
+            "path": name, "sizeInBytes": os.path.getsize(full),
+            "modificationTime": 1_700_000_000_000,
+        })
+
+    manifest_schema = pa.schema([
+        _CHECKPOINT_SCHEMA.field("txn"),
+        _CHECKPOINT_SCHEMA.field("metaData"),
+        _CHECKPOINT_SCHEMA.field("protocol"),
+        ("checkpointMetadata", pa.struct([
+            ("version", pa.int64()),
+            ("tags", _STR_MAP),
+        ])),
+        ("sidecar", pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ])),
+    ])
+    man_rows = []
+    for key, val in meta_rows:
+        row = {c: None for c in manifest_schema.names}
+        row[key] = val
+        man_rows.append(row)
+    row = {c: None for c in manifest_schema.names}
+    row["checkpointMetadata"] = {"version": version, "tags": []}
+    man_rows.append(row)
+    for ref in sidecar_refs:
+        row = {c: None for c in manifest_schema.names}
+        row["sidecar"] = ref
+        man_rows.append(row)
+    pq.write_table(
+        pa.Table.from_pylist(man_rows, schema=manifest_schema),
+        os.path.join(log_dir,
+                     f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(man_rows)}, f)

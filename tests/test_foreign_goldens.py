@@ -284,3 +284,48 @@ def test_foreign_multipart_checkpoint_replay(spark, foreign_part, tmp_path):
     sb = DeltaTable(dest).scan(spark).filter("p_size", ">", 1000)
     assert sb.to_df().count() == 0
     assert sb.skip_report()["files_scanned"] == 0
+
+
+def test_foreign_v2_checkpoint_replay(spark, foreign_part, tmp_path):
+    """Foreign v2 checkpoint (UUID parquet manifest + two _sidecars
+    parquet files, checkpointMetadata row, sidecar refs): replace the
+    classic checkpoint, upgrade the protocol row to carry v2Checkpoint,
+    delete the pre-checkpoint commits — replay must be identical."""
+    import pyarrow.parquet as pq
+
+    dest = str(tmp_path / "v2ckpt")
+    shutil.copytree(foreign_part, dest)
+    log_dir = os.path.join(dest, "_delta_log")
+    tbl = pq.read_table(os.path.join(log_dir, f"{2:020d}.checkpoint.parquet"))
+    actions = []
+    for row in tbl.to_pylist():
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
+            v = row.get(key)
+            if v is not None:
+                if "partitionValues" in v and isinstance(
+                        v["partitionValues"], list):
+                    v["partitionValues"] = dict(v["partitionValues"])
+                if key == "metaData":
+                    v["configuration"] = dict(v.get("configuration") or [])
+                    v["format"] = {
+                        "provider": v["format"]["provider"],
+                        "options": dict(v["format"]["options"] or []),
+                    }
+                if key == "protocol":
+                    v["readerFeatures"] = sorted(
+                        set(v.get("readerFeatures") or [])
+                        | {"v2Checkpoint"})
+                    v["writerFeatures"] = sorted(
+                        set(v.get("writerFeatures") or [])
+                        | {"v2Checkpoint"})
+                actions.append({key: v})
+    os.remove(os.path.join(log_dir, f"{2:020d}.checkpoint.parquet"))
+    foreign.write_foreign_v2_checkpoint(log_dir, 2, actions)
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    got = DeltaTable(dest).to_df(spark).collect()
+    exp = _expected_part_pdf()
+    assert sorted(r["p_partkey"] for r in got) == sorted(
+        exp.column("p_partkey").to_pylist()
+    )
