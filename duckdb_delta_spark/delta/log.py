@@ -443,19 +443,51 @@ class DeltaLog:
                 else:
                     lo = mid + 1
 
-        def clock(v: int, path: str) -> int | None:
-            if ict_boundary is not None and v >= ict_boundary:
-                return self.read_ict(v)
-            try:
-                return int(os.path.getmtime(path) * 1000)
-            except OSError:
-                return None
+        if ict_boundary is not None:
+            # ICTs are spec-monotonic within the domain → binary-search the
+            # greatest version with ict <= ts instead of reading EVERY ICT
+            # commit (a long-history table would pay O(n) commit reads per
+            # timestamp-travel resolution otherwise). Spec-violating
+            # commits missing their ICT read as None → treated as > ts
+            # here (never resolved by a lying mtime); the linear fallback
+            # below only runs for the pre-ICT prefix.
+            ict_versions = [v for v in sorted(commits) if v >= ict_boundary]
+            lo, hi = 0, len(ict_versions) - 1
+            best_ict: int | None = None
+            corrupt = False
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                t = self.read_ict(ict_versions[mid])
+                if t is None:
+                    # spec violation (ICT-domain commit missing its ICT):
+                    # monotonicity is broken, binary search is unsound —
+                    # degrade to a linear scan that skips the bad commits
+                    corrupt = True
+                    break
+                if t <= ts_ms:
+                    best_ict = ict_versions[mid]
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            if corrupt:
+                best_ict = None
+                for v in ict_versions:
+                    t = self.read_ict(v)
+                    if t is not None and t <= ts_ms and (
+                        best_ict is None or v > best_ict
+                    ):
+                        best_ict = v
+            if best_ict is not None:
+                return best_ict
 
         best: int | None = None
         earliest: tuple[int, int] | None = None
         for v, path in commits.items():
-            t = clock(v, path)
-            if t is None:
+            if ict_boundary is not None and v >= ict_boundary:
+                continue  # ICT domain handled above
+            try:
+                t = int(os.path.getmtime(path) * 1000)
+            except OSError:
                 continue
             if earliest is None or t < earliest[1]:
                 earliest = (v, t)
