@@ -49,8 +49,9 @@ class _FileSlice(InputPartition):
 
 
 class DeltaPySource(DataSource):
-    """``format("delta_py")`` — Delta table as a streaming (and batch)
-    source through the Python DataSource API."""
+    """``format("delta_py")`` — Delta table as a STREAMING source/sink
+    through the Python DataSource API (batch reads use the native
+    ``DeltaTable.to_df`` scan, which owns pruning/DV/column mapping)."""
 
     @classmethod
     def name(cls) -> str:

@@ -689,3 +689,116 @@ def write_foreign_v2_checkpoint(
                      f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet"))
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(man_rows)}, f)
+
+
+def build_foreign_all_types(dest: str) -> None:
+    """DAT ``all_primitive_types`` analogue, foreign-authored: every Delta
+    primitive type in one table — byte/short/integer/long, float/double,
+    decimal(10,2), string, binary, boolean, date, timestamp (UTC-adjusted)
+    and timestamp_ntz — written with pyarrow + hand-written commit JSON in
+    delta-spark's layout (typed stats incl. ISO-Z timestamps, a date
+    partition column). Two files / two date partitions, 3 rows each."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    fields = [
+        ("b_byte", "byte", pa.int8()),
+        ("b_short", "short", pa.int16()),
+        ("b_int", "integer", pa.int32()),
+        ("b_long", "long", pa.int64()),
+        ("b_float", "float", pa.float32()),
+        ("b_double", "double", pa.float64()),
+        ("b_dec", "decimal(10,2)", pa.decimal128(10, 2)),
+        ("b_str", "string", pa.string()),
+        ("b_bin", "binary", pa.binary()),
+        ("b_bool", "boolean", pa.bool_()),
+        ("b_ts", "timestamp", pa.timestamp("us", tz="UTC")),
+        ("b_ts_ntz", "timestamp_ntz", pa.timestamp("us")),
+        ("p_date", "date", pa.date32()),
+    ]
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [spark_field(n, t) for n, t, _ in fields],
+    }, separators=(",", ":"))
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "foreign_all_types")),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["p_date"],
+            "configuration": {},
+            "createdTime": 1_700_000_000_000,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["timestampNtz"],
+                          "writerFeatures": ["timestampNtz"]}}
+    write_commit(log_dir, 0, [commit_info("CREATE TABLE"), proto, meta])
+
+    file_schema = pa.schema([(n, t) for n, _, t in fields if n != "p_date"])
+
+    def rows(base: int):
+        utc = _dt.timezone.utc
+        return {
+            "b_byte": [base, base + 1, None],
+            "b_short": [base * 10, base * 10 + 1, None],
+            "b_int": [base * 100, base * 100 + 1, None],
+            "b_long": [base * 1000, base * 1000 + 1, None],
+            "b_float": [base + 0.5, base + 1.5, None],
+            "b_double": [base + 0.25, base + 1.25, None],
+            "b_dec": [_decimal.Decimal(f"{base}.25"),
+                      _decimal.Decimal(f"{base}.75"), None],
+            "b_str": [f"s{base:02d}", f"s{base + 1:02d}", None],
+            "b_bin": [b"\x00\x01", bytes([base]), None],
+            "b_bool": [True, False, None],
+            "b_ts": [_dt.datetime(2024, 1, base, 12, 0, tzinfo=utc),
+                     _dt.datetime(2024, 1, base, 13, 0, tzinfo=utc), None],
+            "b_ts_ntz": [_dt.datetime(2024, 1, base, 12, 0),
+                         _dt.datetime(2024, 1, base, 13, 0), None],
+        }
+
+    actions = [commit_info("WRITE")]
+    for base, day in ((1, "2024-01-01"), (2, "2024-01-02")):
+        tbl = pa.Table.from_pydict(rows(base), schema=file_schema)
+        rel_dir = f"p_date={day}"
+        os.makedirs(os.path.join(dest, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/{part_file_name(base)}"
+        pq.write_table(tbl, os.path.join(dest, rel))
+        # delta-spark-shape typed stats: numbers plain, timestamps ISO-Z,
+        # ntz ISO without Z, decimals as numbers; binary/bool excluded
+        stats = {
+            "numRecords": 3,
+            "minValues": {
+                "b_byte": base, "b_short": base * 10, "b_int": base * 100,
+                "b_long": base * 1000, "b_float": base + 0.5,
+                "b_double": base + 0.25, "b_dec": float(f"{base}.25"),
+                "b_str": f"s{base:02d}",
+                "b_ts": f"2024-01-{base:02d}T12:00:00.000Z",
+                "b_ts_ntz": f"2024-01-{base:02d}T12:00:00.000",
+            },
+            "maxValues": {
+                "b_byte": base + 1, "b_short": base * 10 + 1,
+                "b_int": base * 100 + 1, "b_long": base * 1000 + 1,
+                "b_float": base + 1.5, "b_double": base + 1.25,
+                "b_dec": float(f"{base}.75"), "b_str": f"s{base + 1:02d}",
+                "b_ts": f"2024-01-{base:02d}T13:00:00.000Z",
+                "b_ts_ntz": f"2024-01-{base:02d}T13:00:00.000",
+            },
+            "nullCount": {
+                "b_byte": 1, "b_short": 1, "b_int": 1, "b_long": 1,
+                "b_float": 1, "b_double": 1, "b_dec": 1, "b_str": 1,
+                "b_bin": 1, "b_bool": 1, "b_ts": 1, "b_ts_ntz": 1,
+            },
+        }
+        actions.append({"add": {
+            "path": urllib.parse.quote(rel, safe="/=-_.~"),
+            "partitionValues": {"p_date": day},
+            "size": os.path.getsize(os.path.join(dest, rel)),
+            "modificationTime": 1_700_000_000_000,
+            "dataChange": True,
+            "stats": json.dumps(stats, separators=(",", ":")),
+        }})
+    write_commit(log_dir, 1, actions)

@@ -329,3 +329,55 @@ def test_foreign_v2_checkpoint_replay(spark, foreign_part, tmp_path):
     assert sorted(r["p_partkey"] for r in got) == sorted(
         exp.column("p_partkey").to_pylist()
     )
+
+
+def test_foreign_all_primitive_types(spark, tmp_path):
+    """DAT all_primitive_types analogue: a foreign-authored table with
+    every Delta primitive (byte..long, float/double, decimal(10,2),
+    string, binary, boolean, timestamp/timestamp_ntz, date partition) —
+    values, nulls, type mapping, and per-type stats pruning all prove
+    out against the hand-written delta-spark-layout log."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql import types as T
+
+    dest = str(tmp_path / "all_types")
+    foreign.build_foreign_all_types(dest)
+    t = DeltaTable(dest)
+    df = t.to_df(spark)
+
+    by_type = dict(df.dtypes)
+    assert by_type["b_byte"] == "tinyint" and by_type["b_short"] == "smallint"
+    assert by_type["b_dec"] == "decimal(10,2)"
+    assert by_type["b_ts"] == "timestamp" and by_type["b_ts_ntz"] == "timestamp_ntz"
+    assert by_type["p_date"] == "date"
+
+    rows = df.where("b_byte IS NOT NULL").orderBy("b_long").collect()
+    assert [r["b_long"] for r in rows] == [1000, 1001, 2000, 2001]
+    assert rows[0]["b_dec"] == _decimal.Decimal("1.25")
+    assert rows[0]["b_bin"] == bytearray(b"\x00\x01")
+    assert rows[0]["b_str"] == "s01" and rows[0]["b_bool"] is True
+    assert rows[0]["p_date"] == _dt.date(2024, 1, 1)
+    assert rows[0]["b_ts_ntz"] == _dt.datetime(2024, 1, 1, 12, 0)
+    # UTC session (conftest): the adjusted instant reads back 12:00Z
+    assert rows[0]["b_ts"] == _dt.datetime(2024, 1, 1, 12, 0)
+    # each file carries one all-NULL row
+    assert df.where("b_byte IS NULL").count() == 2
+
+    # per-type stats pruning against the hand-written stats strings
+    cases = [
+        ("b_long", ">", 1500, 1),          # int family
+        ("b_double", "<=", 1.3, 1),        # float family
+        ("b_str", "=", "s03", 1),          # string
+        ("b_dec", ">", _decimal.Decimal("2.00"), 1),  # decimal (Python path)
+        ("b_ts", ">=", _dt.datetime(2024, 1, 2, 12, 30), 1),  # timestamp
+        ("b_byte", "is null", None, 2),    # nullCount: both files match
+        ("p_date", "=", _dt.date(2024, 1, 2), 1),     # partition value
+    ]
+    for col, op, val, expect_files in cases:
+        sb = t.scan(spark)
+        sb = sb.filter(col, op) if val is None else sb.filter(col, op, val)
+        sb.to_df()
+        rep = sb.skip_report()
+        assert rep["files_scanned"] == expect_files, (col, op, rep)
