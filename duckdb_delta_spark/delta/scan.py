@@ -412,12 +412,17 @@ class DeltaScanBuilder:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        raw = [f.partition_values.get(p.column) for f in files]
         try:
-            arr = pa.array(
-                [None if v in (None, "") else str(v) for v in raw],
-                type=pa.string(),
-            )
+            if self._only_paths is None and len(files) == len(
+                self.snapshot.files
+            ):
+                arr = self.snapshot.partition_array(p.column)  # cached
+            else:
+                raw = [f.partition_values.get(p.column) for f in files]
+                arr = pa.array(
+                    [None if v in (None, "") else str(v) for v in raw],
+                    type=pa.string(),
+                )
         except (pa.ArrowInvalid, pa.ArrowTypeError):
             return None
         if p.op == "is null":

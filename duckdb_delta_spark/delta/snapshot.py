@@ -133,6 +133,7 @@ class Snapshot:
         self._stats_manifest = None
         self._stats_manifest_built = False
         self._sorted_files: list[AddFile] | None = None
+        self._partition_arrays: dict[str, object] = {}
 
     # ---------- construction ----------
 
@@ -405,6 +406,23 @@ class Snapshot:
                 self.files.values(), key=lambda f: f.path
             )
         return list(self._sorted_files)
+
+    def partition_array(self, col: str):
+        """Partition values of ``col`` as one arrow string array (row i =
+        ``add_files()[i]``; None/'' → null), cached — a pinned snapshot
+        re-plans many queries and must not rebuild the per-file Python
+        list each time at 1M files."""
+        arr = self._partition_arrays.get(col)
+        if arr is None or len(arr) != len(self.files):
+            import pyarrow as pa
+
+            vals = [f.partition_values.get(col) for f in self.add_files()]
+            arr = pa.array(
+                [None if v in (None, "") else str(v) for v in vals],
+                type=pa.string(),
+            )
+            self._partition_arrays[col] = arr
+        return arr
 
     def stats_manifest(self):
         """Parsed add-file stats as ONE columnar pyarrow table (row i =
