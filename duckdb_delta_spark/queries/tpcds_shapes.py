@@ -424,3 +424,136 @@ GROUP BY ROLLUP(p_brand, p_type)
 @register("ds_part_rollup_avg", oracle=_PART_ROLLUP_AVG, group="tpcds")
 def ds_part_rollup_avg(spark, sf_dir):
     return _sql(spark, sf_dir, ["part"], _PART_ROLLUP_AVG)
+
+
+# q15 class: keep groups whose aggregate equals a scalar-subquery max
+_SCALAR_MAX_TOPK = f"""
+WITH per_region AS (
+  SELECT r_name, {_DSUM.format(x='o_totalprice')} AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name)
+SELECT r_name, rev FROM per_region
+WHERE rev = (SELECT max(rev) FROM per_region)
+"""
+
+
+@register("ds_scalar_max_topk", oracle=_SCALAR_MAX_TOPK, group="tpcds")
+def ds_scalar_max_topk(spark, sf_dir):
+    return _sql(spark, sf_dir,
+                ["orders", "customer", "nation", "region"],
+                _SCALAR_MAX_TOPK)
+
+
+# q65 class: groups under a fraction of the global per-group average
+_MIN_AVG_JOIN = f"""
+WITH per_part AS (
+  SELECT l_partkey, {_DSUM.format(x='l_extendedprice')} AS rev,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(l_partkey AS BIGINT) AS partkey, rev, n
+FROM per_part
+WHERE rev <= (SELECT 0.5 * avg(rev) FROM per_part)
+"""
+
+
+@register("ds_min_avg_join", oracle=_MIN_AVG_JOIN, group="tpcds")
+def ds_min_avg_join(spark, sf_dir):
+    return _sql(spark, sf_dir, ["lineitem"], _MIN_AVG_JOIN)
+
+
+# q38 class: COUNT over a multi-way INTERSECT of keys
+_INTERSECT_COUNT = """
+SELECT count(*) AS n FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+  INTERSECT
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0) t
+"""
+
+
+@register("ds_intersect_count", oracle=_INTERSECT_COUNT, group="tpcds")
+def ds_intersect_count(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "customer"], _INTERSECT_COUNT)
+
+
+# q92 class: correlated scalar average (excess discount per part)
+_EXCESS_DISCOUNT = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_excess,
+       {_DSUM.format(x='l.l_extendedprice')} AS excess_rev
+FROM lineitem l
+WHERE l.l_discount > (
+  SELECT 1.3 * avg(l2.l_discount) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("ds_excess_discount", oracle=_EXCESS_DISCOUNT, group="tpcds")
+def ds_excess_discount(spark, sf_dir):
+    return _sql(spark, sf_dir, ["lineitem"], _EXCESS_DISCOUNT)
+
+
+# q95 class: EXISTS + NOT EXISTS against the same fact at different grains
+_MULTI_EXISTS = f"""
+SELECT o_orderpriority, count(*) AS n,
+       {_DSUM.format(x='o_totalprice')} AS total
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+    AND l_returnflag = 'N')
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+    AND l_discount > 0.09)
+GROUP BY o_orderpriority
+"""
+
+
+@register("ds_multi_exists", oracle=_MULTI_EXISTS, group="tpcds")
+def ds_multi_exists(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _MULTI_EXISTS)
+
+
+# q75 class: UNION ALL of casted channel slices, self-joined year-over-year
+_UNION_YOY = f"""
+WITH unioned AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         o_orderstatus AS grp, o_totalprice AS amt
+  FROM orders
+  UNION ALL
+  SELECT CAST(year(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INT) AS yr,
+         event_type AS grp, CAST(value AS DOUBLE) AS amt
+  FROM events WHERE event_type = 'purchase'),
+yearly AS (
+  SELECT yr, grp, {_DSUM.format(x='amt')} AS rev, count(*) AS n
+  FROM unioned GROUP BY yr, grp)
+SELECT a.grp AS grp, a.yr AS prev_yr, a.rev AS prev_rev, b.rev AS next_rev,
+       round(b.rev / a.rev, 6) AS ratio
+FROM yearly a JOIN yearly b ON a.grp = b.grp AND b.yr = a.yr + 1
+"""
+
+
+@register("ds_union_yoy", oracle=_UNION_YOY, group="tpcds")
+def ds_union_yoy(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "events"], _UNION_YOY)
+
+
+# q1 class: within-group value vs the group's average (correlated on the
+# aggregate of the same CTE)
+_ABOVE_GROUP_AVG = f"""
+WITH per_cust AS (
+  SELECT o_custkey, o_orderstatus,
+         {_DSUM.format(x='o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey, o_orderstatus)
+SELECT CAST(a.o_custkey AS BIGINT) AS custkey, a.o_orderstatus, a.spend
+FROM per_cust a
+WHERE a.spend > (
+  SELECT 1.8 * avg(b.spend) FROM per_cust b
+  WHERE b.o_orderstatus = a.o_orderstatus)
+"""
+
+
+@register("ds_above_group_avg", oracle=_ABOVE_GROUP_AVG, group="tpcds")
+def ds_above_group_avg(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders"], _ABOVE_GROUP_AVG)
