@@ -381,3 +381,90 @@ def test_foreign_all_primitive_types(spark, tmp_path):
         sb.to_df()
         rep = sb.skip_report()
         assert rep["files_scanned"] == expect_files, (col, op, rep)
+
+
+def test_dv_codec_property_roundtrip(tmp_path):
+    """Property test: arbitrary uint64 row sets encoded with the
+    INDEPENDENT spec encoders decode identically through delta/dv.py
+    (and dv.py's own writer round-trips them too)."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_delta_spark.delta import dv as DV
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),
+            st.integers(min_value=2**32 - 100, max_value=2**32 + 100_000),
+        ),
+        min_size=1, max_size=500,
+    ))
+    def check(rows):
+        rows = sorted(rows)
+        # bucket by high-32 and encode each with the independent encoder
+        buckets = {}
+        for r in rows:
+            buckets.setdefault(r >> 32, []).append(r & 0xFFFFFFFF)
+        n_bitmaps = max(buckets) + 1
+        payload = foreign.dv_payload([
+            foreign.roaring32_array(buckets.get(k, []))
+            for k in range(n_bitmaps)
+        ])
+        got = DV.deserialize_bitmap(payload)
+        assert got.tolist() == rows
+        # dv.py's own serializer agrees with itself AND with the spec
+        # payload byte-for-byte (array-container encodings are canonical)
+        own = DV.serialize_bitmap(np.array(rows, dtype=np.uint64))
+        assert DV.deserialize_bitmap(own).tolist() == rows
+        assert own == payload
+
+    check()
+
+
+def test_heterogeneous_stats_fall_back_to_python_prune(spark, tmp_path):
+    """A foreign log whose stats TYPES disagree across files (int
+    minValues in one add, string in another — possible after foreign
+    schema changes) must not break pruning: the columnar batch parse
+    refuses (or unifies) and the per-file Python oracle path keeps the
+    answer exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = str(tmp_path / "hetero")
+    os.makedirs(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [foreign.spark_field("k", "long")],
+    }, separators=(",", ":"))
+    foreign.write_commit(log_dir, 0, [
+        foreign.commit_info("CREATE TABLE"),
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "hetero", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}},
+    ])
+    adds = []
+    for i, stats in enumerate([
+        '{"numRecords":3,"minValues":{"k":0},"maxValues":{"k":2},"nullCount":{"k":0}}',
+        '{"numRecords":3,"minValues":{"k":"10"},"maxValues":{"k":"12"},"nullCount":{"k":0}}',
+    ]):
+        rel = f"f{i}.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 3),
+                                    type=pa.int64())}),
+            os.path.join(dest, rel))
+        adds.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(dest, rel)),
+            "modificationTime": 1, "dataChange": True, "stats": stats}})
+    foreign.write_commit(log_dir, 1, [foreign.commit_info("WRITE"), *adds])
+
+    t = DeltaTable(dest)
+    sb = t.scan(spark).filter("k", ">", 5)
+    got = sorted(r["k"] for r in sb.to_df().collect())
+    assert got == [10, 11, 12]
+    rep = sb.skip_report()
+    # exactness regardless of which path evaluated: file 0 skipped
+    assert rep["files_scanned"] == 1 and rep["files_total"] == 2, rep
