@@ -468,3 +468,55 @@ def test_heterogeneous_stats_fall_back_to_python_prune(spark, tmp_path):
     rep = sb.skip_report()
     # exactness regardless of which path evaluated: file 0 skipped
     assert rep["files_scanned"] == 1 and rep["files_total"] == 2, rep
+
+
+def test_pretty_printed_foreign_stats_parse_columnar(spark, tmp_path):
+    """Some foreign writers pretty-print add.stats (literal newlines
+    inside the JSON object). The batched columnar parse must keep row
+    alignment (newlines_in_values) — and pruning stays exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = str(tmp_path / "pretty")
+    os.makedirs(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+    schema_string = json.dumps({
+        "type": "struct", "fields": [foreign.spark_field("k", "long")],
+    }, separators=(",", ":"))
+    foreign.write_commit(log_dir, 0, [
+        foreign.commit_info("CREATE TABLE"),
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "pretty", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}},
+    ])
+    adds = []
+    for i in range(3):
+        rel = f"f{i}.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 3),
+                                    type=pa.int64())}),
+            os.path.join(dest, rel))
+        # indent=2 puts literal newlines INSIDE the stats value; the
+        # commit line itself stays one line (json.dumps of the action
+        # escapes them), but the decoded stats string is multi-line
+        stats = json.dumps({
+            "numRecords": 3,
+            "minValues": {"k": i * 10}, "maxValues": {"k": i * 10 + 2},
+            "nullCount": {"k": 0},
+        }, indent=2)
+        assert "\n" in stats
+        adds.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(dest, rel)),
+            "modificationTime": 1, "dataChange": True, "stats": stats}})
+    foreign.write_commit(log_dir, 1, [foreign.commit_info("WRITE"), *adds])
+
+    t = DeltaTable(dest)
+    man = t.snapshot.stats_manifest()
+    assert man is not None and man.num_rows == 3  # alignment held
+    sb = t.scan(spark).filter("k", ">=", 20)
+    assert sorted(r["k"] for r in sb.to_df().collect()) == [20, 21, 22]
+    rep = sb.skip_report()
+    assert rep["files_scanned"] == 1 and rep["files_total"] == 3, rep
