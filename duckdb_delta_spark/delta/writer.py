@@ -1082,7 +1082,11 @@ class DeltaWriter:
                             "size": f.size,
                             "modificationTime": f.modification_time,
                             "dataChange": True,
-                            "stats": f.stats,
+                            # the DV invalidates row-exact bounds:
+                            # numRecords still counts masked rows, min/max
+                            # may describe deleted ones — spec (and
+                            # delta-spark) mark the stats wide
+                            "stats": _untighten_stats(f.stats),
                             "deletionVector": json.loads(r["desc"]),
                         }
                     }
@@ -2297,6 +2301,20 @@ def _get_nested(d: dict | None, dotted: str):
             return None
         d = d.get(k)
     return d
+
+
+def _untighten_stats(stats: str | None) -> str | None:
+    """Stats JSON with ``tightBounds`` forced false — required on every
+    add that ATTACHES a deletion vector (bounds may describe masked
+    rows). Unparseable/absent stats pass through untouched."""
+    if not stats:
+        return stats
+    try:
+        d = json.loads(stats)
+    except json.JSONDecodeError:
+        return stats
+    d["tightBounds"] = False
+    return json.dumps(d, separators=(",", ":"))
 
 
 def _footer_stats_many(

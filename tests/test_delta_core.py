@@ -1863,3 +1863,25 @@ def test_streaming_sink_messages_carry_stats(spark, tdir):
     assert by[rel1]["stats"] == '{"numRecords":3}'
     assert by[rel2]["stats"] is not None
     assert json.loads(by[rel2]["stats"])["numRecords"] == 3
+
+
+def test_dv_attach_untightens_stats(spark, tdir):
+    """Attaching a deletion vector must flip the re-added file's stats to
+    tightBounds:false (spec / delta-spark): numRecords still counts the
+    masked rows and min/max may describe deleted ones."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 20).coalesce(1))
+    add0 = [a["add"] for a in DeltaLog(tdir).read_commit(1) if "add" in a][0]
+    assert json.loads(add0["stats"]).get("tightBounds") is True
+
+    w.delete("i < 5")
+    adds = [a["add"] for a in DeltaLog(tdir).read_commit(2) if "add" in a]
+    assert len(adds) == 1 and adds[0]["deletionVector"]
+    stats = json.loads(adds[0]["stats"])
+    assert stats["tightBounds"] is False
+    assert stats["numRecords"] == 20  # still the physical count
+    # live snapshot estimate subtracts the DV cardinality
+    assert DeltaTable(tdir).snapshot.num_records_estimate() == 15
+    assert DeltaTable(tdir).to_df(spark).count() == 15
