@@ -1965,6 +1965,71 @@ class DeltaWriter:
 
     # ---------- checkpoint ----------
 
+    def cleanup_expired_logs(self, retention_ms: int | None = None) -> list[str]:
+        """Metadata cleanup (delta-spark's log retention; the reference
+        delegates it to the kernel): delete the CONTIGUOUS PREFIX of
+        commit JSONs strictly below the newest checkpoint once they age
+        past ``delta.logRetentionDuration`` (default 30 days), plus any
+        older superseded checkpoint files. Replay is unaffected — it
+        starts at the surviving checkpoint; time travel below the deleted
+        prefix becomes unavailable, exactly as in delta-spark.
+
+        Deletion stops at the first too-young commit so the remaining log
+        never has an internal gap. Commit age = in-commit timestamp when
+        the table writes them (immune to copied-file mtimes), else file
+        mtime. Returns deleted paths."""
+        commits, checkpoints = self.log.list_log_files()
+        if not checkpoints:
+            return []
+        ckpt = max(checkpoints)
+        if retention_ms is None:
+            snap = Snapshot.build(self.log)
+            retention_ms = _parse_interval_ms(
+                snap.configuration.get("delta.logRetentionDuration"),
+                default_ms=30 * 24 * 3600 * 1000,
+            )
+        cutoff = int(time.time() * 1000) - retention_ms
+        deleted: list[str] = []
+        last_deleted = -1
+        for v in sorted(commits):
+            if v >= ckpt:
+                break
+            path = commits[v]
+            ts = self.log.read_ict(v)
+            if ts is None:
+                try:
+                    ts = int(os.path.getmtime(path) * 1000)
+                except OSError:
+                    break
+            if ts > cutoff:
+                break  # keep everything newer — prefix stays contiguous
+            try:
+                os.unlink(path)
+                deleted.append(path)
+                last_deleted = v
+            except OSError:
+                break
+        # superseded checkpoints fully inside the deleted prefix
+        for v, parts in checkpoints.items():
+            if v <= last_deleted:
+                for p in parts:
+                    try:
+                        os.unlink(p)
+                        deleted.append(p)
+                    except OSError:
+                        pass
+        if deleted:
+            from duckdb_delta_spark.delta.logging import emit
+
+            emit(
+                "log.cleanup",
+                table_path=self.table_path,
+                n_deleted=len(deleted),
+                through_version=last_deleted,
+                checkpoint_version=ckpt,
+            )
+        return deleted
+
     def checkpoint(
         self, max_rows_per_part: int | None = None, v2: bool = False
     ) -> int:
@@ -2301,6 +2366,34 @@ def _get_nested(d: dict | None, dotted: str):
             return None
         d = d.get(k)
     return d
+
+
+def _parse_interval_ms(text: str | None, default_ms: int) -> int:
+    """Parse a Delta interval config value ('interval 30 days',
+    'interval 12 hours', …) to milliseconds; unknown/absent → default."""
+    if not text:
+        return default_ms
+    import re
+
+    m = re.fullmatch(
+        r"\s*(?:interval\s+)?(\d+)\s*"
+        r"(week|day|hour|minute|second|milli(?:second)?)s?\s*",
+        text.strip(), re.IGNORECASE,
+    )
+    if not m:
+        return default_ms
+    n = int(m.group(1))
+    unit = m.group(2).lower()
+    scale = {
+        "week": 7 * 24 * 3600 * 1000,
+        "day": 24 * 3600 * 1000,
+        "hour": 3600 * 1000,
+        "minute": 60 * 1000,
+        "second": 1000,
+        "milli": 1,
+        "millisecond": 1,
+    }[unit]
+    return n * scale
 
 
 def _untighten_stats(stats: str | None) -> str | None:

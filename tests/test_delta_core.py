@@ -1885,3 +1885,47 @@ def test_dv_attach_untightens_stats(spark, tdir):
     # live snapshot estimate subtracts the DV cardinality
     assert DeltaTable(tdir).snapshot.num_records_estimate() == 15
     assert DeltaTable(tdir).to_df(spark).count() == 15
+
+
+def test_cleanup_expired_logs(spark, tdir):
+    """Metadata retention: commits below the newest checkpoint age out
+    (contiguous prefix only, superseded checkpoints too); replay from
+    the surviving checkpoint is untouched and expired time travel
+    raises."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import _parse_interval_ms
+
+    assert _parse_interval_ms("interval 30 days", 0) == 30 * 86400_000
+    assert _parse_interval_ms("interval 12 HOURS", 0) == 12 * 3600_000
+    assert _parse_interval_ms("bogus", 77) == 77
+    assert _parse_interval_ms(None, 77) == 77
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 5, lo=5 * k).coalesce(1))   # v1..v3
+    w.checkpoint()                                        # ckpt at v3
+    w.append(_ids(spark, 5, lo=15).coalesce(1))           # v4
+    w.checkpoint()                                        # ckpt at v4
+    w.append(_ids(spark, 5, lo=20).coalesce(1))           # v5
+
+    # nothing is old enough under the 30-day default
+    assert DeltaWriter(tdir, spark).cleanup_expired_logs() == []
+
+    deleted = DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
+    names = sorted(os.path.basename(p) for p in deleted)
+    # commits 0..3 (below ckpt v4) + the superseded v3 checkpoint
+    assert names == [
+        f"{0:020d}.json", f"{1:020d}.json", f"{2:020d}.json",
+        f"{3:020d}.checkpoint.parquet", f"{3:020d}.json",
+    ], names
+
+    # HEAD still reads (replay = ckpt v4 + commit v5)
+    t = DeltaTable(tdir)
+    assert t.version == 5 and t.to_df(spark).count() == 25
+    # travel to v4 (the checkpoint) and v5 still work
+    assert DeltaTable(tdir, version=4).to_df(spark).count() == 20
+    # travel below the expired prefix is gone
+    with pytest.raises(errors.DeltaError):
+        DeltaTable(tdir, version=2).to_df(spark).count()
+    # idempotent: nothing left to delete
+    assert DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0) == []
