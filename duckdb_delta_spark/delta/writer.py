@@ -377,6 +377,41 @@ class DeltaWriter:
                 info["inCommitTimestamp"] = ict
                 actions.insert(0, {"commitInfo": info})
         self.log.commit(version, actions)
+        self._maybe_auto_checkpoint(version, snap)
+
+    def _maybe_auto_checkpoint(self, version: int, snap: Snapshot) -> None:
+        """delta-spark parity, OPT-IN: ``delta.checkpointInterval = N``
+        writes a classic checkpoint every N commits right after the
+        commit lands; ``delta.enableExpiredLogCleanup = true`` then
+        prunes expired commits below it. Off unless configured, so
+        fixtures/benchmarks that measure raw log replay are unperturbed.
+        A checkpoint failure never fails the (already durable) commit."""
+        try:
+            interval = int(
+                snap.configuration.get("delta.checkpointInterval", 0) or 0
+            )
+        except (TypeError, ValueError):
+            interval = 0
+        if interval <= 0 or version <= 0 or version % interval:
+            return
+        try:
+            self.checkpoint()
+            if (
+                snap.configuration.get("delta.enableExpiredLogCleanup", "")
+                .lower()
+                == "true"
+            ):
+                self.cleanup_expired_logs()
+        except Exception as exc:  # noqa: BLE001 - maintenance must not
+            # fail the committed write
+            from duckdb_delta_spark.delta.logging import emit
+
+            emit(
+                "checkpoint.auto_failed",
+                table_path=self.table_path,
+                version=version,
+                error=str(exc),
+            )
 
     def _assert_writable(self, operation: str, removes_rows: bool = False) -> None:
         """Writer-protocol gate (Delta spec: a writer must not commit to a

@@ -1929,3 +1929,31 @@ def test_cleanup_expired_logs(spark, tdir):
         DeltaTable(tdir, version=2).to_df(spark).count()
     # idempotent: nothing left to delete
     assert DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0) == []
+
+
+def test_auto_checkpoint_interval(spark, tdir):
+    """delta.checkpointInterval=2 (opt-in): every 2nd commit writes a
+    checkpoint automatically; with delta.enableExpiredLogCleanup the
+    expired prefix is pruned afterwards. Tables without the config never
+    auto-checkpoint."""
+    import glob
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.checkpointInterval": "2"})
+    for k in range(4):
+        w.append(_ids(spark, 5, lo=5 * k).coalesce(1))  # v1..v4
+
+    ckpts = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(tdir, "_delta_log", "*.checkpoint.parquet")))
+    assert ckpts == [f"{2:020d}.checkpoint.parquet",
+                     f"{4:020d}.checkpoint.parquet"], ckpts
+    t = DeltaTable(tdir)
+    assert t.version == 4 and t.to_df(spark).count() == 20
+
+    # unconfigured table: no checkpoints appear
+    other = tdir + "_plain"
+    w2 = DeltaWriter.create(spark, other, SCHEMA)
+    for k in range(4):
+        w2.append(_ids(spark, 5, lo=5 * k).coalesce(1))
+    assert glob.glob(os.path.join(other, "_delta_log", "*.checkpoint.*")) == []
