@@ -87,6 +87,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        #: delta-spark parity: ignoreDeletes admits DELETE-ONLY commits
+        #: (removes, no adds) silently; skipChangeCommits skips any
+        #: data-changing commit that carries removes ENTIRELY (its adds
+        #: are rewrite images, not new data)
+        self.ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
+        self.skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
         #: delta-spark parity: cap how many FILES one micro-batch admits.
         #: On a 100-TB backlog the first batch otherwise swallows the
         #: whole table; with the cap, latestOffset advances commit-by-
@@ -97,6 +107,25 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._rate_pos: int | None = None  # last offset handed to Spark
         self._log = DeltaLog(self.table_path)
         start = options.get("startingVersion")
+        start_ts = options.get("startingTimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass either startingVersion or startingTimestamp, not both"
+            )
+        if start_ts is not None:
+            # delta-spark semantics: start at the first commit AT or
+            # AFTER the timestamp
+            from duckdb_delta_spark.delta.table import _to_epoch_ms
+
+            ms = _to_epoch_ms(start_ts)
+            try:
+                at = self._log.version_at_timestamp(ms)
+                # version_at_timestamp = latest commit <= ts; the stream
+                # starts at the next commit unless that commit is exactly
+                # at the timestamp
+                start = at if self._commit_ts(at) >= ms else at + 1
+            except Exception:  # noqa: BLE001 - ts before table: start at 0
+                start = 0
         if start is None:
             self._initial = self._log.latest_version()
         else:
@@ -111,6 +140,13 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise UnsupportedFeatureError(
                 "delta_py streaming source on a column-mapped table"
             )
+
+    def _commit_ts(self, v: int) -> int:
+        ts = self._log.read_ict(v)
+        if ts is not None:
+            return ts
+        commits, _ = self._log.list_log_files()
+        return int(os.path.getmtime(commits[v]) * 1000)
 
     # ---- offsets ----
 
@@ -142,11 +178,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         parts: list[_FileSlice] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, has_removal = self._classify(v)
-            if has_removal and not self.ignore_changes:
-                raise ValueError(
-                    f"commit {v} removes data; streaming a table with "
-                    "updates/deletes requires .option('ignoreChanges','true')"
-                )
+            if has_removal:
+                if self.skip_change_commits:
+                    continue  # rewrite images are not new data
+                if not adds and self.ignore_deletes:
+                    continue
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"commit {v} removes data; streaming a table with "
+                        "updates/deletes requires "
+                        ".option('ignoreChanges','true') (or "
+                        "'skipChangeCommits'/'ignoreDeletes')"
+                    )
             for a in adds:
                 rel = urllib.parse.unquote(a["path"])
                 full = (

@@ -398,3 +398,58 @@ def test_source_max_files_per_trigger(spark, tdir):
     # unlimited: straight to HEAD
     r2 = DeltaStreamReader(tdir, schema, {"startingVersion": "0"})
     assert r2.latestOffset() == {"version": 3}
+
+
+def test_source_change_commit_options(spark, tdir):
+    """delta-spark option parity on the streaming source:
+    skipChangeCommits skips remove-carrying commits entirely,
+    ignoreDeletes admits delete-only commits, ignoreChanges admits the
+    rewrite images, and startingTimestamp resolves the start version."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamReader
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    w.append(spark.range(10).select(
+        F.col("id").alias("i"), (F.col("id") % 2).alias("g")).coalesce(1))
+    _time.sleep(0.05)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    w.delete("i < 3")                                       # v2: add+remove (DV)
+    w.append(spark.range(10, 15).select(
+        F.col("id").alias("i"), (F.col("id") % 2).alias("g")).coalesce(1))
+
+    def slices(opts):
+        r = DeltaStreamReader(tdir, schema_in,
+                              {"startingVersion": "0", **opts})
+        return r.partitions({"version": -1}, {"version": 3})
+
+    # default: remove-carrying commit errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="removes data"):
+        slices({})
+    # skipChangeCommits: v2 skipped entirely -> v1 + v3 files only
+    got = slices({"skipChangeCommits": "true"})
+    assert len(got) == 2 and all(s.dv is None for s in got)
+    # ignoreChanges: v2's rewrite image flows through (with its DV)
+    got2 = slices({"ignoreChanges": "true"})
+    assert len(got2) == 3 and any(s.dv for s in got2)
+
+    # delete-only commit (full-file DELETE -> removes, no adds):
+    # ignoreDeletes admits it silently
+    w.delete("i >= 0")                                       # v4 removes all
+    r = DeltaStreamReader(tdir, schema_in,
+                          {"startingVersion": "4", "ignoreDeletes": "true"})
+    assert r.partitions({"version": 3}, {"version": 4}) == []
+
+    # startingTimestamp between v1 and v2 starts the stream at v2
+    r2 = DeltaStreamReader(tdir, schema_in,
+                           {"startingTimestamp": t_mid,
+                            "ignoreChanges": "true"})
+    assert r2.initialOffset() == {"version": 1}  # first batch includes v2
