@@ -60,7 +60,12 @@ def table_changes(
         raise ValueError(f"starting_version {starting_version} > end {end}")
 
     parts: list[DataFrame] = []
-    snap = Snapshot.build(log, starting_version)
+    if starting_version < 0:
+        # pre-table baseline (timestamp bound before the first commit):
+        # an empty snapshot so even version 0's changes are included
+        snap = Snapshot(log, -1)
+    else:
+        snap = Snapshot.build(log, starting_version)
     for v in range(starting_version + 1, end + 1):
         prev = snap
         snap = Snapshot.build(log, v, base=prev)

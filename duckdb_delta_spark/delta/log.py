@@ -413,6 +413,16 @@ class DeltaLog:
             return None
         return None
 
+    def commit_timestamp(self, version: int) -> int:
+        """Commit clock: in-commit timestamp when present (robust to file
+        copies), else the commit file's mtime — the same resolution
+        timestamp travel uses."""
+        ts = self.read_ict(version)
+        if ts is not None:
+            return ts
+        commits, _ = self.list_log_files()
+        return int(os.path.getmtime(commits[version]) * 1000)
+
     def version_at_timestamp(self, ts_ms: int) -> int:
         """Timestamp → version: the LATEST commit whose timestamp is
         ≤ ``ts_ms`` (standard Delta timestamp travel). The clock is

@@ -88,15 +88,44 @@ class DeltaTable:
     def changes(
         self,
         spark: SparkSession,
-        starting_version: int,
+        starting_version: int | None = None,
         ending_version: int | None = None,
+        starting_timestamp=None,
+        ending_timestamp=None,
     ) -> DataFrame:
         """Row-level change feed for commits (starting_version,
         ending_version]: table columns + _change_type + _commit_version
         (see delta/changes.py — derived from the log, no _change_data
-        files needed)."""
+        files needed).
+
+        Timestamp bounds (delta-spark CDF parity): ``starting_timestamp``
+        includes every commit whose clock is AT or AFTER it,
+        ``ending_timestamp`` every commit at or before it — resolved via
+        the same ICT-aware clocks as timestamp travel."""
         from duckdb_delta_spark.delta.changes import table_changes
 
+        if starting_timestamp is not None:
+            if starting_version is not None:
+                raise ValueError(
+                    "pass either starting_version or starting_timestamp")
+            ms = _to_epoch_ms(starting_timestamp)
+            try:
+                at = self.log.version_at_timestamp(ms)
+                # latest commit <= ts: include it iff exactly at ts
+                starting_version = (
+                    at - 1 if self.log.commit_timestamp(at) == ms else at
+                )
+            except Exception:  # noqa: BLE001 - ts before the table: all
+                starting_version = -1
+        elif starting_version is None:
+            raise ValueError(
+                "changes() needs starting_version or starting_timestamp")
+        if ending_timestamp is not None:
+            if ending_version is not None:
+                raise ValueError(
+                    "pass either ending_version or ending_timestamp")
+            ending_version = self.log.version_at_timestamp(
+                _to_epoch_ms(ending_timestamp))
         return table_changes(self.log, spark, starting_version, ending_version)
 
     def update(self, spark: SparkSession, condition, assignments) -> tuple[int, int] | None:

@@ -142,11 +142,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             )
 
     def _commit_ts(self, v: int) -> int:
-        ts = self._log.read_ict(v)
-        if ts is not None:
-            return ts
-        commits, _ = self._log.list_log_files()
-        return int(os.path.getmtime(commits[v]) * 1000)
+        return self._log.commit_timestamp(v)
 
     # ---- offsets ----
 

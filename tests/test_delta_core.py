@@ -1957,3 +1957,44 @@ def test_auto_checkpoint_interval(spark, tdir):
     for k in range(4):
         w2.append(_ids(spark, 5, lo=5 * k).coalesce(1))
     assert glob.glob(os.path.join(other, "_delta_log", "*.checkpoint.*")) == []
+
+
+def test_changes_timestamp_bounds(spark, tdir):
+    """CDF timestamp bounds: starting_timestamp includes commits at/after
+    it, ending_timestamp commits at/before — resolved via the ICT-aware
+    commit clocks, so the bounds survive lying file mtimes."""
+    import time as _time
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.enableInCommitTimestamps": "true"})
+    w.append(_ids(spark, 3).coalesce(1))           # v1
+    w.append(_ids(spark, 3, lo=10).coalesce(1))    # v2
+    w.append(_ids(spark, 3, lo=20).coalesce(1))    # v3
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    log = DeltaLog(tdir)
+    t1, t2, t3 = (log.read_ict(v) for v in (1, 2, 3))
+    t = DeltaTable(tdir)
+
+    # exactly at v2's clock: include v2 and after
+    got = t.changes(spark, starting_timestamp=t2).collect()
+    assert sorted({r["_commit_version"] for r in got}) == [2, 3]
+    # strictly between v1 and v2: v2 and after
+    got = t.changes(spark, starting_timestamp=t1 + 1).collect()
+    assert sorted({r["_commit_version"] for r in got}) == [2, 3]
+    # before the table existed: everything
+    got = t.changes(spark, starting_timestamp=0).collect()
+    assert sorted({r["_commit_version"] for r in got}) == [1, 2, 3]
+    # ending bound: commits at or before v2's clock
+    got = t.changes(spark, starting_timestamp=0,
+                    ending_timestamp=t2).collect()
+    assert sorted({r["_commit_version"] for r in got}) == [1, 2]
+    # mtimes lie -> ICT clocks still resolve (corrupt every mtime)
+    for v in range(4):
+        os.utime(os.path.join(tdir, "_delta_log", f"{v:020d}.json"), (0, 0))
+    got = t.changes(spark, starting_timestamp=t3).collect()
+    assert sorted({r["_commit_version"] for r in got}) == [3]
+    with pytest.raises(ValueError, match="either starting_version"):
+        t.changes(spark, 1, starting_timestamp=t1)
