@@ -38,6 +38,7 @@ from duckdb_delta_spark.delta.snapshot import Snapshot, _dv_unique_id
 
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
+COMMIT_TIMESTAMP = "_commit_timestamp"
 
 #: above this many diff rows, the row filter switches from a broadcast
 #: semi-join to an Arrow-batched searchsorted filter
@@ -72,6 +73,7 @@ def table_changes(
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         cdcs: list[dict] = []
+        ts_ms = log.commit_timestamp(v)
         for action in log.read_commit(v):
             if action.get("cdc"):
                 cdcs.append(action["cdc"])
@@ -83,7 +85,7 @@ def table_changes(
             # Delta spec: when a commit carries cdc actions, readers use
             # the _change_data files EXCLUSIVELY for that commit — richer
             # than the derived view (update_preimage/update_postimage)
-            parts.append(_read_cdc(snap, spark, cdcs, v))
+            parts.append(_read_cdc(snap, spark, cdcs, v, ts_ms))
             continue
         if not adds and not removes:
             continue
@@ -98,7 +100,7 @@ def table_changes(
                 .restrict_paths(new_paths)
                 .to_df()
             )
-            parts.append(_tag(ins, "insert", v))
+            parts.append(_tag(ins, "insert", v, ts_ms))
 
         if masked:
             pairs, card = _dv_diff_descriptors(adds, removes, masked)
@@ -107,12 +109,12 @@ def table_changes(
                 # PAIRS, decode + setdiff1d executor-side (scan big-DV
                 # pattern, scan.py _apply_deletion_vectors)
                 dels = _rows_at_big(prev, spark, pairs)
-                parts.append(_tag(dels, "delete", v))
+                parts.append(_tag(dels, "delete", v, ts_ms))
             elif pairs:
                 diffs = _dv_diffs(log.table_path, pairs)
                 if diffs:
                     dels = _rows_at(prev, spark, list(diffs), diffs)
-                    parts.append(_tag(dels, "delete", v))
+                    parts.append(_tag(dels, "delete", v, ts_ms))
 
         if dropped:
             dels = (
@@ -120,7 +122,7 @@ def table_changes(
                 .restrict_paths(dropped)
                 .to_df()
             )
-            parts.append(_tag(dels, "delete", v))
+            parts.append(_tag(dels, "delete", v, ts_ms))
 
     if not parts:
         schema = T.StructType(
@@ -128,6 +130,7 @@ def table_changes(
             + [
                 T.StructField(CHANGE_TYPE, T.StringType()),
                 T.StructField(COMMIT_VERSION, T.LongType()),
+                T.StructField(COMMIT_TIMESTAMP, T.TimestampType()),
             ]
         )
         return spark.createDataFrame([], schema)
@@ -138,7 +141,8 @@ def table_changes(
 
 
 def _read_cdc(
-    snap: Snapshot, spark: SparkSession, cdcs: list[dict], version: int
+    snap: Snapshot, spark: SparkSession, cdcs: list[dict], version: int,
+    ts_ms: int | None = None,
 ) -> DataFrame:
     """Materialize a commit's ``_change_data`` files: table columns (with
     partition constants injected from the cdc actions) + the file-borne
@@ -210,14 +214,26 @@ def _read_cdc(
             *[F.col(f.name) for f in schema.fields],
             F.col(CHANGE_TYPE),
             F.lit(version).cast("long").alias(COMMIT_VERSION),
+            (
+                F.timestamp_millis(F.lit(int(ts_ms)))
+                if ts_ms is not None
+                else F.lit(None).cast("timestamp")
+            ).alias(COMMIT_TIMESTAMP),
         )
         out = df if out is None else out.unionByName(df)
     return out
 
 
-def _tag(df: DataFrame, change: str, version: int) -> DataFrame:
-    return df.withColumn(CHANGE_TYPE, F.lit(change)).withColumn(
+def _tag(df: DataFrame, change: str, version: int,
+         ts_ms: int | None = None) -> DataFrame:
+    out = df.withColumn(CHANGE_TYPE, F.lit(change)).withColumn(
         COMMIT_VERSION, F.lit(version).cast("long")
+    )
+    # delta-spark CDF parity: the commit's clock (ICT-aware) rides along
+    return out.withColumn(
+        COMMIT_TIMESTAMP,
+        F.timestamp_millis(F.lit(int(ts_ms))) if ts_ms is not None
+        else F.lit(None).cast("timestamp"),
     )
 
 

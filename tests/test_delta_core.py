@@ -1998,3 +1998,28 @@ def test_changes_timestamp_bounds(spark, tdir):
     assert sorted({r["_commit_version"] for r in got}) == [3]
     with pytest.raises(ValueError, match="either starting_version"):
         t.changes(spark, 1, starting_timestamp=t1)
+
+
+def test_changes_carry_commit_timestamp(spark, tdir):
+    """CDF parity: every change row carries _commit_timestamp (the
+    commit's ICT-aware clock), consistent across insert/delete and
+    cdc-file rows."""
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.enableInCommitTimestamps": "true"})
+    w.append(_ids(spark, 6).coalesce(1))
+    w.delete("i < 2")
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    log = DeltaLog(tdir)
+    rows = DeltaTable(tdir).changes(spark, 0).collect()
+    assert rows and all(r["_commit_timestamp"] is not None for r in rows)
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], set()).add(
+            r["_commit_timestamp"])
+    for v, stamps in by_v.items():
+        assert len(stamps) == 1
+        got_ms = int(next(iter(stamps)).timestamp() * 1000)
+        assert got_ms == log.read_ict(v), (v, got_ms)
