@@ -105,6 +105,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         mft = options.get("maxFilesPerTrigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
         self._rate_pos: int | None = None  # last offset handed to Spark
+        self._n_adds_cache: dict[int, int] = {}
         self._log = DeltaLog(self.table_path)
         start = options.get("startingVersion")
         start_ts = options.get("startingTimestamp")
@@ -157,7 +158,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         budget = self.max_files_per_trigger
         v = base
         while v < head:
-            n = len(self._classify(v + 1)[0])
+            n = self._n_adds(v + 1)
             if v > base and n > budget:
                 break
             v += 1
@@ -166,6 +167,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                 break
         self._rate_pos = v
         return {"version": v}
+
+    def _n_adds(self, version: int) -> int:
+        """Per-commit add-file count, cached — rate-limited polling walks
+        the same commits every trigger; commits are immutable so the
+        count never changes."""
+        n = self._n_adds_cache.get(version)
+        if n is None:
+            n = self._n_adds_cache[version] = len(self._classify(version)[0])
+        return n
 
     def partitions(self, start: dict, end: dict):
         import time as _time

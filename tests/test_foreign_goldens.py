@@ -520,3 +520,48 @@ def test_pretty_printed_foreign_stats_parse_columnar(spark, tmp_path):
     assert sorted(r["k"] for r in sb.to_df().collect()) == [20, 21, 22]
     rep = sb.skip_report()
     assert rep["files_scanned"] == 1 and rep["files_total"] == 3, rep
+
+
+def test_dv_corruption_fails_loud(tmp_path):
+    """Corrupt foreign DV artifacts must raise DeletionVectorError —
+    never silently decode wrong: bad CRC, bad magic, bad file version,
+    truncated payload."""
+    from duckdb_delta_spark.delta.errors import DeletionVectorError
+
+    payload = foreign.dv_payload([foreign.roaring32_array([1, 2, 3])])
+    descs = foreign.write_dv_file(str(tmp_path), [payload])
+    descs[0]["cardinality"] = 3
+    import glob as _glob
+
+    path = _glob.glob(os.path.join(str(tmp_path), "deletion_vector_*.bin"))[0]
+    blob = bytearray(open(path, "rb").read())
+
+    # flip a payload byte -> CRC mismatch
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    open(path, "wb").write(bytes(bad))
+    with pytest.raises(DeletionVectorError, match="checksum"):
+        read_dv_from_descriptor(descs[0], str(tmp_path))
+
+    # bad file version byte
+    bad = bytearray(blob)
+    bad[0] = 9
+    open(path, "wb").write(bytes(bad))
+    with pytest.raises(DeletionVectorError, match="version"):
+        read_dv_from_descriptor(descs[0], str(tmp_path))
+
+    # bad magic (flip the first payload byte after the BE size), CRC fixed
+    bad = bytearray(blob)
+    bad[5] ^= 0xFF
+    data = bytes(bad[5:5 + len(payload)])
+    bad[5 + len(payload):9 + len(payload)] = struct.pack(
+        ">I", zlib.crc32(data) & 0xFFFFFFFF)
+    open(path, "wb").write(bytes(bad))
+    with pytest.raises(DeletionVectorError, match="magic"):
+        read_dv_from_descriptor(descs[0], str(tmp_path))
+
+    # truncated inline payload
+    with pytest.raises(DeletionVectorError):
+        read_dv_from_descriptor(
+            {"storageType": "i", "pathOrInlineDv": foreign.z85(b"\x01\x02"),
+             "sizeInBytes": 2, "cardinality": 1}, str(tmp_path))
