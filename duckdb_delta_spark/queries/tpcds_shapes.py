@@ -557,3 +557,175 @@ WHERE a.spend > (
 @register("ds_above_group_avg", oracle=_ABOVE_GROUP_AVG, group="tpcds")
 def ds_above_group_avg(spark, sf_dir):
     return _sql(spark, sf_dir, ["orders"], _ABOVE_GROUP_AVG)
+
+
+# q2 class: period-over-period share via lead() over an aggregated series
+_WEEK_SHARE_LEAD = f"""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+         {_DSUM.format(x='o_totalprice')} AS rev
+  FROM orders GROUP BY date_trunc('week', CAST(o_orderdate AS DATE)))
+SELECT wk, rev,
+       lead(rev) OVER (ORDER BY wk ASC) AS next_rev,
+       round(lead(rev) OVER (ORDER BY wk ASC) / rev, 6) AS wow
+FROM weekly
+"""
+
+
+@register("ds_week_share_lead", oracle=_WEEK_SHARE_LEAD, group="tpcds")
+def ds_week_share_lead(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders"], _WEEK_SHARE_LEAD)
+
+
+# q31 class: compare two groups' period-over-period growth ratios
+_TWO_RATIO_JOIN = f"""
+WITH qly AS (
+  SELECT n_name, CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+         CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         {_DSUM.format(x='o_totalprice')} AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, quarter(CAST(o_orderdate AS DATE)),
+           year(CAST(o_orderdate AS DATE)))
+SELECT a.n_name, a.yr AS yr, a.q AS q,
+       round(b.rev / a.rev, 6) AS growth
+FROM qly a JOIN qly b
+  ON a.n_name = b.n_name AND a.yr = b.yr AND b.q = a.q + 1
+WHERE b.rev / a.rev > 1.1
+"""
+
+
+@register("ds_two_ratio_join", oracle=_TWO_RATIO_JOIN, group="tpcds")
+def ds_two_ratio_join(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "customer", "nation"],
+                _TWO_RATIO_JOIN)
+
+
+# q59 class: day-band matrix via conditional aggregation, self-joined
+# YoY (day-of-month bands — portable across dialects, unlike dayofweek
+# whose numbering differs between engines)
+_WEEKDAY_MATRIX = f"""
+WITH wd AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         {_DSUM.format(x="CASE WHEN day(CAST(o_orderdate AS DATE)) <= 10 THEN o_totalprice END")} AS early,
+         {_DSUM.format(x="CASE WHEN day(CAST(o_orderdate AS DATE)) BETWEEN 11 AND 20 THEN o_totalprice END")} AS mid,
+         {_DSUM.format(x="CASE WHEN day(CAST(o_orderdate AS DATE)) > 20 THEN o_totalprice END")} AS late
+  FROM orders GROUP BY year(CAST(o_orderdate AS DATE)))
+SELECT a.yr AS yr, round(b.early / a.early, 6) AS early_yoy,
+       round(b.mid / a.mid, 6) AS mid_yoy,
+       round(b.late / a.late, 6) AS late_yoy
+FROM wd a JOIN wd b ON b.yr = a.yr + 1
+"""
+
+
+@register("ds_weekday_matrix", oracle=_WEEKDAY_MATRIX, group="tpcds")
+def ds_weekday_matrix(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders"], _WEEKDAY_MATRIX)
+
+
+# q66 class: wide monthly pivot row via conditional aggregation
+_MONTHLY_PIVOT = f"""
+SELECT n_name,
+       {_DSUM.format(x="CASE WHEN month(CAST(o_orderdate AS DATE)) <= 3 THEN o_totalprice END")} AS q1_rev,
+       {_DSUM.format(x="CASE WHEN month(CAST(o_orderdate AS DATE)) BETWEEN 4 AND 6 THEN o_totalprice END")} AS q2_rev,
+       {_DSUM.format(x="CASE WHEN month(CAST(o_orderdate AS DATE)) BETWEEN 7 AND 9 THEN o_totalprice END")} AS q3_rev,
+       {_DSUM.format(x="CASE WHEN month(CAST(o_orderdate AS DATE)) >= 10 THEN o_totalprice END")} AS q4_rev,
+       count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("ds_monthly_pivot", oracle=_MONTHLY_PIVOT, group="tpcds")
+def ds_monthly_pivot(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "customer", "nation"],
+                _MONTHLY_PIVOT)
+
+
+# q89 class: deviation from the partition average (window avg filter —
+# ratio computed in a subquery; Spark disallows windows in WHERE)
+_WINDOW_AVG_DEVIATION = f"""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+         {_DSUM.format(x='o_totalprice')} AS rev
+  FROM orders GROUP BY o_orderpriority, month(CAST(o_orderdate AS DATE))),
+with_avg AS (
+  SELECT o_orderpriority, m, rev,
+         avg(rev) OVER (PARTITION BY o_orderpriority) AS prio_avg
+  FROM monthly)
+SELECT o_orderpriority, m, rev,
+       CAST(round(prio_avg, 2) AS DOUBLE) AS prio_avg,
+       round(rev / prio_avg, 6) AS ratio
+FROM with_avg
+WHERE rev / prio_avg NOT BETWEEN 0.9 AND 1.1
+"""
+
+
+@register("ds_window_avg_deviation", oracle=_WINDOW_AVG_DEVIATION,
+          group="tpcds")
+def ds_window_avg_deviation(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders"], _WINDOW_AVG_DEVIATION)
+
+
+# q98 class: share of the class total (sum over partition)
+_CLASS_SHARE = f"""
+WITH by_type AS (
+  SELECT p_type, p_brand, {_DSUM.format(x='p_retailprice')} AS rev
+  FROM part GROUP BY p_type, p_brand)
+SELECT p_type, p_brand, rev,
+       round(rev / sum(rev) OVER (PARTITION BY p_type), 6) AS class_share
+FROM by_type
+"""
+
+
+@register("ds_class_share", oracle=_CLASS_SHARE, group="tpcds")
+def ds_class_share(spark, sf_dir):
+    return _sql(spark, sf_dir, ["part"], _CLASS_SHARE)
+
+
+# q54 class: first-touch cohort (window min) + follow-on activity join
+_FIRST_PURCHASE_COHORT = f"""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d
+  FROM orders GROUP BY o_custkey),
+next_orders AS (
+  SELECT o.o_custkey, count(*) AS n_next,
+         {_DSUM.format(x='o.o_totalprice')} AS next_rev
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  WHERE CAST(o.o_orderdate AS DATE) > f.first_d
+    AND CAST(o.o_orderdate AS DATE) <= f.first_d + INTERVAL 90 DAY
+  GROUP BY o.o_custkey)
+SELECT CAST(year(f.first_d) AS INT) AS cohort_year,
+       count(*) AS n_customers,
+       CAST(round(sum(coalesce(n.n_next, 0)), 0) AS BIGINT) AS follow_orders,
+       {_DSUM.format(x='coalesce(n.next_rev, 0)')} AS follow_rev
+FROM firsts f LEFT JOIN next_orders n ON f.o_custkey = n.o_custkey
+GROUP BY year(f.first_d)
+"""
+
+
+@register("ds_first_purchase_cohort", oracle=_FIRST_PURCHASE_COHORT,
+          group="tpcds")
+def ds_first_purchase_cohort(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders"], _FIRST_PURCHASE_COHORT)
+
+
+# q35 class: per-group COUNT DISTINCT + EXISTS gate
+_DISTINCT_EXISTS = f"""
+SELECT n_name,
+       count(*) AS n_customers,
+       count(DISTINCT c_acctbal > 5000) AS n_balance_bands,
+       {_DSUM.format(x='c_acctbal')} AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+@register("ds_distinct_exists", oracle=_DISTINCT_EXISTS, group="tpcds")
+def ds_distinct_exists(spark, sf_dir):
+    return _sql(spark, sf_dir, ["customer", "nation", "orders"],
+                _DISTINCT_EXISTS)
