@@ -1698,6 +1698,7 @@ class DeltaWriter:
         target_file_bytes: int = 128 << 20,
         min_files: int = 2,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """OPTIMIZE-style bin-packing compaction. Returns the committed
         version, or None when nothing qualified.
@@ -1718,9 +1719,19 @@ class DeltaWriter:
         ``sort_by``: cluster the rewrite on these columns — output files
         get DISJOINT ranges (``repartitionByRange`` + sorted runs), so
         stats-based file skipping on those columns prunes aggressively
-        afterwards (the OPTIMIZE ... ZORDER role, lexicographic).
+        afterwards (lexicographic — only the LEADING column prunes well).
         Column-mapped tables are handled by rewriting under physical
         names with field ids (sort_by names stay logical).
+
+        ``zorder_by``: MULTI-dimensional clustering (OPTIMIZE ... ZORDER):
+        each column's values map to 8-bit quantile-rank codes
+        (``approxQuantile`` boundaries, executor-side ``searchsorted``)
+        whose bits interleave into one Z-value; the rewrite range-
+        partitions on it, so file min/max windows stay tight on EVERY
+        listed column and stats skipping prunes on any of them — the
+        property lexicographic sort cannot give trailing columns.
+        Numeric/date/timestamp columns only. Mutually exclusive with
+        ``sort_by``.
         """
         snap = self._snapshot
         self._assert_writable("OPTIMIZE")
@@ -1754,10 +1765,24 @@ class DeltaWriter:
             phys_schema = T.StructType(
                 [f for f in schema.fields if f.name not in parts]
             )
+        if sort_by and zorder_by:
+            raise ValueError("pass either sort_by or zorder_by, not both")
         sort_cols = [phys_of.get(c, c) for c in (sort_by or [])]
-        for c in sort_cols:
+        z_cols = [phys_of.get(c, c) for c in (zorder_by or [])]
+        for c in sort_cols + z_cols:
             if c not in phys_schema.fieldNames():
-                raise SchemaError(f"sort_by column {c!r} not a data column")
+                raise SchemaError(f"clustering column {c!r} not a data column")
+        z_types = {f.name: f.dataType for f in phys_schema.fields}
+        for c in z_cols:
+            if not isinstance(z_types[c], (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+                T.DateType, T.TimestampType,
+            )):
+                raise SchemaError(
+                    f"zorder_by column {c!r}: only numeric/date/timestamp "
+                    "columns are Z-orderable"
+                )
 
         groups: dict[tuple, list] = {}
         for f in snap.add_files():
@@ -1796,6 +1821,17 @@ class DeltaWriter:
                 src = src.repartitionByRange(
                     int(n_out), *sort_cols
                 ).sortWithinPartitions(*sort_cols)
+            elif z_cols:
+                # Z-order: range-partition on the interleaved quantile-
+                # rank bits so every listed column's min/max stays tight
+                src = (
+                    src.withColumn(
+                        "__zval", _zvalue_column(src, z_cols, z_types)
+                    )
+                    .repartitionByRange(int(n_out), "__zval")
+                    .sortWithinPartitions("__zval")
+                    .drop("__zval")
+                )
             else:
                 src = src.coalesce(int(n_out))
             src.write.mode("overwrite").parquet(staging)
@@ -2401,6 +2437,53 @@ def _get_nested(d: dict | None, dotted: str):
             return None
         d = d.get(k)
     return d
+
+
+def _zvalue_column(src, cols: list[str], types: dict):
+    """Z-value expression: per column, an 8-bit quantile-rank code
+    (driver holds ≤255 approxQuantile boundaries; executors map values
+    with a vectorized ``searchsorted``), bits interleaved across columns
+    into one int64. Equal-depth codes make the interleave meaningful for
+    ANY value distribution — raw-value bit interleaving degenerates on
+    skewed or offset ranges."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def as_num(c):
+        t = types[c]
+        col = F.col(c)
+        if isinstance(t, T.DateType):
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        if isinstance(t, T.TimestampType):
+            return col.cast("long").cast("double")
+        return col.cast("double")
+
+    tmp = src.select(*[as_num(c).alias(f"__z{i}") for i, c in enumerate(cols)])
+    qs = [i / 256.0 for i in range(1, 256)]
+    bounds = [
+        np.asarray(tmp.approxQuantile(f"__z{i}", qs, 0.01), dtype="float64")
+        for i in range(len(cols))
+    ]
+    n = len(cols)
+
+    @pandas_udf("long")
+    def zval(*series):
+        import pandas as pd
+
+        out = np.zeros(len(series[0]), dtype=np.int64)
+        for i, s in enumerate(series):
+            vals = s.to_numpy(dtype="float64", na_value=np.nan)
+            code = np.searchsorted(bounds[i], vals, side="right").astype(
+                np.int64
+            )
+            code = np.clip(code, 0, 255)
+            code[np.isnan(vals)] = 0  # NULLs cluster at the low corner
+            for b in range(8):
+                out |= ((code >> b) & 1) << (b * n + i)
+        return pd.Series(out)
+
+    return zval(*[as_num(c) for c in cols])
 
 
 def _parse_interval_ms(text: str | None, default_ms: int) -> int:

@@ -2023,3 +2023,52 @@ def test_changes_carry_commit_timestamp(spark, tdir):
         assert len(stamps) == 1
         got_ms = int(next(iter(stamps)).timestamp() * 1000)
         assert got_ms == log.read_ict(v), (v, got_ms)
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tdir):
+    """OPTIMIZE ZORDER: after zorder_by=['a','b'] compaction, stats
+    skipping prunes on a-alone AND on b-alone — the property a
+    lexicographic sort cannot give the trailing column."""
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    n = 4096
+    df = spark.range(n).select(
+        # decorrelated dimensions: a row-major, b bit-reversed-ish
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % n).alias("b"),
+        (F.col("id") * 1.0).alias("x"),
+    )
+    w.append(df.repartition(16))  # 16 scattered files
+
+    v = DeltaWriter(tdir, spark).compact(
+        target_file_bytes=12_000, zorder_by=["a", "b"])
+    assert v is not None
+    t = DeltaTable(tdir)
+    files = t.snapshot.add_files()
+    assert len(files) >= 4  # several output files to prune among
+
+    def scanned(col, hi):
+        sb = t.scan(spark).filter(col, "<", hi)
+        got = sb.to_df().count()
+        assert got == hi  # correctness: values 0..hi-1
+        return sb.skip_report()
+
+    rep_a = scanned("a", 256)
+    rep_b = scanned("b", 256)
+    assert rep_a["files_skipped_by_stats"] > 0, rep_a
+    assert rep_b["files_skipped_by_stats"] > 0, rep_b
+
+    # rows unchanged, dataChange:false commit
+    assert t.to_df(spark).count() == n
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    adds = [x["add"] for x in DeltaLog(tdir).read_commit(v) if "add" in x]
+    assert adds and all(a["dataChange"] is False for a in adds)
+
+    # guardrails
+    with pytest.raises(ValueError, match="either sort_by or zorder_by"):
+        DeltaWriter(tdir, spark).compact(sort_by=["a"], zorder_by=["b"])
