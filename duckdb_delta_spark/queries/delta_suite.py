@@ -701,3 +701,28 @@ def delta_foreign_scan(spark, sf_dir):
         dsum("p_retailprice").alias("total"),
         F.max("p_size").alias("max_size"),
     )
+
+
+# OPTIMIZE ZORDER: after multi-dimensional clustering on
+# (l_orderkey, l_partkey), stats skipping prunes on the NON-leading
+# dimension too — asserted in-query; values must still match the oracle.
+@register(
+    "delta_zorder_scan",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM lineitem WHERE l_partkey < 50
+    GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_zorder_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_zorder")
+    sb = t.scan(spark).filter("l_partkey", "<", 50)
+    df = sb.to_df()
+    rep = sb.skip_report()
+    if rep["files_total"] > 2:
+        assert rep["files_skipped_by_stats"] > 0, rep
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total")
+    )

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 17  # bump to force a rebuild
+LAYOUT_VERSION = 18  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -73,6 +73,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_v2ckpt(spark, sf_dir, os.path.join(root, "orders_v2ckpt"))
     _build_orders_ict(spark, sf_dir, os.path.join(root, "orders_ict"))
     _build_part_foreign(sf_dir, os.path.join(root, "part_foreign"))
+    _build_lineitem_zorder(spark, sf_dir, os.path.join(root, "lineitem_zorder"))
 
     with open(marker, "w") as f:
         f.write(str(LAYOUT_VERSION))
@@ -688,3 +689,15 @@ def _build_part_foreign(sf_dir, path):
     from duckdb_delta_spark.testing.foreign import build_foreign_part
 
     build_foreign_part(path, sf_dir)
+
+
+def _build_lineitem_zorder(spark, sf_dir, path):
+    """Scattered lineitem append, then OPTIMIZE ZORDER on
+    (l_orderkey, l_partkey) — both dimensions must prune post-compaction."""
+    li = _li(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, li.schema)
+    w.append(li.repartition(12))
+    DeltaWriter(path, spark).compact(
+        target_file_bytes=max(64_000, _parquet_rows(f"{sf_dir}/lineitem.parquet") * 12),
+        zorder_by=["l_orderkey", "l_partkey"],
+    )
