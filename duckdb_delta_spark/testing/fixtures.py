@@ -39,13 +39,30 @@ def fixture_dir(sf_dir: str) -> str:
     return os.path.join(FIXTURE_ROOT, name)
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """(mtime_ns, size) digest of the source parquet — the driver
+    REGENERATES testdata between rounds without touching this repo, so a
+    layout-version marker alone would serve stale fixtures against fresh
+    oracle data."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()
+
+
 def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
-    """Build all fixtures for sf_dir once; return the fixture dir."""
+    """Build all fixtures for sf_dir once; return the fixture dir.
+    Rebuilds when the layout version OR the source testdata changes."""
     root = fixture_dir(sf_dir)
     marker = os.path.join(root, "_BUILT")
+    stamp = f"{LAYOUT_VERSION}:{_source_fingerprint(sf_dir)}"
     if os.path.isfile(marker):
         with open(marker) as f:
-            if f.read().strip() == str(LAYOUT_VERSION):
+            if f.read().strip() == stamp:
                 return root
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
@@ -76,7 +93,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_lineitem_zorder(spark, sf_dir, os.path.join(root, "lineitem_zorder"))
 
     with open(marker, "w") as f:
-        f.write(str(LAYOUT_VERSION))
+        f.write(stamp)
     return root
 
 
