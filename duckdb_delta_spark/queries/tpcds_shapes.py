@@ -296,8 +296,8 @@ neigh AS (
          avg(rev) OVER (PARTITION BY n_name ORDER BY m ASC
                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nb
   FROM monthly)
-SELECT n_name, m, rev, CAST(round(nb, 2) AS DOUBLE) AS neighborhood_avg,
-       round(rev / nb, 6) AS ratio
+SELECT n_name, m, rev,
+       round(rev / nb, 4) AS ratio
 FROM neigh WHERE rev / nb > 1.6 OR rev / nb < 0.4
 """
 
