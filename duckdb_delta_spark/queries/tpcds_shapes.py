@@ -656,8 +656,7 @@ with_avg AS (
          avg(rev) OVER (PARTITION BY o_orderpriority) AS prio_avg
   FROM monthly)
 SELECT o_orderpriority, m, rev,
-       CAST(round(prio_avg, 2) AS DOUBLE) AS prio_avg,
-       round(rev / prio_avg, 6) AS ratio
+       round(rev / prio_avg, 4) AS ratio
 FROM with_avg
 WHERE rev / prio_avg NOT BETWEEN 0.9 AND 1.1
 """
