@@ -728,3 +728,95 @@ GROUP BY n_name
 def ds_distinct_exists(spark, sf_dir):
     return _sql(spark, sf_dir, ["customer", "nation", "orders"],
                 _DISTINCT_EXISTS)
+
+
+# q64 class: long multi-fact join chain (6 tables) with a compact group
+_JOIN_CHAIN = f"""
+SELECT r_name, s_name_band, count(*) AS n,
+       {_DSUM.format(x='l_extendedprice')} AS rev
+FROM (
+  SELECT r_name,
+         CASE WHEN s_acctbal >= 5000 THEN 'high' ELSE 'low' END AS s_name_band,
+         l_extendedprice
+  FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+  WHERE o_orderstatus = 'F') t
+GROUP BY r_name, s_name_band
+"""
+
+
+@register("ds_join_chain", oracle=_JOIN_CHAIN, group="tpcds")
+def ds_join_chain(spark, sf_dir):
+    df = _sql(spark, sf_dir,
+              ["lineitem", "orders", "customer", "nation", "region",
+               "supplier"], _JOIN_CHAIN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # dims (customer/nation/region/supplier) broadcast; the two facts shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    return df
+
+
+# q72 class: NOT EXISTS with a date-offset correlation (late shipping)
+_ANTI_JOIN_OFFSET = f"""
+SELECT o_orderpriority, count(*) AS n,
+       {_DSUM.format(x='o_totalprice')} AS total
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+    AND CAST(l_shipdate AS DATE)
+        <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("ds_anti_join_offset", oracle=_ANTI_JOIN_OFFSET, group="tpcds")
+def ds_anti_join_offset(spark, sf_dir):
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _ANTI_JOIN_OFFSET)
+
+
+# q62/q99 class: shipping-delay buckets via interval comparisons
+# (portable — datediff() signatures differ between the two dialects)
+_SHIP_DELAY_BUCKETS = """
+SELECT o_orderpriority,
+  count(CASE WHEN CAST(l_shipdate AS DATE)
+                  <= CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+             THEN 1 END) AS d30,
+  count(CASE WHEN CAST(l_shipdate AS DATE)
+                  >  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+              AND CAST(l_shipdate AS DATE)
+                  <= CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+             THEN 1 END) AS d60,
+  count(CASE WHEN CAST(l_shipdate AS DATE)
+                  >  CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+             THEN 1 END) AS d_more,
+  count(*) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("ds_ship_delay_buckets", oracle=_SHIP_DELAY_BUCKETS, group="tpcds")
+def ds_ship_delay_buckets(spark, sf_dir):
+    return _sql(spark, sf_dir, ["lineitem", "orders"], _SHIP_DELAY_BUCKETS)
+
+
+# q6 class: correlated average on a joined dimension
+_CORRELATED_DIM_AVG = f"""
+SELECT n_name, count(*) AS n_rich,
+       {_DSUM.format(x='c_acctbal')} AS rich_bal
+FROM customer c JOIN nation ON c.c_nationkey = n_nationkey
+WHERE c.c_acctbal > (
+  SELECT 1.2 * avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY n_name
+"""
+
+
+@register("ds_correlated_dim_avg", oracle=_CORRELATED_DIM_AVG, group="tpcds")
+def ds_correlated_dim_avg(spark, sf_dir):
+    return _sql(spark, sf_dir, ["customer", "nation"], _CORRELATED_DIM_AVG)
