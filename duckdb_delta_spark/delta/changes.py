@@ -60,6 +60,9 @@ def table_changes(
     if starting_version > end:
         raise ValueError(f"starting_version {starting_version} > end {end}")
 
+    # one directory listing for the whole walk — commit_timestamp would
+    # otherwise re-list per version, making CDF O(versions × listdir)
+    commit_paths, _ = log.list_log_files()
     parts: list[DataFrame] = []
     if starting_version < 0:
         # pre-table baseline (timestamp bound before the first commit):
@@ -73,7 +76,7 @@ def table_changes(
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         cdcs: list[dict] = []
-        ts_ms = log.commit_timestamp(v)
+        ts_ms = log.commit_timestamp(v, commits=commit_paths)
         for action in log.read_commit(v):
             if action.get("cdc"):
                 cdcs.append(action["cdc"])

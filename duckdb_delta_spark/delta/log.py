@@ -413,15 +413,30 @@ class DeltaLog:
             return None
         return None
 
-    def commit_timestamp(self, version: int) -> int:
+    def commit_timestamp(
+        self, version: int, commits: dict[int, str] | None = None
+    ) -> int:
         """Commit clock: in-commit timestamp when present (robust to file
         copies), else the commit file's mtime — the same resolution
-        timestamp travel uses."""
+        timestamp travel uses.
+
+        ``commits`` (from one :meth:`list_log_files` call) lets loops
+        like CDF's per-version walk avoid re-listing the directory on
+        every call; a commit whose JSON is gone (e.g. removed by
+        ``cleanup_expired_logs``) raises :class:`InvalidTableVersionError`
+        instead of a raw ``KeyError``."""
         ts = self.read_ict(version)
         if ts is not None:
             return ts
-        commits, _ = self.list_log_files()
-        return int(os.path.getmtime(commits[version]) * 1000)
+        if commits is None:
+            commits, _ = self.list_log_files()
+        path = commits.get(version)
+        if path is None:
+            raise InvalidTableVersionError(
+                f"commit {version} is not in the retained log at "
+                f"{self.table_path} (expired or never existed)"
+            )
+        return int(os.path.getmtime(path) * 1000)
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """Timestamp → version: the LATEST commit whose timestamp is

@@ -168,6 +168,21 @@ class Snapshot:
         commits, _ = log.list_log_files()
         for v in range(start, target + 1):
             if v not in commits:
+                # distinguish an expired prefix (log retention cleanup
+                # removed commits 0..k and no checkpoint ≤ target
+                # survives) from genuine log corruption: the former is a
+                # version-unavailable condition, not a malformed log
+                if commits and v < min(commits):
+                    from duckdb_delta_spark.delta.errors import (
+                        InvalidTableVersionError,
+                    )
+
+                    raise InvalidTableVersionError(
+                        f"version {target} predates retained history at "
+                        f"{log.table_path}: earliest retained commit is "
+                        f"{min(commits)} and no checkpoint covers "
+                        f"{target} (log retention cleanup)"
+                    )
                 raise MalformedLogError(
                     f"log has a gap: commit {v} missing (target {target})"
                 )

@@ -108,15 +108,35 @@ class DeltaTable:
             if starting_version is not None:
                 raise ValueError(
                     "pass either starting_version or starting_timestamp")
+            from duckdb_delta_spark.delta.errors import (
+                InvalidTableVersionError,
+            )
+
             ms = _to_epoch_ms(starting_timestamp)
             try:
                 at = self.log.version_at_timestamp(ms)
-                # latest commit <= ts: include it iff exactly at ts
-                starting_version = (
-                    at - 1 if self.log.commit_timestamp(at) == ms else at
-                )
-            except Exception:  # noqa: BLE001 - ts before the table: all
+                exact = self.log.commit_timestamp(at) == ms
+            except InvalidTableVersionError:
+                # ts before the table existed: include everything.
+                # (Only this error — genuine log corruption must NOT be
+                # silently mapped to 'return the full feed'.)
                 starting_version = -1
+            else:
+                if exact:
+                    # 'at or after' contract: mtime clocks have ms
+                    # granularity, so SEVERAL commits can share the exact
+                    # bound — walk back over the tie so the earliest
+                    # commit at ms is included too, not just the latest
+                    while at - 1 >= 0:
+                        try:
+                            if self.log.commit_timestamp(at - 1) != ms:
+                                break
+                        except InvalidTableVersionError:
+                            break  # predecessor expired: stop the walk
+                        at -= 1
+                    starting_version = at - 1
+                else:
+                    starting_version = at
         elif starting_version is None:
             raise ValueError(
                 "changes() needs starting_version or starting_timestamp")

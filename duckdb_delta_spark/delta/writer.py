@@ -377,19 +377,30 @@ class DeltaWriter:
                 info["inCommitTimestamp"] = ict
                 actions.insert(0, {"commitInfo": info})
         self.log.commit(version, actions)
-        self._maybe_auto_checkpoint(version, snap)
+        self._maybe_auto_checkpoint(version, snap, actions)
 
-    def _maybe_auto_checkpoint(self, version: int, snap: Snapshot) -> None:
+    def _maybe_auto_checkpoint(
+        self, version: int, snap: Snapshot, actions: list[dict] | None = None
+    ) -> None:
         """delta-spark parity, OPT-IN: ``delta.checkpointInterval = N``
         writes a classic checkpoint every N commits right after the
         commit lands; ``delta.enableExpiredLogCleanup = true`` then
         prunes expired commits below it. Off unless configured, so
         fixtures/benchmarks that measure raw log replay are unperturbed.
         A checkpoint failure never fails the (already durable) commit."""
+        config = snap.configuration
+        if actions:
+            # the interval must be evaluated against the JUST-COMMITTED
+            # config, not the pre-commit snapshot: the commit that enables
+            # (or disables) delta.checkpointInterval already governs its
+            # own version, else the first checkpoint lands one commit late
+            # and a disable still triggers one
+            for a in actions:
+                md = a.get("metaData")
+                if md is not None and "configuration" in md:
+                    config = md.get("configuration") or {}
         try:
-            interval = int(
-                snap.configuration.get("delta.checkpointInterval", 0) or 0
-            )
+            interval = int(config.get("delta.checkpointInterval", 0) or 0)
         except (TypeError, ValueError):
             interval = 0
         if interval <= 0 or version <= 0 or version % interval:
@@ -397,7 +408,7 @@ class DeltaWriter:
         try:
             self.checkpoint()
             if (
-                snap.configuration.get("delta.enableExpiredLogCleanup", "")
+                config.get("delta.enableExpiredLogCleanup", "")
                 .lower()
                 == "true"
             ):
@@ -1691,6 +1702,45 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap_now)
         return new_version
 
+    # ---------- ALTER TABLE SET/UNSET TBLPROPERTIES ----------
+
+    def set_properties(
+        self,
+        updates: dict[str, str] | None = None,
+        unset: list[str] | None = None,
+    ) -> int:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData action
+        with the merged table configuration (delta-spark parity; the
+        reference is read-only here). Values are stringified, keys in
+        ``unset`` are dropped. Returns the committed version.
+
+        The commit's own version is governed by the NEW configuration —
+        e.g. setting ``delta.checkpointInterval`` on a version divisible
+        by the interval checkpoints immediately (see
+        :meth:`_maybe_auto_checkpoint`)."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        config = dict(snap.configuration)
+        for k, v in (updates or {}).items():
+            config[str(k)] = str(v)
+        for k in unset or []:
+            config.pop(k, None)
+        meta = dict(snap.metadata)
+        meta["configuration"] = config
+        actions: list[dict] = [
+            {
+                "commitInfo": _commit_info(
+                    "SET TBLPROPERTIES",
+                    {"properties": json.dumps(updates or {}),
+                     "unset": json.dumps(unset or [])},
+                )
+            },
+            {"metaData": meta},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     # ---------- maintenance: compaction / vacuum ----------
 
     def compact(
@@ -2080,9 +2130,14 @@ class DeltaWriter:
                 last_deleted = v
             except OSError:
                 break
-        # superseded checkpoints fully inside the deleted prefix
+        # superseded checkpoints fully inside the deleted prefix — EXCEPT
+        # a checkpoint at exactly last_deleted: it is the replay floor for
+        # the surviving commits (last_deleted, next checkpoint). Deleting
+        # it would leave those versions unreconstructable (no checkpoint
+        # ≤ them whose follow-on commits survive) even though their
+        # commit JSONs were retained.
         for v, parts in checkpoints.items():
-            if v <= last_deleted:
+            if v < last_deleted:
                 for p in parts:
                     try:
                         os.unlink(p)

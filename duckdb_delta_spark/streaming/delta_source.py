@@ -181,6 +181,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         import time as _time
 
         _t0 = _time.time()
+        # Restart safety: a fresh reader instance starts with
+        # _rate_pos=None and would fall back to self._initial in
+        # latestOffset, handing Spark an offset BEHIND its committed
+        # offset (offsets are opaque, so the regressed batch would be
+        # planned and re-emit already-processed commits). Clamp the
+        # cursor to observed progress: it never starts behind the last
+        # batch start Spark has shown us.
+        prev = self._rate_pos if self._rate_pos is not None else -1
+        self._rate_pos = max(prev, int(start["version"]))
         parts: list[_FileSlice] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, has_removal = self._classify(v)

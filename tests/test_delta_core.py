@@ -1913,19 +1913,23 @@ def test_cleanup_expired_logs(spark, tdir):
 
     deleted = DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
     names = sorted(os.path.basename(p) for p in deleted)
-    # commits 0..3 (below ckpt v4) + the superseded v3 checkpoint
+    # commits 0..3 (below ckpt v4); the v3 checkpoint survives as the
+    # replay floor for version 3 itself
     assert names == [
         f"{0:020d}.json", f"{1:020d}.json", f"{2:020d}.json",
-        f"{3:020d}.checkpoint.parquet", f"{3:020d}.json",
+        f"{3:020d}.json",
     ], names
 
     # HEAD still reads (replay = ckpt v4 + commit v5)
     t = DeltaTable(tdir)
     assert t.version == 5 and t.to_df(spark).count() == 25
-    # travel to v4 (the checkpoint) and v5 still work
+    # travel to v3/v4 (the checkpoints) and v5 still work
     assert DeltaTable(tdir, version=4).to_df(spark).count() == 20
-    # travel below the expired prefix is gone
-    with pytest.raises(errors.DeltaError):
+    assert DeltaTable(tdir, version=3).to_df(spark).count() == 15
+    # travel below the expired prefix raises the explicit
+    # version-unavailable error (not a misleading 'log has a gap')
+    with pytest.raises(errors.InvalidTableVersionError,
+                       match="predates retained history"):
         DeltaTable(tdir, version=2).to_df(spark).count()
     # idempotent: nothing left to delete
     assert DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0) == []
@@ -1957,6 +1961,122 @@ def test_auto_checkpoint_interval(spark, tdir):
     for k in range(4):
         w2.append(_ids(spark, 5, lo=5 * k).coalesce(1))
     assert glob.glob(os.path.join(other, "_delta_log", "*.checkpoint.*")) == []
+
+
+def test_cleanup_retains_replay_floor_checkpoint(spark, tdir):
+    """When retention stops mid-log (last_deleted < newest checkpoint),
+    a checkpoint at exactly last_deleted is KEPT: it is the replay floor
+    for the surviving commits between it and the next checkpoint.
+    Deleting it would strand versions whose commit JSONs survived."""
+    import time as _time
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 5, lo=5 * k).coalesce(1))   # v1..v3
+    w.checkpoint()                                        # ckpt at v3
+    w.append(_ids(spark, 5, lo=15).coalesce(1))           # v4
+    w.append(_ids(spark, 5, lo=20).coalesce(1))           # v5
+    w.checkpoint()                                        # ckpt at v5
+
+    # age commits 0..3 past the cutoff; keep v4/v5 young
+    log_dir = os.path.join(tdir, "_delta_log")
+    old = _time.time() - 7200
+    for v in range(4):
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (old, old))
+
+    deleted = DeltaWriter(tdir, spark).cleanup_expired_logs(
+        retention_ms=3600_000)
+    names = sorted(os.path.basename(p) for p in deleted)
+    # commits 0..3 expired; the v3 checkpoint is last_deleted's replay
+    # floor and MUST survive
+    assert names == [f"{v:020d}.json" for v in range(4)], names
+    assert os.path.exists(
+        os.path.join(log_dir, f"{3:020d}.checkpoint.parquet"))
+    # v4 (between the floor and the v5 checkpoint) is still buildable:
+    # replay = ckpt v3 + surviving commit v4
+    assert DeltaTable(tdir, version=4).to_df(spark).count() == 20
+    assert DeltaTable(tdir).to_df(spark).count() == 25
+
+
+def test_expired_prefix_clear_error(spark, tdir):
+    """Time travel below retained history raises an explicit
+    version-unavailable error, not a misleading 'log has a gap', and
+    commit_timestamp on an expired version raises the domain error
+    rather than KeyError."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 5, lo=5 * k).coalesce(1))   # v1..v3
+    w.checkpoint()                                        # ckpt at v3
+    w.append(_ids(spark, 5, lo=15).coalesce(1))           # v4
+    DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
+
+    with pytest.raises(errors.InvalidTableVersionError,
+                       match="predates retained history"):
+        DeltaTable(tdir, version=1).to_df(spark)
+    with pytest.raises(errors.InvalidTableVersionError,
+                       match="not in the retained log"):
+        DeltaLog(tdir).commit_timestamp(0)
+
+
+def test_set_properties_and_auto_checkpoint_own_commit(spark, tdir):
+    """ALTER TABLE SET TBLPROPERTIES commits a metaData action, and
+    _maybe_auto_checkpoint evaluates the JUST-COMMITTED config: enabling
+    delta.checkpointInterval on a divisible version checkpoints
+    immediately; disabling it in the current commit suppresses the
+    checkpoint the stale pre-commit config would have written."""
+    import glob
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5).coalesce(1))                       # v1
+    v = w.set_properties({"delta.checkpointInterval": "2"})    # v2
+    assert v == 2
+    # the enabling commit itself is governed by the new interval
+    assert os.path.exists(os.path.join(
+        tdir, "_delta_log", f"{2:020d}.checkpoint.parquet"))
+    assert DeltaTable(tdir).snapshot.configuration[
+        "delta.checkpointInterval"] == "2"
+
+    w.append(_ids(spark, 5, lo=5).coalesce(1))                 # v3
+    v = w.set_properties(unset=["delta.checkpointInterval"])   # v4
+    assert v == 4
+    # stale config would have checkpointed v4 (4 % 2 == 0); the commit
+    # disabling the interval must not
+    assert not os.path.exists(os.path.join(
+        tdir, "_delta_log", f"{4:020d}.checkpoint.parquet"))
+    assert "delta.checkpointInterval" not in DeltaTable(
+        tdir).snapshot.configuration
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+
+
+def test_changes_starting_timestamp_ms_tie(spark, tdir):
+    """Several commits sharing the exact starting_timestamp clock (mtime
+    has ms granularity) are ALL included — 'at or after' walks back over
+    the tie instead of keeping only the latest."""
+    import time as _time
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 3).coalesce(1))           # v1
+    w.append(_ids(spark, 3, lo=10).coalesce(1))    # v2
+    w.append(_ids(spark, 3, lo=20).coalesce(1))    # v3
+
+    log_dir = os.path.join(tdir, "_delta_log")
+    base = _time.time()
+    tie = base - 10.0
+    os.utime(os.path.join(log_dir, f"{0:020d}.json"), (tie - 5, tie - 5))
+    for v in (1, 2):                               # v1 and v2 tie exactly
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (tie, tie))
+    os.utime(os.path.join(log_dir, f"{3:020d}.json"), (base, base))
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    log = DeltaLog(tdir)
+    ms = log.commit_timestamp(2)
+    assert log.commit_timestamp(1) == ms  # the tie is real
+    t = DeltaTable(tdir)
+    got = t.changes(spark, starting_timestamp=ms).collect()
+    assert sorted({r["_commit_version"] for r in got}) == [1, 2, 3]
 
 
 def test_changes_timestamp_bounds(spark, tdir):

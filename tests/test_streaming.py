@@ -400,6 +400,41 @@ def test_source_max_files_per_trigger(spark, tdir):
     assert r2.latestOffset() == {"version": 3}
 
 
+def test_source_rate_cursor_survives_restart(spark, tdir):
+    """Restart safety for maxFilesPerTrigger: a FRESH reader instance
+    (checkpoint recovery) must never hand Spark an offset behind the
+    committed position — offsets are opaque, so a regressed latestOffset
+    would re-plan and re-emit already-processed commits. partitions()
+    clamps the rate cursor to observed progress."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamReader
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    for k in range(3):
+        w.append(spark.range(40 * k, 40 * (k + 1)).select(
+            F.col("id").alias("i"), (F.col("id") % 2).alias("g"))
+            .repartition(4))  # v1..v3, 4 files each
+
+    schema = DeltaTable(tdir).schema()
+    # restart: new instance, Spark replays the committed batch (2, 3]
+    r = DeltaStreamReader(
+        tdir, schema, {"startingVersion": "0", "maxFilesPerTrigger": "4"})
+    assert len(r.partitions({"version": 2}, {"version": 3})) == 4
+    # the next poll must NOT regress behind the committed offset 3
+    assert r.latestOffset() == {"version": 3}
+
+    # same, replaying an intermediate batch: never goes below its start
+    r2 = DeltaStreamReader(
+        tdir, schema, {"startingVersion": "0", "maxFilesPerTrigger": "4"})
+    r2.partitions({"version": 1}, {"version": 2})
+    assert r2.latestOffset()["version"] >= 2
+
+
 def test_source_change_commit_options(spark, tdir):
     """delta-spark option parity on the streaming source:
     skipChangeCommits skips remove-carrying commits entirely,
