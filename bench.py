@@ -53,6 +53,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # artifact self-description: the driver's correctness
+                # window covers only the first 50 registry names
+                # (alphabetical); the full suite is larger — see
+                # tests/oracle_check.py for the all-names gate
+                "suite_total": len(queries),
+                "correctness_window": 50,
             }
         )
     )

@@ -108,6 +108,14 @@ def main():
         else:
             print(f"✓ {name:28s} {n:>7} rows  spark={ts:5.1f}s duckdb={to:5.1f}s")
     print(f"\n{len(names) - len(failed)}/{len(names)} OK" + (f"; FAILED: {failed}" if failed else ""))
+    # artifact self-description: the driver's CORRECTNESS window caps at
+    # the first 50 registry names (alphabetical) — this line records how
+    # much of the suite that window covers
+    import json as _json
+
+    print(_json.dumps({"suite_total": len(queries),
+                       "checked": len(names),
+                       "driver_window": 50}))
     return 1 if failed else 0
 
 
