@@ -130,6 +130,70 @@ def stream_delta_source(spark, sf_dir):
 
 
 @register(
+    "stream_foreach_sink",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_discount AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="streaming",
+)
+def stream_foreach_sink(spark, sf_dir):
+    """Delta → Delta streaming roundtrip over the PRODUCTION write path:
+    readStream from the 3-commit fixture, foreachBatch writing each
+    micro-batch through the batch DeltaWriter (JVM parquet encode, no
+    Python write fleet) with txn(appId,batchId) exactly-once, then a
+    batch scan of the destination — equal to the batch answer over
+    lineitem iff every row survived exactly once. See
+    streaming/foreach_sink.py for why this beats the DataSource sink at
+    scale."""
+    import os
+    import shutil
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_batch
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    src = os.path.join(root, "lineitem_multi")
+    rt_root = os.path.join(root, "_foreach_roundtrip")
+    shutil.rmtree(rt_root, ignore_errors=True)
+    dst = os.path.join(rt_root, "dst")
+    DeltaWriter.create(spark, dst, DeltaTable(src).schema())
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(delta_foreach_batch(dst))
+        .option("checkpointLocation", os.path.join(rt_root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        DeltaTable(dst)
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(25,6)")), 2
+            )
+            .cast("double")
+            .alias("disc"),
+        )
+    )
+
+
+@register(
     "stream_delta_sink",
     oracle="""
     SELECT l_linestatus, count(*) AS n,

@@ -56,6 +56,13 @@ def get_spark(app_name: str = "duckdb_delta_spark", cpus: int | None = None) -> 
             "spark.executorEnv.PYTHONPATH",
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
+        # Fork Python workers from a daemon that has pandas/pyarrow/the
+        # Arrow serializers (and this package's executor-side modules)
+        # already imported — cold workers inherit them copy-on-write
+        # instead of re-importing per process. Cuts several seconds off
+        # the first wide Python-worker stage (streaming sink, pandas
+        # UDFs); see duckdb_delta_spark/_daemon.py.
+        .config("spark.python.daemon.module", "duckdb_delta_spark._daemon")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

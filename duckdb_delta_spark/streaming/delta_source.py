@@ -41,10 +41,26 @@ from pyspark.sql.types import StructType
 
 
 @dataclass
-class _FileSlice(InputPartition):
+class _FileRef:
+    """One data file inside a split."""
+
     path: str  # absolute data-file path
     partition_values: tuple  # ((col, value or None), ...)
     dv: str | None  # deletion-vector descriptor JSON
+    size: int = 0
+
+
+@dataclass
+class _SplitSlice(InputPartition):
+    """One input partition = one or more PACKED files (Spark's own
+    FilePartition strategy): a micro-batch over a backlog of thousands
+    of small files must not become thousands of tasks — each task costs
+    a Python-worker spawn + scheduler overhead, so small files are
+    binned up to maxSplitBytes = min(maxBytesPerPartition,
+    max(4MB open cost, total/minPartitions)), exactly the formula
+    Spark's FileSourceScanExec uses for parquet splits."""
+
+    files: tuple  # of _FileRef
     table_path: str
 
 
@@ -104,6 +120,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: the stream can't stall on an over-budget commit).
         mft = options.get("maxFilesPerTrigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
+        #: split packing knobs (see _pack_splits): defaults mirror
+        #: spark.sql.files.maxPartitionBytes and a per-host core floor
+        self.max_bytes_per_partition = int(
+            options.get("maxBytesPerPartition", 128 << 20))
+        self.min_partitions = int(
+            options.get("minPartitions", os.cpu_count() or 8))
         self._rate_pos: int | None = None  # last offset handed to Spark
         self._n_adds_cache: dict[int, int] = {}
         self._log = DeltaLog(self.table_path)
@@ -190,7 +212,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         # batch start Spark has shown us.
         prev = self._rate_pos if self._rate_pos is not None else -1
         self._rate_pos = max(prev, int(start["version"]))
-        parts: list[_FileSlice] = []
+        files: list[_FileRef] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, has_removal = self._classify(v)
             if has_removal:
@@ -213,8 +235,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     else os.path.join(self.table_path, rel)
                 )
                 pv = a.get("partitionValues") or {}
-                parts.append(
-                    _FileSlice(
+                files.append(
+                    _FileRef(
                         path=full,
                         partition_values=tuple(
                             (c, pv.get(c)) for c in self._partition_columns
@@ -222,9 +244,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                         dv=json.dumps(a["deletionVector"])
                         if a.get("deletionVector")
                         else None,
-                        table_path=self.table_path,
+                        size=int(a.get("size") or 0),
                     )
                 )
+        parts = self._pack_splits(files)
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -232,10 +255,41 @@ class DeltaStreamReader(DataSourceStreamReader):
             table_path=self.table_path,
             start_version=int(start["version"]),
             end_version=int(end["version"]),
+            n_files=len(files),
             n_slices=len(parts),
             duration_ms=int((_time.time() - _t0) * 1000),
         )
         return parts
+
+    def _pack_splits(self, files: list[_FileRef]) -> list[_SplitSlice]:
+        """Bin files into input partitions with Spark's FilePartition
+        formula. One task per FILE does not scale down (a 10k-small-file
+        backlog would spawn 10k Python workers for a few MB each) nor up
+        (tiny tasks drown in scheduler overhead); one task per
+        ~maxSplitBytes of data is what Spark's own parquet scan does.
+        Order is preserved (commit order → locality within a split)."""
+        if not files:
+            return []
+        open_cost = 4 << 20  # spark.sql.files.openCostInBytes default
+        max_pb = int(self.max_bytes_per_partition)
+        min_parts = max(1, int(self.min_partitions))
+        total = sum(f.size + open_cost for f in files)
+        split_bytes = min(max_pb, max(open_cost, total // min_parts + 1))
+        out: list[_SplitSlice] = []
+        cur: list[_FileRef] = []
+        cur_bytes = 0
+        for f in files:
+            w = f.size + open_cost
+            if cur and cur_bytes + w > split_bytes:
+                out.append(_SplitSlice(files=tuple(cur),
+                                       table_path=self.table_path))
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += w
+        if cur:
+            out.append(_SplitSlice(files=tuple(cur),
+                                   table_path=self.table_path))
+        return out
 
     def _classify(self, version: int):
         adds = []
@@ -252,47 +306,53 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     # ---- executor-side read ----
 
-    def read(self, partition: _FileSlice):
+    def read(self, partition: _SplitSlice):
         """Yield pyarrow RecordBatches (Spark 4.1 Arrow fast path) — the
         data never materializes as Python rows on either side of the
-        socket; DV masks and partition constants are applied columnar."""
+        socket; DV masks and partition constants are applied columnar.
+        A partition is a PACKED split: files stream one at a time, so
+        peak memory is one file, not the split."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        table = pq.read_table(partition.path)
-        if partition.dv:
-            from duckdb_delta_spark.delta.dv import read_dv_from_descriptor
-
-            deleted = read_dv_from_descriptor(
-                json.loads(partition.dv), partition.table_path
-            )
-            keep = np.ones(table.num_rows, dtype=bool)
-            keep[deleted.astype("int64")] = False
-            table = table.filter(keep)
-
         arrow_schema = to_arrow_schema(self.schema)
-        pvals = dict(partition.partition_values)
-        cols = []
-        for f, af in zip(self.schema.fields, arrow_schema):
-            if f.name in pvals:
-                v = _coerce_pv(pvals[f.name], f.dataType)
-                cols.append(
-                    pa.nulls(table.num_rows, af.type)
-                    if v is None
-                    else pa.array([v] * table.num_rows, type=af.type)
+        for fref in partition.files:
+            table = pq.read_table(fref.path)
+            if fref.dv:
+                from duckdb_delta_spark.delta.dv import (
+                    read_dv_from_descriptor,
                 )
-            elif f.name not in table.column_names:
-                # file predates a mergeSchema widening (startingVersion=0
-                # replay / RESTORE re-add) — surface typed NULLs, exactly
-                # like the batch scan's missing-column defaulting
-                cols.append(pa.nulls(table.num_rows, af.type))
-            else:
-                cols.append(table.column(f.name).cast(af.type))
-        out = pa.Table.from_arrays(cols, schema=arrow_schema)
-        yield from out.to_batches()
+
+                deleted = read_dv_from_descriptor(
+                    json.loads(fref.dv), partition.table_path
+                )
+                keep = np.ones(table.num_rows, dtype=bool)
+                keep[deleted.astype("int64")] = False
+                table = table.filter(keep)
+
+            pvals = dict(fref.partition_values)
+            cols = []
+            for f, af in zip(self.schema.fields, arrow_schema):
+                if f.name in pvals:
+                    v = _coerce_pv(pvals[f.name], f.dataType)
+                    cols.append(
+                        pa.nulls(table.num_rows, af.type)
+                        if v is None
+                        else pa.array([v] * table.num_rows, type=af.type)
+                    )
+                elif f.name not in table.column_names:
+                    # file predates a mergeSchema widening
+                    # (startingVersion=0 replay / RESTORE re-add) —
+                    # surface typed NULLs, exactly like the batch scan's
+                    # missing-column defaulting
+                    cols.append(pa.nulls(table.num_rows, af.type))
+                else:
+                    cols.append(table.column(f.name).cast(af.type))
+            out = pa.Table.from_arrays(cols, schema=arrow_schema)
+            yield from out.to_batches()
 
 
 def _coerce_pv(v, dtype):
@@ -337,6 +397,11 @@ class _WrittenFiles(WriterCommitMessage):
     PARTITION VALUE it sees."""
 
     files: tuple = ()
+    #: task wall-clock (ms) spent in write(): Arrow consume + parquet
+    #: encode + footer stats. Summed into commitInfo.operationMetrics so
+    #: every micro-batch carries its own cost breakdown in the log.
+    write_ms: int = 0
+    rows: int = 0
 
 
 #: driver-side snapshot cache for streaming sinks, keyed by table path —
@@ -418,6 +483,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 )
 
     def write(self, iterator) -> _WrittenFiles:
+        import time as _time
         import uuid
 
         import pyarrow as pa
@@ -426,6 +492,8 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        _t0 = _time.time()
+        _rows = 0
         arrow_schema = to_arrow_schema(self.schema)
         parts = self.partition_columns
         # hive layout: partition columns live in the PATH + log, not the file
@@ -461,6 +529,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            _rows += batch.num_rows
             tbl = pa.Table.from_batches([batch])
             if tbl.schema != arrow_schema:
                 tbl = tbl.cast(arrow_schema)
@@ -503,7 +572,11 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 rel_path=rel, size=os.path.getsize(full),
                 partition_values=pv, stats=stats,
             ))
-        return _WrittenFiles(files=tuple(out))
+        return _WrittenFiles(
+            files=tuple(out),
+            write_ms=int((_time.time() - _t0) * 1000),
+            rows=_rows,
+        )
 
     def commit(self, messages, batchId: int) -> None:
         """Per-batch exactly-once commit. Wall-clock profile (structured
@@ -542,10 +615,11 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     pass
             _SINK_SNAP_CACHE[self.table_path] = snap
             return
+        t_snapshot_ms = int((time.time() - _t0) * 1000)
         now_ms = int(time.time() * 1000)
+        info = _commit_info("STREAMING UPDATE", {"epochId": str(batchId)})
         actions = [
-            {"commitInfo": _commit_info(
-                "STREAMING UPDATE", {"epochId": str(batchId)})},
+            {"commitInfo": info},
             {"txn": {"appId": self.app_id, "version": int(batchId),
                      "lastUpdated": now_ms}},
         ]
@@ -573,6 +647,28 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 "dataChange": True,
                 "stats": getattr(m, "stats", None) or fallback.get(m.rel_path),
             }})
+        # per-batch cost breakdown IN the commit itself (delta-spark's
+        # operationMetrics surface): executor write wall-time arrives in
+        # the task messages, the driver-side phases are measured here —
+        # so every micro-batch of a production stream is auditable from
+        # the log alone (no profiler attach), and tests bound the
+        # per-batch commit cost against it
+        prepare_ms = int((time.time() - _t0) * 1000) - t_snapshot_ms
+        info["operationMetrics"] = {
+            "numFiles": str(len(files)),
+            "numOutputRows": str(sum(
+                getattr(m, "rows", 0) for m in messages if m is not None)),
+            "numOutputBytes": str(sum(f.size for f in files)),
+            "executorWriteTimeMs": str(sum(
+                getattr(m, "write_ms", 0) for m in messages
+                if m is not None)),
+            "snapshotRefreshTimeMs": str(t_snapshot_ms),
+            # action build + stats fallback; the put-if-absent itself is
+            # a single local JSON write and cannot time itself from
+            # inside its own commitInfo
+            "commitPrepareTimeMs": str(prepare_ms),
+            "numStatsFallback": str(len(missing)),
+        }
         log.commit(snap.version + 1, actions)
         _SINK_SNAP_CACHE[self.table_path] = snap
         from duckdb_delta_spark.delta.logging import emit
@@ -584,6 +680,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             batch_id=int(batchId),
             n_files=len(files),
             n_stats_fallback=len(missing),
+            snapshot_ms=t_snapshot_ms,
             duration_ms=int((time.time() - _t0) * 1000),
         )
 
