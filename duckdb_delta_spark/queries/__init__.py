@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Q]:
         pipeline,
         streaming_suite,
         tpcds_shapes,
+        tpcds_shapes2,
         tpch,
     )
 
