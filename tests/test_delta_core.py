@@ -264,6 +264,198 @@ def test_commit_conflict_and_retry_fake_store(spark, tdir):
     assert DeltaTable(tdir).to_df(spark).count() == 10
 
 
+def test_object_store_conditional_put_semantics(tdir):
+    """The S3-model store: first conditional PUT wins and returns an
+    ETag, second gets 412; unconditional PUT overwrites; the injected
+    before_put hook models a faster concurrent writer INSIDE the atomic
+    window and the conditional check still detects its object."""
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        ObjectStoreLogStore,
+        PreconditionFailedError,
+    )
+
+    os.makedirs(tdir, exist_ok=True)
+    key = os.path.join(tdir, "00000000000000000007.json")
+    store = FilesystemObjectStore()
+    etag = store.put(key, b"a", if_none_match=True)
+    assert store.head(key) == etag and store.get(key) == b"a"
+    with pytest.raises(PreconditionFailedError):
+        store.put(key, b"b", if_none_match=True)
+    assert store.get(key) == b"a"  # loser never corrupts the object
+    assert store.conflicts == 1
+    # unconditional overwrite changes the etag
+    assert store.put(key, b"c") != etag
+
+    # race hook: a competing writer lands first inside the window
+    key2 = os.path.join(tdir, "00000000000000000008.json")
+    racer = FilesystemObjectStore()
+    store.before_put = lambda k, d: racer.put(k, b"winner")
+    with pytest.raises(PreconditionFailedError):
+        store.put(key2, b"loser", if_none_match=True)
+    assert store.get(key2) == b"winner"
+    # the hook is one-shot: a later PUT of a fresh key succeeds
+    key3 = os.path.join(tdir, "00000000000000000009.json")
+    store.put(key3, b"ok", if_none_match=True)
+
+    # the LogStore adapter maps 412 → FileExistsError (the commit paths'
+    # conflict signal)
+    ls = ObjectStoreLogStore(store)
+    with pytest.raises(FileExistsError):
+        ls.put_if_absent(key, b"x")
+
+
+def test_commit_conflict_and_retry_object_store(spark, tdir):
+    """The full conflict/retry flow against the object-store LogStore
+    with the race injected INSIDE the conditional-PUT window: the loser
+    writer's first commit PUT collides with a concurrent commit that
+    lands mid-flight, maps to CommitConflictError, and the retry
+    revalidates + wins the next version."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        ObjectStoreLogStore,
+    )
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+
+    client = FilesystemObjectStore()
+    store = ObjectStoreLogStore(client)
+
+    # inject: when the writer tries to PUT v2, a concurrent commit for
+    # the SAME version lands first through a different client
+    def land_race(key, data):
+        FilesystemObjectStore().put(
+            key,
+            b'{"commitInfo":{"timestamp":0,"operation":"RACE"}}\n',
+        )
+
+    client.before_put = land_race
+    v = DeltaWriter(tdir, spark, store=store).append(
+        _ids(spark, 5, lo=5), max_retries=2)
+    assert v == 3  # lost v2 to the injected racer, won v3 on retry
+    assert client.conflicts == 1 and client.puts == 2
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+    # the racer's v2 is intact (the loser never overwrote it)
+    ops = [a["commitInfo"]["operation"]
+           for a in DeltaLog(tdir).read_commit(2) if "commitInfo" in a]
+    assert ops == ["RACE"]
+
+    # without retries the same injected race surfaces as the domain error
+    client2 = FilesystemObjectStore()
+    client2.before_put = land_race
+    with pytest.raises(errors.CommitConflictError):
+        DeltaWriter(tdir, spark, store=ObjectStoreLogStore(client2)).append(
+            _ids(spark, 5, lo=10), max_retries=0)
+    # no orphan data files from the failed append
+    n_disk = sum(1 for _, _, fs in os.walk(tdir)
+                 for f in fs if f.endswith(".parquet"))
+    assert n_disk == len(DeltaTable(tdir).snapshot.files)
+
+
+def test_delete_dv_conflict_object_store(spark, tdir):
+    """DELETE's DV build + commit under the object-store LogStore: a
+    benign injected race is retried to success; a hostile race touching
+    the same file's DV aborts and cleans the orphaned DV files."""
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        ObjectStoreLogStore,
+    )
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 30).coalesce(1))
+
+    # (a) benign race injected in the PUT window: retry wins
+    client = FilesystemObjectStore()
+    client.before_put = lambda k, d: FilesystemObjectStore().put(
+        k, b'{"commitInfo":{"timestamp":0,"operation":"RACE"}}\n')
+    loser = DeltaWriter(tdir, spark, store=ObjectStoreLogStore(client))
+    v, n = loser.delete("i < 5")
+    assert (v, n) == (3, 5)
+    assert client.conflicts == 1
+    assert DeltaTable(tdir).to_df(spark).count() == 25
+
+    # (b) hostile race: a concurrent DELETE rewrote the touched file's
+    # DV before our commit → abort + DV .bin cleanup
+    loser = DeltaWriter(tdir, spark, store=ObjectStoreLogStore(
+        FilesystemObjectStore()))  # pins v3
+    DeltaWriter(tdir, spark).delete("i >= 25")  # v4 changes the DV
+    n_bins_before = sum(
+        1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".bin"))
+    with pytest.raises(errors.CommitConflictError):
+        loser.delete("i < 10")
+    n_bins_after = sum(
+        1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".bin"))
+    assert n_bins_after == n_bins_before, "orphaned DV files left behind"
+    assert DeltaTable(tdir).to_df(spark).count() == 20
+
+
+def test_concurrent_writers_stress(spark, tdir):
+    """Two REAL writers racing 50+ commits through one shared
+    conditional-put store (threads; the LogStore mutex is the bucket's
+    server-side atomicity): every commit lands exactly once, history is
+    linearizable (contiguous versions, one winner each), no appended row
+    is lost, and DELETE mid-stream stays consistent."""
+    import threading
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        ObjectStoreLogStore,
+    )
+
+    DeltaWriter.create(spark, tdir, SCHEMA)
+    client = FilesystemObjectStore()  # ONE bucket, shared by both writers
+
+    n_appends = 26  # per writer
+    rows_per = 5
+    committed: dict[str, list[int]] = {"a": [], "b": []}
+    errors_seen: list[Exception] = []
+
+    def run(tag: str, offset: int):
+        try:
+            w = DeltaWriter(tdir, spark, store=ObjectStoreLogStore(client))
+            for k in range(n_appends):
+                lo = offset + k * rows_per
+                v = w.append(
+                    _ids(spark, rows_per, lo=lo).coalesce(1),
+                    max_retries=30,
+                )
+                committed[tag].append(v)
+        except Exception as exc:  # noqa: BLE001 - surfaced below
+            errors_seen.append(exc)
+
+    t1 = threading.Thread(target=run, args=("a", 0))
+    t2 = threading.Thread(target=run, args=("b", 100000))
+    t1.start(); t2.start()
+    t1.join(120); t2.join(120)
+    assert not errors_seen, errors_seen
+
+    # linearizable history: contiguous versions, each won exactly once
+    versions = committed["a"] + committed["b"]
+    assert len(versions) == 2 * n_appends
+    assert sorted(versions) == list(range(1, 2 * n_appends + 1))
+    # per-writer monotonicity
+    assert committed["a"] == sorted(committed["a"])
+    assert committed["b"] == sorted(committed["b"])
+    # no lost adds: every appended row present exactly once
+    t = DeltaTable(tdir)
+    assert t.version == 2 * n_appends
+    got = [r["i"] for r in t.to_df(spark).collect()]
+    expect = sorted(
+        list(range(0, n_appends * rows_per))
+        + list(range(100000, 100000 + n_appends * rows_per)))
+    assert sorted(got) == expect
+    # a DELETE through the same store stays consistent afterwards
+    v, n = DeltaWriter(
+        tdir, spark, store=ObjectStoreLogStore(client)).delete("i < 10")
+    assert n == 10 and v == 2 * n_appends + 1
+    assert DeltaTable(tdir).to_df(spark).count() == len(expect) - 10
+    # log replay agrees end-to-end (no torn commit files)
+    assert DeltaLog(tdir).latest_version() == v
+
+
 def test_retry_revalidates_concurrent_schema_change(spark, tdir):
     """A mergeSchema append retried after losing a race to ANOTHER
     mergeSchema append must not clobber the winner's column: the retried
