@@ -532,10 +532,18 @@ class DeltaScanBuilder:
             phys = self._phys_name_map()
             if phys:
                 # stats/partitionValues are keyed by physical names on
-                # mapped tables; translate the top-level path segment
+                # mapped tables — at EVERY nesting level, so a dotted
+                # predicate path must translate each segment (stats for
+                # logical info.score live under physInfo.physScore)
+                from duckdb_delta_spark.delta.mapping import physical_path_map
+
+                paths = physical_path_map(self.snapshot.schema)
+
                 def xlate(p: Pred) -> Pred:
-                    head, _, rest = p.column.partition(".")
-                    col = phys.get(head, head) + ("." + rest if rest else "")
+                    col = paths.get(p.column)
+                    if col is None:
+                        head, _, rest = p.column.partition(".")
+                        col = phys.get(head, head) + ("." + rest if rest else "")
                     q = Pred(col, p.op, p.value)
                     return q
 
@@ -653,20 +661,30 @@ class DeltaScanBuilder:
             df = spark.createDataFrame([], out_schema)
             return df.select(*self._projection) if self._projection else df
 
+        from duckdb_delta_spark.delta.mapping import nullable_type, physical_type
+
         if mode == "id":
             # id mode resolves physical columns by parquet.field.id from
             # the file footers (reference: delta_utils.hpp:300-311) —
-            # Spark-first: put the ids on the read schema and let the
-            # parquet reader match by id, whatever the file names say
+            # Spark-first: put the ids on the read schema (at EVERY
+            # nesting level — physical_type carries nested field ids) and
+            # let the parquet reader match by id, whatever the file says
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             phys_schema = T.StructType(
                 [
                     T.StructField(
-                        phys, t, True,
+                        phys, physical_type(t), True,
                         {"parquet.field.id": int(fid)} if fid is not None else {},
                     )
                     for _, phys, t, fid in fields
                 ]
+            )
+        elif mode == "name":
+            # nested struct fields are ALSO renamed under column mapping —
+            # the read schema must use physical names all the way down or
+            # name-matching returns nulls for every nested field
+            phys_schema = T.StructType(
+                [T.StructField(phys, physical_type(t)) for _, phys, t, _ in fields]
             )
         else:
             phys_schema = T.StructType(
@@ -676,7 +694,15 @@ class DeltaScanBuilder:
         reader = spark.read.schema(phys_schema)
         df = reader.parquet(*paths)
 
-        sel = [F.col(phys).alias(logical) for logical, phys, _, _ in fields]
+        sel = []
+        for logical, phys, t, _ in fields:
+            col = F.col(phys)
+            if mode in ("name", "id") and physical_type(t) != t:
+                # physical→logical rename of NESTED fields: Catalyst
+                # struct casts are positional, so a cast to the logical
+                # shape IS the rename, executed codegen-side (no UDF)
+                col = col.cast(nullable_type(t))
+            sel.append(col.alias(logical))
         if need_file_col:
             sel.append(F.col("_metadata.file_path").alias(FILE_COL))
         if has_dv or self._virtual:

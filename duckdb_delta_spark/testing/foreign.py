@@ -802,3 +802,143 @@ def build_foreign_all_types(dest: str) -> None:
             "stats": json.dumps(stats, separators=(",", ":")),
         }})
     write_commit(log_dir, 1, actions)
+
+
+def build_foreign_nested_cm_dv(dest: str) -> None:
+    """DAT ``nested_types``/``with_schema_change`` analogue with the three
+    features foreign engines combine in practice — struct/array/map
+    columns, **id-mode column mapping at every nesting level**, and a
+    spec-byte deletion vector — in ONE table, because self-consistent
+    deviations hide exactly in the interaction (a reader can pass each
+    feature alone and still null out every nested field here).
+
+    Layout, per delta-spark:
+
+    * logical schema ``id long, info struct<name string, score double>,
+      tags array<string>, attrs map<string, long>`` where ``id``,
+      ``info``, ``info.name`` and ``info.score`` each carry
+      ``delta.columnMapping.id``/``physicalName`` (nested fields are
+      mapped INDEPENDENTLY of their parent, PROTOCOL.md "Column Mapping")
+    * parquet files named/typed by PHYSICAL names with
+      ``PARQUET:field_id`` on every level — id-mode readers must match by
+      id even where names disagree
+    * stats JSON keyed by physical names AT EVERY LEVEL
+      (``minValues: {physInfo: {physScore: …}}``)
+    * file 2 carries a storageType-``u`` DV (independent spec encoder)
+      deleting its ``id % 3 == 0`` rows
+
+    Expected content: ids 0..23 minus {12, 15, 18, 21};
+    ``info.name = 'n<id>'``, ``info.score = id * 1.5``,
+    ``tags = ['t', 't<id%3>']``, ``attrs = {'a': id, 'b': 2*id}``.
+    """
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    def phys(tag: str) -> str:
+        return "col-" + str(uuid.uuid5(uuid.NAMESPACE_URL, f"ncd-{tag}"))
+
+    p_id, p_info, p_name, p_score, p_tags, p_attrs = (
+        phys("id"), phys("info"), phys("name"), phys("score"),
+        phys("tags"), phys("attrs"),
+    )
+
+    def mfield(name: str, typ, fid: int, physical: str) -> dict:
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {"delta.columnMapping.id": fid,
+                         "delta.columnMapping.physicalName": physical},
+        }
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            mfield("id", "long", 1, p_id),
+            mfield("info", {
+                "type": "struct",
+                "fields": [mfield("name", "string", 3, p_name),
+                           mfield("score", "double", 4, p_score)],
+            }, 2, p_info),
+            mfield("tags", {"type": "array", "elementType": "string",
+                            "containsNull": True}, 5, p_tags),
+            mfield("attrs", {"type": "map", "keyType": "string",
+                             "valueType": "long",
+                             "valueContainsNull": True}, 6, p_attrs),
+        ],
+    }, separators=(",", ":"))
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "foreign_nested_cm_dv")),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "6",
+            },
+            "createdTime": 1_700_000_000_000,
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+            "writerFeatures": ["columnMapping", "deletionVectors"],
+        }
+    }
+    write_commit(log_dir, 0, [commit_info("CREATE TABLE"), proto, meta])
+
+    arrow_schema = pa.schema([
+        pa.field(p_id, pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field(
+            p_info,
+            pa.struct([
+                pa.field(p_name, pa.string(),
+                         metadata={b"PARQUET:field_id": b"3"}),
+                pa.field(p_score, pa.float64(),
+                         metadata={b"PARQUET:field_id": b"4"}),
+            ]),
+            metadata={b"PARQUET:field_id": b"2"},
+        ),
+        pa.field(p_tags, pa.list_(pa.string()),
+                 metadata={b"PARQUET:field_id": b"5"}),
+        pa.field(p_attrs, pa.map_(pa.string(), pa.int64()),
+                 metadata={b"PARQUET:field_id": b"6"}),
+    ])
+
+    def file_table(ids: list[int]) -> pa.Table:
+        return pa.Table.from_pydict({
+            p_id: ids,
+            p_info: [{p_name: f"n{i}", p_score: i * 1.5} for i in ids],
+            p_tags: [["t", f"t{i % 3}"] for i in ids],
+            p_attrs: [[("a", i), ("b", 2 * i)] for i in ids],
+        }, schema=arrow_schema)
+
+    def nested_stats(ids: list[int]) -> str:
+        return json.dumps({
+            "numRecords": len(ids),
+            "minValues": {p_id: min(ids),
+                          p_info: {p_name: f"n{min(ids)}",
+                                   p_score: min(ids) * 1.5}},
+            "maxValues": {p_id: max(ids),
+                          p_info: {p_name: f"n{max(ids)}",
+                                   p_score: max(ids) * 1.5}},
+            "nullCount": {p_id: 0, p_info: {p_name: 0, p_score: 0}},
+        }, separators=(",", ":"))
+
+    adds = []
+    for idx, ids in enumerate([list(range(12)), list(range(12, 24))]):
+        rel = part_file_name(idx)
+        pq.write_table(file_table(ids), os.path.join(dest, rel))
+        adds.append({
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(dest, rel)),
+            "modificationTime": 1_700_000_000_000, "dataChange": True,
+            "stats": nested_stats(ids),
+        })
+    # DV on file 2: delete id % 3 == 0 → row indexes 0, 3, 6, 9
+    (desc,) = write_dv_file(
+        dest, [dv_payload([roaring32_array([0, 3, 6, 9])])])
+    desc["cardinality"] = 4
+    adds[1]["deletionVector"] = desc
+    write_commit(log_dir, 1,
+                 [commit_info("WRITE"), *({"add": a} for a in adds)])

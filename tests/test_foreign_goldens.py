@@ -565,3 +565,69 @@ def test_dv_corruption_fails_loud(tmp_path):
         read_dv_from_descriptor(
             {"storageType": "i", "pathOrInlineDv": foreign.z85(b"\x01\x02"),
              "sizeInBytes": 2, "cardinality": 1}, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# nested types × id-mode column mapping × deletion vector — the feature
+# INTERACTION golden (DAT nested_types analogue; reference
+# test/sql/dat/all.test:14-27 and generated column_mapping tests)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def foreign_nested(tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("foreign_nested") / "t")
+    foreign.build_foreign_nested_cm_dv(dest)
+    return dest
+
+
+def _nested_expected_ids():
+    return [i for i in range(24) if not (i >= 12 and i % 3 == 0)]
+
+
+def test_foreign_nested_cm_dv_typed_read(spark, foreign_nested):
+    """Struct/array/map columns whose nested fields are physically
+    renamed (id-mode mapping) AND a DV on one file: the read must match
+    by parquet field id at every level, cast the physical struct back to
+    logical names, and drop the DV'd rows."""
+    df = DeltaTable(foreign_nested).to_df(spark)
+    # logical names at every level
+    assert set(df.columns) == {"id", "info", "tags", "attrs"}
+    info_t = df.schema["info"].dataType
+    assert [f.name for f in info_t.fields] == ["name", "score"]
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == _nested_expected_ids()
+    for r in rows:
+        i = r["id"]
+        assert r["info"]["name"] == f"n{i}"
+        assert r["info"]["score"] == i * 1.5
+        assert r["tags"] == ["t", f"t{i % 3}"]
+        assert r["attrs"] == {"a": i, "b": 2 * i}
+
+
+def test_foreign_nested_cm_dv_stats_skipping(spark, foreign_nested):
+    """Stats on the mapped table are keyed by PHYSICAL names at every
+    nesting level — a logical nested predicate (info.score) must
+    translate each dotted segment to engage file skipping, and the
+    surviving file still applies its DV."""
+    t = DeltaTable(foreign_nested)
+    sb = t.scan(spark).filter("info.score", ">", 20.0)
+    got = sorted(r["id"] for r in sb.to_df().collect())
+    rep = sb.skip_report()
+    assert rep["files_total"] == 2 and rep["files_skipped_by_stats"] == 1, rep
+    # score > 20 → id > 13.33 → ids 14.. minus DV'd {15, 18, 21}
+    assert got == [i for i in range(14, 24) if i % 3 != 0]
+
+
+def test_foreign_nested_cm_dv_projection_prunes(spark, foreign_nested):
+    """Projecting one nested-mapped column still reads correctly (the
+    physical read schema is narrowed before the logical cast)."""
+    df = (
+        DeltaTable(foreign_nested)
+        .scan(spark)
+        .select("info")
+        .to_df()
+    )
+    assert df.columns == ["info"]
+    names = sorted(r["info"]["name"] for r in df.collect())
+    assert names == sorted(f"n{i}" for i in _nested_expected_ids())
