@@ -47,6 +47,8 @@ SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",  # DML writes _change_data + cdc actions (writer._write_cdc)
     "inCommitTimestamp",  # monotonic commitInfo.inCommitTimestamp (writer._commit)
     "v2Checkpoint",  # sidecar checkpoints written by writer._checkpoint_v2
+    "variantType",  # declared by create() when the schema has a variant column
+    "variantType-preview",
 }
 
 SUPPORTED_READER_FEATURES = {
@@ -60,6 +62,12 @@ SUPPORTED_READER_FEATURES = {
     "domainMetadata",
     "appendOnly",
     "invariants",
+    # Spark-4 VariantType end-to-end (parse_json write / variant_get read).
+    # variantShredding is deliberately ABSENT: a shredded writer stores
+    # typed_value subcolumns this reader does not reassemble, so such
+    # tables must refuse loudly (UnsupportedFeatureError), not misread.
+    "variantType",
+    "variantType-preview",
 }
 
 

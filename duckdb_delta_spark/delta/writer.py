@@ -92,6 +92,19 @@ def _legacy_features(proto: dict) -> tuple[set[str], set[str]]:
     return r, w
 
 
+def _contains_variant(dt: T.DataType) -> bool:
+    """True when a VariantType appears anywhere in the (nested) type."""
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_variant(dt.keyType) or _contains_variant(dt.valueType)
+    return False
+
+
 def _json_stat_value(v):
     if isinstance(v, bytes):
         return None  # binary: no stats (reference skips blobs too)
@@ -176,17 +189,30 @@ class DeltaWriter:
             proto = {"minReaderVersion": 1, "minWriterVersion": 4}
         if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
             proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        if _contains_variant(schema):
+            # variant is a v3/v7 table feature (Delta spec "Variant Data
+            # Type"): a table with a variant column must LIST variantType
+            # in both feature sets or spec-compliant engines reject it
+            r_implied, w_implied = _legacy_features(proto)
+            proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(r_implied | {"variantType"}),
+                "writerFeatures": sorted(w_implied | {"variantType"}),
+            }
         if (configuration or {}).get(
             "delta.enableInCommitTimestamps", ""
         ).lower() == "true":
             # inCommitTimestamp is a v7 table feature: list it alongside
             # the features the legacy writer version implied
-            implied = _legacy_features(proto)[1]
+            r_implied, w_implied = _legacy_features(proto)
             proto = {
                 "minReaderVersion": proto["minReaderVersion"],
                 "minWriterVersion": 7,
-                "writerFeatures": sorted(implied | {"inCommitTimestamp"}),
+                "writerFeatures": sorted(w_implied | {"inCommitTimestamp"}),
             }
+            if proto["minReaderVersion"] >= 3:
+                proto["readerFeatures"] = sorted(r_implied)
         actions = [
             {"commitInfo": _commit_info("CREATE TABLE")},
             {"protocol": proto},

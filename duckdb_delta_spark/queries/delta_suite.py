@@ -242,6 +242,41 @@ def delta_variant_scan(spark, sf_dir):
     )
 
 
+# variant_get over NESTED paths (object member, array index, typed leaf)
+# with a typed schema_of_variant_agg assertion — the pushdown-shaped read
+# the reference gets from its legacy-variant decoding (delta_utils.cpp:
+# 707-716); the oracle recomputes from the raw columns the fixture
+# serialized into the variant, so no oracle-side variant support is needed
+@register(
+    "delta_variant_deep_get",
+    oracle="""
+    SELECT event_type AS t,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_val,
+           CAST(max(user_id) AS BIGINT) AS max_u,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    group="delta",
+)
+def delta_variant_deep_get(spark, sf_dir):
+    df = _fx(spark, sf_dir, "events_var_deep").to_df(spark)
+    # typed shape check: the variant really holds the nested object/array
+    # structure, not a stringified blob
+    shape = df.select(F.schema_of_variant_agg("v").alias("s")).first()["s"]
+    for token in ("OBJECT", "meta", "ids", "ARRAY"):
+        assert token in shape, (token, shape)
+    return df.groupBy(
+        F.variant_get("v", "$.meta.type", "string").alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.variant_get("v", "$.meta.val", "double")).alias("sum_val"),
+        F.max(F.variant_get("v", "$.ids[0]", "long")).alias("max_u"),
+        F.sum(F.variant_get("v", "$.k", "long")).alias("sum_k"),
+    )
+
+
 # domainMetadata reconciliation: latest non-removed entry per domain
 # (reference: delta_domain_metadata.cpp:20-77)
 @register(

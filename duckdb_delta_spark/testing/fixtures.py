@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 18  # bump to force a rebuild
+LAYOUT_VERSION = 19  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -76,6 +76,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_part_cm(spark, sf_dir, os.path.join(root, "part_cm"))
     _build_part_cm_id(spark, sf_dir, os.path.join(root, "part_cm_id"))
     _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
+    _build_events_var_deep(spark, sf_dir, os.path.join(root, "events_var_deep"))
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
     _build_lineitem_compacted(spark, sf_dir, os.path.join(root, "lineitem_compacted"))
@@ -424,6 +425,42 @@ def _build_events_var(spark, sf_dir, path):
         {"domainMetadata": {"domain": "engine.tmp", "configuration": "{}",
                             "removed": True}},
     ])
+
+
+def _build_events_var_deep(spark, sf_dir, path):
+    """Variant with NESTED structure (objects, arrays, scalars under one
+    variant column) so variant_get path extraction beyond a flat key is
+    oracle-checked: v = {"meta": {"type": ..., "val": ...},
+    "ids": [user_id, event_id], "k": <props.k>} built from events columns
+    (the raw parquet keeps those columns, so DuckDB can compute the same
+    result without any variant support)."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.queries import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("event_type").alias("type"),
+                        F.col("value").alias("val"),
+                    ).alias("meta"),
+                    F.array("user_id", "event_id").alias("ids"),
+                    F.get_json_object("props", "$.k").cast("long").alias("k"),
+                )
+            )
+        ).alias("v"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("v", T.VariantType()),
+        ]
+    )
+    w = DeltaWriter.create(spark, path, schema)
+    w.append(ev.repartition(2))
 
 
 def _parquet_rows(path: str) -> int:

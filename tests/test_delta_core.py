@@ -2384,3 +2384,44 @@ def test_compact_zorder_prunes_both_dimensions(spark, tdir):
     # guardrails
     with pytest.raises(ValueError, match="either sort_by or zorder_by"):
         DeltaWriter(tdir, spark).compact(sort_by=["a"], zorder_by=["b"])
+
+
+def test_variant_protocol_declared_and_shredded_refused(spark, tdir):
+    """A variant schema must surface as the variantType (3,7) table
+    feature on create — foreign spec-compliant engines reject the table
+    otherwise — and a table whose writer SHREDDED the variant
+    (variantShredding reader feature: typed_value subcolumns this reader
+    does not reassemble) must refuse loudly instead of misreading."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("v", T.VariantType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "variantType" in (proto.get("readerFeatures") or [])
+    assert "variantType" in (proto.get("writerFeatures") or [])
+
+    # roundtrip still works end-to-end under the declared feature
+    df = spark.sql("SELECT 1L AS i, parse_json('{\"a\": {\"b\": 7}}') AS v")
+    w.append(df.coalesce(1))
+    got = (
+        DeltaTable(tdir)
+        .to_df(spark)
+        .select(F.variant_get("v", "$.a.b", "long").alias("ab"))
+        .collect()
+    )
+    assert [r["ab"] for r in got] == [7]
+
+    # shredded table: refuse with the feature named, never a silent misread
+    v = DeltaLog(tdir).latest_version() + 1
+    DeltaLog(tdir).commit(v, [
+        {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType", "variantShredding"],
+                      "writerFeatures": ["variantType", "variantShredding"]}},
+    ])
+    with pytest.raises(errors.UnsupportedFeatureError, match="variantShredding"):
+        DeltaTable(tdir).to_df(spark)
