@@ -104,6 +104,7 @@ def all_queries() -> dict[str, Q]:
         streaming_suite,
         tpcds_shapes,
         tpcds_shapes2,
+        tpcds_shapes3,
         tpch,
     )
 
