@@ -44,20 +44,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(toks: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-word shingles (space-joined) from a *materialized* token
-    array column.
+    """Distinct n-word shingles (space-joined) from a token array column.
 
-    Takes the token array, not the raw text: lambda bodies inside
-    higher-order functions re-evaluate their expression tree per element,
-    so deriving tokens in here would re-run the regexp split O(tokens)
-    times per document (measured 10× slowdown at sf0.1)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        ),
-    )
+    Built as ``zip_with`` over ``n`` aligned ``slice``s of the array, NOT
+    as ``transform(sequence(...), i -> element_at(toks, i+k))``: lambda
+    bodies re-evaluate captured expression trees per element, and
+    Catalyst freely inlines the token derivation into consumers (e.g.
+    ``InferFiltersFromGenerate`` clones the whole shingle expression into
+    a pre-explode filter), turning the element_at form into O(tokens²)
+    regexp splits per document (measured ~10× slowdown at sf0.1). The
+    zip_with form only references ``toks`` once per slice — O(tokens)
+    per row no matter how the optimizer inlines it."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.slice(toks, 1, length)
+    for k in range(1, n):
+        part = F.slice(toks, 1 + k, length)
+        sh = F.zip_with(sh, part, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(sh)
 
 
@@ -311,6 +313,84 @@ def embedding_cosine_pairs(
             F.round("cos", 4).alias("cos"),
             "lang_a",
             "lang_b",
+        )
+    )
+
+
+def cross_contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    min_overlap: int = 3,
+    max_eval_gram_df: int | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥ ``min_overlap``
+    distinct word n-grams with an eval/benchmark doc (the n-gram-overlap
+    check training pipelines run before release — GPT-3 appendix C /
+    PaLM-style 8-gram collision scans use exactly this shape).
+
+    Scale shape: the EVAL side is small (benchmarks are thousands of
+    docs, the corpus is billions), so its exploded gram table is
+    broadcast — the 100-TB train side streams through a map-side hash
+    join with NO shuffle of train grams, then one shuffle on
+    (train_id, eval_id) for the overlap count. ``max_eval_gram_df``
+    optionally drops grams appearing in more than that many eval docs
+    (boilerplate/stop-grams): it removes exactly the join keys whose
+    fan-out would skew the probe at scale, and tightens precision the
+    way published decontamination filters do.
+
+    Grams are carried as 60-bit md5-prefix ints (same encoding as
+    :func:`ngram_jaccard_pairs`) so an independent SQL oracle reproduces
+    them exactly. Returns
+    ``train_id, eval_id, n_common, eval_overlap`` where ``eval_overlap``
+    is the contaminated fraction of the eval doc's distinct grams.
+    """
+    gh = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("_t"))
+            .select(out_id, word_shingles(F.col("_t"), n).alias("_sh"))
+            .select(out_id, F.transform("_sh", gh).alias("hs"))
+        )
+
+    ev = gram_hashes(eval_df, "eval_id").select(
+        "eval_id", F.size("hs").alias("n_eval"), F.explode("hs").alias("h")
+    )
+    if max_eval_gram_df is not None:
+        keep = (
+            ev.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_eval_gram_df)
+            .select("h")
+        )
+        ev = ev.join(keep, "h")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+
+    tr = gram_hashes(train, "train_id").select(
+        "train_id", F.explode("hs").alias("h")
+    )
+    # per-doc gram hash arrays are distinct (word_shingles dedups), so the
+    # plain join-row count IS the distinct-gram overlap
+    return (
+        tr.join(ev, "h")
+        .groupBy("train_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_eval").alias("_n_eval"),
+        )
+        .where(F.col("n_common") >= min_overlap)
+        .select(
+            F.col("train_id").cast("long"),
+            F.col("eval_id").cast("long"),
+            F.col("n_common").cast("long"),
+            F.round(
+                F.col("n_common") / F.col("_n_eval").cast("double"), 4
+            ).alias("eval_overlap"),
         )
     )
 

@@ -242,6 +242,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
+# benchmark decontamination: every 50th doc stands in for the eval set;
+# the oracle is the brute-force all-pairs list_intersect formulation,
+# independent of the Spark side's broadcast + explode-join plan
+@register(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sets AS (SELECT doc_id,
+                    list_sort(list_distinct(list_transform({_SHINGLES},
+                      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
+             FROM toks),
+    tr AS (SELECT doc_id, hs FROM sets WHERE doc_id % 50 <> 0),
+    ev AS (SELECT doc_id, hs, len(hs) AS n_eval FROM sets
+           WHERE doc_id % 50 = 0),
+    pairs AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                     len(list_intersect(tr.hs, ev.hs)) AS n_common,
+                     ev.n_eval AS n_eval
+              FROM tr CROSS JOIN ev)
+    SELECT CAST(train_id AS BIGINT) AS train_id,
+           CAST(eval_id AS BIGINT) AS eval_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common / CAST(n_eval AS DOUBLE), 4) AS eval_overlap
+    FROM pairs WHERE n_common >= 3
+    """,
+    group="text",
+)
+def doc_decontaminate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.cross_contamination_pairs(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+    )
+
+
 # ---------------------------------------------------------------- similarity
 
 _DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"

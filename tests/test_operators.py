@@ -235,3 +235,65 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     # exhausting max_iter now fails loud instead of returning partial labels
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, driver_max_edges=0, max_iter=1).collect()
+
+
+def test_cross_contamination_pairs(spark, docs):
+    """Decontamination: a train doc that IS an eval doc (verbatim leak)
+    is flagged with eval_overlap == 1.0; unrelated short docs are not;
+    the stop-gram filter drops grams shared across many eval docs."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.dedup import cross_contamination_pairs
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    boiler = "terms of service apply to all"
+    ev = spark.createDataFrame([
+        (1, f"the quick brown fox jumps over the lazy dog {boiler}"),
+        (2, f"pack my box with five dozen liquor jugs {boiler}"),
+    ], schema)
+    tr = spark.createDataFrame([
+        (10, f"the quick brown fox jumps over the lazy dog {boiler}"),  # leak of 1
+        (11, "completely different words entirely here now"),
+        (12, f"prefix words then {boiler} and a suffix"),  # boilerplate only
+    ], schema)
+
+    out = {(r["train_id"], r["eval_id"]): r
+           for r in cross_contamination_pairs(tr, ev).collect()}
+    assert (10, 1) in out and out[(10, 1)]["eval_overlap"] == 1.0
+    assert not any(t == 11 for t, _ in out)
+
+    # boilerplate grams appear in BOTH eval docs; with the stop-gram
+    # filter at df<=1 they stop linking doc 12 to anything
+    filt = {(r["train_id"], r["eval_id"])
+            for r in cross_contamination_pairs(
+                tr, ev, max_eval_gram_df=1).collect()}
+    assert (10, 1) in filt
+    assert not any(t == 12 for t, _ in filt)
+
+    # unfiltered: the shared boilerplate flags doc 12 against both
+    assert (12, 1) in out and (12, 2) in out
+
+
+def test_word_shingles_zipwith_shape(spark):
+    """Shingle semantics pinned across the zip_with rewrite: ordered
+    n-grams, space-joined, distinct, empty below n tokens."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.dedup import word_shingles
+    from duckdb_delta_spark.operators.text import tokens
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("x y",), ("r r r r",)],
+        T.StructType([T.StructField("text", T.StringType())]),
+    )
+    got = (
+        df.select(tokens(F.col("text")).alias("t"))
+        .select(word_shingles(F.col("t"), 3).alias("s"))
+        .collect()
+    )
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []
+    assert got[2]["s"] == ["r r r"]
