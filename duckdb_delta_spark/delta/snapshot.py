@@ -49,6 +49,7 @@ SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",  # sidecar checkpoints written by writer._checkpoint_v2
     "variantType",  # declared by create() when the schema has a variant column
     "variantType-preview",
+    "identityColumns",  # value allocation + HWM tracking in writer.append
 }
 
 SUPPORTED_READER_FEATURES = {

@@ -189,6 +189,17 @@ class DeltaWriter:
             proto = {"minReaderVersion": 1, "minWriterVersion": 4}
         if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
             proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        if _identity_columns(schema):
+            # identity columns are a writer-only concern (legacy v6 /
+            # the identityColumns v7 feature); readers are unaffected
+            r_implied, w_implied = _legacy_features(proto)
+            proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(w_implied | {"identityColumns"}),
+            }
+            if proto["minReaderVersion"] >= 3:
+                proto["readerFeatures"] = sorted(r_implied)
         if _contains_variant(schema):
             # variant is a v3/v7 table feature (Delta spec "Variant Data
             # Type"): a table with a variant column must LIST variantType
@@ -278,21 +289,27 @@ class DeltaWriter:
                 )
                 schema_widened = True
             gen = _generated_exprs(schema)
+            ident_exprs = self._identity_value_exprs(schema, df)
             computed = [f.name for f in schema.fields
                         if f.name not in df.columns and f.name in gen]
             sel = [
                 (
                     F.col(f.name)
                     if f.name in df.columns
-                    else (F.expr(gen[f.name]) if f.name in gen else F.lit(None))
+                    else (
+                        F.expr(gen[f.name])
+                        if f.name in gen
+                        else ident_exprs.get(f.name, F.lit(None))
+                    )
                 ).cast(_nullable_type(f.dataType)).alias(f.name)
                 for f in schema.fields
             ]
         else:
             gen = _generated_exprs(schema)
+            ident_exprs = self._identity_value_exprs(schema, df)
             missing = [f.name for f in schema.fields if f.name not in df.columns]
             computed = [c for c in missing if c in gen]
-            missing = [c for c in missing if c not in gen]
+            missing = [c for c in missing if c not in gen and c not in ident_exprs]
             if missing:
                 raise SchemaError(f"input missing table columns: {missing}")
             # cast to the nullable shape — Spark refuses to cast a nullable
@@ -300,7 +317,11 @@ class DeltaWriter:
             # enforcement is ours (stats-based, post-write) anyway
             sel = [
                 (
-                    F.expr(gen[f.name]) if f.name in computed else F.col(f.name)
+                    F.expr(gen[f.name])
+                    if f.name in computed
+                    else ident_exprs.get(f.name, F.col(f.name))
+                    if f.name not in df.columns
+                    else F.col(f.name)
                 ).cast(_nullable_type(f.dataType)).alias(f.name)
                 for f in schema.fields
             ]
@@ -316,6 +337,7 @@ class DeltaWriter:
         # (reference reads ids from footers: delta_utils.hpp:300-311).
         # Stats / partitionValues below are keyed by these physical names,
         # as the Delta spec requires on mapped tables.
+        logical_schema = schema
         if snapshot.column_mapping_mode != "none":
             schema, parts, df = self._to_physical(df, schema, parts)
 
@@ -330,7 +352,17 @@ class DeltaWriter:
         moved, adds = self._write_data(df, schema, parts)
 
         actions: list[dict] = [{"commitInfo": _commit_info("WRITE", {"mode": "Append"})}]
-        if schema_widened:
+        # identity high-water-mark advance: read the new extremes from the
+        # footer stats already collected for the adds (zero extra data
+        # passes), fold into the schema metadata, and ship the metaData
+        # update in the SAME commit as the rows it covers
+        ident_meta = self._identity_hwm_meta(
+            logical_schema, adds, snapshot, widened=schema_widened,
+            widened_schema=schema if schema_widened else None,
+        )
+        if ident_meta is not None:
+            actions.append({"metaData": ident_meta})
+        elif schema_widened:
             meta = dict(snapshot.metadata)
             meta["schemaString"] = schema.json()
             actions.append({"metaData": meta})
@@ -362,6 +394,20 @@ class DeltaWriter:
                         raise IdempotencyError(
                             f"app {txn_app_id!r}: version advanced during retry"
                         ) from None
+                if ident_exprs:
+                    # a concurrent writer may have allocated the same
+                    # identity range (we both read the same high-water
+                    # mark): retrying would commit duplicate values, so
+                    # any HWM movement is a hard conflict (delta-spark
+                    # treats concurrent identity generation the same way)
+                    old = _identity_columns(snapshot.schema)
+                    new = _identity_columns(fresh.schema)
+                    if any(
+                        new.get(n, {}).get("hwm") != old.get(n, {}).get("hwm")
+                        for n in ident_exprs
+                    ):
+                        self._rollback(moved)
+                        raise
                 try:
                     actions = self._revalidate_after_conflict(
                         snapshot, fresh, actions, df, schema, schema_widened
@@ -465,19 +511,96 @@ class DeltaWriter:
         # delta.enableChangeDataFeed is honored: DELETE/UPDATE/MERGE write
         # _change_data files + cdc actions (_write_cdc); appends need none
         # (readers derive inserts from the add actions, per spec)
-        for f in snap.schema.fields:
-            md = f.metadata or {}
-            # generated columns are SUPPORTED (computed when absent,
-            # enforced when provided — _generated_exprs); identity columns
-            # need monotonic value allocation we don't implement
-            if any(k.startswith("delta.identity.") for k in md):
-                raise UnsupportedFeatureError(
-                    f"write with identity column {f.name!r}"
-                )
+        # generated columns are SUPPORTED (computed when absent, enforced
+        # when provided — _generated_exprs); identity columns allocate
+        # values in append() (_identity_columns) and refuse explicit
+        # inserts there unless allowExplicitInsert
         if removes_rows and conf.get("delta.appendOnly", "").lower() == "true":
             raise UnsupportedFeatureError(
                 f"{operation} on an append-only table (delta.appendOnly)"
             )
+
+    def _identity_value_exprs(self, schema: T.StructType, df) -> dict:
+        """column → generation expression for identity columns ABSENT
+        from the input (Delta spec: Identity Columns). Values are
+        ``base + step * monotonically_increasing_id()`` — unique, strictly
+        beyond the high-water mark in step direction, allocated with NO
+        extra pass over the data (Spark's mid is partition-local counters;
+        like delta-spark's allocator, values are sparse — the spec allows
+        gaps). Explicit inserts refuse unless allowExplicitInsert."""
+        from pyspark.sql import functions as F
+
+        out = {}
+        for name, info in _identity_columns(schema).items():
+            if name in df.columns:
+                if not info["allow"]:
+                    raise UnsupportedFeatureError(
+                        f"explicit insert into identity column {name!r} "
+                        "(delta.identity.allowExplicitInsert is false)"
+                    )
+                continue
+            base = (
+                info["start"]
+                if info["hwm"] is None
+                else info["hwm"] + info["step"]
+            )
+            out[name] = (
+                F.lit(base).cast("long")
+                + F.lit(info["step"]).cast("long")
+                * F.monotonically_increasing_id()
+            )
+        return out
+
+    def _identity_hwm_meta(
+        self,
+        logical_schema: T.StructType,
+        adds: list[dict],
+        snapshot: Snapshot,
+        widened: bool = False,
+        widened_schema: T.StructType | None = None,
+    ) -> dict | None:
+        """metaData action advancing delta.identity.highWaterMark from the
+        adds' footer stats (maxValues for positive step, minValues for
+        negative — stats are keyed by PHYSICAL name on mapped tables), or
+        None when no identity column moved and no widening happened."""
+        ident = _identity_columns(logical_schema)
+        updates: dict[str, int] = {}
+        if ident:
+            phys_of = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in logical_schema.fields
+            }
+            for name, info in ident.items():
+                key = "maxValues" if info["step"] > 0 else "minValues"
+                vals = []
+                for a in adds:
+                    st = json.loads(a.get("stats") or "{}")
+                    v = (st.get(key) or {}).get(phys_of[name])
+                    if v is not None:
+                        vals.append(int(v))
+                if not vals:
+                    continue
+                new = max(vals) if info["step"] > 0 else min(vals)
+                old = info["hwm"]
+                if old is not None:
+                    new = max(old, new) if info["step"] > 0 else min(old, new)
+                if new != old:
+                    updates[name] = new
+        if not updates:
+            return None
+        base = widened_schema if widened else logical_schema
+        fields = []
+        for f in base.fields:
+            if f.name in updates:
+                md = dict(f.metadata or {})
+                md["delta.identity.highWaterMark"] = updates[f.name]
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+            fields.append(f)
+        meta = dict(snapshot.metadata)
+        meta["schemaString"] = T.StructType(fields).json()
+        return meta
 
     def _enforce_generated_columns(
         self, df: DataFrame, schema: T.StructType, skip: set[str] = frozenset()
@@ -2458,6 +2581,33 @@ def _generated_exprs(schema: T.StructType) -> dict[str, str]:
         expr = md.get("delta.generationExpression")
         if expr:
             out[f.name] = expr
+    return out
+
+
+def _identity_columns(schema: T.StructType) -> dict[str, dict]:
+    """column → identity spec from field metadata (Delta spec: Identity
+    Columns): ``delta.identity.start`` / ``.step`` (required, step ≠ 0),
+    ``.allowExplicitInsert`` (default false), ``.highWaterMark`` (absent
+    until the first generating write)."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise SchemaError(f"identity column {f.name!r}: step must be nonzero")
+        if not isinstance(f.dataType, T.LongType):
+            raise SchemaError(
+                f"identity column {f.name!r} must be BIGINT, got {f.dataType.simpleString()}"
+            )
+        hwm = md.get("delta.identity.highWaterMark")
+        out[f.name] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": step,
+            "allow": bool(md.get("delta.identity.allowExplicitInsert", False)),
+            "hwm": None if hwm is None else int(hwm),
+        }
     return out
 
 

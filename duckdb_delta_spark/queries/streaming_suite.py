@@ -253,3 +253,50 @@ def stream_delta_sink(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "stream_cdf_source",
+    oracle=f"""
+    SELECT _change_type, count(*) AS n,
+           CAST(round(sum(CAST(p AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM (SELECT 'delete' AS _change_type, o_totalprice AS p
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT 'insert' AS _change_type, o_totalprice * 2 AS p
+          FROM orders WHERE o_orderpriority = '1-URGENT') t
+    GROUP BY _change_type
+    """,
+    group="streaming",
+)
+def stream_cdf_source(spark, sf_dir):
+    """CDF as a STREAM (.option('readChangeFeed','true'), delta-spark
+    parity): the orders_upd UPDATE commit arrives as delete+insert pairs
+    with _change_type/_commit_version columns — same answer as the batch
+    change feed (delta_changes_scan)."""
+    import os
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    stream = (
+        spark.readStream.format("delta_py")
+        .option("path", os.path.join(root, "orders_upd"))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")  # the UPDATE commit only
+        .load()
+    )
+    agg = stream.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete").select(
+        "_change_type", "n", "total"
+    )

@@ -42,12 +42,22 @@ from pyspark.sql.types import StructType
 
 @dataclass
 class _FileRef:
-    """One data file inside a split."""
+    """One data file inside a split.
+
+    ``change_type`` is None on the plain stream; on a readChangeFeed
+    stream it is ``insert``/``delete`` (log-derived) or ``__cdc__`` (a
+    ``_change_data`` file whose rows carry their own ``_change_type``).
+    ``dv`` rows are EXCLUDED; ``emit_dv`` (inline DV descriptor JSON)
+    when set selects exactly the rows to EMIT (a DV-diff delete)."""
 
     path: str  # absolute data-file path
     partition_values: tuple  # ((col, value or None), ...)
     dv: str | None  # deletion-vector descriptor JSON
     size: int = 0
+    change_type: str | None = None
+    commit_version: int = -1
+    commit_ts: int = 0  # epoch ms
+    emit_dv: str | None = None
 
 
 @dataclass
@@ -80,10 +90,27 @@ class DeltaPySource(DataSource):
             raise ValueError("delta_py requires .option('path', <table dir>)")
 
     def schema(self) -> StructType:
+        from pyspark.sql import types as T
+
         from duckdb_delta_spark.delta.log import DeltaLog
         from duckdb_delta_spark.delta.snapshot import Snapshot
 
         snap = Snapshot.build(DeltaLog(self._path))
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            from duckdb_delta_spark.delta.changes import (
+                CHANGE_TYPE,
+                COMMIT_TIMESTAMP,
+                COMMIT_VERSION,
+            )
+
+            return T.StructType(
+                list(snap.schema.fields)
+                + [
+                    T.StructField(CHANGE_TYPE, T.StringType()),
+                    T.StructField(COMMIT_VERSION, T.LongType()),
+                    T.StructField(COMMIT_TIMESTAMP, T.TimestampType()),
+                ]
+            )
         return snap.schema
 
     def streamReader(self, schema: StructType) -> "DeltaStreamReader":
@@ -112,6 +139,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         )
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        #: delta-spark parity: .option('readChangeFeed','true') streams
+        #: CDF rows (schema + _change_type/_commit_version/_commit_
+        #: timestamp) instead of the table rows. Like the batch feed
+        #: (delta/changes.py) it is log-DERIVED, so it works on tables
+        #: that never wrote _change_data; commits that DID write cdc
+        #: files are consumed through them exclusively (Delta spec).
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
         )
         #: delta-spark parity: cap how many FILES one micro-batch admits.
         #: On a 100-TB backlog the first batch otherwise swallows the
@@ -212,6 +248,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         # batch start Spark has shown us.
         prev = self._rate_pos if self._rate_pos is not None else -1
         self._rate_pos = max(prev, int(start["version"]))
+        if self.read_change_feed:
+            files = self._cdf_file_refs(
+                int(start["version"]), int(end["version"])
+            )
+            parts = self._pack_splits(files)
+            from duckdb_delta_spark.delta.logging import emit
+
+            emit(
+                "stream.source.plan",
+                table_path=self.table_path,
+                start_version=int(start["version"]),
+                end_version=int(end["version"]),
+                n_files=len(files),
+                n_slices=len(parts),
+                change_feed=True,
+                duration_ms=int((_time.time() - _t0) * 1000),
+            )
+            return parts
         files: list[_FileRef] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, has_removal = self._classify(v)
@@ -292,14 +346,124 @@ class DeltaStreamReader(DataSourceStreamReader):
         return out
 
     def _classify(self, version: int):
-        adds = []
-        has_removal = False
+        adds, removes, cdcs = self._classify_full(version)
+        return adds, bool(removes)
+
+    def _classify_full(self, version: int):
+        adds, removes, cdcs = [], [], []
         for action in self._log.read_commit(version):
-            if action.get("add") and action["add"].get("dataChange", True):
+            if action.get("cdc"):
+                cdcs.append(action["cdc"])
+            elif action.get("add") and action["add"].get("dataChange", True):
                 adds.append(action["add"])
             elif action.get("remove") and action["remove"].get("dataChange", True):
-                has_removal = True
-        return adds, has_removal
+                removes.append(action["remove"])
+        return adds, removes, cdcs
+
+    #: driver-decoded DV-diff budget per micro-batch; beyond it the
+    #: stream refuses rather than materializing an unbounded index list
+    CDF_DIFF_MAX = 5_000_000
+
+    def _cdf_file_refs(self, start_v: int, end_v: int) -> list[_FileRef]:
+        """Change-feed refs for commits (start_v, end_v] — the streaming
+        twin of delta/changes.table_changes: cdc files exclusively when a
+        commit wrote them, else adds→insert, dropped paths→delete (rows
+        live at the PREVIOUS version: old DV excluded), DV re-adds→the
+        dvNew−dvOld rows as deletes via an inline emit-DV."""
+        import numpy as np
+
+        from duckdb_delta_spark.delta.dv import (
+            inline_dv_descriptor,
+            read_dv_from_descriptor,
+        )
+        from duckdb_delta_spark.delta.snapshot import Snapshot
+
+        prev = (
+            Snapshot.build(self._log, start_v)
+            if start_v >= 0
+            else Snapshot(self._log, -1)
+        )
+        out: list[_FileRef] = []
+
+        def ref(path_rel: str, pv: dict, size, **kw) -> _FileRef:
+            rel = urllib.parse.unquote(path_rel)
+            full = (
+                rel
+                if "://" in rel or os.path.isabs(rel)
+                else os.path.join(self.table_path, rel)
+            )
+            return _FileRef(
+                path=full,
+                partition_values=tuple(
+                    (c, (pv or {}).get(c)) for c in self._partition_columns
+                ),
+                size=int(size or 0),
+                **kw,
+            )
+
+        for v in range(start_v + 1, end_v + 1):
+            snap = Snapshot.build(self._log, v, base=prev)
+            ts = self._commit_ts(v)
+            adds, removes, cdcs = self._classify_full(v)
+            common = dict(commit_version=v, commit_ts=ts)
+            if cdcs:
+                for c in cdcs:
+                    out.append(ref(c["path"], c.get("partitionValues"),
+                                   c.get("size"), dv=None,
+                                   change_type="__cdc__", **common))
+                prev = snap
+                continue
+            add_paths = {a["path"]: a for a in adds}
+            rem_paths = {r["path"]: r for r in removes}
+            for p, a in add_paths.items():
+                if p in rem_paths:
+                    continue  # DV re-add handled below
+                out.append(ref(p, a.get("partitionValues"), a.get("size"),
+                               dv=json.dumps(a["deletionVector"])
+                               if a.get("deletionVector") else None,
+                               change_type="insert", **common))
+            for p, a in add_paths.items():
+                if p not in rem_paths:
+                    continue
+                old_f = prev.files.get(p)
+                old_dv = old_f.deletion_vector if old_f is not None else None
+                new_dv = a.get("deletionVector")
+                old_rows = (
+                    read_dv_from_descriptor(old_dv, self.table_path)
+                    if old_dv else np.array([], dtype="uint64")
+                )
+                new_rows = (
+                    read_dv_from_descriptor(new_dv, self.table_path)
+                    if new_dv else np.array([], dtype="uint64")
+                )
+                diff = np.setdiff1d(new_rows, old_rows)
+                if len(diff) > self.CDF_DIFF_MAX:
+                    from duckdb_delta_spark.delta.errors import (
+                        UnsupportedFeatureError,
+                    )
+
+                    raise UnsupportedFeatureError(
+                        f"readChangeFeed: commit {v} DV-diff of {len(diff)} "
+                        f"rows exceeds the streaming budget ({self.CDF_DIFF_MAX})"
+                    )
+                if len(diff):
+                    out.append(ref(
+                        p, a.get("partitionValues"), a.get("size"), dv=None,
+                        emit_dv=json.dumps(inline_dv_descriptor(diff)),
+                        change_type="delete", **common))
+            for p, r in rem_paths.items():
+                if p in add_paths:
+                    continue
+                old_f = prev.files.get(p)
+                if old_f is None:
+                    continue  # removed file unknown at prev (already gone)
+                out.append(ref(
+                    p, old_f.partition_values, old_f.size,
+                    dv=json.dumps(old_f.deletion_vector)
+                    if old_f.deletion_vector else None,
+                    change_type="delete", **common))
+            prev = snap
+        return out
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream's checkpoint
@@ -332,11 +496,37 @@ class DeltaStreamReader(DataSourceStreamReader):
                 keep = np.ones(table.num_rows, dtype=bool)
                 keep[deleted.astype("int64")] = False
                 table = table.filter(keep)
+            if fref.emit_dv:
+                # DV-diff delete: EMIT exactly these row indexes
+                from duckdb_delta_spark.delta.dv import (
+                    read_dv_from_descriptor,
+                )
+
+                rows = read_dv_from_descriptor(
+                    json.loads(fref.emit_dv), partition.table_path
+                )
+                table = table.take(pa.array(rows.astype("int64")))
 
             pvals = dict(fref.partition_values)
             cols = []
             for f, af in zip(self.schema.fields, arrow_schema):
-                if f.name in pvals:
+                if fref.change_type is not None and f.name == "_change_type":
+                    cols.append(
+                        table.column(f.name).cast(af.type)
+                        if fref.change_type == "__cdc__"
+                        else pa.array(
+                            [fref.change_type] * table.num_rows, type=af.type
+                        )
+                    )
+                elif fref.change_type is not None and f.name == "_commit_version":
+                    cols.append(pa.array(
+                        np.full(table.num_rows, fref.commit_version,
+                                dtype="int64")))
+                elif fref.change_type is not None and f.name == "_commit_timestamp":
+                    cols.append(pa.array(
+                        np.full(table.num_rows, fref.commit_ts * 1000,
+                                dtype="int64")).cast(af.type))
+                elif f.name in pvals:
                     v = _coerce_pv(pvals[f.name], f.dataType)
                     cols.append(
                         pa.nulls(table.num_rows, af.type)

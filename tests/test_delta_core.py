@@ -2425,3 +2425,75 @@ def test_variant_protocol_declared_and_shredded_refused(spark, tdir):
     ])
     with pytest.raises(errors.UnsupportedFeatureError, match="variantShredding"):
         DeltaTable(tdir).to_df(spark)
+
+
+def test_identity_columns_allocate_and_advance(spark, tdir):
+    """Identity columns (Delta spec / delta-spark parity): create()
+    declares the identityColumns feature; append() allocates unique
+    values beyond the high-water mark in step direction with no extra
+    data pass; the HWM advances in the same commit via the footer stats;
+    explicit inserts refuse unless allowExplicitInsert."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), metadata={
+            "delta.identity.start": 100, "delta.identity.step": 10,
+            "delta.identity.allowExplicitInsert": False}),
+        T.StructField("v", T.StringType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert "identityColumns" in (proto.get("writerFeatures") or [])
+
+    vals = spark.createDataFrame([(f"x{i}",) for i in range(20)],
+                                 T.StructType([T.StructField("v", T.StringType())]))
+    w.append(vals.repartition(3))
+    got1 = [r["id"] for r in DeltaTable(tdir).to_df(spark).collect()]
+    assert len(got1) == 20 and len(set(got1)) == 20
+    assert min(got1) == 100  # first value is start
+    assert all((g - 100) % 10 == 0 for g in got1)  # step respected
+
+    # HWM persisted in the table schema, equals max generated
+    snap = DeltaTable(tdir).snapshot
+    md = snap.schema["id"].metadata
+    assert md["delta.identity.highWaterMark"] == max(got1)
+
+    # second append continues beyond the watermark, still unique
+    w.append(vals.repartition(2))
+    got2 = [r["id"] for r in DeltaTable(tdir).to_df(spark).collect()]
+    assert len(got2) == 40 and len(set(got2)) == 40
+    assert min(set(got2) - set(got1)) > max(got1)
+
+    # explicit insert refused without allowExplicitInsert
+    with pytest.raises(errors.UnsupportedFeatureError, match="allowExplicitInsert"):
+        w.append(spark.createDataFrame([(999999, "boom")], schema))
+
+
+def test_identity_negative_step_and_explicit_insert(spark, tdir):
+    """Negative step descends below the watermark; allowExplicitInsert
+    accepts caller values and still tracks the extreme."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), metadata={
+            "delta.identity.start": -5, "delta.identity.step": -5,
+            "delta.identity.allowExplicitInsert": True}),
+        T.StructField("v", T.StringType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    vals = spark.createDataFrame([(f"x{i}",) for i in range(7)],
+                                 T.StructType([T.StructField("v", T.StringType())]))
+    w.append(vals.coalesce(1))
+    got = sorted(r["id"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert len(set(got)) == 7 and max(got) == -5
+    assert all(g % 5 == 0 for g in got)
+    hwm1 = DeltaTable(tdir).snapshot.schema["id"].metadata[
+        "delta.identity.highWaterMark"]
+    assert hwm1 == min(got)
+
+    # explicit values accepted; watermark tracks the new extreme
+    w.append(spark.createDataFrame([(-1000000, "explicit")], schema))
+    hwm2 = DeltaTable(tdir).snapshot.schema["id"].metadata[
+        "delta.identity.highWaterMark"]
+    assert hwm2 == -1000000
+    # and generation continues below it
+    w.append(vals.coalesce(1))
+    got3 = sorted(r["id"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert len(set(got3)) == 15
+    assert min(got3) < -1000000

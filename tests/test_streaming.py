@@ -591,3 +591,66 @@ def test_source_change_commit_options(spark, tdir):
                            {"startingTimestamp": t_mid,
                             "ignoreChanges": "true"})
     assert r2.initialOffset() == {"version": 1}  # first batch includes v2
+
+
+def test_source_read_change_feed(spark, tdir):
+    """.option('readChangeFeed','true'): the stream yields CDF rows
+    (schema + _change_type/_commit_version/_commit_timestamp) matching
+    the batch change feed — log-derived inserts, DV-diff deletes, and
+    cdc-file commits consumed through their _change_data files."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("s", T.StringType())])
+    w = DeltaWriter.create(
+        spark, tdir, schema_in,
+        configuration={"delta.enableChangeDataFeed": "true"})
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("i"), F.concat(F.lit("s"), F.col("id")).alias("s"))
+    w.append(mk(0, 30).coalesce(1))          # v1: inserts
+    w.append(mk(30, 50).coalesce(1))         # v2: inserts
+    w.delete("i % 10 = 3")                   # v3: DV/cdc deletes
+    w.update("i = 7", {"s": "'updated'"})    # v4: cdc update pair
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    batch = table_changes(DeltaLog(tdir), spark, starting_version=0)
+    exp = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"])
+        for r in batch.collect()
+    )
+
+    out = str(tdir) + "_cdf_out"
+    ckpt = str(tdir) + "_cdf_ckpt"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = spark.read.parquet(out)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"])
+        for r in got_df.collect()
+    )
+    assert got == exp
+    # commit timestamps present and sane (epoch of this test run)
+    tss = [r["_commit_timestamp"] for r in got_df.select("_commit_timestamp").collect()]
+    assert all(ts is not None and ts.year >= 2024 for ts in tss)
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
