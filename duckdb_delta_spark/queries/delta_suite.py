@@ -761,3 +761,90 @@ def delta_zorder_scan(spark, sf_dir):
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total")
     )
+
+
+# nested struct/array/map under id-mode column mapping PLUS a deletion
+# vector, foreign-authored (delta-spark layout; physical names at every
+# nesting level). Content is synthetic-deterministic, so the oracle
+# rebuilds it from range(): ids 0..23 minus the DV'd {12,15,18,21},
+# info.name='n<id>', info.score=id*1.5, tags=['t','t<id%3>'],
+# attrs={'a':id,'b':2id}
+@register(
+    "delta_nested_cm_scan",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           'n' || CAST(i AS VARCHAR) AS name,
+           CAST(i * 1.5 AS DOUBLE) AS score,
+           CAST(2 AS BIGINT) AS n_tags,
+           CAST(i AS BIGINT) AS a_val,
+           CAST(2 * i AS BIGINT) AS b_val
+    FROM range(0, 24) t(i)
+    WHERE NOT (i >= 12 AND i % 3 = 0)
+    """,
+    group="delta",
+)
+def delta_nested_cm_scan(spark, sf_dir):
+    df = _fx(spark, sf_dir, "nested_cm_dv").to_df(spark)
+    return df.select(
+        F.col("id"),
+        F.col("info.name").alias("name"),
+        F.col("info.score").alias("score"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.col("attrs")["a"].alias("a_val"),
+        F.col("attrs")["b"].alias("b_val"),
+    )
+
+
+# identity column allocation end-to-end: deterministic with coalesce(1)
+# (monotonically_increasing_id is 0..n-1 on one partition), so the oracle
+# states the exact arithmetic series and the advanced high-water mark
+@register(
+    "delta_identity_append",
+    oracle="""
+    SELECT CAST(25 AS BIGINT) AS n, CAST(25 AS BIGINT) AS n_distinct,
+           CAST(100 AS BIGINT) AS min_id, CAST(340 AS BIGINT) AS max_id,
+           CAST(590 AS BIGINT) AS hwm2
+    """,
+    group="delta",
+)
+def delta_identity_append(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    path = tempfile.mkdtemp(dir=".fixtures", prefix="identity_") + "/t"
+    try:
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), metadata={
+                "delta.identity.start": 100, "delta.identity.step": 10}),
+            T.StructField("n_name", T.StringType()),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_name")
+        w = DeltaWriter.create(spark, path, schema)
+        w.append(nat.coalesce(1))  # ids 100,110,...,340
+        first = (
+            DeltaTable(path).to_df(spark)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("id").alias("n_distinct"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id"))
+        ).first()
+        w.append(nat.coalesce(1))  # continues at 350 -> 590
+        hwm2 = DeltaTable(path).snapshot.schema["id"].metadata[
+            "delta.identity.highWaterMark"]
+        schema_out = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("min_id", T.LongType()),
+            T.StructField("max_id", T.LongType()),
+            T.StructField("hwm2", T.LongType()),
+        ])
+        return spark.createDataFrame(
+            [(first["n"], first["n_distinct"], first["min_id"],
+              first["max_id"], int(hwm2))], schema_out)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

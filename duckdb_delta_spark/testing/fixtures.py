@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 19  # bump to force a rebuild
+LAYOUT_VERSION = 20  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -91,6 +91,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_v2ckpt(spark, sf_dir, os.path.join(root, "orders_v2ckpt"))
     _build_orders_ict(spark, sf_dir, os.path.join(root, "orders_ict"))
     _build_part_foreign(sf_dir, os.path.join(root, "part_foreign"))
+    _build_nested_cm_dv_foreign(os.path.join(root, "nested_cm_dv"))
     _build_lineitem_zorder(spark, sf_dir, os.path.join(root, "lineitem_zorder"))
 
     with open(marker, "w") as f:
@@ -461,6 +462,15 @@ def _build_events_var_deep(spark, sf_dir, path):
     )
     w = DeltaWriter.create(spark, path, schema)
     w.append(ev.repartition(2))
+
+
+def _build_nested_cm_dv_foreign(path):
+    """Foreign-authored nested-types × id-mode column-mapping × DV table
+    (testing/foreign.build_foreign_nested_cm_dv) — synthetic content, so
+    the oracle reproduces it from range() instead of a raw table."""
+    from duckdb_delta_spark.testing import foreign
+
+    foreign.build_foreign_nested_cm_dv(path)
 
 
 def _parquet_rows(path: str) -> int:
