@@ -324,6 +324,7 @@ class DeltaScanBuilder:
         self._dyn_preds: list[Pred] = []
         self._projection: list[str] | None = None
         self._virtual: bool = False
+        self._row_ids: bool = False
         self._report: dict | None = None
         self._only_paths: set[str] | None = None
 
@@ -384,6 +385,15 @@ class DeltaScanBuilder:
         """Expose ``filename``, ``file_row_number``, ``delta_file_number``
         (reference: ``DeltaVirtualColumns``, delta_scan.cpp:57-72)."""
         self._virtual = True
+        return self
+
+    def with_row_ids(self) -> "DeltaScanBuilder":
+        """Expose ``_row_id`` / ``_row_commit_version`` on a row-tracked
+        table (Delta spec "Row Tracking": fresh row id of row i in a file
+        = add.baseRowId + i). Same 100-TB shape as the virtual columns —
+        the per-file constants join in via a broadcast map keyed on
+        ``_metadata.file_path``, never a global window."""
+        self._row_ids = True
         return self
 
     def restrict_paths(self, paths: Iterable[str]) -> "DeltaScanBuilder":
@@ -651,7 +661,7 @@ class DeltaScanBuilder:
             pcols = [p for p in pcols if p in needed]
 
         has_dv = any(f.deletion_vector for f in files)
-        need_file_col = bool(pcols) or has_dv or self._virtual
+        need_file_col = bool(pcols) or has_dv or self._virtual or self._row_ids
 
         if not files:
             out_schema = T.StructType(
@@ -705,7 +715,7 @@ class DeltaScanBuilder:
             sel.append(col.alias(logical))
         if need_file_col:
             sel.append(F.col("_metadata.file_path").alias(FILE_COL))
-        if has_dv or self._virtual:
+        if has_dv or self._virtual or self._row_ids:
             sel.append(F.col("_metadata.row_index").alias(ROW_COL))
         df = df.select(*sel)
 
@@ -713,6 +723,40 @@ class DeltaScanBuilder:
             df = self._inject_partition_values(df, files, pcols, ptypes)
         if has_dv:
             df = self._apply_deletion_vectors(df, files)
+        if self._row_ids:
+            from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+
+            missing = [f.path for f in files if f.base_row_id is None]
+            if missing:
+                raise UnsupportedFeatureError(
+                    f"row ids requested but {len(missing)} file(s) carry no "
+                    f"baseRowId (first: {missing[0]!r}) — not a row-tracked "
+                    "table"
+                )
+            rmap = self.spark.createDataFrame(
+                [
+                    (
+                        self._spark_file_uri(f.absolute_path(snap.log.table_path)),
+                        int(f.base_row_id),
+                        None
+                        if f.default_row_commit_version is None
+                        else int(f.default_row_commit_version),
+                    )
+                    for f in files
+                ],
+                T.StructType([
+                    T.StructField(FILE_COL, T.StringType()),
+                    T.StructField("_base_row_id", T.LongType()),
+                    T.StructField("_row_commit_version", T.LongType()),
+                ]),
+            )
+            df = (
+                df.join(F.broadcast(rmap), on=FILE_COL, how="left")
+                .withColumn(
+                    "_row_id", F.col("_base_row_id") + F.col(ROW_COL)
+                )
+                .drop("_base_row_id")
+            )
         if self._virtual:
             # file→number is known driver-side (same ordering dense_rank
             # would produce) — a broadcast map join keeps the scan fully
@@ -737,7 +781,8 @@ class DeltaScanBuilder:
                 .join(F.broadcast(fmap), on=FILE_COL, how="left")
             )
 
-        drop = [c for c in (FILE_COL, ROW_COL) if c in df.columns and not self._virtual]
+        keep_row_col = self._virtual
+        drop = [c for c in (FILE_COL, ROW_COL) if c in df.columns and not keep_row_col]
         if drop:
             df = df.drop(*drop)
 

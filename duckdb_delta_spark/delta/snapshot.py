@@ -50,6 +50,7 @@ SUPPORTED_WRITER_FEATURES = {
     "variantType",  # declared by create() when the schema has a variant column
     "variantType-preview",
     "identityColumns",  # value allocation + HWM tracking in writer.append
+    "rowTracking",  # baseRowId allocation + rowIdHighWaterMark (writer._assign_row_ids)
 }
 
 SUPPORTED_READER_FEATURES = {
@@ -83,6 +84,10 @@ class AddFile:
     stats: str | None = None
     deletion_vector: dict | None = None
     tags: dict | None = None
+    #: row tracking (Delta spec "Row Tracking"): fresh row id of row i in
+    #: this file = base_row_id + i; None on untracked tables
+    base_row_id: int | None = None
+    default_row_commit_version: int | None = None
 
     _parsed_stats: dict | None = field(default=None, repr=False, compare=False)
 
@@ -304,6 +309,8 @@ class Snapshot:
         stats = fl(arr, "stats", n)
         dvs = fl(arr, "deletionVector", n)
         tags = fl(arr, "tags", n)
+        brids = fl(arr, "baseRowId", n)
+        drcvs = fl(arr, "defaultRowCommitVersion", n)
         files = self.files
         tombstones = self.tombstones
         for i in range(n):
@@ -315,6 +322,10 @@ class Snapshot:
                 stats=stats[i],
                 deletion_vector=dvs[i],
                 tags=dict(tags[i]) if isinstance(tags[i], list) else tags[i],
+                base_row_id=None if brids[i] is None else int(brids[i]),
+                default_row_commit_version=(
+                    None if drcvs[i] is None else int(drcvs[i])
+                ),
             )
             files[f.path + "\x00" + (f.dv_unique_id() or "")] = f
             tombstones.pop(f.path, None)
@@ -348,6 +359,14 @@ class Snapshot:
                 stats=a.get("stats"),
                 deletion_vector=a.get("deletionVector"),
                 tags=a.get("tags"),
+                base_row_id=(
+                    None if a.get("baseRowId") is None
+                    else int(a["baseRowId"])
+                ),
+                default_row_commit_version=(
+                    None if a.get("defaultRowCommitVersion") is None
+                    else int(a["defaultRowCommitVersion"])
+                ),
             )
             # same (path, dvId) replaces; a different dvId for the same path
             # coexists until its remove tombstone lands (spec reconciliation)

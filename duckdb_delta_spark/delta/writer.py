@@ -212,6 +212,21 @@ class DeltaWriter:
                 "writerFeatures": sorted(w_implied | {"variantType"}),
             }
         if (configuration or {}).get(
+            "delta.enableRowTracking", ""
+        ).lower() == "true":
+            # rowTracking is a writer feature that DEPENDS on
+            # domainMetadata (the rowIdHighWaterMark lives there)
+            r_implied, w_implied = _legacy_features(proto)
+            proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    w_implied | {"rowTracking", "domainMetadata"}
+                ),
+            }
+            if proto["minReaderVersion"] >= 3:
+                proto["readerFeatures"] = sorted(r_implied)
+        if (configuration or {}).get(
             "delta.enableInCommitTimestamps", ""
         ).lower() == "true":
             # inCommitTimestamp is a v7 table feature: list it alongside
@@ -426,6 +441,7 @@ class DeltaWriter:
         writer feature; timestamp travel then survives file copies whose
         mtimes lie). Re-stamped on every retry so monotonicity holds
         against the commit that won the race."""
+        self._assign_row_ids(version, actions, snap)
         enabled = (
             snap.configuration.get("delta.enableInCommitTimestamps", "")
             .lower()
@@ -450,6 +466,79 @@ class DeltaWriter:
                 actions.insert(0, {"commitInfo": info})
         self.log.commit(version, actions)
         self._maybe_auto_checkpoint(version, snap, actions)
+
+    ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+    def _assign_row_ids(
+        self, version: int, actions: list[dict], snap: Snapshot
+    ) -> None:
+        """Row tracking (Delta spec "Row Tracking"): on tables with the
+        ``rowTracking`` writer feature, every NEW add gets a
+        ``baseRowId`` (fresh row id of row i = baseRowId + i) and
+        ``defaultRowCommitVersion``; re-adds of a live path (DV updates,
+        stats rewrites) KEEP their ids — the file bytes are unchanged.
+        The ``rowIdHighWaterMark`` advances in the same commit via the
+        delta.rowTracking domain metadata. Runs inside ``_commit`` so
+        every write path (append, DML rewrites, streaming sink) and
+        every RETRY reallocates against the snapshot it is committing
+        on — two writers racing the same watermark conflict instead of
+        double-allocating."""
+        try:
+            _, wfeats = _legacy_features(snap.protocol)
+        except UnsupportedFeatureError:
+            return
+        if "rowTracking" not in wfeats:
+            return
+        adds = [a["add"] for a in actions if a.get("add")]
+        if not adds:
+            return
+        existing: dict[str, AddFile] = {}
+        for f in snap.add_files():
+            existing[f.path] = f
+        try:
+            conf = json.loads(
+                snap.domain_metadata.get(self.ROW_TRACKING_DOMAIN) or "{}"
+            )
+        except json.JSONDecodeError:
+            conf = {}
+        hwm = int(conf.get("rowIdHighWaterMark", -1))
+        moved = False
+        for a in adds:
+            prior = existing.get(a["path"])
+            if prior is not None and prior.base_row_id is not None:
+                a["baseRowId"] = prior.base_row_id
+                a["defaultRowCommitVersion"] = (
+                    prior.default_row_commit_version
+                )
+                continue
+            stats = json.loads(a.get("stats") or "{}")
+            n = stats.get("numRecords")
+            if n is None:
+                raise UnsupportedFeatureError(
+                    f"rowTracking needs numRecords stats to allocate "
+                    f"baseRowId for {a['path']!r}"
+                )
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = version
+            hwm += int(n)
+            moved = True
+        if moved:
+            # idempotent across retries: drop any stale watermark action
+            actions[:] = [
+                x for x in actions
+                if not (
+                    x.get("domainMetadata")
+                    and x["domainMetadata"].get("domain")
+                    == self.ROW_TRACKING_DOMAIN
+                )
+            ]
+            actions.append({"domainMetadata": {
+                "domain": self.ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}, separators=(",", ":")
+                ),
+                "removed": False,
+            }})
 
     def _maybe_auto_checkpoint(
         self, version: int, snap: Snapshot, actions: list[dict] | None = None
@@ -2368,6 +2457,8 @@ class DeltaWriter:
                 "dataChange": True,
                 "stats": f.stats,
                 "tags": f.tags,
+                "baseRowId": f.base_row_id,
+                "defaultRowCommitVersion": f.default_row_commit_version,
                 "deletionVector": None if not dv else {
                     "storageType": dv.get("storageType"),
                     "pathOrInlineDv": dv.get("pathOrInlineDv"),
@@ -2898,6 +2989,8 @@ def _checkpoint_arrow_schema():
                 pa.field("stats", pa.string()),
                 pa.field("tags", str_map),
                 pa.field("deletionVector", dv_struct),
+                pa.field("baseRowId", pa.int64()),
+                pa.field("defaultRowCommitVersion", pa.int64()),
             ])),
             pa.field("remove", pa.struct([
                 pa.field("path", pa.string()),

@@ -848,3 +848,68 @@ def delta_identity_append(spark, sf_dir):
               first["max_id"], int(hwm2))], schema_out)
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+# row tracking end-to-end: sorted single-file write makes _row_id equal
+# n_nationkey, the DV delete keeps surviving ids stable, and the second
+# file's ids continue past the high-water mark — all deterministic
+@register(
+    "delta_row_tracking_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS row_id,
+           CAST(n_nationkey + 25 AS BIGINT) AS row_id2,
+           n_name
+    FROM nation WHERE n_nationkey % 5 <> 0
+    """,
+    group="delta",
+)
+def delta_row_tracking_scan(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = tempfile.mkdtemp(dir=".fixtures", prefix="rowtrack_")
+    path = os.path.join(root, "t")
+    try:
+        nat = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .coalesce(1)
+        )
+        w = DeltaWriter.create(
+            spark, path, nat.schema,
+            configuration={"delta.enableRowTracking": "true"})
+        w.append(nat)  # file 1: _row_id == n_nationkey
+        w.append(nat)  # file 2: _row_id == n_nationkey + 25
+        w.delete("n_nationkey % 5 = 0")  # DVs preserve surviving ids
+        df = (
+            DeltaTable(path).scan(spark).with_row_ids().to_df()
+            .select("n_nationkey", "n_name", "_row_id")
+        )
+        a = df.where(F.col("_row_id") < 25).select(
+            F.col("_row_id").alias("row_id"),
+            (F.col("_row_id") + 25).alias("check2"),
+            "n_name", F.col("n_nationkey").alias("k"))
+        b = df.where(F.col("_row_id") >= 25).select(
+            (F.col("_row_id") - 25).alias("row_id"),
+            F.col("_row_id").alias("check2"),
+            "n_name", F.col("n_nationkey").alias("k"))
+        joined = a.join(b, ["row_id", "check2", "n_name"], "inner")
+        out = joined.select(
+            F.col("row_id").cast("long"),
+            F.col("check2").cast("long").alias("row_id2"),
+            "n_name",
+        ).collect()
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("row_id", T.LongType()),
+            T.StructField("row_id2", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ])
+        return spark.createDataFrame(out, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2497,3 +2497,78 @@ def test_identity_negative_step_and_explicit_insert(spark, tdir):
     got3 = sorted(r["id"] for r in DeltaTable(tdir).to_df(spark).collect())
     assert len(set(got3)) == 15
     assert min(got3) < -1000000
+
+
+def test_row_tracking_allocation_and_scan(spark, tdir):
+    """Row tracking (Delta spec): delta.enableRowTracking declares the
+    rowTracking+domainMetadata features; every new add gets a baseRowId
+    with the rowIdHighWaterMark advancing in the same commit; scan
+    with_row_ids() exposes _row_id = baseRowId + row_index; DV deletes
+    KEEP surviving rows' ids; checkpoints persist the fields."""
+    nat = (
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+    )
+    w = DeltaWriter.create(
+        spark, tdir, nat.schema,
+        configuration={"delta.enableRowTracking": "true"})
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert "rowTracking" in (proto.get("writerFeatures") or [])
+    w.append(nat)  # one sorted file: row i == nationkey i
+
+    snap = DeltaTable(tdir).snapshot
+    (f,) = snap.add_files()
+    assert f.base_row_id == 0 and f.default_row_commit_version == 1
+    import json as _json
+
+    hwm = _json.loads(snap.domain_metadata["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 24
+
+    rows = (
+        DeltaTable(tdir).scan(spark).with_row_ids().to_df()
+        .select("n_nationkey", "_row_id", "_row_commit_version")
+        .collect()
+    )
+    assert all(r["_row_id"] == r["n_nationkey"] for r in rows)
+    assert all(r["_row_commit_version"] == 1 for r in rows)
+
+    # second append allocates past the watermark
+    w.append(nat)
+    snap2 = DeltaTable(tdir).snapshot
+    bases = sorted(f.base_row_id for f in snap2.add_files())
+    assert bases == [0, 25]
+
+    # DV delete: surviving rows keep their ids (re-add reuses baseRowId)
+    w.delete("n_nationkey % 5 = 0")
+    rows3 = (
+        DeltaTable(tdir).scan(spark).with_row_ids().to_df()
+        .select("n_nationkey", "_row_id").collect()
+    )
+    assert len(rows3) == 40
+    assert all(r["_row_id"] % 25 == r["n_nationkey"] for r in rows3)
+    hwm3 = _json.loads(DeltaTable(tdir).snapshot.domain_metadata[
+        "delta.rowTracking"])
+    assert hwm3["rowIdHighWaterMark"] == 49  # DV commit allocated nothing
+
+    # checkpoint roundtrip preserves baseRowId
+    w.checkpoint()
+    import glob as _glob
+    import os as _os
+    for v in range(DeltaTable(tdir).version):
+        p = _os.path.join(tdir, "_delta_log", f"{v:020d}.json")
+        if _os.path.exists(p):
+            _os.remove(p)
+    rows4 = (
+        DeltaTable(tdir).scan(spark).with_row_ids().to_df()
+        .select("n_nationkey", "_row_id").collect()
+    )
+    assert sorted(r["_row_id"] for r in rows4) == sorted(
+        r["_row_id"] for r in rows3)
+
+    # untracked tables refuse row-id scans loudly
+    with pytest.raises(errors.UnsupportedFeatureError, match="baseRowId"):
+        t2 = str(tdir) + "_plain"
+        w2 = DeltaWriter.create(spark, t2, nat.schema)
+        w2.append(nat)
+        DeltaTable(t2).scan(spark).with_row_ids().to_df().collect()
