@@ -539,6 +539,20 @@ class DeltaScanBuilder:
             pairs += [(p, True) for p in self._dyn_preds]
         if pairs:
             pcols = self.snapshot.partition_columns
+            # generated-column partition pruning (delta-spark parity): a
+            # partition column generated by a monotonic expression over a
+            # data column lets a predicate on the DATA column prune
+            # partitions — pred(c) ⇒ relaxed pred(f(c)) when f is
+            # monotonic (YEAR, CAST AS DATE, DATE_TRUNC, prefix SUBSTRING)
+            # derived preds go FIRST: partition-value comparison is far
+            # cheaper than stats evaluation, so cutting the file set on
+            # partitions before any stats mask is the right order at 1M
+            # files (and credits the skip to the partition counter)
+            pairs = [
+                (q, d)
+                for p, d in pairs
+                for q in self._derived_partition_preds(p)
+            ] + pairs
             phys = self._phys_name_map()
             if phys:
                 # stats/partitionValues are keyed by physical names on
@@ -607,6 +621,102 @@ class DeltaScanBuilder:
             "filters_dynamic": [repr(p) for p in self._dyn_preds],
         }
         return files
+
+    def _derived_partition_preds(self, p: Pred) -> list[Pred]:
+        """Partition predicates implied by a data-column predicate through
+        a generated partition column (Delta spec: Generated Columns;
+        delta-spark's GeneratedColumn partition-filter optimization).
+
+        Only MONOTONIC generation shapes derive range predicates —
+        ``YEAR(c)``, ``CAST(c AS DATE)``, ``DATE_TRUNC('<unit>', c)``,
+        ``SUBSTRING(c, 1, n)`` — with relaxed bounds (c < v ⇒ f(c) ≤ f(v),
+        since f is non-strictly monotonic). Equality and IN derive for
+        any deterministic f. Non-monotonic shapes (MONTH, DAY, HOUR
+        standalone) never derive."""
+        import re
+
+        if p.op in ("is null", "is not null"):
+            return []
+        pcols = set(self.snapshot.partition_columns)
+        out: list[Pred] = []
+        for f in self.snapshot.schema.fields:
+            if f.name not in pcols:
+                continue
+            expr = (f.metadata or {}).get("delta.generationExpression")
+            if not expr:
+                continue
+            e = expr.strip()
+            fn = None
+            m = re.fullmatch(r"(?i)YEAR\(\s*`?(\w+)`?\s*\)", e)
+            if m:
+                fn = ("year", m.group(1))
+            if fn is None:
+                m = re.fullmatch(r"(?i)CAST\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)", e)
+                if m:
+                    fn = ("date", m.group(1))
+            if fn is None:
+                m = re.fullmatch(
+                    r"(?i)DATE_TRUNC\(\s*'(\w+)'\s*,\s*`?(\w+)`?\s*\)", e)
+                if m:
+                    fn = ("trunc:" + m.group(1).lower(), m.group(2))
+            if fn is None:
+                m = re.fullmatch(
+                    r"(?i)SUBSTRING\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)", e)
+                if m:
+                    fn = ("prefix:" + m.group(2), m.group(1))
+            if fn is None:
+                continue
+            kind, src = fn
+            if src != p.column:
+                continue
+            values = p.value if p.op == "in" else [p.value]
+            try:
+                mapped = [self._apply_gen_fn(kind, v) for v in values]
+            except (TypeError, ValueError, AttributeError):
+                continue
+            if any(v is None for v in mapped):
+                continue
+            if p.op == "in":
+                out.append(Pred(f.name, "in", mapped))
+            elif p.op == "=":
+                out.append(Pred(f.name, "=", mapped[0]))
+            elif p.op in ("<", "<="):
+                out.append(Pred(f.name, "<=", mapped[0]))
+            elif p.op in (">", ">="):
+                out.append(Pred(f.name, ">=", mapped[0]))
+            # "!=" derives nothing (f(c) may equal f(v) for c != v)
+        return out
+
+    @staticmethod
+    def _apply_gen_fn(kind: str, v: Any) -> Any:
+        import datetime as dt
+
+        if kind.startswith("prefix:"):
+            return v[: int(kind.split(":")[1])] if isinstance(v, str) else None
+        if not isinstance(v, (dt.datetime, dt.date)):
+            return None
+        if kind == "year":
+            return v.year
+        if kind == "date":
+            return v.date() if isinstance(v, dt.datetime) else v
+        if kind.startswith("trunc:"):
+            unit = kind.split(":")[1]
+            ts = v if isinstance(v, dt.datetime) else dt.datetime(
+                v.year, v.month, v.day)
+            if unit == "year":
+                return ts.replace(month=1, day=1, hour=0, minute=0,
+                                  second=0, microsecond=0)
+            if unit == "month":
+                return ts.replace(day=1, hour=0, minute=0, second=0,
+                                  microsecond=0)
+            if unit == "week":
+                d = ts - dt.timedelta(days=ts.weekday())
+                return d.replace(hour=0, minute=0, second=0, microsecond=0)
+            if unit == "day":
+                return ts.replace(hour=0, minute=0, second=0, microsecond=0)
+            if unit == "hour":
+                return ts.replace(minute=0, second=0, microsecond=0)
+        return None
 
     def _physical_fields(self) -> tuple[list[tuple[str, str, T.DataType, int | None]], str]:
         """[(logical, physical, type, field_id)] for data columns + mode."""

@@ -252,6 +252,69 @@ class DeltaWriter:
         log.commit(0, actions)
         return DeltaWriter(path, spark)
 
+    @staticmethod
+    def clone(
+        spark: SparkSession, src_path: str, dest_path: str,
+        shallow: bool = True,
+    ) -> "DeltaWriter":
+        """Shallow CLONE (delta-spark parity): a zero-copy new table whose
+        version-0 commit references the source's CURRENT data files by
+        ABSOLUTE path (Delta spec "File Paths": paths may be absolute);
+        file-relative DV descriptors (``u``) convert to absolute (``p``)
+        so they keep resolving from the clone. Stats, partition values
+        and row-tracking ids carry over; domain metadata (incl. the
+        rowIdHighWaterMark) is copied so future writes to the clone
+        allocate correctly; the clone's subsequent commits never touch
+        the source. 100-TB shape: the clone commit is O(#files) driver
+        metadata — no data moves."""
+        from duckdb_delta_spark.delta.dv import dv_file_path
+
+        if not shallow:
+            raise UnsupportedFeatureError(
+                "deep CLONE (data copy) is not implemented; use shallow"
+            )
+        src = os.path.abspath(src_path)
+        dest = os.path.abspath(dest_path)
+        src_snap = Snapshot.build(DeltaLog(src))
+        os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=False)
+        meta = dict(src_snap.metadata)
+        meta["id"] = str(uuid.uuid4())
+        meta["createdTime"] = int(time.time() * 1000)
+        info = _commit_info("CLONE", {"source": src, "sourceVersion":
+                                      src_snap.version, "isShallow": True})
+        actions: list[dict] = [
+            {"commitInfo": info},
+            {"protocol": dict(src_snap.protocol)},
+            {"metaData": meta},
+        ]
+        for domain, conf in sorted(src_snap.domain_metadata.items()):
+            actions.append({"domainMetadata": {
+                "domain": domain, "configuration": conf, "removed": False}})
+        for f in src_snap.add_files():
+            dv = f.deletion_vector
+            if dv and dv.get("storageType") == "u":
+                dv = dict(dv)
+                dv["pathOrInlineDv"] = dv_file_path(src, f.deletion_vector)
+                dv["storageType"] = "p"
+            add = {
+                "path": urllib.parse.quote(f.absolute_path(src), safe="/"),
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+                "modificationTime": f.modification_time,
+                "dataChange": True,
+                "stats": f.stats,
+            }
+            if f.tags:
+                add["tags"] = f.tags
+            if dv:
+                add["deletionVector"] = dv
+            if f.base_row_id is not None:
+                add["baseRowId"] = f.base_row_id
+                add["defaultRowCommitVersion"] = f.default_row_commit_version
+            actions.append({"add": add})
+        DeltaLog(dest).commit(0, actions)
+        return DeltaWriter(dest, spark)
+
     # ---------- append ----------
 
     def append(
@@ -2219,10 +2282,11 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
-    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    def vacuum(self, retention_ms: int | None = None) -> list[str]:
         """Delete data files no longer referenced by the current snapshot
-        whose remove tombstone is older than ``retention_ms``. Returns
-        deleted relative paths.
+        whose remove tombstone is older than ``retention_ms`` (default:
+        the table's ``delta.deletedFileRetentionDuration``, itself
+        defaulting to the spec's 7 days). Returns deleted relative paths.
 
         Standard Delta VACUUM semantics: the clock is the remove action's
         ``deletionTimestamp``, NOT the file's mtime — a file created long
@@ -2234,6 +2298,11 @@ class DeltaWriter:
         from duckdb_delta_spark.delta.dv import dv_file_path
 
         snap = Snapshot.build(self.log)
+        if retention_ms is None:
+            retention_ms = _parse_interval_ms(
+                snap.configuration.get("delta.deletedFileRetentionDuration"),
+                7 * 24 * 3600 * 1000,
+            )
         live = set()
         for f in snap.add_files():
             live.add(os.path.abspath(f.absolute_path(self.table_path)))

@@ -136,3 +136,35 @@ def stratified_sample(
     for k, v in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
     return df.where(bucket < rate)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every epoch induces a fresh
+    pseudo-random permutation — ``key = md5(epoch:id)`` — with documents
+    range-assigned to ``n_shards`` shards and ordered inside each shard.
+
+    Scale shape: shard assignment is embarrassingly parallel; the
+    within-shard position is a window over the SHARD (n_shards bounded
+    partitions, each ~|df|/n_shards rows), never a global
+    ``row_number()`` (which funnels 100 TB through one partition). A
+    training loader reads shards in order (shard, pos) to replay the
+    exact permutation; changing ``epoch`` redraws it with no RNG state.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("_ekey", id_col)
+    return (
+        df.withColumn("_ekey", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ekey")
+    )

@@ -913,3 +913,44 @@ def delta_row_tracking_scan(spark, sf_dir):
         return spark.createDataFrame(out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# shallow CLONE: zero-copy table referencing the source's files
+# absolutely; scanning the clone equals scanning the source
+@register(
+    "delta_clone_scan",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS qty
+    FROM lineitem WHERE l_linenumber <> {FX.DV_DELETE_LINENUMBER}
+    GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_clone_scan(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.ensure_fixtures(spark, sf_dir)
+    dest_root = tempfile.mkdtemp(dir=".fixtures", prefix="clone_")
+    try:
+        dest = os.path.join(dest_root, "t")
+        # source carries DVs — the clone must keep masking them (u -> p)
+        DeltaWriter.clone(spark, os.path.join(root, "lineitem_dv"), dest)
+        df = DeltaTable(dest).to_df(spark)
+        rows = df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+        ).collect()
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("qty", T.DoubleType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(dest_root, ignore_errors=True)

@@ -773,3 +773,31 @@ def doc_sample_stratified(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
+
+
+# deterministic epoch shuffle: the training-loader permutation as data —
+# (shard, pos) per doc for one epoch, reproduced independently in SQL
+@register(
+    "doc_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, k,
+             ('0x' || substr(k, 1, 4))::BIGINT % 64 AS shard
+      FROM keyed)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+    group="text",
+)
+def doc_epoch_shuffle(spark, sf_dir):
+    from duckdb_delta_spark.operators.chunking import epoch_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, epoch=7).select("doc_id", "shard", "pos")

@@ -2572,3 +2572,84 @@ def test_row_tracking_allocation_and_scan(spark, tdir):
         w2 = DeltaWriter.create(spark, t2, nat.schema)
         w2.append(nat)
         DeltaTable(t2).scan(spark).with_row_ids().to_df().collect()
+
+
+def test_generated_partition_pruning(spark, tdir):
+    """delta-spark parity: a predicate on the DATA column prunes
+    partitions whose column is GENERATED from it by a monotonic
+    expression (DATE_TRUNC / YEAR / CAST AS DATE / prefix SUBSTRING) —
+    the derived partition predicate is relaxed (c < v => f(c) <= f(v)),
+    so results stay exact while file skipping engages."""
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_month", T.TimestampType(), metadata={
+            "delta.generationExpression": "DATE_TRUNC('MONTH', o_orderdate)"}),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["o_month"])
+    w.append(src.repartition(4))
+
+    t = DeltaTable(tdir)
+    total_files = len(t.snapshot.add_files())
+    assert total_files > 12  # monthly partitions
+
+    cut = "1999-06-15 00:00:00"
+    sb = t.scan(spark).filter(
+        "o_orderdate", ">=",
+        __import__("datetime").datetime(1999, 6, 15))
+    got = sb.to_df().count()
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_partition"] > 0, rep
+    exp = src.where(F.col("o_orderdate") >= cut).count()
+    assert got == exp
+
+    # equality on a prefix-substring generated column
+    t2dir = str(tdir) + "_pref"
+    schema2 = T.StructType([
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_pref", T.StringType(), metadata={
+            "delta.generationExpression": "SUBSTRING(n_name, 1, 8)"}),
+    ])
+    nat = spark.read.parquet(
+        "/root/testdata/sf0.001/nation.parquet").select("n_name")
+    w2 = DeltaWriter.create(spark, t2dir, schema2, partition_by=["n_pref"])
+    w2.append(nat.repartition(2))
+    sb2 = DeltaTable(t2dir).scan(spark).filter("n_name", "=", "NATION_7")
+    got2 = [r["n_name"] for r in sb2.to_df().collect()]
+    rep2 = sb2.skip_report()
+    assert got2 == ["NATION_7"]
+    assert rep2["files_skipped_by_partition"] > 0, rep2
+
+
+def test_shallow_clone(spark, tdir):
+    """Shallow CLONE: zero-copy version-0 referencing the source's files
+    absolutely (DVs converted u->p); the clone diverges independently —
+    appends and deletes on it never touch the source."""
+    src_dir = str(tdir) + "_src"
+    w = DeltaWriter.create(spark, src_dir, SCHEMA)
+    w.append(_ids(spark, 30).coalesce(2))
+    w.delete("i % 3 = 0")  # DV on the source
+    src_count = DeltaTable(src_dir).to_df(spark).count()
+
+    clone_dir = str(tdir) + "_clone"
+    cw = DeltaWriter.clone(spark, src_dir, clone_dir)
+    assert DeltaTable(clone_dir).to_df(spark).count() == src_count
+    # absolute paths + p-storage DVs in the clone's log
+    snap = DeltaTable(clone_dir).snapshot
+    assert all(os.path.isabs(f.absolute_path(clone_dir)) and
+               f.absolute_path(clone_dir).startswith(src_dir)
+               for f in snap.add_files())
+    assert any((f.deletion_vector or {}).get("storageType") == "p"
+               for f in snap.add_files())
+
+    # divergence: write to the clone, source stays put
+    cw.append(_ids(spark, 5, lo=100).coalesce(1))
+    cw.delete("i = 1")
+    assert DeltaTable(src_dir).to_df(spark).count() == src_count
+    got = DeltaTable(clone_dir).to_df(spark).count()
+    assert got == src_count + 5 - 1
