@@ -92,6 +92,46 @@ def _legacy_features(proto: dict) -> tuple[set[str], set[str]]:
     return r, w
 
 
+def _ensure_mapping_metadata(
+    schema: T.StructType, start_id: int = 0
+) -> tuple[T.StructType, int]:
+    """Assign ``delta.columnMapping.id``/``physicalName`` to every struct
+    field (nested included) that lacks them — what delta-spark does when
+    column mapping is enabled. Existing metadata is preserved, so
+    fixture-authored schemas keep their ids; returns (schema, maxColumnId).
+    With stable physical names in place, RENAME/DROP COLUMN become pure
+    metadata commits."""
+    max_id = start_id
+
+    def walk(struct: T.StructType) -> T.StructType:
+        nonlocal max_id
+        out = []
+        for f in struct.fields:
+            md = dict(f.metadata or {})
+            fid = md.get("delta.columnMapping.id")
+            if fid is not None:
+                max_id = max(max_id, int(fid))
+        for f in struct.fields:
+            md = dict(f.metadata or {})
+            if "delta.columnMapping.id" not in md:
+                max_id += 1
+                md["delta.columnMapping.id"] = max_id
+                md.setdefault(
+                    "delta.columnMapping.physicalName", f"col-{uuid.uuid4()}"
+                )
+            else:
+                md.setdefault(
+                    "delta.columnMapping.physicalName", f"col-{uuid.uuid4()}"
+                )
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                dt = walk(dt)
+            out.append(T.StructField(f.name, dt, f.nullable, md))
+        return T.StructType(out)
+
+    return walk(schema), max_id
+
+
 def _contains_variant(dt: T.DataType) -> bool:
     """True when a VariantType appears anywhere in the (nested) type."""
     if isinstance(dt, T.VariantType):
@@ -171,6 +211,13 @@ class DeltaWriter:
         for p in partition_by:
             if p not in schema.fieldNames():
                 raise SchemaError(f"partition column {p!r} not in schema")
+        if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
+            schema, max_id = _ensure_mapping_metadata(schema)
+            configuration = dict(configuration or {})
+            prev_max = int(configuration.get("delta.columnMapping.maxColumnId", 0))
+            configuration["delta.columnMapping.maxColumnId"] = str(
+                max(max_id, prev_max)
+            )
         os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
         log = DeltaLog(path)
         meta = {
@@ -2035,6 +2082,111 @@ class DeltaWriter:
                      "unset": json.dumps(unset or [])},
                 )
             },
+            {"metaData": meta},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (delta-spark parity): on a
+        column-mapped table this is a pure metaData commit — the LOGICAL
+        name changes, the physical name in every parquet footer stays, so
+        zero data rewrites at any scale. Dotted paths rename nested
+        struct fields. Refuses without column mapping (the files are
+        keyed by logical name there, delta-spark refuses identically)."""
+        return self._alter_schema("RENAME COLUMN", old, new=new)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN: metadata-only removal under column
+        mapping (the physical column stays in the files and is simply no
+        longer read — spec semantics); refuses on unmapped tables and for
+        partition columns."""
+        return self._alter_schema("DROP COLUMN", name)
+
+    def add_column(self, name: str, dtype, comment: str | None = None) -> int:
+        """ALTER TABLE ADD COLUMN (nullable; existing files read typed
+        NULLs via the schema-evolution path). Works on mapped AND
+        unmapped tables; on mapped tables the new field gets the next
+        columnMapping id + a fresh physical name."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        schema = snap.schema
+        if name in schema.fieldNames():
+            raise SchemaError(f"column {name!r} already exists")
+        if isinstance(dtype, str):
+            dtype = getattr(T, "_parse_datatype_string")(dtype)
+        md: dict = {}
+        if comment:
+            md["comment"] = comment
+        meta = dict(snap.metadata)
+        if snap.column_mapping_mode != "none":
+            config = dict(snap.configuration)
+            next_id = int(config.get("delta.columnMapping.maxColumnId", 0)) + 1
+            md["delta.columnMapping.id"] = next_id
+            md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+            config["delta.columnMapping.maxColumnId"] = str(next_id)
+            meta["configuration"] = config
+        fields = list(schema.fields) + [
+            T.StructField(name, _nullable_type(dtype), True, md)
+        ]
+        meta["schemaString"] = T.StructType(fields).json()
+        actions = [
+            {"commitInfo": _commit_info("ADD COLUMNS",
+                                        {"column": name})},
+            {"metaData": meta},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def _alter_schema(self, op: str, target: str, new: str | None = None) -> int:
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        if snap.column_mapping_mode == "none":
+            raise UnsupportedFeatureError(
+                f"{op} requires column mapping (files are keyed by "
+                "logical name without it; set delta.columnMapping.mode)"
+            )
+        if target.partition(".")[0] in snap.partition_columns:
+            raise UnsupportedFeatureError(f"{op} on partition column {target!r}")
+
+        def walk(struct: T.StructType, path: str) -> T.StructType:
+            out = []
+            hit = False
+            for f in struct.fields:
+                if f.name == path.partition(".")[0]:
+                    hit = True
+                    seg, _, tail = path.partition(".")
+                    if tail:
+                        if not isinstance(f.dataType, T.StructType):
+                            raise SchemaError(
+                                f"{target!r}: {seg!r} is not a struct")
+                        out.append(T.StructField(
+                            f.name, walk(f.dataType, tail), f.nullable,
+                            f.metadata))
+                    elif op == "DROP COLUMN":
+                        continue
+                    else:
+                        if new in {x.name for x in struct.fields}:
+                            raise SchemaError(
+                                f"column {new!r} already exists")
+                        out.append(T.StructField(
+                            new, f.dataType, f.nullable, f.metadata))
+                else:
+                    out.append(f)
+            if not hit:
+                raise SchemaError(f"no such column: {target!r}")
+            return T.StructType(out)
+
+        new_schema = walk(snap.schema, target)
+        if op == "DROP COLUMN" and not new_schema.fields:
+            raise SchemaError("cannot drop the last column")
+        meta = dict(snap.metadata)
+        meta["schemaString"] = new_schema.json()
+        actions = [
+            {"commitInfo": _commit_info(op, {"column": target,
+                                             "to": new or ""})},
             {"metaData": meta},
         ]
         version = snap.version + 1

@@ -954,3 +954,52 @@ def delta_clone_scan(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(dest_root, ignore_errors=True)
+
+
+# ALTER TABLE RENAME/ADD/DROP COLUMN under column mapping: three pure-
+# metadata commits, zero file rewrites; old files read typed NULLs for
+# the added column
+@register(
+    "delta_alter_columns_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS label,
+           CAST(NULL AS DOUBLE) AS score
+    FROM nation
+    """,
+    group="delta",
+)
+def delta_alter_columns_scan(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = tempfile.mkdtemp(dir=".fixtures", prefix="alter_")
+    path = os.path.join(root, "t")
+    try:
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name", "n_regionkey")
+        w = DeltaWriter.create(
+            spark, path, nat.schema,
+            configuration={"delta.columnMapping.mode": "name"})
+        w.append(nat.coalesce(1))
+        files0 = {f.path for f in DeltaTable(path).snapshot.add_files()}
+        w.rename_column("n_nationkey", "key")
+        w.rename_column("n_name", "label")
+        w.add_column("score", "double")
+        w.drop_column("n_regionkey")
+        t = DeltaTable(path)
+        # three ALTERs, zero rewrites
+        assert {f.path for f in t.snapshot.add_files()} == files0
+        rows = t.to_df(spark).select("key", "label", "score").collect()
+        schema = T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

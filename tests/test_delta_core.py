@@ -2653,3 +2653,62 @@ def test_shallow_clone(spark, tdir):
     assert DeltaTable(src_dir).to_df(spark).count() == src_count
     got = DeltaTable(clone_dir).to_df(spark).count()
     assert got == src_count + 5 - 1
+
+
+def test_alter_column_rename_drop_add(spark, tdir):
+    """ALTER TABLE RENAME/DROP/ADD COLUMN: pure-metadata commits under
+    column mapping — the parquet files never rewrite; renames change the
+    logical name only, drops stop reading the physical column, adds read
+    typed NULLs from old files (and allocate a mapping id)."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": "name"})
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], schema)
+    w.append(df.coalesce(1))
+    files_before = {f.path for f in DeltaTable(tdir).snapshot.add_files()}
+
+    w.rename_column("v", "label")
+    t = DeltaTable(tdir)
+    assert set(t.to_df(spark).columns) == {"k", "label"}
+    got = {r["k"]: r["label"] for r in t.to_df(spark).collect()}
+    assert got == {i: f"v{i}" for i in range(10)}
+
+    w.add_column("score", "double")
+    t = DeltaTable(tdir)
+    rows = t.to_df(spark).collect()
+    assert all(r["score"] is None for r in rows)
+    # mapped: the new field carries an id and physical name
+    f = t.snapshot.schema["score"]
+    assert f.metadata.get("delta.columnMapping.id") == 3
+    # appends can now fill it, old files stay NULL
+    df2 = spark.createDataFrame(
+        [(100, "x", 1.5)],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("label", T.StringType()),
+                      T.StructField("score", T.DoubleType())]))
+    w.append(df2.coalesce(1))
+    got2 = {r["k"]: r["score"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got2[100] == 1.5 and got2[0] is None
+
+    w.drop_column("label")
+    t = DeltaTable(tdir)
+    assert set(t.to_df(spark).columns) == {"k", "score"}
+    # no data file was rewritten by any of the three ALTERs
+    files_after = {f.path for f in t.snapshot.add_files()}
+    assert files_before <= files_after
+
+    # unmapped tables refuse rename/drop
+    plain = str(tdir) + "_plain"
+    wp = DeltaWriter.create(spark, plain, schema)
+    wp.append(df.coalesce(1))
+    with pytest.raises(errors.UnsupportedFeatureError, match="column mapping"):
+        wp.rename_column("v", "w")
+    with pytest.raises(errors.UnsupportedFeatureError, match="column mapping"):
+        wp.drop_column("v")
+    # but ADD works anywhere
+    wp.add_column("extra", "bigint")
+    assert "extra" in DeltaTable(plain).to_df(spark).columns
