@@ -414,6 +414,36 @@ class Snapshot:
                     f"reader features not supported: {sorted(unsupported)}"
                 )
 
+    def verify_checksum(self) -> dict | None:
+        """Cross-check this snapshot against the writer's ``<v>.crc``
+        VersionChecksum (delta-spark parity). Returns the checksum dict
+        when it exists and matches, None when no checksum was written;
+        raises MalformedLogError on any aggregate mismatch — the cheap
+        tripwire for a torn or tampered log."""
+        path = os.path.join(self.log.log_path, f"{self.version:020d}.crc")
+        if not os.path.isfile(path):
+            return None
+        try:
+            with open(path, encoding="utf-8") as f:
+                crc = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise MalformedLogError(
+                f"unreadable checksum file {path}: {e}"
+            ) from None
+        files = self.add_files()
+        actual = {
+            "numFiles": len(files),
+            "tableSizeBytes": int(sum(f.size for f in files)),
+        }
+        for key, got in actual.items():
+            want = crc.get(key)
+            if want is not None and int(want) != got:
+                raise MalformedLogError(
+                    f"checksum mismatch at version {self.version}: "
+                    f"{key} is {got}, {os.path.basename(path)} says {want}"
+                )
+        return crc
+
     # ---------- derived properties ----------
 
     @property

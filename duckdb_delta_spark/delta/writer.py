@@ -297,7 +297,9 @@ class DeltaWriter:
                 time.time() * 1000
             )
         log.commit(0, actions)
-        return DeltaWriter(path, spark)
+        w = DeltaWriter(path, spark)
+        w._write_crc(0, Snapshot(log, -1))
+        return w
 
     @staticmethod
     def clone(
@@ -359,8 +361,11 @@ class DeltaWriter:
                 add["baseRowId"] = f.base_row_id
                 add["defaultRowCommitVersion"] = f.default_row_commit_version
             actions.append({"add": add})
-        DeltaLog(dest).commit(0, actions)
-        return DeltaWriter(dest, spark)
+        dest_log = DeltaLog(dest)
+        dest_log.commit(0, actions)
+        w = DeltaWriter(dest, spark)
+        w._write_crc(0, Snapshot(dest_log, -1))
+        return w
 
     # ---------- append ----------
 
@@ -576,6 +581,41 @@ class DeltaWriter:
                 actions.insert(0, {"commitInfo": info})
         self.log.commit(version, actions)
         self._maybe_auto_checkpoint(version, snap, actions)
+        self._write_crc(version, snap)
+
+    def _write_crc(self, version: int, snap_before: Snapshot) -> None:
+        """delta-spark parity: a ``<version>.crc`` VersionChecksum next to
+        every commit — table-level aggregates a reader can cross-check
+        against its reconstructed state (Snapshot.verify_checksum).
+        Computed INCREMENTALLY (replays only this commit on the pinned
+        snapshot, O(commit) not O(table)); never fails the durable commit."""
+        try:
+            post = Snapshot.build(self.log, version, base=snap_before)
+            files = post.add_files()
+            dvs = [f.deletion_vector for f in files if f.deletion_vector]
+            crc = {
+                "tableSizeBytes": int(sum(f.size for f in files)),
+                "numFiles": len(files),
+                "numMetadata": 1,
+                "numProtocol": 1,
+                "numDeletionVectorsOpt": len(dvs),
+                "numDeletedRecordsOpt": int(
+                    sum(int(d.get("cardinality") or 0) for d in dvs)
+                ),
+                "metadata": post.metadata,
+                "protocol": post.protocol,
+                "setTransactions": [
+                    {"appId": a, "version": v}
+                    for a, v in sorted(post.app_transactions.items())
+                ],
+            }
+            path = os.path.join(self.log.log_path, f"{version:020d}.crc")
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(crc, f, separators=(",", ":"))
+            os.replace(tmp, path)
+        except Exception:  # noqa: BLE001 - checksum is advisory, commit is durable
+            pass
 
     ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
@@ -2589,6 +2629,14 @@ class DeltaWriter:
                 last_deleted = v
             except OSError:
                 break
+            # the commit's advisory checksum expires with it
+            crc = os.path.join(self.log.log_path, f"{v:020d}.crc")
+            if os.path.isfile(crc):
+                try:
+                    os.unlink(crc)
+                    deleted.append(crc)
+                except OSError:
+                    pass
         # superseded checkpoints fully inside the deleted prefix — EXCEPT
         # a checkpoint at exactly last_deleted: it is the replay floor for
         # the surviving commits (last_deleted, next checkpoint). Deleting

@@ -2105,12 +2105,12 @@ def test_cleanup_expired_logs(spark, tdir):
 
     deleted = DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
     names = sorted(os.path.basename(p) for p in deleted)
-    # commits 0..3 (below ckpt v4); the v3 checkpoint survives as the
-    # replay floor for version 3 itself
-    assert names == [
-        f"{0:020d}.json", f"{1:020d}.json", f"{2:020d}.json",
-        f"{3:020d}.json",
-    ], names
+    # commits 0..3 (below ckpt v4) plus their advisory checksums; the v3
+    # checkpoint survives as the replay floor for version 3 itself
+    assert names == sorted(
+        [f"{v:020d}.json" for v in range(4)]
+        + [f"{v:020d}.crc" for v in range(4)]
+    ), names
 
     # HEAD still reads (replay = ckpt v4 + commit v5)
     t = DeltaTable(tdir)
@@ -2179,9 +2179,12 @@ def test_cleanup_retains_replay_floor_checkpoint(spark, tdir):
     deleted = DeltaWriter(tdir, spark).cleanup_expired_logs(
         retention_ms=3600_000)
     names = sorted(os.path.basename(p) for p in deleted)
-    # commits 0..3 expired; the v3 checkpoint is last_deleted's replay
-    # floor and MUST survive
-    assert names == [f"{v:020d}.json" for v in range(4)], names
+    # commits 0..3 (and their checksums) expired; the v3 checkpoint is
+    # last_deleted's replay floor and MUST survive
+    assert names == sorted(
+        [f"{v:020d}.json" for v in range(4)]
+        + [f"{v:020d}.crc" for v in range(4)]
+    ), names
     assert os.path.exists(
         os.path.join(log_dir, f"{3:020d}.checkpoint.parquet"))
     # v4 (between the floor and the v5 checkpoint) is still buildable:
@@ -2712,3 +2715,35 @@ def test_alter_column_rename_drop_add(spark, tdir):
     # but ADD works anywhere
     wp.add_column("extra", "bigint")
     assert "extra" in DeltaTable(plain).to_df(spark).columns
+
+
+def test_version_checksum_files(spark, tdir):
+    """Every commit writes a <v>.crc VersionChecksum (delta-spark
+    parity); Snapshot.verify_checksum cross-checks the reconstructed
+    state and trips on mismatches."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 20).coalesce(2))
+    w.delete("i % 4 = 0")
+
+    log_dir = os.path.join(tdir, "_delta_log")
+    crcs = sorted(p for p in os.listdir(log_dir) if p.endswith(".crc"))
+    assert crcs == [f"{v:020d}.crc" for v in range(3)]
+
+    snap = DeltaTable(tdir).snapshot
+    crc = snap.verify_checksum()
+    assert crc is not None
+    assert crc["numFiles"] == len(snap.add_files())
+    assert crc["numDeletedRecordsOpt"] == 5  # i in {0,4,8,12,16}
+    assert crc["metadata"]["id"] == snap.metadata["id"]
+
+    # corruption trips loudly
+    p = os.path.join(log_dir, f"{snap.version:020d}.crc")
+    bad = json.loads(open(p).read())
+    bad["numFiles"] += 1
+    open(p, "w").write(json.dumps(bad))
+    with pytest.raises(errors.MalformedLogError, match="checksum mismatch"):
+        DeltaTable(tdir).snapshot.verify_checksum()
+
+    # absent checksum (older writer) is not an error
+    os.remove(p)
+    assert DeltaTable(tdir).snapshot.verify_checksum() is None

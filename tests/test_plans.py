@@ -192,3 +192,56 @@ def test_pack_greedy_single_shuffle(spark):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """cross_contamination_pairs: the eval-gram side broadcasts (map-side
+    hash join — the 100-TB train side never shuffles its grams) and the
+    only Exchange is the overlap aggregation; all codegen, no Python."""
+    import re
+
+    from duckdb_delta_spark.operators import dedup as D
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    df = D.cross_contamination_pairs(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_epoch_shuffle_sharded_window(spark):
+    """epoch_shuffle: one Exchange on the bounded shard key feeding the
+    per-shard window — never a global single-partition sort."""
+    from duckdb_delta_spark.operators import chunking as C
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    plan = _plan(C.epoch_shuffle(docs, epoch=3))
+    # a global window would show 'Window' over 'Exchange SinglePartition'
+    assert "SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_row_id_scan_no_global_window(spark, tdir):
+    """with_row_ids joins the per-file base via broadcast — no global
+    window, no SinglePartition exchange."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.enableRowTracking": "true"})
+    w.append(spark.range(100).select(F.col("id").alias("i")).coalesce(2))
+    df = DeltaTable(tdir).scan(spark).with_row_ids().to_df()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert df.count() == 100
