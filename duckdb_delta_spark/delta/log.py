@@ -28,6 +28,7 @@ from duckdb_delta_spark.delta.errors import (
 )
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 _CHECKPOINT_PART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet$")
 #: v2 checkpoints: UUID-named manifest (json or parquet) + optional sidecars
@@ -192,6 +193,9 @@ class DeltaLog:
     def latest_version(self) -> int:
         commits, checkpoints = self.list_log_files()
         versions = set(commits) | set(checkpoints)
+        # a minor-compacted segment may be the only surviving record of
+        # its range (the per-commit JSONs can be cleaned under it)
+        versions |= {hi for hi, _ in self.list_compacted_segments().values()}
         if not versions:
             raise MalformedLogError(f"empty _delta_log at {self.table_path}")
         return max(versions)
@@ -209,6 +213,44 @@ class DeltaLog:
             return None  # hint only; fall back to listing
 
     # ---------- reading ----------
+
+    def list_compacted_segments(self) -> dict[int, tuple[int, str]]:
+        """Minor-compacted log segments (delta-spark layout
+        ``<lo>.<hi>.compacted.json``): lo → (hi, path), widest hi per lo.
+        Segments substitute for the per-commit JSONs of their range
+        during replay — the individual commits may even be deleted."""
+        out: dict[int, tuple[int, str]] = {}
+        if self.log_tail is not None:
+            return out
+        try:
+            names = os.listdir(self.log_path)
+        except OSError:
+            return out
+        for name in names:
+            m = _COMPACTED_RE.match(name)
+            if m:
+                lo, hi = int(m.group(1)), int(m.group(2))
+                cur = out.get(lo)
+                if cur is None or hi > cur[0]:
+                    out[lo] = (hi, os.path.join(self.log_path, name))
+        return out
+
+    def read_actions_file(self, path: str) -> list[dict]:
+        """Parse one newline-delimited JSON action file (commit or
+        compacted segment)."""
+        actions: list[dict] = []
+        with open(path, "r", encoding="utf-8") as f:
+            for lineno, line in enumerate(f, 1):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    actions.append(json.loads(line))
+                except json.JSONDecodeError as e:
+                    raise MalformedLogError(
+                        f"bad JSON at {path}:{lineno}: {e}"
+                    ) from None
+        return actions
 
     def read_commit(self, version: int) -> list[dict]:
         path = os.path.join(self.log_path, f"{version:020d}.json")

@@ -180,7 +180,19 @@ class Snapshot:
             if ckpt_version is not None:
                 start = ckpt_version + 1
         commits, _ = log.list_log_files()
-        for v in range(start, target + 1):
+        segments = log.list_compacted_segments()
+        v = start
+        while v <= target:
+            seg = segments.get(v)
+            if seg is not None and seg[0] <= target:
+                # minor-compacted segment covers [v, hi]: apply its
+                # reconciled actions instead of the per-commit JSONs
+                # (which retention may already have deleted)
+                hi, seg_path = seg
+                for action in log.read_actions_file(seg_path):
+                    snap._apply(action, hi)
+                v = hi + 1
+                continue
             if v not in commits:
                 # distinguish an expired prefix (log retention cleanup
                 # removed commits 0..k and no checkpoint ≤ target
@@ -202,6 +214,7 @@ class Snapshot:
                 )
             for action in log.read_commit(v):
                 snap._apply(action, v)
+            v += 1
         snap._validate()
         from duckdb_delta_spark.delta.logging import emit
 

@@ -2585,6 +2585,67 @@ class DeltaWriter:
 
     # ---------- checkpoint ----------
 
+    def compact_log(self, lo: int, hi: int) -> str:
+        """Minor log compaction (delta-spark layout
+        ``<lo>.<hi>.compacted.json``): one reconciled action file that
+        substitutes for the per-commit JSONs of ``[lo, hi]`` during
+        replay. Reconciliation per the spec's add/remove primary key
+        (path, dvUniqueId): the range's net effect — latest
+        metaData/protocol, latest txn per app, latest domainMetadata per
+        domain, removes before adds so cross-file eviction order is
+        preserved; commitInfo rows are dropped (they describe individual
+        commits, not the range). Listing a 1M-commit log tail collapses
+        to O(#segments) reads — the long-tail replay cost killer between
+        checkpoints."""
+        from duckdb_delta_spark.delta.snapshot import _dv_unique_id
+
+        if lo > hi:
+            raise ValueError(f"compact_log: lo {lo} > hi {hi}")
+        meta = proto = None
+        txns: dict[str, dict] = {}
+        domains: dict[str, dict] = {}
+        adds: dict[tuple, dict] = {}
+        removes: dict[tuple, dict] = {}
+        for v in range(lo, hi + 1):
+            for action in self.log.read_commit(v):
+                if action.get("metaData"):
+                    meta = action
+                elif action.get("protocol"):
+                    proto = action
+                elif action.get("txn"):
+                    txns[action["txn"]["appId"]] = action
+                elif action.get("domainMetadata"):
+                    domains[action["domainMetadata"]["domain"]] = action
+                elif action.get("add"):
+                    a = action["add"]
+                    key = (a["path"], _dv_unique_id(a.get("deletionVector")))
+                    adds[key] = action
+                    # an add supersedes an earlier same-key remove
+                    removes.pop(key, None)
+                elif action.get("remove"):
+                    r = action["remove"]
+                    key = (r["path"], _dv_unique_id(r.get("deletionVector")))
+                    adds.pop(key, None)
+                    removes[key] = action
+        out: list[dict] = []
+        if proto:
+            out.append(proto)
+        if meta:
+            out.append(meta)
+        out.extend(txns[k] for k in sorted(txns))
+        out.extend(domains[k] for k in sorted(domains))
+        out.extend(removes[k] for k in sorted(removes))
+        out.extend(adds[k] for k in sorted(adds))
+        path = os.path.join(
+            self.log.log_path, f"{lo:020d}.{hi:020d}.compacted.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for a in out:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        os.replace(tmp, path)
+        return path
+
     def cleanup_expired_logs(self, retention_ms: int | None = None) -> list[str]:
         """Metadata cleanup (delta-spark's log retention; the reference
         delegates it to the kernel): delete the CONTIGUOUS PREFIX of

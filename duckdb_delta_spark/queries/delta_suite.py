@@ -1003,3 +1003,50 @@ def delta_alter_columns_scan(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# minor log compaction: replay through a <lo>.<hi>.compacted.json segment
+# (original commit JSONs deleted) must equal the plain scan
+@register(
+    "delta_compacted_log_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(s_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS total
+    FROM supplier WHERE s_suppkey % 3 <> 0
+    """,
+    group="delta",
+)
+def delta_compacted_log_scan(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = tempfile.mkdtemp(dir=".fixtures", prefix="logcompact_")
+    path = os.path.join(root, "t")
+    try:
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        w = DeltaWriter.create(spark, path, sup.schema)
+        w.append(sup.where(F.col("s_suppkey") % 2 == 0).coalesce(2))
+        w.append(sup.where(F.col("s_suppkey") % 2 == 1).coalesce(2))
+        w.delete("s_suppkey % 3 = 0")
+        w.compact_log(0, 3)
+        for v in range(4):
+            os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+        rows = (
+            DeltaTable(path).to_df(spark)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("s_acctbal").alias("total"))
+            .collect()
+        )
+        schema = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

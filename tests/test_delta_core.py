@@ -2747,3 +2747,39 @@ def test_version_checksum_files(spark, tdir):
     # absent checksum (older writer) is not an error
     os.remove(p)
     assert DeltaTable(tdir).snapshot.verify_checksum() is None
+
+
+def test_log_minor_compaction(spark, tdir):
+    """Minor log compaction (<lo>.<hi>.compacted.json, delta-spark
+    layout): replay substitutes the reconciled segment for the range's
+    per-commit JSONs — even after those commits are deleted — and the
+    resulting state is identical (adds, DVs, metadata, txns)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 20).coalesce(2))                     # v1
+    w.append(_ids(spark, 10, lo=100).coalesce(1),
+             txn_app_id="app", txn_version=7)                 # v2
+    w.delete("i % 5 = 0")                                     # v3 (DV re-add)
+    w.set_properties({"delta.appendOnly": "false"})           # v4
+    w.append(_ids(spark, 5, lo=200).coalesce(1))              # v5
+
+    before = DeltaTable(tdir)
+    exp_rows = sorted(r["i"] for r in before.to_df(spark).collect())
+    exp_files = {(f.path, f.dv_unique_id()) for f in before.snapshot.add_files()}
+
+    seg = DeltaWriter(tdir, spark).compact_log(0, 4)
+    assert os.path.basename(seg) == f"{0:020d}.{4:020d}.compacted.json"
+
+    # segment must be USED: remove the originals it covers
+    for v in range(5):
+        os.remove(os.path.join(tdir, "_delta_log", f"{v:020d}.json"))
+
+    t = DeltaTable(tdir)
+    assert {(f.path, f.dv_unique_id()) for f in t.snapshot.add_files()} == exp_files
+    got_rows = sorted(r["i"] for r in t.to_df(spark).collect())
+    assert got_rows == exp_rows
+    assert t.snapshot.transaction_version("app") == 7
+    assert t.snapshot.configuration.get("delta.appendOnly") == "false"
+
+    # the table stays writable on top of the segment
+    DeltaWriter(tdir, spark).append(_ids(spark, 3, lo=300).coalesce(1))
+    assert DeltaTable(tdir).to_df(spark).count() == len(exp_rows) + 3
