@@ -816,7 +816,7 @@ def delta_identity_append(spark, sf_dir):
     from duckdb_delta_spark.delta.table import DeltaTable
     from duckdb_delta_spark.delta.writer import DeltaWriter
 
-    path = tempfile.mkdtemp(dir=".fixtures", prefix="identity_") + "/t"
+    path = FX.tmp_dir("identity_") + "/t"
     try:
         schema = T.StructType([
             T.StructField("id", T.LongType(), metadata={
@@ -870,7 +870,7 @@ def delta_row_tracking_scan(spark, sf_dir):
     from duckdb_delta_spark.delta.table import DeltaTable
     from duckdb_delta_spark.delta.writer import DeltaWriter
 
-    root = tempfile.mkdtemp(dir=".fixtures", prefix="rowtrack_")
+    root = FX.tmp_dir("rowtrack_")
     path = os.path.join(root, "t")
     try:
         nat = (
@@ -935,7 +935,7 @@ def delta_clone_scan(spark, sf_dir):
     from duckdb_delta_spark.delta.writer import DeltaWriter
 
     root = FX.ensure_fixtures(spark, sf_dir)
-    dest_root = tempfile.mkdtemp(dir=".fixtures", prefix="clone_")
+    dest_root = FX.tmp_dir("clone_")
     try:
         dest = os.path.join(dest_root, "t")
         # source carries DVs — the clone must keep masking them (u -> p)
@@ -977,7 +977,7 @@ def delta_alter_columns_scan(spark, sf_dir):
     from duckdb_delta_spark.delta.table import DeltaTable
     from duckdb_delta_spark.delta.writer import DeltaWriter
 
-    root = tempfile.mkdtemp(dir=".fixtures", prefix="alter_")
+    root = FX.tmp_dir("alter_")
     path = os.path.join(root, "t")
     try:
         nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
@@ -1026,7 +1026,7 @@ def delta_compacted_log_scan(spark, sf_dir):
     from duckdb_delta_spark.delta.table import DeltaTable
     from duckdb_delta_spark.delta.writer import DeltaWriter
 
-    root = tempfile.mkdtemp(dir=".fixtures", prefix="logcompact_")
+    root = FX.tmp_dir("logcompact_")
     path = os.path.join(root, "t")
     try:
         sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")

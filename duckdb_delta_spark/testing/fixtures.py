@@ -34,6 +34,16 @@ DV_DELETE_LINENUMBER = 1
 EVO_KEY_SPLIT = 750  # o_orderkey < split → first (2-col) commit
 
 
+def tmp_dir(prefix: str) -> str:
+    """A throwaway dir under the repo's gitignored .fixtures root
+    (absolute — query callables must not depend on the caller's CWD)."""
+    import tempfile
+
+    base = os.path.dirname(FIXTURE_ROOT)
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(dir=base, prefix=prefix)
+
+
 def fixture_dir(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join(FIXTURE_ROOT, name)
