@@ -2783,3 +2783,73 @@ def test_log_minor_compaction(spark, tdir):
     # the table stays writable on top of the segment
     DeltaWriter(tdir, spark).append(_ids(spark, 3, lo=300).coalesce(1))
     assert DeltaTable(tdir).to_df(spark).count() == len(exp_rows) + 3
+
+
+def test_identity_and_row_ids_under_concurrent_appends(spark, tdir):
+    """Allocation safety under racing writers: identity VALUES live in
+    data files, so a concurrent watermark move is a HARD conflict (the
+    loser raises rather than committing a duplicate range); row-tracking
+    baseRowIds are commit metadata, so the retry REALLOCATES them
+    against the winning snapshot — both tables end with unique ids."""
+    import threading
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), metadata={
+            "delta.identity.start": 0, "delta.identity.step": 1}),
+        T.StructField("v", T.StringType()),
+    ])
+    w0 = DeltaWriter.create(spark, tdir, schema)
+    vals = spark.createDataFrame([(f"x{i}",) for i in range(10)],
+                                 T.StructType([T.StructField("v", T.StringType())]))
+    vals = vals.coalesce(1).cache()
+    vals.count()
+
+    errors_seen: list[Exception] = []
+
+    def run():
+        try:
+            DeltaWriter(tdir, spark).append(vals, max_retries=5)
+        except Exception as e:  # noqa: BLE001
+            errors_seen.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    got = [r["id"] for r in DeltaTable(tdir).to_df(spark).collect()]
+    # every committed row has a unique identity value, no duplicated range
+    assert len(got) == len(set(got))
+    assert len(got) == 10 * (3 - len(errors_seen))
+    # losers failed loudly (conflict), never silently duplicated
+    from duckdb_delta_spark.delta.errors import DeltaError
+
+    assert all(isinstance(e, DeltaError) for e in errors_seen)
+
+    # row tracking: retries REALLOCATE metadata — all appends land
+    rt = str(tdir) + "_rt"
+    DeltaWriter.create(
+        spark, rt,
+        T.StructType([T.StructField("v", T.StringType())]),
+        configuration={"delta.enableRowTracking": "true"})
+
+    rt_errors: list[Exception] = []
+
+    def run_rt():
+        try:
+            DeltaWriter(rt, spark).append(vals, max_retries=10)
+        except Exception as e:  # noqa: BLE001
+            rt_errors.append(e)
+
+    threads = [threading.Thread(target=run_rt) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not rt_errors, rt_errors
+    rows = (
+        DeltaTable(rt).scan(spark).with_row_ids().to_df()
+        .select("_row_id").collect()
+    )
+    ids = [r["_row_id"] for r in rows]
+    assert len(ids) == 30 and len(set(ids)) == 30  # no overlapping ranges
