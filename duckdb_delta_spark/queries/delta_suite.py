@@ -1050,3 +1050,19 @@ def delta_compacted_log_scan(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# DESCRIBE HISTORY parity: deterministic projection (version, operation)
+# over the orders_upd fixture's known commit sequence
+@register(
+    "delta_history_scan",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS version, 'CREATE TABLE' AS operation
+    UNION ALL SELECT CAST(1 AS BIGINT), 'WRITE'
+    UNION ALL SELECT CAST(2 AS BIGINT), 'UPDATE'
+    """,
+    group="delta",
+)
+def delta_history_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_upd")
+    return t.history(spark).select("version", "operation")
