@@ -631,3 +631,76 @@ def test_foreign_nested_cm_dv_projection_prunes(spark, foreign_nested):
     assert df.columns == ["info"]
     names = sorted(r["info"]["name"] for r in df.collect())
     assert names == sorted(f"n{i}" for i in _nested_expected_ids())
+
+
+def test_foreign_compacted_log_segment(spark, tmp_path):
+    """A minor-compacted segment authored the way ANOTHER engine writes
+    it (raw newline JSON, adds/removes interleaved in its own order, no
+    commitInfo) must replay identically — with the covered per-commit
+    JSONs deleted, and a post-segment commit on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = str(tmp_path / "t")
+    os.makedirs(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [foreign.spark_field("k", "long"),
+                   foreign.spark_field("v", "string")],
+    }, separators=(",", ":"))
+    meta = {"metaData": {
+        "id": "foreign-compacted", "format": {"provider": "parquet",
+                                              "options": {}},
+        "schemaString": schema_string, "partitionColumns": [],
+        "configuration": {}, "createdTime": 1_700_000_000_000}}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def write_file(lo, hi, idx):
+        tbl = pa.Table.from_pydict({
+            "k": list(range(lo, hi)),
+            "v": [f"v{i}" for i in range(lo, hi)]})
+        rel = foreign.part_file_name(idx)
+        pq.write_table(tbl, os.path.join(dest, rel))
+        return foreign.add_action(rel, os.path.join(dest, rel), tbl, {},
+                                  ["k", "v"])
+
+    a1 = write_file(0, 10, 0)   # v1, later removed
+    a2 = write_file(10, 25, 1)  # v1, survives
+    a3 = write_file(25, 30, 2)  # v2, survives
+    foreign.write_commit(log_dir, 0, [foreign.commit_info("CREATE TABLE"),
+                                      proto, meta])
+    foreign.write_commit(log_dir, 1, [foreign.commit_info("WRITE"), a1, a2])
+    foreign.write_commit(
+        log_dir, 2,
+        [foreign.commit_info("DELETE"),
+         {"remove": {"path": a1["add"]["path"],
+                     "deletionTimestamp": 1_700_000_100_000,
+                     "dataChange": True}},
+         a3])
+
+    # foreign segment: ITS ordering (adds before the remove) — the spec
+    # key (path, dvId) makes replay order-independent for distinct keys
+    seg = os.path.join(log_dir, f"{0:020d}.{2:020d}.compacted.json")
+    with open(seg, "w", encoding="utf-8") as f:
+        for action in (proto, meta, a2, a3,
+                       {"remove": {"path": a1["add"]["path"],
+                                   "deletionTimestamp": 1_700_000_100_000,
+                                   "dataChange": True}}):
+            f.write(json.dumps(action, separators=(",", ":")) + "\n")
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    got = sorted(r["k"] for r in DeltaTable(dest).to_df(spark).collect())
+    assert got == list(range(10, 30))
+
+    # table stays writable above the segment
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from pyspark.sql import types as T
+
+    DeltaWriter(dest, spark).append(
+        spark.createDataFrame([(100, "x")], T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType())])).coalesce(1))
+    assert DeltaTable(dest).to_df(spark).count() == 21
