@@ -153,3 +153,34 @@ def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(n_bpe / F.greatest(n_ws, F.lit(1)).cast("double"), 4),
         )
     )
+
+
+#: PII patterns a pre-training scrub removes (the usual first-pass set:
+#: emails, international-ish phone numbers, IPv4s). Regex-only — pure
+#: JVM codegen, zero Python in the hot path; both engines run PCRE-ish
+#: dialects where these constructs agree.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub (training-data release hygiene): replace every email /
+    phone / IPv4 occurrence with a typed placeholder and count what was
+    removed per document. Chained ``regexp_replace`` + ``regexp_count``
+    — embarrassingly parallel, no UDFs; at 100 TB this is a pure
+    map-stage over the corpus."""
+    redacted = F.col(text_col)
+    n_total = F.lit(0)
+    cols = {}
+    for name, pat in sorted(PII_PATTERNS.items()):
+        n = F.regexp_count(F.col(text_col), F.lit(pat))
+        cols[f"n_{name}"] = n.cast("long")
+        n_total = n_total + n
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    out = df.withColumn("redacted", redacted)
+    for c, expr in cols.items():
+        out = out.withColumn(c, expr)
+    return out.withColumn("n_pii", n_total.cast("long"))

@@ -715,7 +715,7 @@ PACK_BUDGET, PACK_SHARDS = 2048, 16
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+             ('0x' || substr(md5(CAST(doc_id AS STRING)),1,8))::BIGINT
                % {PACK_SHARDS} AS shard,
              CAST(len({_RAW_TOKS}) AS BIGINT) AS n_tokens
       FROM documents),
@@ -755,7 +755,7 @@ MIX_SALT = "mix1"
     SELECT lang, count(*) AS n_sampled,
            CAST(sum(n_chars) AS BIGINT) AS chars_total
     FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{MIX_SALT}'),1,8))::BIGINT
+    WHERE ('0x' || substr(md5(CAST(doc_id AS STRING) || ':{MIX_SALT}'),1,8))::BIGINT
             % 100
           < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))} ELSE 0 END
     GROUP BY lang
@@ -782,7 +782,7 @@ def doc_sample_stratified(spark, sf_dir):
     oracle="""
     WITH keyed AS (
       SELECT doc_id,
-             md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+             md5('7:' || CAST(doc_id AS STRING)) AS k
       FROM documents),
     sharded AS (
       SELECT doc_id, k,
@@ -801,3 +801,51 @@ def doc_epoch_shuffle(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return epoch_shuffle(docs, epoch=7).select("doc_id", "shard", "pos")
+
+
+# PII redaction: deterministic synthetic PII is appended to every third
+# doc (both engines construct the identical string), then the scrub's
+# counts and the md5 of the redacted text must agree exactly
+_PII_TEXT = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || "
+    "CAST(doc_id AS STRING) || '@mail.org or 10.0.0.' || "
+    "CAST(doc_id % 256 AS STRING) || ' call +1 (415) 555-01' || "
+    "CAST(doc_id % 10 AS STRING) || '2 now' ELSE '' END"
+)
+
+
+def _redact_oracle() -> str:
+    e, i, p = (X.PII_PATTERNS["email"], X.PII_PATTERNS["ipv4"],
+               X.PII_PATTERNS["phone"])
+    return f"""
+    WITH t AS (SELECT doc_id, {_PII_TEXT} AS x FROM documents),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(x, '{e}')) AS n_email,
+             len(regexp_extract_all(x, '{i}')) AS n_ipv4,
+             len(regexp_extract_all(x, '{p}')) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(x,
+               '{e}', '<EMAIL>', 'g'),
+               '{i}', '<IPV4>', 'g'),
+               '{p}', '<PHONE>', 'g') AS redacted
+      FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """
+
+
+@register("text_redact_pii", oracle=_redact_oracle(), group="text")
+def text_redact_pii(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_TEXT).alias("text")
+    )
+    out = X.with_redaction(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_pii",
+        F.md5("redacted").alias("redacted_md5"),
+    )
