@@ -297,3 +297,25 @@ def test_word_shingles_zipwith_shape(spark):
     assert got[0]["s"] == ["a b c", "b c d"]
     assert got[1]["s"] == []
     assert got[2]["s"] == ["r r r"]
+
+
+def test_redaction_semantics(spark):
+    """PII scrub: typed placeholders, counts per kind, clean docs pass
+    through byte-identical."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.text import with_redaction
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com twice: bob@example.com ok"),
+         (2, "server at 10.1.2.3 and phone +1 (415) 555-0132 here"),
+         (3, "nothing sensitive here at all")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    out = {r["doc_id"]: r for r in with_redaction(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert out[1]["redacted"] == "mail <EMAIL> twice: <EMAIL> ok"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 1
+    assert "<IPV4>" in out[2]["redacted"] and "<PHONE>" in out[2]["redacted"]
+    assert "10.1.2.3" not in out[2]["redacted"]
+    assert out[3]["n_pii"] == 0 and out[3]["redacted"] == out[3]["text"]
