@@ -376,7 +376,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             inline_dv_descriptor,
             read_dv_from_descriptor,
         )
-        from duckdb_delta_spark.delta.snapshot import Snapshot
+        from duckdb_delta_spark.delta.snapshot import Snapshot, _dv_unique_id
 
         prev = (
             Snapshot.build(self._log, start_v)
@@ -425,9 +425,13 @@ class DeltaStreamReader(DataSourceStreamReader):
             for p, a in add_paths.items():
                 if p not in rem_paths:
                     continue
-                old_f = prev.files.get(p)
-                old_dv = old_f.deletion_vector if old_f is not None else None
+                # old DV comes from the REMOVE action's own descriptor —
+                # prev.files is keyed (path, dvUniqueId), a bare-path get
+                # would miss (mirror of changes._dv_diff_descriptors)
+                old_dv = rem_paths[p].get("deletionVector")
                 new_dv = a.get("deletionVector")
+                if _dv_unique_id(new_dv) == _dv_unique_id(old_dv):
+                    continue  # same mask re-added (metadata-only rewrite)
                 old_rows = (
                     read_dv_from_descriptor(old_dv, self.table_path)
                     if old_dv else np.array([], dtype="uint64")
@@ -451,10 +455,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                         p, a.get("partitionValues"), a.get("size"), dv=None,
                         emit_dv=json.dumps(inline_dv_descriptor(diff)),
                         change_type="delete", **common))
+            prev_by_path = None
             for p, r in rem_paths.items():
                 if p in add_paths:
                     continue
-                old_f = prev.files.get(p)
+                if prev_by_path is None:
+                    # prev.files is keyed (path, dvUniqueId); dropped-path
+                    # lookup needs a bare-path view (built once per commit,
+                    # only when a commit actually drops files)
+                    prev_by_path = {f.path: f for f in prev.add_files()}
+                old_f = prev_by_path.get(p)
                 if old_f is None:
                     continue  # removed file unknown at prev (already gone)
                 out.append(ref(

@@ -654,3 +654,67 @@ def test_source_read_change_feed(spark, tdir):
     assert all(ts is not None and ts.year >= 2024 for ts in tss)
     _sh.rmtree(out, ignore_errors=True)
     _sh.rmtree(ckpt, ignore_errors=True)
+
+def test_source_cdf_non_cdc_table(spark, tdir):
+    """readChangeFeed on a table WITHOUT cdc files: deletes derive from
+    the log alone.  Guards two lookup bugs — prev.files is keyed
+    (path, dvUniqueId), so the dropped-path branch needs a bare-path map,
+    and the DV re-add branch must take the old DV from the REMOVE action
+    (a bare-path get returned None, re-emitting all prior deletes)."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("s", T.StringType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)  # no CDF config
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("i"), F.concat(F.lit("s"), F.col("id")).alias("s"))
+    w.append(mk(0, 30).coalesce(1))          # v1: inserts
+    w.delete("i < 5")                        # v2: DV deletes rows 0-4
+    w.delete("i < 8")                        # v3: DV update -> diff 5,6,7
+    w.update("i = 20", {"s": "'upd'"})       # v4: DV delete + insert
+    w.overwrite(mk(100, 105).coalesce(1))    # v5: dropped paths + insert
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    batch = table_changes(DeltaLog(tdir), spark, starting_version=0)
+    exp = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"])
+        for r in batch.collect()
+    )
+    # the batch oracle itself: v3 emits ONLY the newly deleted rows
+    assert [t for t in exp if t[1] == 3] == [
+        ("delete", 3, 5), ("delete", 3, 6), ("delete", 3, 7)]
+    # v5 overwrite: dropped-path deletes = live rows at v4 (30 - 8 DV'd,
+    # incl. the updated row), never the already-deleted ones
+    v5_del = [t for t in exp if t[1] == 5 and t[0] == "delete"]
+    assert len(v5_del) == 22 and ("delete", 5, 0) not in v5_del
+
+    out = str(tdir) + "_ncdf_out"
+    ckpt = str(tdir) + "_ncdf_ckpt"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == exp
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
