@@ -24,6 +24,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
@@ -103,26 +104,36 @@ def _ensure_mapping_metadata(
     metadata commits."""
     max_id = start_id
 
+    # global pre-scan FIRST: ids already present anywhere in the schema
+    # (arbitrarily deep, incl. structs inside arrays/maps) must never
+    # collide with freshly assigned parent-level ids (spec: unique)
+    def scan(dt: T.DataType) -> None:
+        nonlocal max_id
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    max_id = max(max_id, int(fid))
+                scan(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            scan(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            scan(dt.keyType)
+            scan(dt.valueType)
+
+    scan(schema)
+
     def walk(struct: T.StructType) -> T.StructType:
         nonlocal max_id
         out = []
         for f in struct.fields:
             md = dict(f.metadata or {})
-            fid = md.get("delta.columnMapping.id")
-            if fid is not None:
-                max_id = max(max_id, int(fid))
-        for f in struct.fields:
-            md = dict(f.metadata or {})
             if "delta.columnMapping.id" not in md:
                 max_id += 1
                 md["delta.columnMapping.id"] = max_id
-                md.setdefault(
-                    "delta.columnMapping.physicalName", f"col-{uuid.uuid4()}"
-                )
-            else:
-                md.setdefault(
-                    "delta.columnMapping.physicalName", f"col-{uuid.uuid4()}"
-                )
+            md.setdefault(
+                "delta.columnMapping.physicalName", f"col-{uuid.uuid4()}"
+            )
             dt = f.dataType
             if isinstance(dt, T.StructType):
                 dt = walk(dt)
@@ -339,6 +350,11 @@ class DeltaWriter:
         for domain, conf in sorted(src_snap.domain_metadata.items()):
             actions.append({"domainMetadata": {
                 "domain": domain, "configuration": conf, "removed": False}})
+        # app txn versions carry over (delta-spark parity): an idempotent
+        # or streaming writer re-pointed at the clone must see its
+        # last-committed version, or it would double-apply a batch
+        for app_id, ver in sorted(src_snap.app_transactions.items()):
+            actions.append({"txn": {"appId": app_id, "version": int(ver)}})
         for f in src_snap.add_files():
             dv = f.deletion_vector
             if dv and dv.get("storageType") == "u":
@@ -2191,6 +2207,31 @@ class DeltaWriter:
         if target.partition(".")[0] in snap.partition_columns:
             raise UnsupportedFeatureError(f"{op} on partition column {target!r}")
 
+        # dependent-expression guard (delta-spark parity: refuses both):
+        # a column referenced by a CHECK constraint or another column's
+        # generation expression cannot be dropped or renamed — committing
+        # would break every subsequent append, or worse, a rename chain
+        # could silently repoint generated-partition pruning at a
+        # different column
+        deps = []
+        for key, cexpr in sorted(snap.configuration.items()):
+            if key.startswith("delta.constraints.") and _expr_references(
+                cexpr, target
+            ):
+                deps.append(
+                    f"CHECK constraint {key[len('delta.constraints.'):]!r}"
+                    f" ({cexpr})"
+                )
+        for col, gexpr in sorted(_generated_exprs(snap.schema).items()):
+            if col != target and _expr_references(gexpr, target):
+                deps.append(f"generated column {col!r} ({gexpr})")
+        if deps:
+            raise SchemaError(
+                f"{op} {target!r}: column is referenced by "
+                + "; ".join(deps)
+                + " — drop the constraint / generated column first"
+            )
+
         def walk(struct: T.StructType, path: str) -> T.StructType:
             out = []
             hit = False
@@ -2991,6 +3032,21 @@ def _apply_generated(
             for f in schema.fields
         ]
     )
+
+
+def _expr_references(expr: str, column: str) -> bool:
+    """Conservative check: does SQL expression ``expr`` reference
+    ``column``?  String literals are stripped first; identifiers match
+    case-insensitively, bare or backtick-quoted; a dotted target matches
+    its full path, and a struct root matches any reference into it.
+    False positives only refuse an ALTER loudly — never corrupt state."""
+    no_strings = re.sub(r"'(?:[^'\\]|\\.)*'", "''", expr)
+    pat = (
+        r"(?<![\w.`])`?"
+        + re.escape(column).replace(r"\.", r"`?\.`?")
+        + r"`?(?![\w`])"
+    )
+    return bool(re.search(pat, no_strings, re.IGNORECASE))
 
 
 def _generated_exprs(schema: T.StructType) -> dict[str, str]:

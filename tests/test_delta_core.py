@@ -2658,6 +2658,33 @@ def test_shallow_clone(spark, tdir):
     assert got == src_count + 5 - 1
 
 
+def test_shallow_clone_carries_app_transactions(spark, tdir):
+    """Shallow CLONE carries the source's setTransactions: an
+    idempotent writer re-pointed at the clone sees its last-committed
+    version and skips an already-applied batch instead of double-applying
+    (delta-spark shallow CLONE does the same, for the same reason)."""
+    src_dir = str(tdir) + "_src"
+    w = DeltaWriter.create(spark, src_dir, SCHEMA)
+    w.append(_ids(spark, 10), txn_app_id="etl", txn_version=5)
+
+    clone_dir = str(tdir) + "_clone"
+    cw = DeltaWriter.clone(spark, src_dir, clone_dir)
+    assert DeltaTable(clone_dir).get_transaction_version("etl") == 5
+    before = DeltaTable(clone_dir).to_df(spark).count()
+    # a restarted writer that thinks batch 5 is still pending CAS-fails
+    # (without carried setTransactions, last would be None and the same
+    # replay could double-apply)
+    from duckdb_delta_spark.delta.errors import IdempotencyError
+    with pytest.raises(IdempotencyError):
+        cw.append(_ids(spark, 10), txn_app_id="etl", txn_version=5,
+                  txn_expected_last=4)
+    assert DeltaTable(clone_dir).to_df(spark).count() == before
+    # the next batch CASes from the carried version and applies
+    cw.append(_ids(spark, 3, lo=50), txn_app_id="etl", txn_version=6,
+              txn_expected_last=5)
+    assert DeltaTable(clone_dir).to_df(spark).count() == before + 3
+
+
 def test_alter_column_rename_drop_add(spark, tdir):
     """ALTER TABLE RENAME/DROP/ADD COLUMN: pure-metadata commits under
     column mapping — the parquet files never rewrite; renames change the
@@ -2853,3 +2880,47 @@ def test_identity_and_row_ids_under_concurrent_appends(spark, tdir):
     )
     ids = [r["_row_id"] for r in rows]
     assert len(ids) == 30 and len(set(ids)) == 30  # no overlapping ranges
+
+def test_mapping_ids_unique_with_nested_preassigned():
+    """_ensure_mapping_metadata must pre-scan ids GLOBALLY: an id already
+    present in a deep nested struct (here 7, below an unannotated parent)
+    must never collide with freshly assigned parent-level ids."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import _ensure_mapping_metadata
+
+    inner = T.StructType([
+        T.StructField("x", T.LongType(), True,
+                      {"delta.columnMapping.id": 7,
+                       "delta.columnMapping.physicalName": "col-x"}),
+    ])
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),           # unannotated
+        T.StructField("n", inner),                  # unannotated parent
+        T.StructField("arr", T.ArrayType(T.StructType([
+            T.StructField("deep", T.LongType(), True,
+                          {"delta.columnMapping.id": 9,
+                           "delta.columnMapping.physicalName": "col-d"}),
+        ]))),
+    ])
+    out, max_id = _ensure_mapping_metadata(schema)
+
+    ids = []
+
+    def collect(dt):
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    ids.append(int(fid))
+                collect(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            collect(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            collect(dt.keyType)
+            collect(dt.valueType)
+
+    collect(out)
+    assert len(ids) == len(set(ids)), f"duplicate mapping ids: {sorted(ids)}"
+    assert 7 in ids and 9 in ids          # pre-assigned ids preserved
+    assert max_id >= max(ids)             # maxColumnId covers everything

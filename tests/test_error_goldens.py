@@ -234,3 +234,69 @@ def test_v2_sidecar_missing(spark, tdir):
         f"{os.path.join(log_dir, '_sidecars', 'gone.parquet')} "
         f"(manifest {manifest})",
     )
+
+
+def test_alter_refuses_constraint_referenced_column(spark, tdir):
+    """DROP/RENAME of a column referenced by a CHECK constraint or a
+    generation expression refuses at ALTER time (delta-spark parity) —
+    committing would break every subsequent append."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("i2", T.LongType(), True,
+                      {"delta.generationExpression": "i * 2"}),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.constraints.small_i": "i < 100"},
+    )
+    with pytest.raises(errors.SchemaError) as ei:
+        w.drop_column("i")
+    _golden(
+        ei,
+        "SchemaError: DROP COLUMN 'i': column is referenced by "
+        "CHECK constraint 'small_i' (i < 100); "
+        "generated column 'i2' (i * 2) "
+        "— drop the constraint / generated column first",
+    )
+    with pytest.raises(errors.SchemaError) as ei2:
+        w.rename_column("i", "j")
+    _golden(
+        ei2,
+        "SchemaError: RENAME COLUMN 'i': column is referenced by "
+        "CHECK constraint 'small_i' (i < 100); "
+        "generated column 'i2' (i * 2) "
+        "— drop the constraint / generated column first",
+    )
+    # dropping the GENERATED column itself is fine (nothing references it)
+    w.drop_column("i2")
+    # a column matched only inside a string literal is NOT a reference
+    w2dir = tdir + "_lit"
+    w2 = DeltaWriter.create(
+        spark, w2dir, T.StructType([T.StructField("i", T.LongType()),
+                                    T.StructField("s", T.StringType())]),
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.constraints.tagged": "s != 'i'"},
+    )
+    w2.drop_column("i")  # 'i' appears only as a string literal
+
+
+def test_rename_unreferenced_keeps_constraint_enforcing(spark, tdir):
+    """Renaming a column NOT referenced by any constraint succeeds, and
+    the existing CHECK constraint still enforces afterwards."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.constraints.small_i": "i < 10"},
+    )
+    w.rename_column("x", "y")
+    ok = spark.createDataFrame([(1, 2.0)], "i long, y double")
+    w.append(ok)
+    bad = spark.createDataFrame([(99, 2.0)], "i long, y double")
+    with pytest.raises(errors.ConstraintViolationError):
+        w.append(bad)
