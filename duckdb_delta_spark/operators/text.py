@@ -171,12 +171,18 @@ def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     phone / IPv4 occurrence with a typed placeholder and count what was
     removed per document. Chained ``regexp_replace`` + ``regexp_count``
     — embarrassingly parallel, no UDFs; at 100 TB this is a pure
-    map-stage over the corpus."""
+    map-stage over the corpus.
+
+    Each pattern is COUNTED on the same intermediate string it is
+    REPLACED in, so ``n_<type>`` equals the number of ``<TYPE>``
+    placeholders actually present in ``redacted`` (a phone-like digit
+    run inside an already-redacted email is not double-counted) and
+    ``n_pii`` is exactly the total placeholder count."""
     redacted = F.col(text_col)
     n_total = F.lit(0)
     cols = {}
     for name, pat in sorted(PII_PATTERNS.items()):
-        n = F.regexp_count(F.col(text_col), F.lit(pat))
+        n = F.regexp_count(redacted, F.lit(pat))
         cols[f"n_{name}"] = n.cast("long")
         n_total = n_total + n
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")

@@ -817,18 +817,23 @@ _PII_TEXT = (
 def _redact_oracle() -> str:
     e, i, p = (X.PII_PATTERNS["email"], X.PII_PATTERNS["ipv4"],
                X.PII_PATTERNS["phone"])
+    # counts ride the SAME intermediate each pattern replaces in
+    # (replacement order email -> ipv4 -> phone, sorted like the engine),
+    # so n_<type> == placeholders present in `redacted`
     return f"""
     WITH t AS (SELECT doc_id, {_PII_TEXT} AS x FROM documents),
-    red AS (
-      SELECT doc_id,
-             len(regexp_extract_all(x, '{e}')) AS n_email,
-             len(regexp_extract_all(x, '{i}')) AS n_ipv4,
-             len(regexp_extract_all(x, '{p}')) AS n_phone,
-             regexp_replace(regexp_replace(regexp_replace(x,
-               '{e}', '<EMAIL>', 'g'),
-               '{i}', '<IPV4>', 'g'),
-               '{p}', '<PHONE>', 'g') AS redacted
-      FROM t)
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(x, '{e}')) AS n_email,
+                  regexp_replace(x, '{e}', '<EMAIL>', 'g') AS x1
+           FROM t),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(x1, '{i}')) AS n_ipv4,
+                  regexp_replace(x1, '{i}', '<IPV4>', 'g') AS x2
+           FROM s1),
+    red AS (SELECT doc_id, n_email, n_ipv4,
+                   len(regexp_extract_all(x2, '{p}')) AS n_phone,
+                   regexp_replace(x2, '{p}', '<PHONE>', 'g') AS redacted
+            FROM s2)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_email AS BIGINT) AS n_email,
            CAST(n_ipv4 AS BIGINT) AS n_ipv4,

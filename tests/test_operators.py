@@ -309,7 +309,8 @@ def test_redaction_semantics(spark):
     df = spark.createDataFrame(
         [(1, "mail bob@example.com twice: bob@example.com ok"),
          (2, "server at 10.1.2.3 and phone +1 (415) 555-0132 here"),
-         (3, "nothing sensitive here at all")],
+         (3, "nothing sensitive here at all"),
+         (4, "digits-in-email 4155550132@phone.net only")],
         T.StructType([T.StructField("doc_id", T.LongType()),
                       T.StructField("text", T.StringType())]))
     out = {r["doc_id"]: r for r in with_redaction(df).collect()}
@@ -319,3 +320,13 @@ def test_redaction_semantics(spark):
     assert "<IPV4>" in out[2]["redacted"] and "<PHONE>" in out[2]["redacted"]
     assert "10.1.2.3" not in out[2]["redacted"]
     assert out[3]["n_pii"] == 0 and out[3]["redacted"] == out[3]["text"]
+    # overlap: a phone-like digit run INSIDE an email is consumed by the
+    # email replacement — counted once, as email, and n_pii equals the
+    # placeholders actually present in `redacted`
+    assert out[4]["n_email"] == 1 and out[4]["n_phone"] == 0
+    assert out[4]["n_pii"] == 1
+    assert out[4]["redacted"] == "digits-in-email <EMAIL> only"
+    for r in out.values():
+        n_ph = sum(r["redacted"].count(f"<{k.upper()}>")
+                   for k in ("email", "phone", "ipv4"))
+        assert r["n_pii"] == n_ph
