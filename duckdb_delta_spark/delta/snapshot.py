@@ -49,6 +49,11 @@ SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",  # sidecar checkpoints written by writer._checkpoint_v2
     "variantType",  # declared by create() when the schema has a variant column
     "variantType-preview",
+    # shredding is a PER-FILE choice (Delta spec): appending legacy
+    # two-field variant files to a shredded table is spec-legal, so the
+    # feature's presence must not block writes
+    "variantShredding",
+    "variantShredding-preview",
     "identityColumns",  # value allocation + HWM tracking in writer.append
     "rowTracking",  # baseRowId allocation + rowIdHighWaterMark (writer._assign_row_ids)
 }
@@ -65,11 +70,16 @@ SUPPORTED_READER_FEATURES = {
     "appendOnly",
     "invariants",
     # Spark-4 VariantType end-to-end (parse_json write / variant_get read).
-    # variantShredding is deliberately ABSENT: a shredded writer stores
-    # typed_value subcolumns this reader does not reassemble, so such
-    # tables must refuse loudly (UnsupportedFeatureError), not misread.
     "variantType",
     "variantType-preview",
+    # Shredded layouts ({metadata, value, typed_value…} per the Parquet
+    # Variant Shredding spec) reassemble inside Spark's vectorized parquet
+    # reader (SparkShreddingUtils) whenever the requested schema says
+    # VariantType — typed subcolumns, field/object residuals, per-file
+    # shred schemas, arrays. Oracle-gated via the foreign fixture
+    # (testing/foreign.build_foreign_shredded_variant).
+    "variantShredding",
+    "variantShredding-preview",
 }
 
 

@@ -277,6 +277,41 @@ def delta_variant_deep_get(spark, sf_dir):
     )
 
 
+# SHREDDED variant read (Delta "Variant Shredding" table feature): the
+# foreign fixture stores the same logical object under three per-file
+# layouts (legacy two-field, object-shredded with field/object residuals,
+# and a different shred schema with a typed-only field) — the scan must
+# reassemble all of them identically. The oracle recomputes from the raw
+# events columns the fixture serialized, incl. u's absence when
+# user_id % 7 == 0, so no oracle-side variant support is needed.
+@register(
+    "delta_variant_shredded_scan",
+    oracle="""
+    SELECT event_type AS t,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN user_id % 7 <> 0 THEN user_id END)
+                AS BIGINT) AS sum_u,
+           CAST(count(CASE WHEN user_id % 7 <> 0 THEN 1 END)
+                AS BIGINT) AS n_u
+    FROM events GROUP BY event_type
+    """,
+    group="delta",
+)
+def delta_variant_shredded_scan(spark, sf_dir):
+    df = _fx(spark, sf_dir, "events_var_shred").to_df(spark)
+    u = F.variant_get("v", "$.u", "long")
+    return df.groupBy(
+        F.variant_get("v", "$.t", "string").alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get("v", "$.k", "long")).alias("sum_k"),
+        F.sum(u).alias("sum_u"),
+        F.count(u).alias("n_u"),
+    )
+
+
 # domainMetadata reconciliation: latest non-removed entry per domain
 # (reference: delta_domain_metadata.cpp:20-77)
 @register(

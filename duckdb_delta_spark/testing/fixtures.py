@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 20  # bump to force a rebuild
+LAYOUT_VERSION = 21  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -103,6 +103,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_part_foreign(sf_dir, os.path.join(root, "part_foreign"))
     _build_nested_cm_dv_foreign(os.path.join(root, "nested_cm_dv"))
     _build_lineitem_zorder(spark, sf_dir, os.path.join(root, "lineitem_zorder"))
+    _build_events_var_shredded(sf_dir, os.path.join(root, "events_var_shred"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -472,6 +473,18 @@ def _build_events_var_deep(spark, sf_dir, path):
     )
     w = DeltaWriter.create(spark, path, schema)
     w.append(ev.repartition(2))
+
+
+def _build_events_var_shredded(sf_dir, path):
+    """Foreign-authored SHREDDED variant table (three files, three
+    different shredding layouts incl. legacy; see
+    testing/foreign.build_foreign_shredded_variant) — the interop gate
+    for the variantShredding reader feature."""
+    from duckdb_delta_spark.testing.foreign import (
+        build_foreign_shredded_variant,
+    )
+
+    build_foreign_shredded_variant(path, sf_dir)
 
 
 def _build_nested_cm_dv_foreign(path):

@@ -942,3 +942,200 @@ def build_foreign_nested_cm_dv(dest: str) -> None:
     adds[1]["deletionVector"] = desc
     write_commit(log_dir, 1,
                  [commit_info("WRITE"), *({"add": a} for a in adds)])
+
+
+# ---------------------------------------------------------------------------
+# Variant binary + shredded-layout encoder (Parquet Variant spec;
+# Delta PROTOCOL.md "Variant Data Type" + "Variant Shredding").
+# Deliberately independent of Spark's encoder: fixture bytes are derived
+# field-by-field from the published encoding so the engine's read path is
+# checked against the SPEC, not against itself.
+# ---------------------------------------------------------------------------
+
+def variant_metadata(names: list[str]) -> bytes:
+    """Variant metadata: version 1, sorted dictionary, 1-byte offsets
+    (all fixture dictionaries are tiny). ``names`` must be sorted."""
+    assert names == sorted(names), "dictionary must be sorted"
+    data = b"".join(n.encode() for n in names)
+    assert len(data) < 256
+    offs = [0]
+    for n in names:
+        offs.append(offs[-1] + len(n.encode()))
+    # header: version=1 (low nibble) | sorted_strings (bit 4);
+    # offset_size_minus_one=0 (bits 6-7)
+    return bytes([0x11, len(names)]) + bytes(offs) + data
+
+
+def variant_null() -> bytes:
+    return b"\x00"  # primitive type 0
+
+
+def variant_bool(b: bool) -> bytes:
+    return bytes([(1 if b else 2) << 2])
+
+
+def variant_int8(i: int) -> bytes:
+    return bytes([3 << 2]) + struct.pack("<b", i)
+
+
+def variant_int64(i: int) -> bytes:
+    return bytes([6 << 2]) + struct.pack("<q", i)
+
+
+def variant_double(d: float) -> bytes:
+    return bytes([7 << 2]) + struct.pack("<d", d)
+
+
+def variant_str(s: str) -> bytes:
+    b = s.encode()
+    if len(b) < 64:  # short_string: basic_type 1, length in header
+        return bytes([0x01 | (len(b) << 2)]) + b
+    return bytes([16 << 2]) + struct.pack("<i", len(b)) + b
+
+
+def variant_obj(fields: dict[int, bytes]) -> bytes:
+    """Object from {field_id: encoded_value}; small header (1-byte ids
+    and offsets). Ids index the row's metadata dictionary — with a
+    sorted dictionary, ascending id order IS the spec's required
+    field-name order."""
+    ids = sorted(fields)
+    vals = [fields[i] for i in ids]
+    offs = [0]
+    for v in vals:
+        offs.append(offs[-1] + len(v))
+    assert offs[-1] < 256 and all(i < 256 for i in ids)
+    # basic_type=2; header bits all zero -> small 1-byte everything
+    return bytes([0x02, len(ids)]) + bytes(ids) + bytes(offs) + b"".join(vals)
+
+
+def variant_arr(vals: list[bytes]) -> bytes:
+    offs = [0]
+    for v in vals:
+        offs.append(offs[-1] + len(v))
+    assert offs[-1] < 256
+    return bytes([0x03, len(vals)]) + bytes(offs) + b"".join(vals)
+
+
+def _shred_field(typ: pa.DataType) -> pa.DataType:
+    """A shredded object field / array element group: {value, typed_value}."""
+    return pa.struct([pa.field("value", pa.binary()),
+                      pa.field("typed_value", typ)])
+
+
+def build_foreign_shredded_variant(dest: str, sf_dir: str) -> None:
+    """A foreign table whose variant column is SHREDDED differently per
+    file (Delta "Variant Shredding": the shredding schema is a per-file
+    choice), over ``events.parquet``. Logical content is identical in
+    every file: ``v = {"k": props.k, "t": event_type, "u": user_id}``
+    with ``u`` omitted when ``user_id % 7 == 0`` — so a DuckDB oracle
+    recomputes everything from the raw parquet columns.
+
+    * file A (event_id % 3 == 0): legacy two-field encoding
+      {metadata, value} — no shredding.
+    * file B (% 3 == 1): object-shredded ``typed_value {k: int64,
+      t: string}``; ``u`` rides the object-level residual ``value``;
+      rows with ``user_id % 5 == 0`` put ``k`` in the FIELD residual
+      (field.value variant binary, typed_value null) instead.
+    * file C (% 3 == 2): a DIFFERENT shred schema — ``typed_value
+      {u: int64}`` only; ``k`` and ``t`` ride the object residual.
+      ``u`` absent ⇒ both value and typed_value null (spec: field
+      missing).
+    """
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_id", "user_id", "event_type",
+                                 "props"])
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [spark_field("event_id", "long"),
+                   spark_field("v", "variant")],
+    }, separators=(",", ":"))
+    meta = {"metaData": {
+        "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "foreign_shredded_var")),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 1_700_000_000_000,
+    }}
+    proto = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["variantType", "variantShredding"],
+        "writerFeatures": ["appendOnly", "invariants",
+                           "variantType", "variantShredding"],
+    }}
+    write_commit(log_dir, 0, [commit_info("CREATE TABLE"), proto, meta])
+
+    # metadata dictionary shared by every row: sorted(k, t, u)
+    META = variant_metadata(["k", "t", "u"])
+    K, T_, U = 0, 1, 2
+
+    ids = src.column("event_id").to_pylist()
+    users = src.column("user_id").to_pylist()
+    types_ = src.column("event_type").to_pylist()
+    ks = [json.loads(p)["k"] for p in src.column("props").to_pylist()]
+
+    rows_a, rows_b, rows_c = [], [], []
+    for eid, u, t, k in zip(ids, users, types_, ks):
+        has_u = u % 7 != 0
+        bucket = eid % 3
+        if bucket == 0:
+            fields = {K: variant_int64(k), T_: variant_str(t)}
+            if has_u:
+                fields[U] = variant_int64(u)
+            rows_a.append({"event_id": eid, "metadata": META,
+                           "value": variant_obj(fields)})
+        elif bucket == 1:
+            resid = variant_obj({U: variant_int64(u)}) if has_u else None
+            if u % 5 == 0:  # field-level residual for k
+                kf = {"value": variant_int64(k), "typed_value": None}
+            else:
+                kf = {"value": None, "typed_value": k}
+            rows_b.append({"event_id": eid, "metadata": META,
+                           "value": resid,
+                           "typed_value": {
+                               "k": kf,
+                               "t": {"value": None, "typed_value": t}}})
+        else:
+            resid = variant_obj({K: variant_int64(k), T_: variant_str(t)})
+            uf = ({"value": None, "typed_value": u} if has_u
+                  else {"value": None, "typed_value": None})
+            rows_c.append({"event_id": eid, "metadata": META,
+                           "value": resid,
+                           "typed_value": {"u": uf}})
+
+    adds = []
+
+    def _write(rows: list[dict], vtype: pa.DataType, index: int):
+        tbl = pa.table({
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "v": pa.array(
+                [{k2: v for k2, v in r.items() if k2 != "event_id"}
+                 for r in rows], vtype),
+        })
+        rel = part_file_name(index)
+        pq.write_table(tbl, os.path.join(dest, rel))
+        adds.append(add_action(rel, os.path.join(dest, rel), tbl, {},
+                               ["event_id"]))
+
+    legacy = pa.struct([pa.field("metadata", pa.binary()),
+                        pa.field("value", pa.binary())])
+    shred_b = pa.struct([
+        pa.field("metadata", pa.binary()),
+        pa.field("value", pa.binary()),
+        pa.field("typed_value", pa.struct([
+            pa.field("k", _shred_field(pa.int64())),
+            pa.field("t", _shred_field(pa.string()))])),
+    ])
+    shred_c = pa.struct([
+        pa.field("metadata", pa.binary()),
+        pa.field("value", pa.binary()),
+        pa.field("typed_value", pa.struct([
+            pa.field("u", _shred_field(pa.int64()))])),
+    ])
+    _write(rows_a, legacy, 0)
+    _write(rows_b, shred_b, 1)
+    _write(rows_c, shred_c, 2)
+    write_commit(log_dir, 1, [commit_info("WRITE"), *adds])

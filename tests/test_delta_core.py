@@ -2389,12 +2389,12 @@ def test_compact_zorder_prunes_both_dimensions(spark, tdir):
         DeltaWriter(tdir, spark).compact(sort_by=["a"], zorder_by=["b"])
 
 
-def test_variant_protocol_declared_and_shredded_refused(spark, tdir):
+def test_variant_protocol_declared_and_shredded_supported(spark, tdir):
     """A variant schema must surface as the variantType (3,7) table
     feature on create — foreign spec-compliant engines reject the table
-    otherwise — and a table whose writer SHREDDED the variant
-    (variantShredding reader feature: typed_value subcolumns this reader
-    does not reassemble) must refuse loudly instead of misreading."""
+    otherwise — and declaring variantShredding no longer refuses: the
+    scan reassembles shredded layouts (typed subcolumns + residuals)
+    natively (goldens in test_foreign_goldens.py)."""
     from duckdb_delta_spark.delta.log import DeltaLog
 
     schema = T.StructType([
@@ -2418,7 +2418,8 @@ def test_variant_protocol_declared_and_shredded_refused(spark, tdir):
     )
     assert [r["ab"] for r in got] == [7]
 
-    # shredded table: refuse with the feature named, never a silent misread
+    # a variantShredding upgrade keeps the table readable AND writable
+    # (shredding is a per-file choice; this engine writes legacy files)
     v = DeltaLog(tdir).latest_version() + 1
     DeltaLog(tdir).commit(v, [
         {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
@@ -2426,8 +2427,9 @@ def test_variant_protocol_declared_and_shredded_refused(spark, tdir):
                       "readerFeatures": ["variantType", "variantShredding"],
                       "writerFeatures": ["variantType", "variantShredding"]}},
     ])
-    with pytest.raises(errors.UnsupportedFeatureError, match="variantShredding"):
-        DeltaTable(tdir).to_df(spark)
+    assert DeltaTable(tdir).to_df(spark).count() == 1
+    DeltaWriter(tdir, spark).append(df.coalesce(1))
+    assert DeltaTable(tdir).to_df(spark).count() == 2
 
 
 def test_identity_columns_allocate_and_advance(spark, tdir):

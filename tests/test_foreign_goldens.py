@@ -704,3 +704,51 @@ def test_foreign_compacted_log_segment(spark, tmp_path):
             T.StructField("k", T.LongType()),
             T.StructField("v", T.StringType())])).coalesce(1))
     assert DeltaTable(dest).to_df(spark).count() == 21
+
+
+def test_foreign_shredded_variant(spark, tmp_path):
+    """Shredded-variant golden: three per-file layouts (legacy two-field,
+    object-shredded with field AND object residuals, a different shred
+    schema with typed-only field) reassemble to the identical logical
+    object — checked row-exact against JSON built from the raw source
+    columns."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path / "shredvar")
+    foreign.build_foreign_shredded_variant(dest, SF_DIR)
+
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "props"],
+    )
+    exp = {}
+    for eid, u, t, p in zip(
+        src.column("event_id").to_pylist(),
+        src.column("user_id").to_pylist(),
+        src.column("event_type").to_pylist(),
+        src.column("props").to_pylist(),
+    ):
+        o = {"k": json.loads(p)["k"], "t": t}
+        if u % 7 != 0:
+            o["u"] = u
+        exp[eid] = o
+
+    df = DeltaTable(dest).to_df(spark)
+    got = {
+        r["event_id"]: json.loads(r["j"])
+        for r in df.select(
+            "event_id", F.to_json("v").alias("j")
+        ).collect()
+    }
+    assert got == exp  # every row, every layout, reassembled identically
+
+    # typed access reaches into shredded subcolumns across all layouts
+    n_u = df.select(F.variant_get("v", "$.u", "long").alias("u")).where(
+        F.col("u").isNotNull()).count()
+    assert n_u == sum(1 for o in exp.values() if "u" in o)
+
+    # the table really declares the feature (gate, not accident)
+    proto = DeltaTable(dest).snapshot.protocol
+    assert "variantShredding" in proto["readerFeatures"]
