@@ -145,3 +145,83 @@ class ObjectStoreLogStore(LogStore):
             self.client.put(path, data, if_none_match=True)
         except PreconditionFailedError as exc:
             raise FileExistsError(str(exc)) from exc
+
+
+class S3ObjectStore(ObjectStoreClient):
+    """boto3-semantics S3 client for the commit path.
+
+    Maps the 3-method contract onto the S3 API: ``put`` with
+    ``if_none_match`` issues ``PutObject`` + ``IfNoneMatch: '*'`` (the
+    2024 S3 conditional-write primitive; also what R2/MinIO implement),
+    a 412/PreconditionFailed response becomes
+    :class:`PreconditionFailedError`; ``head`` maps 404 → None.
+
+    boto3 is NOT imported at module import time: pass any client with
+    the boto3 ``put_object``/``get_object``/``head_object`` surface
+    (tests use a filesystem-backed fake with botocore-shaped errors), or
+    let the constructor build a real one when boto3 is installed.
+
+    Keys handed to the engine are paths; ``bucket``+stripped key follow
+    S3 addressing. S3 strong consistency (2020+) provides the
+    commit-path contract: a successful conditional PUT is immediately
+    LIST/GET-visible, losers observe 412 and never partial data.
+    """
+
+    def __init__(self, bucket: str, client=None) -> None:
+        if client is None:
+            try:
+                import boto3  # type: ignore[import-not-found]
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "S3ObjectStore needs boto3 (pip install boto3) or an "
+                    "explicit client with the put_object/get_object/"
+                    "head_object surface"
+                ) from exc
+            client = boto3.client("s3")
+        self._s3 = client
+        self.bucket = bucket
+
+    @staticmethod
+    def _key(key: str) -> str:
+        return key.lstrip("/")
+
+    @staticmethod
+    def _status(exc) -> tuple[int | None, str | None]:
+        """(HTTP status, error code) from a botocore-shaped ClientError
+        — duck-typed so the module never imports botocore."""
+        resp = getattr(exc, "response", None)
+        if not isinstance(resp, dict):
+            return None, None
+        status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+        code = (resp.get("Error") or {}).get("Code")
+        return status, code
+
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> str:
+        kwargs = {"Bucket": self.bucket, "Key": self._key(key),
+                  "Body": data}
+        if if_none_match:
+            kwargs["IfNoneMatch"] = "*"
+        try:
+            resp = self._s3.put_object(**kwargs)
+        except Exception as exc:  # noqa: BLE001 - botocore shape, see _status
+            status, code = self._status(exc)
+            if status == 412 or code in ("PreconditionFailed", "412"):
+                raise PreconditionFailedError(key) from exc
+            raise
+        return (resp.get("ETag") or "").strip('"')
+
+    def get(self, key: str) -> bytes:
+        resp = self._s3.get_object(Bucket=self.bucket, Key=self._key(key))
+        body = resp["Body"]
+        return body.read() if hasattr(body, "read") else body
+
+    def head(self, key: str) -> str | None:
+        try:
+            resp = self._s3.head_object(
+                Bucket=self.bucket, Key=self._key(key))
+        except Exception as exc:  # noqa: BLE001 - botocore shape, see _status
+            status, code = self._status(exc)
+            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
+                return None
+            raise
+        return (resp.get("ETag") or "").strip('"')

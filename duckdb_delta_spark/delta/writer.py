@@ -597,6 +597,7 @@ class DeltaWriter:
                 actions.insert(0, {"commitInfo": info})
         self.log.commit(version, actions)
         self._maybe_auto_checkpoint(version, snap, actions)
+        self._maybe_auto_compact_log(version, snap, actions)
         self._write_crc(version, snap)
 
     def _write_crc(self, version: int, snap_before: Snapshot) -> None:
@@ -746,6 +747,43 @@ class DeltaWriter:
 
             emit(
                 "checkpoint.auto_failed",
+                table_path=self.table_path,
+                version=version,
+                error=str(exc),
+            )
+
+    def _maybe_auto_compact_log(
+        self, version: int, snap: Snapshot, actions: list[dict] | None = None
+    ) -> None:
+        """Automatic minor log compaction, OPT-IN (delta-spark emits
+        ``<lo>.<hi>.compacted.json`` on a cadence; here
+        ``delta.compactLog.interval = N``): after the commit that
+        completes each aligned window ``[kN, kN+N-1]``, write that
+        window's reconciled segment so long-tail replay between
+        checkpoints reads O(#segments) files instead of N per-commit
+        JSONs. Like auto-checkpoint, the just-committed config governs
+        its own version, and a compaction failure never fails the
+        (already durable) commit."""
+        config = snap.configuration
+        if actions:
+            for a in actions:
+                md = a.get("metaData")
+                if md is not None and "configuration" in md:
+                    config = md.get("configuration") or {}
+        try:
+            interval = int(config.get("delta.compactLog.interval", 0) or 0)
+        except (TypeError, ValueError):
+            interval = 0
+        if interval <= 0 or version < interval - 1 or (version + 1) % interval:
+            return
+        try:
+            self.compact_log(version - interval + 1, version)
+        except Exception as exc:  # noqa: BLE001 - maintenance must not
+            # fail the committed write
+            from duckdb_delta_spark.delta.logging import emit
+
+            emit(
+                "compact_log.auto_failed",
                 table_path=self.table_path,
                 version=version,
                 error=str(exc),
@@ -2753,6 +2791,17 @@ class DeltaWriter:
                         deleted.append(p)
                     except OSError:
                         pass
+        # minor-compacted segments entirely below the replay floor serve
+        # nothing (time travel there is already unavailable); segments
+        # straddling the floor stay — replay keyed at lo never consults
+        # them, but a still-pinned incremental base might
+        for lo, (hi, seg_path) in self.log.list_compacted_segments().items():
+            if hi <= last_deleted:
+                try:
+                    os.unlink(seg_path)
+                    deleted.append(seg_path)
+                except OSError:
+                    pass
         if deleted:
             from duckdb_delta_spark.delta.logging import emit
 

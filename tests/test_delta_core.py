@@ -305,12 +305,88 @@ def test_object_store_conditional_put_semantics(tdir):
         ls.put_if_absent(key, b"x")
 
 
-def test_commit_conflict_and_retry_object_store(spark, tdir):
-    """The full conflict/retry flow against the object-store LogStore
-    with the race injected INSIDE the conditional-PUT window: the loser
-    writer's first commit PUT collides with a concurrent commit that
-    lands mid-flight, maps to CommitConflictError, and the retry
-    revalidates + wins the next version."""
+class _FakeBoto3S3:
+    """Filesystem-backed boto3-shaped S3 stub: objects live at /<Key>
+    (so every reader of _delta_log works unchanged); IfNoneMatch='*' is
+    enforced atomically under a mutex with botocore-shaped 412 errors —
+    the exact server-side contract S3 conditional writes provide."""
+
+    class ClientError(Exception):
+        def __init__(self, status, code):
+            super().__init__(code)
+            self.response = {
+                "ResponseMetadata": {"HTTPStatusCode": status},
+                "Error": {"Code": code},
+            }
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.before_put = None
+        self.conflicts = 0
+        self.puts = 0
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        import hashlib
+
+        path = "/" + Key
+        with self._lock:
+            self.puts += 1
+            hook = self.before_put
+            if hook is not None:
+                self.before_put = None
+                hook(path, Body)
+            if IfNoneMatch == "*" and os.path.exists(path):
+                self.conflicts += 1
+                raise self.ClientError(412, "PreconditionFailed")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".put.tmp"
+            with open(tmp, "wb") as f:
+                f.write(Body)
+            os.replace(tmp, path)
+            return {"ETag": '"%s"' % hashlib.md5(Body).hexdigest()}
+
+    def get_object(self, Bucket, Key):
+        path = "/" + Key
+        if not os.path.exists(path):
+            raise self.ClientError(404, "NoSuchKey")
+        with open(path, "rb") as f:
+            return {"Body": f.read()}
+
+    def head_object(self, Bucket, Key):
+        import hashlib
+
+        path = "/" + Key
+        if not os.path.exists(path):
+            raise self.ClientError(404, "404")
+        with open(path, "rb") as f:
+            return {"ETag": '"%s"' % hashlib.md5(f.read()).hexdigest()}
+
+
+def _object_store_client(kind: str):
+    """(client-with-hooks, ObjectStoreClient) pair for each store kind."""
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        S3ObjectStore,
+    )
+
+    if kind == "fs":
+        c = FilesystemObjectStore()
+        return c, c
+    fake = _FakeBoto3S3()
+    return fake, S3ObjectStore("bucket", client=fake)
+
+
+@pytest.mark.parametrize("kind", ["fs", "s3stub"])
+def test_commit_conflict_and_retry_object_store(spark, tdir, kind):
+    """The full conflict/retry flow against the object-store LogStore —
+    over BOTH the filesystem model and the boto3-semantics S3 client
+    (stubbed botocore-shaped backend) — with the race injected INSIDE
+    the conditional-PUT window: the loser writer's first commit PUT
+    collides with a concurrent commit that lands mid-flight, maps to
+    CommitConflictError, and the retry revalidates + wins the next
+    version."""
     from duckdb_delta_spark.delta.log import DeltaLog
     from duckdb_delta_spark.delta.objectstore import (
         FilesystemObjectStore,
@@ -320,8 +396,8 @@ def test_commit_conflict_and_retry_object_store(spark, tdir):
     w = DeltaWriter.create(spark, tdir, SCHEMA)
     w.append(_ids(spark, 5))
 
-    client = FilesystemObjectStore()
-    store = ObjectStoreLogStore(client)
+    client, oclient = _object_store_client(kind)
+    store = ObjectStoreLogStore(oclient)
 
     # inject: when the writer tries to PUT v2, a concurrent commit for
     # the SAME version lands first through a different client
@@ -343,15 +419,54 @@ def test_commit_conflict_and_retry_object_store(spark, tdir):
     assert ops == ["RACE"]
 
     # without retries the same injected race surfaces as the domain error
-    client2 = FilesystemObjectStore()
+    client2, oclient2 = _object_store_client(kind)
     client2.before_put = land_race
     with pytest.raises(errors.CommitConflictError):
-        DeltaWriter(tdir, spark, store=ObjectStoreLogStore(client2)).append(
+        DeltaWriter(tdir, spark, store=ObjectStoreLogStore(oclient2)).append(
             _ids(spark, 5, lo=10), max_retries=0)
     # no orphan data files from the failed append
     n_disk = sum(1 for _, _, fs in os.walk(tdir)
                  for f in fs if f.endswith(".parquet"))
     assert n_disk == len(DeltaTable(tdir).snapshot.files)
+
+
+def test_s3_object_store_contract(tdir):
+    """S3ObjectStore over a botocore-shaped stub: conditional PUT maps
+    IfNoneMatch='*' 412s to PreconditionFailedError, head maps 404 to
+    None, ETags round-trip unquoted, and keys lose their leading slash
+    (S3 addressing). The module imports without boto3 installed — the
+    real client is only built when none is passed."""
+    from duckdb_delta_spark.delta.objectstore import (
+        ObjectStoreLogStore,
+        PreconditionFailedError,
+        S3ObjectStore,
+    )
+
+    fake = _FakeBoto3S3()
+    store = S3ObjectStore("bucket", client=fake)
+    os.makedirs(tdir, exist_ok=True)
+    key = os.path.join(tdir, "00000000000000000007.json")
+    assert store.head(key) is None
+    etag = store.put(key, b"a", if_none_match=True)
+    assert etag and '"' not in etag
+    assert store.head(key) == etag and store.get(key) == b"a"
+    with pytest.raises(PreconditionFailedError):
+        store.put(key, b"b", if_none_match=True)
+    assert store.get(key) == b"a"
+    assert fake.conflicts == 1
+    assert store.put(key, b"c") != etag  # unconditional overwrite
+
+    # LogStore adapter: 412 -> FileExistsError (commit conflict signal)
+    with pytest.raises(FileExistsError):
+        ObjectStoreLogStore(store).put_if_absent(key, b"x")
+
+    # without an explicit client, construction needs boto3; with it
+    # installed a real client is built lazily (module import never does)
+    try:
+        import boto3  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="boto3"):
+            S3ObjectStore("bucket")
 
 
 def test_delete_dv_conflict_object_store(spark, tdir):
@@ -1897,22 +2012,33 @@ def test_manifest_prune_1m_files_vectorized(tdir):
             path=path, partition_values={}, size=1000,
             modification_time=1, stats=stats)
 
-    sb = DeltaScanBuilder(snap, None).filter("i", "<", n * 5)
-    t0 = _time.time()
-    files = sb._prune()
-    elapsed = _time.time() - t0
+    def timed_prune(build, bound, what):
+        """Contention-aware guard: a loaded CI box can double wall time,
+        so one failing measurement re-measures once before failing — the
+        regression class this guards against (per-file Python loops) is
+        10-50x over bound and fails both, while scheduler noise passes
+        the retry."""
+        for attempt in (0, 1):
+            sb = build()
+            t0 = _time.time()
+            files = sb._prune()
+            elapsed = _time.time() - t0
+            if elapsed < bound:
+                return sb, files
+        raise AssertionError(f"{what} took {elapsed:.1f}s twice (bound {bound}s)")
+
+    sb, files = timed_prune(
+        lambda: DeltaScanBuilder(snap, None).filter("i", "<", n * 5),
+        2.0, "1M-file prune")
     rep = sb.skip_report()
     assert len(files) == n // 2
     assert rep["files_skipped_by_stats"] == n - n // 2
-    assert elapsed < 2.0, f"1M-file prune took {elapsed:.1f}s"
 
     # warm manifest: a second predicate replans well under a second
-    sb2 = DeltaScanBuilder(snap, None).filter("i", ">=", n * 10 - 100)
-    t0 = _time.time()
-    files2 = sb2._prune()
-    elapsed2 = _time.time() - t0
+    _, files2 = timed_prune(
+        lambda: DeltaScanBuilder(snap, None).filter("i", ">=", n * 10 - 100),
+        1.0, "warm re-prune")
     assert len(files2) == 10
-    assert elapsed2 < 1.0, f"warm re-prune took {elapsed2:.1f}s"
 
 
 def test_vectorized_prune_matches_python_fallback(spark, tdir):
@@ -2926,3 +3052,46 @@ def test_mapping_ids_unique_with_nested_preassigned():
     assert len(ids) == len(set(ids)), f"duplicate mapping ids: {sorted(ids)}"
     assert 7 in ids and 9 in ids          # pre-assigned ids preserved
     assert max_id >= max(ids)             # maxColumnId covers everything
+
+def test_auto_log_compaction(spark, tdir):
+    """delta.compactLog.interval=N: each completed aligned window
+    [kN, kN+N-1] auto-emits its compacted segment right after the
+    commit; replay then touches only O(#segments) files plus the
+    uncovered tail, and retention cleanup drops segments entirely
+    below the replay floor."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.compactLog.interval": "10"})
+    for i in range(25):
+        w.append(_ids(spark, 2, lo=i * 2).coalesce(1))
+    # commits 0..25 -> segments [0,9] and [10,19]; [20,25] not yet full
+    segs = DeltaLog(tdir).list_compacted_segments()
+    assert segs.get(0, (None,))[0] == 9
+    assert segs.get(10, (None,))[0] == 19
+    assert len(segs) == 2
+
+    # a fresh replay reads per-commit JSON ONLY for the uncovered tail
+    log = DeltaLog(tdir)
+    read_versions = []
+    orig = log.read_commit
+    log.read_commit = lambda v: (read_versions.append(v), orig(v))[1]
+    snap = Snapshot.build(log)
+    assert read_versions and min(read_versions) >= 20
+    assert len(read_versions) == 6  # 20..25
+    assert sum(int(f.parsed_stats().get("numRecords") or 0)
+               for f in snap.add_files()) == 50
+
+    # correctness through segments: full table content intact
+    assert DeltaTable(tdir).to_df(spark).count() == 50
+
+    # retention: checkpoint at HEAD, expire everything below it ->
+    # fully-covered segments below the floor are dropped too
+    w.checkpoint()
+    deleted = w.cleanup_expired_logs(retention_ms=0)
+    seg_deleted = [p for p in deleted if p.endswith(".compacted.json")]
+    assert len(seg_deleted) == 2
+    assert DeltaLog(tdir).list_compacted_segments() == {}
+    assert DeltaTable(tdir).to_df(spark).count() == 50
