@@ -2235,6 +2235,84 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
+    def alter_column_type(self, name: str, new_type) -> int:
+        """ALTER TABLE ALTER COLUMN ... TYPE (Delta spec "Type Widening"):
+        a pure-metadata commit — existing parquet files keep their narrow
+        physical type and upcast at scan (the read path already green via
+        the foreign ``orders_widen`` fixture); only spec-allowed
+        widenings commit, narrowing or unrelated casts refuse loudly.
+        The commit records the change in the field's
+        ``delta.typeChanges`` metadata and upgrades the protocol to
+        (3,7) + typeWidening on first use, carrying implied features.
+        Dotted paths widen nested struct fields."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        if isinstance(new_type, str):
+            new_type = getattr(T, "_parse_datatype_string")(new_type)
+        if name.partition(".")[0] in snap.partition_columns:
+            raise UnsupportedFeatureError(
+                f"ALTER COLUMN TYPE on partition column {name!r}"
+            )
+        version = snap.version + 1
+
+        def walk(struct: T.StructType, path: str) -> T.StructType:
+            out = []
+            hit = False
+            for f in struct.fields:
+                if f.name == path.partition(".")[0]:
+                    hit = True
+                    seg, _, tail = path.partition(".")
+                    if tail:
+                        if not isinstance(f.dataType, T.StructType):
+                            raise SchemaError(
+                                f"{name!r}: {seg!r} is not a struct")
+                        out.append(T.StructField(
+                            f.name, walk(f.dataType, tail), f.nullable,
+                            f.metadata))
+                        continue
+                    if not _is_widening(f.dataType, new_type):
+                        raise SchemaError(
+                            f"ALTER COLUMN {name!r} TYPE: "
+                            f"{f.dataType.jsonValue()} -> "
+                            f"{new_type.jsonValue()} is not an allowed "
+                            "widening (Delta typeWidening spec)"
+                        )
+                    md = dict(f.metadata or {})
+                    changes = list(md.get("delta.typeChanges") or [])
+                    changes.append({
+                        "fromType": f.dataType.jsonValue(),
+                        "toType": new_type.jsonValue(),
+                        "tableVersion": version,
+                    })
+                    md["delta.typeChanges"] = changes
+                    out.append(T.StructField(
+                        f.name, new_type, f.nullable, md))
+                else:
+                    out.append(f)
+            if not hit:
+                raise SchemaError(f"no such column: {name!r}")
+            return T.StructType(out)
+
+        new_schema = walk(snap.schema, name)
+        meta = dict(snap.metadata)
+        meta["schemaString"] = new_schema.json()
+        actions: list[dict] = [
+            {"commitInfo": _commit_info("CHANGE COLUMN",
+                                        {"column": name,
+                                         "to": new_type.jsonValue()})},
+        ]
+        proto = snap.protocol
+        if "typeWidening" not in (proto.get("readerFeatures") or []):
+            r, w = _legacy_features(proto)
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(r | {"typeWidening"}),
+                "writerFeatures": sorted(w | {"typeWidening"}),
+            }})
+        actions.append({"metaData": meta})
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     def _alter_schema(self, op: str, target: str, new: str | None = None) -> int:
         snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
         if snap.column_mapping_mode == "none":
@@ -3081,6 +3159,44 @@ def _apply_generated(
             for f in schema.fields
         ]
     )
+
+
+#: integer digits each integral type needs when widening into a decimal
+_INT_DECIMAL_DIGITS = {T.ByteType: 3, T.ShortType: 5,
+                       T.IntegerType: 10, T.LongType: 20}
+
+
+def _is_widening(frm: T.DataType, to: T.DataType) -> bool:
+    """Spec-allowed type widenings (Delta PROTOCOL.md "Type Widening"):
+    integral up-chain, int->double, float->double, date->timestampNtz,
+    integral->decimal with enough integer digits, and decimal precision
+    growth that never loses integer digits or scale."""
+    if isinstance(frm, T.ByteType):
+        if isinstance(to, (T.ShortType, T.IntegerType, T.LongType,
+                           T.DoubleType)):
+            return True
+    elif isinstance(frm, T.ShortType):
+        if isinstance(to, (T.IntegerType, T.LongType, T.DoubleType)):
+            return True
+    elif isinstance(frm, T.IntegerType):
+        if isinstance(to, (T.LongType, T.DoubleType)):
+            return True
+    elif isinstance(frm, T.FloatType) and isinstance(to, T.DoubleType):
+        return True
+    elif isinstance(frm, T.DateType) and isinstance(to, T.TimestampNTZType):
+        return True
+    if isinstance(to, T.DecimalType):
+        need = _INT_DECIMAL_DIGITS.get(type(frm))
+        if need is not None:
+            return to.precision - to.scale >= need
+        if isinstance(frm, T.DecimalType):
+            return (
+                to.scale >= frm.scale
+                and to.precision - to.scale >= frm.precision - frm.scale
+                and (to.precision, to.scale)
+                != (frm.precision, frm.scale)
+            )
+    return False
 
 
 def _expr_references(expr: str, column: str) -> bool:

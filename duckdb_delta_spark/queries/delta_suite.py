@@ -350,6 +350,72 @@ def delta_type_widening(spark, sf_dir):
     )
 
 
+# type widening, WRITE side: the engine itself widens a live table
+# in-place (alter_column_type: metadata-only commit + typeWidening
+# feature + delta.typeChanges) after narrow data was written, then
+# appends wide — the self-written twin of the foreign-widened read above
+@register(
+    "delta_widen_inplace_scan",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(max(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS max_key,
+           CAST(round(sum(CAST(CASE WHEN o_orderkey < {FX.EVO_KEY_SPLIT}
+                         THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                         ELSE o_totalprice END AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    """,
+    group="delta",
+)
+def delta_widen_inplace_scan(spark, sf_dir):
+    import shutil
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = os.path.join(FX.FIXTURE_ROOT, f"tmp_widen_{uuid.uuid4().hex}")
+    narrow = T.StructType([
+        T.StructField("o_orderkey", T.IntegerType()),
+        T.StructField("o_totalprice", T.FloatType()),
+    ])
+    try:
+        w = DeltaWriter.create(spark, path, narrow)
+        w.append(
+            o.where(F.col("o_orderkey") < FX.EVO_KEY_SPLIT)
+            .select(F.col("o_orderkey").cast("int"),
+                    F.col("o_totalprice").cast("float"))
+            .coalesce(2)
+        )
+        w.alter_column_type("o_orderkey", "long")
+        w.alter_column_type("o_totalprice", "double")
+        w.append(
+            o.where(F.col("o_orderkey") >= FX.EVO_KEY_SPLIT)
+            .select("o_orderkey", "o_totalprice")
+            .coalesce(2)
+        )
+        rows = (
+            DeltaTable(path)
+            .to_df(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice").alias("total"),
+            )
+            .collect()
+        )
+        schema = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("max_key", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # engine-written DELETE: DeltaWriter.delete masks l_linenumber >= 5 with
 # deletion vectors (write-side DV path; the read side is delta_dv_scan)
 @register(

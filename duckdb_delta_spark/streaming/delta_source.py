@@ -154,6 +154,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: whole table; with the cap, latestOffset advances commit-by-
         #: commit until the file budget is spent (always ≥ 1 commit so
         #: the stream can't stall on an over-budget commit).
+        #: NOTE trigger(availableNow) + this cap: the Python-source
+        #: bridge has no prepareForTriggerAvailableNow, so Spark fixes
+        #: ONE rate-limited latestOffset as the run's end — each
+        #: availableNow run advances one capped batch (exactly-once, no
+        #: loss); use a continuous trigger to drain a rate-limited
+        #: backlog in one run (tests/test_streaming.py restart golden).
         mft = options.get("maxFilesPerTrigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
         #: split packing knobs (see _pack_splits): defaults mirror

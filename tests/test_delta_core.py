@@ -3095,3 +3095,52 @@ def test_auto_log_compaction(spark, tdir):
     assert len(seg_deleted) == 2
     assert DeltaLog(tdir).list_compacted_segments() == {}
     assert DeltaTable(tdir).to_df(spark).count() == 50
+
+def test_alter_column_type_widening(spark, tdir):
+    """ALTER COLUMN TYPE: pure-metadata widening — narrow files written
+    BEFORE the change upcast at scan, wide appends land after, the
+    field records delta.typeChanges, the protocol gains typeWidening,
+    and disallowed changes refuse without committing."""
+    from decimal import Decimal
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    narrow = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("x", T.FloatType()),
+        T.StructField("d", T.DecimalType(6, 2)),
+    ])
+    w = DeltaWriter.create(spark, tdir, narrow)
+    w.append(spark.createDataFrame(
+        [(1, 1.5, Decimal("12.34")), (2, 2.5, Decimal("56.78"))], narrow
+    ).coalesce(1))
+
+    w.alter_column_type("i", "long")
+    w.alter_column_type("x", T.DoubleType())
+    w.alter_column_type("d", T.DecimalType(12, 4))
+
+    snap = DeltaTable(tdir).snapshot
+    assert [f.dataType.simpleString() for f in snap.schema.fields] == [
+        "bigint", "double", "decimal(12,4)"]
+    assert "typeWidening" in snap.protocol["readerFeatures"]
+    tc = snap.schema["i"].metadata["delta.typeChanges"]
+    assert tc[0]["fromType"] == "integer" and tc[0]["toType"] == "long"
+
+    # wide append + old narrow files upcast in one scan
+    wide = snap.schema
+    w.append(spark.createDataFrame(
+        [(3_000_000_000, 3.25, Decimal("999999.9999"))], wide).coalesce(1))
+    got = {r["i"]: (r["x"], str(r["d"]))
+           for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got[1] == (1.5, "12.3400") and got[2] == (2.5, "56.7800")
+    assert got[3_000_000_000] == (3.25, "999999.9999")
+
+    # refusals commit nothing
+    v_before = DeltaLog(tdir).latest_version()
+    for col, bad in [("i", "int"), ("x", "float"), ("i", "string"),
+                     ("d", T.DecimalType(6, 4))]:  # loses integer digits
+        with pytest.raises(errors.SchemaError, match="not an allowed widening"):
+            w.alter_column_type(col, bad)
+    with pytest.raises(errors.SchemaError, match="no such column"):
+        w.alter_column_type("zz", "long")
+    assert DeltaLog(tdir).latest_version() == v_before

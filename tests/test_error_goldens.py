@@ -300,3 +300,17 @@ def test_rename_unreferenced_keeps_constraint_enforcing(spark, tdir):
     bad = spark.createDataFrame([(99, 2.0)], "i long, y double")
     with pytest.raises(errors.ConstraintViolationError):
         w.append(bad)
+
+
+def test_alter_column_type_narrowing_refused(spark, tdir):
+    """Narrowing (or any non-widening cast) refuses at ALTER time with
+    the exact spec-pointing message — committing would corrupt reads of
+    files whose physical type no longer fits the declared one."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)  # i long, g long, x double
+    with pytest.raises(errors.SchemaError) as ei:
+        w.alter_column_type("i", "int")
+    _golden(
+        ei,
+        "SchemaError: ALTER COLUMN 'i' TYPE: long -> integer is not an "
+        "allowed widening (Delta typeWidening spec)",
+    )
