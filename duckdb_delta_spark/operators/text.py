@@ -190,3 +190,69 @@ def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     for c, expr in cols.items():
         out = out.withColumn(c, expr)
     return out.withColumn("n_pii", n_total.cast("long"))
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetitious
+    documents" filters): duplicate-LINE fraction and the fraction of the
+    document covered by its single most frequent word BIGRAM. High values
+    flag boilerplate/spam that exact- and near-dedup miss because the
+    repetition is INSIDE one document.
+
+    100-TB shape: embarrassingly parallel map stage, zero shuffle, zero
+    Python. The top-bigram count deliberately avoids the naive
+    O(L^2) count-each-distinct-gram scan: bigrams are ``array_sort``-ed and
+    the max frequency is the longest equal-run in the sorted array, folded
+    with one ``F.aggregate`` pass — O(L log L) per row, whole-stage codegen.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+
+    toks = tokens(text)
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # longest equal-run in the sorted bigram array == max bigram frequency
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("n_dup_lines", n_dup.cast("long"))
+        .withColumn(
+            "dup_line_frac",
+            F.round(n_dup / F.greatest(n_lines, F.lit(1)).cast("double"), 4),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.when(pair_len == 0, F.lit(0.0)).otherwise(
+                    top_count / pair_len.cast("double")
+                ),
+                4,
+            ),
+        )
+    )

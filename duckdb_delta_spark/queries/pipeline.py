@@ -854,3 +854,53 @@ def text_redact_pii(spark, sf_dir):
         "doc_id", "n_email", "n_ipv4", "n_phone", "n_pii",
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+# Gopher-style in-document repetition signals: duplicate-line fraction and
+# top-bigram coverage. The Spark side computes max-bigram-frequency as the
+# longest equal-run of the SORTED per-row bigram array (O(L log L), zero
+# shuffle); the oracle counts it relationally (unnest + GROUP BY) — two
+# independent algorithms agreeing on the answer.
+_REP_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "l -> trim(l)), l -> l <> '')"
+)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_REP_LINES} AS lines, {_TOKS} AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+             END AS grams
+      FROM t
+    ), top AS (
+      SELECT doc_id, max(cnt) AS top_cnt FROM (
+        SELECT doc_id, g2, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(grams) AS g2 FROM g)
+        GROUP BY doc_id, g2)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+           round((len(lines) - len(list_distinct(lines)))
+                 / CAST(greatest(len(lines), 1) AS DOUBLE), 4) AS dup_line_frac,
+           round(CASE WHEN len(grams) = 0 THEN 0.0
+                      ELSE coalesce(top_cnt, 0) / CAST(len(grams) AS DOUBLE)
+                 END, 4) AS top_bigram_frac
+    FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+    """,
+    group="text",
+)
+def text_repetition(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    return X.with_repetition(df).select(
+        "doc_id", "n_lines", "n_dup_lines", "dup_line_frac", "top_bigram_frac"
+    )

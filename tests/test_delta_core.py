@@ -1018,12 +1018,21 @@ def test_checkpoint_replay_100k_files_fast(tdir):
     with open(os.path.join(tdir, "_delta_log", "_last_checkpoint"), "w") as f:
         json.dump({"version": 0, "size": len(rows)}, f)
 
-    t0 = time.time()
-    snap = Snapshot.build(DeltaLog(tdir))
-    elapsed = time.time() - t0
+    # contention-aware guard (same policy as the 1M-file prune test): a
+    # loaded CI box can double wall time, so one failing measurement
+    # re-measures once before failing — the O(n^2) regression class this
+    # guards against is minutes, failing both attempts, while scheduler
+    # noise passes the retry.
+    for attempt in (0, 1):
+        t0 = time.time()
+        snap = Snapshot.build(DeltaLog(tdir))
+        elapsed = time.time() - t0
+        if elapsed < 5.0:
+            break
+    else:
+        raise AssertionError(f"100k-file replay took {elapsed:.1f}s twice")
     assert len(snap.files) == n
     assert snap.num_records_estimate() == n * 10
-    assert elapsed < 5.0, f"100k-file replay took {elapsed:.1f}s"
 
 
 NESTED_SCHEMA = T.StructType([
