@@ -1133,6 +1133,21 @@ class DeltaWriter:
                 moved.append((rel_path, ordered))
         return moved
 
+    def _stats_allowlist(self, write_schema, parts) -> set[str] | None:
+        """Resolve the stats-selection config against the current snapshot
+        (see :func:`_indexed_stat_leaves`). On mapped tables the config
+        names logical columns, so the allowlist is derived from the
+        snapshot's logical schema (which carries the physical names);
+        unmapped tables use the write schema directly — it may be WIDER
+        than the snapshot during a mergeSchema append, and fresh columns
+        must stay indexable."""
+        snap = self._snapshot
+        mapped = snap.column_mapping_mode != "none"
+        logical = snap.schema if mapped else write_schema
+        return _indexed_stat_leaves(
+            logical, set(parts), snap.configuration, mapped
+        )
+
     def _build_add_actions(
         self, moved: list[tuple[str, dict]], schema: T.StructType, parts: list[str]
     ) -> list[dict]:
@@ -1140,7 +1155,10 @@ class DeltaWriter:
         now_ms = int(time.time() * 1000)
         no_footer: list[int] = []
         fulls = [os.path.join(self.table_path, rel) for rel, _ in moved]
-        results = _footer_stats_many(fulls, schema, set(parts))
+        results = _footer_stats_many(
+            fulls, schema, set(parts),
+            allow=self._stats_allowlist(schema, parts),
+        )
         for i, (rel_path, pvals) in enumerate(moved):
             stats, size = results[i]
             if stats is None:
@@ -2548,7 +2566,8 @@ class DeltaWriter:
                 # phys_schema matches the parquet column names (logical
                 # == physical on unmapped tables); footer reads pooled
                 results = _footer_stats_many(
-                    [d for _, d in rels], phys_schema, set()
+                    [d for _, d in rels], phys_schema, set(),
+                    allow=self._stats_allowlist(phys_schema, parts),
                 )
                 for (rel, dest), (stats, size) in zip(rels, results):
                     g_adds.append(
@@ -3279,6 +3298,93 @@ def _nullable_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _indexed_stat_leaves(
+    logical_schema: T.StructType,
+    parts: set[str],
+    config: dict[str, str],
+    mapped: bool,
+) -> set[str] | None:
+    """PHYSICAL dotted leaf paths whose per-column stats this writer
+    records, or ``None`` meaning "all leaves" (no restriction configured).
+
+    delta-spark parity for the two stats-selection knobs — the difference
+    between a 40-byte and a 40-KILOBYTE stats blob per add action on a
+    3000-column ML feature table, which at 100 TB is the difference
+    between a manifest the driver prunes in milliseconds and one it
+    can't even hold:
+
+    - ``delta.dataSkippingStatsColumns``: comma-separated LOGICAL column
+      names (nested dotted paths allowed; naming a struct indexes every
+      leaf under it). Overrides NumIndexedCols. Unknown names raise
+      (delta-spark validates the same way).
+    - ``delta.dataSkippingNumIndexedCols`` (default 32, delta-spark's
+      default; -1 = all): index the first N leaves in depth-first schema
+      order.
+
+    Leaves the ENGINE needs regardless are force-included: non-nullable
+    leaves (NOT NULL enforcement reads footer nullCount — writer
+    ``_enforce_not_null``) and identity columns (the high-water mark
+    advances from footer max — ``_identity_hwm_meta``). Writing stats for
+    extra columns is spec-legal (readers treat stats as optional,
+    per-column).
+    """
+    stats_cols = (config.get("delta.dataSkippingStatsColumns") or "").strip()
+    n_indexed = int(config.get("delta.dataSkippingNumIndexedCols", "32"))
+    if not stats_cols and n_indexed < 0:
+        return None
+
+    # (logical dotted, physical dotted, leaf?, nullable, identity?) walk
+    rows: list[tuple[str, str, bool, bool, bool]] = []
+
+    def walk(lprefix: str, pprefix: str, fields) -> None:
+        for f in fields:
+            md = f.metadata or {}
+            phys = (
+                md.get("delta.columnMapping.physicalName", f.name)
+                if mapped
+                else f.name
+            )
+            lp = f"{lprefix}.{f.name}" if lprefix else f.name
+            pp = f"{pprefix}.{phys}" if pprefix else phys
+            if lp in parts or pp in parts:
+                continue
+            if isinstance(f.dataType, T.StructType):
+                rows.append((lp, pp, False, f.nullable, False))
+                walk(lp, pp, f.dataType.fields)
+            elif not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.BinaryType)
+            ):
+                rows.append((
+                    lp, pp, True, f.nullable,
+                    "delta.identity.start" in md or "delta.identity.step" in md,
+                ))
+
+    walk("", "", logical_schema.fields)
+    leaves = [r for r in rows if r[2]]
+
+    allow: set[str] = set()
+    if stats_cols:
+        wanted = [c.strip().strip("`") for c in stats_cols.split(",") if c.strip()]
+        known = {r[0] for r in rows}
+        unknown = [c for c in wanted if c not in known]
+        if unknown:
+            raise SchemaError(
+                f"delta.dataSkippingStatsColumns: unknown column(s) {unknown}"
+            )
+        for lp, pp, is_leaf, _, _ in leaves + [r for r in rows if not r[2]]:
+            if any(lp == w or lp.startswith(w + ".") for w in wanted):
+                if is_leaf:
+                    allow.add(pp)
+    else:
+        allow = {pp for _, pp, _, _, _ in leaves[:n_indexed]}
+
+    # engine-required superset: NOT NULL enforcement + identity HWM
+    for lp, pp, is_leaf, nullable, ident in leaves:
+        if not nullable or ident:
+            allow.add(pp)
+    return allow
+
+
 def _stat_leaf_paths(schema: T.StructType, parts: set[str]) -> list[str]:
     """Dotted paths of every stat-able leaf, descending into structs
     (reference collects nested stats: delta_insert.cpp:114-149). Array/map
@@ -3403,7 +3509,7 @@ def _untighten_stats(stats: str | None) -> str | None:
 
 def _footer_stats_many(
     paths: list[str], schema: T.StructType, parts: set[str],
-    max_workers: int = 16,
+    max_workers: int = 16, allow: set[str] | None = None,
 ) -> list[tuple[dict | None, int]]:
     """(stats-or-None, file size) per path with the footer reads
     THREAD-POOLED: a thousand-file commit issues its footer reads as
@@ -3414,7 +3520,7 @@ def _footer_stats_many(
     def one(p: str) -> tuple[dict | None, int]:
         size = os.path.getsize(p)
         try:
-            return _footer_stats(p, schema, parts), size
+            return _footer_stats(p, schema, parts, allow), size
         except Exception:  # noqa: BLE001 - exotic logical types
             return None, size
 
@@ -3426,7 +3532,10 @@ def _footer_stats_many(
         return list(ex.map(one, paths))
 
 
-def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:
+def _footer_stats(
+    path: str, schema: T.StructType, parts: set[str],
+    allow: set[str] | None = None,
+) -> dict:
     """Exact per-file stats from the parquet footer (no extra Spark job):
     {numRecords, minValues, maxValues, nullCount, tightBounds}. Nested
     struct leaves appear as nested JSON objects, matching the Delta stats
@@ -3437,6 +3546,8 @@ def _footer_stats(path: str, schema: T.StructType, parts: set[str]) -> dict:
     meta = pf.metadata
     num_rows = meta.num_rows
     stat_cols = _stat_leaf_paths(schema, parts)
+    if allow is not None:
+        stat_cols = [c for c in stat_cols if c in allow]
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {c: 0 for c in stat_cols}

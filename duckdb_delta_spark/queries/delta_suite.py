@@ -1167,3 +1167,62 @@ def delta_compacted_log_scan(spark, sf_dir):
 def delta_history_scan(spark, sf_dir):
     t = _fx(spark, sf_dir, "orders_upd")
     return t.history(spark).select("version", "operation")
+
+
+# write-side stats selection (delta.dataSkippingStatsColumns): only the
+# configured column is indexed in the add-action stats, the manifest still
+# prunes on it, and the un-indexed columns scan correctly (stats are a
+# skipping hint, never required for correctness)
+@register(
+    "delta_stats_columns_scan",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 500 GROUP BY o_orderstatus
+    """,
+    group="delta",
+)
+def delta_stats_columns_scan(spark, sf_dir):
+    import json as _json
+    import shutil
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("statscols_")
+    path = os.path.join(root, "t")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        w = DeltaWriter.create(
+            spark, path, orders.schema,
+            configuration={"delta.dataSkippingStatsColumns": "o_orderkey"})
+        w.append(orders.where(F.col("o_orderkey") < 500).coalesce(1))
+        w.append(orders.where(F.col("o_orderkey") >= 500).coalesce(1))
+        # the add stats carry ONLY the configured column
+        log = DeltaLog(path)
+        for v in (1, 2):
+            for a in log.read_commit(v):
+                if a.get("add"):
+                    st = _json.loads(a["add"]["stats"])
+                    assert set(st["minValues"]) == {"o_orderkey"}, st
+        t = DeltaTable(path)
+        sb = t.scan(spark).filter("o_orderkey", "<", 500)
+        df = sb.to_df()
+        rep = sb.skip_report()
+        assert rep["files_skipped_by_stats"] == 1, rep
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        ).collect()
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ])
+        return spark.createDataFrame(out, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
