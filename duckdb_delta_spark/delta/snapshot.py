@@ -55,6 +55,7 @@ SUPPORTED_WRITER_FEATURES = {
     "variantShredding",
     "variantShredding-preview",
     "identityColumns",  # value allocation + HWM tracking in writer.append
+    "allowColumnDefaults",  # CURRENT_DEFAULT fill on append (writer.set_default)
     "rowTracking",  # baseRowId allocation + rowIdHighWaterMark (writer._assign_row_ids)
 }
 

@@ -269,6 +269,17 @@ class DeltaWriter:
                 "readerFeatures": sorted(r_implied | {"variantType"}),
                 "writerFeatures": sorted(w_implied | {"variantType"}),
             }
+        if _default_exprs(schema):
+            # column defaults are a writer-only table feature (Delta spec
+            # "Default Columns": allowColumnDefaults); readers unaffected
+            r_implied, w_implied = _legacy_features(proto)
+            proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(w_implied | {"allowColumnDefaults"}),
+            }
+            if proto["minReaderVersion"] >= 3:
+                proto["readerFeatures"] = sorted(r_implied)
         if (configuration or {}).get(
             "delta.enableRowTracking", ""
         ).lower() == "true":
@@ -435,6 +446,7 @@ class DeltaWriter:
                 )
                 schema_widened = True
             gen = _generated_exprs(schema)
+            dflt = _default_exprs(schema)
             ident_exprs = self._identity_value_exprs(schema, df)
             computed = [f.name for f in schema.fields
                         if f.name not in df.columns and f.name in gen]
@@ -445,17 +457,26 @@ class DeltaWriter:
                     else (
                         F.expr(gen[f.name])
                         if f.name in gen
-                        else ident_exprs.get(f.name, F.lit(None))
+                        else ident_exprs.get(
+                            f.name,
+                            F.expr(dflt[f.name])
+                            if f.name in dflt
+                            else F.lit(None),
+                        )
                     )
                 ).cast(_nullable_type(f.dataType)).alias(f.name)
                 for f in schema.fields
             ]
         else:
             gen = _generated_exprs(schema)
+            dflt = _default_exprs(schema)
             ident_exprs = self._identity_value_exprs(schema, df)
             missing = [f.name for f in schema.fields if f.name not in df.columns]
             computed = [c for c in missing if c in gen]
-            missing = [c for c in missing if c not in gen and c not in ident_exprs]
+            defaulted = [c for c in missing
+                         if c not in gen and c not in ident_exprs and c in dflt]
+            missing = [c for c in missing
+                       if c not in gen and c not in ident_exprs and c not in dflt]
             if missing:
                 raise SchemaError(f"input missing table columns: {missing}")
             # cast to the nullable shape — Spark refuses to cast a nullable
@@ -465,6 +486,8 @@ class DeltaWriter:
                 (
                     F.expr(gen[f.name])
                     if f.name in computed
+                    else F.expr(dflt[f.name])
+                    if f.name in defaulted
                     else ident_exprs.get(f.name, F.col(f.name))
                     if f.name not in df.columns
                     else F.col(f.name)
@@ -1950,14 +1973,22 @@ class DeltaWriter:
         schema = snap.schema
         parts = snap.partition_columns
         gen = _generated_exprs(schema)
+        dflt = _default_exprs(schema)
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         computed = [c for c in missing if c in gen]
-        missing = [c for c in missing if c not in gen]
+        defaulted = [c for c in missing if c not in gen and c in dflt]
+        missing = [c for c in missing if c not in gen and c not in dflt]
         if missing:
             raise SchemaError(f"input missing table columns: {missing}")
         df = df.select(
             *[
-                (F.expr(gen[f.name]) if f.name in computed else F.col(f.name))
+                (
+                    F.expr(gen[f.name])
+                    if f.name in computed
+                    else F.expr(dflt[f.name])
+                    if f.name in defaulted
+                    else F.col(f.name)
+                )
                 .cast(_nullable_type(f.dataType))
                 .alias(f.name)
                 for f in schema.fields
@@ -2327,6 +2358,109 @@ class DeltaWriter:
                 "writerFeatures": sorted(w | {"typeWidening"}),
             }})
         actions.append({"metaData": meta})
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def set_default(self, name: str, sql_expr: str) -> int:
+        """ALTER TABLE ALTER COLUMN ... SET DEFAULT (Delta spec "Default
+        Columns" / the ``allowColumnDefaults`` writer feature): a pure
+        metadata commit stamping ``CURRENT_DEFAULT`` into the field
+        metadata and upgrading the protocol to (x,7) + allowColumnDefaults
+        on first use. Subsequent :meth:`append` calls that omit the column
+        fill it by evaluating the expression — JVM-side, per batch, no
+        extra pass.
+
+        The expression must be self-contained and foldable (no column
+        references — delta-spark enforces literal-foldability the same
+        way); it is validated here by evaluating it once. Refused for
+        generated / identity / partition columns (each already has an
+        authoritative value source) and for nested paths (delta-spark:
+        top-level columns only)."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        if "." in name:
+            raise UnsupportedFeatureError(
+                "SET DEFAULT on nested fields (top-level columns only)")
+        if name in snap.partition_columns:
+            raise UnsupportedFeatureError(
+                f"SET DEFAULT on partition column {name!r}")
+        schema = snap.schema
+        if name not in schema.fieldNames():
+            raise SchemaError(f"no such column: {name!r}")
+        field = schema[name]
+        md = dict(field.metadata or {})
+        if "delta.generationExpression" in md:
+            raise UnsupportedFeatureError(
+                f"SET DEFAULT on generated column {name!r}")
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            raise UnsupportedFeatureError(
+                f"SET DEFAULT on identity column {name!r}")
+        from pyspark.sql import functions as F
+
+        try:
+            self.spark.range(1).select(
+                F.expr(sql_expr).cast(field.dataType)
+            ).collect()
+        except Exception as e:  # noqa: BLE001 - analysis errors vary
+            raise SchemaError(
+                f"DEFAULT for {name!r} must be a self-contained foldable "
+                f"expression castable to {field.dataType.simpleString()}: {e}"
+            ) from None
+        md["CURRENT_DEFAULT"] = sql_expr
+        fields = [
+            T.StructField(f.name, f.dataType, f.nullable,
+                          md if f.name == name else f.metadata)
+            for f in schema.fields
+        ]
+        meta = dict(snap.metadata)
+        meta["schemaString"] = T.StructType(fields).json()
+        actions: list[dict] = [
+            {"commitInfo": _commit_info(
+                "ALTER COLUMN", {"column": name, "default": sql_expr})},
+        ]
+        proto = snap.protocol
+        if "allowColumnDefaults" not in (proto.get("writerFeatures") or []):
+            r, w = _legacy_features(proto)
+            p = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(w | {"allowColumnDefaults"}),
+            }
+            if p["minReaderVersion"] >= 3:
+                p["readerFeatures"] = sorted(r)
+            actions.append({"protocol": p})
+        actions.append({"metaData": meta})
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def drop_default(self, name: str) -> int:
+        """ALTER TABLE ALTER COLUMN ... DROP DEFAULT: removes the
+        ``CURRENT_DEFAULT`` metadata (the feature stays listed — table
+        features are never downgraded); later appends must supply the
+        column again."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        schema = snap.schema
+        if name not in schema.fieldNames():
+            raise SchemaError(f"no such column: {name!r}")
+        md = dict(schema[name].metadata or {})
+        if "CURRENT_DEFAULT" not in md:
+            raise SchemaError(f"column {name!r} has no default")
+        md.pop("CURRENT_DEFAULT")
+        fields = [
+            T.StructField(f.name, f.dataType, f.nullable,
+                          md if f.name == name else f.metadata)
+            for f in schema.fields
+        ]
+        meta = dict(snap.metadata)
+        meta["schemaString"] = T.StructType(fields).json()
+        actions = [
+            {"commitInfo": _commit_info(
+                "ALTER COLUMN", {"column": name, "default": None})},
+            {"metaData": meta},
+        ]
+        version = snap.version + 1
         self._commit(version, actions, snap)
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
@@ -3240,6 +3374,22 @@ def _generated_exprs(schema: T.StructType) -> dict[str, str]:
     for f in schema.fields:
         md = f.metadata or {}
         expr = md.get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _default_exprs(schema: T.StructType) -> dict[str, str]:
+    """column → ``CURRENT_DEFAULT`` (SQL string) from field metadata
+    (Delta spec: Default Columns, the ``allowColumnDefaults`` writer
+    feature). Writers fill these when an insert omits the column; readers
+    are unaffected (old files still surface NULL for later-added columns
+    — which is why ADD COLUMN with a default is refused, matching
+    delta-spark)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        expr = md.get("CURRENT_DEFAULT")
         if expr:
             out[f.name] = expr
     return out

@@ -1226,3 +1226,47 @@ def delta_stats_columns_scan(spark, sf_dir):
         return spark.createDataFrame(out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# column defaults (allowColumnDefaults writer feature): appends omitting a
+# defaulted column fill it from CURRENT_DEFAULT; explicit values win; the
+# protocol lists the feature. Deterministic end-to-end on nation.
+@register(
+    "delta_column_defaults_scan",
+    oracle="""
+    SELECT n_name, 'api' AS src, CAST(5.0 AS DOUBLE) AS weight FROM nation
+    UNION ALL
+    SELECT n_name, 'manual' AS src, CAST(1.5 AS DOUBLE) AS weight FROM nation
+    WHERE n_regionkey = 0
+    """,
+    group="delta",
+)
+def delta_column_defaults_scan(spark, sf_dir):
+    import shutil
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from pyspark.sql import types as T
+
+    root = FX.tmp_dir("coldefaults_")
+    path = os.path.join(root, "t")
+    try:
+        schema = T.StructType([
+            T.StructField("n_name", T.StringType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("weight", T.DoubleType()),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        w = DeltaWriter.create(spark, path, schema)
+        w.set_default("src", "'api'")
+        w.set_default("weight", "2.5 * 2")
+        w.append(nat.select("n_name").coalesce(1))  # both filled
+        w.append(  # explicit values beat the default
+            nat.where(F.col("n_regionkey") == 0)
+            .select("n_name", F.lit("manual").alias("src"),
+                    F.lit(1.5).alias("weight")).coalesce(1))
+        snap = DeltaTable(path).snapshot
+        assert "allowColumnDefaults" in snap.protocol["writerFeatures"]
+        out = DeltaTable(path).to_df(spark).collect()
+        return spark.createDataFrame(out, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
