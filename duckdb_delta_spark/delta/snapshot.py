@@ -56,6 +56,7 @@ SUPPORTED_WRITER_FEATURES = {
     "variantShredding-preview",
     "identityColumns",  # value allocation + HWM tracking in writer.append
     "allowColumnDefaults",  # CURRENT_DEFAULT fill on append (writer.set_default)
+    "clustering",  # clustered tables: delta.clustering domain metadata; OPTIMIZE clusters
     "rowTracking",  # baseRowId allocation + rowIdHighWaterMark (writer._assign_row_ids)
 }
 
@@ -491,6 +492,31 @@ class Snapshot:
     @property
     def column_mapping_mode(self) -> str:
         return self.configuration.get("delta.columnMapping.mode", "none")
+
+    @property
+    def clustering_columns(self) -> list[str]:
+        """LOGICAL clustering column names of a clustered table (Delta
+        spec "Clustered Table": the ``delta.clustering`` domain metadata
+        holds ``clusteringColumns`` as physical-name paths; the
+        ``clustering`` writer feature gates it). Empty for unclustered
+        tables. Physical names map back to logical through the schema's
+        columnMapping metadata."""
+        raw = self.domain_metadata.get("delta.clustering")
+        if not raw:
+            return []
+        try:
+            cols = (json.loads(raw) or {}).get("clusteringColumns") or []
+        except (ValueError, AttributeError):
+            return []
+        phys2log = {}
+        for f in self.schema.fields:
+            md = f.metadata or {}
+            phys2log[md.get("delta.columnMapping.physicalName", f.name)] = f.name
+        out = []
+        for path in cols:
+            name = path[0] if isinstance(path, (list, tuple)) else path
+            out.append(phys2log.get(name, name))
+        return out
 
     def add_files(self) -> list[AddFile]:
         """Live files in deterministic (path) order. The sort is cached

@@ -45,6 +45,13 @@ from duckdb_delta_spark.delta.log import DeltaLog
 from duckdb_delta_spark.delta.snapshot import SUPPORTED_WRITER_FEATURES, Snapshot
 
 ENGINE_INFO = "duckdb-delta-spark/0.1"
+
+#: types whose values map to quantile-rank codes for Z-value interleaving
+_ZORDERABLE = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+    T.DateType, T.TimestampType,
+)
 _STATS_TRUNC = 32
 _MAX_CODEPOINT = 0x10FFFF
 
@@ -211,17 +218,37 @@ class DeltaWriter:
         partition_by: list[str] | None = None,
         configuration: dict[str, str] | None = None,
         name: str | None = None,
+        cluster_by: list[str] | None = None,
     ) -> "DeltaWriter":
         """CREATE TABLE: version-0 commit with protocol + metaData.
 
         (The reference throws on CREATE — delta_schema_entry.cpp:36-97 — we
         support it because fixtures and pipelines need it.)
+
+        ``cluster_by``: liquid clustering (Delta spec "Clustered Table").
+        Writes the ``delta.clustering`` domain metadata (physical-name
+        paths) and lists the ``clustering`` + ``domainMetadata`` writer
+        features; :meth:`compact` then clusters on these columns without
+        being told. Mutually exclusive with ``partition_by``
+        (delta-spark refuses the combination too), max 4 columns.
         """
         path = os.path.abspath(path)
         partition_by = partition_by or []
         for p in partition_by:
             if p not in schema.fieldNames():
                 raise SchemaError(f"partition column {p!r} not in schema")
+        if cluster_by:
+            if partition_by:
+                raise UnsupportedFeatureError(
+                    "CLUSTER BY and PARTITIONED BY are mutually exclusive"
+                )
+            if len(cluster_by) > 4:
+                raise UnsupportedFeatureError(
+                    "CLUSTER BY supports at most 4 columns"
+                )
+            for c in cluster_by:
+                if c not in schema.fieldNames():
+                    raise SchemaError(f"clustering column {c!r} not in schema")
         if (configuration or {}).get("delta.columnMapping.mode", "none") != "none":
             schema, max_id = _ensure_mapping_metadata(schema)
             configuration = dict(configuration or {})
@@ -280,6 +307,19 @@ class DeltaWriter:
             }
             if proto["minReaderVersion"] >= 3:
                 proto["readerFeatures"] = sorted(r_implied)
+        if cluster_by:
+            # clustered tables are writer-only: the clustering feature
+            # DEPENDS on domainMetadata (the column list lives there)
+            r_implied, w_implied = _legacy_features(proto)
+            proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    w_implied | {"clustering", "domainMetadata"}
+                ),
+            }
+            if proto["minReaderVersion"] >= 3:
+                proto["readerFeatures"] = sorted(r_implied)
         if (configuration or {}).get(
             "delta.enableRowTracking", ""
         ).lower() == "true":
@@ -313,6 +353,21 @@ class DeltaWriter:
             {"protocol": proto},
             {"metaData": meta},
         ]
+        if cluster_by:
+            # spec: clusteringColumns are PHYSICAL-name paths
+            phys = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in schema.fields
+            }
+            actions.append({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[phys[c]] for c in cluster_by]}
+                ),
+                "removed": False,
+            }})
         if proto.get("writerFeatures") and "inCommitTimestamp" in proto["writerFeatures"]:
             # the enablement commit itself carries the first ICT
             actions[0]["commitInfo"]["inCommitTimestamp"] = int(
@@ -2435,6 +2490,62 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
+    def set_cluster_by(self, cluster_by: list[str]) -> int:
+        """ALTER TABLE CLUSTER BY: re-declare the clustering columns of a
+        table (or make an existing table clustered) — one domainMetadata
+        commit, protocol upgraded with ``clustering`` + ``domainMetadata``
+        on first use. ``[]`` means CLUSTER BY NONE (the domain stays with
+        an empty column list, per delta-spark). Existing files are NOT
+        rewritten — the next :meth:`compact` applies the new layout."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        if snap.partition_columns and cluster_by:
+            raise UnsupportedFeatureError(
+                "CLUSTER BY on a partitioned table"
+            )
+        if len(cluster_by) > 4:
+            raise UnsupportedFeatureError(
+                "CLUSTER BY supports at most 4 columns"
+            )
+        schema = snap.schema
+        for c in cluster_by:
+            if c not in schema.fieldNames():
+                raise SchemaError(f"clustering column {c!r} not in schema")
+        phys = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in schema.fields
+        }
+        actions: list[dict] = [
+            {"commitInfo": _commit_info(
+                "CLUSTER BY", {"clusterBy": json.dumps(cluster_by)})},
+        ]
+        proto = snap.protocol
+        have = set(proto.get("writerFeatures") or [])
+        if not {"clustering", "domainMetadata"} <= have:
+            r, w = _legacy_features(proto)
+            p = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    w | {"clustering", "domainMetadata"}
+                ),
+            }
+            if p["minReaderVersion"] >= 3:
+                p["readerFeatures"] = sorted(r)
+            actions.append({"protocol": p})
+        actions.append({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [[phys[c]] for c in cluster_by]}
+            ),
+            "removed": False,
+        }})
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     def drop_default(self, name: str) -> int:
         """ALTER TABLE ALTER COLUMN ... DROP DEFAULT: removes the
         ``CURRENT_DEFAULT`` metadata (the feature stays listed — table
@@ -2590,6 +2701,24 @@ class DeltaWriter:
         schema = snap.schema
         parts = snap.partition_columns
         mode = snap.column_mapping_mode
+        # clustered table (liquid clustering): when the caller doesn't
+        # specify a layout, OPTIMIZE clusters on the table's declared
+        # clustering columns — Z-order when 2+ numeric/temporal columns,
+        # else a range sort (single column, or lexicographic fallback for
+        # string keys where bit-interleaving has no meaning)
+        clustered_by: list[str] | None = None
+        if not sort_by and not zorder_by:
+            cc = snap.clustering_columns
+            if cc:
+                clustered_by = list(cc)
+                ltypes = {f.name: f.dataType for f in schema.fields}
+                zable = all(
+                    isinstance(ltypes.get(c), _ZORDERABLE) for c in cc
+                )
+                if len(cc) >= 2 and zable:
+                    zorder_by = cc
+                else:
+                    sort_by = cc
         phys_of: dict[str, str] = {}
         if mode != "none":
             for f in schema.fields:
@@ -2626,11 +2755,7 @@ class DeltaWriter:
                 raise SchemaError(f"clustering column {c!r} not a data column")
         z_types = {f.name: f.dataType for f in phys_schema.fields}
         for c in z_cols:
-            if not isinstance(z_types[c], (
-                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                T.FloatType, T.DoubleType, T.DecimalType,
-                T.DateType, T.TimestampType,
-            )):
+            if not isinstance(z_types[c], _ZORDERABLE):
                 raise SchemaError(
                     f"zorder_by column {c!r}: only numeric/date/timestamp "
                     "columns are Z-orderable"
@@ -2655,7 +2780,7 @@ class DeltaWriter:
             g_written: list[str] = []
             total = sum(f.size for f in files)
             n_out = max(1, -(-total // target_file_bytes))
-            if n_out >= len(files) and not sort_cols:
+            if n_out >= len(files) and not sort_cols and not z_cols:
                 # without clustering there is nothing to gain from a
                 # rewrite that doesn't shrink the file count
                 return g_removes, g_adds, g_written
@@ -2760,6 +2885,11 @@ class DeltaWriter:
                         "targetSize": str(target_file_bytes),
                         "numRemovedFiles": str(len(removes)),
                         "numAddedFiles": str(len(adds)),
+                        **(
+                            {"clusterBy": json.dumps(clustered_by)}
+                            if clustered_by
+                            else {}
+                        ),
                     },
                 )
             }

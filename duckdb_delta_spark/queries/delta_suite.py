@@ -1270,3 +1270,64 @@ def delta_column_defaults_scan(spark, sf_dir):
         return spark.createDataFrame(out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# clustered table (liquid clustering): OPTIMIZE picks the declared
+# clustering columns by itself; post-cluster stats skipping prunes on BOTH
+# dimensions — the property a lexicographic sort can't give
+@register(
+    "delta_clustered_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_custkey < 75 AND o_orderkey < 700
+    """,
+    group="delta",
+)
+def delta_clustered_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("clustered_")
+    path = os.path.join(root, "t")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        w = DeltaWriter.create(
+            spark, path, orders.schema, cluster_by=["o_custkey", "o_orderkey"])
+        # shuffled halves: every pre-OPTIMIZE file spans both key ranges
+        # round-robin repartition: every pre-OPTIMIZE file spans the full
+        # range of both keys (the worst layout for skipping)
+        w.append(orders.where(F.col("o_orderkey") % 2 == 0).repartition(8))
+        w.append(orders.where(F.col("o_orderkey") % 2 == 1).repartition(8))
+        # size the target from the manifest itself: just above the largest
+        # input file, so every file qualifies for the rewrite AND the
+        # rewrite still yields enough clustered outputs (~total/target)
+        # that the two-dimensional prune below has boundaries to skip —
+        # at ANY scale factor
+        sizes = [f.size for f in DeltaTable(path).snapshot.add_files()]
+        assert w.compact(
+            target_file_bytes=max(sizes) + 4096) is not None
+        t = DeltaTable(path)
+        assert t.snapshot.clustering_columns == ["o_custkey", "o_orderkey"]
+        sb = (t.scan(spark)
+              .filter("o_custkey", "<", 75)
+              .filter("o_orderkey", "<", 700))
+        df = sb.to_df()
+        out = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        ).collect()
+        rep = sb.skip_report()
+        assert rep["files_skipped_by_stats"] > 0, rep
+        schema = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ])
+        return spark.createDataFrame(out, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
