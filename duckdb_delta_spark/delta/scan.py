@@ -810,6 +810,19 @@ class DeltaScanBuilder:
             phys_schema = T.StructType(
                 [T.StructField(phys, t) for _, phys, t, _ in fields]
             )
+        mat_id = mat_ver = None
+        if self._row_ids:
+            # preserved row ids (spec "Row Tracking"): files rewritten by
+            # OPTIMIZE carry materialized id/commit-version columns; other
+            # files read them as NULL and fall back to baseRowId + index
+            mat_id, mat_ver = snap.materialized_row_id_cols
+            extra = [
+                T.StructField(c, T.LongType())
+                for c in (mat_id, mat_ver) if c
+            ]
+            if extra:
+                phys_schema = T.StructType(list(phys_schema.fields) + extra)
+
         paths = [f.absolute_path(snap.log.table_path) for f in files]
         reader = spark.read.schema(phys_schema)
         df = reader.parquet(*paths)
@@ -827,6 +840,10 @@ class DeltaScanBuilder:
             sel.append(F.col("_metadata.file_path").alias(FILE_COL))
         if has_dv or self._virtual or self._row_ids:
             sel.append(F.col("_metadata.row_index").alias(ROW_COL))
+        if mat_id:
+            sel.append(F.col(f"`{mat_id}`").alias("__mat_row_id"))
+        if mat_ver:
+            sel.append(F.col(f"`{mat_ver}`").alias("__mat_rcv"))
         df = df.select(*sel)
 
         if pcols:
@@ -860,13 +877,19 @@ class DeltaScanBuilder:
                     T.StructField("_row_commit_version", T.LongType()),
                 ]),
             )
-            df = (
-                df.join(F.broadcast(rmap), on=FILE_COL, how="left")
-                .withColumn(
-                    "_row_id", F.col("_base_row_id") + F.col(ROW_COL)
+            df = df.join(F.broadcast(rmap), on=FILE_COL, how="left")
+            rid = F.col("_base_row_id") + F.col(ROW_COL)
+            if mat_id:
+                rid = F.coalesce(F.col("__mat_row_id"), rid)
+            df = df.withColumn("_row_id", rid)
+            if mat_ver:
+                df = df.withColumn(
+                    "_row_commit_version",
+                    F.coalesce(
+                        F.col("__mat_rcv"), F.col("_row_commit_version")
+                    ),
                 )
-                .drop("_base_row_id")
-            )
+            df = df.drop("_base_row_id", "__mat_row_id", "__mat_rcv")
         if self._virtual:
             # file→number is known driver-side (same ordering dense_rank
             # would produce) — a broadcast map join keeps the scan fully

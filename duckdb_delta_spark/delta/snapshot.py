@@ -494,6 +494,18 @@ class Snapshot:
         return self.configuration.get("delta.columnMapping.mode", "none")
 
     @property
+    def materialized_row_id_cols(self) -> tuple[str | None, str | None]:
+        """(row-id column, row-commit-version column) PHYSICAL names under
+        which preserved row ids are materialized in rewritten data files
+        (Delta spec "Row Tracking": dataChange=false rewrites must keep
+        row ids stable; the names live in table configuration)."""
+        c = self.configuration
+        return (
+            c.get("delta.rowTracking.materializedRowIdColumnName"),
+            c.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+        )
+
+    @property
     def clustering_columns(self) -> list[str]:
         """LOGICAL clustering column names of a clustered table (Delta
         spec "Clustered Table": the ``delta.clustering`` domain metadata

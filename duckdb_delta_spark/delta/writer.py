@@ -2761,6 +2761,33 @@ class DeltaWriter:
                     "columns are Z-orderable"
                 )
 
+        # row tracking: a dataChange=false rewrite MUST keep row ids stable
+        # (Delta spec "Row Tracking" preserved-ids requirement), so the
+        # rewrite materializes each row's id/commit-version into physical
+        # columns named by table config — readers prefer the materialized
+        # value over baseRowId + index
+        try:
+            _, wfeats = _legacy_features(snap.protocol)
+        except UnsupportedFeatureError:
+            wfeats = set()
+        row_tracked = "rowTracking" in wfeats
+        mat_id = mat_ver = None
+        new_mat_config = False
+        read_schema = phys_schema
+        if row_tracked:
+            mat_id, mat_ver = snap.materialized_row_id_cols
+            if not mat_id or not mat_ver:
+                new_mat_config = True
+                mat_id = mat_id or f"_row-id-col-{uuid.uuid4()}"
+                mat_ver = mat_ver or f"_row-commit-version-col-{uuid.uuid4()}"
+            # files from an earlier OPTIMIZE already carry the columns;
+            # newer append-only files read them as NULL (schema-on-read)
+            read_schema = T.StructType(
+                list(phys_schema.fields)
+                + [T.StructField(mat_id, T.LongType()),
+                   T.StructField(mat_ver, T.LongType())]
+            )
+
         groups: dict[tuple, list] = {}
         for f in snap.add_files():
             if f.deletion_vector or f.size >= target_file_bytes:
@@ -2791,7 +2818,47 @@ class DeltaWriter:
             staging = os.path.join(
                 self.table_path, f"_staging_{uuid.uuid4().hex}"
             )
-            src = self.spark.read.schema(phys_schema).parquet(*paths)
+            src = self.spark.read.schema(read_schema).parquet(*paths)
+            if row_tracked:
+                from pyspark.sql import functions as F
+
+                from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+                rmap = self.spark.createDataFrame(
+                    [
+                        (
+                            DeltaScanBuilder._spark_file_uri(
+                                f.absolute_path(self.table_path)),
+                            None if f.base_row_id is None
+                            else int(f.base_row_id),
+                            None if f.default_row_commit_version is None
+                            else int(f.default_row_commit_version),
+                        )
+                        for f in files
+                    ],
+                    T.StructType([
+                        T.StructField("__file", T.StringType()),
+                        T.StructField("__base", T.LongType()),
+                        T.StructField("__drcv", T.LongType()),
+                    ]),
+                )
+                src = (
+                    src.withColumn("__file", F.col("_metadata.file_path"))
+                    .withColumn("__idx", F.col("_metadata.row_index"))
+                    .join(F.broadcast(rmap), on="__file", how="left")
+                    .withColumn(
+                        mat_id,
+                        F.coalesce(
+                            F.col(f"`{mat_id}`"),
+                            F.col("__base") + F.col("__idx"),
+                        ),
+                    )
+                    .withColumn(
+                        mat_ver,
+                        F.coalesce(F.col(f"`{mat_ver}`"), F.col("__drcv")),
+                    )
+                    .drop("__file", "__idx", "__base", "__drcv")
+                )
             if sort_cols:
                 # range-cluster: each output file owns a disjoint range of
                 # the sort key → post-compaction stats skipping bites
@@ -2894,6 +2961,17 @@ class DeltaWriter:
                 )
             }
         ]
+        if row_tracked and new_mat_config:
+            # first preserved rewrite names the materialized columns —
+            # config ships in the SAME commit as the files carrying them
+            meta = dict(snap.metadata)
+            cfgd = dict(meta.get("configuration") or {})
+            cfgd["delta.rowTracking.materializedRowIdColumnName"] = mat_id
+            cfgd["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+                mat_ver
+            )
+            meta["configuration"] = cfgd
+            actions.append({"metaData": meta})
         actions.extend(removes)
         actions.extend({"add": a} for a in adds)
         version = snap.version + 1
