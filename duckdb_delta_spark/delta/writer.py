@@ -2490,6 +2490,94 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
+    def add_constraint(self, name: str, sql_expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (delta-spark parity): stores the
+        CHECK expression as ``delta.constraints.<name>`` table config
+        after verifying EVERY existing row satisfies it (one distributed
+        scan — the same contract delta-spark enforces), and upgrades the
+        protocol for the checkConstraints writer feature (legacy
+        minWriterVersion 3; listed explicitly on (x,7) tables). NULL
+        evaluations pass, matching SQL CHECK semantics and this writer's
+        own enforcement (:meth:`_enforce_check_constraints`)."""
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        key = f"delta.constraints.{name.lower()}"
+        if key in snap.configuration:
+            raise SchemaError(f"constraint {name!r} already exists")
+        df = DeltaScanBuilder(snap, self.spark).to_df()
+        try:
+            bad = df.filter(
+                ~F.coalesce(F.expr(sql_expr), F.lit(True))
+            ).limit(1).count()
+        except ConstraintViolationError:
+            raise
+        except Exception as e:  # noqa: BLE001 - analysis errors vary
+            raise SchemaError(
+                f"CHECK expression for {name!r} does not resolve against "
+                f"the table schema: {e}"
+            ) from None
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot ADD CONSTRAINT {name!r}: existing rows violate "
+                f"{sql_expr}"
+            )
+        config = dict(snap.configuration)
+        config[key] = sql_expr
+        meta = dict(snap.metadata)
+        meta["configuration"] = config
+        actions: list[dict] = [
+            {"commitInfo": _commit_info(
+                "ADD CONSTRAINT", {"name": name, "expr": sql_expr})},
+        ]
+        proto = snap.protocol
+        if proto["minWriterVersion"] >= 7:
+            if "checkConstraints" not in (proto.get("writerFeatures") or []):
+                r, w = _legacy_features(proto)
+                p = {
+                    "minReaderVersion": proto["minReaderVersion"],
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(w | {"checkConstraints"}),
+                }
+                if p["minReaderVersion"] >= 3:
+                    p["readerFeatures"] = sorted(r)
+                actions.append({"protocol": p})
+        elif proto["minWriterVersion"] < 3:
+            actions.append({"protocol": {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 3,
+            }})
+        actions.append({"metaData": meta})
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def drop_constraint(self, name: str, if_exists: bool = False) -> int | None:
+        """ALTER TABLE DROP CONSTRAINT: removes the config key; with
+        ``if_exists`` a missing constraint is a no-op returning None
+        (delta-spark's IF EXISTS)."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        key = f"delta.constraints.{name.lower()}"
+        if key not in snap.configuration:
+            if if_exists:
+                return None
+            raise SchemaError(f"no such constraint: {name!r}")
+        config = dict(snap.configuration)
+        config.pop(key)
+        meta = dict(snap.metadata)
+        meta["configuration"] = config
+        actions = [
+            {"commitInfo": _commit_info("DROP CONSTRAINT", {"name": name})},
+            {"metaData": meta},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     def set_cluster_by(self, cluster_by: list[str]) -> int:
         """ALTER TABLE CLUSTER BY: re-declare the clustering columns of a
         table (or make an existing table clustered) — one domainMetadata

@@ -1331,3 +1331,55 @@ def delta_clustered_scan(spark, sf_dir):
         return spark.createDataFrame(out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ALTER TABLE ADD CONSTRAINT end-to-end: existing-data validation passes,
+# a violating append is rejected WITHOUT committing (rows + file count
+# unchanged), a satisfying append lands, DROP lifts enforcement
+@register(
+    "delta_add_constraint_scan",
+    oracle="""
+    SELECT n_name, CAST(n_regionkey AS BIGINT) AS rk FROM nation
+    UNION ALL
+    SELECT 'extra' AS n_name, CAST(9 AS BIGINT) AS rk
+    UNION ALL
+    SELECT 'late' AS n_name, CAST(-1 AS BIGINT) AS rk
+    """,
+    group="delta",
+)
+def delta_add_constraint_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.errors import ConstraintViolationError
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("addcons_")
+    path = os.path.join(root, "t")
+    try:
+        schema = T.StructType([
+            T.StructField("n_name", T.StringType()),
+            T.StructField("rk", T.LongType()),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_name", F.col("n_regionkey").cast("long").alias("rk"))
+        w = DeltaWriter.create(spark, path, schema)
+        w.append(nat.coalesce(1))
+        w.add_constraint("rk_nonneg", "rk >= 0")
+
+        def one(name, rk):
+            return spark.createDataFrame([(name, rk)], schema).coalesce(1)
+
+        try:
+            w.append(one("bad", -1))
+            raise AssertionError("violating append must be rejected")
+        except ConstraintViolationError:
+            pass
+        w.append(one("extra", 9))
+        w.drop_constraint("rk_nonneg")
+        w.append(one("late", -1))  # enforcement lifted
+        out = DeltaTable(path).to_df(spark).collect()
+        return spark.createDataFrame(out, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
