@@ -482,22 +482,29 @@ class DeltaWriter:
 
         self._assert_writable("WRITE")
         schema_widened = False
+        widened_config: dict | None = None
         computed: list[str] = []
         if merge_schema:
             known = set(schema.fieldNames())
             new_fields = [f for f in df.schema.fields if f.name not in known]
             if new_fields:
+                new_struct = T.StructType([
+                    T.StructField(f.name, _nullable_type(f.dataType), True)
+                    for f in new_fields
+                ])
                 if snapshot.column_mapping_mode != "none":
-                    raise UnsupportedFeatureError(
-                        "merge_schema on a column-mapped table (new columns "
-                        "need mapping ids)"
+                    # delta-spark parity: fresh columns get the next
+                    # mapping ids + uuid physical names (at every nesting
+                    # level); maxColumnId advances in the same commit
+                    cfg = dict(snapshot.configuration)
+                    start = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+                    new_struct, new_max = _ensure_mapping_metadata(
+                        new_struct, start_id=start
                     )
+                    cfg["delta.columnMapping.maxColumnId"] = str(new_max)
+                    widened_config = cfg
                 schema = T.StructType(
-                    list(schema.fields)
-                    + [
-                        T.StructField(f.name, _nullable_type(f.dataType), True)
-                        for f in new_fields
-                    ]
+                    list(schema.fields) + list(new_struct.fields)
                 )
                 schema_widened = True
             gen = _generated_exprs(schema)
@@ -582,13 +589,19 @@ class DeltaWriter:
         # update in the SAME commit as the rows it covers
         ident_meta = self._identity_hwm_meta(
             logical_schema, adds, snapshot, widened=schema_widened,
-            widened_schema=schema if schema_widened else None,
+            widened_schema=logical_schema if schema_widened else None,
         )
         if ident_meta is not None:
+            if widened_config is not None:
+                ident_meta["configuration"] = widened_config
             actions.append({"metaData": ident_meta})
         elif schema_widened:
             meta = dict(snapshot.metadata)
-            meta["schemaString"] = schema.json()
+            # the LOGICAL schema (with mapping metadata) is what the log
+            # records; `schema` is physical on mapped tables here
+            meta["schemaString"] = logical_schema.json()
+            if widened_config is not None:
+                meta["configuration"] = widened_config
             actions.append({"metaData": meta})
         if txn_app_id is not None and txn_version is not None:
             actions.append(
@@ -812,7 +825,12 @@ class DeltaWriter:
         if interval <= 0 or version <= 0 or version % interval:
             return
         try:
-            self.checkpoint()
+            # delta.checkpointPolicy=v2 → sidecar checkpoints (spec
+            # "V2 Checkpoint Table Feature"); classic otherwise
+            self.checkpoint(
+                v2=config.get("delta.checkpointPolicy", "classic")
+                .lower() == "v2"
+            )
             if (
                 config.get("delta.enableExpiredLogCleanup", "")
                 .lower()
@@ -2157,17 +2175,27 @@ class DeltaWriter:
 
     # ---------- RESTORE ----------
 
-    def restore(self, version: int) -> int | None:
-        """RESTORE TABLE TO VERSION: commit the diff that makes HEAD's file
-        set equal the target version's (standard Delta RESTORE — history is
-        preserved, the restore is itself a new commit). Returns the new
-        version, or None when HEAD already matches.
+    def restore(self, version: int | None = None, timestamp=None) -> int | None:
+        """RESTORE TABLE TO VERSION / TIMESTAMP: commit the diff that makes
+        HEAD's file set equal the target version's (standard Delta RESTORE —
+        history is preserved, the restore is itself a new commit). Returns
+        the new version, or None when HEAD already matches. ``timestamp``
+        (datetime / ISO-8601 / epoch millis) resolves to the latest version
+        committed at or before it, like time travel.
 
         Raises MissingVersionError when a required data file has been
         vacuumed away (restore outside the retention window).
         """
         from duckdb_delta_spark.delta.errors import MissingVersionError
 
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass either version or timestamp, not both")
+            from duckdb_delta_spark.delta.table import _to_epoch_ms
+
+            version = self.log.version_at_timestamp(_to_epoch_ms(timestamp))
+        if version is None:
+            raise ValueError("RESTORE needs a version or timestamp")
         snap_now = self._snapshot
         self._assert_writable("RESTORE", removes_rows=True)
         snap_old = Snapshot.build(self.log, version)

@@ -3153,3 +3153,82 @@ def test_alter_column_type_widening(spark, tdir):
     with pytest.raises(errors.SchemaError, match="no such column"):
         w.alter_column_type("zz", "long")
     assert DeltaLog(tdir).latest_version() == v_before
+
+
+def test_merge_schema_append_on_column_mapped_table(spark, tdir):
+    """mergeSchema on a MAPPED table (delta-spark parity): fresh columns
+    get the next mapping ids + uuid physical names, maxColumnId advances
+    in the same commit, old files read the new column as typed NULL, and
+    a follow-up RENAME of the new column stays pure-metadata."""
+    from pyspark.sql import functions as F
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.columnMapping.mode": "name"})
+    w.append(_ids(spark, 5))
+    w.append(_ids(spark, 5, lo=5).withColumn("extra", F.col("i") * 10),
+             merge_schema=True)
+
+    snap = DeltaTable(tdir).snapshot
+    fld = snap.schema["extra"]
+    md = fld.metadata or {}
+    assert md.get("delta.columnMapping.physicalName", "").startswith("col-")
+    ids = [(f.metadata or {}).get("delta.columnMapping.id")
+           for f in snap.schema.fields]
+    assert len(set(ids)) == len(ids)  # unique, incl. the fresh one
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) == max(ids)
+
+    rows = {r.i: r.extra for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert rows == {**{i: None for i in range(5)},
+                    **{i: i * 10 for i in range(5, 10)}}
+
+    # physical names make the rename metadata-only
+    n_files_before = len(DeltaTable(tdir).snapshot.add_files())
+    w.rename_column("extra", "extra2")
+    snap2 = DeltaTable(tdir).snapshot
+    assert len(snap2.add_files()) == n_files_before
+    assert {r.extra2 for r in DeltaTable(tdir).to_df(spark)
+            .where("i >= 5").collect()} == {50, 60, 70, 80, 90}
+
+
+def test_restore_to_timestamp(spark, tdir):
+    """RESTORE with a timestamp resolves to the latest version committed
+    at or before it (same clock rules as time travel)."""
+    import os as _os
+    import time as _time
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))            # v1
+    w.append(_ids(spark, 5, lo=5))      # v2
+    # pin distinct mtimes so the timestamp boundary is unambiguous
+    log_dir = _os.path.join(tdir, "_delta_log")
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        _os.utime(_os.path.join(log_dir, f"{v:020d}.json"), (ts / 1000,) * 2)
+    w.append(_ids(spark, 5, lo=10))     # v3 (fresh mtime, far future)
+
+    assert DeltaTable(tdir).to_df(spark).count() == 15
+    v = w.restore(timestamp=2500)       # → v1 state
+    assert v == 4
+    assert DeltaTable(tdir).to_df(spark).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        w.restore(version=1, timestamp=2500)
+
+
+def test_auto_checkpoint_honors_v2_policy(spark, tdir):
+    """delta.checkpointPolicy=v2 makes the interval checkpoint a sidecar
+    (UUID-manifest) checkpoint instead of a classic one."""
+    import glob as _glob
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.checkpointInterval": "2",
+                       "delta.checkpointPolicy": "v2"})
+    w.append(_ids(spark, 3))   # v1
+    w.append(_ids(spark, 3, lo=3))   # v2 → auto v2-checkpoint
+    manifests = _glob.glob(os.path.join(
+        tdir, "_delta_log", "*.checkpoint.*-*.parquet"))
+    assert manifests, "expected a UUID-named v2 checkpoint manifest"
+    assert _glob.glob(os.path.join(tdir, "_delta_log", "_sidecars", "*.parquet"))
+    assert DeltaTable(tdir).to_df(spark).count() == 6
