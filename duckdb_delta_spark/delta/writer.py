@@ -1890,9 +1890,11 @@ class DeltaWriter:
         ins = None
         ins_skip: set = set()
         if when_not_matched_insert:
+            dflt = _default_exprs(schema)
             missing = [f.name for f in schema.fields if f.name not in source.columns]
             computable = [c for c in missing if c in gen]
-            missing = [c for c in missing if c not in gen]
+            defaulted = [c for c in missing if c not in gen and c in dflt]
+            missing = [c for c in missing if c not in gen and c not in dflt]
             if missing:
                 raise SchemaError(f"merge source missing table columns: {missing}")
             ins_skip = set(computable)
@@ -1901,6 +1903,8 @@ class DeltaWriter:
                     (
                         F.expr(gen[f.name])
                         if f.name in ins_skip
+                        else F.expr(dflt[f.name])
+                        if f.name in defaulted
                         else F.col("s." + f.name)
                     )
                     .cast(_nullable_type(f.dataType))

@@ -300,3 +300,68 @@ def stream_cdf_source(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete").select(
         "_change_type", "n", "total"
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           doc_id, CAST(1 AS BIGINT) AS n_batch_dups
+    FROM documents
+    """,
+    group="streaming",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup across BATCHES: batch 1 is the corpus, batch 2
+    a whitespace-perturbed duplicate of every document (same normalized
+    fingerprint, shifted ids). State suppresses the entire second wave, so
+    the final output is exactly the originals — the oracle is the plain
+    documents table."""
+    import os
+    import shutil
+
+    from duckdb_delta_spark.operators.text import with_fingerprint
+    from duckdb_delta_spark.streaming import dedup_stream, run_stream_to_memory
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    root = FX.tmp_dir("streamdedup_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        docs.coalesce(1).write.parquet(os.path.join(root, "wave1"))
+        (docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit("  ")).alias("text"))
+         .coalesce(1).write.parquet(os.path.join(root, "wave2")))
+        # one data file per wave, mtime-ordered so the original corpus is
+        # batch 1 (FileStreamSource orders by modification time)
+        stage = os.path.join(root, "stream")
+        os.makedirs(stage)
+        waves = []
+        for i, d in enumerate(("wave1", "wave2")):
+            (part,) = [f for f in os.listdir(os.path.join(root, d))
+                       if f.endswith(".parquet")]
+            dest = os.path.join(stage, f"wave{i}.parquet")
+            shutil.copyfile(os.path.join(root, d, part), dest)
+            os.utime(dest, (1000 + i, 1000 + i))
+            waves.append(dest)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        out = run_stream_to_memory(
+            dedup_stream(with_fingerprint(stream).select(
+                "fingerprint", "doc_id")),
+            output_mode="append",
+        )
+        rows = out.select("fingerprint", "doc_id", "n_batch_dups").collect()
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_batch_dups", T.LongType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

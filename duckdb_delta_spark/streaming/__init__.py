@@ -1,4 +1,5 @@
 from duckdb_delta_spark.streaming.events import (
+    dedup_stream,
     hourly_event_counts_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -10,4 +11,5 @@ __all__ = [
     "hourly_event_counts_stream",
     "sessionize_stream",
     "run_stream_to_memory",
+    "dedup_stream",
 ]

@@ -186,3 +186,62 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.LongType())])
+
+_DEDUP_OUT = T.StructType([
+    T.StructField("fingerprint", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_batch_dups", T.LongType()),
+])
+
+
+def dedup_stream(
+    docs: DataFrame, fingerprint_col: str = "fingerprint",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST document per fingerprint
+    (min ``id_col`` within its arrival batch) and suppress every later
+    arrival — the incremental form of a training-pipeline exact-dedup
+    stage, for corpora ingested continuously.
+
+    State is one counter per DISTINCT fingerprint (``applyInPandasWithState``,
+    shuffled by fingerprint so each key lives on exactly one state shard).
+    At 100 TB the state is bounded by distinct-document count, not stream
+    length; add a ProcessingTimeTimeout TTL when the dedup horizon can be
+    windowed (e.g. only suppress re-crawls within 30 days) to cap it
+    further."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (fp,) = key
+        n = 0
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                n += len(pdf)
+                m = int(pdf[id_col].min())
+                best = m if best is None else min(best, m)
+        if n == 0:
+            return
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return  # fingerprint already emitted — suppress duplicates
+        state.update((n,))
+        yield pd.DataFrame({
+            "fingerprint": [fp], "doc_id": [best], "n_batch_dups": [n],
+        })
+
+    return (
+        docs.groupBy(fingerprint_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_DEDUP_OUT,
+            stateStructType=_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

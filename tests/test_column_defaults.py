@@ -139,3 +139,20 @@ def test_merge_schema_append_fills_default_for_absent_column(spark, tdir):
     )
     rows = DeltaTable(tdir).to_df(spark).collect()
     assert all(r.src == "api" and r.extra == 1 for r in rows)
+
+
+def test_merge_insert_fills_default(spark, tdir):
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.set_default("src", "'merged'")
+    w.append(
+        _base(spark, 3).withColumn("src", F.lit("orig"))
+        .withColumn("weight", F.lit(1.0)).coalesce(1))
+    # source lacks src (defaulted) but carries weight
+    src = spark.range(2, 6).select(
+        F.col("id").alias("i"), F.lit(7.0).alias("weight"))
+    w.merge(src, "t.i = s.i", when_matched_update={"weight": "s.weight"})
+    rows = {r.i: (r.src, r.weight)
+            for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert rows[0] == ("orig", 1.0)
+    assert rows[2] == ("orig", 7.0)       # matched: updated, src kept
+    assert rows[4] == ("merged", 7.0)     # inserted: default filled
