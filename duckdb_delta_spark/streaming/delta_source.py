@@ -162,6 +162,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: backlog in one run (tests/test_streaming.py restart golden).
         mft = options.get("maxFilesPerTrigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
+        #: delta-spark parity: soft byte cap per micro-batch (admits whole
+        #: commits until the byte budget is spent, always ≥ 1 commit).
+        #: Composes with maxFilesPerTrigger — whichever budget runs out
+        #: first ends the batch.
+        mbt = options.get("maxBytesPerTrigger")
+        self.max_bytes_per_trigger = int(mbt) if mbt is not None else None
         #: split packing knobs (see _pack_splits): defaults mirror
         #: spark.sql.files.maxPartitionBytes and a per-host core floor
         self.max_bytes_per_partition = int(
@@ -216,29 +222,37 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = self._log.latest_version()
-        if self.max_files_per_trigger is None:
+        if (self.max_files_per_trigger is None
+                and self.max_bytes_per_trigger is None):
             return {"version": head}
         base = self._rate_pos if self._rate_pos is not None else self._initial
-        budget = self.max_files_per_trigger
+        f_budget = self.max_files_per_trigger or float("inf")
+        b_budget = self.max_bytes_per_trigger or float("inf")
         v = base
+        admitted = 0  # data files admitted — "≥1 commit" means ≥1 WITH data
         while v < head:
-            n = self._n_adds(v + 1)
-            if v > base and n > budget:
+            n, b = self._n_adds(v + 1)
+            if admitted and (n > f_budget or b > b_budget):
                 break
             v += 1
-            budget -= n
-            if budget <= 0:
+            admitted += n
+            f_budget -= n
+            b_budget -= b
+            if admitted and (f_budget <= 0 or b_budget <= 0):
                 break
         self._rate_pos = v
         return {"version": v}
 
-    def _n_adds(self, version: int) -> int:
-        """Per-commit add-file count, cached — rate-limited polling walks
-        the same commits every trigger; commits are immutable so the
-        count never changes."""
+    def _n_adds(self, version: int) -> tuple[int, int]:
+        """Per-commit (add-file count, add bytes), cached — rate-limited
+        polling walks the same commits every trigger; commits are
+        immutable so the numbers never change."""
         n = self._n_adds_cache.get(version)
         if n is None:
-            n = self._n_adds_cache[version] = len(self._classify(version)[0])
+            adds = self._classify(version)[0]
+            n = self._n_adds_cache[version] = (
+                len(adds), sum(int(a.get("size") or 0) for a in adds)
+            )
         return n
 
     def partitions(self, start: dict, end: dict):

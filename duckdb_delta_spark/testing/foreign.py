@@ -1139,3 +1139,71 @@ def build_foreign_shredded_variant(dest: str, sf_dir: str) -> None:
     _write(rows_b, shred_b, 1)
     _write(rows_c, shred_c, 2)
     write_commit(log_dir, 1, [commit_info("WRITE"), *adds])
+
+
+def build_foreign_clustered_defaults(dest: str) -> None:
+    """A delta-spark-layout CLUSTERED table with COLUMN DEFAULTS — the two
+    round-7 writer features as a FOREIGN artifact, so interop is proven
+    against independently authored metadata, not this repo's writer:
+
+    * protocol (1,7) listing ``clustering`` + ``domainMetadata`` +
+      ``allowColumnDefaults`` (the delta-spark feature spelling)
+    * ``delta.clustering`` domainMetadata with 2-element
+      ``clusteringColumns`` physical-name paths
+    * ``CURRENT_DEFAULT`` on column ``v`` inside the schemaString field
+      metadata (delta-spark stores it exactly there)
+
+    Content: k = 0..39, v = 'v<k>', c1 = k % 8, c2 = k // 8, two files
+    split at k = 20.
+    """
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            spark_field("k", "long"),
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"CURRENT_DEFAULT": "'foreign-default'"}},
+            spark_field("c1", "long"),
+            spark_field("c2", "long"),
+        ],
+    }, separators=(",", ":"))
+    write_commit(log_dir, 0, [
+        commit_info("CREATE TABLE"),
+        {"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants", "clustering",
+                               "domainMetadata", "allowColumnDefaults"],
+        }},
+        {"metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "foreign_clustered")),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 1_700_000_000_000,
+        }},
+        {"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [["c1"], ["c2"]]},
+                separators=(",", ":")),
+            "removed": False,
+        }},
+    ])
+
+    adds = []
+    for i, (lo, hi) in enumerate(((0, 20), (20, 40))):
+        ks = list(range(lo, hi))
+        tbl = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "v": pa.array([f"v{k}" for k in ks]),
+            "c1": pa.array([k % 8 for k in ks], pa.int64()),
+            "c2": pa.array([k // 8 for k in ks], pa.int64()),
+        })
+        rel = part_file_name(i)
+        pq.write_table(tbl, os.path.join(dest, rel))
+        adds.append(add_action(rel, os.path.join(dest, rel), tbl, {},
+                               ["k", "v", "c1", "c2"]))
+    write_commit(log_dir, 1, [commit_info("WRITE")] + adds)

@@ -752,3 +752,45 @@ def test_foreign_shredded_variant(spark, tmp_path):
     # the table really declares the feature (gate, not accident)
     proto = DeltaTable(dest).snapshot.protocol
     assert "variantShredding" in proto["readerFeatures"]
+
+
+def test_foreign_clustered_defaults_interop(spark, tmp_path):
+    """Foreign-authored clustered table with column defaults: the reader
+    surfaces the clustering declaration, OPTIMIZE clusters on the
+    foreign-declared columns unprompted, and an append omitting the
+    defaulted column fills the FOREIGN CURRENT_DEFAULT."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.testing.foreign import (
+        build_foreign_clustered_defaults,
+    )
+
+    dest = str(tmp_path / "t")
+    build_foreign_clustered_defaults(dest)
+
+    t = DeltaTable(dest)
+    assert t.snapshot.clustering_columns == ["c1", "c2"]
+    rows = {r.k: (r.v, r.c1, r.c2) for r in t.to_df(spark).collect()}
+    assert rows == {k: (f"v{k}", k % 8, k // 8) for k in range(40)}
+
+    # append without the defaulted column → foreign default fills
+    w = DeltaWriter(dest, spark)
+    w.append(spark.range(40, 44).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("c1"),
+        (F.col("id") / 8).cast("long").alias("c2")).coalesce(1))
+    got = {r.k: r.v for r in DeltaTable(dest).to_df(spark)
+           .where("k >= 40").collect()}
+    assert got == {k: "foreign-default" for k in range(40, 44)}
+
+    # OPTIMIZE picks the foreign-declared clustering columns
+    v = w.compact(target_file_bytes=1 << 30)
+    assert v is not None
+    ci = [a for a in DeltaLog(dest).read_commit(v) if "commitInfo" in a][0]
+    assert _json.loads(
+        ci["commitInfo"]["operationParameters"]["clusterBy"]) == ["c1", "c2"]
+    assert DeltaTable(dest).to_df(spark).count() == 44

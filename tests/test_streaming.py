@@ -809,3 +809,59 @@ def test_source_cdf_rate_limited_restart(spark, tdir):
     assert len(set(rows)) == len(rows), "re-emitted change rows"
     _sh.rmtree(out, ignore_errors=True)
     _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_source_max_bytes_per_trigger(spark, tdir):
+    """delta-spark parity: .option('maxBytesPerTrigger', N) is a soft byte
+    cap per micro-batch — commits are admitted until the byte budget is
+    spent (always ≥ 1), composing with maxFilesPerTrigger (whichever
+    budget ends first wins)."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamReader
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    for k in range(3):
+        w.append(spark.range(40 * k, 40 * (k + 1)).select(
+            F.col("id").alias("i"), (F.col("id") % 2).alias("g"))
+            .repartition(2))
+    sizes = {}
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    for v in (1, 2, 3):
+        sizes[v] = sum(a["add"]["size"] for a in DeltaLog(tdir).read_commit(v)
+                       if a.get("add"))
+    schema = DeltaTable(tdir).schema()
+
+    # budget = one commit's bytes → one commit per batch
+    r = DeltaStreamReader(
+        tdir, schema,
+        {"startingVersion": "0", "maxBytesPerTrigger": str(sizes[1])})
+    assert r.latestOffset() == {"version": 1}
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 3}
+    assert r.latestOffset() == {"version": 3}
+
+    # budget covering two commits → two per batch
+    r2 = DeltaStreamReader(
+        tdir, schema,
+        {"startingVersion": "0",
+         "maxBytesPerTrigger": str(sizes[1] + sizes[2])})
+    assert r2.latestOffset() == {"version": 2}
+    assert r2.latestOffset() == {"version": 3}
+
+    # tiny budget still admits one whole commit (no stall)
+    r3 = DeltaStreamReader(
+        tdir, schema, {"startingVersion": "0", "maxBytesPerTrigger": "1"})
+    assert r3.latestOffset() == {"version": 1}
+
+    # composes with maxFilesPerTrigger: file budget ends the batch first
+    r4 = DeltaStreamReader(
+        tdir, schema,
+        {"startingVersion": "0", "maxBytesPerTrigger": str(10 << 30),
+         "maxFilesPerTrigger": "2"})
+    assert r4.latestOffset() == {"version": 1}
