@@ -3095,11 +3095,35 @@ class DeltaWriter:
         actions.extend(removes)
         actions.extend({"add": a} for a in adds)
         version = snap.version + 1
-        try:
-            self._commit(version, actions, snap)
-        except CommitConflictError:
-            self._rollback([(rel, {}) for rel in written])
-            raise
+        attempt = 0
+        while True:
+            try:
+                self._commit(version, actions, snap)
+                break
+            except CommitConflictError:
+                # OPTIMIZE commutes with concurrent APPENDs (disjoint
+                # files), so losing the version race is retryable — the
+                # norm on a busy 100-TB table where maintenance runs
+                # beside ingest. NOT retryable: a racer removed or
+                # DV-masked one of the files this rewrite copied (the
+                # rewrite would resurrect its rows), or changed table
+                # metadata (our metaData/stats were built against it).
+                attempt += 1
+                fresh = Snapshot.build(self.log, base=snap)
+                removed_paths = {r["remove"]["path"] for r in removes}
+                fresh_live = {
+                    f.path for f in fresh.add_files()
+                    if not f.deletion_vector
+                }
+                if (
+                    attempt > 5
+                    or not removed_paths <= fresh_live
+                    or fresh.metadata != snap.metadata
+                ):
+                    self._rollback([(rel, {}) for rel in written])
+                    raise
+                snap = fresh
+                version = snap.version + 1
         from duckdb_delta_spark.delta.logging import emit
 
         emit(

@@ -517,3 +517,32 @@ def connected_components(
     return labels.select(
         F.col("id").cast("long"), F.col("label").cast("long").alias("cluster_id")
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    assignments: DataFrame,
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Representative selection — the step AFTER near-dup clustering in a
+    training pipeline (C4/RefinedWeb style): per duplicate cluster keep
+    exactly ONE document, the highest-``quality_col`` member (ties →
+    lowest id, deterministic).
+
+    100-TB shape: one shuffle join of assignments onto the quality frame
+    (both keyed by doc id) and ONE hash aggregation by cluster —
+    ``max_by(id, struct(quality, -id))`` does the argmax inside the
+    partial/final agg, so there is no per-cluster window sort and no
+    second shuffle."""
+    joined = assignments.join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        ),
+        "id",
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.expr("max_by(id, struct(__q, -id))").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.max("__q"), 4).alias("best_quality"),
+    )

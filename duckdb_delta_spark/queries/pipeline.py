@@ -904,3 +904,34 @@ def text_repetition(spark, sf_dir):
     return X.with_repetition(df).select(
         "doc_id", "n_lines", "n_dup_lines", "dup_line_frac", "top_bigram_frac"
     )
+
+
+def _keep_canonical_sql() -> str:
+    comp = _components_sql()
+    qual = _quality_oracle()
+    return f"""
+    WITH comp AS ({comp}),
+    q AS ({qual}),
+    j AS (
+      SELECT comp.cluster_id, comp.id, q.quality_score
+      FROM comp JOIN q ON q.doc_id = comp.id)
+    SELECT cluster_id, keep_id, n_members, best_quality FROM (
+      SELECT cluster_id, id AS keep_id,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             round(max(quality_score) OVER (PARTITION BY cluster_id), 4)
+               AS best_quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality_score DESC, id ASC) AS rn
+      FROM j) WHERE rn = 1
+    """
+
+
+@register("dedup_keep_canonical", oracle=_keep_canonical_sql(), group="dedup")
+def dedup_keep_canonical(spark, sf_dir):
+    """Canonical-document selection: near-dup clusters (MinHash/LSH →
+    connected components) reduced to one kept representative each by
+    quality argmax — single hash-agg, no per-cluster window. The oracle
+    recomputes the same clusters recursively and picks via row_number."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = D.connected_components(D.minhash_candidate_pairs(docs))
+    return D.keep_canonical(X.with_quality(docs), clusters)

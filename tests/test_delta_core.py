@@ -3232,3 +3232,38 @@ def test_auto_checkpoint_honors_v2_policy(spark, tdir):
     assert manifests, "expected a UUID-named v2 checkpoint manifest"
     assert _glob.glob(os.path.join(tdir, "_delta_log", "_sidecars", "*.parquet"))
     assert DeltaTable(tdir).to_df(spark).count() == 6
+
+
+def test_compact_retries_past_concurrent_append(spark, tdir):
+    """OPTIMIZE commutes with concurrent APPEND: losing the version race
+    re-bases and commits; a concurrent DELETE touching a compacted file
+    aborts (the rewrite would resurrect its rows)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    for k in range(3):
+        w.append(_ids(spark, 10, lo=10 * k))
+    # pin a second writer, then land a concurrent append it can't see
+    racer = DeltaWriter(tdir, spark)
+    pinned = {f.path for f in racer._snapshot.add_files()}
+    w.append(_ids(spark, 5, lo=100))  # occupies racer's target version
+    concurrent = {
+        f.path for f in DeltaTable(tdir).snapshot.add_files()
+    } - pinned
+    v = racer.compact(target_file_bytes=1 << 30)
+    assert v == 5  # retried past the conflict
+    t = DeltaTable(tdir)
+    assert t.to_df(spark).count() == 35  # 30 compacted + 5 concurrent
+    live = {f.path for f in t.snapshot.add_files()}
+    assert not live & pinned  # every pre-compact file was replaced
+    assert concurrent <= live  # the racer's append survived untouched
+
+    # non-retryable: racer pins, then a DELETE DV-masks a compacted file
+    racer2 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)
+    w2.delete("i = 3")
+    import pytest as _pytest
+
+    from duckdb_delta_spark.delta.errors import CommitConflictError
+
+    with _pytest.raises(CommitConflictError):
+        racer2.compact(target_file_bytes=1 << 30)
+    assert DeltaTable(tdir).to_df(spark).count() == 34
