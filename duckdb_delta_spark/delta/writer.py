@@ -3136,11 +3136,15 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
-    def vacuum(self, retention_ms: int | None = None) -> list[str]:
+    def vacuum(
+        self, retention_ms: int | None = None, dry_run: bool = False,
+    ) -> list[str]:
         """Delete data files no longer referenced by the current snapshot
         whose remove tombstone is older than ``retention_ms`` (default:
         the table's ``delta.deletedFileRetentionDuration``, itself
         defaulting to the spec's 7 days). Returns deleted relative paths.
+        ``dry_run`` (VACUUM ... DRY RUN): list what WOULD be deleted,
+        touching nothing.
 
         Standard Delta VACUUM semantics: the clock is the remove action's
         ``deletionTimestamp``, NOT the file's mtime — a file created long
@@ -3219,10 +3223,11 @@ class DeltaWriter:
                     return None  # raced away
             if ts > cutoff_ms:
                 return None
-            try:
-                os.unlink(full)
-            except OSError:
-                return None  # raced away / permission — leave for next run
+            if not dry_run:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    return None  # raced away / permission — leave next run
             return os.path.relpath(full, self.table_path)
 
         candidates: list[str] = []
@@ -3242,6 +3247,7 @@ class DeltaWriter:
             table_path=self.table_path,
             n_deleted=len(deleted),
             retention_ms=retention_ms,
+            dry_run=dry_run,
         )
         return deleted
 

@@ -3267,3 +3267,18 @@ def test_compact_retries_past_concurrent_append(spark, tdir):
     with _pytest.raises(CommitConflictError):
         racer2.compact(target_file_bytes=1 << 30)
     assert DeltaTable(tdir).to_df(spark).count() == 34
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tdir):
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 10).coalesce(1))
+    w.append(_ids(spark, 10, lo=10).coalesce(1))
+    w.compact(target_file_bytes=1 << 30)  # tombstones the two small files
+    would = sorted(w.vacuum(retention_ms=0, dry_run=True))
+    assert len(would) == 2
+    for rel in would:
+        assert os.path.exists(os.path.join(tdir, rel))  # nothing deleted
+    did = sorted(w.vacuum(retention_ms=0))
+    assert did == would
+    for rel in did:
+        assert not os.path.exists(os.path.join(tdir, rel))

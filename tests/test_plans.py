@@ -245,3 +245,34 @@ def test_row_id_scan_no_global_window(spark, tdir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert df.count() == 100
+
+
+def test_repetition_zero_shuffle_no_python(spark):
+    """with_repetition is a pure map stage: the bigram argmax is the
+    sorted-run fold (no per-row quadratic scan, no window, no Exchange,
+    no Python)."""
+    from duckdb_delta_spark.operators import text as X
+    from duckdb_delta_spark.queries import load
+
+    df = X.with_repetition(load(spark, SF, "documents")).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_keep_canonical_argmax_is_single_agg_no_window(spark):
+    """keep_canonical: the per-cluster representative comes from
+    max_by inside the hash aggregate — no Window operator, no extra
+    Exchange beyond the join/agg shuffles, no Python."""
+    from duckdb_delta_spark.operators import dedup as D
+    from duckdb_delta_spark.operators import text as X
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    clusters = D.connected_components(D.minhash_candidate_pairs(docs))
+    df = D.keep_canonical(X.with_quality(docs), clusters)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan, plan
