@@ -2139,7 +2139,7 @@ def test_commit_footer_stats_reads_are_pooled(tdir, monkeypatch):
             f.write(b"x")
         paths.append(p)
 
-    def slow_footer(path, schema, parts):
+    def slow_footer(path, schema, parts, allow=None):
         _time.sleep(0.02)
         return {"numRecords": 1}
 
