@@ -119,3 +119,25 @@ def test_explicit_zorder_still_wins_over_declared(spark, tdir):
 
     ci = [a for a in DeltaLog(tdir).read_commit(v) if "commitInfo" in a][0]
     assert "clusterBy" not in ci["commitInfo"]["operationParameters"]
+
+
+def test_clustering_on_column_mapped_table(spark, tdir):
+    """set_cluster_by on a MAPPED table: domain metadata records PHYSICAL
+    names (spec), snapshot maps them back to logical, and OPTIMIZE
+    clusters + prunes through the mapping."""
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.columnMapping.mode": "name"})
+    for _ in range(3):
+        w.append(_rows(spark).coalesce(1))
+    w.set_cluster_by(["x", "y"])
+    snap = DeltaTable(tdir).snapshot
+    cfg = json.loads(snap.domain_metadata["delta.clustering"])
+    phys_x = snap.schema["x"].metadata["delta.columnMapping.physicalName"]
+    assert cfg["clusteringColumns"][0] == [phys_x]  # physical in the log
+    assert snap.clustering_columns == ["x", "y"]    # logical at the API
+    v = w.compact(target_file_bytes=6 << 10)
+    assert v is not None
+    sb = DeltaTable(tdir).scan(spark).filter("x", "<", 100)
+    sb.to_df().count()
+    assert sb.skip_report()["files_skipped_by_stats"] > 0
