@@ -3497,6 +3497,22 @@ class DeltaWriter:
             return self._checkpoint_v2(v, rows, max_rows_per_part)
 
         schema = _checkpoint_arrow_schema()
+        if (
+            snap.configuration.get("delta.checkpoint.writeStatsAsStruct", "")
+            .lower() == "true"
+        ):
+            # delta-spark parity: add.stats_parsed — TYPED per-column stats
+            # readers consume without re-parsing N JSON blobs per planning
+            # pass (the fast path delta-spark's checkpoint reader takes)
+            schema = _with_stats_parsed(
+                schema, snap.schema, set(snap.partition_columns)
+            )
+            parsed_t = schema.field("add").type.field("stats_parsed").type
+            for r in rows:
+                if r.get("add"):
+                    r["add"]["stats_parsed"] = _parse_stats_typed(
+                        r["add"].get("stats"), parsed_t
+                    )
         cols = {name: [r.get(name) for r in rows] for name in schema.names}
         table = pa.Table.from_pydict(cols, schema=schema)
         def _write_atomic(part_table, final_path):
@@ -4170,3 +4186,117 @@ def _checkpoint_arrow_schema():
             ])),
         ]
     )
+
+
+def _with_stats_parsed(cp_schema, table_schema: T.StructType, parts: set[str]):
+    """Extend the checkpoint arrow schema's ``add`` struct with a typed
+    ``stats_parsed`` field (delta.checkpoint.writeStatsAsStruct):
+    {numRecords, minValues{...}, maxValues{...}, nullCount{...},
+    tightBounds} with min/max leaves at the column's own type. Decimal
+    leaves are left to the JSON stats (their text round-trip is exact
+    there); binary/array/map carry no stats anywhere."""
+    import pyarrow as pa
+
+    arrow_of = {
+        T.ByteType: pa.int8(), T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(), T.LongType: pa.int64(),
+        T.FloatType: pa.float32(), T.DoubleType: pa.float64(),
+        T.BooleanType: pa.bool_(), T.StringType: pa.string(),
+        T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us", tz="UTC"),
+        T.TimestampNTZType: pa.timestamp("us"),
+    }
+
+    def walk(fields, prefix=""):
+        mm, nc = [], []
+        for f in fields:
+            name = f"{prefix}.{f.name}" if prefix else f.name
+            if name in parts:
+                continue
+            if isinstance(f.dataType, T.StructType):
+                smm, snc = walk(f.dataType.fields, name)
+                if smm:
+                    mm.append(pa.field(f.name, pa.struct(smm)))
+                    nc.append(pa.field(f.name, pa.struct(snc)))
+            elif type(f.dataType) in arrow_of:
+                mm.append(pa.field(f.name, arrow_of[type(f.dataType)]))
+                nc.append(pa.field(f.name, pa.int64()))
+        return mm, nc
+
+    mm, nc = walk(table_schema.fields)
+    parsed = pa.struct([
+        pa.field("numRecords", pa.int64()),
+        pa.field("minValues", pa.struct(mm)),
+        pa.field("maxValues", pa.struct(mm)),
+        pa.field("nullCount", pa.struct(nc)),
+        pa.field("tightBounds", pa.bool_()),
+    ])
+    out = []
+    for fld in cp_schema:
+        if fld.name == "add":
+            add_t = pa.struct(
+                list(fld.type) + [pa.field("stats_parsed", parsed)]
+            )
+            out.append(pa.field("add", add_t))
+        else:
+            out.append(fld)
+    return pa.schema(out)
+
+
+def _parse_stats_typed(stats_json: str | None, parsed_type):
+    """stats JSON string → python dict shaped for the stats_parsed arrow
+    struct, coercing ISO date/timestamp strings to typed values."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    if not stats_json:
+        return None
+    try:
+        st = json.loads(stats_json)
+    except ValueError:
+        return None
+
+    def coerce(value, typ):
+        if value is None:
+            return None
+        if pa.types.is_struct(typ):
+            if not isinstance(value, dict):
+                return None
+            return {
+                f.name: coerce(value.get(f.name), f.type) for f in typ
+            }
+        if pa.types.is_date32(typ):
+            try:
+                return _dt.date.fromisoformat(str(value))
+            except ValueError:
+                return None
+        if pa.types.is_timestamp(typ):
+            try:
+                s = str(value).replace("Z", "+00:00")
+                ts = _dt.datetime.fromisoformat(s)
+                if typ.tz is None:
+                    return ts.replace(tzinfo=None)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                return ts
+            except ValueError:
+                return None
+        if pa.types.is_boolean(typ):
+            return bool(value) if isinstance(value, bool) else None
+        if pa.types.is_integer(typ):
+            return int(value) if isinstance(value, (int, float)) else None
+        if pa.types.is_floating(typ):
+            return float(value) if isinstance(value, (int, float)) else None
+        return str(value)
+
+    return {
+        "numRecords": st.get("numRecords"),
+        "minValues": coerce(st.get("minValues") or {},
+                            parsed_type.field("minValues").type),
+        "maxValues": coerce(st.get("maxValues") or {},
+                            parsed_type.field("maxValues").type),
+        "nullCount": coerce(st.get("nullCount") or {},
+                            parsed_type.field("nullCount").type),
+        "tightBounds": st.get("tightBounds"),
+    }

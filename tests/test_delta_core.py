@@ -3282,3 +3282,49 @@ def test_vacuum_dry_run_lists_without_deleting(spark, tdir):
     assert did == would
     for rel in did:
         assert not os.path.exists(os.path.join(tdir, rel))
+
+
+def test_checkpoint_write_stats_as_struct(spark, tdir):
+    """delta.checkpoint.writeStatsAsStruct=true: the classic checkpoint's
+    add rows carry a TYPED stats_parsed struct (numRecords / minValues /
+    maxValues / nullCount at column types, dates and timestamps included)
+    agreeing with the JSON stats, and replay through the checkpoint stays
+    exact."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DateType()),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.checkpoint.writeStatsAsStruct": "true"})
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"))
+    w.append(df.coalesce(1))
+    w.checkpoint()
+
+    cp = _pq.read_table(
+        os.path.join(tdir, "_delta_log", f"{1:020d}.checkpoint.parquet"))
+    adds = [a for a in cp.column("add").to_pylist() if a and a.get("path")]
+    assert len(adds) == 1
+    sp = adds[0]["stats_parsed"]
+    assert sp["numRecords"] == 10
+    assert sp["minValues"] == {"i": 0, "s": "s0", "d": _dt.date(2024, 1, 1)}
+    assert sp["maxValues"]["i"] == 9
+    assert sp["maxValues"]["d"] == _dt.date(2024, 1, 10)
+    assert sp["nullCount"] == {"i": 0, "s": 0, "d": 0}
+    # JSON stats still present (authoritative) and replay stays exact
+    assert json.loads(adds[0]["stats"])["numRecords"] == 10
+    for p in sorted(os.listdir(os.path.join(tdir, "_delta_log"))):
+        if p.endswith(".json") and not p.startswith("_"):
+            os.unlink(os.path.join(tdir, "_delta_log", p))
+    assert DeltaTable(tdir).to_df(spark).count() == 10
