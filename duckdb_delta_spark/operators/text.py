@@ -256,3 +256,64 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """CCNet-style boilerplate removal: a LINE (trimmed, empties dropped)
+    that appears in ≥ ``min_docs`` distinct documents is boilerplate
+    (cookie banners, nav menus, license headers) and is struck from every
+    document; per-doc output keeps the surviving lines in order.
+
+    100-TB shape: one hash-agg shuffle on the line to find the frequent
+    set, which is then BROADCAST for a map-side anti-join — the frequent
+    set is the head of the line-frequency distribution (bounded: every
+    member appears in ≥ min_docs docs, so |set| ≤ corpus_lines/min_docs
+    and in practice a few million entries); swap the broadcast for a
+    shuffle join if a corpus ever exceeds the broadcast threshold. The
+    per-doc rebuild is one groupBy(doc_id) with an in-agg positional
+    sort — no window.
+
+    Returns doc_id, n_lines, n_kept, n_removed, clean_md5 (fingerprint of
+    the newline-rejoined surviving lines; md5('') when everything was
+    boilerplate)."""
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = df.select("doc_id", lines_arr.alias("ls"))
+    flat = base.select(
+        "doc_id", F.posexplode("ls").alias("pos", "line")
+    )
+    freq = (
+        flat.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = flat.join(F.broadcast(freq), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        base.select("doc_id", F.size("ls").cast("long").alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )

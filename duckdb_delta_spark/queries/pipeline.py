@@ -935,3 +935,58 @@ def dedup_keep_canonical(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     clusters = D.connected_components(D.minhash_candidate_pairs(docs))
     return D.keep_canonical(X.with_quality(docs), clusters)
+
+
+# CCNet-style boilerplate-line removal: the query frames every document
+# with a shared header/footer (the realistic "cookie banner" shape), the
+# operator strikes lines appearing in >= 2 docs, and the md5 of the
+# rebuilt text proves position-exact line survival.
+@register(
+    "text_boilerplate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             'COOKIE NOTICE' || chr(10) || text || chr(10) || 'ALL RIGHTS RESERVED'
+               AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS ls
+      FROM d),
+    flat AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ls) + 1),
+                      i -> struct_pack(pos := i, line := ls[i]))) AS u
+        FROM lines)),
+    freq AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM flat GROUP BY line)
+      WHERE nd >= 2),
+    kept AS (
+      SELECT f.doc_id, f.pos, f.line
+      FROM flat f LEFT JOIN freq ON f.line = freq.line
+      WHERE freq.line IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT l.doc_id,
+           CAST(len(l.ls) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(l.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM lines l LEFT JOIN agg a ON l.doc_id = a.doc_id
+    """,
+    group="text",
+)
+def text_boilerplate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE NOTICE\n"), F.col("text"),
+            F.lit("\nALL RIGHTS RESERVED"),
+        ).alias("text"),
+    )
+    return X.remove_boilerplate_lines(docs)

@@ -276,3 +276,17 @@ def test_keep_canonical_argmax_is_single_agg_no_window(spark):
     plan = _plan(df)
     assert "Window" not in plan, plan
     assert "max_by" in plan, plan
+
+
+def test_boilerplate_removal_broadcasts_frequent_lines(spark):
+    """remove_boilerplate_lines: the frequent-line set anti-joins as a
+    BROADCAST (the 100-TB corpus side never shuffles its lines twice) and
+    the per-doc rebuild is an in-agg sort — no Window, no Python."""
+    from duckdb_delta_spark.operators import text as X
+    from duckdb_delta_spark.queries import load
+
+    df = X.remove_boilerplate_lines(load(spark, SF, "documents"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
