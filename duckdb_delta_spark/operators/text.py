@@ -317,3 +317,29 @@ def remove_boilerplate_lines(
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+#: URL matcher shared with the oracle — conservative char class that both
+#: regex dialects (Spark/Java, DuckDB/RE2) read identically
+URL_PATTERN = r"https?://[A-Za-z0-9./_%-]+"
+DOMAIN_PATTERN = r"https?://([^/]+)"
+
+
+def with_url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document URL census — the input to domain-level quality rules
+    (blocklists, per-domain caps, dedup by canonical URL) every web-scale
+    pipeline applies. Pure regexp built-ins: embarrassingly parallel,
+    zero shuffle, zero Python.
+
+    Adds n_urls, n_domains (distinct), domains_csv (sorted distinct
+    domains, comma-joined — deterministic)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    domains = F.transform(
+        urls, lambda u: F.regexp_extract(u, DOMAIN_PATTERN, 1)
+    )
+    distinct = F.array_sort(F.array_distinct(domains))
+    return (
+        df.withColumn("n_urls", F.size(urls).cast("long"))
+        .withColumn("n_domains", F.size(distinct).cast("long"))
+        .withColumn("domains_csv", F.concat_ws(",", distinct))
+    )

@@ -990,3 +990,41 @@ def text_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return X.remove_boilerplate_lines(docs)
+
+
+# per-doc URL census (domain blocklist / per-domain cap input): URLs are
+# injected deterministically (the corpus has none), extracted by the same
+# conservative regex in both engines
+_URL_TEXT = (
+    "text || CASE WHEN doc_id % 2 = 0 THEN ' see https://ex' || "
+    "CAST(doc_id % 5 AS STRING) || '.org/p/' || CAST(doc_id AS STRING) || "
+    "' and https://cdn.ex' || CAST(doc_id % 5 AS STRING) || '.org/a.js' "
+    "ELSE '' END"
+)
+
+
+@register(
+    "text_url_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_URL_TEXT.replace("AS STRING", "AS VARCHAR")} AS x
+               FROM documents),
+    u AS (SELECT doc_id,
+                 regexp_extract_all(x, '{X.URL_PATTERN}') AS urls
+          FROM t),
+    d AS (SELECT doc_id, urls,
+                 list_sort(list_distinct(list_transform(urls,
+                     u2 -> regexp_extract(u2, '{X.DOMAIN_PATTERN}', 1)))) AS doms
+          FROM u)
+    SELECT doc_id,
+           CAST(len(urls) AS BIGINT) AS n_urls,
+           CAST(len(doms) AS BIGINT) AS n_domains,
+           coalesce(array_to_string(doms, ','), '') AS domains_csv
+    FROM d
+    """,
+    group="text",
+)
+def text_url_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_TEXT).alias("text"))
+    return X.with_url_stats(docs).select(
+        "doc_id", "n_urls", "n_domains", "domains_csv")
