@@ -306,7 +306,7 @@ def stream_cdf_source(spark, sf_dir):
     "stream_dedup",
     oracle="""
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-           doc_id, CAST(1 AS BIGINT) AS n_batch_dups
+           doc_id
     FROM documents
     """,
     group="streaming",
@@ -314,9 +314,9 @@ def stream_cdf_source(spark, sf_dir):
 def stream_dedup(spark, sf_dir):
     """Streaming exact dedup across BATCHES: batch 1 is the corpus, batch 2
     a whitespace-perturbed duplicate of every document (same normalized
-    fingerprint, shifted ids). State suppresses the entire second wave, so
-    the final output is exactly the originals — the oracle is the plain
-    documents table."""
+    fingerprint, shifted ids). JVM state-store ``dropDuplicates`` suppresses
+    the entire second wave, so the final output is exactly the originals —
+    the oracle is the plain documents table."""
     import os
     import shutil
 
@@ -354,13 +354,12 @@ def stream_dedup(spark, sf_dir):
                 "fingerprint", "doc_id")),
             output_mode="append",
         )
-        rows = out.select("fingerprint", "doc_id", "n_batch_dups").collect()
+        rows = out.select("fingerprint", "doc_id").collect()
         from pyspark.sql import types as T
 
         schema = T.StructType([
             T.StructField("fingerprint", T.StringType()),
             T.StructField("doc_id", T.LongType()),
-            T.StructField("n_batch_dups", T.LongType()),
         ])
         return spark.createDataFrame(rows, schema)
     finally:

@@ -1,5 +1,6 @@
 from duckdb_delta_spark.streaming.events import (
     dedup_stream,
+    dedup_stream_counts,
     hourly_event_counts_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -12,4 +13,5 @@ __all__ = [
     "sessionize_stream",
     "run_stream_to_memory",
     "dedup_stream",
+    "dedup_stream_counts",
 ]

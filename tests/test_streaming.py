@@ -865,3 +865,95 @@ def test_source_max_bytes_per_trigger(spark, tdir):
         {"startingVersion": "0", "maxBytesPerTrigger": str(10 << 30),
          "maxFilesPerTrigger": "2"})
     assert r4.latestOffset() == {"version": 1}
+
+
+def test_dedup_stream_is_jvm_native_and_suppresses_cross_batch(spark, tmp_path):
+    """Exact dedup runs in the JVM state store (dropDuplicates), NOT via a
+    per-key Python state function: the plan must contain a streaming
+    dedup node and no FlatMapGroupsInPandasWithState. Two waves with the
+    same fingerprints → only wave 1 survives."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.streaming import (
+        dedup_stream,
+        run_stream_to_memory,
+    )
+
+    schema = T.StructType([
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    w1 = spark.createDataFrame(
+        [(f"fp{i}", i) for i in range(50)], schema)
+    w2 = spark.createDataFrame(
+        [(f"fp{i}", i + 1000) for i in range(50)], schema)
+    w1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    w2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    import shutil
+
+    for i, d in enumerate(("w1", "w2")):
+        (part,) = [f for f in os.listdir(tmp_path / d)
+                   if f.endswith(".parquet")]
+        dest = os.path.join(stage, f"wave{i}.parquet")
+        shutil.copyfile(str(tmp_path / d / part), dest)
+        os.utime(dest, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = dedup_stream(stream)
+
+    # mechanism: JVM streaming dedup, zero Python state crossings
+    plan = deduped._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" in plan, plan
+    assert "FlatMapGroupsInPandasWithState" not in plan, plan
+
+    out = run_stream_to_memory(deduped, output_mode="append")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert {r["doc_id"] for r in rows} == set(range(50))  # wave 2 suppressed
+    assert {r["fingerprint"] for r in rows} == {f"fp{i}" for i in range(50)}
+
+
+def test_dedup_stream_counts_tracks_arrivals(spark, tmp_path):
+    """dedup_stream_counts: plain JVM streaming aggregation giving per-
+    fingerprint arrival counts (the companion stat the dedup operator no
+    longer threads through its state)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.streaming import (
+        dedup_stream_counts,
+        run_stream_to_memory,
+    )
+
+    schema = T.StructType([
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    w1 = spark.createDataFrame([(f"fp{i}", i) for i in range(10)], schema)
+    w2 = spark.createDataFrame(
+        [(f"fp{i}", i + 100) for i in range(5)], schema)
+    w1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    w2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for i, d in enumerate(("w1", "w2")):
+        (part,) = [f for f in os.listdir(tmp_path / d)
+                   if f.endswith(".parquet")]
+        shutil.copyfile(str(tmp_path / d / part),
+                        os.path.join(stage, f"wave{i}.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = run_stream_to_memory(
+        dedup_stream_counts(stream), output_mode="complete")
+    got = {r["fingerprint"]: r["n_arrivals"] for r in out.collect()}
+    assert got == {f"fp{i}": (2 if i < 5 else 1) for i in range(10)}
