@@ -258,8 +258,18 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Frequent-line sets at or below this cardinality are broadcast for a
+#: map-side anti-join; above it the anti-join degrades to a shuffle join
+#: instead of failing on the broadcast cap. ~5M short lines ≈ a few
+#: hundred MB — at the edge of what a healthy executor can hold.
+BOILERPLATE_BROADCAST_BUDGET = 5_000_000
+
+
 def remove_boilerplate_lines(
-    df: DataFrame, text_col: str = "text", min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    broadcast_budget: int | None = None,
 ) -> DataFrame:
     """CCNet-style boilerplate removal: a LINE (trimmed, empties dropped)
     that appears in ≥ ``min_docs`` distinct documents is boilerplate
@@ -267,17 +277,22 @@ def remove_boilerplate_lines(
     document; per-doc output keeps the surviving lines in order.
 
     100-TB shape: one hash-agg shuffle on the line to find the frequent
-    set, which is then BROADCAST for a map-side anti-join — the frequent
-    set is the head of the line-frequency distribution (bounded: every
-    member appears in ≥ min_docs docs, so |set| ≤ corpus_lines/min_docs
-    and in practice a few million entries); swap the broadcast for a
-    shuffle join if a corpus ever exceeds the broadcast threshold. The
-    per-doc rebuild is one groupBy(doc_id) with an in-agg positional
-    sort — no window.
+    set. The set is the head of the line-frequency distribution (bounded:
+    every member appears in ≥ min_docs docs, so |set| ≤
+    corpus_lines/min_docs). It is persisted and counted once; at or below
+    ``broadcast_budget`` entries it is BROADCAST for a map-side anti-join,
+    above the budget the anti-join runs as a plain shuffle join (both
+    sides hash-partition on the line) — degrading gracefully instead of
+    blowing the driver/broadcast cap. The per-doc rebuild is one
+    groupBy(doc_id) with an in-agg positional sort — no window.
 
     Returns doc_id, n_lines, n_kept, n_removed, clean_md5 (fingerprint of
     the newline-rejoined surviving lines; md5('') when everything was
-    boilerplate)."""
+    boilerplate). The persisted frequent set is exposed on the result as
+    ``_boilerplate_freq`` so long-lived pipelines can ``unpersist()`` it
+    after the downstream action runs."""
+    if broadcast_budget is None:
+        broadcast_budget = BOILERPLATE_BROADCAST_BUDGET
     lines_arr = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
@@ -291,8 +306,10 @@ def remove_boilerplate_lines(
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("line")
-    )
-    kept = flat.join(F.broadcast(freq), "line", "left_anti")
+    ).persist()
+    n_freq = freq.count()  # materializes the persisted set — one agg, reused by the join
+    anti_rhs = F.broadcast(freq) if n_freq <= broadcast_budget else freq
+    kept = flat.join(anti_rhs, "line", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.md5(
@@ -305,7 +322,7 @@ def remove_boilerplate_lines(
             )
         ).alias("clean_md5"),
     )
-    return (
+    out = (
         base.select("doc_id", F.size("ls").cast("long").alias("n_lines"))
         .join(rebuilt, "doc_id", "left")
         .select(
@@ -317,6 +334,8 @@ def remove_boilerplate_lines(
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+    out._boilerplate_freq = freq  # caller may unpersist after its action
+    return out
 
 
 #: URL matcher shared with the oracle — conservative char class that both

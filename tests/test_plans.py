@@ -290,3 +290,44 @@ def test_boilerplate_removal_broadcasts_frequent_lines(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_boilerplate_removal_shuffle_fallback_same_answer(spark):
+    """When the frequent-line set exceeds the broadcast budget the
+    anti-join degrades to a shuffle join (no broadcast of the big set)
+    and the output is byte-identical to the broadcast route."""
+    from duckdb_delta_spark.operators import text as X
+    from duckdb_delta_spark.queries import load
+
+    # synthetic corpus with genuine boilerplate — at sf0.001 no line
+    # repeats across documents, so the frequent set would be empty and
+    # n_freq=0 would always satisfy the budget
+    boiler = "accept all cookies"
+    docs = spark.createDataFrame(
+        [(i, f"unique line {i}\n{boiler}\nbody {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bcast = X.remove_boilerplate_lines(docs)
+    # at test scale the planner would auto-broadcast any small side, which
+    # is exactly right in production — disable it here so the over-budget
+    # route's plan shape (shuffle anti-join) is observable
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = X.remove_boilerplate_lines(docs, broadcast_budget=0)
+        plan = _plan(shuf)
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        assert all("Broadcast" not in ln for ln in anti), plan
+        shuf_rows = sorted(map(tuple, shuf.collect()), key=lambda t: t[0])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    try:
+        bplan = _plan(bcast)
+        banti = [ln for ln in bplan.splitlines() if "LeftAnti" in ln]
+        assert any("Broadcast" in ln for ln in banti), bplan
+        assert sorted(map(tuple, bcast.collect()),
+                      key=lambda t: t[0]) == shuf_rows
+    finally:
+        bcast._boilerplate_freq.unpersist()
+        shuf._boilerplate_freq.unpersist()
