@@ -68,7 +68,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos) — ties break on
-    neighbor id so the selected set is deterministic."""
+    neighbor id so the selected set is deterministic.
+
+    Two-stage top-k: a window partitioned only by ``query_id`` over the
+    full corpus×queries product funnels ALL corpus rows for one query
+    into one task (per-query skew that gets worse as the corpus grows).
+    Instead stage 1 ranks within (query_id, corpus-partition) — the group
+    count is |queries| × |corpus partitions|, evenly sized — and keeps
+    k rows per group; the global per-query window then consumes only
+    k × |corpus partitions| candidate rows per query. The global top-k is
+    always a subset of the union of per-partition top-ks, so the result
+    is identical."""
     from pyspark.sql.window import Window
 
     q = queries.select(
@@ -81,12 +91,17 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+    order = (F.col("cos").desc(), F.col("neighbor_id").asc())
+    w_partial = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    candidates = (
+        scored.withColumn("__prank", F.row_number().over(w_partial))
+        .where(F.col("__prank") <= k)
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("query_id").cast("long"),

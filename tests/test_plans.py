@@ -331,3 +331,27 @@ def test_boilerplate_removal_shuffle_fallback_same_answer(spark):
     finally:
         bcast._boilerplate_freq.unpersist()
         shuf._boilerplate_freq.unpersist()
+
+
+def test_brute_force_topk_two_stage_window(spark):
+    """Expression-path brute_force_topk: a partial top-k window keyed by
+    (query_id, corpus-partition) runs before the global per-query window,
+    so the final window consumes ≤ k rows per (query, partition) group
+    instead of the whole corpus — no one-task-per-query funnel."""
+    from duckdb_delta_spark.operators import similarity as S
+    from duckdb_delta_spark.queries import load
+
+    emb = load(spark, SF, "embeddings")
+    q = emb.limit(3)
+    df = S.brute_force_topk(emb, q, k=5)
+    plan = _plan(df)
+    import re
+
+    # two window stages: partial (query_id, __pid) then global (query_id)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "__pid" in plan, plan  # stage 1 keyed by corpus partition
+    # the partial rank filter feeds the global window
+    assert re.search(r"__prank#\d+ <= 5", plan), plan
+    # Spark 4 pushes the rank limit below each exchange: top-k is taken
+    # map-side, so the shuffle carries ≤ k rows per (query, partition)
+    assert len(re.findall(r"WindowGroupLimit", plan)) >= 2, plan
