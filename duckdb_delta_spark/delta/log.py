@@ -84,17 +84,31 @@ class DeltaLog:
         table_path: str,
         log_tail: list[str] | None = None,
         store: LogStore | None = None,
+        commit_fn=None,
     ):
         """``log_tail``: optional explicit list of commit-JSON paths (the
         reference's CCv2 ``log_tail`` attach option, delta_utils.cpp:884-888
         — a catalog that already knows the recent commits passes them in so
         snapshot resolution never LISTs storage, which on object stores is
         the slow call). When set, commit discovery uses exactly these files
-        plus the ``_last_checkpoint`` hint."""
+        plus the ``_last_checkpoint`` hint.
+
+        ``commit_fn``: catalog-managed-commit seam (CCv2). When set,
+        :meth:`commit` does NOT put-if-absent the ``<version>.json`` itself;
+        it stages the payload and calls
+        ``commit_fn(version, payload) -> final_path | None`` — the catalog
+        ratifies the commit (returns the published path) or rejects it
+        (returns None / raises), which maps to :class:`CommitConflictError`.
+        Mirrors the reference's staged-commit routing through the parent
+        catalog's commit function (delta_transaction.cpp:318-409): the
+        engine prepares everything, the catalog owns the version ledger.
+        Composes with ``log_tail``: a catalog that ratified commits can
+        hand back the tail so reads never LIST."""
         self.table_path = os.path.abspath(table_path)
         self.log_path = os.path.join(self.table_path, "_delta_log")
         self.log_tail = list(log_tail) if log_tail else None
         self.store = store or LocalLogStore()
+        self.commit_fn = commit_fn
         if self.log_tail is None and not os.path.isdir(self.log_path):
             raise InvalidTableLocationError(
                 f"no Delta table found at {table_path!r} (missing _delta_log)"
@@ -401,6 +415,23 @@ class DeltaLog:
             ),
             None,
         )
+        if self.commit_fn is not None:
+            # catalog-managed commit (CCv2): the catalog owns the version
+            # ledger — it publishes the payload (or refuses on conflict).
+            try:
+                final = self.commit_fn(version, payload.encode("utf-8"))
+            except (FileExistsError, CommitConflictError):
+                final = None
+            if final is None:
+                emit("commit.conflict", table_path=self.table_path,
+                     version=version, managed=True)
+                raise CommitConflictError(
+                    f"version {version} rejected by catalog commit function "
+                    f"at {self.table_path}"
+                )
+            emit("commit.write", table_path=self.table_path, version=version,
+                 operation=operation, n_actions=len(actions), managed=True)
+            return final
         try:
             self.store.put_if_absent(path, payload.encode("utf-8"))
         except FileExistsError:

@@ -197,12 +197,19 @@ def _truncate_max(s: str) -> str | None:
 class DeltaWriter:
     """Blind-append writer for one table (single logical transaction per call)."""
 
-    def __init__(self, table_path: str, spark: SparkSession, store=None):
+    def __init__(self, table_path: str, spark: SparkSession, store=None,
+                 commit_fn=None, log_tail: list[str] | None = None):
         self.table_path = os.path.abspath(table_path)
         self.spark = spark
         # ``store``: optional LogStore (put-if-absent seam) — object-store
-        # backends plug in conditional-PUT here (delta/log.py LogStore)
-        self.log = DeltaLog(self.table_path, store=store)
+        # backends plug in conditional-PUT here (delta/log.py LogStore).
+        # ``commit_fn``: catalog-managed-commit seam (CCv2, see
+        # DeltaLog.__init__) — every DML path (append/DELETE/UPDATE/MERGE/
+        # OPTIMIZE/streaming sink) inherits it because they all land in
+        # DeltaLog.commit. ``log_tail`` composes: a catalog can both
+        # ratify commits and feed back the known tail for LIST-free reads.
+        self.log = DeltaLog(self.table_path, store=store,
+                            commit_fn=commit_fn, log_tail=log_tail)
         # pin table state at transaction start, like the reference
         # (delta_transaction.cpp:490-537): a commit that lands between
         # construction and our commit is a conflict, not silently absorbed
