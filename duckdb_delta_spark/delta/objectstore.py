@@ -225,3 +225,164 @@ class S3ObjectStore(ObjectStoreClient):
                 return None
             raise
         return (resp.get("ETag") or "").strip('"')
+
+
+class GCSObjectStore(ObjectStoreClient):
+    """google-cloud-storage-semantics GCS client for the commit path.
+
+    Maps the 3-method contract onto the GCS JSON API: ``put`` with
+    ``if_none_match`` issues an upload with ``ifGenerationMatch=0`` —
+    GCS's create-only precondition (the object may only be written if no
+    live generation exists), the native equivalent of S3's
+    ``If-None-Match: *``. A 412 PreconditionFailed response becomes
+    :class:`PreconditionFailedError`; ``head`` maps 404 → None and
+    returns the object's generation as the change token (GCS generations
+    are the authoritative version handle; ETags on GCS vary by
+    transcoding, generations never do).
+
+    The SDK is NOT imported at module import time: pass any client with
+    the ``bucket(name).blob(key)`` surface (tests use a filesystem-backed
+    fake raising api_core-shaped 412/404 errors), or let the constructor
+    build a real ``google.cloud.storage.Client`` when installed.
+    GCS preconditioned writes are strongly consistent: a successful
+    ``ifGenerationMatch=0`` upload is immediately LIST/GET-visible and
+    losers observe 412, never partial data.
+    """
+
+    def __init__(self, bucket: str, client=None) -> None:
+        if client is None:
+            try:
+                from google.cloud import storage  # type: ignore[import-not-found]
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "GCSObjectStore needs google-cloud-storage (pip install "
+                    "google-cloud-storage) or an explicit client with the "
+                    "bucket(name).blob(key) surface"
+                ) from exc
+            client = storage.Client()
+        self._bucket = client.bucket(bucket)
+        self.bucket = bucket
+
+    @staticmethod
+    def _key(key: str) -> str:
+        return key.lstrip("/")
+
+    @staticmethod
+    def _status(exc) -> int | None:
+        """HTTP status from an api_core-shaped error — duck-typed (the
+        google.api_core GoogleAPICallError carries ``.code``)."""
+        code = getattr(exc, "code", None)
+        return code if isinstance(code, int) else None
+
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> str:
+        blob = self._bucket.blob(self._key(key))
+        kwargs = {}
+        if if_none_match:
+            kwargs["if_generation_match"] = 0  # create-only precondition
+        try:
+            blob.upload_from_string(data, **kwargs)
+        except Exception as exc:  # noqa: BLE001 - api_core shape, see _status
+            if self._status(exc) == 412 or type(exc).__name__ == "PreconditionFailed":
+                raise PreconditionFailedError(key) from exc
+            raise
+        return str(getattr(blob, "generation", "") or "")
+
+    def get(self, key: str) -> bytes:
+        return self._bucket.blob(self._key(key)).download_as_bytes()
+
+    def head(self, key: str) -> str | None:
+        blob = self._bucket.blob(self._key(key))
+        try:
+            blob.reload()
+        except Exception as exc:  # noqa: BLE001 - api_core shape, see _status
+            if self._status(exc) == 404 or type(exc).__name__ == "NotFound":
+                return None
+            raise
+        return str(getattr(blob, "generation", "") or "")
+
+
+class AzureBlobObjectStore(ObjectStoreClient):
+    """azure-storage-blob-semantics client for the commit path.
+
+    Maps the 3-method contract onto Azure Blob Storage: ``put`` with
+    ``if_none_match`` issues ``upload_blob(..., overwrite=False)``, which
+    the SDK sends as ``Put Blob`` + ``If-None-Match: *`` — Azure rejects
+    it with 409 ``BlobAlreadyExists`` when the blob is live (Azure's
+    equivalent of the S3/GCS 412). Both shapes map to
+    :class:`PreconditionFailedError`; ``head`` maps 404 → None.
+
+    The SDK is NOT imported at module import time: pass any client with
+    the ``ContainerClient`` surface (``upload_blob`` /
+    ``download_blob(key).readall`` / ``get_blob_properties``); tests use
+    a filesystem-backed fake raising azure-core-shaped errors. The
+    constructor builds a real ``ContainerClient`` from a connection
+    string only when no client is passed.
+    """
+
+    def __init__(self, container: str, client=None,
+                 connection_string: str | None = None) -> None:
+        if client is None:
+            try:
+                from azure.storage.blob import (  # type: ignore[import-not-found]
+                    ContainerClient,
+                )
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "AzureBlobObjectStore needs azure-storage-blob (pip "
+                    "install azure-storage-blob) or an explicit client with "
+                    "the ContainerClient surface"
+                ) from exc
+            if not connection_string:
+                raise ValueError(
+                    "AzureBlobObjectStore needs a connection_string when no "
+                    "client is passed"
+                )
+            client = ContainerClient.from_connection_string(
+                connection_string, container)
+        self._cc = client
+        self.container = container
+
+    @staticmethod
+    def _key(key: str) -> str:
+        return key.lstrip("/")
+
+    @staticmethod
+    def _status(exc) -> tuple[int | None, str | None]:
+        """(HTTP status, error code) from an azure-core-shaped error —
+        duck-typed (HttpResponseError carries .status_code/.error_code)."""
+        status = getattr(exc, "status_code", None)
+        code = getattr(exc, "error_code", None)
+        return (status if isinstance(status, int) else None,
+                str(code) if code is not None else None)
+
+    @staticmethod
+    def _etag(props) -> str:
+        return str(getattr(props, "etag", None)
+                   or (props or {}).get("etag", "")).strip('"')
+
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> str:
+        try:
+            props = self._cc.upload_blob(
+                name=self._key(key), data=data, overwrite=not if_none_match)
+        except Exception as exc:  # noqa: BLE001 - azure-core shape, see _status
+            status, code = self._status(exc)
+            if (status in (409, 412)
+                    or code in ("BlobAlreadyExists", "ConditionNotMet")
+                    or type(exc).__name__ == "ResourceExistsError"):
+                raise PreconditionFailedError(key) from exc
+            raise
+        return self._etag(props)
+
+    def get(self, key: str) -> bytes:
+        return self._cc.download_blob(self._key(key)).readall()
+
+    def head(self, key: str) -> str | None:
+        try:
+            props = self._cc.get_blob_properties(self._key(key))
+        except Exception as exc:  # noqa: BLE001 - azure-core shape, see _status
+            status, code = self._status(exc)
+            if (status == 404 or code == "BlobNotFound"
+                    or type(exc).__name__ == "ResourceNotFoundError"):
+                return None
+            raise
+        return self._etag(props)

@@ -3328,3 +3328,228 @@ def test_checkpoint_write_stats_as_struct(spark, tdir):
         if p.endswith(".json") and not p.startswith("_"):
             os.unlink(os.path.join(tdir, "_delta_log", p))
     assert DeltaTable(tdir).to_df(spark).count() == 10
+
+
+class _FakeGCS:
+    """Filesystem-backed google-cloud-storage-shaped stub: objects live
+    at /<key>; ``if_generation_match=0`` is enforced atomically under a
+    mutex with api_core-shaped 412 errors — the server-side contract GCS
+    preconditioned uploads provide."""
+
+    class ApiError(Exception):
+        def __init__(self, code):
+            super().__init__(str(code))
+            self.code = code
+
+    class _Blob:
+        def __init__(self, store, key):
+            self._store, self._key = store, key
+            self.generation = None
+
+        def upload_from_string(self, data, if_generation_match=None):
+            st = self._store
+            path = "/" + self._key
+            with st._lock:
+                st.puts += 1
+                hook = st.before_put
+                if hook is not None:
+                    st.before_put = None
+                    hook(path, data)
+                if if_generation_match == 0 and os.path.exists(path):
+                    st.conflicts += 1
+                    raise _FakeGCS.ApiError(412)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".put.tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data if isinstance(data, bytes)
+                            else data.encode())
+                os.replace(tmp, path)
+                st._gen[path] = st._gen.get(path, 0) + 1
+                self.generation = st._gen[path]
+
+        def download_as_bytes(self):
+            path = "/" + self._key
+            if not os.path.exists(path):
+                raise _FakeGCS.ApiError(404)
+            with open(path, "rb") as f:
+                return f.read()
+
+        def reload(self):
+            path = "/" + self._key
+            if not os.path.exists(path):
+                raise _FakeGCS.ApiError(404)
+            self.generation = self._store._gen.get(path, 1)
+
+    class _Bucket:
+        def __init__(self, store, name):
+            self._store = store
+
+        def blob(self, key):
+            return _FakeGCS._Blob(self._store, key)
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._gen = {}
+        self.before_put = None
+        self.conflicts = 0
+        self.puts = 0
+
+    def bucket(self, name):
+        return _FakeGCS._Bucket(self, name)
+
+
+class _FakeAzureContainer:
+    """Filesystem-backed azure-storage-blob ContainerClient stub: blobs
+    live at /<key>; ``overwrite=False`` is enforced atomically under a
+    mutex with azure-core-shaped 409 BlobAlreadyExists errors — the
+    server-side contract Azure's If-None-Match:* Put Blob provides."""
+
+    class AzureError(Exception):
+        def __init__(self, status, code):
+            super().__init__(code)
+            self.status_code = status
+            self.error_code = code
+
+    class _Downloader:
+        def __init__(self, data):
+            self._data = data
+
+        def readall(self):
+            return self._data
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.before_put = None
+        self.conflicts = 0
+        self.puts = 0
+
+    def upload_blob(self, name, data, overwrite=False):
+        import hashlib
+
+        path = "/" + name
+        with self._lock:
+            self.puts += 1
+            hook = self.before_put
+            if hook is not None:
+                self.before_put = None
+                hook(path, data)
+            if not overwrite and os.path.exists(path):
+                self.conflicts += 1
+                raise self.AzureError(409, "BlobAlreadyExists")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".put.tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            return {"etag": '"%s"' % hashlib.md5(data).hexdigest()}
+
+    def download_blob(self, name):
+        path = "/" + name
+        if not os.path.exists(path):
+            raise self.AzureError(404, "BlobNotFound")
+        with open(path, "rb") as f:
+            return self._Downloader(f.read())
+
+    def get_blob_properties(self, name):
+        import hashlib
+
+        path = "/" + name
+        if not os.path.exists(path):
+            raise self.AzureError(404, "BlobNotFound")
+        with open(path, "rb") as f:
+            return {"etag": '"%s"' % hashlib.md5(f.read()).hexdigest()}
+
+
+def _cloud_store(kind: str, tdir=None):
+    """(client-with-hooks, ObjectStoreClient) for every cloud twin."""
+    from duckdb_delta_spark.delta.objectstore import (
+        AzureBlobObjectStore,
+        GCSObjectStore,
+    )
+
+    if kind in ("fs", "s3stub"):
+        return _object_store_client(kind)
+    if kind == "gcsstub":
+        fake = _FakeGCS()
+        return fake, GCSObjectStore("bucket", client=fake)
+    fake = _FakeAzureContainer()
+    return fake, AzureBlobObjectStore("container", client=fake)
+
+
+@pytest.mark.parametrize("kind", ["gcsstub", "azurestub"])
+def test_gcs_azure_object_store_contract(tdir, kind):
+    """GCS/Azure twins satisfy the same conditional-create contract as
+    the S3 client: create-only PUT wins once, the loser maps to
+    PreconditionFailedError without corrupting the object, head maps
+    missing → None, and the LogStore adapter yields FileExistsError."""
+    from duckdb_delta_spark.delta.objectstore import (
+        ObjectStoreLogStore,
+        PreconditionFailedError,
+    )
+
+    fake, store = _cloud_store(kind)
+    os.makedirs(tdir, exist_ok=True)
+    key = os.path.join(tdir, "00000000000000000007.json")
+    assert store.head(key) is None
+    tok = store.put(key, b"a", if_none_match=True)
+    assert tok and '"' not in tok
+    assert store.head(key) == tok and store.get(key) == b"a"
+    with pytest.raises(PreconditionFailedError):
+        store.put(key, b"b", if_none_match=True)
+    assert store.get(key) == b"a"
+    assert fake.conflicts == 1
+    assert store.put(key, b"c") != tok  # unconditional overwrite
+
+    with pytest.raises(FileExistsError):
+        ObjectStoreLogStore(store).put_if_absent(key, b"x")
+
+
+@pytest.mark.parametrize("kind", ["gcsstub", "azurestub"])
+def test_commit_conflict_and_retry_gcs_azure(spark, tdir, kind):
+    """The full conflict/retry flow over the GCS and Azure clients with
+    the race injected INSIDE the conditional-create window — same
+    scenario the fs/S3 parametrization proves."""
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        ObjectStoreLogStore,
+    )
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5))
+
+    client, oclient = _cloud_store(kind)
+    store = ObjectStoreLogStore(oclient)
+
+    def land_race(key, data):
+        FilesystemObjectStore().put(
+            key, b'{"commitInfo":{"timestamp":0,"operation":"RACE"}}\n')
+
+    client.before_put = land_race
+    v = DeltaWriter(tdir, spark, store=store).append(
+        _ids(spark, 5, lo=5), max_retries=2)
+    assert v == 3
+    assert client.conflicts == 1 and client.puts == 2
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+
+    # missing SDK → lazy ImportError (module import never needs it)
+    from duckdb_delta_spark.delta.objectstore import (
+        AzureBlobObjectStore,
+        GCSObjectStore,
+    )
+
+    if kind == "gcsstub":
+        try:
+            from google.cloud import storage  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="google-cloud-storage"):
+                GCSObjectStore("bucket")
+    else:
+        try:
+            from azure.storage.blob import ContainerClient  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="azure-storage-blob"):
+                AzureBlobObjectStore("container")
