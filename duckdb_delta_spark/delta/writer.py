@@ -466,8 +466,19 @@ class DeltaWriter:
         txn_expected_last: int | None = None,
         max_retries: int = 0,
         merge_schema: bool = False,
+        shred: dict[str, dict[str, str]] | None = None,
     ) -> int:
         """Blind append. Returns the committed version.
+
+        ``shred``: opt-in shredded-variant encoding (Delta spec "Variant
+        Shredding") — {variant column → {field → scalar type}}. The
+        listed fields are written as typed subcolumns
+        (``typed_value.f.typed_value``), type-mismatching rows ride the
+        field residual, everything else the object residual ``value``;
+        the table must already declare the ``variantShredding`` writer
+        feature (see :meth:`enable_variant_shredding`). Shredding is a
+        per-file choice: shredded and legacy appends interleave freely
+        on the same table.
 
         ``merge_schema``: columns in ``df`` the table lacks widen the
         table schema (added nullable) in the SAME commit — the mergeSchema
@@ -569,6 +580,32 @@ class DeltaWriter:
         # (Delta spec: writers enforce generation exprs as invariants);
         # absent ones were computed above
         self._enforce_generated_columns(df, schema, skip=set(computed))
+
+        if shred:
+            if snapshot.column_mapping_mode != "none":
+                raise UnsupportedFeatureError(
+                    "shredded variant write on a column-mapped table is not "
+                    "supported (shredded subcolumns would need their own "
+                    "parquet field ids)"
+                )
+            wf = set(snapshot.protocol.get("writerFeatures") or [])
+            if not wf & {"variantShredding", "variantShredding-preview"}:
+                raise UnsupportedFeatureError(
+                    "table does not declare the variantShredding writer "
+                    "feature; call enable_variant_shredding() first "
+                    "(Delta spec: writers must not produce shredded files "
+                    "on a table without the feature)"
+                )
+            from duckdb_delta_spark.delta.variant import shred_variant_column
+
+            for colname, fieldmap in shred.items():
+                if colname not in schema.fieldNames() or not isinstance(
+                    schema[colname].dataType, T.VariantType
+                ):
+                    raise SchemaError(
+                        f"shred target {colname!r} is not a variant column"
+                    )
+                df = shred_variant_column(df, colname, fieldmap)
 
         # Column mapping (name/id mode): write under PHYSICAL names with
         # parquet.field.id so both name- and id-resolving readers work
@@ -2452,6 +2489,37 @@ class DeltaWriter:
                 "writerFeatures": sorted(w | {"typeWidening"}),
             }})
         actions.append({"metaData": meta})
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def enable_variant_shredding(self) -> int:
+        """Declare the ``variantShredding`` table feature (reader+writer,
+        (3,7) protocol) so subsequent ``append(..., shred=...)`` calls may
+        write shredded variant files. Pure protocol commit; a no-op
+        version bump is avoided when the feature is already present.
+        The table must have a variant column (feature without one is
+        meaningless and delta-spark refuses likewise)."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        if not _contains_variant(snap.schema):
+            raise SchemaError(
+                "enable_variant_shredding: table has no variant column")
+        proto = snap.protocol
+        if "variantShredding" in (proto.get("writerFeatures") or []):
+            return snap.version
+        r, w = _legacy_features(proto)
+        actions = [
+            {"commitInfo": _commit_info(
+                "SET TBLPROPERTIES", {"feature": "variantShredding"})},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(r | {"variantType",
+                                              "variantShredding"}),
+                "writerFeatures": sorted(w | {"variantType",
+                                              "variantShredding"}),
+            }},
+        ]
+        version = snap.version + 1
         self._commit(version, actions, snap)
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version

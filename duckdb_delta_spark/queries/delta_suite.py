@@ -312,6 +312,41 @@ def delta_variant_shredded_scan(spark, sf_dir):
     )
 
 
+# SHREDDED variant WRITE (this engine's own shredded files, delta/variant
+# shred_variant_column): one commit shredded on {k: long, t: string} with
+# field residuals for string-typed k rows, one legacy-layout commit — the
+# reassembled read must equal the oracle recomputed from raw events
+# columns. try_variant_get(long) nulls out the residual string ks exactly
+# as the oracle's guarded CAST does.
+@register(
+    "delta_variant_shredded_write",
+    oracle="""
+    SELECT event_type AS t,
+           count(*) AS n,
+           CAST(sum(CASE WHEN event_id % 11 <> 0
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN event_id % 11 = 0 THEN 1 END)
+                AS BIGINT) AS n_k_str,
+           CAST(sum(CASE WHEN user_id % 7 <> 0 THEN user_id END)
+                AS BIGINT) AS sum_u
+    FROM events GROUP BY event_type
+    """,
+    group="delta",
+)
+def delta_variant_shredded_write(spark, sf_dir):
+    df = _fx(spark, sf_dir, "events_var_shredwrite").to_df(spark)
+    k_long = F.try_variant_get("v", "$.k", "long")
+    return df.groupBy(
+        F.variant_get("v", "$.t", "string").alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k_long).alias("sum_k"),
+        F.count(F.when(k_long.isNull(), 1)).alias("n_k_str"),
+        F.sum(F.try_variant_get("v", "$.u", "long")).alias("sum_u"),
+    )
+
+
 # domainMetadata reconciliation: latest non-removed entry per domain
 # (reference: delta_domain_metadata.cpp:20-77)
 @register(

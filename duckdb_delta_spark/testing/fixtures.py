@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 21  # bump to force a rebuild
+LAYOUT_VERSION = 22  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -104,6 +104,8 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_nested_cm_dv_foreign(os.path.join(root, "nested_cm_dv"))
     _build_lineitem_zorder(spark, sf_dir, os.path.join(root, "lineitem_zorder"))
     _build_events_var_shredded(sf_dir, os.path.join(root, "events_var_shred"))
+    _build_events_var_shredwrite(
+        spark, sf_dir, os.path.join(root, "events_var_shredwrite"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -788,3 +790,44 @@ def _build_lineitem_zorder(spark, sf_dir, path):
         target_file_bytes=max(64_000, _parquet_rows(f"{sf_dir}/lineitem.parquet") * 12),
         zorder_by=["l_orderkey", "l_partkey"],
     )
+
+
+def _build_events_var_shredwrite(spark, sf_dir, path):
+    """WRITE-side variant shredding (this engine's own shredded files,
+    Delta spec "Variant Shredding"): v = {"k": props.k (long, but a
+    STRING "s<k>" when event_id % 11 == 0 — exercising the field
+    residual), "t": event_type, "u": user_id omitted when % 7 == 0}.
+    Commit 1 appends event_id % 3 != 0 SHREDDED on {k: long, t: string};
+    commit 2 appends the rest with the legacy two-field layout —
+    shredding is a per-file choice and both must read back identically.
+    All content derives from raw events columns so the DuckDB oracle
+    recomputes it without variant support."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.queries import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.parse_json(F.concat(
+            F.lit('{"k":'),
+            F.when(F.col("event_id") % 11 == 0,
+                   F.concat(F.lit('"s'),
+                            F.get_json_object("props", "$.k"), F.lit('"')))
+            .otherwise(F.get_json_object("props", "$.k")),
+            F.lit(',"t":"'), F.col("event_type"), F.lit('"'),
+            F.when(F.col("user_id") % 7 != 0,
+                   F.concat(F.lit(',"u":'),
+                            F.col("user_id").cast("string")))
+            .otherwise(F.lit("")),
+            F.lit("}"),
+        )).alias("v"),
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.VariantType()),
+    ])
+    w = DeltaWriter.create(spark, path, schema)
+    w.enable_variant_shredding()
+    w.append(ev.where(F.col("event_id") % 3 != 0).repartition(2),
+             shred={"v": {"k": "long", "t": "string"}})
+    w.append(ev.where(F.col("event_id") % 3 == 0).repartition(2))
