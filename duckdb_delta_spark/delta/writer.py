@@ -38,6 +38,7 @@ from duckdb_delta_spark.delta.errors import (
     CommitConflictError,
     ConstraintViolationError,
     IdempotencyError,
+    InvalidTableLocationError,
     SchemaError,
     UnsupportedFeatureError,
 )
@@ -380,6 +381,114 @@ class DeltaWriter:
             actions[0]["commitInfo"]["inCommitTimestamp"] = int(
                 time.time() * 1000
             )
+        log.commit(0, actions)
+        w = DeltaWriter(path, spark)
+        w._write_crc(0, Snapshot(log, -1))
+        return w
+
+    @staticmethod
+    def convert_from_parquet(
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+    ) -> "DeltaWriter":
+        """CONVERT TO DELTA (delta-spark parity): turn a plain parquet
+        directory — flat or hive-partitioned — into a Delta table
+        IN PLACE. No data file is read row-wise, moved, or rewritten: the
+        version-0 commit lists the existing files as ``add`` actions with
+        footer-derived stats (thread-pooled footer reads, the same
+        O(#files) driver cost as a normal commit), so converting a
+        petabyte directory costs exactly one metadata pass.
+
+        Hive partition directories (``k=v``) are recovered into
+        ``partitionValues`` and the partition columns land in the table
+        schema with their Spark-inferred types; ``partition_by``
+        (optional) asserts the expected partition layout and refuses on
+        mismatch — the same guard delta-spark's ``CONVERT TO DELTA ...
+        PARTITIONED BY`` applies, because silently mis-typed partition
+        columns poison every later partition prune."""
+        path = os.path.abspath(path)
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            raise UnsupportedFeatureError(
+                f"CONVERT TO DELTA: {path!r} is already a Delta table"
+            )
+        rel_files: list[tuple[str, dict[str, str | None]]] = []
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in sorted(names):
+                if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(root, n), path)
+                pvals: dict[str, str | None] = {}
+                head = os.path.dirname(rel)
+                if head:
+                    for comp in head.split(os.sep):
+                        k, eq, v = comp.partition("=")
+                        if not eq:
+                            raise SchemaError(
+                                "CONVERT TO DELTA: non-hive subdirectory "
+                                f"{comp!r} under {path!r}"
+                            )
+                        pvals[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(v)
+                        )
+                rel_files.append((rel, pvals))
+        if not rel_files:
+            raise InvalidTableLocationError(
+                f"CONVERT TO DELTA: no parquet files under {path!r}"
+            )
+        discovered = list(rel_files[0][1].keys())
+        if any(list(p.keys()) != discovered for _, p in rel_files):
+            raise SchemaError(
+                "CONVERT TO DELTA: inconsistent partition layout across files"
+            )
+        if partition_by is not None and list(partition_by) != discovered:
+            raise SchemaError(
+                f"CONVERT TO DELTA: declared partitioning {partition_by} "
+                f"does not match discovered layout {discovered}"
+            )
+
+        schema = spark.read.parquet(path).schema  # partition cols inferred
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in discovered]
+        )
+        fulls = [os.path.join(path, rel) for rel, _ in rel_files]
+        stats = _footer_stats_many(
+            fulls, data_schema, set(discovered),
+            allow=_indexed_stat_leaves(schema, set(discovered), {}, False),
+        )
+
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+        log = DeltaLog(path)
+        meta = {
+            "id": str(uuid.uuid4()),
+            "name": None,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": discovered,
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+        actions: list[dict] = [
+            {"commitInfo": _commit_info(
+                "CONVERT", {"numFiles": str(len(rel_files)),
+                            "partitionedBy": json.dumps(discovered)})},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ]
+        now_ms = int(time.time() * 1000)
+        for (rel, pvals), (st, size) in zip(rel_files, stats):
+            actions.append({"add": {
+                "path": urllib.parse.quote(
+                    rel.replace(os.sep, "/"), safe="/=-_.~"),
+                "partitionValues": pvals,
+                "size": size,
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": None if st is None else json.dumps(
+                    st, separators=(",", ":")),
+            }})
         log.commit(0, actions)
         w = DeltaWriter(path, spark)
         w._write_crc(0, Snapshot(log, -1))

@@ -312,6 +312,37 @@ def delta_variant_shredded_scan(spark, sf_dir):
     )
 
 
+# CONVERT TO DELTA: a plain hive-partitioned parquet directory converted
+# in place (one metadata commit referencing the existing files, footer
+# stats, recovered partition values) must answer exactly like the source
+# rows — and the scan must still prune (asserted via the skip report).
+@register(
+    "delta_convert_scan",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_convert_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_converted")
+    sb = t.scan(spark).filter(
+        "o_orderpriority", "in", ["1-URGENT", "2-HIGH"])
+    df = sb.to_df().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
+        .cast("double").alias("total"),
+    )
+    rows = df.collect()
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_partition"] >= 1, rep  # prune survived convert
+    return spark.createDataFrame(rows, df.schema)
+
+
 # SHREDDED variant WRITE (this engine's own shredded files, delta/variant
 # shred_variant_column): one commit shredded on {k: long, t: string} with
 # field residuals for string-typed k rows, one legacy-layout commit — the

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 22  # bump to force a rebuild
+LAYOUT_VERSION = 23  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -106,6 +106,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_events_var_shredded(sf_dir, os.path.join(root, "events_var_shred"))
     _build_events_var_shredwrite(
         spark, sf_dir, os.path.join(root, "events_var_shredwrite"))
+    _build_orders_converted(spark, sf_dir, os.path.join(root, "orders_converted"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -831,3 +832,11 @@ def _build_events_var_shredwrite(spark, sf_dir, path):
     w.append(ev.where(F.col("event_id") % 3 != 0).repartition(2),
              shred={"v": {"k": "long", "t": "string"}})
     w.append(ev.where(F.col("event_id") % 3 == 0).repartition(2))
+
+
+def _build_orders_converted(spark, sf_dir, path):
+    """CONVERT TO DELTA fixture: orders written as PLAIN hive-partitioned
+    parquet (no log), then converted in place — the delta-spark migration
+    entry point. The oracle recomputes from the raw orders table."""
+    _orders(spark, sf_dir).write.partitionBy("o_orderpriority").parquet(path)
+    DeltaWriter.convert_from_parquet(spark, path)

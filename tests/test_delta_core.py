@@ -3553,3 +3553,54 @@ def test_commit_conflict_and_retry_gcs_azure(spark, tdir, kind):
         except ImportError:
             with pytest.raises(ImportError, match="azure-storage-blob"):
                 AzureBlobObjectStore("container")
+
+
+def test_convert_from_parquet_flat_and_partitioned(spark, tmp_path):
+    """CONVERT TO DELTA: in-place metadata commit over existing parquet —
+    no file moves/rewrites; stats + partition recovery + later appends
+    and DML all work on the converted table."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    flat = str(tmp_path / "flat")
+    li.limit(100).coalesce(2).write.parquet(flat)
+    before = sorted(f for f in os.listdir(flat) if f.endswith(".parquet"))
+    DeltaWriter.convert_from_parquet(spark, flat)
+    after = sorted(f for f in os.listdir(flat) if f.endswith(".parquet"))
+    assert before == after  # in place: nothing moved or rewritten
+    t = DeltaTable(flat)
+    assert t.to_df(spark).count() == 100
+    # footer stats landed → stats-based skipping works immediately
+    sb = t.scan(spark).filter("l_orderkey", "<", -1)
+    assert sb.to_df().count() == 0
+    assert sb.skip_report()["files_skipped_by_stats"] >= 1
+
+    part = str(tmp_path / "part")
+    li.write.partitionBy("l_returnflag").parquet(part)
+    DeltaWriter.convert_from_parquet(spark, part, partition_by=["l_returnflag"])
+    t2 = DeltaTable(part)
+    assert t2.snapshot.partition_columns == ["l_returnflag"]
+    sb2 = t2.scan(spark).filter("l_returnflag", "=", "A")
+    assert sb2.to_df().count() == li.where("l_returnflag = 'A'").count()
+    assert sb2.skip_report()["files_skipped_by_partition"] >= 1
+    # the converted table is a first-class Delta table: append + delete
+    DeltaWriter(part, spark).append(li.limit(7))
+    assert DeltaTable(part).to_df(spark).count() == li.count() + 7
+
+
+def test_convert_from_parquet_refusals(spark, tmp_path):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = str(tmp_path / "t")
+    li.limit(10).coalesce(1).write.parquet(p)
+    DeltaWriter.convert_from_parquet(spark, p)
+    with pytest.raises(errors.UnsupportedFeatureError, match="already a Delta"):
+        DeltaWriter.convert_from_parquet(spark, p)
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(errors.InvalidTableLocationError, match="no parquet"):
+        DeltaWriter.convert_from_parquet(spark, empty)
+
+    part = str(tmp_path / "part")
+    li.limit(50).write.partitionBy("l_returnflag").parquet(part)
+    with pytest.raises(errors.SchemaError, match="does not match"):
+        DeltaWriter.convert_from_parquet(spark, part, partition_by=["l_linestatus"])
