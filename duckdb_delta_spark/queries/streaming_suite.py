@@ -18,6 +18,7 @@ from duckdb_delta_spark.streaming import (
     run_stream_to_memory,
     sessionize_stream,
     stream_events,
+    view_purchase_join_stream,
 )
 
 GAP_MIN = 30
@@ -299,6 +300,40 @@ def stream_cdf_source(spark, sf_dir):
     )
     return run_stream_to_memory(agg, output_mode="complete").select(
         "_change_type", "n", "total"
+    )
+
+
+@register(
+    "stream_join",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(date_part('epoch', b.ts - v.ts)), 0) AS BIGINT)
+               AS total_delay_s
+    FROM events v JOIN events b
+      ON v.user_id = b.user_id
+     AND v.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    group="streaming",
+)
+def stream_join(spark, sf_dir):
+    """Stream-stream interval join (view → purchase attribution within
+    30 min, watermark-bounded symmetric hash join state) run as a bounded
+    stream; the appended pairs aggregate to the batch join answer."""
+    ev = stream_events(spark, sf_dir)
+    pairs = run_stream_to_memory(
+        view_purchase_join_stream(ev, window_min=30,
+                                  watermark="36500 days"),
+        output_mode="append",
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("purchase_ts").cast("double")
+                  - F.col("view_ts").cast("double")), 0
+        ).cast("long").alias("total_delay_s"),
     )
 
 

@@ -5,6 +5,7 @@ from duckdb_delta_spark.streaming.events import (
     run_stream_to_memory,
     sessionize_stream,
     stream_events,
+    view_purchase_join_stream,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "run_stream_to_memory",
     "dedup_stream",
     "dedup_stream_counts",
+    "view_purchase_join_stream",
 ]

@@ -159,6 +159,40 @@ def sessionize_stream(
     )
 
 
+def view_purchase_join_stream(
+    events: DataFrame, window_min: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each ``view`` paired with the same
+    user's ``purchase`` events landing within ``window_min`` minutes —
+    the incremental attribution join every event pipeline runs.
+
+    Both sides carry a watermark and the join condition bounds the time
+    range, so Spark's symmetric hash join can EVICT state older than
+    watermark + window on each side (state is O(events in the horizon),
+    not O(stream)); without the range bound the state store would grow
+    forever — the canonical stream-stream join scale trap. JVM state
+    store, no Python."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        "v_user = b_user AND purchase_ts >= view_ts AND "
+        f"purchase_ts <= view_ts + interval {int(window_min)} minutes"
+    )
+    return views.join(buys, cond, "inner").select(
+        F.col("v_user").alias("user_id"), "view_ts", "purchase_ts"
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:

@@ -957,3 +957,33 @@ def test_dedup_stream_counts_tracks_arrivals(spark, tmp_path):
         dedup_stream_counts(stream), output_mode="complete")
     got = {r["fingerprint"]: r["n_arrivals"] for r in out.collect()}
     assert got == {f"fp{i}": (2 if i < 5 else 1) for i in range(10)}
+
+
+def test_view_purchase_join_stream_equals_batch(spark):
+    """Stream-stream interval join result == the batch join; the plan is
+    a watermark-bounded symmetric hash join (JVM state, no Python)."""
+    from duckdb_delta_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        view_purchase_join_stream,
+    )
+
+    joined = view_purchase_join_stream(
+        stream_events(spark, SF), window_min=30, watermark="36500 days")
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan, plan
+    got = run_stream_to_memory(joined, output_mode="append")
+
+    from duckdb_delta_spark.queries import load
+
+    ev = load(spark, SF, "events")
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    b = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("purchase_ts"))
+    want = v.join(
+        b,
+        F.expr("v_user = b_user AND purchase_ts >= view_ts AND "
+               "purchase_ts <= view_ts + interval 30 minutes"),
+    ).select(F.col("v_user").alias("user_id"), "view_ts", "purchase_ts")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
