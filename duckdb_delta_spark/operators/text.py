@@ -64,6 +64,49 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 5,
+    id_col: str = "doc_id", n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the keyword-extraction
+    primitive behind topic filtering, domain balancing and index-time
+    keyword fields in a training-data pipeline.
+
+    score(term, doc) = tf · ln(N / df), tie-broken by term so the
+    selection is deterministic. 100-TB shape: one (doc, term) hash-agg
+    (map-side combined), a small term-keyed document-frequency agg
+    joined back on the term partitioning, and a per-doc top-k window
+    whose groups are bounded by a document's distinct-term count —
+    never corpus-sized, so no skew. All built-ins, no Python.
+
+    ``n_docs``: pass the corpus size when known to skip the count job
+    (it's a metadata-only pass on parquet sources otherwise)."""
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    pairs = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = pairs.join(dfreq, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _stopword_hits(text_col: str, lang: str) -> Column:
     toks = tokens(F.col(text_col))
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

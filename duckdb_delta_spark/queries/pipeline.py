@@ -52,6 +52,36 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+@register(
+    "text_tfidf_terms",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term
+    ), scored AS (
+        SELECT p.doc_id, p.term, p.tf, d.df,
+               round(p.tf * ln((SELECT count(*) FROM documents)
+                               / CAST(d.df AS DOUBLE)), 4) AS score
+        FROM pairs p JOIN dfreq d USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    group="text",
+)
+def text_tfidf_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords: (doc,term) hash-agg + small
+    df agg joined on the term partitioning + bounded per-doc window."""
+    df = load(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(df, k=5)
+
+
 def _langid_oracle() -> str:
     langs = sorted(X.STOPWORDS)  # alphabetical = the Spark tie-break order
     hit_cols = ", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in langs)
