@@ -266,13 +266,61 @@ class DeltaTable:
         return self.snapshot.schema
 
     def detail(self) -> dict:
+        """DESCRIBE DETAIL (delta-spark parity, one metadata pass): table
+        identity, protocol, layout and size facts — nothing reads data
+        files. ``numRecords`` is the DV-adjusted stats estimate (exact
+        when every add action carries numRecords, as this writer's do)."""
         s = self.snapshot
+        proto = s.protocol
+        features = sorted(
+            set(proto.get("readerFeatures") or [])
+            | set(proto.get("writerFeatures") or [])
+        )
         return {
+            "format": "delta",
+            "id": s.metadata.get("id"),
+            "name": s.metadata.get("name"),
+            "location": self.path,
+            "createdAt": s.metadata.get("createdTime"),
+            "lastModified": self.log.commit_timestamp(s.version),
             "version": s.version,
             "numFiles": len(s.files),
             "partitionColumns": s.partition_columns,
+            "clusteringColumns": s.clustering_columns,
             "configuration": s.configuration,
             "sizeInBytes": sum(f.size for f in s.files.values()),
             "numRecords": s.num_records_estimate(),
+            "minReaderVersion": proto.get("minReaderVersion"),
+            "minWriterVersion": proto.get("minWriterVersion"),
+            "tableFeatures": features,
             "schema": json.loads(s.metadata.get("schemaString", "{}")),
         }
+
+    def detail_df(self, spark: SparkSession) -> DataFrame:
+        """``detail()`` as the one-row DataFrame DESCRIBE DETAIL returns."""
+        d = self.detail()
+        schema = T.StructType([
+            T.StructField("format", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("createdAt", T.LongType()),
+            T.StructField("lastModified", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("numFiles", T.LongType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("clusteringColumns", T.ArrayType(T.StringType())),
+            T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("numRecords", T.LongType()),
+            T.StructField("minReaderVersion", T.LongType()),
+            T.StructField("minWriterVersion", T.LongType()),
+            T.StructField("tableFeatures", T.ArrayType(T.StringType())),
+        ])
+        row = [(d["format"], d["id"], d["name"], d["location"],
+                d["createdAt"], d["lastModified"], d["version"],
+                d["numFiles"], d["partitionColumns"], d["clusteringColumns"],
+                d["configuration"], d["sizeInBytes"], d["numRecords"],
+                d["minReaderVersion"], d["minWriterVersion"],
+                d["tableFeatures"])]
+        return spark.createDataFrame(row, schema)

@@ -312,6 +312,31 @@ def delta_variant_shredded_scan(spark, sf_dir):
     )
 
 
+# Metadata-only count (DESCRIBE DETAIL numRecords): the stats-derived,
+# DV-adjusted row count answers count(*) in O(#files) without touching a
+# data file — the cardinality shortcut the reference exposes to DuckDB's
+# planner (delta_multi_file_list.cpp Cardinality). Checked on a plain
+# multi-commit table AND a DV-masked one.
+@register(
+    "delta_count_from_stats",
+    oracle=f"""
+    SELECT 'lineitem_multi' AS tbl, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_dv', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_linenumber <> {FX.DV_DELETE_LINENUMBER}
+    ORDER BY tbl
+    """,
+    group="delta",
+)
+def delta_count_from_stats(spark, sf_dir):
+    rows = [
+        (name, int(_fx(spark, sf_dir, name).detail()["numRecords"]))
+        for name in ("lineitem_dv", "lineitem_multi")
+    ]
+    return spark.createDataFrame(rows, "tbl string, n long")
+
+
 # CONVERT TO DELTA: a plain hive-partitioned parquet directory converted
 # in place (one metadata commit referencing the existing files, footer
 # stats, recovered partition values) must answer exactly like the source

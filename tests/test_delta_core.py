@@ -3604,3 +3604,36 @@ def test_convert_from_parquet_refusals(spark, tmp_path):
     li.limit(50).write.partitionBy("l_returnflag").parquet(part)
     with pytest.raises(errors.SchemaError, match="does not match"):
         DeltaWriter.convert_from_parquet(spark, part, partition_by=["l_linestatus"])
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: identity/protocol/layout facts from one metadata
+    pass; numRecords is stats-exact, lastModified tracks the tip commit."""
+    p = str(tmp_path / "t")
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, p, schema, partition_by=["g"],
+                           configuration={"delta.appendOnly": "false"},
+                           name="detail_t")
+    w.append(spark.range(100).select(
+        F.col("id").alias("i"), (F.col("id") % 2).alias("g")))
+    d = DeltaTable(p).detail()
+    assert d["format"] == "delta" and d["name"] == "detail_t"
+    assert d["version"] == 1 and d["numRecords"] == 100
+    assert d["partitionColumns"] == ["g"]
+    assert d["numFiles"] == len(DeltaTable(p).snapshot.files)
+    assert d["sizeInBytes"] > 0 and d["id"]
+    assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
+    assert d["configuration"]["delta.appendOnly"] == "false"
+    assert d["lastModified"] >= d["createdAt"]
+
+    row = DeltaTable(p).detail_df(spark).head()
+    assert row["numRecords"] == 100 and row["format"] == "delta"
+    assert row["properties"]["delta.appendOnly"] == "false"
+
+    # clustered table surfaces its clustering columns + features
+    c = str(tmp_path / "c")
+    DeltaWriter.create(spark, c, schema, cluster_by=["i"])
+    dc = DeltaTable(c).detail()
+    assert dc["clusteringColumns"] == ["i"]
+    assert "clustering" in dc["tableFeatures"]
