@@ -1972,6 +1972,8 @@ class DeltaWriter:
         when_matched_update: dict | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> tuple[int, int, int] | None:
         """MERGE INTO: upsert ``source`` into the table — ONE atomic commit.
 
@@ -2153,6 +2155,13 @@ class DeltaWriter:
             actions.extend(self._dv_actions(snap, results))
         actions.extend({"add": a} for a in adds_new)
         actions.extend(cdc_actions)
+        if txn_app_id is not None and txn_version is not None:
+            # idempotent streaming upserts (foreachBatch MERGE): the commit
+            # carries the app-transaction version exactly like append's
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version),
+                         "lastUpdated": int(time.time() * 1000)}}
+            )
 
         version = snap.version + 1
         try:

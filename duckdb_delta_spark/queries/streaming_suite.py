@@ -338,6 +338,86 @@ def stream_join(spark, sf_dir):
 
 
 @register(
+    "stream_upsert",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(o_totalprice * 3, 2)
+                          AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(round(sum(CAST(round(o_totalprice * 2, 2)
+                          AS DECIMAL(25,6))), 2) AS DOUBLE)
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    GROUP BY o_orderpriority
+    """,
+    group="streaming",
+)
+def stream_upsert(spark, sf_dir):
+    """Streaming UPSERT (delta-spark's documented foreachBatch + MERGE
+    pattern): the target starts as the URGENT orders; batch 1 inserts
+    the HIGH orders at 2x price, batch 2 updates every URGENT order to
+    3x price. Exactly-once via txn(appId, batchId) on the MERGE commit;
+    the final table equals the oracle's union."""
+    import os
+    import shutil
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_merge
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    root = FX.tmp_dir("streamupsert_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tdir = os.path.join(root, "target")
+        w = DeltaWriter.create(spark, tdir, orders.schema)
+        w.append(orders.where("o_orderpriority = '1-URGENT'"))
+
+        wave1 = orders.where("o_orderpriority = '2-HIGH'").withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        wave2 = orders.where("o_orderpriority = '1-URGENT'").withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 3, 2))
+        stage = os.path.join(root, "stream")
+        os.makedirs(stage)
+        for i, wv in enumerate((wave1, wave2)):
+            d = os.path.join(root, f"w{i}")
+            wv.coalesce(1).write.parquet(d)
+            (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            dest = os.path.join(stage, f"wave{i}.parquet")
+            shutil.copyfile(os.path.join(d, part), dest)
+            os.utime(dest, (1000 + i, 1000 + i))
+
+        ckpt = os.path.join(root, "ckpt")
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(delta_foreach_merge(
+                tdir, "t.o_orderkey = s.o_orderkey",
+                when_matched_update={"o_totalprice": "s.o_totalprice"},
+            ))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = (
+            DeltaTable(tdir).to_df(spark)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")),
+                         2).cast("double").alias("total"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "stream_dedup",
     oracle="""
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,

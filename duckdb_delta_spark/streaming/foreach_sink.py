@@ -94,3 +94,76 @@ def delta_foreach_batch(
         )
 
     return _write
+
+
+def delta_foreach_merge(
+    table_path: str,
+    on: str,
+    when_matched_update: dict | None = None,
+    when_not_matched_insert: bool = True,
+    dedup_keys: list[str] | None = None,
+    order_col: str | None = None,
+    txn_app_id: str | None = None,
+):
+    """Build a ``foreachBatch`` function UPSERTING each micro-batch into
+    the Delta table — delta-spark's documented streaming-upsert pattern
+    (foreachBatch + MERGE INTO), with the same exactly-once contract as
+    :func:`delta_foreach_batch` (the MERGE commit carries
+    ``txn(appId, batchId)``; replayed batches are skipped).
+
+    ``dedup_keys``/``order_col``: MERGE requires the source unique on the
+    join keys, but a micro-batch can carry several updates for one key —
+    when set, the batch is reduced to the LAST row per key
+    (``max_by``-style, ordered by ``order_col``) before merging, all
+    JVM-side. At 100 TB each micro-batch's merge is one broadcast-or-
+    shuffle join against the target scan plus a bounded DV build — cost
+    scales with batch size and touched files, not table size."""
+    import os
+
+    app_id = txn_app_id or f"delta_py_merge:{os.path.abspath(table_path)}"
+    state: dict = {}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta.logging import emit
+        from duckdb_delta_spark.delta.snapshot import Snapshot
+        from duckdb_delta_spark.delta.writer import DeltaWriter
+
+        _t0 = _time.time()
+        w: DeltaWriter | None = state.get("writer")
+        if w is None:
+            w = state["writer"] = DeltaWriter(
+                table_path, batch_df.sparkSession)
+        else:
+            w._snapshot = Snapshot.build(w.log, base=w._snapshot)
+        last = w._snapshot.transaction_version(app_id)
+        if last is not None and int(batch_id) <= last:
+            emit("stream.merge.skip_replayed", table_path=table_path,
+                 batch_id=int(batch_id), last_committed=last)
+            return
+        src = batch_df
+        if dedup_keys:
+            order = F.col(order_col) if order_col else F.lit(1)
+            others = [c for c in src.columns if c not in dedup_keys]
+            src = (
+                src.groupBy(*dedup_keys)
+                .agg(*[F.max_by(c, order).alias(c) for c in others])
+                .select(*batch_df.columns)
+            )
+        res = w.merge(
+            src, on,
+            when_matched_update=when_matched_update,
+            when_not_matched_insert=when_not_matched_insert,
+            txn_app_id=app_id, txn_version=int(batch_id),
+        )
+        emit("stream.merge.commit", table_path=table_path,
+             batch_id=int(batch_id),
+             version=None if res is None else res[0],
+             n_matched=0 if res is None else res[1],
+             n_inserted=0 if res is None else res[2],
+             duration_ms=int((_time.time() - _t0) * 1000))
+
+    return _write

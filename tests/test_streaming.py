@@ -987,3 +987,43 @@ def test_view_purchase_join_stream_equals_batch(spark):
                "purchase_ts <= view_ts + interval 30 minutes"),
     ).select(F.col("v_user").alias("user_id"), "view_ts", "purchase_ts")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_foreach_merge_exactly_once_and_dedup_keys(spark, tdir):
+    """delta_foreach_merge: replayed batch ids are skipped (txn on the
+    MERGE commit), and dedup_keys reduces a batch to last-row-per-key
+    before merging so the MERGE uniqueness precondition holds."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_merge
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType()),
+                           T.StructField("seq", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.createDataFrame([(1, 10, 0), (2, 20, 0)], schema))
+
+    fn = delta_foreach_merge(
+        tdir, "t.k = s.k",
+        when_matched_update={"v": "s.v", "seq": "s.seq"},
+        dedup_keys=["k"], order_col="seq", txn_app_id="up")
+
+    # batch 0: two updates for k=1 (seq 1 then 2 — last wins) + insert k=3
+    b0 = spark.createDataFrame(
+        [(1, 111, 1), (1, 222, 2), (3, 30, 1)], schema)
+    fn(b0, 0)
+    got = {r["k"]: (r["v"], r["seq"])
+           for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got == {1: (222, 2), 2: (20, 0), 3: (30, 1)}
+
+    # replay of batch 0 with different data must be SKIPPED
+    fn(spark.createDataFrame([(1, 999, 9)], schema), 0)
+    got2 = {r["k"]: (r["v"], r["seq"])
+            for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got2 == got
+
+    # next batch id applies normally
+    fn(spark.createDataFrame([(2, 200, 3)], schema), 1)
+    assert {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()} \
+        == {1: 222, 2: 200, 3: 30}
