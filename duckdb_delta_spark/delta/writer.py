@@ -2642,6 +2642,168 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
+    def reorg_purge(self) -> int | None:
+        """REORG TABLE ... APPLY (PURGE) (delta-spark parity): rewrite
+        every file carrying a deletion vector with its deleted rows
+        physically materialized out. Rows do not change logically, so the
+        rewrite commits with ``dataChange: false``; the removes carry the
+        replaced DVs. This is the mandatory precursor to
+        ``drop_feature('deletionVectors')``.
+
+        Scale shape: ONE Spark job reads exactly the DV-carrying files
+        (``restrict_paths``) with the normal executor-side DV masking and
+        rewrites them; untouched files never move. Returns the committed
+        version or None when no file carries a DV."""
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        self._assert_writable("REORG")
+        dv_files = [f for f in snap.add_files() if f.deletion_vector]
+        if not dv_files:
+            return None
+        sb = DeltaScanBuilder(snap, self.spark).restrict_paths(
+            [f.path for f in dv_files]
+        )
+        df = sb.to_df()  # DV-masked live rows of exactly those files
+        if snap.column_mapping_mode != "none":
+            ws, wp, wf = self._to_physical(df, snap.schema,
+                                           snap.partition_columns)
+            moved, adds = self._write_data(wf, ws, wp)
+        else:
+            moved, adds = self._write_data(df, snap.schema,
+                                           snap.partition_columns)
+        now_ms = int(time.time() * 1000)
+        for a in adds:
+            a["dataChange"] = False
+        actions: list[dict] = [
+            {"commitInfo": _commit_info(
+                "REORG", {"applyPurge": "true",
+                          "numRemovedFiles": str(len(dv_files)),
+                          "numAddedFiles": str(len(adds))})},
+        ]
+        for f in dv_files:
+            remove = {
+                "path": f.path,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+                "deletionVector": f.deletion_vector,
+            }
+            actions.append({"remove": remove})
+        actions.extend({"add": a} for a in adds)
+        version = snap.version + 1
+        try:
+            self._commit(version, actions, snap)
+        except CommitConflictError:
+            self._rollback(moved)
+            raise
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    #: drop_feature support matrix: feature → (reader-relevant, guard)
+    _DROPPABLE_FEATURES = ("deletionVectors", "checkConstraints",
+                           "allowColumnDefaults", "variantShredding")
+
+    def drop_feature(self, name: str) -> int:
+        """ALTER TABLE ... DROP FEATURE (delta-spark parity, pragmatic
+        subset): remove a table feature from the protocol once nothing in
+        the CURRENT snapshot depends on it — the downgrade that makes a
+        table readable/writable by engines without the feature.
+
+        Supported: ``deletionVectors`` (requires :meth:`reorg_purge`
+        first — refused while any live file carries a DV; also unsets
+        ``delta.enableDeletionVectors``), ``checkConstraints`` (no
+        constraints defined), ``allowColumnDefaults`` (no defaults
+        defined), ``variantShredding`` (write-side opt-out; refused —
+        historical shredded FILES may persist in the current snapshot and
+        this writer cannot cheaply prove none do, so only tables that
+        never wrote shredded files should drop it; pass
+        ``force_shredding_drop`` via configuration is intentionally NOT
+        offered). Everything else refuses loudly.
+
+        Deviation from delta-spark, documented: no ``checkpointProtection``
+        feature is written; instead a fresh checkpoint is cut AFTER the
+        downgrade so replay from `_last_checkpoint` never visits the
+        feature's historical actions (time travel to pre-drop versions
+        still needs a feature-aware reader, as the spec warns)."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        proto = snap.protocol
+        r = set(proto.get("readerFeatures") or [])
+        w = set(proto.get("writerFeatures") or [])
+        r_all, w_all = _legacy_features(proto)  # explicit + legacy-implied
+        if name not in (r_all | w_all):
+            raise UnsupportedFeatureError(
+                f"DROP FEATURE {name!r}: table does not declare it")
+        if name not in self._DROPPABLE_FEATURES:
+            raise UnsupportedFeatureError(
+                f"DROP FEATURE {name!r} is not supported (droppable: "
+                f"{list(self._DROPPABLE_FEATURES)})")
+        meta_action: dict | None = None
+        if name == "deletionVectors":
+            if any(f.deletion_vector for f in snap.add_files()):
+                raise UnsupportedFeatureError(
+                    "DROP FEATURE deletionVectors: live files still carry "
+                    "deletion vectors — run reorg_purge() first")
+            cfg = dict(snap.configuration)
+            if cfg.pop("delta.enableDeletionVectors", None) is not None:
+                meta = dict(snap.metadata)
+                meta["configuration"] = cfg
+                meta_action = {"metaData": meta}
+        elif name == "checkConstraints":
+            if any(k.startswith("delta.constraints.")
+                   for k in snap.configuration):
+                raise UnsupportedFeatureError(
+                    "DROP FEATURE checkConstraints: constraints exist — "
+                    "drop_constraint() them first")
+        elif name == "allowColumnDefaults":
+            if _default_exprs(snap.schema):
+                raise UnsupportedFeatureError(
+                    "DROP FEATURE allowColumnDefaults: columns still have "
+                    "defaults — drop_default() them first")
+        elif name == "variantShredding":
+            raise UnsupportedFeatureError(
+                "DROP FEATURE variantShredding: historical shredded files "
+                "may remain in the current snapshot; dropping the reader "
+                "feature would strand them")
+        if name in (r | w) or proto.get("writerFeatures") is not None:
+            # explicit feature lists: drop from them
+            new_proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": proto["minWriterVersion"],
+            }
+            if proto.get("readerFeatures") is not None:
+                new_proto["readerFeatures"] = sorted(r - {name})
+            if proto.get("writerFeatures") is not None:
+                new_proto["writerFeatures"] = sorted(w - {name})
+        else:
+            # legacy-implied feature: downgrade the legacy writer version
+            # (delta-spark's legacy downgrade path). checkConstraints is
+            # the one droppable feature a legacy version implies — implied
+            # at minWriterVersion >= 3, so the table steps down to 2.
+            if name != "checkConstraints" or proto["minWriterVersion"] != 3:
+                raise UnsupportedFeatureError(
+                    f"DROP FEATURE {name!r}: implied by legacy protocol "
+                    f"{proto} — no supported downgrade")
+            new_proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 2,
+            }
+        actions = [
+            {"commitInfo": _commit_info("DROP FEATURE",
+                                        {"feature": name})},
+            {"protocol": new_proto},
+        ]
+        if meta_action is not None:
+            actions.append(meta_action)
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        # cut a checkpoint at the downgraded version so fresh readers
+        # replay from here and never visit the feature's history
+        self.checkpoint()
+        return version
+
     def set_default(self, name: str, sql_expr: str) -> int:
         """ALTER TABLE ALTER COLUMN ... SET DEFAULT (Delta spec "Default
         Columns" / the ``allowColumnDefaults`` writer feature): a pure

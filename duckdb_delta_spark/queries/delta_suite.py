@@ -15,7 +15,7 @@ import os
 from pyspark.sql import functions as F
 
 from duckdb_delta_spark.delta.table import DeltaTable
-from duckdb_delta_spark.queries import dsum, osum, register
+from duckdb_delta_spark.queries import local_df, dsum, osum, register
 from duckdb_delta_spark.testing import fixtures as FX
 
 
@@ -213,7 +213,7 @@ def delta_append_scan(spark, sf_dir):
         schema = T.StructType(
             [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
         )
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -334,7 +334,7 @@ def delta_count_from_stats(spark, sf_dir):
         (name, int(_fx(spark, sf_dir, name).detail()["numRecords"]))
         for name in ("lineitem_dv", "lineitem_multi")
     ]
-    return spark.createDataFrame(rows, "tbl string, n long")
+    return local_df(spark, rows, "tbl string, n long")
 
 
 # CONVERT TO DELTA: a plain hive-partitioned parquet directory converted
@@ -365,7 +365,7 @@ def delta_convert_scan(spark, sf_dir):
     rows = df.collect()
     rep = sb.skip_report()
     assert rep["files_skipped_by_partition"] >= 1, rep  # prune survived convert
-    return spark.createDataFrame(rows, df.schema)
+    return local_df(spark, rows, df.schema)
 
 
 # SHREDDED variant WRITE (this engine's own shredded files, delta/variant
@@ -502,7 +502,7 @@ def delta_widen_inplace_scan(spark, sf_dir):
             T.StructField("max_key", T.LongType()),
             T.StructField("total", T.DoubleType()),
         ])
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -1035,7 +1035,7 @@ def delta_identity_append(spark, sf_dir):
             T.StructField("max_id", T.LongType()),
             T.StructField("hwm2", T.LongType()),
         ])
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(first["n"], first["n_distinct"], first["min_id"],
               first["max_id"], int(hwm2))], schema_out)
     finally:
@@ -1102,7 +1102,7 @@ def delta_row_tracking_scan(spark, sf_dir):
             T.StructField("row_id2", T.LongType()),
             T.StructField("n_name", T.StringType()),
         ])
-        return spark.createDataFrame(out, schema)
+        return local_df(spark, out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1143,7 +1143,7 @@ def delta_clone_scan(spark, sf_dir):
             T.StructField("n", T.LongType()),
             T.StructField("qty", T.DoubleType()),
         ])
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(dest_root, ignore_errors=True)
 
@@ -1192,7 +1192,7 @@ def delta_alter_columns_scan(spark, sf_dir):
             T.StructField("label", T.StringType()),
             T.StructField("score", T.DoubleType()),
         ])
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1239,7 +1239,7 @@ def delta_compacted_log_scan(spark, sf_dir):
             T.StructField("n", T.LongType()),
             T.StructField("total", T.DoubleType()),
         ])
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1314,7 +1314,7 @@ def delta_stats_columns_scan(spark, sf_dir):
             T.StructField("n", T.LongType()),
             T.StructField("total", T.DoubleType()),
         ])
-        return spark.createDataFrame(out, schema)
+        return local_df(spark, out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1358,7 +1358,7 @@ def delta_column_defaults_scan(spark, sf_dir):
         snap = DeltaTable(path).snapshot
         assert "allowColumnDefaults" in snap.protocol["writerFeatures"]
         out = DeltaTable(path).to_df(spark).collect()
-        return spark.createDataFrame(out, schema)
+        return local_df(spark, out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1419,7 +1419,7 @@ def delta_clustered_scan(spark, sf_dir):
             T.StructField("n", T.LongType()),
             T.StructField("total", T.DoubleType()),
         ])
-        return spark.createDataFrame(out, schema)
+        return local_df(spark, out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1460,7 +1460,7 @@ def delta_add_constraint_scan(spark, sf_dir):
         w.add_constraint("rk_nonneg", "rk >= 0")
 
         def one(name, rk):
-            return spark.createDataFrame([(name, rk)], schema).coalesce(1)
+            return local_df(spark, [(name, rk)], schema).coalesce(1)
 
         try:
             w.append(one("bad", -1))
@@ -1471,6 +1471,6 @@ def delta_add_constraint_scan(spark, sf_dir):
         w.drop_constraint("rk_nonneg")
         w.append(one("late", -1))  # enforcement lifted
         out = DeltaTable(path).to_df(spark).collect()
-        return spark.createDataFrame(out, schema)
+        return local_df(spark, out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from duckdb_delta_spark.queries import register
+from duckdb_delta_spark.queries import local_df, register
 from duckdb_delta_spark.streaming import (
     hourly_event_counts_stream,
     run_stream_to_memory,
@@ -412,7 +412,7 @@ def stream_upsert(spark, sf_dir):
                          2).cast("double").alias("total"))
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -476,6 +476,6 @@ def stream_dedup(spark, sf_dir):
             T.StructField("fingerprint", T.StringType()),
             T.StructField("doc_id", T.LongType()),
         ])
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
