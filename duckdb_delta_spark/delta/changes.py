@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from duckdb_delta_spark.localrel import local_df as _local_df
 from duckdb_delta_spark.delta.dv import read_dv_from_descriptor
 from duckdb_delta_spark.delta.log import DeltaLog
 from duckdb_delta_spark.delta.scan import DeltaScanBuilder
@@ -387,7 +388,7 @@ def _rows_at(
     # only reached on the small route (diff cardinality ≤ DIFF_JOIN_MAX):
     # pure-JVM broadcast semi-join; big diffs go through _rows_at_big
     wanted_pairs = [(uri, int(r)) for uri, arr in by_uri.items() for r in arr]
-    wanted = spark.createDataFrame(
+    wanted = _local_df(spark, 
         wanted_pairs,
         T.StructType(
             [

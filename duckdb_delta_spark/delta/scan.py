@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from duckdb_delta_spark.localrel import local_df as _local_df
 from duckdb_delta_spark.delta.snapshot import AddFile, Snapshot
 
 FILE_COL = "__delta_file_path"
@@ -860,7 +861,7 @@ class DeltaScanBuilder:
                     f"baseRowId (first: {missing[0]!r}) — not a row-tracked "
                     "table"
                 )
-            rmap = self.spark.createDataFrame(
+            rmap = _local_df(self.spark, 
                 [
                     (
                         self._spark_file_uri(f.absolute_path(snap.log.table_path)),
@@ -899,7 +900,7 @@ class DeltaScanBuilder:
                 self._spark_file_uri(f.absolute_path(snap.log.table_path))
                 for f in files
             )
-            fmap = self.spark.createDataFrame(
+            fmap = _local_df(self.spark, 
                 [(u, i + 1) for i, u in enumerate(uris)],
                 T.StructType(
                     [
@@ -969,7 +970,7 @@ class DeltaScanBuilder:
             [T.StructField(FILE_COL, T.StringType())]
             + [T.StructField(f"__pv_{p}", T.StringType()) for p in pcols]
         )
-        pmap = self.spark.createDataFrame(rows, schema)
+        pmap = _local_df(self.spark, rows, schema)
         df = df.join(F.broadcast(pmap), on=FILE_COL, how="left")
         for p in pcols:
             typ = ptypes[p]
@@ -1016,7 +1017,7 @@ class DeltaScanBuilder:
                 for uri, desc in descriptors.items()
                 for r in read_dv_from_descriptor(desc, table_path)
             ]
-            deleted = self.spark.createDataFrame(
+            deleted = _local_df(self.spark, 
                 pairs,
                 T.StructType(
                     [

@@ -15,6 +15,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from duckdb_delta_spark.localrel import local_df as _local_df
 from duckdb_delta_spark.delta.log import DeltaLog
 from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 from duckdb_delta_spark.delta.snapshot import Snapshot
@@ -196,7 +197,7 @@ class DeltaTable:
                 T.StructField("size", T.LongType()),
             ]
         )
-        return spark.createDataFrame(rows, schema)
+        return _local_df(spark, rows, schema)
 
     def domain_metadata(self, spark: SparkSession) -> DataFrame:
         schema = T.StructType(
@@ -206,7 +207,7 @@ class DeltaTable:
             ]
         )
         rows = sorted(self.snapshot.domain_metadata.items())
-        return spark.createDataFrame(rows, schema)
+        return _local_df(spark, rows, schema)
 
     def history(self, spark: SparkSession) -> DataFrame:
         """Commit history (version, timestamp, operation) from commitInfo."""
@@ -229,7 +230,7 @@ class DeltaTable:
                 T.StructField("operation", T.StringType()),
             ]
         )
-        return spark.createDataFrame(rows, schema)
+        return _local_df(spark, rows, schema)
 
     def get_transaction_version(self, app_id: str) -> int | None:
         return self.snapshot.transaction_version(app_id)
@@ -323,4 +324,4 @@ class DeltaTable:
                 d["configuration"], d["sizeInBytes"], d["numRecords"],
                 d["minReaderVersion"], d["minWriterVersion"],
                 d["tableFeatures"])]
-        return spark.createDataFrame(row, schema)
+        return _local_df(spark, row, schema)

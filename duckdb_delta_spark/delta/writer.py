@@ -34,6 +34,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from duckdb_delta_spark.localrel import local_df as _local_df
 from duckdb_delta_spark.delta.errors import (
     CommitConflictError,
     ConstraintViolationError,
@@ -3299,7 +3300,7 @@ class DeltaWriter:
 
                 from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 
-                rmap = self.spark.createDataFrame(
+                rmap = _local_df(self.spark, 
                     [
                         (
                             DeltaScanBuilder._spark_file_uri(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from duckdb_delta_spark.localrel import local_df as _local_df
 from duckdb_delta_spark.operators.text import tokens
 
 MINHASH_HASHES = 8
@@ -450,7 +451,7 @@ def connected_components(
                 parent[hi] = lo
         out = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
-        return spark.createDataFrame(out, "id long, cluster_id long")
+        return _local_df(spark, out, "id long, cluster_id long")
     # undirected: both directions, plus self-loops to keep isolated ends
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

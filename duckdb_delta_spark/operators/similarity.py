@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from duckdb_delta_spark.localrel import local_df as _local_df
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -449,6 +450,6 @@ def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
             T.StructField("centroid", T.ArrayType(T.FloatType())),
         ]
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)], schema
     )

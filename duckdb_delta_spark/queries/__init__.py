@@ -112,25 +112,10 @@ def all_queries() -> dict[str, Q]:
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
-    """Literal/collected rows → DataFrame via the ARROW local-relation
-    path (pandas conversion), NOT ``createDataFrame(list, schema)``.
+    """Collected/literal rows -> DataFrame via the Arrow local-relation
+    path (see duckdb_delta_spark.localrel: the createDataFrame(list)
+    path costs ~4-6 s PER JOB on local[32]). Use for every
+    collected-rows return in the query registry."""
+    from duckdb_delta_spark.localrel import local_df as _ld
 
-    The list path builds a pickled-RDD-backed relation whose every job
-    spawns Python workers across ``defaultParallelism`` slices — measured
-    ~4-6 s per job on local[32] even for ONE row, and it stays a Python
-    round-trip on a real cluster. The Arrow path ships the rows as one
-    columnar batch into a pure-JVM local relation: ~0.1 s, and every
-    downstream job is Python-free. Use this for every collected-rows
-    return in the query registry."""
-    from pyspark.sql import types as T
-
-    if isinstance(schema, str):
-        schema = T._parse_datatype_string(schema)
-    rows = [tuple(r) for r in rows]
-    if not rows:
-        return spark.createDataFrame([], schema)
-    import pandas as pd
-
-    pdf = pd.DataFrame(rows, columns=schema.fieldNames(), dtype=object)
-    pdf = pdf.where(pd.notna(pdf), None)
-    return spark.createDataFrame(pdf, schema)
+    return _ld(spark, rows, schema)
