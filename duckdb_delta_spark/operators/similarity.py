@@ -453,3 +453,44 @@ def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
     return _local_df(spark, 
         [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)], schema
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth step
+    of an embedding pipeline (4x smaller vectors for ANN candidate
+    generation, with exact re-rank on the fp32 originals).
+
+    scale = max|v| / 127; q_i = round(v_i / scale) ∈ [-127, 127]. Pure
+    JVM higher-order functions (transform/aggregate): embarrassingly
+    parallel, zero shuffle, no Python. Returns per-vector quantization
+    quality stats (the columns a pipeline monitors): scale, l1 norm of
+    the codes, max absolute reconstruction error, mean squared error."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    df = df.select(
+        F.col(id_col), v.alias("__v"), F.round(scale, 9).alias("scale"),
+        q.alias("__q"), scale.alias("__s"),
+    )
+    err = F.zip_with(
+        F.col("__v"), F.col("__q"),
+        lambda x, c: F.abs(x - c.cast("double") * F.col("__s")),
+    )
+    return df.select(
+        id_col,
+        "scale",
+        F.aggregate(
+            "__q", F.lit(0).cast("long"),
+            lambda acc, c: acc + F.abs(c).cast("long"),
+        ).alias("q_l1"),
+        F.round(F.array_max(err), 8).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+            / F.size("__q"), 10,
+        ).alias("mse"),
+    )

@@ -1058,3 +1058,40 @@ def text_url_stats(spark, sf_dir):
         "doc_id", F.expr(_URL_TEXT).alias("text"))
     return X.with_url_stats(docs).select(
         "doc_id", "n_urls", "n_domains", "domains_csv")
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(list_sum(list_transform(q, c -> abs(c))) AS BIGINT) AS q_l1,
+           round(list_max(err), 8) AS max_abs_err,
+           round(list_sum(list_transform(err, e -> e * e)) / len(q), 10)
+               AS mse
+    FROM (
+        SELECT vec_id, scale,
+               list_transform(list_zip(v, q),
+                              p -> abs(p[1] - p[2] * scale)) AS err,
+               q
+        FROM (
+            SELECT vec_id, scale, v,
+                   list_transform(v, x -> round(x / scale)) AS q
+            FROM (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                           AS scale
+                FROM embeddings
+            )
+        )
+    )
+    """,
+    group="similarity",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization quality stats — pure JVM
+    higher-order functions, zero shuffle."""
+    from duckdb_delta_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(load(spark, sf_dir, "embeddings"))
