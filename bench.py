@@ -65,6 +65,11 @@ def main() -> int:
     ensure_fixtures(spark, sf_dir)
     print(f"[bench] fixtures ready in {time.time() - t0:.1f}s", file=sys.stderr)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the Python-worker fleet (fork + pandas/pyarrow import per
+    # worker) so the first Arrow-UDF query isn't charged the one-time
+    # session cost — same spirit as the JVM warmup above
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -256,7 +256,7 @@ def ngram_jaccard_pairs(
     sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
                      F.col("n_g").alias("nb"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    return (
+    out = (
         cand.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn("_i", inter)
@@ -271,6 +271,8 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+    out._ngram_sets_cache = sets  # caller may unpersist after its action
+    return out
 
 
 def embedding_cosine_pairs(
