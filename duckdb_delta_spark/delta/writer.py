@@ -3138,6 +3138,7 @@ class DeltaWriter:
         min_files: int = 2,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> int | None:
         """OPTIMIZE-style bin-packing compaction. Returns the committed
         version, or None when nothing qualified.
@@ -3264,11 +3265,46 @@ class DeltaWriter:
                    T.StructField(mat_ver, T.LongType())]
             )
 
+        allowed_keys: set[tuple] | None = None
+        if where is not None:
+            # OPTIMIZE ... WHERE <partition predicate> (delta-spark
+            # parity): restrict the rewrite to matching partitions. The
+            # predicate is evaluated by Spark over one row per DISTINCT
+            # partition tuple (typed per the table schema) — O(#partitions)
+            # driver work, and a predicate referencing a non-partition
+            # column fails resolution loudly instead of silently rewriting
+            # everything.
+            if not parts:
+                raise UnsupportedFeatureError(
+                    "OPTIMIZE WHERE needs a partitioned table")
+            from pyspark.sql import functions as F
+
+            ptypes = {f.name: f.dataType for f in snap.schema.fields}
+            keys = sorted({
+                tuple(sorted(
+                    (k, f.partition_values.get(k)) for k in parts))
+                for f in snap.add_files()
+            })
+            kdf = _local_df(
+                self.spark,
+                [tuple(dict(k).get(p) for p in parts) + (i,)
+                 for i, k in enumerate(keys)],
+                T.StructType(
+                    [T.StructField(p, T.StringType()) for p in parts]
+                    + [T.StructField("__ki", T.LongType())]),
+            ).select(
+                *[F.col(p).cast(ptypes[p]).alias(p) for p in parts], "__ki"
+            )
+            hit = kdf.where(F.expr(where)).select("__ki").collect()
+            allowed_keys = {keys[r["__ki"]] for r in hit}
+
         groups: dict[tuple, list] = {}
         for f in snap.add_files():
             if f.deletion_vector or f.size >= target_file_bytes:
                 continue
             key = tuple(sorted((k, v) for k, v in f.partition_values.items()))
+            if allowed_keys is not None and key not in allowed_keys:
+                continue
             groups.setdefault(key, []).append(f)
 
         now_ms = int(time.time() * 1000)

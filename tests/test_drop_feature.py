@@ -89,3 +89,39 @@ def test_drop_feature_guards(spark, tdir):
     # arbitrary features refuse
     with pytest.raises(UnsupportedFeatureError):
         DeltaWriter(tdir, spark).drop_feature("invariants")
+
+
+def test_optimize_where_partition_filtered(spark, tdir):
+    """OPTIMIZE ... WHERE: only matching partitions compact; files in
+    non-matching partitions are untouched, and a predicate on a
+    non-partition column fails loudly."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA, partition_by=["g"])
+    for lo in (0, 50, 100):  # 3 commits x 2 partitions = small files
+        w.append(spark.range(lo, lo + 50).select(
+            F.col("id").alias("i"), (F.col("id") % 2).alias("g")))
+    before = {f.path: f for f in DeltaTable(tdir).snapshot.add_files()}
+    g1_before = [p for p, f in before.items()
+                 if f.partition_values.get("g") == "1"]
+
+    v = DeltaWriter(tdir, spark).compact(where="g = 0")
+    assert v is not None
+    after = {f.path: f for f in DeltaTable(tdir).snapshot.add_files()}
+    # g=1 files byte-identical, untouched
+    assert [p for p in g1_before if p in after] == g1_before
+    # g=0 compacted into fewer files
+    g0_after = [f for f in after.values()
+                if f.partition_values.get("g") == "0"]
+    assert len(g0_after) < 3
+    assert DeltaTable(tdir).to_df(spark).count() == 150
+
+    import pytest as _pt
+
+    from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+
+    with _pt.raises(Exception):  # non-partition column fails resolution
+        DeltaWriter(tdir, spark).compact(where="i > 10")
+
+    plain = str(tdir) + "_plain"
+    DeltaWriter.create(spark, plain, SCHEMA)
+    with _pt.raises(UnsupportedFeatureError, match="partitioned"):
+        DeltaWriter(plain, spark).compact(where="g = 0")
