@@ -337,6 +337,39 @@ def delta_count_from_stats(spark, sf_dir):
     return local_df(spark, rows, "tbl string, n long")
 
 
+# variant_explode (Spark 4 lateral table function) over the deep-variant
+# fixture: every event's top-level object explodes to (pos, key, value)
+# rows — the schema-on-read iteration surface of the variant type. The
+# oracle recomputes per-key counts + the numeric sum from the raw props.
+@register(
+    "delta_variant_explode",
+    oracle="""
+    SELECT 'ids' AS key, count(*) AS n, CAST(NULL AS BIGINT) AS sum_k
+    FROM events
+    UNION ALL
+    SELECT 'k', count(*),
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'meta', count(*), CAST(NULL AS BIGINT) FROM events
+    """,
+    group="delta",
+)
+def delta_variant_explode(spark, sf_dir):
+    t = _fx(spark, sf_dir, "events_var_deep").to_df(spark)
+    t.createOrReplaceTempView("__vx_deep")
+    return spark.sql(
+        """
+        SELECT key, count(*) AS n,
+               CAST(sum(CASE WHEN key = 'k'
+                        THEN cast(value AS long) END) AS BIGINT) AS sum_k
+        FROM __vx_deep, LATERAL variant_explode(v)
+        GROUP BY key
+        """
+    )
+
+
 # CONVERT TO DELTA: a plain hive-partitioned parquet directory converted
 # in place (one metadata commit referencing the existing files, footer
 # stats, recovered partition values) must answer exactly like the source
