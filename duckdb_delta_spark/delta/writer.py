@@ -179,6 +179,14 @@ def _json_stat_value(v):
     return v
 
 
+def _hive_escape(v: str | None) -> str:
+    """Partition value → hive directory component (Spark's escaping:
+    percent-encode the chars hive reserves; NULL → the default token)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return urllib.parse.quote(str(v), safe="")
+
+
 def _truncate_min(s: str) -> str:
     return s[:_STATS_TRUNC]
 
@@ -3129,6 +3137,55 @@ class DeltaWriter:
         self._commit(version, actions, snap)
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
+
+    def generate_symlink_manifest(self) -> list[str]:
+        """GENERATE symlink_format_manifest (delta-spark parity): write
+        ``_symlink_format_manifest/<partition dirs>/manifest`` text files,
+        one absolute ``file:`` URI per live data file, so Hive/Presto/
+        Trino external tables can read the current snapshot without a
+        Delta reader. Returns the manifest paths written.
+
+        Refused on tables with live deletion vectors (a symlink reader
+        would resurrect deleted rows) — the same guard delta-spark
+        applies. Stale manifests for partitions that no longer exist are
+        removed; regenerate after every commit that should be visible to
+        the symlink readers (or wire it into foreachBatch)."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        files = snap.add_files()
+        if any(f.deletion_vector for f in files):
+            raise UnsupportedFeatureError(
+                "GENERATE symlink_format_manifest: table has deletion "
+                "vectors — symlink readers cannot apply them (run "
+                "reorg_purge() first)"
+            )
+        root = os.path.join(self.table_path, "_symlink_format_manifest")
+        parts = snap.partition_columns
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            rel_dir = ""
+            if parts:
+                rel_dir = os.path.join(*[
+                    f"{p}={_hive_escape(f.partition_values.get(p))}"
+                    for p in parts
+                ])
+            uri = "file://" + urllib.parse.quote(
+                f.absolute_path(self.table_path), safe="/")
+            groups.setdefault(rel_dir, []).append(uri)
+        shutil.rmtree(root, ignore_errors=True)
+        written = []
+        for rel_dir, uris in sorted(groups.items()):
+            d = os.path.join(root, rel_dir) if rel_dir else root
+            os.makedirs(d, exist_ok=True)
+            mpath = os.path.join(d, "manifest")
+            with open(mpath, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(sorted(uris)) + "\n")
+            written.append(mpath)
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit("generate.symlink_manifest", table_path=self.table_path,
+             version=snap.version, n_manifests=len(written),
+             n_files=len(files))
+        return written
 
     # ---------- maintenance: compaction / vacuum ----------
 

@@ -125,3 +125,40 @@ def test_optimize_where_partition_filtered(spark, tdir):
     DeltaWriter.create(spark, plain, SCHEMA)
     with _pt.raises(UnsupportedFeatureError, match="partitioned"):
         DeltaWriter(plain, spark).compact(where="g = 0")
+
+
+def test_generate_symlink_manifest(spark, tdir):
+    """GENERATE symlink_format_manifest: per-partition manifest files
+    listing the snapshot's data files as URIs; all listed files are the
+    live set (readable as plain parquet); DV tables refuse."""
+    import urllib.parse
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA, partition_by=["g"])
+    w.append(spark.range(100).select(F.col("id").alias("i"),
+                                     (F.col("id") % 2).alias("g")))
+    written = DeltaWriter(tdir, spark).generate_symlink_manifest()
+    assert len(written) == 2  # one per partition dir
+    assert all(p.endswith("manifest") for p in written)
+    uris = []
+    for p in written:
+        assert "_symlink_format_manifest/g=" in p.replace("\\", "/")
+        with open(p) as fh:
+            uris += [ln.strip() for ln in fh if ln.strip()]
+    paths = [urllib.parse.unquote(u.removeprefix("file://")) for u in uris]
+    live = {f.absolute_path(tdir) for f in DeltaTable(tdir).snapshot.add_files()}
+    assert set(paths) == live
+    # the manifest's files ARE the table, readable raw
+    assert spark.read.parquet(*paths).count() == 100
+
+    DeltaTable(tdir).delete(spark, "i = 3")
+    with pytest.raises(UnsupportedFeatureError, match="deletion"):
+        DeltaWriter(tdir, spark).generate_symlink_manifest()
+    # after purge it regenerates (stale dirs cleared)
+    DeltaWriter(tdir, spark).reorg_purge()
+    again = DeltaWriter(tdir, spark).generate_symlink_manifest()
+    paths2 = []
+    for p in again:
+        with open(p) as fh:
+            paths2 += [urllib.parse.unquote(ln.strip().removeprefix("file://"))
+                       for ln in fh if ln.strip()]
+    assert spark.read.parquet(*paths2).count() == 99
