@@ -549,3 +549,80 @@ def keep_canonical(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(F.max("__q"), 4).alias("best_quality"),
     )
+
+
+SPAN_TOKENS = 20
+
+
+def word_windows(toks: Column, n: int = SPAN_TOKENS) -> Column:
+    """ALL sliding n-token windows (space-joined), duplicates kept —
+    :func:`word_shingles` without the distinct, for occurrence counting.
+    Same zip_with-of-slices construction (see word_shingles for why the
+    element_at form is O(tokens²) after optimizer inlining)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.slice(toks, 1, length)
+    for k in range(1, n):
+        part = F.slice(toks, 1 + k, length)
+        sh = F.zip_with(sh, part, lambda a, b: F.concat_ws(" ", a, b))
+    return sh
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = SPAN_TOKENS,
+) -> DataFrame:
+    """Per-document cross-document duplicated-span stats — the candidate
+    stage of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated ≥N-token spans
+    are memorization fuel and get cut, not whole documents).
+
+    A span = one of the doc's sliding ``span``-token windows (md5-hashed);
+    it is DUPLICATED when at least one OTHER document contains the same
+    window. Returns doc_id, n_spans (all windows, occurrences counted),
+    n_dup_spans (occurrences whose window appears in ≥2 distinct docs),
+    dup_fraction — the "how much of this doc exists elsewhere" signal a
+    pipeline thresholds on before the expensive span-cutting rewrite.
+
+    100-TB shape: one (doc, span-hash) hash-agg (map-side combined), a
+    small hash-keyed distinct-doc-count agg joined back on the same
+    partitioning, one final per-doc agg. No window functions, no Python,
+    no all-pairs anything; cost is O(total tokens) shuffled once."""
+    from duckdb_delta_spark.operators.text import tokens
+
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(id_col, F.explode(word_windows(F.col("__t"), span)).alias("__w"))
+    per_doc_span = base.groupBy(id_col, F.md5("__w").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    span_docs = per_doc_span.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    stats = (
+        per_doc_span.join(span_docs, "h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_in_doc").cast("long").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("n_in_doc")).otherwise(0)
+            ).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )
+    # docs too short to have any window still appear, with zero counts
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction"),
+        )
+    )

@@ -1095,3 +1095,43 @@ def emb_quantize_int8(spark, sf_dir):
     from duckdb_delta_spark.operators.similarity import quantize_int8
 
     return quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_span_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    wins AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 19, 0)),
+                   i -> md5(array_to_string(t[i:i+19], ' ')))) AS h
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS n_in_doc
+        FROM wins GROUP BY doc_id, h
+    ),
+    span_docs AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS n_docs FROM per_doc GROUP BY h
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(sum(n_in_doc) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN n_in_doc ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans
+        FROM per_doc JOIN span_docs USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_spans, 0) AS n_spans,
+           coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(round(s.n_dup_spans / CAST(s.n_spans AS DOUBLE), 4),
+                    0.0) AS dup_fraction
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+    group="dedup",
+)
+def dedup_span_stats(spark, sf_dir):
+    """Exact-substring dedup candidate stage: per-doc duplicated
+    20-token-span stats (Lee et al. 2022 style)."""
+    return D.duplicate_span_stats(load(spark, sf_dir, "documents"))
