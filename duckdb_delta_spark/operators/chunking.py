@@ -168,3 +168,68 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_ekey")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row lands in
+    the split whose cumulative weight band contains
+    ``md5(id:salt) % 100`` — stable across runs, engines, and cluster
+    sizes (no RNG state, no sampling jobs), and changing the salt redraws
+    the split. The holdout therefore SURVIVES pipeline re-runs — the
+    property that matters, since a resampled holdout silently leaks
+    training data into eval.
+
+    ``weights``: split name → percent, summing to 100 (default
+    train/val/test = 96/2/2). Adds a ``split`` column; pure codegen."""
+    weights = weights or {"train": 96, "val": 2, "test": 2}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    bucket = hash_bucket(F.col(id_col), 100, salt=salt)
+    expr = None
+    lo = 0
+    for name, w in sorted(weights.items()):
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-group document cap (e.g. max N pages per DOMAIN — the
+    anti-SEO-farm rule every web-scale corpus applies): keep the
+    ``max_per_group`` rows of each group that rank first by
+    ``md5(id:salt)`` — a deterministic uniform sample without RNG state.
+
+    Two-stage top-k (same shape as brute_force_topk): stage 1 ranks
+    within (group, physical partition) and keeps k rows per group-shard,
+    so the global per-group window consumes ≤ k × #partitions rows even
+    for a mega-domain holding 1% of the corpus — never the whole group
+    in one task. Spark pushes WindowGroupLimit below both exchanges."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    staged = df.withColumn("__key", key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    order = (F.col("__key").asc(), F.col(id_col).asc())
+    w1 = Window.partitionBy(group_col, "__pid").orderBy(*order)
+    cand = staged.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= max_per_group
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        cand.withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= max_per_group)
+        .drop("__key", "__pid", "__r1", "__r2")
+    )

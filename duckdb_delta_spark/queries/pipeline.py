@@ -1135,3 +1135,66 @@ def dedup_span_stats(spark, sf_dir):
     """Exact-substring dedup candidate stage: per-doc duplicated
     20-token-span stats (Lee et al. 2022 style)."""
     return D.duplicate_span_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_split_assign",
+    oracle="""
+    SELECT split, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM (
+        SELECT doc_id,
+               CASE WHEN b < 2 THEN 'test'
+                    WHEN b < 98 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS STRING)
+                          || ':split1'), 1, 8))::BIGINT % 100 AS b
+              FROM documents)
+    ) GROUP BY split
+    """,
+    group="chunking",
+)
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: md5-band assignment, stable
+    across runs/engines (the holdout survives pipeline re-runs)."""
+    from duckdb_delta_spark.operators.chunking import split_assign
+
+    return split_assign(load(spark, sf_dir, "documents")).groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "doc_cap_per_source",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap1'),
+                            doc_id) AS r
+        FROM documents
+    ) WHERE r <= 50
+    GROUP BY source
+    """,
+    group="chunking",
+)
+def doc_cap_per_source(spark, sf_dir):
+    """Per-source document cap (max 50 per source, deterministic md5
+    selection) — two-stage top-k, no whole-group-in-one-task funnel."""
+    from duckdb_delta_spark.operators.chunking import cap_per_group
+
+    return cap_per_group(
+        load(spark, sf_dir, "documents"), 50, group_col="source"
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
