@@ -121,3 +121,36 @@ def test_log_tail_and_commit_fn_compose(spark, tdir):
     snap = Snapshot.build(log)
     assert snap.version == 2
     assert sum(a.num_records or 0 for a in snap.add_files()) == 30
+
+
+def test_concurrent_managed_and_filesystem_writers(spark, tdir):
+    """Contention across the seam: threads alternate catalog-managed and
+    filesystem writers against one table; every append retries through
+    the shared conflict taxonomy and no commit is lost or duplicated."""
+    import threading
+
+    DeltaWriter.create(spark, tdir, SCHEMA)
+    cat = FakeCatalog(tdir)
+    errors: list = []
+
+    def run(tid: int):
+        try:
+            w = (DeltaWriter(tdir, spark, commit_fn=cat.commit_fn)
+                 if tid % 2 == 0 else DeltaWriter(tdir, spark))
+            w.append(_df(spark, tid * 100, tid * 100 + 10), max_retries=30)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    t = DeltaTable(tdir)
+    assert t.snapshot.version == 8  # 8 appends, contiguous versions
+    rows = sorted(r["i"] for r in t.to_df(spark).collect())
+    assert rows == sorted(
+        i for tid in range(8) for i in range(tid * 100, tid * 100 + 10))
+    # catalog ratified the managed half
+    assert len(cat.ledger) == 4
