@@ -780,6 +780,7 @@ class DeltaWriter:
                 # refresh the pinned snapshot incrementally (reads only the
                 # commit we just wrote) so sequential appends stay cheap
                 self._snapshot = Snapshot.build(self.log, base=snapshot)
+                self._maybe_auto_compact()
                 return version
             except CommitConflictError:
                 attempt += 1
@@ -959,6 +960,28 @@ class DeltaWriter:
                 ),
                 "removed": False,
             }})
+
+    def _maybe_auto_compact(self) -> None:
+        """``delta.autoOptimize.autoCompact = true`` (delta-spark parity,
+        OPT-IN): after an append lands, opportunistically bin-pack any
+        partition that has accumulated ≥ ``delta.autoOptimize.minNumFiles``
+        (default 50) files under the 128 MiB bar — the steady-state answer
+        to streaming/micro-batch small-file accumulation, without a
+        separate OPTIMIZE scheduler. The compaction is its own
+        ``dataChange: false`` commit; losing its version race to a
+        concurrent writer is fine (opportunistic — the next append tries
+        again), and a failure never un-lands the already-durable append."""
+        cfg = self._snapshot.configuration
+        if cfg.get("delta.autoOptimize.autoCompact", "").lower() != "true":
+            return
+        try:
+            min_files = int(cfg.get("delta.autoOptimize.minNumFiles", 50))
+        except ValueError:
+            min_files = 50
+        try:
+            self.compact(target_file_bytes=128 << 20, min_files=min_files)
+        except CommitConflictError:
+            pass
 
     def _maybe_auto_checkpoint(
         self, version: int, snap: Snapshot, actions: list[dict] | None = None

@@ -162,3 +162,40 @@ def test_generate_symlink_manifest(spark, tdir):
             paths2 += [urllib.parse.unquote(ln.strip().removeprefix("file://"))
                        for ln in fh if ln.strip()]
     assert spark.read.parquet(*paths2).count() == 99
+
+
+def test_auto_compact_after_append(spark, tdir):
+    """delta.autoOptimize.autoCompact: once a partition crosses
+    minNumFiles small files, the append triggers an inline OPTIMIZE
+    commit (dataChange=false); without the property nothing happens."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.autoOptimize.autoCompact": "true",
+                       "delta.autoOptimize.minNumFiles": "4"})
+    for lo in range(3):
+        w.append(spark.range(lo * 10, lo * 10 + 10).select(
+            F.col("id").alias("i"), F.lit(0).cast("long").alias("g"))
+            .coalesce(1))
+    # 3 files < minNumFiles: no compaction yet
+    assert DeltaTable(tdir).snapshot.version == 3
+    w.append(spark.range(30, 40).select(
+        F.col("id").alias("i"), F.lit(0).cast("long").alias("g"))
+        .coalesce(1))
+    t = DeltaTable(tdir)
+    assert t.snapshot.version == 5  # append (v4) + auto OPTIMIZE (v5)
+    ops = [a["commitInfo"]["operation"]
+           for a in DeltaLog(tdir).read_commit(5) if "commitInfo" in a]
+    assert ops == ["OPTIMIZE"]
+    assert len(t.snapshot.files) == 1  # 4 smalls packed into one
+    assert t.to_df(spark).count() == 40
+
+    # opt-out table: no auto commit
+    plain = str(tdir) + "_p"
+    w2 = DeltaWriter.create(spark, plain, SCHEMA)
+    for lo in range(5):
+        w2.append(spark.range(lo, lo + 1).select(
+            F.col("id").alias("i"), F.lit(0).cast("long").alias("g"))
+            .coalesce(1))
+    assert DeltaTable(plain).snapshot.version == 5
