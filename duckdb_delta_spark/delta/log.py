@@ -28,6 +28,12 @@ from duckdb_delta_spark.delta.errors import (
 )
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+#: staged / catalog-owned commit naming (coordinated commits):
+#: ``<version>.<uuid>.json`` under ``_delta_log/_staged_commits/`` — only
+#: ever reachable via an explicit log_tail (a catalog hands out the
+#: paths); directory listing ignores them because an unratified staged
+#: file is not a commit
+_STAGED_COMMIT_RE = re.compile(r"^(\d{20})\.[0-9a-fA-F-]{8,}\.json$")
 _COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 _CHECKPOINT_PART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet$")
@@ -123,7 +129,8 @@ class DeltaLog:
         checkpoints: dict[int, list[str]] = {}
         if self.log_tail is not None:
             for p in self.log_tail:
-                m = _COMMIT_RE.match(os.path.basename(p))
+                name = os.path.basename(p)
+                m = _COMMIT_RE.match(name) or _STAGED_COMMIT_RE.match(name)
                 if not m:
                     raise MalformedLogError(f"log_tail entry is not a commit file: {p}")
                 commits[int(m.group(1))] = p

@@ -1207,3 +1207,56 @@ def build_foreign_clustered_defaults(dest: str) -> None:
         adds.append(add_action(rel, os.path.join(dest, rel), tbl, {},
                                ["k", "v", "c1", "c2"]))
     write_commit(log_dir, 1, [commit_info("WRITE")] + adds)
+
+
+def build_foreign_staged_commits(dest: str) -> None:
+    """A catalog-managed (CCv2 / coordinated-commits) table the way a
+    catalog-backed writer leaves it: versions 0-1 PUBLISHED as canonical
+    ``_delta_log/N.json``, version 2 existing ONLY as a staged commit
+    ``_delta_log/_staged_commits/<v>.<uuid>.json`` — on a real UC table
+    the catalog owns that tail and hands readers the paths (the
+    ``log_tail`` attach option, reference delta_utils.cpp:884-888).
+    A LIST-based reader must see version 1; a log_tail reader handed the
+    staged path must see version 2."""
+    import pyarrow as pa
+
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [spark_field("k", "long")],
+    }, separators=(",", ":"))
+    meta = {"metaData": {
+        "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "foreign_staged")),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 1_700_000_000_000,
+    }}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    write_commit(log_dir, 0, [commit_info("CREATE TABLE"), proto, meta])
+
+    def _file(index: int, lo: int, hi: int):
+        tbl = pa.table({"k": pa.array(range(lo, hi), pa.int64())})
+        rel = part_file_name(index)
+        pq.write_table(tbl, os.path.join(dest, rel))
+        return add_action(rel, os.path.join(dest, rel), tbl, {}, ["k"])
+
+    write_commit(log_dir, 1, [commit_info("WRITE"), _file(0, 0, 10)])
+
+    # version 2: staged-only (not yet published to N.json)
+    staged_dir = os.path.join(log_dir, "_staged_commits")
+    os.makedirs(staged_dir, exist_ok=True)
+    add2 = _file(1, 10, 15)
+    payload = "".join(
+        json.dumps(a, separators=(",", ":")) + "\n"
+        for a in [commit_info("WRITE"), add2]
+    )
+    staged = os.path.join(
+        staged_dir,
+        f"{2:020d}.{uuid.uuid5(uuid.NAMESPACE_URL, 'staged2').hex}.json",
+    )
+    with open(staged, "w", encoding="utf-8") as f:
+        f.write(payload)

@@ -794,3 +794,53 @@ def test_foreign_clustered_defaults_interop(spark, tmp_path):
     assert _json.loads(
         ci["commitInfo"]["operationParameters"]["clusterBy"]) == ["c1", "c2"]
     assert DeltaTable(dest).to_df(spark).count() == 44
+
+
+def test_foreign_staged_commits_log_tail(spark, tmp_path):
+    """Coordinated-commits golden: version 2 exists only as a staged
+    ``_delta_log/_staged_commits/<v>.<uuid>.json``. A LIST-based reader
+    sees version 1; a reader handed the catalog's log_tail (incl. the
+    staged path) resolves version 2 — and commits THROUGH the catalog
+    seam land on top of the tail-resolved snapshot."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+
+    dest = str(tmp_path / "staged")
+    foreign.build_foreign_staged_commits(dest)
+
+    # directory listing must NOT surface the unratified staged commit
+    t = DeltaTable(dest)
+    assert t.snapshot.version == 1
+    assert t.to_df(spark).count() == 10
+
+    # catalog-provided tail: published 0..1 + the staged 2
+    log_dir = os.path.join(dest, "_delta_log")
+    tail = [os.path.join(log_dir, f"{v:020d}.json") for v in (0, 1)]
+    staged_dir = os.path.join(log_dir, "_staged_commits")
+    (staged,) = os.listdir(staged_dir)
+    tail.append(os.path.join(staged_dir, staged))
+
+    t2 = DeltaTable(dest, log_tail=tail)
+    assert t2.snapshot.version == 2
+    assert t2.to_df(spark).count() == 15
+
+    # a managed write on top of the tail-resolved snapshot commits v3
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    ledger = {}
+
+    def commit_fn(version, payload):
+        p = os.path.join(log_dir, f"{version:020d}.json")
+        with open(p, "wb") as f:  # catalog publishes (ratifies) directly
+            f.write(payload)
+        ledger[version] = p
+        return p
+
+    # publish the staged v2 first (catalog ratification), then write
+    import shutil
+
+    shutil.copyfile(tail[-1], os.path.join(log_dir, f"{2:020d}.json"))
+    w = DeltaWriter(dest, spark, commit_fn=commit_fn)
+    w.append(spark.range(15, 20).selectExpr("id as k"))
+    assert sorted(ledger) == [3]
+    assert DeltaTable(dest).to_df(spark).count() == 20
