@@ -312,6 +312,72 @@ def delta_variant_shredded_scan(spark, sf_dir):
     )
 
 
+# TPC-H ON DELTA (the reference's headline benchmark shape:
+# benchmark/tpch/sf1/local/delta/q01.benchmark runs the TPC-H suite over
+# delta_scan, not raw parquet): q01 and q06 through the full Delta read
+# path on the 3-commit lineitem fixture — the oracle is the same SQL
+# over the raw table, so any snapshot/DV/stats bug in the scan breaks it.
+@register(
+    "delta_tpch_q01",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                          * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    group="delta",
+)
+def delta_tpch_q01(spark, sf_dir):
+    df = _fx(spark, sf_dir, "lineitem_multi").to_df(spark)
+    dec = lambda c: F.col(c).cast("decimal(25,6)")  # noqa: E731
+    return (
+        df.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "delta_tpch_q06",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                          * CAST(l_discount AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    group="delta",
+)
+def delta_tpch_q06(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_multi")
+    sb = (
+        t.scan(spark)
+        .filter("l_shipdate", ">=", "1994-01-01")
+        .filter("l_shipdate", "<", "1995-01-01")
+    )
+    df = sb.to_df().where(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    dec = lambda c: F.col(c).cast("decimal(25,6)")  # noqa: E731
+    return df.agg(
+        F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+        .cast("double").alias("revenue")
+    )
+
+
 # Metadata-only count (DESCRIBE DETAIL numRecords): the stats-derived,
 # DV-adjusted row count answers count(*) in O(#files) without touching a
 # data file — the cardinality shortcut the reference exposes to DuckDB's
