@@ -169,3 +169,30 @@ def test_shredded_and_legacy_appends_interleave(spark, tdir):
     got = {r["i"]: json.loads(r["j"]) for r in
            out.select("i", F.to_json("v").alias("j")).collect()}
     assert got == {i: {"k": i, "t": f"s{i}"} for i in range(6)}
+
+
+def test_codec_wide_object_and_long_strings(spark, tdir):
+    """Header-width edges: 300-field objects (4-byte num_elements /
+    multi-byte offsets on the residual) and >63-byte strings (long-string
+    primitive) survive the shred → reassemble round-trip."""
+    import json as _json
+
+    obj = {f"f{i:03d}": i for i in range(300)}
+    obj["k"] = 7
+    obj["big"] = "x" * 200  # long-string encoding (4-byte length)
+    payload = _json.dumps(obj)
+    w, df = _vtable(spark, tdir, [(0, payload)])
+    w.append(df.coalesce(1), shred={"v": {"k": "long"}})
+    out = DeltaTable(tdir).to_df(spark)
+    got = _json.loads(out.select(F.to_json("v").alias("j")).head()["j"])
+    assert got == obj
+    # typed path still extracted k
+    files = [os.path.join(tdir, f) for f in os.listdir(tdir)
+             if f.endswith(".parquet")]
+    raw = spark.read.parquet(*files).select("v.*").head()
+    assert raw["typed_value"]["k"]["typed_value"] == 7
+    # residual really carries 301 fields
+    names = V.parse_metadata(bytes(raw["metadata"]))
+    fields = V.object_fields(bytes(raw["value"]))
+    assert len(fields) == 301
+    assert V.decode_scalar(fields[names.index("big")]) == ("string", "x" * 200)
