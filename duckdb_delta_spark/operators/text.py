@@ -405,3 +405,39 @@ def with_url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_domains", F.size(distinct).cast("long"))
         .withColumn("domains_csv", F.concat_ws(",", distinct))
     )
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-unigram Shannon entropy (bits) — the cheap
+    perplexity proxy quality filters use: near-zero entropy flags
+    degenerate/repeated content, unusually high entropy flags binary
+    junk or encoded blobs.
+
+    Shape: explode characters → (doc, char) hash-agg (map-side combined,
+    alphabet-bounded groups) → per-doc fold. Returns doc_id, n_chars_nz
+    (non-empty chars counted), char_entropy (round 4)."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("c")
+    ).where(F.col("c") != "")
+    counts = chars.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy(id_col).agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    ent = (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.first("tot").cast("long").alias("n_chars_nz"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars_nz", F.lit(0)).cast("long")
+            .alias("n_chars_nz"),
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+        )
+    )

@@ -1198,3 +1198,38 @@ def doc_cap_per_source(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, c FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+            FROM documents
+        ) WHERE c <> ''
+    ),
+    counts AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        FROM chars GROUP BY doc_id, c
+    ),
+    tots AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot
+        FROM counts GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT c.doc_id, t.tot AS n_chars_nz,
+               round(-sum((n / CAST(t.tot AS DOUBLE))
+                          * log2(n / CAST(t.tot AS DOUBLE))), 4)
+                   AS char_entropy
+        FROM counts c JOIN tots t USING (doc_id) GROUP BY c.doc_id, t.tot
+    )
+    SELECT d.doc_id, coalesce(e.n_chars_nz, 0) AS n_chars_nz,
+           coalesce(e.char_entropy, 0.0) AS char_entropy
+    FROM documents d LEFT JOIN ent e USING (doc_id)
+    """,
+    group="text",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-unigram entropy quality signal (perplexity proxy)."""
+    return X.with_char_entropy(load(spark, sf_dir, "documents"))
