@@ -441,3 +441,128 @@ def with_char_entropy(df: DataFrame, text_col: str = "text",
             F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
         )
     )
+
+
+#: tag / block regexes shared with the oracle (RE2- and java.util.regex-safe)
+HTML_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+HTML_TAG_RE = r"<[^>]*>"
+
+#: the entity subset a boilerplate-free extractor must handle; ordered so
+#: that &amp; is decoded LAST (otherwise '&amp;lt;' would double-decode)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def with_html_strip(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Main-content extraction from raw HTML — the first step of every
+    web-crawl pipeline (WET-file generation). Pure built-in regexp/replace
+    expressions: whole-stage codegen, embarrassingly parallel, zero
+    shuffle, zero Python — the shape that survives 100 TB of WARC-derived
+    pages.
+
+    Steps (each a deterministic function both engines reproduce):
+      1. drop <script>/<style> blocks wholesale (content is not text),
+      2. count then strip remaining tags (replaced by a space so adjacent
+         words don't fuse),
+      3. decode the common entity subset (&amp; last to avoid
+         double-decoding),
+      4. collapse whitespace runs and trim.
+
+    Adds ``n_tags`` (tags stripped after block removal), ``clean_text``,
+    ``clean_len``. Reference analogue: the reference engine has no HTML
+    path — this is beyond-reference pipeline surface."""
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), HTML_SCRIPT_RE, " "),
+        HTML_STYLE_RE, " ")
+    n_tags = F.regexp_count(no_blocks, F.lit(HTML_TAG_RE)).cast("long")
+    clean = F.regexp_replace(no_blocks, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return (
+        df.withColumn("n_tags", n_tags)
+        .withColumn("clean_text", clean)
+        .withColumn("clean_len", F.length(clean).cast("long"))
+    )
+
+
+#: C0/C1 control characters (tab/newline excluded — they are structure)
+CONTROL_CHARS_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization + control-character stripping — the
+    canonicalization step that makes fingerprints/dedup stable across
+    crawl encodings (é as one codepoint vs e+combining-accent must hash
+    identically).
+
+    Control-char removal is a codegen regexp; NFC itself has no Spark
+    built-in, so it runs as an Arrow-batched pandas UDF
+    (``unicodedata.normalize`` over a whole column batch per call — the
+    sanctioned slow-path shape: vectorized transfer, zero shuffle, scales
+    linearly with executors). Adds ``norm_text``, ``n_chars_raw``,
+    ``n_chars_norm``, ``changed``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf cannot resolve — the returnType argument carries it
+    _nfc = pandas_udf(_nfc_batch, "string")
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, "")
+    return (
+        df.withColumn("n_chars_raw", F.length(text_col).cast("long"))
+        .withColumn("norm_text", _nfc(stripped))
+        .withColumn("n_chars_norm", F.length("norm_text").cast("long"))
+        .withColumn("changed", F.col("norm_text") != F.col(text_col))
+    )
+
+
+#: C4-style line/document rules (Raffel et al. 2020, §2.2) — thresholds
+#: shared with the oracle
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 2
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style cleaning: keep only lines that end in terminal punctuation
+    and have >= C4_MIN_LINE_WORDS words; drop documents with braces (code)
+    or fewer than C4_MIN_KEPT_LINES surviving lines. Everything is array
+    built-ins over the line split — one codegen map stage, no shuffle, no
+    Python; at 100 TB this is a pure scan.
+
+    Adds ``n_lines``, ``n_kept_lines``, ``has_brace``, ``kept`` (doc
+    survives), ``clean_md5`` (md5 of kept lines newline-joined — position
+    exact)."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda l: l != "",
+    )
+    term = F.array(*[F.lit(t) for t in C4_TERMINALS])
+    kept_lines = F.filter(
+        lines,
+        lambda l: F.array_contains(term, F.substring(l, -1, 1))
+        & (F.size(F.split(l, r"\s+")) >= C4_MIN_LINE_WORDS),
+    )
+    has_brace = F.col(text_col).contains("{") | F.col(text_col).contains("}")
+    n_kept = F.size(kept_lines)
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", n_kept.cast("long"))
+        .withColumn("has_brace", has_brace)
+        .withColumn(
+            "kept", (~has_brace) & (n_kept >= C4_MIN_KEPT_LINES)
+        )
+        .withColumn("clean_md5", F.md5(F.concat_ws("\n", kept_lines)))
+    )

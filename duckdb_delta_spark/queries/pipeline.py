@@ -1233,3 +1233,181 @@ def doc_cap_per_source(spark, sf_dir):
 def text_char_entropy(spark, sf_dir):
     """Character-unigram entropy quality signal (perplexity proxy)."""
     return X.with_char_entropy(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ r9:
+# main-content extraction from HTML. The corpus has no markup, so the
+# query wraps every document in a deterministic page skeleton (script +
+# style blocks, attributes, entities) and both engines extract the text
+# back out with the same regex/replace chain.
+_HTML_PRE = (
+    '<html><head><script>var hidden = "<p>not visible</p>";</script>'
+    "<style>p { color: red; }</style></head>"
+    '<body class="main"><h1>Doc '
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = (
+    " &amp; more &lt;math&gt; 5 &gt; 3 &quot;q&quot; &#39;s&#39;&nbsp;end"
+    "</p><br/></body></html>"
+)
+
+
+def _html_oracle() -> str:
+    # chained entity decode, &amp; last (mirrors X.HTML_ENTITIES order)
+    decoded = "t1"
+    for ent, ch in X.HTML_ENTITIES:
+        decoded = f"replace({decoded}, '{ent}', {repr(ch)[0] + ch + repr(ch)[0]})" \
+            if ch != "'" else f"replace({decoded}, '{ent}', chr(39))"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}' || text
+               || '{_HTML_POST.replace("'", "''")}' AS html
+      FROM documents),
+    nb AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb
+      FROM h),
+    c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(nb, '<[^>]*>')) AS BIGINT) AS n_tags,
+             regexp_replace(nb, '<[^>]*>', ' ', 'g') AS t1
+      FROM nb),
+    d AS (
+      SELECT doc_id, n_tags,
+             trim(regexp_replace({decoded}, '\\s+', ' ', 'g')) AS clean
+      FROM c)
+    SELECT doc_id, n_tags, md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM d
+    """
+
+
+@register("text_html_strip", oracle=_html_oracle(), group="text")
+def text_html_strip(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE), F.col("doc_id").cast("string"),
+            F.lit(_HTML_MID), F.col("text"), F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    out = X.with_html_strip(docs)
+    return out.select(
+        "doc_id", "n_tags", F.md5("clean_text").alias("clean_md5"),
+        "clean_len",
+    )
+
+
+# Unicode NFC canonicalization: the corpus is pure ASCII, so the query
+# injects decomposed sequences (e + combining acute), pre-composed forms
+# and a C0 control char deterministically; DuckDB's nfc_normalize is the
+# independent oracle for the pandas-UDF NFC on the Spark side.
+_NFC_DECOMPOSED = " café"   # e + U+0301 -> composes to é
+_NFC_COMPOSED = " café"      # already NFC -> unchanged
+
+
+def _normalize_oracle() -> str:
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0 THEN '{_NFC_DECOMPOSED}'
+                          ELSE '{_NFC_COMPOSED}' END
+                  || CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END AS raw
+      FROM documents),
+    s AS (
+      SELECT doc_id, raw,
+             nfc_normalize(regexp_replace(raw,
+               '{X.CONTROL_CHARS_RE}', '', 'g')) AS norm
+      FROM r)
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           (norm <> raw) AS changed,
+           md5(norm) AS norm_md5
+    FROM s
+    """
+
+
+@register("text_normalize", oracle=_normalize_oracle(), group="text")
+def text_normalize(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_NFC_DECOMPOSED))
+            .otherwise(F.lit(_NFC_COMPOSED)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = X.with_normalized_text(docs)
+    return out.select(
+        "doc_id", "n_chars_raw", "n_chars_norm", "changed",
+        F.md5("norm_text").alias("norm_md5"),
+    )
+
+
+# C4-style quality filter: documents are framed with deterministic lines
+# spanning every rule (clean sentence kept, unterminated line dropped,
+# short line dropped, code-brace line kills the doc, question kept).
+_C4_L1_PRE = "Doc "
+_C4_L1_POST = " starts with a clean sentence."
+_C4_SHORT = "Too short."
+_C4_CODE = "function f() { return 1; }"
+_C4_QUESTION = "Is this a kept question?"
+
+
+def _c4_oracle() -> str:
+    terms = ", ".join(f"'{t}'" if t != '"' else "chr(34)" for t in X.C4_TERMINALS)
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             '{_C4_L1_PRE}' || CAST(doc_id AS VARCHAR) || '{_C4_L1_POST}'
+               || chr(10) || text || chr(10) || '{_C4_SHORT}'
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || '{_C4_CODE}' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || '{_C4_QUESTION}' ELSE '' END AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS lines
+      FROM r),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+               list_contains([{terms}], substr(x, length(x), 1))
+               AND len(string_split_regex(x, '\\s+'))
+                   >= {X.C4_MIN_LINE_WORDS}) AS kept_lines
+      FROM l)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+           (text LIKE '%{{%' OR text LIKE '%}}%') AS has_brace,
+           (NOT (text LIKE '%{{%' OR text LIKE '%}}%')
+            AND len(kept_lines) >= {X.C4_MIN_KEPT_LINES}) AS kept,
+           md5(array_to_string(kept_lines, chr(10))) AS clean_md5
+    FROM k
+    """
+
+
+@register("doc_quality_c4", oracle=_c4_oracle(), group="doc")
+def doc_quality_c4(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_C4_L1_PRE), F.col("doc_id").cast("string"),
+            F.lit(_C4_L1_POST + "\n"), F.col("text"),
+            F.lit("\n" + _C4_SHORT),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _C4_CODE))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _C4_QUESTION))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return X.c4_quality_filter(docs).select(
+        "doc_id", "n_lines", "n_kept_lines", "has_brace", "kept", "clean_md5"
+    )

@@ -330,3 +330,70 @@ def test_redaction_semantics(spark):
         n_ph = sum(r["redacted"].count(f"<{k.upper()}>")
                    for k in ("email", "phone", "ipv4"))
         assert r["n_pii"] == n_ph
+
+
+def test_html_strip_semantics(spark):
+    """Script/style blocks vanish wholesale, tags strip to spaces, the
+    entity subset decodes exactly once (&amp;lt; stays literal '&lt;'
+    decoded to '<'... i.e. no double-decode), whitespace collapses."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.text import with_html_strip
+
+    df = spark.createDataFrame(
+        [(1, '<p>a &amp;lt; b</p><script>var x = "<b>hi</b>";</script>'),
+         (2, "<div  class='x'>one<br/>two</div>"),
+         (3, "no markup at all"),
+         (4, "<style>h1 { x: 1; }</style>5 &gt; 3 &nbsp;&quot;q&quot;")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("html", T.StringType())]))
+    out = {r["doc_id"]: r for r in with_html_strip(df).collect()}
+    # &amp; decodes last: '&amp;lt;' -> '&lt;' (literal), never '<'
+    assert out[1]["clean_text"] == "a &lt; b"
+    assert out[1]["n_tags"] == 2  # <p> </p>; script block gone before count
+    assert out[2]["clean_text"] == "one two"
+    assert out[3]["clean_text"] == "no markup at all" and out[3]["n_tags"] == 0
+    assert out[4]["clean_text"] == '5 > 3 "q"'
+    assert out[4]["n_tags"] == 0
+
+
+def test_nfc_normalize_semantics(spark):
+    """Decomposed sequences compose, composed text is unchanged, control
+    chars are stripped before normalization."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.text import with_normalized_text
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, "be\x07ll"), (4, None)],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    out = {r["doc_id"]: r for r in with_normalized_text(df).collect()}
+    assert out[1]["norm_text"] == "café" and out[1]["changed"]
+    assert out[1]["n_chars_raw"] == 5 and out[1]["n_chars_norm"] == 4
+    assert out[2]["norm_text"] == "café" and not out[2]["changed"]
+    assert out[3]["norm_text"] == "bell" and out[3]["changed"]
+    assert out[4]["norm_text"] is None
+
+
+def test_c4_filter_rules(spark):
+    """Line rules (terminal punctuation + min words) and doc rules
+    (brace kill, min kept lines) each fire independently."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.text import c4_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "A good first sentence.\nno terminal here\nShort.\n"
+             "And a fine question?"),
+         (2, "Only one good line here.\nrest is junk"),
+         (3, "This would be kept fine.\nBut the code killed it.\nx = {1}"),
+         (4, "")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    out = {r["doc_id"]: r for r in c4_quality_filter(df).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept_lines"] == 2
+    assert out[1]["kept"] and not out[1]["has_brace"]
+    assert out[2]["n_kept_lines"] == 1 and not out[2]["kept"]
+    assert out[3]["has_brace"] and not out[3]["kept"]
+    assert out[4]["n_lines"] == 0 and not out[4]["kept"]
