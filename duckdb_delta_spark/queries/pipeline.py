@@ -1411,3 +1411,28 @@ def doc_quality_c4(spark, sf_dir):
     return X.c4_quality_filter(docs).select(
         "doc_id", "n_lines", "n_kept_lines", "has_brace", "kept", "clean_md5"
     )
+
+
+# Incremental ingest dedup: docs with doc_id % 4 == 0 play the "incoming
+# shard", the rest the already-ingested corpus. The operator's broadcast
+# semi/anti plan never shuffles the corpus; the oracle is the plain
+# NOT-IN formulation.
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, {_FP} AS fingerprint FROM documents),
+    batch AS (SELECT * FROM f WHERE doc_id % 4 = 0),
+    corpus AS (SELECT * FROM f WHERE doc_id % 4 <> 0)
+    SELECT doc_id, fingerprint FROM batch
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    """,
+    group="dedup",
+)
+def dedup_incremental(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    return D.incremental_dedup(corpus, batch).select("doc_id", "fingerprint")

@@ -355,3 +355,27 @@ def test_brute_force_topk_two_stage_window(spark):
     # Spark 4 pushes the rank limit below each exchange: top-k is taken
     # map-side, so the shuffle carries ≤ k rows per (query, partition)
     assert len(re.findall(r"WindowGroupLimit", plan)) >= 2, plan
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark):
+    """The corpus branch of incremental_dedup must reach its join through a
+    BroadcastHashJoin with no shuffle Exchange — the whole point of the
+    operator (a daily batch must not re-shuffle a 100 TB corpus)."""
+    from duckdb_delta_spark.operators.dedup import incremental_dedup
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    plan = _plan(incremental_dedup(corpus, batch))
+    import re
+
+    # formatted explain lists each operator once as "(n) OpName"
+    joins = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(joins) == 2, plan  # semi (corpus) + anti (batch)
+    assert "SortMergeJoin" not in plan
+    # the only shuffles allowed are the distincts over BATCH-derived
+    # (small) branches; the corpus branch itself must go
+    # scan -> project -> broadcast-join with no Exchange.
+    shuffles = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(shuffles) <= 2, plan
