@@ -667,3 +667,75 @@ def incremental_dedup(
         .distinct()
     )
     return fp_batch.join(F.broadcast(hits), "fingerprint", "left_anti")
+
+
+#: near-dup banding defaults: 48-bit signature, 3 bands of 16 bits —
+#: pigeonhole guarantees every pair at Hamming distance < 3 shares a band
+NEARDUP_BITS = 48
+NEARDUP_BAND_BITS = 16
+NEARDUP_MAX_HAMMING = 2
+
+
+def simhash_near_dup_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = NEARDUP_BITS,
+    band_bits: int = NEARDUP_BAND_BITS,
+    max_hamming: int = NEARDUP_MAX_HAMMING,
+) -> DataFrame:
+    """Per-document near-duplicate count: how many OTHER docs sit within
+    ``max_hamming`` bits of this doc's SimHash. Exact (the banding is a
+    lossless candidate generator: with b bands, any pair with
+    Hamming < b shares at least one full band — pigeonhole — so
+    ``max_hamming`` must stay < bands, asserted).
+
+    The 100-TB trick is that the quadratic stage runs on DISTINCT
+    signatures, not documents: templated corpora concentrate millions of
+    docs onto few signatures, so (1) identical-signature duplicates are
+    counted with one hash-agg (no pairs materialized), and (2) the band
+    self-join + Hamming verify touches each signature once per band.
+    Document counts then re-attach via a signature-keyed join.
+    """
+    if max_hamming >= bits // band_bits:
+        raise ValueError("max_hamming must be < number of bands")
+    sig = simhash(df, text_col, id_col, bits=bits)
+    counts = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("cnt"))
+    mask = (1 << band_bits) - 1
+    pairs = None
+    for b in range(bits // band_bits):
+        bv = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+        left = counts.select(F.col("simhash").alias("sig_a"), bv.alias("bv"))
+        right = counts.select(F.col("simhash").alias("sig_b"), bv.alias("bv"))
+        p = (
+            left.join(right, "bv")
+            .where(F.col("sig_a") < F.col("sig_b"))
+            .select("sig_a", "sig_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    near = pairs.distinct().where(
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
+    )
+    sym = near.unionByName(
+        near.select(
+            F.col("sig_b").alias("sig_a"), F.col("sig_a").alias("sig_b")
+        )
+    )
+    nb = (
+        sym.join(counts.withColumnRenamed("simhash", "sig_b"), "sig_b")
+        .groupBy("sig_a")
+        .agg(F.sum("cnt").alias("n_nb"))
+        .withColumnRenamed("sig_a", "simhash")
+    )
+    return (
+        sig.join(counts, "simhash")
+        .join(nb, "simhash", "left")
+        .select(
+            F.col(id_col),
+            (F.col("cnt") - 1 + F.coalesce(F.col("n_nb"), F.lit(0)))
+            .cast("long")
+            .alias("n_near_dups"),
+        )
+    )

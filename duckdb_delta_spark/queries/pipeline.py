@@ -1436,3 +1436,44 @@ def dedup_incremental(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
     return D.incremental_dedup(corpus, batch).select("doc_id", "fingerprint")
+
+
+def _simhash_sql_bits(bits: int) -> str:
+    """N-bit generalization of _simhash_sql (same md5-nibble vote rule)."""
+    votes = ", ".join(
+        "sum(CASE WHEN (CAST(strpos('0123456789abcdef', substr(h, %d, 1)) - 1 "
+        "AS INTEGER) >> %d) %% 2 = 1 THEN 1 ELSE -1 END) AS v_%d"
+        % (1 + j // 4, 3 - (j % 4), j)
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, md5(unnest({_TOKS})) AS h FROM documents),
+    agg AS (SELECT doc_id, {votes} FROM toked GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM agg
+    """
+
+
+# near-dup neighbor counts: the oracle is the brute-force all-pairs
+# Hamming join — deliberately independent of the Spark side's
+# distinct-signature banding, so a banding bug (a missed candidate)
+# surfaces as a value mismatch instead of being mirrored.
+@register(
+    "dedup_simhash_neighbors",
+    oracle=f"""
+    WITH sig AS ({_simhash_sql_bits(D.NEARDUP_BITS)})
+    SELECT a.doc_id,
+           CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dups
+    FROM sig a LEFT JOIN sig b
+      ON a.doc_id <> b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= {D.NEARDUP_MAX_HAMMING}
+    GROUP BY a.doc_id
+    """,
+    group="dedup",
+)
+def dedup_simhash_neighbors(spark, sf_dir):
+    return D.simhash_near_dup_counts(load(spark, sf_dir, "documents"))
