@@ -233,3 +233,67 @@ def cap_per_group(
         .where(F.col("__r2") <= max_per_group)
         .drop("__key", "__pid", "__r1", "__r2")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "temp1",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling rule of
+    mBERT/XLM-R/PaLM, T=2): per-source sampling mass ∝ size^(1/2), so
+    small sources are up-weighted relative to their share and no source
+    drowns the mixture. Rates are DERIVED FROM THE DATA (one per-source
+    agg), unlike :func:`stratified_sample` where the caller fixes them.
+
+    All arithmetic is integer (isqrt via floor∘sqrt on BIGINT-ranged
+    values, integer division, ppm rates) so Spark and the oracle agree
+    bit-for-bit — no float summation-order hazards. Selection is the
+    md5-ppm draw: keep iff ``md5(id:salt) % 1e6 < rate_ppm``.
+
+    Scale shape: one map-side-combined per-source agg (source cardinality
+    is tiny), a single-row total joined back by broadcast, and a
+    broadcast rates join into the corpus scan — the 100 TB pass is one
+    embarrassingly parallel filter. Adds ``rate_ppm`` to kept rows.
+    """
+    rates = temperature_rates(df, budget_tokens, source_col, weight_col)
+    draw = hash_bucket(F.col(id_col), 1_000_000, salt=salt)
+    return (
+        df.join(F.broadcast(rates.select(source_col, "rate_ppm")), source_col)
+        .where(draw < F.col("rate_ppm"))
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """The per-source rate table behind :func:`temperature_mix`:
+    (source, tok_s, rate_ppm). Integer-exact end to end."""
+    per = df.groupBy(source_col).agg(
+        F.sum(weight_col).cast("long").alias("tok_s")
+    )
+    per = per.withColumn(
+        "s_s", F.floor(F.sqrt(F.col("tok_s").cast("double"))).cast("long")
+    )
+    tot = per.agg(F.sum("s_s").alias("tot_s"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_s",
+            F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * s_s div tot_s"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("target_s * 1000000 div greatest(tok_s, 1)"),
+            ),
+        )
+        .select(source_col, "tok_s", "rate_ppm")
+    )

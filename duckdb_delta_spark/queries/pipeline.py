@@ -1477,3 +1477,57 @@ def _simhash_sql_bits(bits: int) -> str:
 )
 def dedup_simhash_neighbors(spark, sf_dir):
     return D.simhash_near_dup_counts(load(spark, sf_dir, "documents"))
+
+
+# temperature-scaled mixing: rates derived from per-source mass with
+# integer-exact arithmetic (isqrt + integer division + ppm draw), so the
+# oracle reproduces the whole derivation, not just the draw
+_TEMP_BUDGET = 20_000
+
+
+@register(
+    "doc_mix_temperature",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok_s
+      FROM documents GROUP BY source),
+    s AS (SELECT source, tok_s,
+                 CAST(floor(sqrt(CAST(tok_s AS DOUBLE))) AS BIGINT) AS s_s
+          FROM per),
+    t AS (SELECT sum(s_s) AS tot_s FROM s),
+    r AS (SELECT source, tok_s,
+                 least(1000000,
+                       (({_TEMP_BUDGET} * s_s) // tot_s) * 1000000
+                         // greatest(tok_s, 1)) AS rate_ppm
+          FROM s, t),
+    k AS (
+      SELECT d.source, d.doc_id, d.n_chars
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x' || substr(md5(CAST(doc_id AS STRING) || ':temp1'), 1, 8))::BIGINT
+              % 1000000 < r.rate_ppm)
+    SELECT r.source, r.tok_s, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS kept_chars
+    FROM r LEFT JOIN k ON r.source = k.source
+    GROUP BY r.source, r.tok_s, r.rate_ppm
+    """,
+    group="chunking",
+)
+def doc_mix_temperature(spark, sf_dir):
+    from duckdb_delta_spark.operators import chunking as C
+
+    docs = load(spark, sf_dir, "documents")
+    kept = C.temperature_mix(docs, _TEMP_BUDGET)
+    rates = C.temperature_rates(docs, _TEMP_BUDGET)
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        rates.join(agg, "source", "left")
+        .select(
+            "source", "tok_s", F.col("rate_ppm").cast("long").alias("rate_ppm"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
+        )
+    )

@@ -479,3 +479,83 @@ def stream_dedup(spark, sf_dir):
         return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_session_builtin",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    group="streaming",
+)
+def stream_session_builtin(spark, sf_dir):
+    """JVM-native session windows (built-in ``session_window`` agg, zero
+    Python crossings); complete mode emits open tail sessions too, so the
+    oracle is the FULL batch sessionization — no subtraction."""
+    from duckdb_delta_spark.streaming import (
+        session_window_stream,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(
+        session_window_stream(ev), output_mode="complete"
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    """,
+    group="streaming",
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static broadcast enrichment: events stream joined per
+    micro-batch against the customer->nation dimension snapshot
+    (stateless, map-side); the materialized enriched stream then
+    aggregates to the batch answer."""
+    from duckdb_delta_spark.queries import load
+    from duckdb_delta_spark.streaming import enrich_stream, stream_events
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    ev = stream_events(spark, sf_dir)
+    enriched = run_stream_to_memory(
+        enrich_stream(ev, dim).select("nation", "event_type", "value"),
+        output_mode="append",
+    )
+    return enriched.groupBy("nation", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

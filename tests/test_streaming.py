@@ -1027,3 +1027,31 @@ def test_foreach_merge_exactly_once_and_dedup_keys(spark, tdir):
     fn(spark.createDataFrame([(2, 200, 3)], schema), 1)
     assert {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()} \
         == {1: 222, 2: 200, 3: 30}
+
+
+def test_session_window_stream_is_jvm_native(spark):
+    """The built-in session_window plan must contain the JVM session-window
+    aggregation and no pandas-state operator."""
+    from duckdb_delta_spark.streaming import session_window_stream, stream_events
+
+    ev = stream_events(spark, "/root/testdata/sf0.001")
+    plan = session_window_stream(ev)._jdf.queryExecution().analyzed().toString()
+    assert "session_window" in plan
+    assert "FlatMapGroupsInPandasWithState" not in plan
+
+
+def test_enrich_stream_broadcasts_dim(spark):
+    """Stream-static enrichment keeps the dim on the broadcast side —
+    stateless map-side join per micro-batch."""
+    from duckdb_delta_spark.streaming import enrich_stream, stream_events
+    from duckdb_delta_spark.queries import load
+
+    ev = stream_events(spark, "/root/testdata/sf0.001")
+    dim = load(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_nationkey")
+    df = enrich_stream(ev, dim)
+    # streaming plans only optimize at execution; the analyzed plan must
+    # carry the broadcast hint on the dim side
+    ana = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in ana.lower()
+    assert df.isStreaming
