@@ -494,3 +494,199 @@ def quantize_int8(
             / F.size("__q"), 10,
         ).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------- PQ/ADC
+
+PQ_M = 4        #: subspaces
+PQ_K = 16       #: codewords per subspace
+
+#: squared-distance terms are fixed-point BIGINTs (scale 1e15): integer
+#: addition is exact and order-free, so Spark partial aggregation and the
+#: oracle's arbitrary summation order produce BIT-IDENTICAL distances —
+#: no float tie hazards in the argmin/rank stages. (Sub-distance < 4 →
+#: term < 4e15; sums stay far below 2^63.)
+PQ_SCALE = 1_000_000_000_000_000
+
+
+def _ssd_fixed(a: Column, b: Column) -> Column:
+    """Fixed-point squared L2 distance of two double-array columns."""
+    terms = F.zip_with(
+        a, b,
+        lambda x, y: F.round((x - y) * (x - y) * PQ_SCALE).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks seeded from the k lowest-id corpus vectors
+    (one bounded O(k) driver collect — the same deterministic seeding rule
+    the IVF oracle uses; a production pipeline would refine these with
+    :func:`kmeans_fit` per subspace, which this seeding is iteration 0 of).
+    Returns books[s][c] = the 16-dim codeword."""
+    rows = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    dim = len(rows[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(rows[c][0][s * sub + i]) for i in range(sub)] for c in range(k)]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to m code bytes: code_s = argmin over the
+    subspace codebook of the exact-decimal squared distance (ties to the
+    lower code). Pure codegen expressions — the 100-TB encode is one
+    embarrassingly parallel scan producing m small ints per vector
+    (a 256× compression of a float32 corpus at the usual m=8/k=256)."""
+    sub = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for s, book in enumerate(books):
+        sv = F.slice(v, s * sub + 1, sub)
+        structs = []
+        for c, cw in enumerate(book):
+            cwlit = F.array(*[F.lit(x) for x in cw])
+            structs.append(
+                F.struct(
+                    _ssd_fixed(sv, cwlit).alias("d"), F.lit(c).alias("c")
+                )
+            )
+        cols.append(F.array_min(F.array(*structs))["c"].alias(f"code_{s}"))
+    return df.select(*cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    kcent: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    corpus vectors live as m-byte codes, each query carries an m×kcent
+    lookup table of exact-decimal subdistances, and the approximate
+    distance is m LUT probes + an exact decimal add — no vector math in
+    the scan. Broadcast of queries+LUTs, then the same two-stage
+    (per-partition partial, then global) top-k window as
+    :func:`brute_force_topk`, ranking by (adist asc, neighbor_id).
+
+    100-TB shape: the corpus never moves (codes are ~1% of vector bytes),
+    queries broadcast, and per-row work is O(m) element_at probes."""
+    from pyspark.sql.window import Window
+
+    books = pq_codebooks(corpus, m, kcent, id_col, vec_col)
+    sub = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    qcols = [F.col(id_col).alias("query_id")]
+    for s, book in enumerate(books):
+        qsub = F.slice(qv, s * sub + 1, sub)
+        lut = F.array(
+            *[_ssd_fixed(qsub, F.array(*[F.lit(x) for x in cw])) for cw in book]
+        )
+        qcols.append(lut.alias(f"lut_{s}"))
+    q = queries.select(*qcols)
+
+    joined = codes.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adist = None
+    for s in range(m):
+        probe = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adist = probe if adist is None else adist + probe
+    scored = joined.withColumn("adist", adist).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    order = (F.col("adist").asc(), F.col("neighbor_id").asc())
+    w_partial = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__prank", F.row_number().over(w_partial))
+        .where(F.col("__prank") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.round(F.col("adist") / F.lit(float(PQ_SCALE)), 6).alias("approx_dist"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = PQ_M,
+    kcent: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase ANN, the production PQ shape: the ADC scan over codes
+    produces a per-query shortlist (k' ≫ k candidates, still never
+    touching the float vectors), then ONLY the shortlist rows are
+    re-scored with the exact squared distance and re-ranked. Recall is
+    set by k'/k, cost by "code scan + |Q|·k' exact distances".
+
+    The shortlist (|Q|·k' ids) is broadcast back onto the corpus scan —
+    a semi-join, no corpus shuffle — so the 100-TB cost profile is two
+    embarrassingly parallel passes. Exact distances use the same
+    fixed-point arithmetic as ADC: deterministic, oracle-exact."""
+    from pyspark.sql.window import Window
+
+    cand = pq_topk(
+        corpus, queries, k=shortlist, m=m, kcent=kcent,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    cv = corpus.join(
+        F.broadcast(cand.select("neighbor_id").distinct()),
+        corpus[id_col] == F.col("neighbor_id"),
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist_fx", _ssd_fixed(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_fx").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.round(F.col("dist_fx") / F.lit(float(PQ_SCALE)), 6).alias("dist"),
+            F.col("rank").cast("long"),
+        )
+    )

@@ -1531,3 +1531,128 @@ def doc_mix_temperature(spark, sf_dir):
             F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
         )
     )
+
+
+# Product quantization / ADC: codebooks seeded from the first PQ_K
+# vectors (the IVF oracle's seeding rule); every squared-distance term is
+# cast to DECIMAL(38,18) in BOTH engines, so distance sums are exact and
+# order-free and the argmin/rank stages cannot diverge on float ties.
+_PQ_SUB = 64 // S.PQ_M
+_PQ_SSD = (
+    "list_sum(list_transform(range(1, %d + 1), "
+    "i -> CAST(round((a.sv[i] - b.cw[i]) * (a.sv[i] - b.cw[i]) * %d) "
+    "AS BIGINT)))" % (_PQ_SUB, S.PQ_SCALE)
+)
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, {_DVEC} AS v
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {S.PQ_K})),
+    subs AS (SELECT unnest(range(0, {S.PQ_M})) AS s),
+    cb AS (SELECT c, s, list_slice(v, s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}) AS cw
+           FROM cents, subs),
+    sv AS (SELECT vec_id, s, list_slice(v, s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}) AS sv
+           FROM (SELECT vec_id, {_DVEC} AS v FROM embeddings), subs),
+    dists AS (
+      SELECT a.vec_id, a.s, b.c, {_PQ_SSD} AS d
+      FROM sv a JOIN cb b ON a.s = b.s),
+    enc AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM dists) WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, s, c, d FROM dists WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id AS neighbor_id, q.query_id, sum(q.d) AS adist
+      FROM enc e JOIN qd q ON q.s = e.s AND q.c = e.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY e.vec_id, q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(adist / CAST(1000000000000000 AS DOUBLE), 6) AS approx_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    group="similarity",
+)
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k: corpus as m-byte codes, queries as
+    broadcast LUTs, exact-decimal distance arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, k=5)
+
+
+# PQ shortlist + exact re-rank: the production ANN pipeline (codes-only
+# ADC scan -> k'=50 shortlist -> exact distances on the shortlist only).
+# Same fixed-point arithmetic throughout -> oracle-exact.
+_PQ_XSSD = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(round((q.v[i] - c.v[i]) * (q.v[i] - c.v[i]) * %d) "
+    "AS BIGINT)))" % S.PQ_SCALE
+)
+
+
+@register(
+    "ann_pq_rerank",
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, {_DVEC} AS v
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {S.PQ_K})),
+    subs AS (SELECT unnest(range(0, {S.PQ_M})) AS s),
+    cb AS (SELECT c, s, list_slice(v, s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}) AS cw
+           FROM cents, subs),
+    sv AS (SELECT vec_id, s, list_slice(v, s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}) AS sv
+           FROM (SELECT vec_id, {_DVEC} AS v FROM embeddings), subs),
+    dists AS (
+      SELECT a.vec_id, a.s, b.c, {_PQ_SSD} AS d
+      FROM sv a JOIN cb b ON a.s = b.s),
+    enc AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM dists) WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, s, c, d FROM dists WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id AS neighbor_id, q.query_id, sum(q.d) AS adist
+      FROM enc e JOIN qd q ON q.s = e.s AND q.c = e.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY e.vec_id, q.query_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 50),
+    vecs AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    rescored AS (
+      SELECT sl.query_id, sl.neighbor_id, {_PQ_XSSD} AS dist_fx
+      FROM shortlist sl
+      JOIN vecs q ON q.vec_id = sl.query_id
+      JOIN vecs c ON c.vec_id = sl.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist_fx,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_fx, neighbor_id) AS rank
+      FROM rescored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(dist_fx / CAST({10**15} AS DOUBLE), 6) AS dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    group="similarity",
+)
+def ann_pq_rerank(spark, sf_dir):
+    """Two-phase PQ ANN: ADC shortlist then exact re-rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.pq_topk_rerank(emb, queries, k=5, shortlist=50)
