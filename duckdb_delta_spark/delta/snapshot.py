@@ -58,6 +58,9 @@ SUPPORTED_WRITER_FEATURES = {
     "allowColumnDefaults",  # CURRENT_DEFAULT fill on append (writer.set_default)
     "clustering",  # clustered tables: delta.clustering domain metadata; OPTIMIZE clusters
     "rowTracking",  # baseRowId allocation + rowIdHighWaterMark (writer._assign_row_ids)
+    # all-or-nothing history cleanup below requireCheckpointProtectionBeforeVersion
+    # (writer.cleanup_expired_logs honors it; DROP FEATURE TRUNCATE HISTORY writes it)
+    "checkpointProtection",
 }
 
 SUPPORTED_READER_FEATURES = {

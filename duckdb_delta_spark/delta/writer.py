@@ -2737,7 +2737,7 @@ class DeltaWriter:
     _DROPPABLE_FEATURES = ("deletionVectors", "checkConstraints",
                            "allowColumnDefaults", "variantShredding")
 
-    def drop_feature(self, name: str) -> int:
+    def drop_feature(self, name: str, truncate_history: bool = False) -> int:
         """ALTER TABLE ... DROP FEATURE (delta-spark parity, pragmatic
         subset): remove a table feature from the protocol once nothing in
         the CURRENT snapshot depends on it — the downgrade that makes a
@@ -2754,11 +2754,19 @@ class DeltaWriter:
         ``force_shredding_drop`` via configuration is intentionally NOT
         offered). Everything else refuses loudly.
 
-        Deviation from delta-spark, documented: no ``checkpointProtection``
-        feature is written; instead a fresh checkpoint is cut AFTER the
-        downgrade so replay from `_last_checkpoint` never visits the
-        feature's historical actions (time travel to pre-drop versions
-        still needs a feature-aware reader, as the spec warns)."""
+        ``truncate_history=True`` is DROP FEATURE ... TRUNCATE HISTORY
+        (delta-spark parity): the downgrade commit additionally declares
+        the ``checkpointProtection`` writer feature and stamps
+        ``delta.requireCheckpointProtectionBeforeVersion`` to the
+        downgrade version, then expired history below the fresh
+        checkpoint is cleaned immediately — readers can never replay the
+        dropped feature's historical actions, and later partial cleanups
+        below the boundary are refused (see
+        :meth:`cleanup_expired_logs`). Without it, a fresh checkpoint is
+        still cut after the downgrade so replay from ``_last_checkpoint``
+        never visits the feature's historical actions (time travel to
+        pre-drop versions then needs a feature-aware reader, as the spec
+        warns)."""
         snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
         proto = snap.protocol
         r = set(proto.get("readerFeatures") or [])
@@ -2807,7 +2815,22 @@ class DeltaWriter:
             if proto.get("readerFeatures") is not None:
                 new_proto["readerFeatures"] = sorted(r - {name})
             if proto.get("writerFeatures") is not None:
-                new_proto["writerFeatures"] = sorted(w - {name})
+                keep = w - {name}
+                if truncate_history:
+                    keep = keep | {"checkpointProtection"}
+                new_proto["writerFeatures"] = sorted(keep)
+        elif truncate_history:
+            # legacy protocol: declaring checkpointProtection needs the
+            # features form — upgrade to (minReader, 7) with the
+            # legacy-implied writer features made explicit (delta-spark
+            # does the same protocol normalization on TRUNCATE HISTORY)
+            new_proto = {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    (w_all - {name}) | {"checkpointProtection"}
+                ),
+            }
         else:
             # legacy-implied feature: downgrade the legacy writer version
             # (delta-spark's legacy downgrade path). checkConstraints is
@@ -2821,6 +2844,20 @@ class DeltaWriter:
                 "minReaderVersion": proto["minReaderVersion"],
                 "minWriterVersion": 2,
             }
+        version = snap.version + 1
+        if truncate_history:
+            # stamp the protection boundary in the SAME commit as the
+            # downgrade: cleanup below `version` is then all-or-nothing
+            meta = (meta_action or {"metaData": dict(snap.metadata)})[
+                "metaData"
+            ]
+            cfg = dict(meta.get("configuration") or {})
+            cfg["delta.requireCheckpointProtectionBeforeVersion"] = str(
+                version
+            )
+            meta = dict(meta)
+            meta["configuration"] = cfg
+            meta_action = {"metaData": meta}
         actions = [
             {"commitInfo": _commit_info("DROP FEATURE",
                                         {"feature": name})},
@@ -2828,12 +2865,15 @@ class DeltaWriter:
         ]
         if meta_action is not None:
             actions.append(meta_action)
-        version = snap.version + 1
         self._commit(version, actions, snap)
         self._snapshot = Snapshot.build(self.log, base=snap)
         # cut a checkpoint at the downgraded version so fresh readers
         # replay from here and never visit the feature's history
         self.checkpoint()
+        if truncate_history:
+            # TRUNCATE HISTORY: expire everything below the fresh
+            # checkpoint right now (horizon == boundary → allowed)
+            self.cleanup_expired_logs(retention_ms=0)
         return version
 
     def set_default(self, name: str, sql_expr: str) -> int:
@@ -3798,18 +3838,61 @@ class DeltaWriter:
         Deletion stops at the first too-young commit so the remaining log
         never has an internal gap. Commit age = in-commit timestamp when
         the table writes them (immune to copied-file mtimes), else file
-        mtime. Returns deleted paths."""
+        mtime. Returns deleted paths.
+
+        ``checkpointProtection`` (Delta spec "Checkpoint Protection", the
+        feature DROP FEATURE ... TRUNCATE HISTORY writes): when the table
+        declares it with ``delta.requireCheckpointProtectionBeforeVersion``
+        = V, history below V may only be removed ALL AT ONCE — a partial
+        sweep that strands versions in [h, V) behind a deleted prefix is
+        refused (returns [] untouched). A sweep whose aged-out horizon
+        reaches V proceeds normally."""
         commits, checkpoints = self.log.list_log_files()
         if not checkpoints:
             return []
         ckpt = max(checkpoints)
+        snap = Snapshot.build(self.log)
         if retention_ms is None:
-            snap = Snapshot.build(self.log)
             retention_ms = _parse_interval_ms(
                 snap.configuration.get("delta.logRetentionDuration"),
                 default_ms=30 * 24 * 3600 * 1000,
             )
         cutoff = int(time.time() * 1000) - retention_ms
+        protect_before = 0
+        if "checkpointProtection" in (
+            snap.protocol.get("writerFeatures") or []
+        ):
+            protect_before = int(
+                snap.configuration.get(
+                    "delta.requireCheckpointProtectionBeforeVersion", "0"
+                )
+            )
+        if protect_before:
+            # pre-compute the aged-out contiguous horizon h (first KEPT
+            # version); deleting [0, h) is legal only if h >= V
+            h = 0
+            for v in sorted(commits):
+                if v >= ckpt:
+                    break
+                ts = self.log.read_ict(v)
+                if ts is None:
+                    try:
+                        ts = int(os.path.getmtime(commits[v]) * 1000)
+                    except OSError:
+                        break
+                if ts > cutoff:
+                    break
+                h = v + 1
+            if 0 < h < protect_before:
+                from duckdb_delta_spark.delta.logging import emit
+
+                emit(
+                    "log.cleanup.protected",
+                    table_path=self.table_path,
+                    horizon=h,
+                    protect_before=protect_before,
+                )
+                return []
         deleted: list[str] = []
         last_deleted = -1
         for v in sorted(commits):

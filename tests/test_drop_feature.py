@@ -199,3 +199,69 @@ def test_auto_compact_after_append(spark, tdir):
             F.col("id").alias("i"), F.lit(0).cast("long").alias("g"))
             .coalesce(1))
     assert DeltaTable(plain).snapshot.version == 5
+
+
+def test_drop_feature_truncate_history(spark, tdir):
+    """DROP FEATURE ... TRUNCATE HISTORY: the downgrade commit declares
+    checkpointProtection + requireCheckpointProtectionBeforeVersion, and
+    history below the fresh checkpoint is expired immediately."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(spark.range(10).select(F.col("id").alias("i"),
+                                    (F.col("id") % 2).alias("g")))
+    w.add_constraint("i_pos", "i >= 0")
+    w.drop_constraint("i_pos")
+    v = DeltaWriter(tdir, spark).drop_feature(
+        "checkConstraints", truncate_history=True)
+    t = DeltaTable(tdir)
+    proto = t.snapshot.protocol
+    assert "checkConstraints" not in (proto.get("writerFeatures") or [])
+    assert "checkpointProtection" in proto["writerFeatures"]
+    assert t.snapshot.configuration[
+        "delta.requireCheckpointProtectionBeforeVersion"] == str(v)
+    # pre-downgrade commits are gone; replay starts at the checkpoint
+    log = DeltaLog(tdir)
+    commits, _ = log.list_log_files()
+    assert min(commits) >= v
+    assert t.to_df(spark).count() == 10
+
+
+def test_checkpoint_protection_blocks_partial_cleanup(spark, tdir):
+    """A partial sweep below requireCheckpointProtectionBeforeVersion is
+    refused outright; a sweep reaching the boundary proceeds."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.requireCheckpointProtectionBeforeVersion": "4"})
+    # declare the feature explicitly
+    snap = DeltaTable(tdir).snapshot
+    assert "4" == snap.configuration[
+        "delta.requireCheckpointProtectionBeforeVersion"]
+    for k in range(4):
+        w.append(spark.range(2).select(F.col("id").alias("i"),
+                                       (F.col("id") % 2).alias("g")))
+    w.checkpoint()  # ckpt at v4
+
+    import json, os
+    # inject checkpointProtection into the protocol via a commit
+    log = DeltaLog(tdir)
+    proto = DeltaTable(tdir).snapshot.protocol
+    wf = sorted(set(proto.get("writerFeatures") or []) |
+                {"checkpointProtection"})
+    log.commit(5, [{"protocol": {**proto, "writerFeatures": wf}}])
+
+    # age only commits 0..2 (mtime), keep v3 young: horizon 3 < 4 → refuse
+    now = __import__("time").time()
+    for v in range(3):
+        p = os.path.join(tdir, "_delta_log", f"{v:020d}.json")
+        os.utime(p, (now - 90 * 86400, now - 90 * 86400))
+    assert DeltaWriter(tdir, spark).cleanup_expired_logs(
+        retention_ms=30 * 86400 * 1000) == []
+
+    # full sweep (retention 0): horizon reaches the checkpoint ≥ 4 → runs
+    deleted = DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
+    assert deleted
+    commits, _ = DeltaLog(tdir).list_log_files()
+    assert min(commits) >= 4
+    assert DeltaTable(tdir).to_df(spark).count() == 8
