@@ -546,7 +546,7 @@ def c4_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     survives), ``clean_md5`` (md5 of kept lines newline-joined — position
     exact)."""
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
     term = F.array(*[F.lit(t) for t in C4_TERMINALS])
@@ -565,4 +565,105 @@ def c4_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
             "kept", (~has_brace) & (n_kept >= C4_MIN_KEPT_LINES)
         )
         .withColumn("clean_md5", F.md5(F.concat_ws("\n", kept_lines)))
+    )
+
+
+def zipf_top_terms(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Corpus-level term-frequency head: the top-k terms with counts,
+    rank, and cumulative coverage of all token occurrences — the
+    input to stopword derivation, vocab truncation decisions, and the
+    Zipf-curve sanity check every new crawl snapshot gets.
+
+    Shape: explode → one (term) hash-agg (map-side combined — the only
+    shuffle, keyed on term so it spreads), then the top-k head is tiny:
+    rank + cumulative sums run on ≤ |vocab| rows and the final window on
+    k rows. Total-token count rides the same agg (sum over term counts),
+    no second corpus pass."""
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    head = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        head.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w_cum))
+        .select(
+            "term",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("cum_n") / F.col("tot"), 6).alias("cum_frac"),
+        )
+    )
+
+
+def with_paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact dedup signals (the Dolma/CCNet step between
+    line-boilerplate and whole-doc dedup): a paragraph (blank-line
+    separated block) appearing in >= ``min_docs`` documents is corpus
+    boilerplate; per doc this reports how much of it is duplicated
+    content and the md5 of the text with duplicate paragraphs struck.
+
+    Shape: explode paragraphs with position → one (paragraph-hash)
+    distinct-doc count agg → broadcast-or-shuffle anti join back →
+    positional rebuild inside one per-doc agg (no window)."""
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\s*\n"),
+                    lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+        .withColumn("ph", F.md5("para"))
+    )
+    freq = (
+        exploded.groupBy("ph")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("ph")
+    )
+    kept = exploded.join(F.broadcast(freq), "ph", "left_anti")
+    n_paras = df.select(
+        F.col(id_col), F.size(paras).cast("long").alias("n_paras")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_paras"),
+        F.md5(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        n_paras.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce("n_kept_paras", F.lit(0)).cast("long")
+            .alias("n_kept_paras"),
+            (F.col("n_paras") - F.coalesce("n_kept_paras", F.lit(0)))
+            .cast("long")
+            .alias("n_dup_paras"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
     )

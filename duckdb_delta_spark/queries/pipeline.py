@@ -1656,3 +1656,85 @@ def ann_pq_rerank(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return S.pq_topk_rerank(emb, queries, k=5, shortlist=50)
+
+
+# corpus-level Zipf head: top-20 terms, rank, cumulative coverage
+@register(
+    "text_zipf_terms",
+    oracle=f"""
+    WITH terms AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+    tot AS (SELECT sum(n) AS tot FROM counts),
+    head AS (
+      SELECT term, n, rank FROM (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS rank
+        FROM counts) WHERE rank <= 20)
+    SELECT term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+           round(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                 / CAST(tot AS DOUBLE), 6) AS cum_frac
+    FROM head, tot
+    """,
+    group="text",
+)
+def text_zipf_terms(spark, sf_dir):
+    """Corpus term-frequency head (stopword derivation / vocab sizing)."""
+    return X.zipf_top_terms(load(spark, sf_dir, "documents"))
+
+
+# paragraph-level dedup: every doc is framed with a corpus-wide shared
+# intro (always struck), its own body (struck when another doc shares the
+# byte-identical text), and a per-doc unique tail (never struck)
+_PARA_SEP = "chr(10) || chr(10)"
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             'Shared intro paragraph.' || {_PARA_SEP} || text || {_PARA_SEP}
+               || 'Unique tail ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    pl AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '\\n\\s*\\n'), p -> trim(p)),
+               p -> p <> '') AS ps
+      FROM d),
+    flat AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ps) + 1),
+                      i -> struct_pack(pos := i, para := ps[i]))) AS u
+        FROM pl)),
+    freq AS (
+      SELECT md5(para) AS ph FROM flat
+      GROUP BY md5(para) HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT f.doc_id, f.pos, f.para
+      FROM flat f LEFT JOIN freq ON md5(f.para) = freq.ph
+      WHERE freq.ph IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(para, chr(10) || chr(10) ORDER BY pos))
+               AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT p.doc_id,
+           CAST(len(p.ps) AS BIGINT) AS n_paras,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_paras,
+           CAST(len(p.ps) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dup_paras,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM pl p LEFT JOIN agg a ON p.doc_id = a.doc_id
+    """,
+    group="dedup",
+)
+def dedup_paragraphs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared intro paragraph.\n\n"), F.col("text"),
+            F.lit("\n\nUnique tail "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return X.with_paragraph_dedup(docs)

@@ -434,3 +434,25 @@ def test_pq_rerank_recall_and_exactness(spark, vecs):
             / PQ_SCALE
         )
         assert abs(r["dist"] - round(true, 6)) < 1e-9, r
+
+
+def test_paragraph_dedup_digit_edges(spark):
+    """Regression: a bare F.trim passed to F.transform binds the element
+    INDEX as its trim-characters argument, silently shaving digits off
+    paragraph edges (doc "12" -> tail "Unique tail 1"). Paragraphs with
+    digit edges must survive byte-exact."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.text import with_paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(12, "intro\n\n2 digits edge 12"), (13, "intro\n\nother body 13")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    out = {r["doc_id"]: r for r in with_paragraph_dedup(df).collect()}
+    import hashlib
+    # intro struck (shared), digit-edged body kept byte-exact
+    assert out[12]["n_dup_paras"] == 1
+    assert out[12]["clean_md5"] == hashlib.md5(
+        b"2 digits edge 12").hexdigest()
+    assert out[13]["clean_md5"] == hashlib.md5(b"other body 13").hexdigest()
