@@ -611,6 +611,7 @@ def zipf_top_terms(
 def with_paragraph_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_docs: int = 2,
+    broadcast_budget: int | None = None,
 ) -> DataFrame:
     """Paragraph-level exact dedup signals (the Dolma/CCNet step between
     line-boilerplate and whole-doc dedup): a paragraph (blank-line
@@ -619,8 +620,12 @@ def with_paragraph_dedup(
     content and the md5 of the text with duplicate paragraphs struck.
 
     Shape: explode paragraphs with position → one (paragraph-hash)
-    distinct-doc count agg → broadcast-or-shuffle anti join back →
+    distinct-doc count agg → anti join back (broadcast at or below
+    ``broadcast_budget`` frequent hashes, plain shuffle join above — the
+    same graceful degradation as :func:`remove_boilerplate_lines`) →
     positional rebuild inside one per-doc agg (no window)."""
+    if broadcast_budget is None:
+        broadcast_budget = BOILERPLATE_BROADCAST_BUDGET
     paras = F.filter(
         F.transform(F.split(F.col(text_col), r"\n\s*\n"),
                     lambda p: F.trim(p)),
@@ -635,8 +640,10 @@ def with_paragraph_dedup(
         .agg(F.count_distinct(id_col).alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("ph")
-    )
-    kept = exploded.join(F.broadcast(freq), "ph", "left_anti")
+    ).persist()
+    n_freq = freq.count()
+    anti_rhs = F.broadcast(freq) if n_freq <= broadcast_budget else freq
+    kept = exploded.join(anti_rhs, "ph", "left_anti")
     n_paras = df.select(
         F.col(id_col), F.size(paras).cast("long").alias("n_paras")
     )

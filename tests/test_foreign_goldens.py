@@ -844,3 +844,68 @@ def test_foreign_staged_commits_log_tail(spark, tmp_path):
     w.append(spark.range(15, 20).selectExpr("id as k"))
     assert sorted(ledger) == [3]
     assert DeltaTable(dest).to_df(spark).count() == 20
+
+
+def test_foreign_protection_features_table(spark, tdir):
+    """A table written by another engine declaring vacuumProtocolCheck +
+    checkpointProtection (the DROP FEATURE TRUNCATE HISTORY aftermath):
+    scans work, appends work (both features are in this writer's support
+    set), and cleanup honors requireCheckpointProtectionBeforeVersion."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.testing.foreign import (
+        add_action, commit_info, spark_field, write_commit,
+    )
+
+    log_dir = os.path.join(tdir, "_delta_log")
+    os.makedirs(log_dir)
+    schema_str = __import__("json").dumps({
+        "type": "struct",
+        "fields": [spark_field("i", "long"), spark_field("s", "string")],
+    })
+    tbl = pa.table({"i": pa.array([1, 2, 3], pa.int64()),
+                    "s": pa.array(["a", "b", "c"])})
+    fp = os.path.join(tdir, "part-00000-foreign.parquet")
+    pq.write_table(tbl, fp)
+    write_commit(log_dir, 0, [
+        {"commitInfo": commit_info("CREATE TABLE")},
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["vacuumProtocolCheck"],
+            "writerFeatures": ["vacuumProtocolCheck",
+                               "checkpointProtection"]}},
+        {"metaData": {
+            "id": "foreign-protection", "format": {"provider": "parquet",
+                                                   "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {
+                "delta.requireCheckpointProtectionBeforeVersion": "2"},
+            "createdTime": 0}},
+        add_action("part-00000-foreign.parquet", fp, tbl, {}, ["i"]),
+    ])
+    t = DeltaTable(tdir)
+    assert t.to_df(spark).count() == 3
+
+    w = DeltaWriter(tdir, spark)
+    from pyspark.sql import functions as F
+    w.append(spark.range(2).select(F.col("id").alias("i"),
+                                   F.lit("x").alias("s")))          # v1
+    w.append(spark.range(2).select(F.col("id").alias("i"),
+                                   F.lit("y").alias("s")))          # v2
+    w.checkpoint()
+    assert DeltaTable(tdir).to_df(spark).count() == 7
+
+    # age only v0: horizon 1 < protect-before 2 → partial cleanup refused
+    now = _time.time()
+    os.utime(os.path.join(log_dir, f"{0:020d}.json"),
+             (now - 90 * 86400, now - 90 * 86400))
+    assert DeltaWriter(tdir, spark).cleanup_expired_logs(
+        retention_ms=30 * 86400 * 1000) == []
+    # full sweep reaches the boundary → allowed
+    assert DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
+    assert DeltaTable(tdir).to_df(spark).count() == 7

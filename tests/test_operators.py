@@ -456,3 +456,22 @@ def test_paragraph_dedup_digit_edges(spark):
     assert out[12]["clean_md5"] == hashlib.md5(
         b"2 digits edge 12").hexdigest()
     assert out[13]["clean_md5"] == hashlib.md5(b"other body 13").hexdigest()
+
+
+def test_paragraph_dedup_shuffle_fallback_same_answer(spark):
+    """Both anti-join routes (broadcast vs shuffle) produce identical
+    output when the frequent-set budget flips."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.text import with_paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"common intro\n\nbody {i % 3}\n\ntail {i}") for i in range(12)],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    a = sorted(map(tuple, with_paragraph_dedup(df).collect()))
+    b = sorted(map(tuple, with_paragraph_dedup(
+        df, broadcast_budget=0).collect()))
+    assert a == b
+    # common intro + the 3 shared bodies struck, tails survive
+    assert all(r[2] == 1 for r in a)  # n_kept_paras == 1
