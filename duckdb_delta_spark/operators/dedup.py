@@ -700,7 +700,12 @@ def simhash_near_dup_counts(
     if max_hamming >= bits // band_bits:
         raise ValueError("max_hamming must be < number of bands")
     sig = simhash(df, text_col, id_col, bits=bits)
-    counts = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("cnt"))
+    # the distinct-signature table feeds 2 sides × (bits/band_bits) band
+    # joins plus the final re-attach; persist it so the signature explode
+    # + vote agg over the corpus runs ONCE, not once per reference
+    counts = sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
     mask = (1 << band_bits) - 1
     pairs = None
     for b in range(bits // band_bits):
