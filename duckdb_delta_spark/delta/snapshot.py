@@ -157,6 +157,9 @@ class Snapshot:
         #: latest deletionTimestamp (vacuum retention for replaced DVs)
         self.dv_tombstones: dict[tuple, int] = {}
         self.app_transactions: dict[str, int] = {}
+        #: appId -> lastUpdated epoch-ms (None when the action lacked it);
+        #: drives delta.setTransactionRetentionDuration expiry at checkpoint
+        self.app_txn_updated: dict[str, int | None] = {}
         self.domain_metadata: dict[str, str] = {}
         self.commit_timestamps: dict[int, int] = {}
         self._stats_manifest = None
@@ -185,6 +188,7 @@ class Snapshot:
             snap.tombstones = dict(base.tombstones)
             snap.dv_tombstones = dict(base.dv_tombstones)
             snap.app_transactions = dict(base.app_transactions)
+            snap.app_txn_updated = dict(base.app_txn_updated)
             snap.domain_metadata = dict(base.domain_metadata)
             snap.commit_timestamps = dict(base.commit_timestamps)
             start = base.version + 1
@@ -417,6 +421,9 @@ class Snapshot:
         elif "txn" in action and action["txn"]:
             t = action["txn"]
             self.app_transactions[t["appId"]] = int(t["version"])
+            lu = t.get("lastUpdated")
+            self.app_txn_updated[t["appId"]] = (
+                int(lu) if lu is not None else None)
         elif "domainMetadata" in action and action["domainMetadata"]:
             d = action["domainMetadata"]
             if d.get("removed"):

@@ -2215,10 +2215,21 @@ class DeltaWriter:
 
     # ---------- OVERWRITE (INSERT OVERWRITE / replaceWhere) ----------
 
-    def overwrite(self, df: DataFrame, where=None) -> int:
+    def overwrite(
+        self, df: DataFrame, where=None, overwrite_schema: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """INSERT OVERWRITE: atomically replace the whole table
         (``where=None``) or exactly the rows matching ``where``
         (replaceWhere) with ``df`` — ONE commit. Returns the version.
+
+        ``overwrite_schema=True`` is delta-spark's ``overwriteSchema``
+        (REPLACE TABLE semantics): the commit also replaces the table
+        schema with ``df``'s (and optionally the partitioning via
+        ``partition_by``) — see :meth:`_overwrite_with_schema` for the
+        guard matrix (no replaceWhere, no CDF, constraints/generated/
+        identity columns must not be present; column-mapped tables get a
+        fresh id/physical-name assignment past the current maxColumnId).
 
         Beyond the reference (all DML throws there —
         delta_schema_entry.cpp:36-97); semantics follow delta-spark's
@@ -2240,6 +2251,15 @@ class DeltaWriter:
         snap = self._snapshot
         self._assert_writable("OVERWRITE", removes_rows=True)
         cdf = self._cdf_enabled(snap)
+        if overwrite_schema:
+            if where is not None:
+                raise UnsupportedFeatureError(
+                    "overwriteSchema cannot be combined with replaceWhere "
+                    "(delta-spark refuses the combination too)")
+            return self._overwrite_with_schema(snap, df, partition_by, cdf)
+        if partition_by is not None:
+            raise UnsupportedFeatureError(
+                "changing partitioning requires overwrite_schema=True")
 
         schema = snap.schema
         parts = snap.partition_columns
@@ -2366,6 +2386,121 @@ class DeltaWriter:
             version=version,
             n_removed_files=len(removes),
             n_dv_files=len(results),
+            n_added_files=len(adds),
+        )
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def _overwrite_with_schema(
+        self, snap: Snapshot, df: DataFrame,
+        partition_by: list[str] | None, cdf: bool,
+    ) -> int:
+        """Full overwrite that REPLACES the table schema (delta-spark
+        ``overwriteSchema`` / REPLACE TABLE). One commit: new metaData +
+        manifest removes + new adds; old data is never read.
+
+        Guards (each refused loudly rather than silently mishandled):
+        CDF (pre/post images would straddle two schemas — delta-spark's
+        batch CDF readers refuse such ranges; enable-after-replace
+        instead), CHECK constraints / generated columns / column defaults
+        / identity columns (their expressions reference the OLD schema),
+        and new-schema types whose table features the protocol lacks.
+        Column-mapped tables work: every new column gets a fresh id +
+        physical name strictly past the current ``maxColumnId`` (old ids
+        are never reused, per spec)."""
+        cfg = dict(snap.configuration)
+        if cdf:
+            raise UnsupportedFeatureError(
+                "overwriteSchema on a change-data-feed table: the feed "
+                "cannot span a schema replacement — disable CDF first")
+        if any(k.startswith("delta.constraints.") for k in cfg):
+            raise UnsupportedFeatureError(
+                "overwriteSchema with CHECK constraints present — "
+                "drop_constraint() them first")
+        old_schema = snap.schema
+        if _generated_exprs(old_schema) or _default_exprs(old_schema) \
+                or _identity_columns(old_schema):
+            raise UnsupportedFeatureError(
+                "overwriteSchema with generated/default/identity columns "
+                "present — their expressions bind to the old schema")
+        new_schema = df.schema
+        proto = snap.protocol
+        declared = set(proto.get("readerFeatures") or []) | set(
+            proto.get("writerFeatures") or [])
+        if any(_contains_variant(f.dataType) for f in new_schema.fields) \
+                and not ({"variantType", "variantType-preview"} & declared):
+            raise UnsupportedFeatureError(
+                "overwriteSchema introduces VARIANT but the protocol "
+                "lacks variantType")
+        if any(isinstance(f.dataType, T.TimestampNTZType)
+               for f in new_schema.fields) \
+                and proto.get("minReaderVersion", 1) >= 3 \
+                and "timestampNtz" not in declared:
+            raise UnsupportedFeatureError(
+                "overwriteSchema introduces TIMESTAMP_NTZ but the "
+                "protocol lacks timestampNtz")
+        parts = (list(partition_by) if partition_by is not None
+                 else list(snap.partition_columns))
+        for p in parts:
+            if p not in new_schema.fieldNames():
+                raise SchemaError(
+                    f"partition column {p!r} not in the replacement schema"
+                    " (pass partition_by=... to change partitioning)")
+
+        meta = dict(snap.metadata)
+        if snap.column_mapping_mode != "none":
+            start = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+            # strip any caller-supplied mapping metadata: ids must be
+            # freshly assigned past the table's high-water mark
+            bare = T.StructType([
+                T.StructField(f.name, f.dataType, f.nullable)
+                for f in new_schema.fields])
+            new_schema, max_id = _ensure_mapping_metadata(bare, start)
+            cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+            meta["configuration"] = cfg
+        meta["schemaString"] = new_schema.json()
+        meta["partitionColumns"] = parts
+
+        now_ms = int(time.time() * 1000)
+        removes = []
+        for f in snap.add_files():
+            r = {
+                "path": f.path,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+            }
+            if f.deletion_vector:
+                r["deletionVector"] = f.deletion_vector
+            removes.append({"remove": r})
+
+        write_schema, write_parts, wdf = new_schema, parts, df
+        if snap.column_mapping_mode != "none":
+            write_schema, write_parts, wdf = self._to_physical(
+                df, new_schema, parts)
+        moved, adds = self._write_data(wdf, write_schema, write_parts)
+
+        actions: list[dict] = [
+            {"commitInfo": _commit_info(
+                "WRITE", {"mode": "Overwrite", "overwriteSchema": "true"})},
+            {"metaData": meta},
+        ]
+        actions.extend(removes)
+        actions.extend({"add": a} for a in adds)
+        version = snap.version + 1
+        try:
+            self._commit(version, actions, snap)
+        except CommitConflictError:
+            self._rollback(moved)
+            raise
+        from duckdb_delta_spark.delta.logging import emit
+
+        emit(
+            "overwrite.schema",
+            table_path=self.table_path,
+            version=version,
+            n_removed_files=len(removes),
             n_added_files=len(adds),
         )
         self._snapshot = Snapshot.build(self.log, base=snap)
@@ -4006,8 +4141,26 @@ class DeltaWriter:
             "configuration": dict(md.get("configuration") or {}),
             "createdTime": md.get("createdTime"),
         }})
+        # setTransaction retention (Delta spec "Transaction Identifiers"):
+        # when delta.setTransactionRetentionDuration is set, txn actions
+        # whose lastUpdated aged past it are EXPIRED from the checkpoint —
+        # replay from this checkpoint then no longer knows the appId, so
+        # get_transaction_version returns None (exactly delta-spark).
+        # Actions without lastUpdated never expire (no clock to judge by).
+        txn_retention = _parse_interval_ms(
+            snap.configuration.get("delta.setTransactionRetentionDuration"),
+            default_ms=-1,
+        )
+        txn_cutoff = (
+            int(time.time() * 1000) - txn_retention
+            if txn_retention >= 0 else None
+        )
         for app_id, ver in sorted(snap.app_transactions.items()):
-            rows.append({"txn": {"appId": app_id, "version": ver, "lastUpdated": None}})
+            lu = snap.app_txn_updated.get(app_id)
+            if txn_cutoff is not None and lu is not None and lu < txn_cutoff:
+                continue
+            rows.append({"txn": {"appId": app_id, "version": ver,
+                                 "lastUpdated": lu}})
         for domain, conf in sorted(snap.domain_metadata.items()):
             rows.append({"domainMetadata": {"domain": domain, "configuration": conf,
                                             "removed": False}})

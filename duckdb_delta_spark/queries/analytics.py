@@ -369,3 +369,42 @@ def ev_sessionize(spark, sf_dir):
         F.sum("n_events").cast("long").alias("n_events"),
         F.round(F.avg(F.col("dur_us") / 1_000_000.0), 3).alias("avg_session_secs"),
     )
+
+
+# as-of join: Spark has no native ASOF JOIN (DuckDB does — the oracle IS
+# the native operator, making this a true cross-engine semantics check).
+# Each view event picks up the same user's most recent prior purchase,
+# voided when older than the 3-day tolerance.
+_ASOF_TOL_S = 3 * 86400
+
+
+@register(
+    "ev_asof_purchase",
+    oracle=f"""
+    SELECT l.event_id, CAST(l.user_id AS BIGINT) AS user_id, l.ts,
+           CASE WHEN date_diff('second', r.ts, l.ts) > {_ASOF_TOL_S}
+                THEN NULL ELSE r.ts END AS asof_ts,
+           CASE WHEN date_diff('second', r.ts, l.ts) > {_ASOF_TOL_S}
+                THEN NULL ELSE round(r.value, 2) END AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    group="events",
+)
+def ev_asof_purchase(spark, sf_dir):
+    from duckdb_delta_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        views, buys, on="ts", by=("user_id",), right_cols=("value",),
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"), "ts",
+        "asof_ts", F.round("asof_value", 2).alias("asof_value"),
+    )

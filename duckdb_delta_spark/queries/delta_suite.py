@@ -1573,3 +1573,33 @@ def delta_add_constraint_scan(spark, sf_dir):
         return local_df(spark, out, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# REPLACE TABLE (overwriteSchema): the scan reads the post-replace
+# schema/partitioning; the oracle re-derives the summary from raw orders
+@register(
+    "delta_replace_scan",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total,
+             o_custkey % 4 AS bucket
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(round(sum(total), 2) AS DOUBLE) AS total
+    FROM s GROUP BY bucket
+    """,
+    group="delta",
+)
+def delta_replace_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_replaced")
+    assert t.snapshot.partition_columns == ["bucket"]
+    assert "o_orderkey" not in t.snapshot.schema.fieldNames()
+    return t.to_df(spark).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).cast("double").alias("total"),
+    )

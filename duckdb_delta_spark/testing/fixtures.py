@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 23  # bump to force a rebuild
+LAYOUT_VERSION = 24  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -107,6 +107,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_events_var_shredwrite(
         spark, sf_dir, os.path.join(root, "events_var_shredwrite"))
     _build_orders_converted(spark, sf_dir, os.path.join(root, "orders_converted"))
+    _build_orders_replaced(spark, sf_dir, os.path.join(root, "orders_replaced"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -840,3 +841,19 @@ def _build_orders_converted(spark, sf_dir, path):
     entry point. The oracle recomputes from the raw orders table."""
     _orders(spark, sf_dir).write.partitionBy("o_orderpriority").parquet(path)
     DeltaWriter.convert_from_parquet(spark, path)
+
+
+def _build_orders_replaced(spark, sf_dir, path):
+    """REPLACE TABLE fixture (overwriteSchema): v1 holds raw orders, v2
+    replaces the whole table with a per-customer summary — different
+    schema AND different partitioning — in one commit. The summary keeps
+    the money total as DECIMAL(25,6) so downstream aggregation stays
+    exact for the oracle compare."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o)
+    summary = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("total"),
+    ).withColumn("bucket", (F.col("o_custkey") % 4).cast("long"))
+    w.overwrite(summary, overwrite_schema=True, partition_by=["bucket"])

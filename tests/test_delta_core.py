@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -3637,3 +3638,97 @@ def test_describe_detail(spark, tmp_path):
     dc = DeltaTable(c).detail()
     assert dc["clusteringColumns"] == ["i"]
     assert "clustering" in dc["tableFeatures"]
+
+
+def test_overwrite_schema_replaces_table(spark, tdir):
+    """overwriteSchema (REPLACE TABLE): new schema + new partitioning in
+    one commit; time travel still reads the old shape."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 10))                                   # v1
+    new = spark.range(6).selectExpr(
+        "CAST(id AS STRING) AS name", "id * 2 AS score",
+        "id % 2 AS bucket")
+    v = DeltaWriter(tdir, spark).overwrite(
+        new, overwrite_schema=True, partition_by=["bucket"])
+    t = DeltaTable(tdir)
+    assert t.version == v
+    assert set(t.snapshot.schema.fieldNames()) == {"name", "score", "bucket"}
+    assert t.snapshot.partition_columns == ["bucket"]
+    got = t.to_df(spark)
+    assert got.count() == 6
+    assert {r["bucket"] for r in got.collect()} == {0, 1}
+    # history intact: the pre-replace schema still reads
+    old = DeltaTable(tdir, version=1)
+    assert old.to_df(spark).count() == 10
+    assert set(old.snapshot.schema.fieldNames()) == set(SCHEMA.fieldNames())
+
+
+def test_overwrite_schema_guards(spark, tdir):
+    """replaceWhere combination, CDF tables, and constraint-bearing
+    tables are refused loudly."""
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.enableChangeDataFeed": "true"})
+    w.append(_ids(spark, 5))
+    new = spark.range(3).selectExpr("id AS x")
+    with pytest.raises(errors.UnsupportedFeatureError):
+        DeltaWriter(tdir, spark).overwrite(
+            new, where="i > 0", overwrite_schema=True)
+    with pytest.raises(errors.UnsupportedFeatureError):
+        DeltaWriter(tdir, spark).overwrite(new, overwrite_schema=True)
+
+
+def test_overwrite_schema_on_mapped_table_fresh_ids(spark, tdir):
+    """On a column-mapped table the replacement schema gets ids strictly
+    past the old maxColumnId and fresh physical names; scans read the new
+    logical names."""
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={"delta.columnMapping.mode": "name"})
+    w.append(_ids(spark, 4))
+    old_max = int(DeltaTable(tdir).snapshot.configuration[
+        "delta.columnMapping.maxColumnId"])
+    new = spark.range(3).selectExpr("CAST(id AS STRING) AS label",
+                                    "id AS n")
+    DeltaWriter(tdir, spark).overwrite(new, overwrite_schema=True)
+    t = DeltaTable(tdir)
+    ids = [int((f.metadata or {})["delta.columnMapping.id"])
+           for f in t.snapshot.schema.fields]
+    assert min(ids) > old_max
+    assert int(t.snapshot.configuration["delta.columnMapping.maxColumnId"]) \
+        == max(ids)
+    rows = {tuple(r) for r in t.to_df(spark).select("label", "n").collect()}
+    assert rows == {("0", 0), ("1", 1), ("2", 2)}
+
+
+def test_set_transaction_retention_expires_at_checkpoint(spark, tdir):
+    """delta.setTransactionRetentionDuration: txn identifiers whose
+    lastUpdated aged past the retention are dropped from new checkpoints;
+    after log cleanup the appId is forgotten (delta-spark parity).
+    Fresh txns and clock-less txn actions survive."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(
+        spark, tdir, SCHEMA,
+        configuration={
+            "delta.setTransactionRetentionDuration": "interval 7 days"})
+    w.append(_ids(spark, 5), txn_app_id="fresh", txn_version=3)   # v1
+    # an old txn action, as if committed long ago (lastUpdated stale)
+    old_ms = int(time.time() * 1000) - 30 * 86400_000
+    log = DeltaLog(tdir)
+    log.commit(2, [{"txn": {"appId": "stale", "version": 9,
+                            "lastUpdated": old_ms}}])
+    # a clock-less txn action (no lastUpdated): never expires
+    log.commit(3, [{"txn": {"appId": "noclock", "version": 1}}])
+
+    t = DeltaTable(tdir)
+    assert t.get_transaction_version("stale") == 9
+    DeltaWriter(tdir, spark).checkpoint()
+    # age out + delete the pre-checkpoint commits: replay now starts at
+    # the checkpoint, which no longer carries the stale appId
+    assert DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
+    t2 = DeltaTable(tdir)
+    assert t2.get_transaction_version("stale") is None
+    assert t2.get_transaction_version("fresh") == 3
+    assert t2.get_transaction_version("noclock") == 1
+    assert t2.to_df(spark).count() == 5

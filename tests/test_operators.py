@@ -475,3 +475,41 @@ def test_paragraph_dedup_shuffle_fallback_same_answer(spark):
     assert a == b
     # common intro + the 3 shared bodies struck, tails survive
     assert all(r[2] == 1 for r in a)  # n_kept_paras == 1
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: equal timestamps match, most-recent-wins, no-match
+    rows survive with nulls, tolerance voids stale matches (value AND
+    timestamp together)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)
+    lschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("eid", T.LongType())])
+    rschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType())])
+    left = spark.createDataFrame(
+        [(1, S(10), 100), (1, S(20), 101), (1, S(5), 102),
+         (2, S(10), 200), (3, S(1000), 300)], lschema)
+    right = spark.createDataFrame(
+        [(1, S(10), 1.0), (1, S(15), 2.0), (3, S(1), 3.0)], rschema)
+    out = {r["eid"]: r for r in asof_join(left, right).collect()}
+    assert out[100]["asof_value"] == 1.0      # equal ts matches
+    assert out[101]["asof_value"] == 2.0      # most recent <= 20
+    assert out[102]["asof_value"] is None     # nothing at or before 5
+    assert out[200]["asof_value"] is None     # no rows for user 2
+    assert out[300]["asof_value"] == 3.0
+    # tolerance: user 3's match is 999s old -> voided entirely
+    out2 = {r["eid"]: r
+            for r in asof_join(left, right, tolerance_seconds=60).collect()}
+    assert out2[300]["asof_value"] is None and out2[300]["asof_ts"] is None
+    assert out2[101]["asof_value"] == 2.0
