@@ -18,10 +18,12 @@ timing uniformly and makes cross-round comparison misleading. Two guards:
   after the suite and emitted as ``canary_iters_per_sec`` — a healthy box
   runs ~15-20M iter/s; under observed host throttle it drops 3-4×, so the
   artifact carries its own calibration.
-* every query whose first run lands under 5 s is run **twice** and the
+* every query whose first run lands under 10 s is run **twice** and the
   minimum reported — the second run at sf0.1 is cheap, and min-of-two
-  removes one-off scheduler/page-cache spikes without hiding real costs
-  (a genuinely slow plan is slow on both runs).
+  removes one-off scheduler/page-cache spikes AND first-use codegen
+  compile costs (expression-heavy plans like PQ pay ~5 s of Janino
+  compilation once per session) without hiding real costs (a genuinely
+  slow plan is slow on both runs).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RERUN_THRESHOLD_SEC = 5.0
+RERUN_THRESHOLD_SEC = 10.0
 CANARY_ITERS = 20_000_000
 
 
