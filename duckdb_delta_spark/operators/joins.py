@@ -84,3 +84,49 @@ def asof_join(
     return out.select(
         *lcols, f"asof_{on}", *[f"asof_{c}" for c in right_cols]
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    by: tuple[str, ...] = ("user_id",),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point_ts < end``) without the
+    inequality-join cartesian trap.
+
+    Spark executes a pure inequality join as BroadcastNestedLoopJoin —
+    O(|points|·|intervals|) and a guaranteed 100-TB killer. The scalable
+    reformulation bucketizes time: every interval explodes into the
+    ``bucket_seconds`` buckets it spans (bounded by span/bucket — pick a
+    bucket near the typical span so the blow-up is a small constant),
+    each point maps to exactly one bucket, and the join becomes an
+    EQUI-join on (by..., bucket) — hash-partitioned, AQE-skew-splittable
+    — followed by the exact range filter. Each qualifying pair meets in
+    exactly one bucket (the point's), so no dedup is needed.
+
+    Columns of both inputs are preserved; name collisions beyond ``by``
+    must be resolved by the caller (the usual Spark join contract)."""
+    bs = int(bucket_seconds)
+    p_bucket = F.floor(F.col(point_ts).cast("double") / bs).cast("long")
+    i_lo = F.floor(F.col(start).cast("double") / bs).cast("long")
+    # end is exclusive: a point at exactly `end` never matches, so the
+    # last bucket an interval can meet a point in is floor((end-ulp)/bs);
+    # floor(end/bs) is a safe (at most one bucket larger) cover
+    i_hi = F.floor(F.col(end).cast("double") / bs).cast("long")
+    i = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(i_lo, i_hi))
+    )
+    p = points.withColumn("__bucket", p_bucket)
+    cond = (
+        (F.col(point_ts) >= F.col(start))
+        & (F.col(point_ts) < F.col(end))
+    )
+    return (
+        p.join(i, [*by, "__bucket"])
+        .where(cond)
+        .drop("__bucket")
+    )

@@ -408,3 +408,42 @@ def ev_asof_purchase(spark, sf_dir):
         "event_id", F.col("user_id").cast("long").alias("user_id"), "ts",
         "asof_ts", F.round("asof_value", 2).alias("asof_value"),
     )
+
+
+# range join: error events landing inside the 2-hour window after a
+# purchase by the same user. The oracle is DuckDB's native inequality
+# join (IEJoin); the Spark side MUST NOT be a nested-loop join — it runs
+# as the bucket-exploded equi-join (plan-asserted in tests/test_plans.py).
+@register(
+    "ev_range_errors",
+    oracle="""
+    SELECT p.event_id AS error_id, i.event_id AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST((epoch_us(p.ts) - epoch_us(i.ts)) // 1000000 AS BIGINT)
+             AS secs_after
+    FROM (SELECT * FROM events WHERE event_type = 'error') p
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') i
+      ON p.user_id = i.user_id
+     AND p.ts >= i.ts AND p.ts < i.ts + INTERVAL 2 HOUR
+    """,
+    group="events",
+)
+def ev_range_errors(spark, sf_dir):
+    from duckdb_delta_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = range_join(errors, windows, point_ts="ts", by=("user_id",))
+    return out.select(
+        "error_id", "purchase_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.unix_micros("ts") - F.unix_micros("start_ts"))
+        .cast("double").__div__(1_000_000).cast("long").alias("secs_after"),
+    )

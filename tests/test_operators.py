@@ -513,3 +513,32 @@ def test_asof_join_semantics(spark):
             for r in asof_join(left, right, tolerance_seconds=60).collect()}
     assert out2[300]["asof_value"] is None and out2[300]["asof_ts"] is None
     assert out2[101]["asof_value"] == 2.0
+
+
+def test_range_join_boundaries(spark):
+    """start inclusive, end exclusive; intervals spanning multiple
+    buckets still match exactly once per qualifying pair."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.joins import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)
+    pts = spark.createDataFrame(
+        [(1, 1, S(0)), (2, 1, S(3600)), (3, 1, S(7199)), (4, 1, S(7200)),
+         (5, 2, S(100))],
+        T.StructType([T.StructField("pid", T.LongType()),
+                      T.StructField("user_id", T.LongType()),
+                      T.StructField("ts", T.TimestampType())]))
+    iv = spark.createDataFrame(
+        [(10, 1, S(0), S(7200))],   # spans 3 hourly buckets
+        T.StructType([T.StructField("iid", T.LongType()),
+                      T.StructField("user_id", T.LongType()),
+                      T.StructField("start_ts", T.TimestampType()),
+                      T.StructField("end_ts", T.TimestampType())]))
+    got = sorted((r["pid"], r["iid"])
+                 for r in range_join(pts, iv).collect())
+    # pid 4 is at exactly end -> excluded; pid 5 wrong user
+    assert got == [(1, 10), (2, 10), (3, 10)]

@@ -379,3 +379,22 @@ def test_incremental_dedup_never_shuffles_corpus(spark):
     # scan -> project -> broadcast-join with no Exchange.
     shuffles = re.findall(r"\(\d+\) Exchange", plan)
     assert len(shuffles) <= 2, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """range_join must plan as a hash equi-join on (key, bucket) — a
+    BroadcastNestedLoopJoin here is the 100-TB cartesian trap the
+    operator exists to avoid."""
+    from duckdb_delta_spark.operators.joins import range_join
+    from duckdb_delta_spark.queries import load
+
+    ev = load(spark, SF, "events")
+    points = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"))
+    plan = _plan(range_join(points, iv))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
