@@ -297,3 +297,39 @@ def temperature_rates(
         )
         .select(source_col, "tok_s", "rate_ppm")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    salt: str = "shard1",
+) -> DataFrame:
+    """Deterministic export sharding + manifest (the last step before a
+    training run: N output shards of roughly equal mass, plus a manifest
+    row per shard a loader can checksum against).
+
+    Shard = md5 hash bucket of the id (uniform, RNG-free, stable across
+    runs/engines). The manifest is one hash-agg: per shard n_docs, total
+    size, and a content fingerprint — md5 of the comma-joined SORTED id
+    list, so any lost/duplicated/reordered document changes the
+    fingerprint. Per-shard state is bounded by |corpus|/n_shards; the
+    in-agg sort replaces any global window."""
+    shard = hash_bucket(F.col(id_col), n_shards, salt=salt)
+    return (
+        df.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col(id_col).cast("string"))
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+    )

@@ -674,3 +674,55 @@ def with_paragraph_dedup(
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-blocklist filtering (the UT1/adult-blocklist step of web
+    pipelines): a document is dropped when ANY URL in it resolves to a
+    blocked domain. Domains come from the same conservative regex as
+    :func:`with_url_stats`; the blocklist (a small dimension, even the
+    big public ones are ~millions of rows) broadcasts into an
+    ``arrays_overlap`` semi-filter — one map-side pass over the corpus,
+    no shuffle, no explode of the corpus side.
+
+    Adds ``blocked`` plus the URL census columns; callers filter on
+    ``~blocked``."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    domains = F.array_distinct(
+        F.transform(urls, lambda u: F.regexp_extract(u, DOMAIN_PATTERN, 1))
+    )
+    dcol = blocklist.columns[0]
+    blocked_arr = F.array(
+        *[F.lit(r[0]) for r in blocklist.select(dcol).distinct().collect()]
+    ) if blocklist.count() <= 10_000 else None
+    out = df.withColumn("__domains", domains)
+    if blocked_arr is not None:
+        # small list: inline as a literal array (pure codegen, zero jobs
+        # per row); the collect above is bounded by the 10k guard
+        out = out.withColumn(
+            "blocked", F.arrays_overlap("__domains", blocked_arr)
+        )
+    else:
+        # large list: explode doc domains (distinct per doc, bounded) and
+        # broadcast-semi-join against the blocklist, then re-attach
+        hits = (
+            out.select("doc_id", F.explode("__domains").alias("d"))
+            .join(
+                F.broadcast(
+                    blocklist.select(F.col(dcol).alias("d")).distinct()
+                ),
+                "d",
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .withColumn("blocked", F.lit(True))
+        )
+        out = out.join(hits, "doc_id", "left").withColumn(
+            "blocked", F.coalesce("blocked", F.lit(False))
+        )
+    return out.drop("__domains")

@@ -1738,3 +1738,60 @@ def dedup_paragraphs(spark, sf_dir):
         ).alias("text"),
     )
     return X.with_paragraph_dedup(docs)
+
+
+# domain-blocklist filter: same injected URLs as text_url_stats; docs
+# whose doc_id % 5 lands on a blocked ex-domain are dropped
+_BLOCKED_DOMAINS = ("ex1.org", "ex3.org", "cdn.ex1.org", "cdn.ex3.org")
+
+
+@register(
+    "doc_domain_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_URL_TEXT.replace("AS STRING", "AS VARCHAR")} AS x
+               FROM documents),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     regexp_extract_all(x, '{X.URL_PATTERN}'),
+                     u2 -> regexp_extract(u2, '{X.DOMAIN_PATTERN}', 1))) AS doms
+          FROM t)
+    SELECT doc_id,
+           len(list_intersect(doms,
+               {list(_BLOCKED_DOMAINS)!r})) > 0 AS blocked
+    FROM d
+    """,
+    group="doc",
+)
+def doc_domain_filter(spark, sf_dir):
+    from duckdb_delta_spark.queries import local_df
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_TEXT).alias("text"))
+    bl = local_df(
+        spark, [(d,) for d in _BLOCKED_DOMAINS],
+        "domain string")
+    return X.filter_blocked_domains(docs, bl).select("doc_id", "blocked")
+
+
+# export shard manifest: shard assignment + checksummable per-shard rows
+@register(
+    "doc_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard1'),
+                             1, 8))::BIGINT % 16 AS shard
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR))) AS content_md5
+    FROM s GROUP BY shard
+    """,
+    group="doc",
+)
+def doc_shard_manifest(spark, sf_dir):
+    from duckdb_delta_spark.operators import chunking as C
+
+    return C.shard_manifest(load(spark, sf_dir, "documents"))
