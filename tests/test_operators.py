@@ -542,3 +542,40 @@ def test_range_join_boundaries(spark):
                  for r in range_join(pts, iv).collect())
     # pid 4 is at exactly end -> excluded; pid 5 wrong user
     assert got == [(1, 10), (2, 10), (3, 10)]
+
+
+def test_range_join_matches_nested_loop_reference(spark):
+    """Seeded random points/intervals: the bucket-exploded equi-join must
+    equal the brute-force inequality join exactly, including intervals
+    spanning 0..N buckets and empty matches."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.joins import range_join
+
+    rnd = random.Random(42)
+    pts = [(i, rnd.randrange(4), float(rnd.randrange(0, 100_000)))
+           for i in range(300)]
+    ivs = []
+    for i in range(80):
+        lo = float(rnd.randrange(0, 100_000))
+        ivs.append((1000 + i, rnd.randrange(4), lo,
+                    lo + float(rnd.randrange(0, 20_000))))
+    pschema = T.StructType([T.StructField("pid", T.LongType()),
+                            T.StructField("user_id", T.LongType()),
+                            T.StructField("ts", T.DoubleType())])
+    ischema = T.StructType([T.StructField("iid", T.LongType()),
+                            T.StructField("user_id", T.LongType()),
+                            T.StructField("start_ts", T.DoubleType()),
+                            T.StructField("end_ts", T.DoubleType())])
+    P = spark.createDataFrame(pts, pschema)
+    I = spark.createDataFrame(ivs, ischema)
+    got = sorted((r["pid"], r["iid"])
+                 for r in range_join(P, I, bucket_seconds=7200).collect())
+    ref = sorted(
+        (p[0], v[0])
+        for p in pts for v in ivs
+        if p[1] == v[1] and v[2] <= p[2] < v[3]
+    )
+    assert got == ref and len(ref) > 50
