@@ -130,3 +130,30 @@ def range_join(
         .where(cond)
         .drop("__bucket")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: tuple[str, ...] = ("user_id",),
+    ts: str = "ts",
+    attrs: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream (one row per
+    key per change) into versioned history rows — ``valid_from`` /
+    ``valid_to`` (null = open), ``is_current``, ``version_n`` — the shape
+    every warehouse dimension load and point-in-time training-feature
+    join needs (an as-of join against this table reconstructs any
+    historical state).
+
+    One window per key ordered by the change timestamp (lead() closes
+    each interval); per-key state is the key's change count — never
+    corpus-wide, so skew follows the hottest key, same as any keyed
+    window."""
+    w = Window.partitionBy(*key).orderBy(F.col(ts).asc())
+    return changes.select(
+        *key, *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version_n"),
+    )

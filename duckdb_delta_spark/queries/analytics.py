@@ -447,3 +447,31 @@ def ev_range_errors(spark, sf_dir):
         (F.unix_micros("ts") - F.unix_micros("start_ts"))
         .cast("double").__div__(1_000_000).cast("long").alias("secs_after"),
     )
+
+
+# SCD2 dimension history from the purchase change stream: every purchase
+# versions the user's "value" attribute; lead() closes each interval
+@register(
+    "ev_scd2_history",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, round(value, 2) AS value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version_n
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    group="events",
+)
+def ev_scd2_history(spark, sf_dir):
+    from duckdb_delta_spark.operators.joins import scd2_history
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", F.round("value", 2).alias("value"))
+    out = scd2_history(ev)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"), "value",
+        "valid_from", "valid_to", "is_current", "version_n",
+    )

@@ -1795,3 +1795,53 @@ def doc_shard_manifest(spark, sf_dir):
     from duckdb_delta_spark.operators import chunking as C
 
     return C.shard_manifest(load(spark, sf_dir, "documents"))
+
+
+# FineWeb-style composite keep/drop: lexical quality + in-document
+# repetition + character entropy combined into one decision — the oracle
+# recomposes all three signal pipelines (each independently oracled
+# above) and must agree on every threshold comparison
+_FW_MIN_QUALITY = 0.5
+_FW_MAX_DUP_LINES = 0.2
+_FW_ENTROPY_LO = 2.5
+_FW_ENTROPY_HI = 6.0
+
+
+def _fineweb_oracle() -> str:
+    from duckdb_delta_spark.queries import all_queries
+
+    q = all_queries()
+    return f"""
+    WITH q AS ({_quality_oracle()}),
+    r AS ({q["text_repetition"].oracle}),
+    e AS ({q["text_char_entropy"].oracle})
+    SELECT q.doc_id, q.quality_score, r.dup_line_frac, e.char_entropy,
+           (q.quality_score >= {_FW_MIN_QUALITY}
+            AND r.dup_line_frac <= {_FW_MAX_DUP_LINES}
+            AND e.char_entropy >= {_FW_ENTROPY_LO}
+            AND e.char_entropy <= {_FW_ENTROPY_HI}) AS keep
+    FROM q JOIN r USING (doc_id) JOIN e USING (doc_id)
+    """
+
+
+@register("doc_quality_fineweb", oracle=_fineweb_oracle(), group="doc")
+def doc_quality_fineweb(spark, sf_dir):
+    """Composite corpus filter (FineWeb recipe shape): three independent
+    signal pipelines — lexical quality, Gopher repetition, char entropy —
+    joined on doc_id into one keep decision. Each signal is zero-shuffle
+    or one bounded agg; the composition is two doc_id-keyed joins."""
+    docs = load(spark, sf_dir, "documents")
+    q = X.with_quality(docs).select("doc_id", "quality_score")
+    r = X.with_repetition(docs).select("doc_id", "dup_line_frac")
+    e = X.with_char_entropy(docs).select("doc_id", "char_entropy")
+    out = q.join(r, "doc_id").join(e, "doc_id")
+    keep = (
+        (F.col("quality_score") >= _FW_MIN_QUALITY)
+        & (F.col("dup_line_frac") <= _FW_MAX_DUP_LINES)
+        & (F.col("char_entropy") >= _FW_ENTROPY_LO)
+        & (F.col("char_entropy") <= _FW_ENTROPY_HI)
+    )
+    return out.select(
+        "doc_id", "quality_score", "dup_line_frac", "char_entropy",
+        keep.alias("keep"),
+    )
