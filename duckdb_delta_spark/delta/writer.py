@@ -3785,6 +3785,7 @@ class DeltaWriter:
 
     def vacuum(
         self, retention_ms: int | None = None, dry_run: bool = False,
+        inventory: "DataFrame | None" = None,
     ) -> list[str]:
         """Delete data files no longer referenced by the current snapshot
         whose remove tombstone is older than ``retention_ms`` (default:
@@ -3799,6 +3800,16 @@ class DeltaWriter:
         window so pinned readers and time travel keep working. Orphans the
         log never mentions (e.g. crashed staging leftovers) have no
         tombstone and fall back to the mtime gate.
+
+        ``inventory`` (VACUUM ... USING INVENTORY, delta-spark 3.1): a
+        DataFrame of candidate files — columns ``path`` (relative to the
+        table root or absolute) and optionally ``isDir`` /
+        ``modificationTime`` (epoch ms, used as the orphan clock instead
+        of a per-file stat). Supplying one skips the table tree walk
+        entirely — at object-store scale the LISTING is the vacuum
+        bottleneck, and warehouses already have S3-Inventory-style
+        reports. Rows stream through ``toLocalIterator`` so the driver
+        never holds the whole inventory.
         """
         from duckdb_delta_spark.delta.dv import dv_file_path
 
@@ -3858,10 +3869,13 @@ class DeltaWriter:
                         fs.append(os.path.abspath(e.path))
             return fs, ds
 
-        def _maybe_delete(full: str) -> str | None:
+        def _maybe_delete(item) -> str | None:
+            full, inv_ts = item
             if full in live:
                 return None
             ts = tomb_ts.get(full)
+            if ts is None and inv_ts is not None:
+                ts = inv_ts  # inventory clock: no per-file stat needed
             if ts is None:
                 # no tombstone: orphan — mtime is the only signal
                 try:
@@ -3877,15 +3891,32 @@ class DeltaWriter:
                     return None  # raced away / permission — leave next run
             return os.path.relpath(full, self.table_path)
 
-        candidates: list[str] = []
+        candidates: list[tuple[str, int | None]] = []
         with ThreadPoolExecutor(max_workers=16) as ex:
-            pending = [self.table_path]
-            while pending:
-                batch = list(ex.map(_scan_dir, pending))
-                pending = []
-                for fs, ds in batch:
-                    candidates.extend(fs)
-                    pending.extend(ds)
+            if inventory is not None:
+                cols = set(inventory.columns)
+                for row in inventory.toLocalIterator():
+                    if "isDir" in cols and row["isDir"]:
+                        continue
+                    p = urllib.parse.unquote(str(row["path"]))
+                    if not p.endswith((".parquet", ".bin")):
+                        continue
+                    if "://" not in p and not os.path.isabs(p):
+                        p = os.path.join(self.table_path, p)
+                    if os.sep + "_delta_log" + os.sep in p:
+                        continue
+                    mt = (int(row["modificationTime"])
+                          if "modificationTime" in cols
+                          and row["modificationTime"] is not None else None)
+                    candidates.append((os.path.abspath(p), mt))
+            else:
+                pending = [self.table_path]
+                while pending:
+                    batch = list(ex.map(_scan_dir, pending))
+                    pending = []
+                    for fs, ds in batch:
+                        candidates.extend((f, None) for f in fs)
+                        pending.extend(ds)
             deleted = [r for r in ex.map(_maybe_delete, candidates) if r]
         from duckdb_delta_spark.delta.logging import emit
 

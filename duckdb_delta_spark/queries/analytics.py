@@ -475,3 +475,57 @@ def ev_scd2_history(spark, sf_dir):
         F.col("user_id").cast("long").alias("user_id"), "value",
         "valid_from", "valid_to", "is_current", "version_n",
     )
+
+
+# point-in-time feature join: every view event reads the user's purchase
+# "value" attribute AS OF the event time from the SCD2 history — the
+# leakage-free training-feature join (an open interval [valid_from,
+# valid_to) guarantees no future information). Runs on the bucketized
+# range join, never a nested loop.
+@register(
+    "ev_point_in_time_features",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, round(value, 2) AS value, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                      (SELECT max(ts) FROM events) + INTERVAL 1 DAY)
+               AS valid_to
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id, CAST(v.user_id AS BIGINT) AS user_id, v.ts,
+           h.value AS feature_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN h ON v.user_id = h.user_id
+          AND v.ts >= h.valid_from AND v.ts < h.valid_to
+    """,
+    group="events",
+)
+def ev_point_in_time_features(spark, sf_dir):
+    from duckdb_delta_spark.operators.joins import range_join, scd2_history
+
+    ev = load(spark, sf_dir, "events")
+    # open intervals are clamped to the DATA horizon, not some far-future
+    # sentinel: the bucketized range join explodes each interval into the
+    # buckets it spans, so a year-9999 valid_to would fan every current
+    # row into millions of buckets. max(ts)+1day is one scalar agg.
+    horizon = ev.agg(F.max("ts")).first()[0]
+    hist = scd2_history(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.round("value", 2).alias("value"))
+    ).withColumn(
+        "valid_to",
+        F.coalesce(
+            "valid_to",
+            F.lit(horizon).cast("timestamp") + F.expr("INTERVAL 1 DAY"),
+        ),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    out = range_join(
+        views, hist, point_ts="ts", start="valid_from", end="valid_to",
+        by=("user_id",),
+        bucket_seconds=86400,
+    )
+    return out.select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"), "ts",
+        F.col("value").alias("feature_value"),
+    )

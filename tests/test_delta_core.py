@@ -3732,3 +3732,47 @@ def test_set_transaction_retention_expires_at_checkpoint(spark, tdir):
     assert t2.get_transaction_version("fresh") == 3
     assert t2.get_transaction_version("noclock") == 1
     assert t2.to_df(spark).count() == 5
+
+
+def test_vacuum_using_inventory(spark, tdir):
+    """VACUUM ... USING INVENTORY: candidates come from the supplied
+    inventory frame (no tree walk) — files missing from the inventory
+    survive even when unreferenced, inventory mtimes gate orphans."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 5).coalesce(1))                # v1
+    w.append(_ids(spark, 5, lo=5).coalesce(1))          # v2
+    w.compact()                                  # v3: v1+v2 files tombstoned
+    t = DeltaTable(tdir)
+    live = {f.path for f in t.snapshot.add_files()}
+    dead = [p for p in os.listdir(tdir)
+            if p.endswith(".parquet") and p not in live]
+    assert dead
+    # inventory that deliberately OMITS the dead file: nothing deleted
+    inv = spark.createDataFrame(
+        [(p, False, None) for p in sorted(live)],
+        "path string, isDir boolean, modificationTime long")
+    assert DeltaWriter(tdir, spark).vacuum(
+        retention_ms=0, inventory=inv) == []
+    assert all(os.path.exists(os.path.join(tdir, p)) for p in dead)
+    # full inventory incl. the dead file -> exactly the dead file goes
+    inv2 = spark.createDataFrame(
+        [(p, False, None) for p in sorted(live) + dead],
+        "path string, isDir boolean, modificationTime long")
+    deleted = DeltaWriter(tdir, spark).vacuum(retention_ms=0, inventory=inv2)
+    assert sorted(deleted) == sorted(dead)
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+    # orphan gating via inventory clock: a stray parquet with a FRESH
+    # inventory mtime survives a 1-day retention, an old one goes
+    stray = os.path.join(tdir, "stray-file.parquet")
+    open(stray, "wb").write(b"x")
+    now = int(__import__("time").time() * 1000)
+    inv3 = spark.createDataFrame(
+        [("stray-file.parquet", False, now)],
+        "path string, isDir boolean, modificationTime long")
+    assert DeltaWriter(tdir, spark).vacuum(
+        retention_ms=86400_000, inventory=inv3) == []
+    inv4 = spark.createDataFrame(
+        [("stray-file.parquet", False, now - 2 * 86400_000)],
+        "path string, isDir boolean, modificationTime long")
+    assert DeltaWriter(tdir, spark).vacuum(
+        retention_ms=86400_000, inventory=inv4) == ["stray-file.parquet"]
