@@ -1264,6 +1264,32 @@ class DeltaWriter:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
+        # Spark's parquet committer emits a zero-row part file when a
+        # task's partition is empty (a 1-row df repartitioned to 8 tasks
+        # yields one real + one empty file). Committing those bloats the
+        # manifest forever — every snapshot replay, stats prune and scan
+        # plan pays for files that can never match. Drop them here.
+        dead_rels = {
+            urllib.parse.unquote(a["path"])
+            for a in adds
+            if json.loads(a.get("stats") or "{}").get("numRecords") == 0
+        }
+        if dead_rels:
+            adds = [
+                a for a in adds
+                if urllib.parse.unquote(a["path"]) not in dead_rels
+            ]
+            kept_moved = []
+            for rel, pvals in moved:
+                if rel in dead_rels:
+                    try:
+                        os.unlink(os.path.join(self.table_path, rel))
+                    except OSError:
+                        pass
+                else:
+                    kept_moved.append((rel, pvals))
+            moved = kept_moved
+
         self._enforce_not_null(adds, schema, parts, moved)
         return moved, adds
 

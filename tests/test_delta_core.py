@@ -3776,3 +3776,52 @@ def test_vacuum_using_inventory(spark, tdir):
         "path string, isDir boolean, modificationTime long")
     assert DeltaWriter(tdir, spark).vacuum(
         retention_ms=86400_000, inventory=inv4) == ["stray-file.parquet"]
+
+
+def test_write_stats_all_null_column(spark, tdir):
+    """Reference issue #297 analogue: a commit whose file holds an
+    all-NULL column must write stats WITHOUT minValues/maxValues for that
+    column (parquet has no min/max for all-null pages) but WITH its
+    nullCount — and scans with IS NULL / equality still answer right."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(spark.createDataFrame([(42, 0, 42.0)], SCHEMA))   # v1
+    w.append(spark.createDataFrame([(None, None, None)], SCHEMA))  # v2
+
+    for v, (mn, nc) in ((1, ("42", 0)), (2, (None, 1))):
+        adds = [a["add"] for a in DeltaLog(tdir).read_commit(v) if "add" in a]
+        assert len(adds) == 1
+        st = json.loads(adds[0]["stats"])
+        assert st["numRecords"] == 1
+        assert st["nullCount"]["i"] == nc
+        if mn is None:
+            assert "i" not in st.get("minValues", {})
+            assert "i" not in st.get("maxValues", {})
+        else:
+            assert str(st["minValues"]["i"]) == mn
+
+    t = DeltaTable(tdir)
+    assert t.to_df(spark).where("i IS NULL").count() == 1
+    # equality scan must not be over-pruned by the all-null file's stats
+    sc = t.scan(spark).filter("i", "=", 42)
+    assert sc.to_df().count() == 1
+
+
+def test_append_drops_empty_part_files(spark, tdir):
+    """A task whose partition is empty must not commit a zero-record file
+    (manifest bloat: every replay/prune/plan pays for files that cannot
+    match). The physical empty part file is removed too; an entirely
+    empty append commits zero adds."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(spark.createDataFrame([(1, 0, 1.0)], SCHEMA).repartition(8))
+    adds = [a["add"] for a in DeltaLog(tdir).read_commit(1) if "add" in a]
+    assert len(adds) == 1
+    assert json.loads(adds[0]["stats"])["numRecords"] == 1
+    on_disk = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert len(on_disk) == 1
+    v = w.append(spark.createDataFrame([], SCHEMA))
+    assert sum(1 for a in DeltaLog(tdir).read_commit(v) if "add" in a) == 0
+    assert DeltaTable(tdir).to_df(spark).count() == 1
