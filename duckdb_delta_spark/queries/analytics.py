@@ -529,3 +529,88 @@ def ev_point_in_time_features(spark, sf_dir):
         "event_id", F.col("user_id").cast("long").alias("user_id"), "ts",
         F.col("value").alias("feature_value"),
     )
+
+
+# distribution window functions: ntile / percent_rank / cume_dist over a
+# deterministic total order (r9 window-coverage widening)
+@register(
+    "win_price_distribution",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+    group="windows",
+)
+def win_price_distribution(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey", "p_brand",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# RANGE-framed moving aggregate: sums over a VALUE range (all orders
+# within 30 total-price units), not a row count — the frame kind the
+# ROWS-based suite didn't cover
+@register(
+    "win_range_frame_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_близ
+    FROM orders WHERE o_custkey < 200
+    """.replace("n_близ", "n_near"),
+    group="windows",
+)
+def win_range_frame_sum(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_near"),
+    )
+
+
+# bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep multiplicity)
+@register(
+    "setop_brand_sizes_all",
+    oracle="""
+    SELECT p_size FROM part WHERE p_brand = 'Brand#1'
+    INTERSECT ALL
+    SELECT p_size FROM part WHERE p_brand = 'Brand#2'
+    """,
+    group="setops",
+)
+def setop_brand_sizes_all(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    a = p.where(F.col("p_brand") == "Brand#1").select("p_size")
+    b = p.where(F.col("p_brand") == "Brand#2").select("p_size")
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_sizes_except_all",
+    oracle="""
+    SELECT p_size FROM part WHERE p_brand = 'Brand#1'
+    EXCEPT ALL
+    SELECT p_size FROM part WHERE p_brand = 'Brand#2'
+    """,
+    group="setops",
+)
+def setop_sizes_except_all(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    a = p.where(F.col("p_brand") == "Brand#1").select("p_size")
+    b = p.where(F.col("p_brand") == "Brand#2").select("p_size")
+    return a.exceptAll(b)

@@ -1845,3 +1845,47 @@ def doc_quality_fineweb(spark, sf_dir):
         "doc_id", "quality_score", "dup_line_frac", "char_entropy",
         keep.alias("keep"),
     )
+
+
+# Matryoshka-truncation diagnostic: what fraction of each vector's
+# squared norm lives in the first 16/32/48 dims — the measurement that
+# decides how far MRL-style embedding truncation can go corpus-wide.
+# Exact decimal accumulation (same discipline as the PQ distances).
+def _dim_energy_sql() -> str:
+    def ssq(hi):
+        return (f"list_sum(list_transform(range(1, {hi} + 1), "
+                f"i -> CAST(round(v[i] * v[i] * {10**15}) AS BIGINT)))")
+    return f"""
+    WITH t AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    e AS (SELECT vec_id, {ssq(16)} AS e16, {ssq(32)} AS e32,
+                 {ssq(48)} AS e48, {ssq(64)} AS e64 FROM t)
+    SELECT vec_id,
+           round(e16 / CAST(greatest(e64, 1) AS DOUBLE), 6) AS frac16,
+           round(e32 / CAST(greatest(e64, 1) AS DOUBLE), 6) AS frac32,
+           round(e48 / CAST(greatest(e64, 1) AS DOUBLE), 6) AS frac48
+    FROM e
+    """
+
+
+@register("emb_dim_energy", oracle=_dim_energy_sql(), group="similarity")
+def emb_dim_energy(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def ssq(hi):
+        return F.aggregate(
+            F.transform(
+                F.slice(v, 1, hi),
+                lambda x: F.round(x * x * 1_000_000_000_000_000).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+
+    e64 = F.greatest(ssq(64), F.lit(1)).cast("double")
+    return emb.select(
+        "vec_id",
+        F.round(ssq(16) / e64, 6).alias("frac16"),
+        F.round(ssq(32) / e64, 6).alias("frac32"),
+        F.round(ssq(48) / e64, 6).alias("frac48"),
+    )
