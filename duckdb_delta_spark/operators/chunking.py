@@ -333,3 +333,34 @@ def shard_manifest(
             ).alias("content_md5"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split1",
+) -> DataFrame:
+    """Split assignment that CANNOT leak near-duplicates across splits:
+    documents are split by their near-dup CLUSTER id (connected
+    components over the candidate-pair graph), not their own id — two
+    near-identical documents always land in the same split, so the
+    holdout never contains a paraphrase of a training document (the
+    classic silent eval-inflation bug).
+
+    ``pairs``: near-dup candidate pairs (id_a, id_b), e.g. from
+    MinHash/LSH banding. Docs in no pair form singleton clusters (their
+    own id). Adds ``cluster_id`` and ``split``."""
+    from duckdb_delta_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    joined = (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .drop("id")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+        )
+    )
+    return split_assign(joined, weights, id_col="cluster_id", salt=salt)

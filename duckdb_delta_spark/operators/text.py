@@ -726,3 +726,58 @@ def filter_blocked_domains(
             "blocked", F.coalesce("blocked", F.lit(False))
         )
     return out.drop("__domains")
+
+
+def with_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model surprisal — the cheap stand-in for the
+    KenLM-perplexity quality filter (CCNet/LLaMA recipe): train unigram
+    probabilities ON THE CORPUS ITSELF (one term hash-agg), then score
+    every document by its mean negative log2 probability with add-one
+    smoothing. High surprisal = tokens the corpus rarely uses (noise,
+    boilerplate codes, wrong language); low = templated text.
+
+    Two-pass shape at 100 TB: the model is a term-keyed table (|vocab|
+    rows, shuffles on term — well spread), the scoring join is also
+    term-keyed, partial-aggregated per doc. Per-term surprisal is rounded
+    to 4 dp and accumulated as exact DECIMAL so both engines sum
+    identically regardless of order. Adds ``n_scored``, ``sum_bits``
+    (total -log2 p at 4 dp — a SUM, not a mean: the sum of 4-dp decimals
+    is itself an exact 4-dp decimal, so both engines emit bit-identical
+    doubles; the mean would re-introduce double-division rounding
+    divergence at the 4th digit; divide client-side when needed)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            -F.log2((F.col("c") + 1) / (F.col("T") + F.col("V")).cast("double")),
+            4,
+        )
+        .cast("decimal(38,18)")
+        .alias("nll"),
+    )
+    per = (
+        toks.join(probs, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("nll").alias("s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            .alias("sum_bits"),
+        )
+    )

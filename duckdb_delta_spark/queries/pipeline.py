@@ -1889,3 +1889,69 @@ def emb_dim_energy(spark, sf_dir):
         F.round(ssq(32) / e64, 6).alias("frac32"),
         F.round(ssq(48) / e64, 6).alias("frac48"),
     )
+
+
+# leakage-safe splits: split by near-dup CLUSTER so no paraphrase of a
+# training doc reaches the holdout; default bands sorted by name —
+# test [0,2), train [2,98), val [98,100)
+@register(
+    "doc_leakage_safe_split",
+    oracle=f"""
+    WITH comp AS ({{comp}}),
+    a AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    s AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN b < 2 THEN 'test'
+                  WHEN b < 98 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM (SELECT doc_id, cluster_id,
+                   ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                       || ':split1'), 1, 8))::BIGINT
+                     % 100 AS b
+            FROM a))
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM s GROUP BY split
+    """.replace("{comp}", _components_sql()),
+    group="doc",
+)
+def doc_leakage_safe_split(spark, sf_dir):
+    from duckdb_delta_spark.operators import chunking as C
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    out = C.leakage_safe_split(docs, pairs)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+
+
+# corpus-trained unigram surprisal (KenLM-perplexity proxy): per-term
+# -log2 p rounded to 4dp then summed as exact DECIMAL on both engines
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT sum(c) AS T, count(*) AS V FROM counts),
+    probs AS (
+      SELECT term,
+             CAST(round(-log2((c + 1) / CAST(T + V AS DOUBLE)), 4)
+                  AS DECIMAL(38,18)) AS nll
+      FROM counts, tot),
+    per AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+             sum(p.nll) AS s
+      FROM toks t JOIN probs p USING (term) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(per.n_scored, 0) AS n_scored,
+           coalesce(CAST(per.s AS DOUBLE), 0.0) AS sum_bits
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+    group="text",
+)
+def text_lm_score(spark, sf_dir):
+    return X.with_lm_score(load(spark, sf_dir, "documents"))

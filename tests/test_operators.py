@@ -579,3 +579,23 @@ def test_range_join_matches_nested_loop_reference(spark):
         if p[1] == v[1] and v[2] <= p[2] < v[3]
     )
     assert got == ref and len(ref) > 50
+
+
+def test_leakage_safe_split_no_cross_split_pairs(spark, docs):
+    """The defining property: every near-dup pair lands in ONE split."""
+    from duckdb_delta_spark.operators.chunking import leakage_safe_split
+    from duckdb_delta_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs)
+    out = leakage_safe_split(docs, pairs).select("doc_id", "split")
+    a = out.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a")
+    b = out.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b")
+    crossed = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossed == 0
+    assert pairs.count() > 0  # the property is non-vacuous on this corpus
