@@ -781,3 +781,16 @@ def with_lm_score(
             .alias("sum_bits"),
         )
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme+host, strip
+    the query string, fragment, a leading ``www.`` and any trailing
+    slash. Pure regexp codegen — the form both engines compute byte-
+    identically."""
+    u = F.regexp_replace(url, r"[?#].*$", "")        # query + fragment
+    u = F.regexp_replace(u, r"/+$", "")               # trailing slashes
+    head = F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1))
+    head = F.regexp_replace(head, r"^(https?://)www\.", r"$1")
+    tail = F.regexp_replace(u, r"^https?://[^/]*", "")
+    return F.concat(head, tail)

@@ -1603,3 +1603,27 @@ def delta_replace_scan(spark, sf_dir):
         F.sum("n_orders").cast("long").alias("n_orders"),
         F.round(F.sum("total"), 2).cast("double").alias("total"),
     )
+
+
+# metadata-only per-partition statistics: answered ENTIRELY from the
+# manifest (partitionValues + stats.numRecords) — zero data files read;
+# the oracle recomputes the same numbers by scanning the raw rows
+@register(
+    "delta_partition_stats",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_partition_stats(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_part")
+    m = t.file_manifest(spark)
+    return (
+        m.select(
+            F.col("partition_values")["l_returnflag"].alias("l_returnflag"),
+            "cardinality",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("cardinality").cast("long").alias("n_rows"))
+    )

@@ -1955,3 +1955,46 @@ def doc_leakage_safe_split(spark, sf_dir):
 )
 def text_lm_score(spark, sf_dir):
     return X.with_lm_score(load(spark, sf_dir, "documents"))
+
+
+# canonical-URL dedup: scheme-case/www/query/fragment/trailing-slash
+# variants of the same page collapse to one canonical key
+_URL_VARIANTS = (
+    "'https://WWW.Ex' || CAST(doc_id % 3 AS VARCHAR) || '.org/page/' "
+    "|| CAST(doc_id % 20 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '/?utm=x#frag' ELSE '' END"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_VARIANTS} AS url FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(
+                 regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                '/+$', ''),
+                 '^(https?://[^/]*)', 1)),
+               '^(https?://)www\\.', '\\1')
+             || regexp_replace(
+                  regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                 '/+$', ''),
+                  '^https?://[^/]*', '') AS canon
+      FROM u)
+    SELECT canon, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM c GROUP BY canon
+    """,
+    group="dedup",
+)
+def dedup_url_canonical(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_VARIANTS.replace("AS VARCHAR", "AS STRING"))
+        .alias("url"))
+    out = docs.withColumn("canon", X.canonical_url(F.col("url")))
+    return out.groupBy("canon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )

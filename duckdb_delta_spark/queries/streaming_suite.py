@@ -559,3 +559,47 @@ def stream_static_join(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "stream_trending",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT hour, event_type, n,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM hourly)
+    SELECT hour, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    group="streaming",
+)
+def stream_trending(spark, sf_dir):
+    """Trending top-k per window: the INCREMENTAL half (watermarked
+    hourly counts) runs as a stream; the rank-within-window runs on the
+    materialized complete-mode result — ranking is not incrementally
+    maintainable in Spark streaming, so this split (stream the agg, rank
+    the sink table) IS the production pattern."""
+    from pyspark.sql.window import Window
+
+    from duckdb_delta_spark.streaming import (
+        hourly_event_counts_stream,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    hourly = run_stream_to_memory(
+        hourly_event_counts_stream(ev), output_mode="complete"
+    ).select("hour", "event_type", "n")
+    w = Window.partitionBy("hour").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("hour", "event_type", F.col("n").cast("long").alias("n"), "rnk")
+    )
