@@ -218,3 +218,54 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def dedup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact binary dedup: group identical payload bytes (the first
+    dedup every image/audio corpus runs — byte-identical re-crawls are
+    the bulk of media duplication). One hash-agg on the payload checksum;
+    at 100 TB the groupBy key is the CHECKSUM (fixed width), never the
+    blob itself, so shuffle volume is rows × 32 bytes, not the corpus."""
+    return (
+        df.select(F.col(id_col), F.col("media_meta")["checksum"].alias("ck"),
+                  F.col("media_meta")["n_bytes"].alias("n_bytes"))
+        .groupBy("ck")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.first("n_bytes").cast("long").alias("n_bytes"),
+        )
+    )
+
+
+def segment_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bytes_per_second: int = 32_000,   # 16 kHz × 16-bit mono
+    window_seconds: int = 2,
+    hop_seconds: int = 1,
+) -> DataFrame:
+    """Fixed-duration overlapping audio windowing — the frame-sampling
+    analogue for audio (ASR/audio-LM pipelines chunk long recordings
+    into model-window segments). PURE METADATA math: each segment is
+    (byte_offset, byte_len) over the payload — the decode/resample step
+    stays behind the documented codec seam, and the planner never copies
+    blob bytes to compute the segmentation. One explode, zero shuffle.
+    """
+    win = bytes_per_second * window_seconds
+    hop = bytes_per_second * hop_seconds
+    n_bytes = F.octet_length(F.col(payload_col)).cast("long")
+    n_seg = F.greatest(
+        F.lit(1),
+        (F.ceil((n_bytes - win) / F.lit(hop)) + 1).cast("long"),
+    )
+    seg = F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx")
+    out = df.select(F.col(id_col), n_bytes.alias("n_bytes"), seg)
+    off = F.col("seg_idx") * hop
+    return out.select(
+        id_col, "seg_idx",
+        off.cast("long").alias("byte_offset"),
+        F.least(F.lit(win).cast("long"), F.col("n_bytes") - off)
+        .alias("byte_len"),
+    ).where(F.col("byte_len") > 0)

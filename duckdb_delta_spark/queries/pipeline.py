@@ -1998,3 +1998,63 @@ def dedup_url_canonical(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("keep_id"),
     )
+
+
+# exact binary-payload dedup (checksum-keyed, blob never shuffles)
+@register(
+    "mm_payload_dedup",
+    oracle="""
+    SELECT md5(text) AS ck,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY md5(text)
+    """,
+    group="mm",
+)
+def mm_payload_dedup(spark, sf_dir):
+    from duckdb_delta_spark.operators import multimodal as M
+
+    docs = M.with_payload(load(spark, sf_dir, "documents"))
+    return M.dedup_payloads(docs)
+
+
+# metadata-only audio segmentation: offsets/lengths over the byte stream
+# (tiny fake rate so the 128-byte fixture payloads produce real overlap)
+_SEG_BPS, _SEG_WIN_S, _SEG_HOP_S = 16, 4, 2
+
+
+@register(
+    "mm_audio_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    n AS (
+      SELECT doc_id, n_bytes,
+             greatest(1, CAST(ceil((n_bytes - {_SEG_BPS * _SEG_WIN_S})
+                                   / {float(_SEG_BPS * _SEG_HOP_S)}) AS BIGINT)
+                         + 1) AS n_seg
+      FROM p),
+    s AS (
+      SELECT doc_id, n_bytes, unnest(range(0, n_seg)) AS seg_idx FROM n)
+    SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+           CAST(seg_idx * {_SEG_BPS * _SEG_HOP_S} AS BIGINT) AS byte_offset,
+           CAST(least({_SEG_BPS * _SEG_WIN_S},
+                      n_bytes - seg_idx * {_SEG_BPS * _SEG_HOP_S}) AS BIGINT)
+             AS byte_len
+    FROM s
+    WHERE least({_SEG_BPS * _SEG_WIN_S},
+                n_bytes - seg_idx * {_SEG_BPS * _SEG_HOP_S}) > 0
+    """,
+    group="mm",
+)
+def mm_audio_segments(spark, sf_dir):
+    from duckdb_delta_spark.operators import multimodal as M
+
+    docs = M.with_payload(load(spark, sf_dir, "documents"))
+    return M.segment_audio(
+        docs, bytes_per_second=_SEG_BPS,
+        window_seconds=_SEG_WIN_S, hop_seconds=_SEG_HOP_S,
+    )
