@@ -3415,7 +3415,7 @@ class DeltaWriter:
 
     def compact(
         self,
-        target_file_bytes: int = 128 << 20,
+        target_file_bytes: int | None = None,
         min_files: int = 2,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
@@ -3427,6 +3427,8 @@ class DeltaWriter:
         Beyond the reference (which supports no DML —
         delta_schema_entry.cpp:36-97) but essential at scale: frequent
         appends leave thousands of small files, and scan parallelism +
+        (``target_file_bytes`` defaults to the table's ``delta.targetFileSize``
+        property when set, else 128 MiB.)
         footer overhead degrade. Per partition, files smaller than
         ``target_file_bytes`` are rewritten into ``ceil(total/target)``
         files by one Spark job reading exactly those files; the commit
@@ -3456,6 +3458,12 @@ class DeltaWriter:
         """
         snap = self._snapshot
         self._assert_writable("OPTIMIZE")
+        if target_file_bytes is None:
+            # delta-spark parity: the table can size its own OPTIMIZE
+            # output via the delta.targetFileSize property (bytes)
+            target_file_bytes = int(
+                snap.configuration.get("delta.targetFileSize", 128 << 20)
+            )
         schema = snap.schema
         parts = snap.partition_columns
         mode = snap.column_mapping_mode

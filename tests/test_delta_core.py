@@ -3825,3 +3825,23 @@ def test_append_drops_empty_part_files(spark, tdir):
     v = w.append(spark.createDataFrame([], SCHEMA))
     assert sum(1 for a in DeltaLog(tdir).read_commit(v) if "add" in a) == 0
     assert DeltaTable(tdir).to_df(spark).count() == 1
+
+
+def test_optimize_honors_target_file_size_property(spark, tdir):
+    """delta.targetFileSize sizes OPTIMIZE output when no explicit target
+    is passed: a tiny property value keeps multiple output files where
+    the default would bin-pack into one."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.targetFileSize": "16384"})
+    for k in range(4):
+        w.append(_ids(spark, 400, lo=400 * k).coalesce(1))
+    v = DeltaWriter(tdir, spark).compact()
+    assert v is not None
+    files = DeltaTable(tdir).snapshot.add_files()
+    assert len(files) > 1            # ~8 KiB inputs vs 16 KiB target
+    assert DeltaTable(tdir).to_df(spark).count() == 1600
+    # explicit argument overrides the property
+    w2 = DeltaWriter(tdir, spark)
+    v2 = w2.compact(target_file_bytes=1 << 30)
+    assert v2 is not None
+    assert len(DeltaTable(tdir).snapshot.add_files()) == 1
