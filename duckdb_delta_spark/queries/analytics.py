@@ -614,3 +614,53 @@ def setop_sizes_except_all(spark, sf_dir):
     a = p.where(F.col("p_brand") == "Brand#1").select("p_size")
     b = p.where(F.col("p_brand") == "Brand#2").select("p_size")
     return a.exceptAll(b)
+
+
+# funnel: users' first view -> purchase within 1 hour, conversion by day
+@register(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT v.user_id, v.first_view, min(e.ts) AS conv_ts
+      FROM v LEFT JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+       AND e.ts >= v.first_view AND e.ts < v.first_view + INTERVAL 1 HOUR
+      GROUP BY v.user_id, v.first_view)
+    SELECT CAST(date_trunc('day', first_view) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_viewers,
+           CAST(count(conv_ts) AS BIGINT) AS n_converted,
+           round(count(conv_ts) / CAST(count(*) AS DOUBLE), 4) AS cvr
+    FROM p GROUP BY 1
+    """,
+    group="events",
+)
+def ev_funnel_conversion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    cond = (
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_ts") >= F.col("first_view"))
+        & (F.col("b_ts") < F.col("first_view") + F.expr("INTERVAL 1 HOUR"))
+    )
+    p = (
+        v.join(buys, cond, "left")
+        .groupBy("user_id", "first_view")
+        .agg(F.min("b_ts").alias("conv_ts"))
+    )
+    return p.groupBy(
+        F.date_trunc("day", "first_view").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers"),
+        F.count("conv_ts").cast("long").alias("n_converted"),
+        F.round(F.count("conv_ts") / F.count(F.lit(1)), 4).alias("cvr"),
+    )

@@ -603,3 +603,38 @@ def stream_trending(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("hour", "event_type", F.col("n").cast("long").alias("n"), "rnk")
     )
+
+
+@register(
+    "stream_sliding_error_rate",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    wins AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600
+                          - k.k * 600) AS win_start,
+             event_type
+      FROM e, (SELECT unnest(range(0, 3)) AS k) k),
+    agg AS (
+      SELECT win_start, count(*) AS n_events,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM wins GROUP BY win_start)
+    SELECT win_start, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           round(n_errors / CAST(n_events AS DOUBLE), 4) AS error_rate
+    FROM agg
+    """,
+    group="streaming",
+)
+def stream_sliding_error_rate(spark, sf_dir):
+    """Sliding windows (window 30m, slide 10m): each event contributes to
+    exactly 3 windows; the oracle materializes the same 3 window starts
+    per event relationally."""
+    from duckdb_delta_spark.streaming import stream_events
+    from duckdb_delta_spark.streaming.events import (
+        sliding_error_rate_stream,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(
+        sliding_error_rate_stream(ev), output_mode="complete"
+    )

@@ -316,3 +316,35 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(dim), events["user_id"] == dim["c_custkey"], "inner"
     )
+
+
+def sliding_error_rate_stream(
+    events: DataFrame,
+    window_min: int = 30,
+    slide_min: int = 10,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window error-rate monitor: each event lands in
+    window/slide overlapping windows (3 here), and the per-window error
+    fraction is the alerting signal. State is bounded by the watermark ×
+    overlap factor; everything runs in the JVM windowed-agg operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_min} minutes", f"{slide_min} minutes")
+            .alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            F.round(F.col("n_errors") / F.col("n_events"), 4)
+            .alias("error_rate"),
+        )
+    )
