@@ -744,3 +744,81 @@ def simhash_near_dup_counts(
             .alias("n_near_dups"),
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = MINHASH_HASHES, band_size: int = MINHASH_BAND_SIZE,
+) -> DataFrame:
+    """Estimator-calibration view of the MinHash pipeline: for every LSH
+    candidate pair, the MinHash Jaccard ESTIMATE (fraction of agreeing
+    signature components — the quantity LSH actually thresholds on) next
+    to the EXACT shingle Jaccard, with the absolute error. The query that
+    answers "are 8 hashes enough for this corpus, or are we
+    over/under-merging?" before a 100-TB dedup run commits to a config.
+
+    Same banding join as :func:`minhash_candidate_pairs`; the exact
+    verify joins each side's distinct-shingle array back in (candidate-
+    confined quadratic work, the LSH contract)."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    grams = toked.select(
+        F.col(id_col), word_shingles(F.col("_t")).alias("grams")
+    )
+    exploded = grams.select(
+        F.col(id_col), F.explode("grams").alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    n_bands = num_hashes // band_size
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + k}") for k in range(band_size)]
+        sig = sig.withColumn(f"band_{b}", F.md5(F.concat_ws("|", *cols)))
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)],
+        *[F.col(f"band_{b}").alias(f"ab_{b}") for b in range(n_bands)],
+    )
+    b_ = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)],
+        *[F.col(f"band_{b}").alias(f"bb_{b}") for b in range(n_bands)],
+    )
+    pairs = None
+    for b in range(n_bands):
+        p = a.join(b_, F.col(f"ab_{b}") == F.col(f"bb_{b}")).where(
+            F.col("id_a") < F.col("id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.select(
+        "id_a", "id_b",
+        *[F.col(f"a_{s}") for s in range(num_hashes)],
+        *[F.col(f"b_{s}") for s in range(num_hashes)],
+    ).distinct()
+    agree = None
+    for s in range(num_hashes):
+        t = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = pairs.select(
+        "id_a", "id_b", (agree / float(num_hashes)).alias("est_jaccard")
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    ex = (
+        est.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("n_i", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_i")
+            / (F.size("ga") + F.size("gb") - F.col("n_i")).cast("double"),
+        )
+    )
+    return ex.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4)
+        .alias("abs_err"),
+    )

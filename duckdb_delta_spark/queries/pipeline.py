@@ -2058,3 +2058,63 @@ def mm_audio_segments(spark, sf_dir):
         docs, bytes_per_second=_SEG_BPS,
         window_seconds=_SEG_WIN_S, hop_seconds=_SEG_HOP_S,
     )
+
+
+# MinHash estimator calibration: per candidate pair, the 8-component
+# signature agreement fraction vs the exact shingle Jaccard — both
+# engines compute both quantities independently end to end
+def _minhash_estimate_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{s}:' || sh)) AS mh_{s}" for s in range(D.MINHASH_HASHES)
+    )
+    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh_{b * D.MINHASH_BAND_SIZE + k}"
+            for k in range(D.MINHASH_BAND_SIZE)
+        )
+        + f") AS band_{b}"
+        for b in range(n_bands)
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
+        f"ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END)"
+        for s in range(D.MINHASH_HASHES)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (SELECT doc_id, {_SHINGLES} AS g FROM toks),
+    sh AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+    sig AS (SELECT doc_id, {mins}, NULL AS _pad FROM sh GROUP BY doc_id),
+    sigb AS (SELECT doc_id, {bands.replace('mh_', 'sig.mh_')}
+             FROM sig),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM ({unions.replace('FROM sig ', 'FROM sigb ').replace('JOIN sig ', 'JOIN sigb ')})),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             ({agree}) / CAST({D.MINHASH_HASHES} AS DOUBLE) AS est_jaccard
+      FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a
+                   JOIN sig sb ON sb.doc_id = p.id_b),
+    ex AS (
+      SELECT e.id_a, e.id_b, e.est_jaccard,
+             len(list_intersect(ga.g, gb.g)) AS n_i,
+             len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS n_u
+      FROM est e JOIN grams ga ON ga.doc_id = e.id_a
+                 JOIN grams gb ON gb.doc_id = e.id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(est_jaccard, 4) AS est_jaccard,
+           round(n_i / CAST(n_u AS DOUBLE), 4) AS jaccard,
+           round(abs(est_jaccard - n_i / CAST(n_u AS DOUBLE)), 4) AS abs_err
+    FROM ex
+    """
+
+
+@register(
+    "dedup_minhash_estimate", oracle=_minhash_estimate_sql(), group="dedup"
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    return D.minhash_estimate_pairs(load(spark, sf_dir, "documents"))
