@@ -664,3 +664,67 @@ def ev_funnel_conversion(spark, sf_dir):
         F.count("conv_ts").cast("long").alias("n_converted"),
         F.round(F.count("conv_ts") / F.count(F.lit(1)), 4).alias("cvr"),
     )
+
+
+# weekly cohort retention: cohort = week of first activity; matrix of
+# (cohort_week, weeks_since) -> active users
+@register(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                   - f.cohort_week) // 7 AS BIGINT) AS weeks_since
+      FROM events e JOIN f USING (user_id))
+    SELECT cohort_week, weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, weeks_since
+    """,
+    group="events",
+)
+def ev_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week")) / 7
+            ).cast("long").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# CUBE with DISTINCT aggregate: distinct customers per (priority, status)
+# cell including all rollup margins — the distinct-agg × grouping-sets
+# combination the agg suite didn't cover
+@register(
+    "agg_distinct_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    group="agg",
+)
+def agg_distinct_cube(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )

@@ -2118,3 +2118,24 @@ def _minhash_estimate_sql() -> str:
 )
 def dedup_minhash_estimate(spark, sf_dir):
     return D.minhash_estimate_pairs(load(spark, sf_dir, "documents"))
+
+
+# corpus length histogram (decade buckets) — the length-distribution
+# sanity check every new crawl snapshot gets
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST((n_chars // 10) * 10 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    group="text",
+)
+def text_length_histogram(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 10) * 10).cast("long")
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
