@@ -728,3 +728,45 @@ def agg_distinct_cube(spark, sf_dir):
         F.count_distinct("o_custkey").cast("long").alias("n_customers"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
+
+
+# per-user error-burst detection: max errors inside any trailing 5-minute
+# window (time-RANGE frame over event time, not a row frame)
+@register(
+    "ev_error_bursts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'error'),
+    w AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING
+                                      AND CURRENT ROW) AS burst
+      FROM e)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(burst) AS BIGINT) AS max_burst,
+           CAST(count(*) AS BIGINT) AS n_errors
+    FROM w GROUP BY user_id
+    """,
+    group="events",
+)
+def ev_error_bursts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-5 * 60 * 1_000_000, Window.currentRow)
+    )
+    per = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    return per.groupBy("user_id").agg(
+        F.max("burst").cast("long").alias("max_burst"),
+        F.count(F.lit(1)).cast("long").alias("n_errors"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"), "max_burst",
+        "n_errors",
+    )

@@ -2139,3 +2139,41 @@ def text_length_histogram(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# post-dedup corpus summary: what exact dedup would save, by language
+@register(
+    "dedup_savings_by_lang",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, n_chars, {_FP} AS fp FROM documents),
+    g AS (
+      SELECT fp, min(lang) AS lang, count(*) AS n_copies,
+             min(doc_id) AS keep_id, sum(n_chars) AS chars_all,
+             min(n_chars) AS chars_keep
+      FROM f GROUP BY fp)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_removable,
+           CAST(sum(chars_all) - sum(chars_keep) AS BIGINT) AS chars_saved
+    FROM g GROUP BY lang
+    """,
+    group="dedup",
+)
+def dedup_savings_by_lang(spark, sf_dir):
+    docs = X.with_fingerprint(load(spark, sf_dir, "documents"))
+    g = docs.groupBy("fingerprint").agg(
+        F.min("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_chars").alias("chars_all"),
+        F.min("n_chars").alias("chars_keep"),
+    )
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("long")
+        .alias("n_removable"),
+        (F.sum("chars_all") - F.sum("chars_keep")).cast("long")
+        .alias("chars_saved"),
+    )
