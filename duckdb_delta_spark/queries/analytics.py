@@ -770,3 +770,46 @@ def ev_error_bursts(spark, sf_dir):
         F.col("user_id").cast("long").alias("user_id"), "max_burst",
         "n_errors",
     )
+
+
+# DAU/WAU stickiness: daily actives joined to their week's actives
+@register(
+    "ev_dau_wau",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+             count(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(d.dau / CAST(w.wau AS DOUBLE), 4) AS stickiness
+    FROM d JOIN w
+      ON CAST(date_trunc('week', CAST(d.day AS TIMESTAMP)) AS DATE) = w.week
+    """,
+    group="events",
+)
+def ev_dau_wau(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    w = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        d.join(
+            w,
+            F.date_trunc("week", F.col("day").cast("timestamp")).cast("date")
+            == F.col("week"),
+        )
+        .select(
+            "day", F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau").cast("double"), 4)
+            .alias("stickiness"),
+        )
+    )

@@ -2177,3 +2177,109 @@ def dedup_savings_by_lang(spark, sf_dir):
         (F.sum("chars_all") - F.sum("chars_keep")).cast("long")
         .alias("chars_saved"),
     )
+
+
+# cross-doc n-gram novelty: fraction of a doc's distinct shingles that
+# appear in NO other document — the diversity/novelty signal data
+# curation uses to prefer non-templated content
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM toks),
+    df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    per AS (
+      SELECT gr.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM grams gr JOIN df USING (g) GROUP BY gr.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique,
+           round(coalesce(per.n_unique / CAST(per.n_grams AS DOUBLE), 0.0), 4)
+             AS novelty
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+    group="doc",
+)
+def doc_ngram_novelty(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(D.word_shingles(X.tokens(F.col("text")))).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per = (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.round(
+                F.coalesce(
+                    F.col("n_unique") / F.col("n_grams").cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+# epoch-repetition plan: how many times each source must repeat to fill
+# its temperature-weighted share of the token budget (the "epochs per
+# source" table a training run is configured from) — all integer math
+_EPOCH_BUDGET = 2_000_000
+
+
+@register(
+    "doc_mix_epoch_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok_s
+      FROM documents GROUP BY source),
+    s AS (SELECT source, tok_s,
+                 CAST(floor(sqrt(CAST(tok_s AS DOUBLE))) AS BIGINT) AS s_s
+          FROM per),
+    t AS (SELECT sum(s_s) AS tot_s FROM s)
+    SELECT source, tok_s,
+           CAST(({_EPOCH_BUDGET} * s_s) // tot_s AS BIGINT) AS target_tok,
+           CAST(ceil((({_EPOCH_BUDGET} * s_s) // tot_s)
+                     / CAST(greatest(tok_s, 1) AS DOUBLE)) AS BIGINT)
+             AS n_epochs
+    FROM s, t
+    """,
+    group="doc",
+)
+def doc_mix_epoch_plan(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("tok_s")
+    )
+    s = per.withColumn(
+        "s_s", F.floor(F.sqrt(F.col("tok_s").cast("double"))).cast("long")
+    )
+    t = s.agg(F.sum("s_s").alias("tot_s"))
+    out = s.crossJoin(F.broadcast(t)).withColumn(
+        "target_tok",
+        F.expr(f"CAST({_EPOCH_BUDGET} AS BIGINT) * s_s div tot_s"),
+    )
+    return out.select(
+        "source", "tok_s", "target_tok",
+        F.ceil(
+            F.col("target_tok") / F.greatest(F.col("tok_s"), F.lit(1)).cast("double")
+        ).cast("long").alias("n_epochs"),
+    )
