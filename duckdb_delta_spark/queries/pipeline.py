@@ -2283,3 +2283,66 @@ def doc_mix_epoch_plan(spark, sf_dir):
             F.col("target_tok") / F.greatest(F.col("tok_s"), F.lit(1)).cast("double")
         ).cast("long").alias("n_epochs"),
     )
+
+
+# LSH bucket recall report: for each query, what fraction of its EXACT
+# cosine top-5 lands in the same LSH bucket — both the truth set and the
+# candidate set are deterministic, so the quality report itself is
+# oracle-checked (the self-measurement an ANN config review needs)
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv FROM embeddings
+               WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) AS cosv
+          FROM c, q WHERE neighbor_id <> query_id),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosv DESC, neighbor_id) AS rank
+        FROM s) WHERE rank <= 5),
+    b AS (SELECT vec_id, {_bucket_expr()} AS bucket FROM embeddings),
+    hits AS (
+      SELECT t.query_id,
+             sum(CASE WHEN bq.bucket = bn.bucket THEN 1 ELSE 0 END) AS n_hit
+      FROM truth t
+      JOIN b bq ON bq.vec_id = t.query_id
+      JOIN b bn ON bn.vec_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit / 5.0, 4) AS recall_at_5
+    FROM hits
+    """,
+    group="similarity",
+)
+def ann_lsh_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    b = S.with_lsh_bucket(emb, _planes()).select("vec_id", "bucket")
+    bq = b.select(F.col("vec_id").alias("query_id"),
+                  F.col("bucket").alias("q_bucket"))
+    bn = b.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("bucket").alias("n_bucket"))
+    return (
+        truth.join(F.broadcast(bq), "query_id")
+        .join(F.broadcast(bn), "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("q_bucket") == F.col("n_bucket"), 1).otherwise(0)
+            ).cast("long").alias("n_hit")
+        )
+        .select(
+            F.col("query_id").cast("long"), "n_hit",
+            F.round(F.col("n_hit") / 5.0, 4).alias("recall_at_5"),
+        )
+    )
