@@ -813,3 +813,51 @@ def ev_dau_wau(spark, sf_dir):
             .alias("stickiness"),
         )
     )
+
+
+# per-user daily anomaly flags: |z| > 2 on daily event counts, evaluated
+# as a PURE INTEGER inequality — (n-1)·(n·x − s)² > 4·n·(n·ssq − s²) is
+# z² > 4 cleared of divisions, so both engines decide every boundary
+# identically (float variance would diverge in the last ulp)
+@register(
+    "ev_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ssq
+      FROM daily GROUP BY user_id)
+    SELECT d.user_id, d.day, d.x AS n_events,
+           (st.n > 1 AND
+            (st.n - 1) * (st.n * d.x - st.s) * (st.n * d.x - st.s)
+              > 4 * st.n * (st.n * st.ssq - st.s * st.s)) AS is_anomaly
+    FROM daily d JOIN stats st USING (user_id)
+    """,
+    group="events",
+)
+def ev_daily_anomalies(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq"),
+    )
+    j = daily.join(stats, "user_id")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    anomaly = (F.col("n") > 1) & (
+        (F.col("n") - 1) * dev * dev
+        > 4 * F.col("n") * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    )
+    return j.select(
+        F.col("user_id").cast("long").alias("user_id"), "day",
+        F.col("x").alias("n_events"), anomaly.alias("is_anomaly"),
+    )
