@@ -2346,3 +2346,68 @@ def ann_lsh_recall(spark, sf_dir):
             F.round(F.col("n_hit") / 5.0, 4).alias("recall_at_5"),
         )
     )
+
+
+# sentence segmentation stats: terminal-punctuation splitting, pure codegen
+@register(
+    "text_sentence_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '[.!?]+(\\s+|$)'), x -> trim(x)),
+               x -> x <> '') AS sents,
+             {_TOKS} AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           round(len(t) / CAST(greatest(len(sents), 1) AS DOUBLE), 4)
+             AS words_per_sentence
+    FROM s
+    """,
+    group="text",
+)
+def text_sentence_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+(\s+|$)"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    toks = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.round(
+            F.size(toks) / F.greatest(F.size(sents), F.lit(1)).cast("double"),
+            4,
+        ).alias("words_per_sentence"),
+    )
+
+
+# near-dup cluster-size histogram: how much of the corpus sits in
+# how-big duplicate groups — the one-line summary a dedup review reads
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH comp AS ({_components_sql()}),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+    group="dedup",
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    comp = D.connected_components(D.minhash_candidate_pairs(docs))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"), "n_clusters",
+        "n_docs",
+    )
