@@ -5,6 +5,13 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <float>,
    "canary_iters_per_sec": <float>, ...}
 
+The stdout ``queries`` map carries only the 25 slowest queries — the
+registry has grown past the driver's line-capture limit (BENCH_r09.json
+survived only as a tail with ``"parsed": null``), so the one-line artifact
+is kept deliberately small. The FULL per-query map plus per-family
+subtotals goes to ``BENCH_DETAIL.json`` next to this file (committed each
+round); the stdout line names that file in ``detail_file``.
+
 Delta fixture construction (one-time, derived from the sf dir) happens
 before the clock starts — the benchmark measures query execution, matching
 the reference's suite structure where data generation is a separate step
@@ -87,13 +94,46 @@ def main() -> int:
 
     canary_post = cpu_canary()
     total = round(sum(timings.values()), 3)
+
+    # Full per-query detail goes to a committed sidecar file; the stdout
+    # line must stay under the driver's capture limit (BENCH_r09.json was
+    # truncated to an unparseable tail by the 277-entry map).
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "families": families,
+                "canary_iters_per_sec": min(canary_pre, canary_post),
+                "canary_pre": canary_pre,
+                "canary_post": canary_post,
+                "timing_mode": "min_of_two_under_10s",
+                "suite_total": len(queries),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "queries_note": "25 slowest of suite_total; full map in detail_file",
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
                 # CPU-health calibration: healthy ≈ 15-20M iter/s; a
                 # 3-4× drop means the box was throttled and absolute
@@ -101,7 +141,7 @@ def main() -> int:
                 "canary_iters_per_sec": min(canary_pre, canary_post),
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
-                "timing_mode": "min_of_two_under_5s",
+                "timing_mode": "min_of_two_under_10s",
                 # artifact self-description: the driver's correctness
                 # window covers only the first 50 registry names
                 # (alphabetical); the full suite is larger — see

@@ -524,12 +524,17 @@ def pq_codebooks(
     k: int = PQ_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: bool = False,
+    train_iters: int = 5,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks seeded from the k lowest-id corpus vectors
     (one bounded O(k) driver collect — the same deterministic seeding rule
-    the IVF oracle uses; a production pipeline would refine these with
-    :func:`kmeans_fit` per subspace, which this seeding is iteration 0 of).
-    Returns books[s][c] = the 16-dim codeword."""
+    the IVF oracle uses). ``train=True`` refines the seeds with
+    per-subspace Lloyd's k-means (L2 on the subvectors — the metric ADC
+    scans actually use), all m subspaces in ONE distributed pass per
+    iteration; the default stays iteration-0 seeding so the DuckDB oracle
+    path is bit-exact and parameter-free. Returns books[s][c] = the
+    sub-dim codeword."""
     rows = (
         corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -537,10 +542,102 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    return [
+    books = [
         [[float(rows[c][0][s * sub + i]) for i in range(sub)] for c in range(k)]
         for s in range(m)
     ]
+    if train:
+        books = _pq_lloyd_refine(corpus, books, train_iters, vec_col)
+    return books
+
+
+def _pq_lloyd_refine(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    iters: int,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """Lloyd's refinement of PQ codebooks: per subspace, assign every
+    subvector to its nearest codeword (exact L2, ties to the lower code)
+    and re-average. All m subspaces train in the SAME ``mapInPandas``
+    pass — per batch a blocked numpy distance matrix per subspace emits
+    only (subspace, code, dim-sums, count) partials, so each iteration's
+    shuffle is O(batches x m x k) and the driver handles m x k rows.
+    Empty cells keep their previous codeword (standard Lloyd's
+    degenerate-cell rule), so determinism is preserved end-to-end."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    B = np.array(books, dtype="float64")  # (m, k, sub)
+    m, k, sub = B.shape
+    vec_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("s", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(B)
+
+        def _partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            books_arr = bc.value
+            mm, kk, ss = books_arr.shape
+            for pdf in batches:
+                mat = np.array(pdf["v"].tolist(), dtype="float64")
+                if mat.size == 0:
+                    continue
+                rows = []
+                for s in range(mm):
+                    sv = mat[:, s * ss:(s + 1) * ss]          # (n, sub)
+                    # ||x-c||^2 expanded; argmin keeps the LOWEST code on
+                    # exact ties, matching the encode path's rule
+                    d2 = (
+                        (sv * sv).sum(axis=1, keepdims=True)
+                        - 2.0 * sv @ books_arr[s].T
+                        + (books_arr[s] * books_arr[s]).sum(axis=1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)
+                    for code in np.unique(a):
+                        sel = sv[a == code]
+                        rows.append(
+                            (int(s), int(code),
+                             sel.sum(axis=0).tolist(), int(len(sel)))
+                        )
+                yield pd.DataFrame(rows, columns=["s", "code", "sums", "n"])
+
+        agg = (
+            vec_df.mapInPandas(_partials, out_schema)
+            .groupBy("s", "code")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.element_at("sums", i + 1)).alias(f"c{i}")
+                        for i in range(sub)
+                    ]
+                ).alias("sums"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = B.copy()
+        for r in agg:
+            if r["n"]:
+                new[r["s"], r["code"]] = np.array(r["sums"]) / r["n"]
+        shift = float(np.abs(new - B).max())
+        B = new
+        bc.unpersist()
+        if shift <= 1e-9:
+            break
+    return [[list(map(float, cw)) for cw in book] for book in B]
 
 
 def pq_encode(
@@ -586,6 +683,7 @@ def pq_topk(
     kcent: int = PQ_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation:
     corpus vectors live as m-byte codes, each query carries an m×kcent
@@ -596,10 +694,13 @@ def pq_topk(
     :func:`brute_force_topk`, ranking by (adist asc, neighbor_id).
 
     100-TB shape: the corpus never moves (codes are ~1% of vector bytes),
-    queries broadcast, and per-row work is O(m) element_at probes."""
+    queries broadcast, and per-row work is O(m) element_at probes.
+    ``books``: pre-built codebooks (e.g. ``pq_codebooks(train=True)``);
+    default rebuilds the deterministic seeded books for the oracle path."""
     from pyspark.sql.window import Window
 
-    books = pq_codebooks(corpus, m, kcent, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(corpus, m, kcent, id_col, vec_col)
     sub = len(books[0][0])
     codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
@@ -648,6 +749,7 @@ def pq_topk_rerank(
     kcent: int = PQ_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Two-phase ANN, the production PQ shape: the ADC scan over codes
     produces a per-query shortlist (k' ≫ k candidates, still never
@@ -663,7 +765,7 @@ def pq_topk_rerank(
 
     cand = pq_topk(
         corpus, queries, k=shortlist, m=m, kcent=kcent,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, books=books,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"),

@@ -436,6 +436,85 @@ def test_pq_rerank_recall_and_exactness(spark, vecs):
         assert abs(r["dist"] - round(true, 6)) < 1e-9, r
 
 
+def test_pq_trained_codebooks_beat_seeded_shortlist_recall(spark):
+    """``pq_codebooks(train=True)`` (per-subspace Lloyd's, L2 on the
+    subvectors) must raise ADC-shortlist recall@10 over the iteration-0
+    seeded books at EQUAL shortlist size k' — smaller k' for the same
+    recall is the corpus-scan cost lever at 100 TB. Deterministic:
+    seeding, tie rules, and empty-cell handling are all fixed, so the
+    measured recalls reproduce exactly (seeded 0.425, trained 0.49 at
+    k'=30 on sf0.001)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.operators.similarity import (
+        pq_codebooks, pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    V = {r[0]: np.array(r[1], dtype=np.float64) for r in emb.collect()}
+    exact = {}
+    for qi in range(20):
+        d = sorted(
+            (float(np.sum((V[qi] - V[j]) ** 2)), j) for j in V if j != qi
+        )[:10]
+        exact[qi] = {j for _, j in d}
+
+    def recall(books, kp=30):
+        got = pq_topk(emb, q, k=kp, books=books).collect()
+        hits = sum(1 for r in got if r["neighbor_id"] in exact[r["query_id"]])
+        return hits / (20 * 10)
+
+    seeded = recall(pq_codebooks(emb))
+    trained = recall(pq_codebooks(emb, train=True, train_iters=5))
+    assert trained > seeded, (seeded, trained)
+    assert trained >= 0.45 and seeded >= 0.40, (seeded, trained)
+
+
+def test_ivf_trained_centroids_beat_seeded_nprobe_sweep(spark):
+    """``kmeans_fit`` centroids fed through ``ivf_topk(centroids=...)``
+    must beat the deterministic seed centroids on recall@10 at every
+    nprobe in {1,2,4}. Queries are DISJOINT from the seed vectors — the
+    seeds are the 16 lowest-id corpus vectors, so querying vec_id<20
+    lets each query probe 'its own' list and fakes high seeded recall
+    (measured: 0.75 overlapping vs 0.17 disjoint at nprobe=1). The
+    oracle path (`ann_ivf_topk`) keeps the seeds for bit-exactness.
+    Measured on sf0.001: nprobe=4 seeded 0.423 vs trained 0.56."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.operators.similarity import (
+        centroids_df, ivf_topk, kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    qids = list(range(100, 130))
+    V = {r[0]: np.array(r[1], dtype=np.float64) for r in emb.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = {
+        qi: {j for _, j in sorted(
+            ((-cos(V[qi], V[j]), j) for j in V if j != qi))[:10]}
+        for qi in qids
+    }
+
+    def recall(cents, nprobe):
+        got = ivf_topk(emb, q, k=10, nprobe=nprobe, centroids=cents).collect()
+        hits = sum(
+            1 for r in got if r["neighbor_id"] in exact[r["query_id"]])
+        return hits / (len(qids) * 10)
+
+    trained = centroids_df(spark, kmeans_fit(emb, k=16, max_iter=8))
+    for nprobe in (1, 2, 4):
+        rs, rt = recall(None, nprobe), recall(trained, nprobe)
+        assert rt > rs, (nprobe, rs, rt)
+    assert rt >= 0.5, rt  # nprobe=4 trained clears half the true top-10
+
+
 def test_paragraph_dedup_digit_edges(spark):
     """Regression: a bare F.trim passed to F.transform binds the element
     INDEX as its trim-characters argument, silently shaving digits off
