@@ -15,7 +15,9 @@ on the join key plus an in-partition sort:
 This is the classic scalable as-of shape (the same plan a sort-merge
 as-of join would produce): linear work after one sort, no row explosion,
 no per-key state. Skewed keys degrade exactly like any keyed window —
-salt upstream if one key dominates.
+``asof_join(salt=(col, n))`` splits a hot key across n tasks by salting
+the left side and replicating the (small) right side, with provably
+identical output.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ def asof_join(
     by: tuple[str, ...] = ("user_id",),
     right_cols: tuple[str, ...] = ("value",),
     tolerance_seconds: int | None = None,
+    salt: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row gains the most recent right row
     with ``right.on <= left.on`` in the same ``by`` group (equal
@@ -43,7 +46,19 @@ def asof_join(
 
     Determinism: with several right rows at the SAME (key, ts) the one
     latest in (ts, input order) wins; feed de-duplicated right frames
-    when that matters (the oracle corpus has no such ties)."""
+    when that matters (the oracle corpus has no such ties).
+
+    ``salt=(col, n)``: hot-key splitter for skewed ``by`` keys (one
+    user/entity holding a large share of left rows makes the keyed
+    window a single straggler task). Left rows are deterministically
+    salted into n sub-partitions by hashing left column ``col``; right
+    rows REPLICATE to all n salts, so every sub-partition sees the full
+    right stream and the per-salt running ``last`` is already the
+    global answer — no cross-salt merge, and the output is provably
+    identical to the unsalted plan. Cost: right side ×n (the small,
+    dimension-change side — choose n ≈ hot-key rows / target partition
+    rows). The window then partitions on (*by, salt), so the hottest
+    key spreads over n tasks."""
     tag = F.lit(1)
     lcols = left.columns
     l = left.withColumn("__tag", tag)
@@ -51,9 +66,21 @@ def asof_join(
         *by, F.col(on),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     ).withColumn("__tag", F.lit(0))
+    part: tuple[str, ...] = by
+    if salt is not None:
+        scol, n = salt
+        if n < 1:
+            raise ValueError(f"salt fan-out must be >= 1, got {n}")
+        l = l.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(scol)), F.lit(n)).cast("int")
+        )
+        r = r.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+        )
+        part = (*by, "__salt")
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*part)
         .orderBy(F.col(on).asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -594,6 +594,65 @@ def test_asof_join_semantics(spark):
     assert out2[101]["asof_value"] == 2.0
 
 
+def test_asof_join_salted_matches_unsalted_under_skew(spark):
+    """``salt=(col, n)`` hot-key splitting: with one key holding 50% of
+    left rows, the salted as-of join returns EXACTLY the unsalted
+    result (the right side replicates to every salt, so each per-salt
+    running-last is already the global answer), the window partitions
+    on (key, __salt) — visible in the physical plan — and the hot key's
+    rows really spread across multiple salt sub-partitions."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)
+    lschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("eid", T.LongType())])
+    rschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType())])
+    # hot key 7 holds 50% of left rows; keys 0..99 hold the rest
+    lrows = [(7, S(i * 3 + 1), 10_000 + i) for i in range(100)]
+    lrows += [(i % 100, S(i * 2 + 1), 20_000 + i) for i in range(100)]
+    rrows = [(k, S(t), float(k * 1000 + t))
+             for k in range(100) for t in (0, 50, 150)]
+    left = spark.createDataFrame(lrows, lschema)
+    right = spark.createDataFrame(rrows, rschema)
+
+    plain = asof_join(left, right)
+    salted = asof_join(left, right, salt=("eid", 8))
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(salted.collect()) == key(plain.collect())
+    # tolerance path composes with salting too
+    assert key(
+        asof_join(left, right, salt=("eid", 8),
+                  tolerance_seconds=40).collect()
+    ) == key(asof_join(left, right, tolerance_seconds=40).collect())
+
+    # plan: the window's required distribution includes the salt column
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain("formatted")
+    plan = buf.getvalue()
+    assert "__salt" in plan and "Window" in plan
+    # the hot key's 100 rows actually land in several sub-partitions
+    from pyspark.sql import functions as F
+    sizes = (
+        left.where(F.col("user_id") == 7)
+        .groupBy(F.pmod(F.xxhash64(F.col("eid")), F.lit(8)).cast("int"))
+        .count().collect()
+    )
+    assert len(sizes) >= 4 and max(r["count"] for r in sizes) < 100
+
+
 def test_range_join_boundaries(spark):
     """start inclusive, end exclusive; intervals spanning multiple
     buckets still match exactly once per qualifying pair."""
