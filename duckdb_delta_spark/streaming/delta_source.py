@@ -936,3 +936,47 @@ def _pv_str(v) -> str:
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     return str(v)
+
+
+# ------------------------------------------------------------- drain helper
+
+def drain_available_now(
+    start_query,
+    await_seconds: float = 120.0,
+    max_runs: int = 10_000,
+) -> list:
+    """Run-until-drained backfill for rate-limited Python-bridge sources.
+
+    Spark's ``Trigger.AvailableNow`` needs source-side support
+    (``prepareForTriggerAvailableNow``); the Python data-source bridge
+    (``PythonMicroBatchStream``, pyspark 4.1) has none, so Spark logs
+    "Falling back to single batch execution" and one availableNow run
+    advances exactly ONE rate-limited batch. This helper is the
+    production catch-up-then-stop shape for that bridge: call
+    ``start_query()`` (which must start an availableNow query on a FIXED
+    checkpointLocation) repeatedly until a run admits no new rows. The
+    checkpoint makes the loop exactly-once — every run resumes from the
+    committed offset, replaying at most one planned-but-uncommitted
+    batch — and when the loop exits the checkpoint offsets are exactly
+    where a subsequent continuous-trigger run picks up.
+
+    Returns the per-run ``lastProgress`` dicts of the runs that moved
+    data (so ``len(result)`` is the number of planned batches and
+    ``sum(p["numInputRows"])`` the total drained rows).
+    """
+    progresses = []
+    for _ in range(max_runs):
+        q = start_query()
+        q.awaitTermination(await_seconds)
+        p = q.lastProgress
+        if not q.isActive and p is None:
+            break  # nothing planned at all: caught up
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+            raise TimeoutError("availableNow run did not terminate")
+        if int(p["numInputRows"]) == 0:
+            break  # empty batch: caught up
+        progresses.append(p)
+    else:  # pragma: no cover
+        raise RuntimeError(f"backlog not drained in {max_runs} runs")
+    return progresses
