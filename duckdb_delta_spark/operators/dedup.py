@@ -93,16 +93,63 @@ def minhash_signatures(
     return sig.drop(*[f"mh_{s}" for s in range(num_hashes)])
 
 
+def tune_lsh_banding(
+    num_hashes: int = MINHASH_HASHES,
+    threshold: float = 0.8,
+    target_recall: float = 0.9,
+) -> dict:
+    """Closed-form S-curve inversion: pick the (bands, rows) split of a
+    ``num_hashes``-component MinHash signature so that pairs with true
+    Jaccard >= ``threshold`` become LSH candidates with probability >=
+    ``target_recall``.
+
+    P(candidate | jaccard=j) = 1 - (1 - j^rows)^bands; among the divisor
+    splits of num_hashes, the LARGEST rows (sharpest S-curve → fewest
+    false-positive candidates, i.e. least candidate-verify work at
+    100 TB) that still clears the target at j=threshold wins; if none
+    does, rows=1 (every component its own band) is the floor. This is
+    the decision step the ``dedup_minhash_estimate`` calibration feeds:
+    measure est-vs-exact agreement on a sample, then size the banding
+    before a corpus run commits to a config.
+
+    Returns {bands, rows, expected_recall, curve} where curve maps each
+    candidate rows value to its expected recall at the threshold."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    curve = {}
+    chosen = None
+    for rows in range(num_hashes, 0, -1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        recall = 1.0 - (1.0 - threshold ** rows) ** bands
+        curve[rows] = round(recall, 6)
+        if chosen is None and recall >= target_recall:
+            chosen = (bands, rows, recall)
+    if chosen is None:
+        bands, rows = num_hashes, 1
+        chosen = (bands, rows, curve[1])
+    return {
+        "bands": chosen[0],
+        "rows": chosen[1],
+        "expected_recall": round(chosen[2], 6),
+        "curve": curve,
+    }
+
+
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = MINHASH_HASHES, band_size: int = MINHASH_BAND_SIZE,
 ) -> DataFrame:
     """LSH candidate duplicate pairs: docs sharing any band bucket.
 
     The self-join is per-band on the band hash — the classic banding join;
     at 100 TB the band column is a well-distributed shuffle key and each
-    bucket is tiny unless docs truly collide."""
-    sig = minhash_signatures(df, text_col, id_col)
-    n_bands = MINHASH_HASHES // MINHASH_BAND_SIZE
+    bucket is tiny unless docs truly collide. ``num_hashes``/``band_size``
+    default to the module constants; feed :func:`tune_lsh_banding` output
+    (band_size = its ``rows``) to hit a target threshold/recall."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, band_size)
+    n_bands = num_hashes // band_size
     pair_frames = []
     for b in range(n_bands):
         s = sig.select(F.col(id_col).alias("id"), F.col(f"band_{b}").alias("band"))

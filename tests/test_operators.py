@@ -737,3 +737,48 @@ def test_leakage_safe_split_no_cross_split_pairs(spark, docs):
     )
     assert crossed == 0
     assert pairs.count() > 0  # the property is non-vacuous on this corpus
+
+
+def test_tune_lsh_banding_closed_form_and_recall(spark):
+    """tune_lsh_banding inverts the S-curve P(cand|j) = 1-(1-j^r)^b and
+    picks the sharpest banding (largest rows) clearing the target recall
+    at the threshold; the chosen banding must then actually achieve the
+    target on the exact-Jaccard truth set of the documents corpus (the
+    calibration->decision loop the dedup_minhash_estimate report feeds)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.operators.dedup import (
+        minhash_candidate_pairs, tokens, tune_lsh_banding, word_shingles,
+    )
+
+    # closed form: n=8, t=0.8 -> r=2/b=4 is the sharpest clearing 0.9
+    cfg = tune_lsh_banding(num_hashes=8, threshold=0.8, target_recall=0.9)
+    assert (cfg["bands"], cfg["rows"]) == (4, 2)
+    assert abs(cfg["expected_recall"] - (1 - (1 - 0.8**2) ** 4)) < 1e-6
+    assert cfg["curve"][4] < 0.9 < cfg["curve"][2]  # r=4 would miss
+    # unreachable target floors at rows=1
+    floor = tune_lsh_banding(num_hashes=8, threshold=0.2, target_recall=0.99)
+    assert floor["rows"] == 1 and floor["bands"] == 8
+
+    # truth set: exact shingle-Jaccard >= 0.8 over the documents corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text"))).alias("g")
+    ).collect()
+    sets = {r["doc_id"]: set(r["g"]) for r in grams}
+    ids = sorted(sets)
+    truth = [
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if sets[a] and sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.8
+    ]
+    assert len(truth) >= 20  # corpus plants enough near-dups to measure
+
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            docs, num_hashes=8, band_size=cfg["rows"]).collect()
+    }
+    hits = sum(1 for a, b in truth if (a, b) in cand or (b, a) in cand)
+    assert hits / len(truth) >= 0.9, (hits, len(truth))
