@@ -797,3 +797,63 @@ def pq_topk_rerank(
             F.col("rank").cast("long"),
         )
     )
+
+
+# ----------------------------------------------------------- hybrid fusion
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists — the
+    standard hybrid-search merge (lexical BM25 + dense ANN) of a RAG
+    retrieval stack: rrf(q, d) = Σ_lists 1/(c + rank_list(d)), summed
+    over the lists where d appears.
+
+    Inputs are (query, id, rank) frames (e.g. :func:`~duckdb_delta_spark.
+    operators.text.bm25_topk` and :func:`brute_force_topk` output, each
+    already top-k' bounded). The join is a full outer on (query, id) —
+    both sides are |Q|·k' rows, so this is dim-sized work no matter the
+    corpus size; the per-pair score is one two-term expression (no
+    accumulation-order hazard) and the final top-k window's groups are
+    ≤ 2k' rows. Ties rank by id ascending."""
+    from pyspark.sql.window import Window
+
+    a = ranked_a.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).alias("rank_lex"),
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).alias("rank_dense"),
+    )
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("rank_dense")), F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("doc_id").cast("long"),
+            F.col("rank_lex").cast("long"),
+            F.col("rank_dense").cast("long"),
+            "rrf_score",
+            F.col("rrf_rank").cast("long"),
+        )
+    )

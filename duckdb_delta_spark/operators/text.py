@@ -794,3 +794,107 @@ def canonical_url(url: Column) -> Column:
     head = F.regexp_replace(head, r"^(https?://)www\.", r"$1")
     tail = F.regexp_replace(u, r"^https?://[^/]*", "")
     return F.concat(head, tail)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "qtext",
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """BM25 full-text retrieval: top-``k`` documents per query — the
+    lexical-search half of a RAG / retrieval pipeline next to the ANN
+    operators in :mod:`similarity`.
+
+    score(q, d) = sum over distinct query terms of
+    ``idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
+    the Robertson/Lucene smoothed ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    100-TB shape: the (doc, term, tf) pairs ARE the inverted index (one
+    map-side-combined hash-agg over the corpus); document frequency is a
+    small term-keyed agg joined back on the same term partitioning; the
+    query side is tiny and meets the postings in a term-keyed join, so
+    only postings of the query's terms are ever touched — the classic
+    index-probe cost, not a corpus scan. Per-(query, doc) scores then
+    hash-agg on a well-distributed key and a two-stage window takes
+    top-k without a corpus-wide sort.
+
+    Determinism: each term contribution rounds to 4dp and accumulates as
+    exact DECIMAL, so Spark's partial aggregation and any other engine's
+    summation order produce identical scores (the ``text_lm_score``
+    convention); ties rank by doc_id.
+
+    ``stats``: pass (n_docs, avgdl) when known to skip the one scalar
+    agg job (at 100 TB these come from table metadata or a prior pass).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    if stats is None:
+        r = toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size("__t")).alias("avgdl"),
+        ).collect()[0]
+        n_docs, avgdl = int(r["n"]), float(r["avgdl"])
+    else:
+        n_docs, avgdl = stats
+    pairs = (
+        toks.select(id_col, F.size("__t").alias("dl"),
+                    F.explode("__t").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(
+            F.array_distinct(tokens(F.col(query_text)))
+        ).alias("term"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    weight = (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    contrib = F.round(idf * weight, 4).cast("decimal(38,18)")
+    # query terms pick up their df first (broadcast the tiny query side —
+    # never the corpus-sized vocabulary), then probe the postings
+    qd = F.broadcast(qterms).join(dfreq, "term")
+    scored = (
+        F.broadcast(qd).join(pairs, "term")
+        .groupBy(query_id, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(contrib).alias("__s"),
+        )
+        .withColumn("score", F.col("__s").cast("double"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    order = (F.col("score").desc(), F.col(id_col).asc())
+    w_partial = Window.partitionBy(query_id, "__pid").orderBy(*order)
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("__prank", F.row_number().over(w_partial))
+        .where(F.col("__prank") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(query_id).cast("long"),
+            F.col(id_col).cast("long"),
+            "n_terms", "score", F.col("rank").cast("long"),
+        )
+    )

@@ -2411,3 +2411,138 @@ def dedup_cluster_sizes(spark, sf_dir):
         F.col("sz").cast("long").alias("cluster_size"), "n_clusters",
         "n_docs",
     )
+
+
+# BM25 top-k retrieval: inverted-index probe (postings of the query's
+# terms only), per-term contributions rounded to 4dp and summed as
+# exact DECIMAL (order-free, engine-identical), two-stage top-k.
+# Queries are the first 6 distinct tokens of docs 0..4.
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(t) AS term FROM dtok),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dtok),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                     avg(dl) AS avgdl FROM dl),
+    pairs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM pairs GROUP BY term),
+    q AS (SELECT doc_id AS query_id,
+                 unnest(list_distinct(list_slice(t, 1, 6))) AS term
+          FROM dtok WHERE doc_id < 5),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(
+               ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+               4) AS DECIMAL(38,18)) AS c
+      FROM q JOIN pairs p USING (term) JOIN dfreq d USING (term)
+           JOIN dl ON dl.doc_id = p.doc_id, stats s),
+    scored AS (SELECT query_id, doc_id,
+                      CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(sum(c) AS DOUBLE) AS score
+               FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, n_terms, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+      ) AS BIGINT) AS rank FROM scored)
+    WHERE rank <= 10
+    """,
+    group="text",
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the documents corpus; queries derived from
+    the corpus itself (first 6 distinct tokens of docs 0..4)."""
+    docs = load(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.array_distinct(F.slice(X.tokens(F.col("text")), 1, 6)), " "
+        ).alias("qtext"),
+    )
+    return X.bm25_topk(docs, queries, k=10)
+
+
+# hybrid retrieval: reciprocal-rank fusion of BM25 (lexical, documents)
+# and brute-force cosine (dense, embeddings) top-10 lists. doc_id and
+# vec_id share the id space, so the fusion joins on it directly; the
+# rrf score is a two-term expression (no accumulation-order hazard).
+@register(
+    "ann_hybrid_rrf",
+    oracle=f"""
+    WITH dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(t) AS term FROM dtok),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dtok),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                     avg(dl) AS avgdl FROM dl),
+    pairs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM pairs GROUP BY term),
+    q AS (SELECT doc_id AS query_id,
+                 unnest(list_distinct(list_slice(t, 1, 6))) AS term
+          FROM dtok WHERE doc_id < 5),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(
+               ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+               4) AS DECIMAL(38,18)) AS c
+      FROM q JOIN pairs p USING (term) JOIN dfreq d USING (term)
+           JOIN dl ON dl.doc_id = p.doc_id, stats s),
+    lex_scored AS (SELECT query_id, doc_id,
+                          CAST(sum(c) AS DOUBLE) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+    lex AS (SELECT query_id, doc_id, rank_lex FROM (
+      SELECT query_id, doc_id, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+      ) AS BIGINT) AS rank_lex FROM lex_scored) WHERE rank_lex <= 10),
+    qv AS (SELECT vec_id AS query_id, {_DVEC} AS v FROM embeddings
+           WHERE vec_id < 5),
+    cv AS (SELECT vec_id AS doc_id, {_DVEC} AS v FROM embeddings),
+    dsim AS (SELECT q.query_id, c.doc_id,
+                    list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) AS cosv
+             FROM cv c, qv q WHERE c.doc_id <> q.query_id),
+    dense AS (SELECT query_id, doc_id, rank_dense FROM (
+      SELECT query_id, doc_id, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosv DESC, doc_id ASC
+      ) AS BIGINT) AS rank_dense FROM dsim) WHERE rank_dense <= 10),
+    fused AS (
+      SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.rank_lex, d.rank_dense,
+             round(coalesce(1.0 / (60 + l.rank_lex), 0)
+                   + coalesce(1.0 / (60 + d.rank_dense), 0), 6) AS rrf_score
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+    SELECT query_id, doc_id, rank_lex, rank_dense, rrf_score, rrf_rank
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+          ) AS BIGINT) AS rrf_rank FROM fused)
+    WHERE rrf_rank <= 10
+    """,
+    group="similarity",
+)
+def ann_hybrid_rrf(spark, sf_dir):
+    """RRF hybrid search: BM25 lexical top-10 + exact cosine dense
+    top-10, fused with 1/(60+rank) — the RAG retrieval-stack merge."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.array_distinct(F.slice(X.tokens(F.col("text")), 1, 6)), " "
+        ).alias("qtext"),
+    )
+    lex = X.bm25_topk(docs, queries, k=10).select(
+        "query_id", "doc_id", "rank")
+    dense = S.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return S.rrf_fuse(lex, dense, k=10)

@@ -398,3 +398,27 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = _plan(range_join(points, iv))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_bm25_is_index_probe_not_corpus_broadcast(spark):
+    """BM25's joins must broadcast the QUERY side (tiny) into the
+    postings/vocabulary — never the corpus-sized side — and contain no
+    nested-loop/cartesian fallback; the per-(query,doc) score then
+    hash-aggregates. This is the inverted-index probe shape that keeps
+    the 100-TB cost at 'postings of the query terms', not a corpus scan."""
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.operators.text import bm25_topk, tokens
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 6), " ")
+        .alias("qtext"),
+    )
+    plan = _plan(bm25_topk(docs, queries, k=10))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # qterms->dfreq, qd->pairs
+    assert "HashAggregate" in plan
