@@ -173,15 +173,18 @@ _SHINGLES = (
 )
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(num_hashes: int | None = None,
+                     band_size: int | None = None) -> str:
+    nh = num_hashes or D.MINHASH_HASHES
+    bs = band_size or D.MINHASH_BAND_SIZE
     mins = ", ".join(
-        f"min(md5('{s}:' || sh)) AS mh_{s}" for s in range(D.MINHASH_HASHES)
+        f"min(md5('{s}:' || sh)) AS mh_{s}" for s in range(nh)
     )
-    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+    n_bands = nh // bs
     bands = ", ".join(
         "md5("
         + " || '|' || ".join(
-            f"mh_{b * D.MINHASH_BAND_SIZE + k}" for k in range(D.MINHASH_BAND_SIZE)
+            f"mh_{b * bs + k}" for k in range(bs)
         )
         + f") AS band_{b}"
         for b in range(n_bands)
@@ -199,9 +202,11 @@ def dedup_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures(load(spark, sf_dir, "documents"))
 
 
-def _minhash_pairs_sql() -> str:
-    sig = _minhash_sig_sql()
-    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+def _minhash_pairs_sql(num_hashes: int | None = None,
+                       band_size: int | None = None) -> str:
+    sig = _minhash_sig_sql(num_hashes, band_size)
+    n_bands = (num_hashes or D.MINHASH_HASHES) // (
+        band_size or D.MINHASH_BAND_SIZE)
     unions = "\nUNION\n".join(
         f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
         f"ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
@@ -2546,3 +2551,24 @@ def ann_hybrid_rrf(spark, sf_dir):
         emb, emb.where(F.col("vec_id") < 5), k=10
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return S.rrf_fuse(lex, dense, k=10)
+
+
+# MinHash banding at the AUTO-TUNED config: tune_lsh_banding(8, t=0.8,
+# target 0.9) resolves to bands=4/rows=2 (the sharpest divisor split of
+# the signature clearing the target recall at the threshold); this entry
+# runs the candidate join at that banding so the tuner's decision is
+# oracle-verified end-to-end, not just unit-tested.
+_TUNED = D.tune_lsh_banding(num_hashes=8, threshold=0.8, target_recall=0.9)
+assert (_TUNED["bands"], _TUNED["rows"]) == (4, 2)
+
+
+@register(
+    "dedup_minhash_tuned",
+    oracle=_minhash_pairs_sql(num_hashes=8, band_size=_TUNED["rows"]),
+    group="dedup",
+)
+def dedup_minhash_tuned(spark, sf_dir):
+    return D.minhash_candidate_pairs(
+        load(spark, sf_dir, "documents"),
+        num_hashes=8, band_size=_TUNED["rows"],
+    )
