@@ -638,3 +638,64 @@ def stream_sliding_error_rate(spark, sf_dir):
     return run_stream_to_memory(
         sliding_error_rate_stream(ev), output_mode="complete"
     )
+
+
+@register(
+    "stream_backfill_drain",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="streaming",
+)
+def stream_backfill_drain(spark, sf_dir):
+    """Trigger.AvailableNow backfill, drained to completion: the Python-
+    source bridge lacks prepareForTriggerAvailableNow (one availableNow
+    run = one rate-limited batch), so drain_available_now loops runs on
+    ONE checkpoint until caught up — the production catch-up-then-stop
+    mode. maxFilesPerTrigger=1 forces one commit per run; the drained
+    parquet sink must equal the batch answer exactly (exactly-once
+    across runs via checkpoint replay)."""
+    import os
+    import tempfile
+    import uuid
+
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaPySource, drain_available_now,
+    )
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    src = os.path.join(root, "lineitem_multi")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"drain_{uuid.uuid4().hex[:12]}")
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+
+    def start():
+        return (
+            spark.readStream.format("delta_py")
+            .option("path", src)
+            .option("startingVersion", "0")
+            .option("maxFilesPerTrigger", "1").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+
+    runs = drain_available_now(start)
+    assert len(runs) >= 2, "backlog should need multiple drained batches"
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")), 2)
+            .cast("double").alias("qty"),
+        )
+    )
