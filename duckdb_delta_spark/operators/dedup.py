@@ -869,3 +869,51 @@ def minhash_estimate_pairs(
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4)
         .alias("abs_err"),
     )
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_chars: int = 16,
+) -> DataFrame:
+    """Truncation-duplicate pairs: document A is a strict PREFIX of
+    document B — the shape exact/MinHash dedup miss (a truncated scrape
+    of the same page has low Jaccard once the longer tail dominates,
+    and different hashes).
+
+    Bucketing: any strict prefix pair with len(A) >= ``key_chars``
+    shares its first ``key_chars`` characters, so the join key is that
+    fixed prefix — an equi-join whose buckets are "documents opening
+    with the same 16 chars", then the exact ``startswith`` verify runs
+    only inside buckets. Docs shorter than ``key_chars`` are excluded
+    (at 100 TB the sub-16-char stratum is noise; route it through exact
+    dedup). Boilerplate openings ("<!DOCTYPE html>…") make hot buckets —
+    raise ``key_chars`` or pre-strip boilerplate if one key dominates.
+
+    Returns (id_a, id_b, len_a, len_b, containment) with A the prefix,
+    containment = len_a/len_b."""
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).where(F.col("__len") >= key_chars).withColumn(
+        "__key", F.substring("__t", 1, key_chars)
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__t").alias("ta"),
+        F.col("__len").alias("len_a"), "__key",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__t").alias("tb"),
+        F.col("__len").alias("len_b"), "__key",
+    )
+    return (
+        a.join(b, "__key")
+        .where(F.col("len_a") < F.col("len_b"))
+        .where(F.expr("substring(tb, 1, len_a) = ta"))
+        .select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.col("len_a").cast("long"), F.col("len_b").cast("long"),
+            F.round(F.col("len_a") / F.col("len_b"), 4).alias("containment"),
+        )
+    )

@@ -2572,3 +2572,81 @@ def dedup_minhash_tuned(spark, sf_dir):
         load(spark, sf_dir, "documents"),
         num_hashes=8, band_size=_TUNED["rows"],
     )
+
+
+# truncation-duplicate pairs: doc A a strict prefix of doc B. The corpus
+# is augmented with deterministic 60%-length truncations of every 7th
+# doc (ids +1,000,000) so the operator has planted positives; the join
+# key is the first 16 chars (any strict prefix pair >= 16 chars shares
+# it), exact startswith verified inside buckets only.
+_TRUNC_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           substr(text, 1, CAST(floor(length(text) * 0.6) AS INT)) AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "dedup_prefix_containment",
+    oracle=f"""
+    WITH corpus AS ({_TRUNC_CORPUS}),
+    base AS (
+      SELECT doc_id, text, length(text) AS len,
+             substr(text, 1, 16) AS key
+      FROM corpus WHERE length(text) >= 16)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(a.len AS BIGINT) AS len_a,
+           CAST(b.len AS BIGINT) AS len_b,
+           round(a.len / CAST(b.len AS DOUBLE), 4) AS containment
+    FROM base a JOIN base b ON a.key = b.key
+    WHERE a.len < b.len AND substr(b.text, 1, a.len) = a.text
+    """,
+    group="dedup",
+)
+def dedup_prefix_containment(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) * 0.6) AS INT))"
+        ).alias("text"),
+    )
+    return D.prefix_containment_pairs(docs.unionByName(trunc))
+
+
+# burst / bot-rate flags: per-user minute-grain event-rate profile —
+# the abuse-filtering pass of an events pipeline. One keyed hash-agg
+# (user, minute) then a per-user rollup; no windows, no state.
+@register(
+    "ev_burst_flags",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(n) AS BIGINT) AS max_per_min,
+           CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_burst_minutes,
+           max(n) >= 3 AS is_bursty
+    FROM per_min GROUP BY user_id
+    """,
+    group="events",
+)
+def ev_burst_flags(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_min.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("max_per_min"),
+        F.sum(F.when(F.col("n") >= 3, 1).otherwise(0)).cast("long")
+        .alias("n_burst_minutes"),
+        (F.max("n") >= 3).alias("is_bursty"),
+    ).select(
+        F.col("user_id").cast("long"), "max_per_min",
+        "n_burst_minutes", "is_bursty",
+    )
