@@ -364,3 +364,49 @@ def leakage_safe_split(
         )
     )
     return split_assign(joined, weights, id_col="cluster_id", salt=salt)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis exponential keys): keep the ``n`` rows with the
+    largest ``ln(u_i) / w_i`` where ``u_i`` is a uniform(0,1) draw
+    derived from ``md5(salt:id)`` — inclusion probability proportional
+    to weight, reproducible across engines and runs (no RNG state), and
+    the selection is a single top-n, so the 100-TB cost is one scan plus
+    a two-stage top-n (per-partition partial, then global) — never a
+    full sort. The quality-weighted subsampling primitive: pass the
+    quality score (or token count) as ``weight``; changing the salt
+    redraws.
+
+    Key values round to 9dp before ranking (both engines produce
+    bit-identical md5-derived u; one rounding point keeps the ln/div
+    float path tie-stable); ties rank by id."""
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("double")
+        / F.lit(float(2 ** 60))
+    )
+    key = F.round(F.log(u) / weight, 9)
+    scored = df.withColumn("__skey", key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    order = (F.col("__skey").desc(), F.col(id_col).asc())
+    w_partial = Window.partitionBy("__pid").orderBy(*order)
+    w = Window.orderBy(*order)
+    return (
+        scored.withColumn("__prank", F.row_number().over(w_partial))
+        .where(F.col("__prank") <= n)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+        .drop("__skey", "__pid", "__prank")
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )

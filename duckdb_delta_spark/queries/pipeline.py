@@ -2650,3 +2650,40 @@ def ev_burst_flags(spark, sf_dir):
         F.col("user_id").cast("long"), "max_per_min",
         "n_burst_minutes", "is_bursty",
     )
+
+
+# quality-weighted sampling without replacement (Efraimidis–Spirakis
+# exponential keys, md5-derived uniforms): inclusion ∝ token count,
+# bit-reproducible across engines, one scan + two-stage top-n.
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(greatest(len({_TOKS}), 1) AS BIGINT) AS weight
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, weight,
+             round(ln((('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT)
+                      / POW(2, 60)) / weight, 9) AS skey
+      FROM w)
+    SELECT doc_id, weight, sample_rank FROM (
+      SELECT doc_id, weight, CAST(row_number() OVER (
+        ORDER BY skey DESC, doc_id ASC
+      ) AS BIGINT) AS sample_rank FROM keyed)
+    WHERE sample_rank <= 100
+    """,
+    group="pipeline",
+)
+def doc_weighted_sample(spark, sf_dir):
+    from duckdb_delta_spark.operators import chunking as C
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(F.size(X.tokens(F.col("text"))), F.lit(1))
+        .cast("long").alias("weight"),
+    )
+    return C.weighted_sample(
+        docs, n=100, weight=F.col("weight"), salt="ws1"
+    ).select("doc_id", "weight", "sample_rank")

@@ -782,3 +782,28 @@ def test_tune_lsh_banding_closed_form_and_recall(spark):
     }
     hits = sum(1 for a, b in truth if (a, b) in cand or (b, a) in cand)
     assert hits / len(truth) >= 0.9, (hits, len(truth))
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """Efraimidis–Spirakis sampling: (a) deterministic across runs,
+    (b) redrawn by salt, (c) heavier rows are overrepresented — the mean
+    weight of the sample must exceed the corpus mean (inclusion ∝
+    weight), (d) exactly n rows with ranks 1..n."""
+    from duckdb_delta_spark.operators.chunking import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # weights 1..10, heavier tail
+        (F.col("id") % 10 + 1).cast("long").alias("weight"),
+    )
+    s1 = weighted_sample(df, 200, F.col("weight")).collect()
+    s2 = weighted_sample(df, 200, F.col("weight")).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    assert len(s1) == 200
+    assert sorted(r["sample_rank"] for r in s1) == list(range(1, 201))
+    s3 = {r["doc_id"] for r in
+          weighted_sample(df, 200, F.col("weight"), salt="other").collect()}
+    assert s3 != {r["doc_id"] for r in s1}  # salt redraws
+    corpus_mean = 5.5
+    sample_mean = sum(r["weight"] for r in s1) / len(s1)
+    assert sample_mean > corpus_mean + 0.8, sample_mean
