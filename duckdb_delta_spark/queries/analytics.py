@@ -861,3 +861,47 @@ def ev_daily_anomalies(spark, sf_dir):
         F.col("user_id").cast("long").alias("user_id"), "day",
         F.col("x").alias("n_events"), anomaly.alias("is_anomaly"),
     )
+
+
+# events: Markov transition matrix of per-user event-type journeys —
+# one keyed window (lag/lead within user, tie-broken by event_id) then
+# a tiny (from,to) hash-agg; probabilities are exact-integer ratios.
+@register(
+    "ev_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                 4) AS p
+    FROM pairs
+    """,
+    group="events",
+)
+def ev_transition_matrix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
+    )

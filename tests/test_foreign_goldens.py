@@ -909,3 +909,50 @@ def test_foreign_protection_features_table(spark, tdir):
     # full sweep reaches the boundary → allowed
     assert DeltaWriter(tdir, spark).cleanup_expired_logs(retention_ms=0)
     assert DeltaTable(tdir).to_df(spark).count() == 7
+
+
+def test_foreign_v2_checkpoint_with_cm_and_dv(spark, tmp_path):
+    """The newest-format COMBO: a v2 sidecar checkpoint (UUID parquet
+    manifest + _sidecars files) over a table that is id-mode
+    column-mapped at every nesting level AND carries a spec-byte
+    deletion vector. Pre-checkpoint commits deleted — the replay must
+    reconstruct nested logical names, DV row drops, and physical-name
+    stats skipping purely from the manifest + sidecars."""
+    import json as _json
+
+    dest = str(tmp_path / "v2cmdv")
+    foreign.build_foreign_nested_cm_dv(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    actions = []
+    for v in range(2):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                a = _json.loads(line)
+                (key,) = a.keys()
+                if key == "commitInfo":
+                    continue
+                if key == "protocol":
+                    p = a["protocol"]
+                    p["readerFeatures"] = sorted(
+                        set(p.get("readerFeatures") or []) | {"v2Checkpoint"})
+                    p["writerFeatures"] = sorted(
+                        set(p.get("writerFeatures") or []) | {"v2Checkpoint"})
+                actions.append(a)
+    foreign.write_foreign_v2_checkpoint(log_dir, 1, actions)
+    for v in range(2):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    df = DeltaTable(dest).to_df(spark)
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == _nested_expected_ids()
+    for r in rows:
+        i = r["id"]
+        assert r["info"]["name"] == f"n{i}" and r["info"]["score"] == i * 1.5
+        assert r["attrs"] == {"a": i, "b": 2 * i}
+    # physical-name nested stats still engage skipping post-checkpoint
+    sb = DeltaTable(dest).scan(spark).filter("info.score", ">", 20.0)
+    got = sorted(r["id"] for r in sb.to_df().collect())
+    rep = sb.skip_report()
+    assert rep["files_total"] == 2 and rep["files_skipped_by_stats"] == 1
+    assert got == [i for i in range(14, 24) if i % 3 != 0]
