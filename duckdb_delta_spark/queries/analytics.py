@@ -905,3 +905,39 @@ def ev_transition_matrix(spark, sf_dir):
         "from_type", "to_type", "n",
         F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
     )
+
+
+# the SALTED as-of path against the same native-ASOF oracle: proves the
+# hot-key splitter (left salted by event_id into 8 sub-partitions, right
+# stream replicated per salt) is semantics-preserving cross-engine, not
+# just self-consistent with the unsalted plan.
+@register(
+    "ev_asof_salted",
+    oracle=f"""
+    SELECT l.event_id, CAST(l.user_id AS BIGINT) AS user_id, l.ts,
+           CASE WHEN date_diff('second', r.ts, l.ts) > {_ASOF_TOL_S}
+                THEN NULL ELSE r.ts END AS asof_ts,
+           CASE WHEN date_diff('second', r.ts, l.ts) > {_ASOF_TOL_S}
+                THEN NULL ELSE round(r.value, 2) END AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    group="events",
+)
+def ev_asof_salted(spark, sf_dir):
+    from duckdb_delta_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        views, buys, on="ts", by=("user_id",), right_cols=("value",),
+        tolerance_seconds=_ASOF_TOL_S, salt=("event_id", 8),
+    )
+    return out.select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"), "ts",
+        "asof_ts", F.round("asof_value", 2).alias("asof_value"),
+    )
