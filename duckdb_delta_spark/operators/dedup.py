@@ -876,6 +876,7 @@ def prefix_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     key_chars: int = 16,
+    side: str = "prefix",
 ) -> DataFrame:
     """Truncation-duplicate pairs: document A is a strict PREFIX of
     document B — the shape exact/MinHash dedup miss (a truncated scrape
@@ -891,14 +892,24 @@ def prefix_containment_pairs(
     dedup). Boilerplate openings ("<!DOCTYPE html>…") make hot buckets —
     raise ``key_chars`` or pre-strip boilerplate if one key dominates.
 
-    Returns (id_a, id_b, len_a, len_b, containment) with A the prefix,
-    containment = len_a/len_b."""
+    ``side="suffix"`` mirrors the test to document ENDINGS — doc A is a
+    strict suffix of doc B (a rescrape that gained a new header keeps
+    the same tail): key = last ``key_chars`` characters, verify =
+    ``substring(b, len_b - len_a + 1) = a``.
+
+    Returns (id_a, id_b, len_a, len_b, containment) with A the
+    contained side, containment = len_a/len_b."""
+    if side not in ("prefix", "suffix"):
+        raise ValueError(f"side must be 'prefix' or 'suffix', got {side}")
+    key = (
+        F.substring("__t", 1, key_chars)
+        if side == "prefix"
+        else F.expr(f"substring(__t, -{key_chars}, {key_chars})")
+    )
     base = df.select(
         F.col(id_col), F.col(text_col).alias("__t"),
         F.length(text_col).alias("__len"),
-    ).where(F.col("__len") >= key_chars).withColumn(
-        "__key", F.substring("__t", 1, key_chars)
-    )
+    ).where(F.col("__len") >= key_chars).withColumn("__key", key)
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("__t").alias("ta"),
         F.col("__len").alias("len_a"), "__key",
@@ -907,10 +918,15 @@ def prefix_containment_pairs(
         F.col(id_col).alias("id_b"), F.col("__t").alias("tb"),
         F.col("__len").alias("len_b"), "__key",
     )
+    verify = (
+        F.expr("substring(tb, 1, len_a) = ta")
+        if side == "prefix"
+        else F.expr("substring(tb, len_b - len_a + 1, len_a) = ta")
+    )
     return (
         a.join(b, "__key")
         .where(F.col("len_a") < F.col("len_b"))
-        .where(F.expr("substring(tb, 1, len_a) = ta"))
+        .where(verify)
         .select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
             F.col("len_a").cast("long"), F.col("len_b").cast("long"),

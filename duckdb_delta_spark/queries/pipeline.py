@@ -2687,3 +2687,50 @@ def doc_weighted_sample(spark, sf_dir):
     return C.weighted_sample(
         docs, n=100, weight=F.col("weight"), salt="ws1"
     ).select("doc_id", "weight", "sample_rank")
+
+
+# suffix-containment twin: planted 40%-tail variants (a rescrape that
+# gained a header keeps the same tail); key = last 16 chars.
+_TAIL_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           substr(text, length(text)
+                        - CAST(floor(length(text) * 0.4) AS INT) + 1,
+                  CAST(floor(length(text) * 0.4) AS INT)) AS text
+    FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+@register(
+    "dedup_suffix_containment",
+    oracle=f"""
+    WITH corpus AS ({_TAIL_CORPUS}),
+    base AS (
+      SELECT doc_id, text, length(text) AS len,
+             substr(text, length(text) - 15, 16) AS key
+      FROM corpus WHERE length(text) >= 16)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(a.len AS BIGINT) AS len_a,
+           CAST(b.len AS BIGINT) AS len_b,
+           round(a.len / CAST(b.len AS DOUBLE), 4) AS containment
+    FROM base a JOIN base b ON a.key = b.key
+    WHERE a.len < b.len
+      AND substr(b.text, b.len - a.len + 1, a.len) = a.text
+    """,
+    group="dedup",
+)
+def dedup_suffix_containment(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, length(text)"
+            " - CAST(floor(length(text) * 0.4) AS INT) + 1,"
+            " CAST(floor(length(text) * 0.4) AS INT))"
+        ).alias("text"),
+    )
+    return D.prefix_containment_pairs(
+        docs.unionByName(tail), side="suffix"
+    )
