@@ -2734,3 +2734,85 @@ def dedup_suffix_containment(spark, sf_dir):
     return D.prefix_containment_pairs(
         docs.unionByName(tail), side="suffix"
     )
+
+
+# end-to-end dedup FUNNEL: the per-stage survival report (docs/tokens
+# kept after raw -> exact -> near-dup-canonical) every corpus run emits
+# before committing to a config. Composes the exact-hash agg and the
+# MinHash cluster canonicalization into one three-row summary.
+def _dedup_funnel_sql() -> str:
+    sig = _minhash_sig_sql()
+    n_bands = D.MINHASH_HASHES // D.MINHASH_BAND_SIZE
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
+        f"ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH RECURSIVE sigs AS ({sig}),
+    pairs AS ({unions}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS id, id AS r FROM nodes
+      UNION
+      SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    tok AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt,
+                   md5(text) AS fp
+            FROM documents),
+    exact AS (
+      SELECT t.* FROM tok t
+      JOIN (SELECT fp, min(doc_id) AS k FROM tok GROUP BY fp) g
+        ON t.fp = g.fp AND t.doc_id = g.k),
+    near AS (
+      SELECT e.* FROM exact e LEFT JOIN comp c ON c.id = e.doc_id
+      WHERE c.id IS NULL OR c.cluster_id = e.doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT stage, n_docs, n_tokens,
+           round(n_docs / CAST(tot.n AS DOUBLE), 4) AS keep_rate
+    FROM (
+      SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok
+      UNION ALL
+      SELECT 'b_exact', CAST(count(*) AS BIGINT),
+             CAST(sum(nt) AS BIGINT) FROM exact
+      UNION ALL
+      SELECT 'c_neardup', CAST(count(*) AS BIGINT),
+             CAST(sum(nt) AS BIGINT) FROM near), tot
+    """
+
+
+@register("dedup_funnel_report", oracle=_dedup_funnel_sql(), group="dedup")
+def dedup_funnel_report(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("nt"),
+        F.md5("text").alias("fp"),
+    )
+    keepers = tok.groupBy("fp").agg(F.min("doc_id").alias("k"))
+    exact = tok.join(keepers, "fp").where(F.col("doc_id") == F.col("k"))
+    comp = D.connected_components(D.minhash_candidate_pairs(docs))
+    near = exact.join(
+        comp, exact["doc_id"] == comp["id"], "left"
+    ).where(F.col("id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    total = tok.count()
+    out = (
+        stage(tok, "a_raw")
+        .unionByName(stage(exact, "b_exact"))
+        .unionByName(stage(near, "c_neardup"))
+    )
+    return out.select(
+        "stage", "n_docs", "n_tokens",
+        F.round(F.col("n_docs") / F.lit(float(total)), 4).alias("keep_rate"),
+    )
