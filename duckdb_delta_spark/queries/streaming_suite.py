@@ -699,3 +699,55 @@ def stream_backfill_drain(spark, sf_dir):
             .cast("double").alias("qty"),
         )
     )
+
+
+@register(
+    "stream_join_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+               FROM events WHERE event_type = 'view'),
+    b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    bound AS (
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM b))
+             - INTERVAL 90 MINUTE - INTERVAL 60 SECOND AS cut)
+    SELECT CAST(v.user_id AS BIGINT) AS user_id, v.view_ts, b.purchase_ts
+    FROM v LEFT JOIN b
+      ON v.user_id = b.user_id
+     AND b.purchase_ts >= v.view_ts
+     AND b.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE, bound
+    WHERE v.view_ts < bound.cut
+    """,
+    group="streaming",
+)
+def stream_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join, compared against the
+    batch LEFT JOIN on the WATERMARK-SAFE region: null-side rows only
+    emit once the global watermark (min of both sides' max ts − 1h)
+    passes view_ts + 30min, so both engines restrict to
+    view_ts < min(max_view, max_purchase) − 90min − 60s margin (the
+    margin keeps boundary-exact events out of the compare)."""
+    from duckdb_delta_spark.streaming import (
+        run_stream_to_memory, stream_events, view_purchase_left_join_stream,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    joined = view_purchase_left_join_stream(ev)
+    out = run_stream_to_memory(joined, output_mode="append")
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import types as T
+    if isinstance(static.schema["ts"].dataType, T.LongType):
+        static = static.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(static.schema["ts"].dataType, T.TimestampNTZType):
+        static = static.withColumn("ts", F.col("ts").cast("timestamp"))
+    mv = static.where(F.col("event_type") == "view").agg(F.max("ts")).first()[0]
+    mb = static.where(F.col("event_type") == "purchase").agg(
+        F.max("ts")).first()[0]
+    import datetime as _dt
+    cut = min(mv, mb) - _dt.timedelta(minutes=90, seconds=60)
+    return out.where(F.col("view_ts") < F.lit(cut)).select(
+        F.col("user_id").cast("long"), "view_ts", "purchase_ts",
+    )

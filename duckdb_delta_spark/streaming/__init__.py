@@ -8,6 +8,7 @@ from duckdb_delta_spark.streaming.events import (
     sessionize_stream,
     stream_events,
     view_purchase_join_stream,
+    view_purchase_left_join_stream,
 )
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_counts",
     "view_purchase_join_stream",
+    "view_purchase_left_join_stream",
     "session_window_stream",
     "enrich_stream",
 ]

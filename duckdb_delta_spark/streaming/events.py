@@ -193,6 +193,40 @@ def view_purchase_join_stream(
     )
 
 
+def view_purchase_left_join_stream(
+    events: DataFrame, window_min: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every ``view`` emits —
+    with its in-window ``purchase`` rows when they exist, and exactly
+    once with a NULL purchase when the WATERMARK has passed far enough
+    to prove no match can still arrive (view_ts + window < global
+    watermark). That null-side gating is the semantic difference from
+    batch: a view newer than (final watermark − window) is withheld
+    forever when the stream ends — consumers of bounded runs must
+    restrict to the watermark-safe region (the registered query and its
+    oracle both do). State/eviction is the same symmetric hash join as
+    the inner variant — O(horizon), JVM-side."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        "v_user = b_user AND purchase_ts >= view_ts AND "
+        f"purchase_ts <= view_ts + interval {int(window_min)} minutes"
+    )
+    return views.join(buys, cond, "leftOuter").select(
+        F.col("v_user").alias("user_id"), "view_ts", "purchase_ts"
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:
