@@ -1145,3 +1145,55 @@ def test_available_now_drain_golden(spark, tdir):
     assert got == list(range(80))  # old rows NOT duplicated
     if first is not None and first["sources"][0]["startOffset"] is not None:
         assert _off(first["sources"][0]["startOffset"])["version"] >= 6
+
+
+def test_left_outer_interval_join_null_gating_and_withheld_tail(spark, tdir):
+    """Left-outer stream-stream interval join semantics, pinned with
+    hand-placed timestamps: (a) matched pairs emit, (b) an unmatched
+    view in the watermark-SAFE region emits exactly once with NULL,
+    (c) an unmatched view inside the tail (view_ts + window >= final
+    watermark) is WITHHELD — the bounded run ends before the watermark
+    can prove it unmatched. Final watermark = min(side maxes) - 1h."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.streaming import (
+        run_stream_to_memory, view_purchase_left_join_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    M = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # (event_id, ts, user, type): watermark anchors push max ts high
+        (1, M(0), 1, "view"),        # matched by purchase at +10
+        (2, M(10), 1, "purchase"),
+        (3, M(5), 2, "view"),        # unmatched, SAFE (5+30 << wm)
+        (4, M(20), 3, "view"),       # purchase at +51 > +30 window: null
+        (5, M(71), 3, "purchase"),
+        (6, M(500), 8, "view"),      # tail: 500+30 > wm=440 -> withheld
+        (7, M(490), 9, "view"),      # anchor view max = 490; unmatched
+        (8, M(500), 10, "purchase"), # anchor purchase max = 500 (no view)
+    ]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    src = os.path.join(tdir, "ev")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = run_stream_to_memory(
+        view_purchase_left_join_stream(stream), output_mode="append"
+    ).collect()
+    got = {(r["user_id"], r["view_ts"], r["purchase_ts"]) for r in out}
+    # final watermark = min(maxView=490, maxPurchase=500) - 60 = 430
+    assert (1, M(0), M(10)) in got            # matched
+    assert (2, M(5), None) in got             # safe unmatched -> null
+    assert (3, M(20), None) in got            # out-of-window -> null
+    assert not any(u == 8 for u, *_ in got)   # tail withheld
+    # user 9's view at 490: 490+30 >= 430 -> also withheld
+    assert not any(u == 9 for u, *_ in got)
+    assert len(out) == 3
