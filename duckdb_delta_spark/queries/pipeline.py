@@ -2816,3 +2816,33 @@ def dedup_funnel_report(spark, sf_dir):
         "stage", "n_docs", "n_tokens",
         F.round(F.col("n_docs") / F.lit(float(total)), 4).alias("keep_rate"),
     )
+
+
+# per-language quality calibration: raw quality scores are not
+# comparable across languages (stopword lists bias them), so the
+# thresholding pass ranks WITHIN language — percent_rank per lang, the
+# window partition bounded by the language stratum.
+@register(
+    "text_quality_calibrated",
+    oracle=f"""
+    WITH q AS (
+      SELECT d.lang, s.doc_id, s.quality_score
+      FROM ({_quality_oracle()}) s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, quality_score,
+           round(percent_rank() OVER (
+             PARTITION BY lang ORDER BY quality_score
+           ), 4) AS lang_pct_rank
+    FROM q
+    """,
+    group="text",
+)
+def text_quality_calibrated(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    df = load(spark, sf_dir, "documents")
+    q = X.with_quality(df).select("doc_id", "lang", "quality_score")
+    w = Window.partitionBy("lang").orderBy("quality_score")
+    return q.select(
+        "doc_id", "lang", "quality_score",
+        F.round(F.percent_rank().over(w), 4).alias("lang_pct_rank"),
+    )
