@@ -3845,3 +3845,97 @@ def test_optimize_honors_target_file_size_property(spark, tdir):
     v2 = w2.compact(target_file_bytes=1 << 30)
     assert v2 is not None
     assert len(DeltaTable(tdir).snapshot.add_files()) == 1
+
+
+def test_prune_fuzz_answer_preserved(spark, tdir):
+    """Property fuzz over the pruning core: for RANDOM 1-2 conjunct
+    predicates (every pushable op, values drawn around the data's
+    boundaries, null-heavy columns), the pruned+filtered Delta scan
+    must return exactly the rows a pure-Python evaluation of SQL
+    semantics selects from the full data — i.e. file skipping is SOUND
+    (never drops a matching row) and the row filter is exact, for every
+    predicate the fuzzer finds, not just the hand-picked matrix."""
+    import datetime as _dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("g", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    rows = []
+    for k in range(40):
+        rows.append((
+            k if k % 7 else None,
+            f"s{k:03d}" if k % 5 else None,
+            k * 1.5 if k % 3 else None,
+            _dt.date(2024, 1 + k % 12, 1 + k % 28),
+            k % 4,
+        ))
+    w.append(spark.createDataFrame(rows, schema).repartition(8))
+    t = DeltaTable(tdir)
+    data = [dict(zip("isxdg", r)) for r in rows]
+
+    vals = {
+        "i": st.integers(min_value=-2, max_value=45),
+        "s": st.sampled_from(
+            ["s000", "s007", "s013", "s020", "s035", "s039", "zzz", ""]),
+        "x": st.sampled_from([-1.0, 0.0, 10.5, 33.0, 55.0, 58.5, 100.0]),
+        "d": st.dates(min_value=_dt.date(2023, 12, 1),
+                      max_value=_dt.date(2025, 1, 31)),
+        "g": st.integers(min_value=-1, max_value=5),
+    }
+    pred = st.one_of(
+        st.tuples(st.sampled_from("isxdg"),
+                  st.sampled_from(["<", "<=", ">", ">=", "=", "!="])
+                  ).flatmap(lambda co: st.tuples(
+                      st.just(co[0]), st.just(co[1]), vals[co[0]])),
+        st.tuples(st.sampled_from("isxdg"),
+                  st.sampled_from(["is null", "is not null"]),
+                  st.none()),
+        st.tuples(st.sampled_from(["i", "g"]), st.just("in"),
+                  st.lists(st.integers(min_value=-2, max_value=45),
+                           min_size=1, max_size=4)),
+    )
+
+    def matches(row, col, op, val):
+        v = row[col]
+        if op == "is null":
+            return v is None
+        if op == "is not null":
+            return v is not None
+        if v is None:
+            return False  # SQL: NULL compares to nothing
+        if op == "in":
+            return v in val
+        return {"<": v < val, "<=": v <= val, ">": v > val,
+                ">=": v >= val, "=": v == val, "!=": v != val}[op]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(pred, min_size=1, max_size=2))
+    def check(preds):
+        sb = t.scan(spark)
+        for col, op, val in preds:
+            sb = sb.filter(col, op) if val is None else sb.filter(col, op, val)
+        got = sorted(
+            repr((r["i"], r["s"], r["x"], r["d"], r["g"]))
+            for r in sb.to_df().collect()
+        )
+        want = sorted(
+            repr((r["i"], r["s"], r["x"], r["d"], r["g"]))
+            for r in data
+            if all(matches(r, *p) for p in preds)
+        )
+        assert got == want, (preds, len(got), len(want))
+        # soundness corollary: skipped + scanned == total
+        rep = sb.skip_report()
+        assert rep["files_scanned"] + rep["files_skipped_by_partition"] + \
+            rep["files_skipped_by_stats"] == rep["files_total"]
+
+    check()
