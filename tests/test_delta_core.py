@@ -4001,3 +4001,79 @@ def test_merge_fuzz_matches_python_reference(spark, tdir):
         assert got == want, (base, src, mode, insert, res)
 
     check()
+
+
+def test_dml_sequence_fuzz_model_based(spark, tdir):
+    """Model-based sequence fuzz over the write path: hypothesis drives
+    random interleavings of append / DV-delete / DV-update / compact /
+    checkpoint against one table while a pure-Python dict model tracks
+    expected content. After EVERY op the live table must equal the
+    model, and at the end every recorded historical version must still
+    time-travel to its recorded content (commits are immutable; compact
+    is dataChange=false so content never shifts)."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+
+    op = st.one_of(
+        st.tuples(st.just("append"),
+                  st.dictionaries(st.integers(0, 30), st.integers(0, 99),
+                                  min_size=1, max_size=6)),
+        st.tuples(st.just("delete"), st.integers(0, 30)),   # delete k <= K
+        st.tuples(st.just("update"), st.integers(0, 30)),   # v+=100 for k<=K
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("checkpoint"), st.none()),
+    )
+    case_n = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(ops=st.lists(op, min_size=3, max_size=7))
+    def check(ops):
+        case_n[0] += 1
+        path = os.path.join(tdir, f"seq{case_n[0]}")
+        w = DeltaWriter.create(spark, path, schema)
+        model: dict[int, int] = {}
+        history: list[tuple[int, dict]] = []
+
+        def snap_eq(df_rows, m):
+            got = {}
+            for r in df_rows:
+                assert r["k"] not in got, "duplicate key materialized"
+                got[r["k"]] = r["v"]
+            assert got == m
+
+        for kind, arg in ops:
+            if kind == "append":
+                # keep keys unique table-wide: drop keys already present
+                fresh = {k: v for k, v in arg.items() if k not in model}
+                if not fresh:
+                    continue
+                w.append(spark.createDataFrame(sorted(fresh.items()), schema))
+                model.update(fresh)
+            elif kind == "delete":
+                w.delete(f"k <= {arg}")
+                model = {k: v for k, v in model.items() if k > arg}
+            elif kind == "update":
+                w.update(f"k <= {arg}", {"v": "v + 100"})
+                model = {k: (v + 100 if k <= arg else v)
+                         for k, v in model.items()}
+            elif kind == "compact":
+                w.compact()
+            elif kind == "checkpoint":
+                w.checkpoint()
+            t = DeltaTable(path)
+            snap_eq(t.to_df(spark).collect(), model)
+            history.append((t.version, dict(model)))
+
+        # immutability: every recorded version still reads identically
+        for ver, m in history:
+            snap_eq(DeltaTable(path, version=ver).to_df(spark).collect(), m)
+
+    check()
