@@ -4076,4 +4076,22 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
         for ver, m in history:
             snap_eq(DeltaTable(path, version=ver).to_df(spark).collect(), m)
 
+        # CDF replay: folding the change feed from the table's birth
+        # (insert -> +1, delete -> -1; updates appear as delete+insert)
+        # must land exactly on the final content — across DV deletes,
+        # DV updates, and dataChange=false compactions (which must emit
+        # NO change rows at all)
+        from collections import Counter
+        acc: Counter = Counter()
+        for r in DeltaTable(path).changes(
+                spark, starting_version=0).collect():
+            key = (r["k"], r["v"])
+            if r["_change_type"] == "insert":
+                acc[key] += 1
+            elif r["_change_type"] == "delete":
+                acc[key] -= 1
+            else:  # pragma: no cover - derived feed emits only these two
+                raise AssertionError(r["_change_type"])
+        assert {k: c for k, c in acc.items() if c} ==             {(k, v): 1 for k, v in model.items()}
+
     check()
