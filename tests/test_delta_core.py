@@ -4030,6 +4030,7 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
         st.tuples(st.just("update"), st.integers(0, 30)),   # v+=100 for k<=K
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("checkpoint"), st.none()),
+        st.tuples(st.just("restore"), st.integers(0, 5)),  # index into history
     )
     case_n = [0]
 
@@ -4068,6 +4069,12 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
                 w.compact()
             elif kind == "checkpoint":
                 w.checkpoint()
+            elif kind == "restore":
+                if not history:
+                    continue
+                ver, m = history[arg % len(history)]
+                w.restore(version=ver)
+                model = dict(m)
             t = DeltaTable(path)
             snap_eq(t.to_df(spark).collect(), model)
             history.append((t.version, dict(model)))
