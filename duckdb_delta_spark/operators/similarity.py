@@ -857,3 +857,102 @@ def rrf_fuse(
             F.col("rrf_rank").cast("long"),
         )
     )
+
+
+# ------------------------------------------------- IVF write-time layout
+
+def ivf_write_partitioned(
+    corpus: DataFrame,
+    dest: str,
+    centroids: DataFrame | None = None,
+    num_lists: int = IVF_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF layout: assign every vector to its inverted
+    list and write parquet PARTITIONED BY list_id — the write-time half
+    of the 100-TB IVF story. A probe then reads ``nprobe/num_lists`` of
+    the data via ordinary partition pruning (no custom index format,
+    no shuffle at query time); on a real lake this directory layout is
+    exactly the "assignment is the partition key" pattern.
+
+    Returns the assignment frame for reuse."""
+    assigned = ivf_assign(
+        corpus,
+        centroids if centroids is not None
+        else ivf_centroids(corpus, num_lists, id_col, vec_col),
+        id_col, vec_col,
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(dest)
+    return assigned
+
+
+def ivf_probe_partitioned(
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the materialized IVF layout: rank the query's nprobe
+    nearest centroids DRIVER-SIDE (centroids are k×dim — metadata
+    scale), then scan ONLY those list_id partitions with an IN filter
+    Spark turns into partition pruning (assert `PartitionFilters` in
+    the plan). Scoring/top-k matches :func:`ivf_topk` exactly."""
+    from pyspark.sql.window import Window
+
+    spark = queries.sparkSession
+    cent_rows = centroids.collect()  # k rows — bounded by num_lists
+    import numpy as np
+
+    C = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    lids = [int(r["list_id"]) for r in cent_rows]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_pairs = []
+    probed_lists = set()
+    for r in q_rows:
+        qv = np.array(r[1], dtype="float64")
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = Cn @ qn
+        # ties to the lowest list_id, matching ivf_topk's window order
+        order = sorted(range(len(lids)), key=lambda i: (-sims[i], lids[i]))
+        for i in order[:nprobe]:
+            probe_pairs.append((int(r[0]), lids[i]))
+            probed_lists.add(lids[i])
+
+    from duckdb_delta_spark.localrel import local_df
+    from pyspark.sql import types as T
+
+    pp = local_df(spark, sorted(probe_pairs), T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ]))
+    index = spark.read.parquet(index_path).where(
+        F.col("list_id").isin(sorted(probed_lists))  # -> PartitionFilters
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        index.join(F.broadcast(pp), "list_id")
+        .join(F.broadcast(qv), "query_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosv", cosine(F.col("qv"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosv").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.round("cosv", 4).alias("cos"),
+            F.col("rank").cast("long"),
+        )
+    )

@@ -422,3 +422,36 @@ def test_bm25_is_index_probe_not_corpus_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # qterms->dfreq, qd->pairs
     assert "HashAggregate" in plan
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """The materialized IVF layout: probing must (a) return exactly what
+    in-memory ivf_topk returns, and (b) read ONLY the nprobe probed
+    list_id partitions — visible as PartitionFilters on the parquet
+    scan with the non-probed directories absent from the plan's
+    partition count."""
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.operators.similarity import (
+        ivf_centroids, ivf_probe_partitioned, ivf_topk,
+        ivf_write_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dest = str(tmp_path / "ivf_idx")
+    cents = ivf_centroids(emb)
+    ivf_write_partitioned(emb, dest, centroids=cents)
+
+    q = emb.where(F.col("vec_id").isin([100, 200, 300]))
+    got = ivf_probe_partitioned(dest, q, cents, k=5, nprobe=2)
+    want = ivf_topk(emb, q, k=5, nprobe=2, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    plan = _plan(got)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # the scan must not touch all 16 list directories: spark reports the
+    # partition-pruned file count; assert the filter made it a subset
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
