@@ -2846,3 +2846,83 @@ def text_quality_calibrated(spark, sf_dir):
         "doc_id", "lang", "quality_score",
         F.round(F.percent_rank().over(w), 4).alias("lang_pct_rank"),
     )
+
+
+# corpus-trained BIGRAM surprisal (context-aware perplexity proxy, one
+# step past text_lm_score's unigram): add-one-smoothed p(cur|prev) with
+# prev mass derived from the bigram table itself; per-pair nll rounds
+# to 4dp then sums as exact DECIMAL (order-free on both engines).
+@register(
+    "text_bigram_score",
+    oracle=f"""
+    WITH dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_zip(t[:-1], t[2:])) AS p
+      FROM dtok WHERE len(t) >= 2),
+    pairs AS (SELECT doc_id, p[1] AS prev, p[2] AS cur FROM bg),
+    counts AS (SELECT prev, cur, count(*) AS c FROM pairs
+               GROUP BY prev, cur),
+    prevs AS (SELECT prev, sum(c) AS cp FROM counts GROUP BY prev),
+    vocab AS (SELECT count(DISTINCT term) AS V
+              FROM (SELECT unnest(t) AS term FROM dtok)),
+    nll AS (
+      SELECT c.prev, c.cur,
+             CAST(round(-log2((c.c + 1)
+                              / CAST(p.cp + v.V AS DOUBLE)), 4)
+                  AS DECIMAL(38,18)) AS bits
+      FROM counts c JOIN prevs p USING (prev), vocab v),
+    per AS (
+      SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(n.bits) AS s
+      FROM pairs pr JOIN nll n
+        ON n.prev = pr.prev AND n.cur = pr.cur
+      GROUP BY pr.doc_id)
+    SELECT d.doc_id,
+           coalesce(per.n_bigrams, 0) AS n_bigrams,
+           coalesce(CAST(per.s AS DOUBLE), 0.0) AS sum_bits
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+    group="text",
+)
+def text_bigram_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    dtok = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = (
+        dtok.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("prev"),
+                    F.slice("t", 2, n - 1).alias("cur"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.prev").alias("prev"),
+                F.col("p.cur").alias("cur"))
+    )
+    counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    prevs = counts.groupBy("prev").agg(F.sum("c").alias("cp"))
+    V = (
+        dtok.select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term")).first()[0]
+    )
+    nll = counts.join(prevs, "prev").select(
+        "prev", "cur",
+        F.round(
+            -F.log2((F.col("c") + 1) / (F.col("cp") + F.lit(V)).cast("double")),
+            4,
+        ).cast("decimal(38,18)").alias("bits"),
+    )
+    per = (
+        pairs.join(nll, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.sum("bits").alias("s"))
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("sum_bits"),
+    )
