@@ -9,7 +9,10 @@ log alone, so it works on ANY table:
 * a commit's brand-new data files (``add`` without a paired ``remove`` of
   the same path) contribute their rows as ``insert``;
 * a path re-added with a new deletion vector contributes the rows in
-  ``dvNew − dvOld`` as ``delete`` (the file's bytes are unchanged);
+  ``dvNew − dvOld`` as ``delete`` AND the rows in ``dvOld − dvNew`` as
+  ``insert`` (the file's bytes are unchanged; a RESTORE that rolls back
+  a DV delete SHRINKS the mask, resurrecting rows — those must surface
+  as inserts, read at the NEW snapshot where they are live again);
 * a path removed outright contributes its live rows at the previous
   version as ``delete``;
 * ``dataChange: false`` commits (OPTIMIZE) contribute nothing.
@@ -111,14 +114,23 @@ def table_changes(
             if pairs and card > DIFF_JOIN_MAX:
                 # big diffs: never decode on the driver — ship descriptor
                 # PAIRS, decode + setdiff1d executor-side (scan big-DV
-                # pattern, scan.py _apply_deletion_vectors)
-                dels = _rows_at_big(prev, spark, pairs)
+                # pattern, scan.py _apply_deletion_vectors). Grown rows
+                # (dvNew − dvOld) are deletes read at PREV (prev's scan
+                # leaves them live); shrunk rows (dvOld − dvNew, e.g. a
+                # RESTORE rolling back a DV delete) are inserts read at
+                # the NEW snapshot, where they are live again.
+                dels = _rows_at_big(prev, spark, pairs, shrink=False)
                 parts.append(_tag(dels, "delete", v, ts_ms))
+                ins = _rows_at_big(snap, spark, pairs, shrink=True)
+                parts.append(_tag(ins, "insert", v, ts_ms))
             elif pairs:
-                diffs = _dv_diffs(log.table_path, pairs)
-                if diffs:
-                    dels = _rows_at(prev, spark, list(diffs), diffs)
+                del_rows, ins_rows = _dv_diffs(log.table_path, pairs)
+                if del_rows:
+                    dels = _rows_at(prev, spark, list(del_rows), del_rows)
                     parts.append(_tag(dels, "delete", v, ts_ms))
+                if ins_rows:
+                    ins = _rows_at(snap, spark, list(ins_rows), ins_rows)
+                    parts.append(_tag(ins, "insert", v, ts_ms))
 
         if dropped:
             dels = (
@@ -245,8 +257,9 @@ def _dv_diff_descriptors(
     adds: dict, removes: dict, masked: list[str]
 ) -> tuple[dict[str, tuple[dict | None, dict | None]], int]:
     """Per path: the (dvNew, dvOld) DESCRIPTOR pair when the mask changed,
-    plus an upper bound on diff rows (sum of dvNew cardinalities) — routing
-    needs no decode, exactly like the scan's DV router."""
+    plus an upper bound on diff rows (sum of BOTH cardinalities — the grow
+    diff is bounded by |dvNew|, the shrink diff by |dvOld|) — routing needs
+    no decode, exactly like the scan's DV router."""
     out: dict[str, tuple[dict | None, dict | None]] = {}
     card = 0
     for path in masked:
@@ -256,15 +269,19 @@ def _dv_diff_descriptors(
             continue  # same mask re-added (e.g. metadata-only rewrite)
         out[path] = (dv_new, dv_old)
         card += int((dv_new or {}).get("cardinality") or 0)
+        card += int((dv_old or {}).get("cardinality") or 0)
     return out, card
 
 
 def _dv_diffs(
     table_path: str, pairs: dict[str, tuple[dict | None, dict | None]]
-) -> dict[str, np.ndarray]:
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
     """Small-diff path: decode on the driver (bounded by DIFF_JOIN_MAX
-    cardinality), per path dvNew − dvOld row indexes."""
-    out: dict[str, np.ndarray] = {}
+    cardinality). Returns per-path row indexes in BOTH directions:
+    ``(dvNew − dvOld → deletes, dvOld − dvNew → inserts)`` — each DV is
+    decoded exactly once."""
+    dels: dict[str, np.ndarray] = {}
+    inss: dict[str, np.ndarray] = {}
     for path, (dv_new, dv_old) in pairs.items():
         new_rows = (
             read_dv_from_descriptor(dv_new, table_path)
@@ -276,42 +293,51 @@ def _dv_diffs(
             if dv_old
             else np.empty(0, dtype=np.uint64)
         )
-        diff = np.setdiff1d(new_rows, old_rows)
-        if len(diff):
-            out[path] = diff.astype("int64")
-    return out
+        grow = np.setdiff1d(new_rows, old_rows)
+        if len(grow):
+            dels[path] = grow.astype("int64")
+        shrink = np.setdiff1d(old_rows, new_rows)
+        if len(shrink):
+            inss[path] = shrink.astype("int64")
+    return dels, inss
 
 
 def _rows_at_big(
-    prev: Snapshot,
+    at: Snapshot,
     spark: SparkSession,
     pairs: dict[str, tuple[dict | None, dict | None]],
+    shrink: bool = False,
 ) -> DataFrame:
     """Big-diff path: broadcast only the O(#files) descriptor PAIRS; each
     executor decodes the two DV files behind its splits and keeps rows in
-    ``dvNew − dvOld``. Driver memory stays O(#descriptors) — never
-    O(deleted rows) (mirror of scan.py's big-DV route)."""
+    ``dvNew − dvOld`` (``shrink=False``, deletes — read at the PREVIOUS
+    snapshot) or ``dvOld − dvNew`` (``shrink=True``, resurrected inserts —
+    read at the NEW snapshot, where those rows are live). Driver memory
+    stays O(#descriptors) — never O(diff rows) (mirror of scan.py's
+    big-DV route)."""
     from duckdb_delta_spark.delta.logging import emit
     from duckdb_delta_spark.delta.scan import FILE_COL, ROW_COL
 
-    table_path = prev.log.table_path
+    table_path = at.log.table_path
     paths = list(pairs)
     emit(
         "changes.dv_route",
         table_path=table_path,
         n_descriptors=len(pairs),
         route="executor_decode",
+        direction="shrink" if shrink else "grow",
     )
-    sb = DeltaScanBuilder(prev, spark).with_virtual_columns().restrict_paths(paths)
+    sb = DeltaScanBuilder(at, spark).with_virtual_columns().restrict_paths(paths)
     df = sb.to_df()
     by_uri = {
         DeltaScanBuilder._spark_file_uri(
             f.absolute_path(table_path)
         ): pairs[f.path]
-        for f in prev.add_files()
+        for f in at.add_files()
         if f.path in pairs
     }
     bc = spark.sparkContext.broadcast(by_uri)
+    want_shrink = bool(shrink)
 
     @F.pandas_udf(T.BooleanType())
     def _in_diff(file_path: pd.Series, row_index: pd.Series) -> pd.Series:
@@ -329,7 +355,7 @@ def _rows_at_big(
             dv_new, dv_old = descs
             key = (
                 table_path,
-                "diff",
+                "shrinkdiff" if want_shrink else "diff",
                 (dv_new or {}).get("pathOrInlineDv"),
                 (dv_new or {}).get("offset"),
                 (dv_old or {}).get("pathOrInlineDv"),
@@ -347,7 +373,11 @@ def _rows_at_big(
                     if dv_old
                     else np.empty(0, dtype=np.uint64)
                 )
-                arr = np.setdiff1d(new_rows, old_rows).astype("int64")
+                arr = (
+                    np.setdiff1d(old_rows, new_rows)
+                    if want_shrink
+                    else np.setdiff1d(new_rows, old_rows)
+                ).astype("int64")
                 cache[key] = arr
             if len(arr) == 0:
                 continue
@@ -366,18 +396,20 @@ def _rows_at_big(
 
 
 def _rows_at(
-    prev: Snapshot, spark: SparkSession, paths: list[str],
+    at: Snapshot, spark: SparkSession, paths: list[str],
     rows_by_path: dict[str, np.ndarray],
 ) -> DataFrame:
-    """Materialize specific (path, row_index) rows from the PREVIOUS
-    snapshot (their content is unchanged by a DV commit)."""
-    sb = DeltaScanBuilder(prev, spark).with_virtual_columns().restrict_paths(paths)
+    """Materialize specific (path, row_index) rows at a snapshot where
+    they are LIVE: the previous one for grown-DV deletes, the new one for
+    shrunk-DV inserts (file bytes are unchanged by a DV commit — only
+    which snapshot's mask leaves the rows visible differs)."""
+    sb = DeltaScanBuilder(at, spark).with_virtual_columns().restrict_paths(paths)
     df = sb.to_df()
     by_uri = {
         DeltaScanBuilder._spark_file_uri(
-            f.absolute_path(prev.log.table_path)
+            f.absolute_path(at.log.table_path)
         ): rows_by_path[f.path]
-        for f in prev.add_files()
+        for f in at.add_files()
         if f.path in rows_by_path
     }
     from duckdb_delta_spark.delta.scan import FILE_COL, ROW_COL

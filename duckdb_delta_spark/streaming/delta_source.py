@@ -389,7 +389,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         twin of delta/changes.table_changes: cdc files exclusively when a
         commit wrote them, else adds→insert, dropped paths→delete (rows
         live at the PREVIOUS version: old DV excluded), DV re-adds→the
-        dvNew−dvOld rows as deletes via an inline emit-DV."""
+        dvNew−dvOld rows as deletes AND the dvOld−dvNew rows (a mask
+        shrink, e.g. RESTORE resurrecting DV-deleted rows) as inserts,
+        both via an inline emit-DV over the unchanged file bytes."""
         import numpy as np
 
         from duckdb_delta_spark.delta.dv import (
@@ -460,21 +462,32 @@ class DeltaStreamReader(DataSourceStreamReader):
                     read_dv_from_descriptor(new_dv, self.table_path)
                     if new_dv else np.array([], dtype="uint64")
                 )
+                # grow direction (dvNew − dvOld): newly-masked rows are
+                # deletes; shrink direction (dvOld − dvNew, e.g. a RESTORE
+                # rolling back a DV delete): resurrected rows are inserts.
+                # Both read the SAME unchanged file bytes via an emit-DV.
                 diff = np.setdiff1d(new_rows, old_rows)
-                if len(diff) > self.CDF_DIFF_MAX:
+                shrink = np.setdiff1d(old_rows, new_rows)
+                if len(diff) + len(shrink) > self.CDF_DIFF_MAX:
                     from duckdb_delta_spark.delta.errors import (
                         UnsupportedFeatureError,
                     )
 
                     raise UnsupportedFeatureError(
-                        f"readChangeFeed: commit {v} DV-diff of {len(diff)} "
-                        f"rows exceeds the streaming budget ({self.CDF_DIFF_MAX})"
+                        f"readChangeFeed: commit {v} DV-diff of "
+                        f"{len(diff) + len(shrink)} rows exceeds the "
+                        f"streaming budget ({self.CDF_DIFF_MAX})"
                     )
                 if len(diff):
                     out.append(ref(
                         p, a.get("partitionValues"), a.get("size"), dv=None,
                         emit_dv=json.dumps(inline_dv_descriptor(diff)),
                         change_type="delete", **common))
+                if len(shrink):
+                    out.append(ref(
+                        p, a.get("partitionValues"), a.get("size"), dv=None,
+                        emit_dv=json.dumps(inline_dv_descriptor(shrink)),
+                        change_type="insert", **common))
             prev_by_path = None
             for p, r in rem_paths.items():
                 if p in add_paths:

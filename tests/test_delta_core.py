@@ -1225,6 +1225,78 @@ def test_change_feed_big_diff_executor_decode(spark, tdir, monkeypatch):
     ]
 
 
+def test_change_feed_restore_resurrects_dv_rows(spark, tdir):
+    """Regression (round-10 fuzz red): a RESTORE that rolls back a DV
+    delete SHRINKS the mask on a file present in both adds and removes —
+    the resurrected rows must surface as ``insert`` in the change feed
+    (the dvOld − dvNew direction), not vanish.  Exact failing sequence:
+    create → append{7,29,20,26} → compact → append{0} →
+    delete k<=22 (DV on the compacted file) → restore to pre-delete."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)                    # v0
+    w.append(spark.createDataFrame(
+        [(7, 70), (29, 290), (20, 200), (26, 260)], schema))       # v1
+    w.compact()                                                    # v2
+    w.append(spark.createDataFrame([(0, 0)], schema))              # v3
+    w.delete("k <= 22")                                            # v4
+    w.restore(version=3)                                           # v5
+
+    t = DeltaTable(tdir)
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [0, 7, 20, 26, 29]
+
+    restore_rows = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in t.changes(spark, starting_version=4).collect()
+    )
+    # ALL three rows come back as inserts: 0 via its re-added file,
+    # 7 and 20 via the DV shrink on the compacted file — with their
+    # original values, read at the NEW snapshot
+    assert restore_rows == [
+        ("insert", 0, 0), ("insert", 7, 70), ("insert", 20, 200)]
+
+    # full-feed fold still reconstructs the table exactly
+    from collections import Counter
+    acc: Counter = Counter()
+    for r in t.changes(spark, starting_version=0).collect():
+        acc[(r["k"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    assert {k: c for k, c in acc.items() if c} == {
+        (0, 0): 1, (7, 70): 1, (20, 200): 1, (26, 260): 1, (29, 290): 1}
+
+
+def test_change_feed_restore_shrink_big_route(spark, tdir, monkeypatch):
+    """The DV-shrink → insert direction on the BIG-diff route: descriptor
+    pairs ship to executors (driver decode forbidden), and the shrink set
+    still materializes as inserts read at the new snapshot."""
+    from duckdb_delta_spark.delta import changes as chmod
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_ids(spark, 40).coalesce(1))        # v1
+    w.delete("i < 10")                           # v2: DV grows 0..9
+    w.restore(version=1)                         # v3: DV shrinks back
+
+    monkeypatch.setattr(chmod, "DIFF_JOIN_MAX", 0)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side DV decode on the big path")
+
+    monkeypatch.setattr(chmod, "read_dv_from_descriptor", _boom)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["i"])
+        for r in DeltaTable(tdir).changes(spark, 1).collect()
+    )
+    assert got == [(2, "delete", i) for i in range(10)] + [
+        (3, "insert", i) for i in range(10)
+    ]
+
+
 def test_compact_sort_by_clusters_ranges(spark, tdir):
     """compact(sort_by=...) range-clusters the rewrite: output files own
     disjoint key ranges, so stats skipping prunes where the original
@@ -4034,7 +4106,13 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
     )
     case_n = [0]
 
-    @settings(max_examples=8, deadline=None)
+    from collections import Counter
+
+    # 50 examples ≈ the restore/compact/DV interleavings that caught the
+    # r10 CDF shrink loss; override DML_FUZZ_EXAMPLES to dial depth
+    n_examples = int(os.environ.get("DML_FUZZ_EXAMPLES", "50"))
+
+    @settings(max_examples=n_examples, deadline=None)
     @given(ops=st.lists(op, min_size=3, max_size=7))
     def check(ops):
         case_n[0] += 1
@@ -4042,6 +4120,8 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
         w = DeltaWriter.create(spark, path, schema)
         model: dict[int, int] = {}
         history: list[tuple[int, dict]] = []
+        acc: Counter = Counter()   # running CDF fold, advanced per op
+        folded_ver = 0             # feed consumed through this version
 
         def snap_eq(df_rows, m):
             got = {}
@@ -4049,6 +4129,16 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
                 assert r["k"] not in got, "duplicate key materialized"
                 got[r["k"]] = r["v"]
             assert got == m
+
+        def fold_into(counter, rows):
+            for r in rows:
+                key = (r["k"], r["v"])
+                if r["_change_type"] == "insert":
+                    counter[key] += 1
+                elif r["_change_type"] == "delete":
+                    counter[key] -= 1
+                else:  # pragma: no cover - derived feed emits only these
+                    raise AssertionError(r["_change_type"])
 
         for kind, arg in ops:
             if kind == "append":
@@ -4078,27 +4168,29 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
             t = DeltaTable(path)
             snap_eq(t.to_df(spark).collect(), model)
             history.append((t.version, dict(model)))
+            # per-op CDF invariant: consuming the incremental feed for
+            # exactly this op's commits must move the running fold onto
+            # the model — catches a wrong-at-one-op feed (e.g. the r10
+            # RESTORE DV-shrink loss) that a final-state-only fold can
+            # mask when later ops delete the affected keys
+            if t.version > folded_ver:
+                fold_into(acc, t.changes(
+                    spark, starting_version=folded_ver).collect())
+                folded_ver = t.version
+            assert {k: c for k, c in acc.items() if c} == {
+                (k, v): 1 for k, v in model.items()}, (kind, arg)
 
         # immutability: every recorded version still reads identically
         for ver, m in history:
             snap_eq(DeltaTable(path, version=ver).to_df(spark).collect(), m)
 
-        # CDF replay: folding the change feed from the table's birth
-        # (insert -> +1, delete -> -1; updates appear as delete+insert)
-        # must land exactly on the final content — across DV deletes,
-        # DV updates, and dataChange=false compactions (which must emit
-        # NO change rows at all)
-        from collections import Counter
-        acc: Counter = Counter()
-        for r in DeltaTable(path).changes(
-                spark, starting_version=0).collect():
-            key = (r["k"], r["v"])
-            if r["_change_type"] == "insert":
-                acc[key] += 1
-            elif r["_change_type"] == "delete":
-                acc[key] -= 1
-            else:  # pragma: no cover - derived feed emits only these two
-                raise AssertionError(r["_change_type"])
-        assert {k: c for k, c in acc.items() if c} ==             {(k, v): 1 for k, v in model.items()}
+        # CDF replay from birth in ONE pass (exercises the multi-commit
+        # walk, not just per-op windows): insert -> +1, delete -> -1;
+        # updates appear as delete+insert; dataChange=false compactions
+        # must emit NO change rows at all
+        full: Counter = Counter()
+        fold_into(full, DeltaTable(path).changes(
+            spark, starting_version=0).collect())
+        assert {k: c for k, c in full.items() if c} ==             {(k, v): 1 for k, v in model.items()}
 
     check()

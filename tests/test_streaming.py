@@ -719,6 +719,63 @@ def test_source_cdf_non_cdc_table(spark, tdir):
     _sh.rmtree(out, ignore_errors=True)
     _sh.rmtree(ckpt, ignore_errors=True)
 
+def test_source_cdf_restore_resurrects_dv_rows(spark, tdir):
+    """Streaming twin of the batch DV-shrink regression: a RESTORE that
+    rolls back a DV delete must stream the resurrected rows as ``insert``
+    (emit-DV over the dvOld − dvNew set), matching the batch feed row for
+    row."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)                    # v0
+    w.append(spark.createDataFrame(
+        [(7, 70), (29, 290), (20, 200), (26, 260)], schema))       # v1
+    w.compact()                                                    # v2
+    w.append(spark.createDataFrame([(0, 0)], schema))              # v3
+    w.delete("k <= 22")                                            # v4
+    w.restore(version=3)                                           # v5
+
+    exp = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+        for r in table_changes(DeltaLog(tdir), spark,
+                               starting_version=0).collect()
+    )
+    assert [t for t in exp if t[1] == 5] == [
+        ("insert", 5, 0, 0), ("insert", 5, 7, 70), ("insert", 5, 20, 200)]
+
+    spark.dataSource.register(DeltaPySource)
+    out = str(tdir) + "_rcdf_out"
+    ckpt = str(tdir) + "_rcdf_ckpt"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == exp
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
+
+
 def test_source_cdf_rate_limited_restart(spark, tdir):
     """readChangeFeed + maxFilesPerTrigger combined (the two interact in
     latestOffset): a checkpoint restart must not re-emit change rows —
