@@ -577,10 +577,14 @@ def zipf_top_terms(
     Zipf-curve sanity check every new crawl snapshot gets.
 
     Shape: explode → one (term) hash-agg (map-side combined — the only
-    shuffle, keyed on term so it spreads), then the top-k head is tiny:
-    rank + cumulative sums run on ≤ |vocab| rows and the final window on
-    k rows. Total-token count rides the same agg (sum over term counts),
-    no second corpus pass."""
+    shuffle, keyed on term so it spreads), then a TWO-STAGE top-k
+    (per-partition partial rank, global rank on ≤ k·partitions
+    survivors — the weighted_sample / bm25_topk pattern): the global
+    ``row_number`` window never sees the full vocabulary, which at crawl
+    scale is billions of distinct terms funneled through one task.
+    Total-token count sums the same term-count aggregate; at runtime
+    Spark's ReuseExchange dedupes the two branches onto ONE corpus scan
+    (plan-asserted in test_plans.py)."""
     from pyspark.sql.window import Window
 
     terms = df.select(
@@ -588,10 +592,16 @@ def zipf_top_terms(
     )
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("tot"))
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    order = (F.col("n").desc(), F.col("term").asc())
+    w_partial = Window.partitionBy("__pid").orderBy(*order)
+    w_rank = Window.orderBy(*order)
     head = (
-        counts.withColumn("rank", F.row_number().over(w_rank))
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__prank", F.row_number().over(w_partial))
+        .where(F.col("__prank") <= top_k)
+        .withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= top_k)
+        .drop("__pid", "__prank")
     )
     w_cum = Window.orderBy("rank").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -2857,7 +2857,10 @@ def text_quality_calibrated(spark, sf_dir):
     oracle=f"""
     WITH dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     bg AS (
-      SELECT doc_id, unnest(list_zip(t[:-1], t[2:])) AS p
+      -- t[:len(t)-1], NOT t[:-1]: this DuckDB's [:-1] returns the FULL
+      -- list, so list_zip would pad a phantom (last, NULL) pair that
+      -- inflates the smoothing denominators cp
+      SELECT doc_id, unnest(list_zip(t[:len(t)-1], t[2:])) AS p
       FROM dtok WHERE len(t) >= 2),
     pairs AS (SELECT doc_id, p[1] AS prev, p[2] AS cur FROM bg),
     counts AS (SELECT prev, cur, count(*) AS c FROM pairs

@@ -227,6 +227,31 @@ def test_epoch_shuffle_sharded_window(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_zipf_top_terms_two_stage_rank(spark):
+    """zipf_top_terms: the vocabulary rank is TWO-STAGE — Catalyst turns
+    the per-partition partial row_number into WindowGroupLimit
+    (Partial/Final, streaming top-k, constant memory) and the global rank
+    into a k-row TakeOrderedAndProject; the full vocabulary never funnels
+    through a single-partition window. The total-token branch reuses the
+    term-count exchange at runtime (ReusedExchange), so the corpus is
+    scanned once for counts."""
+    from duckdb_delta_spark.operators import text as X
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    df = X.zipf_top_terms(docs)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Windows allowed are the bounded ones: partial rank (gated
+    # by WindowGroupLimit), global rank on <= k*partitions survivors
+    # (gated by TakeOrderedAndProject), and the k-row cumulative sum —
+    # never a Window directly above the full-vocab HashAggregate
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
 def test_row_id_scan_no_global_window(spark, tdir):
     """with_row_ids joins the per-file base via broadcast — no global
     window, no SinglePartition exchange."""
