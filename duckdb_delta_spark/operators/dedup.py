@@ -897,36 +897,88 @@ def prefix_containment_pairs(
     the same tail): key = last ``key_chars`` characters, verify =
     ``substring(b, len_b - len_a + 1) = a``.
 
+    The candidate join carries NO text (plan-asserted): each doc
+    projects, map-side, (16-char key, length, md5 of its full text, a
+    geometric LADDER of prefix/suffix hashes). Candidates join on the
+    key over those fixed-width columns; a ladder-hash check at the
+    largest ladder length ≤ len_a prunes hot-bucket false pairs (docs
+    sharing boilerplate openings diverge early) before the confirm
+    step, which joins the survivors back to the corpus on the B id —
+    a small side AQE turns into a runtime broadcast, so text stays
+    where it lives — and checks ``md5(substring(b, ..., len_a)) =
+    md5(a)`` (128-bit; full-string compare would re-fetch A's text
+    for a ~2^-128 collision bound).
+
     Returns (id_a, id_b, len_a, len_b, containment) with A the
     contained side, containment = len_a/len_b."""
     if side not in ("prefix", "suffix"):
         raise ValueError(f"side must be 'prefix' or 'suffix', got {side}")
-    key = (
-        F.substring("__t", 1, key_chars)
-        if side == "prefix"
-        else F.expr(f"substring(__t, -{key_chars}, {key_chars})")
+    # geometric ladder (4x steps) from the join key up to 1 MiB: ~9
+    # fixed-width hashes per doc replace the text in the shuffle
+    ladder = []
+    step = key_chars
+    while step <= 1 << 20:
+        ladder.append(step)
+        step *= 4
+    t = F.col("__t")
+    if side == "prefix":
+        key = F.substring("__t", 1, key_chars)
+        piece = lambda n: F.substring("__t", 1, n)  # noqa: E731
+    else:
+        key = F.expr(f"substring(__t, -{key_chars}, {key_chars})")
+        piece = lambda n: F.expr(f"substring(__t, -{n}, {n})")  # noqa: E731
+    base = (
+        df.select(
+            F.col(id_col), F.col(text_col).alias("__t"),
+            F.length(text_col).alias("__len"),
+        )
+        .where(F.col("__len") >= key_chars)
+        .select(
+            id_col, "__len",
+            key.alias("__key"),
+            F.md5(t).alias("__h_full"),
+            F.array(*[
+                F.when(F.col("__len") >= n, F.xxhash64(piece(n)))
+                for n in ladder
+            ]).alias("__hl"),
+        )
     )
-    base = df.select(
-        F.col(id_col), F.col(text_col).alias("__t"),
-        F.length(text_col).alias("__len"),
-    ).where(F.col("__len") >= key_chars).withColumn("__key", key)
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("__t").alias("ta"),
-        F.col("__len").alias("len_a"), "__key",
+        F.col(id_col).alias("id_a"), F.col("__len").alias("len_a"),
+        "__key", F.col("__h_full").alias("h_a"), F.col("__hl").alias("hl_a"),
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("__t").alias("tb"),
-        F.col("__len").alias("len_b"), "__key",
+        F.col(id_col).alias("id_b"), F.col("__len").alias("len_b"),
+        "__key", F.col("__hl").alias("hl_b"),
     )
-    verify = (
-        F.expr("substring(tb, 1, len_a) = ta")
-        if side == "prefix"
-        else F.expr("substring(tb, len_b - len_a + 1, len_a) = ta")
-    )
-    return (
+    # largest ladder index with ladder[i] <= len_a (1-based for element_at);
+    # len_a >= key_chars = ladder[0], so idx >= 1 always
+    idx = sum(
+        (F.col("len_a") >= n).cast("int") for n in ladder
+    ).alias("__idx")
+    cand = (
         a.join(b, "__key")
         .where(F.col("len_a") < F.col("len_b"))
-        .where(verify)
+        .withColumn("__idx", idx)
+        .where(
+            F.element_at("hl_b", F.col("__idx"))
+            == F.element_at("hl_a", F.col("__idx"))
+        )
+        .select("id_a", "id_b", "len_a", "len_b", "h_a")
+    )
+    # confirm on the exact length against the corpus text, fetched only
+    # for the survivors' B side (AQE broadcasts cand when it is small)
+    confirm = (
+        F.md5(F.expr("substring(__t, 1, len_a)"))
+        if side == "prefix"
+        else F.md5(F.expr("substring(__t, len_b - len_a + 1, len_a)"))
+    )
+    corpus_b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__t"),
+    )
+    return (
+        corpus_b.join(cand, "id_b")
+        .where(confirm == F.col("h_a"))
         .select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
             F.col("len_a").cast("long"), F.col("len_b").cast("long"),

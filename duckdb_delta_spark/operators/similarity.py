@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import hashlib
 import struct
+
+import pandas as pd
+
 from duckdb_delta_spark.localrel import local_df as _local_df
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -887,6 +890,68 @@ def ivf_write_partitioned(
     return assigned
 
 
+#: above this many query vectors, probe planning stops collecting the
+#: query set on the driver and runs as a broadcast-centroid pandas UDF
+IVF_PROBE_COLLECT_BUDGET = 10_000
+
+
+def _probe_pairs_driver(
+    queries: DataFrame, Cn, lids: list[int], nprobe: int, id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Interactive-|Q| route: collect the query vectors and rank the
+    nprobe nearest centroids in one driver matmul."""
+    import numpy as np
+
+    from duckdb_delta_spark.localrel import local_df
+    from pyspark.sql import types as T
+
+    probe_pairs = []
+    for r in queries.select(id_col, vec_col).collect():
+        qv = np.array(r[1], dtype="float64")
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = Cn @ qn
+        # ties to the lowest list_id, matching ivf_topk's window order
+        order = sorted(range(len(lids)), key=lambda i: (-sims[i], lids[i]))
+        probe_pairs.extend((int(r[0]), lids[i]) for i in order[:nprobe])
+    return local_df(queries.sparkSession, sorted(probe_pairs), T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ]))
+
+
+def _probe_pairs_distributed(
+    queries: DataFrame, Cn, lids: list[int], nprobe: int, id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Batch-|Q| route: the centroid matrix (num_lists × dim — metadata
+    scale) broadcasts to executors; each Arrow batch ranks its queries'
+    centroids in one matmul. The query set never touches the driver."""
+    import numpy as np
+    import pandas as pd
+
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (Cn, np.array(lids, dtype="int64")))
+
+    @F.pandas_udf("array<int>")
+    def _top_lists(vecs: pd.Series) -> pd.Series:
+        Cn_, lids_ = bc.value
+        out = []
+        for v in vecs:
+            qv = np.asarray(v, dtype="float64")
+            qn = qv / max(np.linalg.norm(qv), 1e-12)
+            sims = Cn_ @ qn
+            # ties to the lowest list_id (lexsort: last key primary)
+            order = np.lexsort((lids_, -sims))[:len(lids_)]
+            out.append([int(lids_[i]) for i in order[: int(nprobe)]])
+        return pd.Series(out)
+
+    return queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.explode(_top_lists(F.col(vec_col))).alias("list_id"),
+    ).withColumn("list_id", F.col("list_id").cast("int"))
+
+
 def ivf_probe_partitioned(
     index_path: str,
     queries: DataFrame,
@@ -895,12 +960,17 @@ def ivf_probe_partitioned(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collect_budget: int = IVF_PROBE_COLLECT_BUDGET,
 ) -> DataFrame:
-    """Search the materialized IVF layout: rank the query's nprobe
-    nearest centroids DRIVER-SIDE (centroids are k×dim — metadata
-    scale), then scan ONLY those list_id partitions with an IN filter
-    Spark turns into partition pruning (assert `PartitionFilters` in
-    the plan). Scoring/top-k matches :func:`ivf_topk` exactly."""
+    """Search the materialized IVF layout: rank each query's nprobe
+    nearest centroids (driver matmul at interactive |Q| ≤
+    ``collect_budget``; above it, a broadcast-centroid pandas UDF — the
+    query set never collects), then scan ONLY the probed list_id
+    partitions with an IN filter Spark turns into partition pruning
+    (assert `PartitionFilters` in the plan). The probed-list set itself
+    IS collected — it is bounded by num_lists, metadata scale, and the
+    partition filter needs driver-side literals. Scoring/top-k matches
+    :func:`ivf_topk` exactly."""
     from pyspark.sql.window import Window
 
     spark = queries.sparkSession
@@ -911,35 +981,29 @@ def ivf_probe_partitioned(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     lids = [int(r["list_id"]) for r in cent_rows]
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    probe_pairs = []
-    probed_lists = set()
-    for r in q_rows:
-        qv = np.array(r[1], dtype="float64")
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
-        sims = Cn @ qn
-        # ties to the lowest list_id, matching ivf_topk's window order
-        order = sorted(range(len(lids)), key=lambda i: (-sims[i], lids[i]))
-        for i in order[:nprobe]:
-            probe_pairs.append((int(r[0]), lids[i]))
-            probed_lists.add(lids[i])
+    n_q = queries.count()
+    route = _probe_pairs_driver if n_q <= collect_budget \
+        else _probe_pairs_distributed
+    pp = route(queries, Cn, lids, nprobe, id_col, vec_col)
+    small_q = n_q <= collect_budget
+    if not small_q:
+        # reused twice below (partition-prune literals + both joins):
+        # plan the UDF once instead of re-running it per consumer
+        pp = pp.localCheckpoint(eager=False)
 
-    from duckdb_delta_spark.localrel import local_df
-    from pyspark.sql import types as T
-
-    pp = local_df(spark, sorted(probe_pairs), T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("list_id", T.IntegerType()),
-    ]))
+    probed_lists = sorted(
+        r["list_id"] for r in pp.select("list_id").distinct().collect()
+    )  # bounded by num_lists
     index = spark.read.parquet(index_path).where(
-        F.col("list_id").isin(sorted(probed_lists))  # -> PartitionFilters
+        F.col("list_id").isin(probed_lists)  # -> PartitionFilters
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    maybe_bc = F.broadcast if small_q else (lambda d: d)
     scored = (
-        index.join(F.broadcast(pp), "list_id")
-        .join(F.broadcast(qv), "query_id")
+        index.join(maybe_bc(pp), "list_id")
+        .join(maybe_bc(qv), "query_id")
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn("cosv", cosine(F.col("qv"), F.col(vec_col)))
     )

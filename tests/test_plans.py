@@ -227,6 +227,37 @@ def test_epoch_shuffle_sharded_window(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_containment_candidate_join_no_text_shuffle(spark):
+    """prefix/suffix containment: the candidate key-join shuffles only
+    (id, len, key, ladder hashes) — document TEXT never rides a __key
+    exchange (broadcast disabled so every join plans as SMJ and all
+    exchanges are visible). Text appears only in the confirm join's
+    id_b-keyed side, which AQE broadcast-converts at runtime when the
+    survivor set is small."""
+    import re
+
+    from duckdb_delta_spark.operators import dedup as D
+    from duckdb_delta_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for side in ("prefix", "suffix"):
+            plan = _plan(D.prefix_containment_pairs(docs, side=side))
+            blocks = re.split(r"\n\(\d+\) ", plan)
+            key_exchanges = [
+                b for b in blocks
+                if b.startswith("Exchange")
+                and "hashpartitioning(__key" in b
+            ]
+            assert key_exchanges, plan  # the candidate join shuffles
+            for b in key_exchanges:
+                assert "__t#" not in b, b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_zipf_top_terms_two_stage_rank(spark):
     """zipf_top_terms: the vocabulary rank is TWO-STAGE — Catalyst turns
     the per-partition partial row_number into WindowGroupLimit
@@ -480,3 +511,33 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "list_id" in m.group(1), plan
+
+
+def test_ivf_probe_distributed_route_no_query_collect(spark, tmp_path,
+                                                      monkeypatch):
+    """|Q| above the collect budget: probe planning runs as the
+    broadcast-centroid pandas UDF — the driver route must never fire
+    (monkeypatched to raise), results match the driver route exactly,
+    and the partition-pruned scan survives."""
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dest = str(tmp_path / "ivf_idx2")
+    cents = S.ivf_centroids(emb)
+    S.ivf_write_partitioned(emb, dest, centroids=cents)
+
+    q = emb.where(F.col("vec_id") < 40)  # 40 queries
+    want = sorted(map(tuple, S.ivf_probe_partitioned(
+        dest, q, cents, k=5, nprobe=2).collect()))
+
+    def _boom(*a, **k):
+        raise AssertionError("driver probe route above the collect budget")
+
+    monkeypatch.setattr(S, "_probe_pairs_driver", _boom)
+    got = S.ivf_probe_partitioned(
+        dest, q, cents, k=5, nprobe=2, collect_budget=10)
+    assert sorted(map(tuple, got.collect())) == want
+    plan = _plan(got)
+    assert "PartitionFilters" in plan and "list_id" in plan
