@@ -118,11 +118,28 @@ def table_changes(
                 # (dvNew − dvOld) are deletes read at PREV (prev's scan
                 # leaves them live); shrunk rows (dvOld − dvNew, e.g. a
                 # RESTORE rolling back a DV delete) are inserts read at
-                # the NEW snapshot, where they are live again.
-                dels = _rows_at_big(prev, spark, pairs, shrink=False)
-                parts.append(_tag(dels, "delete", v, ts_ms))
-                ins = _rows_at_big(snap, spark, pairs, shrink=True)
-                parts.append(_tag(ins, "insert", v, ts_ms))
+                # the NEW snapshot, where they are live again. Each
+                # direction scans only the paths whose source DV is
+                # non-empty (a grow needs dvNew rows, a shrink dvOld
+                # rows), so the common one-direction commit — first
+                # delete on a file, or a restore dropping a DV outright
+                # — never pays a second scan of the masked files.
+                grow_pairs = {
+                    p: d for p, d in pairs.items()
+                    if int((d[0] or {}).get("cardinality") or 0)
+                }
+                shrink_pairs = {
+                    p: d for p, d in pairs.items()
+                    if int((d[1] or {}).get("cardinality") or 0)
+                }
+                if grow_pairs:
+                    dels = _rows_at_big(prev, spark, grow_pairs,
+                                        shrink=False)
+                    parts.append(_tag(dels, "delete", v, ts_ms))
+                if shrink_pairs:
+                    ins = _rows_at_big(snap, spark, shrink_pairs,
+                                       shrink=True)
+                    parts.append(_tag(ins, "insert", v, ts_ms))
             elif pairs:
                 del_rows, ins_rows = _dv_diffs(log.table_path, pairs)
                 if del_rows:

@@ -256,21 +256,51 @@ class DeltaLog:
                     out[lo] = (hi, os.path.join(self.log_path, name))
         return out
 
+    @staticmethod
+    def _parse_action_text(text: str) -> list[dict] | None:
+        """Concatenated-JSON fallback: the Delta spec says one action per
+        line, but real foreign artifacts exist with PRETTY-PRINTED
+        multi-line action documents (e.g. the reference repo's
+        data/inlined/null_constraints_* logs, consumed by its
+        test/sql/main/writing/non_nullable.test) — a raw_decode walk
+        accepts any whitespace-separated document stream. Returns None
+        when the text is not a valid document stream (caller keeps its
+        line-oriented error message)."""
+        dec = json.JSONDecoder()
+        actions: list[dict] = []
+        i, n = 0, len(text)
+        while i < n:
+            while i < n and text[i] in " \t\r\n":
+                i += 1
+            if i >= n:
+                break
+            try:
+                obj, i = dec.raw_decode(text, i)
+            except json.JSONDecodeError:
+                return None
+            actions.append(obj)
+        return actions
+
     def read_actions_file(self, path: str) -> list[dict]:
-        """Parse one newline-delimited JSON action file (commit or
-        compacted segment)."""
+        """Parse one JSON action file (commit or compacted segment):
+        newline-delimited on the fast path, with a concatenated-document
+        fallback for pretty-printed foreign logs."""
         actions: list[dict] = []
         with open(path, "r", encoding="utf-8") as f:
-            for lineno, line in enumerate(f, 1):
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    actions.append(json.loads(line))
-                except json.JSONDecodeError as e:
-                    raise MalformedLogError(
-                        f"bad JSON at {path}:{lineno}: {e}"
-                    ) from None
+            text = f.read()
+        for lineno, line in enumerate(text.splitlines(), 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                actions.append(json.loads(line))
+            except json.JSONDecodeError as e:
+                parsed = self._parse_action_text(text)
+                if parsed is not None:
+                    return parsed
+                raise MalformedLogError(
+                    f"bad JSON at {path}:{lineno}: {e}"
+                ) from None
         return actions
 
     def read_commit(self, version: int) -> list[dict]:
@@ -283,20 +313,24 @@ class DeltaLog:
         actions: list[dict] = []
         try:
             with open(path, "r", encoding="utf-8") as f:
-                for lineno, line in enumerate(f, 1):
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        actions.append(json.loads(line))
-                    except json.JSONDecodeError as e:
-                        raise MalformedLogError(
-                            f"{path}:{lineno}: invalid JSON ({e})"
-                        ) from None
+                text = f.read()
         except FileNotFoundError:
             raise MissingVersionError(
                 f"commit {version} missing from log at {self.table_path}"
             ) from None
+        for lineno, line in enumerate(text.splitlines(), 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                actions.append(json.loads(line))
+            except json.JSONDecodeError as e:
+                parsed = self._parse_action_text(text)
+                if parsed is not None:
+                    return parsed
+                raise MalformedLogError(
+                    f"{path}:{lineno}: invalid JSON ({e})"
+                ) from None
         return actions
 
     def read_checkpoint(self, paths: list[str]) -> list[dict]:

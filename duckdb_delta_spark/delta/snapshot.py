@@ -166,6 +166,9 @@ class Snapshot:
         self._stats_manifest_built = False
         self._sorted_files: list[AddFile] | None = None
         self._partition_arrays: dict[str, object] = {}
+        #: version of the checkpoint replay started from (None = full
+        #: commit walk, or incremental build from a base snapshot)
+        self.checkpoint_version: int | None = None
 
     # ---------- construction ----------
 
@@ -196,6 +199,7 @@ class Snapshot:
             snap = cls(log, target)
             start = 0
             ckpt_version = snap._maybe_apply_checkpoint(target)
+            snap.checkpoint_version = ckpt_version  # observability
             if ckpt_version is not None:
                 start = ckpt_version + 1
         commits, _ = log.list_log_files()

@@ -1518,6 +1518,25 @@ class DeltaWriter:
         # children: delta_multi_file_list.cpp:567-584)
         required: list[str] = []
 
+        def has_inner_constraint(dt) -> bool:
+            # a NOT NULL somewhere beneath an array/map element is not
+            # verifiable from parquet footer stats (leaf null counts
+            # conflate element-null with list-null) — refuse the append
+            # rather than silently skip the check, matching the
+            # reference's behavior on data/inlined/null_constraints_lists
+            # ("Inserting into a table with null constraints in arrays is
+            # not supported", test/sql/main/writing/non_nullable.test:84)
+            if isinstance(dt, T.StructType):
+                return any(
+                    (not f.nullable) or has_inner_constraint(f.dataType)
+                    for f in dt.fields
+                )
+            if isinstance(dt, T.ArrayType):
+                return has_inner_constraint(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return has_inner_constraint(dt.valueType)
+            return False
+
         def walk(prefix: str, fields) -> None:
             for f in fields:
                 name = f"{prefix}.{f.name}" if prefix else f.name
@@ -1527,6 +1546,20 @@ class DeltaWriter:
                     required.append(name)
                 if isinstance(f.dataType, T.StructType):
                     walk(name, f.dataType.fields)
+                elif isinstance(f.dataType, (T.ArrayType, T.MapType)):
+                    inner = (
+                        f.dataType.elementType
+                        if isinstance(f.dataType, T.ArrayType)
+                        else f.dataType.valueType
+                    )
+                    if has_inner_constraint(inner):
+                        self._rollback(moved)
+                        raise UnsupportedFeatureError(
+                            "writing to a table with NOT NULL constraints "
+                            f"inside array/map column {name!r} is not "
+                            "supported (element null counts are not "
+                            "verifiable from file stats)"
+                        )
 
         walk("", schema.fields)
         if not required:

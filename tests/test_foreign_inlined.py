@@ -1,0 +1,193 @@
+"""Reads (and writes) against REAL foreign-engine Delta tables.
+
+The reference repo checks in six Delta tables written by OTHER engines
+(``data/inlined/*`` — Apache-Spark/Delta-Lake 3.3.1 and a delta-spark
+4.0 snapshot, per each log's engineInfo) and drives its own acceptance
+tests over them. Everything else in this repo's foreign-golden suite is
+hand-encoded from the spec (testing/foreign.py); these tables are the
+one place the sandbox holds genuine second-engine artifacts, so every
+test here is end-to-end validation against another implementation's
+bytes — including a pretty-printed multi-line action log
+(null_constraints_*), a foreign classic checkpoint with variant columns
+(unshredded-variant), and the partition-equality regression table
+(issue_303). Expected values cite the reference test that pins them.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_delta_spark.delta import errors
+from duckdb_delta_spark.delta.table import DeltaTable
+from duckdb_delta_spark.delta.writer import DeltaWriter
+
+REF = "/root/reference/data/inlined"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference inlined tables not present"
+)
+
+
+def _copy(name: str, tdir: str) -> str:
+    dest = os.path.join(tdir, os.path.basename(name))
+    shutil.copytree(os.path.join(REF, name), dest)
+    return dest
+
+
+def test_simple_table_read_and_append(spark, tdir):
+    """delta-rs-era simple table: 10 rows, sum(i)=45 (reference:
+    test/sql/generated/writing/append/transaction_append.test:19-21);
+    appending 5 through THIS writer lands 11 rows / sum 50 (:36-48)."""
+    path = _copy("simple_table/delta_lake", tdir)
+    df = DeltaTable(path).to_df(spark)
+    row = df.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("i").alias("s")).collect()[0]
+    assert (row["c"], row["s"]) == (10, 45)
+
+    w = DeltaWriter(path, spark)
+    w.append(spark.createDataFrame(
+        [(5,)], T.StructType([T.StructField("i", T.LongType())])))
+    row = DeltaTable(path).to_df(spark).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("i").alias("s")).collect()[0]
+    assert (row["c"], row["s"]) == (11, 50)
+
+
+def test_issue_303_partition_equality_never_overprunes(spark):
+    """Equality/IN/range filters on a partition column with a single
+    partition value must keep all 16 rows — the reference's v1.5.1
+    pruning regression (test/sql/issues/
+    partition_equality_filter__issue_303.test:30-55), checked through
+    BOTH the pushdown scan builder and a plain DataFrame filter."""
+    path = os.path.join(REF, "issue_303_partitioned/delta_lake")
+    t = DeltaTable(path)
+    assert t.to_df(spark).count() == 16
+
+    sb = t.scan(spark).filter("part", "=", 42)
+    assert sb.to_df().count() == 16
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_partition"] == 0
+
+    assert t.scan(spark).filter("part", "in", [42]).to_df().count() == 16
+    assert t.scan(spark).filter("part", "in", [31, 42]).to_df().count() == 16
+    assert t.scan(spark).filter("part", ">", 40).to_df().count() == 16
+    # and the non-matching literal really prunes
+    assert t.scan(spark).filter("part", "=", 31).to_df().count() == 0
+
+    df = t.to_df(spark)
+    assert df.where(F.col("part") == 42).count() == 16
+    assert df.where(F.col("part").isin(42)).count() == 16
+
+
+def test_pretty_printed_log_reads(spark):
+    """null_constraints_* logs are PRETTY-PRINTED multi-line JSON
+    documents (Delta-Lake 3.3.1 artifacts) — the concatenated-document
+    fallback must replay them; 10 rows each (reference:
+    test/sql/main/writing/non_nullable.test:22-26,78-82)."""
+    for name in ("null_constraints_structs", "null_constraints_lists"):
+        t = DeltaTable(os.path.join(REF, name, "delta_lake"))
+        assert t.to_df(spark).count() == 10, name
+
+
+def test_null_constraints_structs_enforced_on_append(spark, tdir):
+    """Nested NOT NULL from a foreign schema binds THIS writer: a null
+    in nested_struct.value.a must reject the append (reference mirrors:
+    non_nullable.test:28-57); a fully non-null row lands 11 rows."""
+    from duckdb_delta_spark.delta.writer import _nullable_type
+
+    path = _copy("null_constraints_structs/delta_lake", tdir)
+    w = DeltaWriter(path, spark)
+    # nullable-widened input schema: createDataFrame would otherwise
+    # reject the null itself — the point is that the WRITER enforces
+    schema = T.StructType([
+        T.StructField(f.name, _nullable_type(f.dataType), True)
+        for f in DeltaTable(path).snapshot.schema.fields
+    ])
+
+    bad = spark.createDataFrame([(1, (1,), ((None, 1),))], schema)
+    with pytest.raises(errors.ConstraintViolationError, match="NOT NULL"):
+        w.append(bad)
+    assert DeltaTable(path).to_df(spark).count() == 10  # rolled back
+
+    good = spark.createDataFrame([(1, (1,), ((1, 1),))], schema)
+    w.append(good)
+    assert DeltaTable(path).to_df(spark).count() == 11
+
+
+def test_null_constraints_lists_append_refused(spark, tdir):
+    """NOT NULL inside an array element is unverifiable from footer
+    stats: ANY append must refuse, matching the reference
+    (non_nullable.test:84: 'null constraints in arrays is not
+    supported'), and leave the table untouched."""
+    from duckdb_delta_spark.delta.writer import _nullable_type
+
+    path = _copy("null_constraints_lists/delta_lake", tdir)
+    w = DeltaWriter(path, spark)
+    schema = T.StructType([
+        T.StructField(f.name, _nullable_type(f.dataType), True)
+        for f in DeltaTable(path).snapshot.schema.fields
+    ])
+    rows = spark.createDataFrame([(1, [(1,)])], schema)
+    with pytest.raises(errors.UnsupportedFeatureError, match="array"):
+        w.append(rows)
+    assert DeltaTable(path).to_df(spark).count() == 10
+
+
+def test_variant_basic_deep_get(spark):
+    """Spark-written unshredded variant table: one row, id=21,
+    data = {'a': 'test', 'b': [21, 'test', true, {'c': 42}]}
+    (reference: test/sql/inlined/variant/basic.test:22-45)."""
+    t = DeltaTable(os.path.join(REF, "variant/basic"))
+    df = t.to_df(spark)
+    got = df.select(
+        "id",
+        F.try_variant_get("data", "$.a", "string").alias("a"),
+        F.try_variant_get("data", "$.b[0]", "long").alias("b0"),
+        F.try_variant_get("data", "$.b[2]", "boolean").alias("b2"),
+        F.try_variant_get("data", "$.b[3].c", "long").alias("b3c"),
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id"], r["a"], r["b0"], r["b2"], r["b3c"]) == (
+        21, "test", 21, True, 42)
+
+
+def test_unshredded_variant_checkpoint_replay(spark):
+    """delta-kernel's 'spark-variant-checkpoint' golden (info.txt):
+    100 CTAS rows + one-row appends of id 0 and 1 (102 total, sum 4951)
+    over 3 commits with a FOREIGN classic checkpoint at v2
+    (checkpointInterval=2), v = {'key': id}, array/struct/map of
+    variants. Snapshot replay must go through the foreign checkpoint
+    and every variant path must decode."""
+    t = DeltaTable(os.path.join(REF, "unshredded-variant"))
+    df = t.to_df(spark)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("id").alias("s")).collect()[0]
+    assert (agg["c"], agg["s"]) == (102, 4951)
+
+    # v = {"key": id} for every row — zero mismatches
+    assert df.where(
+        F.try_variant_get("v", "$.key", "long") != F.col("id")
+    ).count() == 0
+    # array_of_variants = [j, null, j, null, j]
+    arr = df.select(
+        "id",
+        F.size("array_of_variants").alias("n"),
+        F.try_variant_get(F.col("array_of_variants")[0], "$.key", "long")
+        .alias("k0"),
+        F.col("array_of_variants")[1].alias("null1"),
+    )
+    assert arr.where(F.col("n") != 5).count() == 0
+    assert arr.where(F.col("k0") != F.col("id")).count() == 0
+    assert arr.where(F.col("null1").isNotNull()).count() == 0
+    # the checkpoint was actually consulted (v2 classic, foreign bytes)
+    assert t.snapshot.checkpoint_version == 2
+    # struct_of_variants.v mirrors v
+    assert df.where(
+        F.try_variant_get(F.col("struct_of_variants.v"), "$.key", "long")
+        != F.col("id")
+    ).count() == 0
