@@ -210,6 +210,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     n: int = 3,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via prefix filtering (ppjoin-style).
 
@@ -222,6 +223,18 @@ def ngram_jaccard_pairs(
     grams only. Candidates are then verified exactly on the full gram
     arrays. θ defaults to 0.8 (the usual near-dup bar) — at θ near 0 the
     prefix degenerates to the whole set and nothing is saved.
+
+    ``collapse_exact`` (default on) is the crawl-scale lever on TOP of
+    prefix filtering: real corpora are duplication-heavy (each page has
+    many byte-identical copies), and identical gram SETS contribute
+    identical Jaccards — so docs first collapse to one representative
+    per distinct (block, gram-set) group, the ppjoin runs on
+    representatives only, and member pairs are reconstructed afterwards
+    by pure expansion (cross-group pairs inherit the representative
+    Jaccard; within-group pairs are exact duplicates, J = 1.0). Output
+    is bit-identical to the uncollapsed run, but a corpus with d copies
+    per page does 1/d² of the candidate work (measured: the 10-copy sf1
+    corpus in docs/pipeline_sf1.md).
 
     Prefix length uses integer arithmetic (⌈θn⌉ = (4n+4)//5 for θ=0.8) so
     the oracle can reproduce it without float-boundary surprises.
@@ -253,6 +266,21 @@ def ngram_jaccard_pairs(
         # ngram/md5 derivation runs once
         .cache()
     )
+
+    groups = None
+    if collapse_exact:
+        # one representative (min id) per distinct gram set; members ride
+        # along for the expansion step. groupBy on the array column is
+        # exact (no hash-collision merge risk).
+        groups = (
+            sets.groupBy(*block_cols, "hs", "n_g")
+            .agg(
+                F.min("id").alias("id"),
+                F.sort_array(F.collect_list("id")).alias("_members"),
+            )
+            .cache()
+        )
+        sets = groups.select("id", *block_cols, "hs", "n_g")
 
     grams = sets.select("id", *block_cols, "n_g", F.explode("hs").alias("h"))
     # global order: document frequency asc, hash asc — rarest first, per block
@@ -318,6 +346,38 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+    if groups is not None:
+        # expansion: a representative pair (ra, rb, j) stands for every
+        # cross-group member pair (same gram sets → same Jaccard); pairs
+        # WITHIN a group are exact duplicates, J = 1.0 ≥ θ by definition
+        mem_a = groups.select(
+            F.col("id").alias("id_a"), F.col("_members").alias("_ma"))
+        mem_b = groups.select(
+            F.col("id").alias("id_b"), F.col("_members").alias("_mb"))
+        cross = (
+            out.join(mem_a, "id_a")
+            .join(mem_b, "id_b")
+            .select("jaccard", F.explode("_ma").alias("_x"), "_mb")
+            .select("jaccard", "_x", F.explode("_mb").alias("_y"))
+            .select(
+                F.least("_x", "_y").cast("long").alias("id_a"),
+                F.greatest("_x", "_y").cast("long").alias("id_b"),
+                "jaccard",
+            )
+        )
+        within = (
+            groups.where(F.size("_members") >= 2)
+            .select(F.explode("_members").alias("_x"),
+                    F.col("_members").alias("_mb"))
+            .select("_x", F.explode("_mb").alias("_y"))
+            .where(F.col("_x") < F.col("_y"))
+            .select(
+                F.col("_x").cast("long").alias("id_a"),
+                F.col("_y").cast("long").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        out = cross.unionByName(within)
     out._ngram_sets_cache = sets  # caller may unpersist after its action
     return out
 

@@ -807,3 +807,28 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     corpus_mean = 5.5
     sample_mean = sum(r["weight"] for r in s1) / len(s1)
     assert sample_mean > corpus_mean + 0.8, sample_mean
+
+
+def test_ngram_jaccard_collapse_exact_equivalence(spark, docs):
+    """collapse_exact (gram-set dedup before the ppjoin) must be output-
+    INVISIBLE: representative pairs expand back to exactly the member
+    pairs the uncollapsed run produces — including J=1.0 within-group
+    pairs — on a corpus salted with extra exact copies so groups of
+    size > 1 actually exist."""
+    from duckdb_delta_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = docs.limit(60)
+    copies = base.limit(15).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000))
+    more = base.limit(7).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000))
+    corpus = base.unionByName(copies).unionByName(more)
+
+    fast = sorted(map(tuple, ngram_jaccard_pairs(
+        corpus, collapse_exact=True).collect()))
+    slow = sorted(map(tuple, ngram_jaccard_pairs(
+        corpus, collapse_exact=False).collect()))
+    assert fast == slow
+    # the salt guarantees within-group pairs exist and carry J=1.0
+    dup_pairs = [p for p in fast if p[2] == 1.0]
+    assert len(dup_pairs) >= 15 + 7 + 7  # (a,copy1) (a,copy2) (copy1,copy2)
