@@ -4078,8 +4078,8 @@ def test_merge_fuzz_matches_python_reference(spark, tdir):
 def test_dml_sequence_fuzz_model_based(spark, tdir):
     """Model-based sequence fuzz over the write path: hypothesis drives
     random interleavings of append / DV-delete / DV-update / compact /
-    checkpoint against one table while a pure-Python dict model tracks
-    expected content. After EVERY op the live table must equal the
+    checkpoint / restore / overwrite against one table while a
+    pure-Python dict model tracks expected content. After EVERY op the live table must equal the
     model, and at the end every recorded historical version must still
     time-travel to its recorded content (commits are immutable; compact
     is dataChange=false so content never shifts)."""
@@ -4103,6 +4103,11 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("checkpoint"), st.none()),
         st.tuples(st.just("restore"), st.integers(0, 5)),  # index into history
+        # full replace: dropped-path deletes in the CDF, and a later
+        # restore resurrects the dropped files outright
+        st.tuples(st.just("overwrite"),
+                  st.dictionaries(st.integers(0, 30), st.integers(0, 99),
+                                  max_size=4)),
     )
     case_n = [0]
 
@@ -4155,6 +4160,10 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
                 w.update(f"k <= {arg}", {"v": "v + 100"})
                 model = {k: (v + 100 if k <= arg else v)
                          for k, v in model.items()}
+            elif kind == "overwrite":
+                w.overwrite(spark.createDataFrame(sorted(arg.items()),
+                                                  schema))
+                model = dict(arg)
             elif kind == "compact":
                 w.compact()
             elif kind == "checkpoint":

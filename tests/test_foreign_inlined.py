@@ -191,3 +191,20 @@ def test_unshredded_variant_checkpoint_replay(spark):
         F.try_variant_get(F.col("struct_of_variants.v"), "$.key", "long")
         != F.col("id")
     ).count() == 0
+
+
+def test_unshredded_variant_change_feed(spark):
+    """Derived CDF over the foreign commit history: v0 CTAS inserts 100
+    rows, v1 and v2 append one row each (id 0 and 1) — the log-derived
+    feed must reproduce exactly that, from the pre-table baseline."""
+    t = DeltaTable(os.path.join(REF, "unshredded-variant"))
+    ch = t.changes(spark, starting_version=-1)
+    per = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {(0, "insert"): 100, (1, "insert"): 1, (2, "insert"): 1}
+    v12 = t.changes(spark, starting_version=0).select(
+        "id", F.try_variant_get("v", "$.key", "long").alias("k")).collect()
+    assert sorted((r["id"], r["k"]) for r in v12) == [(0, 0), (1, 1)]
