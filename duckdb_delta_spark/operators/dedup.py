@@ -262,16 +262,14 @@ def ngram_jaccard_pairs(
             F.array_sort(F.array_distinct(F.transform(F.col("_gs"), gh))).alias("hs"),
         )
         .withColumn("n_g", F.size("hs"))
-        # consumed twice (gram explode + verify broadcast): cache so the
-        # ngram/md5 derivation runs once
-        .cache()
     )
 
     groups = None
     if collapse_exact:
         # one representative (min id) per distinct gram set; members ride
         # along for the expansion step. groupBy on the array column is
-        # exact (no hash-collision merge risk).
+        # exact (no hash-collision merge risk). Only the collapsed frame
+        # caches — the raw per-doc sets are consumed exactly once here.
         groups = (
             sets.groupBy(*block_cols, "hs", "n_g")
             .agg(
@@ -281,6 +279,10 @@ def ngram_jaccard_pairs(
             .cache()
         )
         sets = groups.select("id", *block_cols, "hs", "n_g")
+    else:
+        # consumed twice (gram explode + verify broadcast): cache so the
+        # ngram/md5 derivation runs once
+        sets = sets.cache()
 
     grams = sets.select("id", *block_cols, "n_g", F.explode("hs").alias("h"))
     # global order: document frequency asc, hash asc — rarest first, per block
