@@ -30,7 +30,10 @@ timing uniformly and makes cross-round comparison misleading. Two guards:
   removes one-off scheduler/page-cache spikes AND first-use codegen
   compile costs (expression-heavy plans like PQ pay ~5 s of Janino
   compilation once per session) without hiding real costs (a genuinely
-  slow plan is slow on both runs).
+  slow plan is slow on both runs). When the two runs disagree by >50%
+  on a ≥0.5 s query, a THIRD run breaks the tie (round 10's tpch_q18
+  spike persisted across two adjacent runs and read as a 2× regression
+  until round 11 re-timed it at parity).
 """
 
 from __future__ import annotations
@@ -84,12 +87,20 @@ def main() -> int:
     for name in sorted(queries):
         t0 = time.time()
         queries[name].fn(spark, sf_dir).collect()
-        t1 = time.time() - t0
-        if t1 < RERUN_THRESHOLD_SEC:
+        runs = [time.time() - t0]
+        if runs[0] < RERUN_THRESHOLD_SEC:
             t0 = time.time()
             queries[name].fn(spark, sf_dir).collect()
-            t1 = min(t1, time.time() - t0)
-        timings[name] = round(t1, 3)
+            runs.append(time.time() - t0)
+            # spike guard (r10's tpch_q18 lesson: a scheduler/page-cache
+            # spike can persist across two adjacent runs and read as a
+            # 2x regression): when the two runs disagree by >50% and the
+            # query is non-trivial, buy one more sample
+            if min(runs) >= 0.5 and max(runs) > 1.5 * min(runs):
+                t0 = time.time()
+                queries[name].fn(spark, sf_dir).collect()
+                runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
         print(f"[bench] {name} {timings[name]:.1f}s", file=sys.stderr)
 
     canary_post = cpu_canary()
@@ -116,7 +127,7 @@ def main() -> int:
                 "canary_iters_per_sec": min(canary_pre, canary_post),
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
-                "timing_mode": "min_of_two_under_10s",
+                "timing_mode": "min_of_2_plus_spike_guard_under_10s",
                 "suite_total": len(queries),
             },
             f,
@@ -141,7 +152,7 @@ def main() -> int:
                 "canary_iters_per_sec": min(canary_pre, canary_post),
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
-                "timing_mode": "min_of_two_under_10s",
+                "timing_mode": "min_of_2_plus_spike_guard_under_10s",
                 # artifact self-description: the driver's correctness
                 # window covers only the first 50 registry names
                 # (alphabetical); the full suite is larger — see
