@@ -394,27 +394,30 @@ class DeltaLog:
             )
 
         # JSON manifest: actions parsed driver-side (manifests are small —
-        # the bulk file actions live in the parquet sidecars)
+        # the bulk file actions live in the parquet sidecars); same
+        # pretty-printed-document tolerance as commit files
         meta_rows: list[dict] = []
         sidecars: list[str] = []
         with open(manifest_path, "r", encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                if a.get("sidecar"):
-                    sidecars.append(a["sidecar"]["path"])
-                elif a.get("add") or a.get("remove"):
-                    # spec-legal but writer-unusual; refuse loudly rather
-                    # than mis-shape the columnar replay
-                    raise MalformedLogError(
-                        "inline file actions in a JSON v2 checkpoint "
-                        f"manifest are not supported: {manifest_path}"
-                    )
-                elif any(a.get(k) for k in
-                         ("protocol", "metaData", "txn", "domainMetadata")):
-                    meta_rows.append(a)
+            text = f.read()
+        manifest_actions = self._parse_action_text(text)
+        if manifest_actions is None:
+            raise MalformedLogError(
+                f"invalid JSON in v2 checkpoint manifest {manifest_path}"
+            )
+        for a in manifest_actions:
+            if a.get("sidecar"):
+                sidecars.append(a["sidecar"]["path"])
+            elif a.get("add") or a.get("remove"):
+                # spec-legal but writer-unusual; refuse loudly rather
+                # than mis-shape the columnar replay
+                raise MalformedLogError(
+                    "inline file actions in a JSON v2 checkpoint "
+                    f"manifest are not supported: {manifest_path}"
+                )
+            elif any(a.get(k) for k in
+                     ("protocol", "metaData", "txn", "domainMetadata")):
+                meta_rows.append(a)
         tables = [_sidecar_table(rel) for rel in sidecars]
         if meta_rows:
             # one inferred column per action key (from_pylist would infer
@@ -519,7 +522,20 @@ class DeltaLog:
                     line = line.strip()
                     if not line:
                         continue
-                    ci = json.loads(line).get("commitInfo")
+                    try:
+                        ci = json.loads(line).get("commitInfo")
+                    except json.JSONDecodeError:
+                        # pretty-printed foreign log: full-document parse
+                        # (losing the ICT here would silently swap the
+                        # commit clock for file mtime)
+                        with open(path, "r", encoding="utf-8") as f2:
+                            parsed = self._parse_action_text(f2.read())
+                        for a in parsed or []:
+                            ci = a.get("commitInfo")
+                            if ci is not None:
+                                v = ci.get("inCommitTimestamp")
+                                return int(v) if v is not None else None
+                        return None
                     if ci is not None:
                         v = ci.get("inCommitTimestamp")
                         return int(v) if v is not None else None

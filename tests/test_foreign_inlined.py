@@ -180,6 +180,33 @@ def test_pretty_printed_log_roundtrip_any_table(spark, tdir):
     assert len(before[2]) > 0  # the feed actually has rows
 
 
+def test_pretty_printed_log_keeps_ict(spark, tdir):
+    """In-commit timestamps must survive pretty-printing: a decode
+    failure on the line path falls back to a full-document parse
+    instead of silently swapping the commit clock for file mtime."""
+    import glob
+    import json as _json
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    path = os.path.join(tdir, "ict")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    w = DeltaWriter.create(
+        spark, path, schema,
+        configuration={"delta.enableInCommitTimestamps": "true"})
+    w.append(spark.createDataFrame([(1,)], schema))
+
+    before = [DeltaLog(path).read_ict(v) for v in (0, 1)]
+    assert all(t is not None for t in before)
+
+    for f in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        actions = DeltaLog(path).read_actions_file(f)
+        with open(f, "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a, indent=2) + "\n")
+    assert [DeltaLog(path).read_ict(v) for v in (0, 1)] == before
+
+
 def test_variant_basic_deep_get(spark):
     """Spark-written unshredded variant table: one row, id=21,
     data = {'a': 'test', 'b': [21, 'test', true, {'c': 42}]}
