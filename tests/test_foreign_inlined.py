@@ -278,3 +278,24 @@ def test_unshredded_variant_change_feed(spark):
     v12 = t.changes(spark, starting_version=0).select(
         "id", F.try_variant_get("v", "$.key", "long").alias("k")).collect()
     assert sorted((r["id"], r["k"]) for r in v12) == [(0, 0), (1, 1)]
+
+
+def test_parse_action_text_format_matrix():
+    """The concatenated-document parser accepts every real-world layout:
+    NDJSON, CRLF NDJSON, pretty-printed multi-line, back-to-back docs on
+    ONE line, and mixtures — and rejects trailing garbage."""
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    docs = [{"commitInfo": {"timestamp": 1}},
+            {"add": {"path": "p", "partitionValues": {}, "size": 1}}]
+    import json as _json
+
+    nd = "\n".join(_json.dumps(d) for d in docs)
+    crlf = "\r\n".join(_json.dumps(d) for d in docs) + "\r\n"
+    pretty = "\n".join(_json.dumps(d, indent=3) for d in docs)
+    oneline = "".join(_json.dumps(d) for d in docs)
+    mixed = _json.dumps(docs[0], indent=2) + "\n" + _json.dumps(docs[1])
+    for text in (nd, crlf, pretty, oneline, mixed):
+        assert DeltaLog._parse_action_text(text) == docs, text
+    assert DeltaLog._parse_action_text(nd + "\n{broken") is None
+    assert DeltaLog._parse_action_text("") == []
