@@ -299,3 +299,32 @@ def test_parse_action_text_format_matrix():
         assert DeltaLog._parse_action_text(text) == docs, text
     assert DeltaLog._parse_action_text(nd + "\n{broken") is None
     assert DeltaLog._parse_action_text("") == []
+
+
+def test_stream_foreign_variant_table(spark):
+    """The Python streaming source over the FOREIGN variant table:
+    snapshot init goes through the foreign classic checkpoint, the
+    Arrow bridge carries variant (struct-backed) columns, and every
+    row's v = {'key': id} decodes in the stream output."""
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    df = (
+        spark.readStream.format("delta_py")
+        .option("path", os.path.join(REF, "unshredded-variant"))
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        df.selectExpr("id", "try_variant_get(v, '$.key', 'long') AS k")
+        .writeStream.format("memory").queryName("foreign_variant_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.sql(
+        "SELECT count(*) c, sum(id) s,"
+        " sum(CASE WHEN k = id THEN 1 ELSE 0 END) m"
+        " FROM foreign_variant_stream"
+    ).collect()[0]
+    assert (row["c"], row["s"], row["m"]) == (102, 4951, 102)
