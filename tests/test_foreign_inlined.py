@@ -328,3 +328,52 @@ def test_stream_foreign_variant_table(spark):
         " FROM foreign_variant_stream"
     ).collect()[0]
     assert (row["c"], row["s"], row["m"]) == (102, 4951, 102)
+
+
+def test_attach_foreign_issue_303(spark):
+    """ATTACH-equivalent over the foreign partitioned table: SQL through
+    the catalog view must match the reference's ATTACH block
+    (partition_equality_filter__issue_303.test:58-72)."""
+    from duckdb_delta_spark.delta.catalog import DeltaCatalog
+
+    cat = DeltaCatalog(spark)
+    cat.attach("issue_303", os.path.join(REF, "issue_303_partitioned/delta_lake"))
+    try:
+        q = lambda s: spark.sql(s).collect()[0][0]  # noqa: E731
+        assert q("SELECT count(*) FROM issue_303") == 16
+        assert q("SELECT count(*) FROM issue_303 WHERE part = 42") == 16
+        assert q("SELECT count(*) FROM issue_303 WHERE part IN (42)") == 16
+    finally:
+        cat.detach("issue_303")
+
+
+def test_append_variant_rows_to_foreign_table(spark, tdir):
+    """THIS writer appends variant rows to the FOREIGN variant table
+    (mirror of the reference's INSERT block, variant/basic.test:47-59):
+    scalar, object, and array variants land next to the Spark-written
+    row and every path decodes on re-read."""
+    path = _copy("variant/basic", tdir)
+    w = DeltaWriter(path, spark)
+    rows = spark.sql(
+        "SELECT 42 AS id, parse_json('\"test\"') AS data"
+        " UNION ALL SELECT 84, parse_json('{\"d\": [1, 2, 3]}')"
+        " UNION ALL SELECT 1337,"
+        " parse_json('[\"testing\", 21, true, {\"hello\": \"world\"}]')"
+    )
+    w.append(rows)
+
+    df = DeltaTable(path).to_df(spark)
+    assert df.count() == 4
+    got = {
+        r["id"]: (r["s"], r["d0"], r["arr3h"])
+        for r in df.selectExpr(
+            "id",
+            "try_variant_get(data, '$', 'string') AS s",
+            "try_variant_get(data, '$.d[0]', 'long') AS d0",
+            "try_variant_get(data, '$[3].hello', 'string') AS arr3h",
+        ).collect()
+    }
+    assert got[42] == ("test", None, None)
+    assert got[84][1] == 1
+    assert got[1337][2] == "world"
+    assert 21 in got  # the original Spark-written row survives
