@@ -1487,16 +1487,33 @@ class DeltaWriter:
                 }
             )
         if no_footer:
+            # footer unreadable (e.g. the VARIANT logical type is unknown
+            # to this pyarrow): compute FULL stats for the readable
+            # columns in ONE Spark job over the fresh files — losing
+            # min/max on every sibling column just because a variant
+            # column is present would disable file skipping on the whole
+            # table. Variant/array/map/binary leaves stay stat-less, per
+            # spec (reference: write_stats_no_variant_stats.test).
             from pyspark.sql import functions as F
 
             paths = [
                 os.path.join(self.table_path, moved[i][0]) for i in no_footer
             ]
-            counts = {
-                r["f"]: r["n"]
+            stat_cols = _stat_leaf_paths(schema, set(parts))
+            allow = self._stats_allowlist(schema, parts)
+            if allow is not None:
+                stat_cols = [c for c in stat_cols if c in allow]
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for j, c in enumerate(stat_cols):
+                aggs.append(F.min(F.col(c)).alias(f"__mn{j}"))
+                aggs.append(F.max(F.col(c)).alias(f"__mx{j}"))
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nc{j}"))
+            by_file = {
+                r["__f"]: r
                 for r in self.spark.read.parquet(*paths)
-                .groupBy(F.col("_metadata.file_path").alias("f"))
-                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy(F.col("_metadata.file_path").alias("__f"))
+                .agg(*aggs)
                 .collect()
             }
             from duckdb_delta_spark.delta.scan import DeltaScanBuilder
@@ -1507,10 +1524,29 @@ class DeltaWriter:
                 uri = DeltaScanBuilder._spark_file_uri(
                     os.path.join(self.table_path, moved[i][0])
                 )
-                adds[i]["stats"] = json.dumps(
-                    {"numRecords": int(counts.get(uri, 0))},
-                    separators=(",", ":"),
-                )
+                r = by_file.get(uri)
+                st: dict = {"numRecords": 0 if r is None else int(r["__n"])}
+                if r is not None:
+                    mins: dict = {}
+                    maxs: dict = {}
+                    nulls: dict = {}
+                    for j, c in enumerate(stat_cols):
+                        mn = _json_stat_value(r[f"__mn{j}"])
+                        mx = _json_stat_value(r[f"__mx{j}"])
+                        if isinstance(mn, str):
+                            mn = _truncate_min(mn)
+                        if isinstance(mx, str):
+                            mx = _truncate_max(mx)
+                        if mn is not None:
+                            _set_nested(mins, c, mn)
+                        if mx is not None:
+                            _set_nested(maxs, c, mx)
+                        _set_nested(nulls, c, int(r[f"__nc{j}"] or 0))
+                    st.update(
+                        minValues=mins, maxValues=maxs, nullCount=nulls,
+                        tightBounds=True,
+                    )
+                adds[i]["stats"] = json.dumps(st, separators=(",", ":"))
         return adds
 
     def _enforce_not_null(self, adds, schema, parts, moved) -> None:
@@ -4726,7 +4762,10 @@ def _stat_leaf_paths(schema: T.StructType, parts: set[str]) -> list[str]:
             name = f"{prefix}.{f.name}" if prefix else f.name
             if isinstance(f.dataType, T.StructType):
                 walk(name, f.dataType.fields)
-            elif not isinstance(f.dataType, (T.ArrayType, T.MapType, T.BinaryType)):
+            elif not isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.BinaryType, T.VariantType),
+            ):
                 out.append(name)
 
     walk("", [f for f in schema.fields if f.name not in parts])

@@ -377,3 +377,42 @@ def test_append_variant_rows_to_foreign_table(spark, tdir):
     assert got[84][1] == 1
     assert got[1337][2] == "world"
     assert 21 in got  # the original Spark-written row survives
+
+
+def test_variant_table_sibling_stats_and_skipping(spark, tdir):
+    """A variant column must carry NO stats (reference:
+    write_stats_no_variant_stats.test:25-33) — but its SIBLING columns
+    must: this pyarrow cannot open footers bearing the VARIANT logical
+    type, and before round 11 the writer degraded the whole file to
+    numRecords-only, disabling file skipping on every variant table.
+    The fallback now computes full sibling stats in one Spark job, and
+    stats-based pruning works."""
+    import glob
+    import json as _json
+
+    path = os.path.join(tdir, "vstats")
+    df1 = spark.sql(
+        "SELECT id, parse_json(format_string('{\"k\": %s}', id)) AS data"
+        " FROM range(0, 10)")
+    w = DeltaWriter.create(spark, path, df1.schema)
+    w.append(df1.coalesce(1))
+    w.append(spark.sql(
+        "SELECT id, parse_json('1') AS data FROM range(100, 110)"
+    ).coalesce(1))
+
+    adds = []
+    for f in sorted(glob.glob(os.path.join(path, "_delta_log", "*.json"))):
+        for line in open(f):
+            a = _json.loads(line)
+            if a.get("add"):
+                adds.append(_json.loads(a["add"]["stats"]))
+    assert len(adds) == 2
+    for st in adds:
+        assert "data" not in st["minValues"], st
+        assert "data" not in st["nullCount"], st
+        assert st["minValues"]["id"] is not None
+        assert st["tightBounds"] is True
+
+    sb = DeltaTable(path).scan(spark).filter("id", ">=", 100)
+    assert sb.to_df().count() == 10
+    assert sb.skip_report()["files_skipped_by_stats"] == 1
