@@ -467,6 +467,21 @@ class DeltaWriter:
             fulls, data_schema, set(discovered),
             allow=_indexed_stat_leaves(schema, set(discovered), {}, False),
         )
+        if any(st is None for st, _ in stats):
+            # variant parquet: footer unreadable → one Spark job
+            from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+            by_uri = _spark_stats_fallback(
+                spark,
+                [f for f, (st, _) in zip(fulls, stats) if st is None],
+                data_schema, set(discovered),
+                _indexed_stat_leaves(schema, set(discovered), {}, False),
+            )
+            stats = [
+                (st, size) if st is not None
+                else (by_uri.get(DeltaScanBuilder._spark_file_uri(f)), size)
+                for (st, size), f in zip(stats, fulls)
+            ]
 
         os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
         log = DeltaLog(path)
@@ -1487,35 +1502,13 @@ class DeltaWriter:
                 }
             )
         if no_footer:
-            # footer unreadable (e.g. the VARIANT logical type is unknown
-            # to this pyarrow): compute FULL stats for the readable
-            # columns in ONE Spark job over the fresh files — losing
-            # min/max on every sibling column just because a variant
-            # column is present would disable file skipping on the whole
-            # table. Variant/array/map/binary leaves stay stat-less, per
-            # spec (reference: write_stats_no_variant_stats.test).
-            from pyspark.sql import functions as F
-
             paths = [
                 os.path.join(self.table_path, moved[i][0]) for i in no_footer
             ]
-            stat_cols = _stat_leaf_paths(schema, set(parts))
-            allow = self._stats_allowlist(schema, parts)
-            if allow is not None:
-                stat_cols = [c for c in stat_cols if c in allow]
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for j, c in enumerate(stat_cols):
-                aggs.append(F.min(F.col(c)).alias(f"__mn{j}"))
-                aggs.append(F.max(F.col(c)).alias(f"__mx{j}"))
-                aggs.append(
-                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nc{j}"))
-            by_file = {
-                r["__f"]: r
-                for r in self.spark.read.parquet(*paths)
-                .groupBy(F.col("_metadata.file_path").alias("__f"))
-                .agg(*aggs)
-                .collect()
-            }
+            by_uri = _spark_stats_fallback(
+                self.spark, paths, schema, set(parts),
+                self._stats_allowlist(schema, parts),
+            )
             from duckdb_delta_spark.delta.scan import DeltaScanBuilder
 
             for i in no_footer:
@@ -1524,29 +1517,10 @@ class DeltaWriter:
                 uri = DeltaScanBuilder._spark_file_uri(
                     os.path.join(self.table_path, moved[i][0])
                 )
-                r = by_file.get(uri)
-                st: dict = {"numRecords": 0 if r is None else int(r["__n"])}
-                if r is not None:
-                    mins: dict = {}
-                    maxs: dict = {}
-                    nulls: dict = {}
-                    for j, c in enumerate(stat_cols):
-                        mn = _json_stat_value(r[f"__mn{j}"])
-                        mx = _json_stat_value(r[f"__mx{j}"])
-                        if isinstance(mn, str):
-                            mn = _truncate_min(mn)
-                        if isinstance(mx, str):
-                            mx = _truncate_max(mx)
-                        if mn is not None:
-                            _set_nested(mins, c, mn)
-                        if mx is not None:
-                            _set_nested(maxs, c, mx)
-                        _set_nested(nulls, c, int(r[f"__nc{j}"] or 0))
-                    st.update(
-                        minValues=mins, maxValues=maxs, nullCount=nulls,
-                        tightBounds=True,
-                    )
-                adds[i]["stats"] = json.dumps(st, separators=(",", ":"))
+                adds[i]["stats"] = json.dumps(
+                    by_uri.get(uri, {"numRecords": 0}),
+                    separators=(",", ":"),
+                )
         return adds
 
     def _enforce_not_null(self, adds, schema, parts, moved) -> None:
@@ -3765,6 +3739,27 @@ class DeltaWriter:
                     [d for _, d in rels], phys_schema, set(),
                     allow=self._stats_allowlist(phys_schema, parts),
                 )
+                if any(st is None for st, _ in results):
+                    # variant tables: footer unreadable → one Spark job
+                    by_uri = _spark_stats_fallback(
+                        self.spark,
+                        [d for (_, d), (st, _) in zip(rels, results)
+                         if st is None],
+                        phys_schema, set(),
+                        self._stats_allowlist(phys_schema, parts),
+                    )
+                    from duckdb_delta_spark.delta.scan import (
+                        DeltaScanBuilder,
+                    )
+
+                    results = [
+                        (st, size) if st is not None else (
+                            by_uri.get(
+                                DeltaScanBuilder._spark_file_uri(dest)),
+                            size,
+                        )
+                        for (st, size), (_, dest) in zip(results, rels)
+                    ]
                 for (rel, dest), (stats, size) in zip(rels, results):
                     g_adds.append(
                         {
@@ -4874,6 +4869,56 @@ def _untighten_stats(stats: str | None) -> str | None:
         return stats
     d["tightBounds"] = False
     return json.dumps(d, separators=(",", ":"))
+
+
+def _spark_stats_fallback(
+    spark, paths: list[str], schema: T.StructType, parts: set[str],
+    allow: set[str] | None = None,
+) -> dict[str, dict]:
+    """Full Delta stats via ONE Spark job when the parquet footer is
+    unreadable (e.g. the VARIANT logical type is unknown to this
+    pyarrow) — losing min/max on every sibling column just because a
+    variant column is present would disable file skipping on the whole
+    table. Returns {spark file uri: stats dict}; variant/array/map/
+    binary leaves stay stat-less per spec (reference:
+    write_stats_no_variant_stats.test)."""
+    from pyspark.sql import functions as F
+
+    stat_cols = _stat_leaf_paths(schema, parts)
+    if allow is not None:
+        stat_cols = [c for c in stat_cols if c in allow]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for j, c in enumerate(stat_cols):
+        aggs.append(F.min(F.col(c)).alias(f"__mn{j}"))
+        aggs.append(F.max(F.col(c)).alias(f"__mx{j}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nc{j}"))
+    out: dict[str, dict] = {}
+    for r in (
+        spark.read.parquet(*paths)
+        .groupBy(F.col("_metadata.file_path").alias("__f"))
+        .agg(*aggs)
+        .collect()
+    ):
+        st: dict = {"numRecords": int(r["__n"])}
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for j, c in enumerate(stat_cols):
+            mn = _json_stat_value(r[f"__mn{j}"])
+            mx = _json_stat_value(r[f"__mx{j}"])
+            if isinstance(mn, str):
+                mn = _truncate_min(mn)
+            if isinstance(mx, str):
+                mx = _truncate_max(mx)
+            if mn is not None:
+                _set_nested(mins, c, mn)
+            if mx is not None:
+                _set_nested(maxs, c, mx)
+            _set_nested(nulls, c, int(r[f"__nc{j}"] or 0))
+        st.update(minValues=mins, maxValues=maxs, nullCount=nulls,
+                  tightBounds=True)
+        out[r["__f"]] = st
+    return out
 
 
 def _footer_stats_many(

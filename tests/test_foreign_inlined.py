@@ -416,3 +416,35 @@ def test_variant_table_sibling_stats_and_skipping(spark, tdir):
     sb = DeltaTable(path).scan(spark).filter("id", ">=", 100)
     assert sb.to_df().count() == 10
     assert sb.skip_report()["files_skipped_by_stats"] == 1
+
+
+def test_variant_table_compact_and_convert_stats(spark, tdir):
+    """The variant footer-fallback covers COMPACT rewrites and CONVERT
+    too: compacted files and converted parquet dirs keep full sibling
+    stats (numRecords feeds cardinality estimates; min/max feeds
+    skipping) with the variant column stat-less."""
+    import json as _json
+
+    path = os.path.join(tdir, "vcomp")
+    df = spark.sql(
+        "SELECT id, parse_json('{\"x\": 1}') AS data FROM range(0, 1)")
+    w = DeltaWriter.create(spark, path, df.schema)
+    for i in range(3):
+        w.append(spark.sql(
+            f"SELECT id, parse_json('{{\"x\": 1}}') AS data"
+            f" FROM range({i * 50}, {i * 50 + 50})").coalesce(1))
+    assert w.compact() is not None
+    files = DeltaTable(path).snapshot.add_files()
+    assert len(files) == 1
+    st = _json.loads(files[0].stats)
+    assert st["numRecords"] == 150
+    assert st["minValues"]["id"] == 0 and st["maxValues"]["id"] == 149
+    assert "data" not in st["minValues"]
+
+    src = os.path.join(tdir, "vconv")
+    spark.sql("SELECT id, parse_json('7') AS data FROM range(0, 20)") \
+        .coalesce(1).write.parquet(src)
+    DeltaWriter.convert_from_parquet(spark, src)
+    cf = DeltaTable(src).snapshot.add_files()
+    cst = _json.loads(cf[0].stats)
+    assert cst["numRecords"] == 20 and cst["maxValues"]["id"] == 19
