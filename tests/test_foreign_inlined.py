@@ -448,3 +448,36 @@ def test_variant_table_compact_and_convert_stats(spark, tdir):
     cf = DeltaTable(src).snapshot.add_files()
     cst = _json.loads(cf[0].stats)
     assert cst["numRecords"] == 20 and cst["maxValues"]["id"] == 19
+
+
+def test_variant_table_dml_restore_cdf(spark, tdir):
+    """Full DML + derived CDF on a variant table: DV delete, rewrite
+    update, RESTORE (exercising the round-11 DV-shrink insert direction
+    with a variant payload), and every variant value decoding at the
+    end."""
+    from collections import Counter
+
+    path = os.path.join(tdir, "vdml")
+    df = spark.sql(
+        "SELECT id, parse_json(format_string('{\"k\": %s}', id)) AS data"
+        " FROM range(0, 30)")
+    w = DeltaWriter.create(spark, path, df.schema)
+    w.append(df.coalesce(1))                      # v1
+    w.delete("id < 5")                            # v2: DV
+    w.update("id = 10", {"id": "id + 1000"})      # v3: delete+insert
+    w.restore(version=1)                          # v4: shrink + re-add
+
+    t = DeltaTable(path)
+    assert t.to_df(spark).count() == 30
+    c = Counter(
+        (r["_commit_version"], r["_change_type"])
+        for r in t.changes(spark, starting_version=1).collect()
+    )
+    # v4: 5 DV-shrink inserts + original id=10 back = 6; 1010 deleted
+    assert dict(c) == {(2, "delete"): 5, (3, "insert"): 1,
+                       (3, "delete"): 1, (4, "insert"): 6,
+                       (4, "delete"): 1}
+    ok = t.to_df(spark).selectExpr(
+        "sum(CASE WHEN try_variant_get(data, '$.k', 'long') = id"
+        " THEN 1 ELSE 0 END) AS m").collect()[0]["m"]
+    assert ok == 30
