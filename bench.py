@@ -25,15 +25,17 @@ timing uniformly and makes cross-round comparison misleading. Two guards:
   after the suite and emitted as ``canary_iters_per_sec`` — a healthy box
   runs ~15-20M iter/s; under observed host throttle it drops 3-4×, so the
   artifact carries its own calibration.
-* every query whose first run lands under 10 s is run **twice** and the
+* every query whose first run lands under 60 s is run **twice** and the
   minimum reported — the second run at sf0.1 is cheap, and min-of-two
   removes one-off scheduler/page-cache spikes AND first-use codegen
   compile costs (expression-heavy plans like PQ pay ~5 s of Janino
   compilation once per session) without hiding real costs (a genuinely
   slow plan is slow on both runs). When the two runs disagree by >50%
-  on a ≥0.5 s query, a THIRD run breaks the tie (round 10's tpch_q18
-  spike persisted across two adjacent runs and read as a 2× regression
-  until round 11 re-timed it at parity).
+  on a ≥0.5 s query under 10 s, a THIRD run breaks the tie (round 10's
+  tpch_q18 spike persisted across two adjacent runs and read as a 2×
+  regression until round 11 re-timed it at parity). BENCH_DETAIL.json
+  carries per-query ``run_counts`` so single-sample readings (first run
+  ≥60 s) are distinguishable from min-of-N readings.
 """
 
 from __future__ import annotations
@@ -46,6 +48,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RERUN_THRESHOLD_SEC = 10.0
+# a first run above RERUN_THRESHOLD used to be reported raw — exactly the
+# reading most likely to be a one-off stall (BENCH_r12 carried ~32s of
+# phantom regression from two such single-sample spikes: delta_tpch_q06
+# 13.2s vs 0.85s re-timed, stream_delta_sink 24.7s vs 3.9s). Now a slow
+# first run still buys a second sample unless it's genuinely huge.
+SLOW_RERUN_CEILING_SEC = 60.0
 CANARY_ITERS = 20_000_000
 
 
@@ -84,24 +92,34 @@ def main() -> int:
         lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     for name in sorted(queries):
         t0 = time.time()
         queries[name].fn(spark, sf_dir).collect()
         runs = [time.time() - t0]
-        if runs[0] < RERUN_THRESHOLD_SEC:
+        # min-of-2 for everything that isn't genuinely huge: a slow first
+        # run (10-60s) is the reading MOST likely to be a one-off stall,
+        # so it must not be the one reading reported single-sample
+        if runs[0] < SLOW_RERUN_CEILING_SEC:
             t0 = time.time()
             queries[name].fn(spark, sf_dir).collect()
             runs.append(time.time() - t0)
             # spike guard (r10's tpch_q18 lesson: a scheduler/page-cache
             # spike can persist across two adjacent runs and read as a
             # 2x regression): when the two runs disagree by >50% and the
-            # query is non-trivial, buy one more sample
-            if min(runs) >= 0.5 and max(runs) > 1.5 * min(runs):
+            # query is non-trivial, buy one more sample — but cap the
+            # tie-break at the re-run threshold so a slow query can't
+            # triple the suite's wall time
+            if (min(runs) >= 0.5 and max(runs) > 1.5 * min(runs)
+                    and min(runs) < RERUN_THRESHOLD_SEC):
                 t0 = time.time()
                 queries[name].fn(spark, sf_dir).collect()
                 runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
-        print(f"[bench] {name} {timings[name]:.1f}s", file=sys.stderr)
+        run_counts[name] = len(runs)
+        print(f"[bench] {name} {timings[name]:.1f}s "
+              f"({len(runs)} run{'s' if len(runs) > 1 else ''})",
+              file=sys.stderr)
 
     canary_post = cpu_canary()
     total = round(sum(timings.values()), 3)
@@ -123,11 +141,12 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf,
                 "queries": timings,
+                "run_counts": run_counts,
                 "families": families,
                 "canary_iters_per_sec": min(canary_pre, canary_post),
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
-                "timing_mode": "min_of_2_plus_spike_guard_under_10s",
+                "timing_mode": "min_of_2_under_60s_plus_spike_guard",
                 "suite_total": len(queries),
             },
             f,
@@ -152,7 +171,7 @@ def main() -> int:
                 "canary_iters_per_sec": min(canary_pre, canary_post),
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
-                "timing_mode": "min_of_2_plus_spike_guard_under_10s",
+                "timing_mode": "min_of_2_under_60s_plus_spike_guard",
                 # artifact self-description: the driver's correctness
                 # window covers only the first 50 registry names
                 # (alphabetical); the full suite is larger — see

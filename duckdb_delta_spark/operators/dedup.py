@@ -380,7 +380,11 @@ def ngram_jaccard_pairs(
             )
         )
         out = cross.unionByName(within)
-    out._ngram_sets_cache = sets  # caller may unpersist after its action
+    # expose the frame that was actually .cache()d — in collapse mode
+    # that is `groups` (`sets` is a derived select over it, so a caller
+    # unpersist() on `sets` would be a no-op and the cache would linger
+    # until eviction)
+    out._ngram_sets_cache = groups if groups is not None else sets
     return out
 
 

@@ -832,3 +832,35 @@ def test_ngram_jaccard_collapse_exact_equivalence(spark, docs):
     # the salt guarantees within-group pairs exist and carry J=1.0
     dup_pairs = [p for p in fast if p[2] == 1.0]
     assert len(dup_pairs) >= 15 + 7 + 7  # (a,copy1) (a,copy2) (copy1,copy2)
+
+
+@pytest.mark.parametrize("collapse", [True, False])
+def test_ngram_jaccard_cache_handle_releases(spark, docs, collapse):
+    """The exposed ``_ngram_sets_cache`` handle must be the frame that was
+    actually .cache()d — in collapse mode that is the collapsed `groups`
+    frame, not the derived select over it (a derived frame's unpersist()
+    is a no-op and the cache would linger until eviction)."""
+    from duckdb_delta_spark.operators.dedup import ngram_jaccard_pairs
+
+    sc = spark.sparkContext
+
+    def cached_ids() -> set[int]:
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        return {
+            infos[i].id()
+            for i in range(len(infos))
+            if infos[i].numCachedPartitions() > 0
+        }
+
+    docs.count()  # materialize the fixture's own cache before the snapshot
+    before = cached_ids()
+    out = ngram_jaccard_pairs(docs.limit(40), collapse_exact=collapse)
+    out.collect()
+    handle = out._ngram_sets_cache
+    assert handle.storageLevel.useMemory or handle.storageLevel.useDisk
+    handle.unpersist(blocking=True)
+    assert not (handle.storageLevel.useMemory or handle.storageLevel.useDisk)
+    # the operator must leave NO new cached RDDs behind once the caller
+    # releases the exposed handle (delta vs pre-call state — module
+    # fixtures and earlier tests legitimately hold their own caches)
+    assert cached_ids() <= before
