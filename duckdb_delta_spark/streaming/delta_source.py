@@ -45,10 +45,15 @@ class _FileRef:
     """One data file inside a split.
 
     ``change_type`` is None on the plain stream; on a readChangeFeed
-    stream it is ``insert``/``delete`` (log-derived) or ``__cdc__`` (a
-    ``_change_data`` file whose rows carry their own ``_change_type``).
-    ``dv`` rows are EXCLUDED; ``emit_dv`` (inline DV descriptor JSON)
-    when set selects exactly the rows to EMIT (a DV-diff delete)."""
+    stream it is ``insert``/``delete`` (log-derived), ``__cdc__`` (a
+    ``_change_data`` file whose rows carry their own ``_change_type``),
+    or ``__dv_diff__`` (a DV re-add: ``diff_pair`` carries the
+    ``[dvNew, dvOld]`` descriptor pair, and the EXECUTOR decodes both
+    vectors next to the file bytes and emits dvNew−dvOld rows as deletes
+    plus dvOld−dvNew rows as inserts from one file read — the driver
+    never materializes a row-index list, mirroring the batch feed's
+    big-diff route in delta/changes._rows_at_big).
+    ``dv`` rows are EXCLUDED at read time."""
 
     path: str  # absolute data-file path
     partition_values: tuple  # ((col, value or None), ...)
@@ -57,7 +62,7 @@ class _FileRef:
     change_type: str | None = None
     commit_version: int = -1
     commit_ts: int = 0  # epoch ms
-    emit_dv: str | None = None
+    diff_pair: str | None = None  # JSON [dvNew, dvOld] for __dv_diff__
 
 
 @dataclass
@@ -380,24 +385,19 @@ class DeltaStreamReader(DataSourceStreamReader):
                 removes.append(action["remove"])
         return adds, removes, cdcs
 
-    #: driver-decoded DV-diff budget per micro-batch; beyond it the
-    #: stream refuses rather than materializing an unbounded index list
-    CDF_DIFF_MAX = 5_000_000
-
     def _cdf_file_refs(self, start_v: int, end_v: int) -> list[_FileRef]:
         """Change-feed refs for commits (start_v, end_v] — the streaming
         twin of delta/changes.table_changes: cdc files exclusively when a
         commit wrote them, else adds→insert, dropped paths→delete (rows
-        live at the PREVIOUS version: old DV excluded), DV re-adds→the
-        dvNew−dvOld rows as deletes AND the dvOld−dvNew rows (a mask
-        shrink, e.g. RESTORE resurrecting DV-deleted rows) as inserts,
-        both via an inline emit-DV over the unchanged file bytes."""
-        import numpy as np
-
-        from duckdb_delta_spark.delta.dv import (
-            inline_dv_descriptor,
-            read_dv_from_descriptor,
-        )
+        live at the PREVIOUS version: old DV excluded), DV re-adds→one
+        ``__dv_diff__`` ref carrying the [dvNew, dvOld] descriptor PAIR.
+        The executor decodes the pair next to the file bytes and emits
+        dvNew−dvOld rows as deletes plus dvOld−dvNew rows (a mask shrink,
+        e.g. RESTORE resurrecting DV-deleted rows) as inserts — the
+        DRIVER never decodes a DV or materializes a row-index list, so
+        planning memory stays O(#descriptors) no matter how many rows a
+        100-TB table's DELETE masked (mirror of the batch feed's
+        delta/changes._rows_at_big executor route)."""
         from duckdb_delta_spark.delta.snapshot import Snapshot, _dv_unique_id
 
         prev = (
@@ -454,40 +454,13 @@ class DeltaStreamReader(DataSourceStreamReader):
                 new_dv = a.get("deletionVector")
                 if _dv_unique_id(new_dv) == _dv_unique_id(old_dv):
                     continue  # same mask re-added (metadata-only rewrite)
-                old_rows = (
-                    read_dv_from_descriptor(old_dv, self.table_path)
-                    if old_dv else np.array([], dtype="uint64")
-                )
-                new_rows = (
-                    read_dv_from_descriptor(new_dv, self.table_path)
-                    if new_dv else np.array([], dtype="uint64")
-                )
-                # grow direction (dvNew − dvOld): newly-masked rows are
-                # deletes; shrink direction (dvOld − dvNew, e.g. a RESTORE
-                # rolling back a DV delete): resurrected rows are inserts.
-                # Both read the SAME unchanged file bytes via an emit-DV.
-                diff = np.setdiff1d(new_rows, old_rows)
-                shrink = np.setdiff1d(old_rows, new_rows)
-                if len(diff) + len(shrink) > self.CDF_DIFF_MAX:
-                    from duckdb_delta_spark.delta.errors import (
-                        UnsupportedFeatureError,
-                    )
-
-                    raise UnsupportedFeatureError(
-                        f"readChangeFeed: commit {v} DV-diff of "
-                        f"{len(diff) + len(shrink)} rows exceeds the "
-                        f"streaming budget ({self.CDF_DIFF_MAX})"
-                    )
-                if len(diff):
-                    out.append(ref(
-                        p, a.get("partitionValues"), a.get("size"), dv=None,
-                        emit_dv=json.dumps(inline_dv_descriptor(diff)),
-                        change_type="delete", **common))
-                if len(shrink):
-                    out.append(ref(
-                        p, a.get("partitionValues"), a.get("size"), dv=None,
-                        emit_dv=json.dumps(inline_dv_descriptor(shrink)),
-                        change_type="insert", **common))
+                # ship the descriptor PAIR, decode nothing here: the
+                # executor computes both setdiff directions from ONE
+                # file read (grow → deletes, shrink → inserts)
+                out.append(ref(
+                    p, a.get("partitionValues"), a.get("size"), dv=None,
+                    diff_pair=json.dumps([new_dv, old_dv]),
+                    change_type="__dv_diff__", **common))
             prev_by_path = None
             for p, r in rem_paths.items():
                 if p in add_paths:
@@ -506,6 +479,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if old_f.deletion_vector else None,
                     change_type="delete", **common))
             prev = snap
+        n_diff = sum(1 for f in out if f.diff_pair)
+        if n_diff:
+            from duckdb_delta_spark.delta.logging import emit
+
+            emit(
+                "stream.cdf_dv_route",
+                table_path=self.table_path,
+                n_descriptors=n_diff,
+                route="executor_decode",
+            )
         return out
 
     def commit(self, end: dict) -> None:
@@ -526,46 +509,27 @@ class DeltaStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
-        for fref in partition.files:
-            table = pq.read_table(fref.path)
-            if fref.dv:
-                from duckdb_delta_spark.delta.dv import (
-                    read_dv_from_descriptor,
-                )
 
-                deleted = read_dv_from_descriptor(
-                    json.loads(fref.dv), partition.table_path
-                )
-                keep = np.ones(table.num_rows, dtype=bool)
-                keep[deleted.astype("int64")] = False
-                table = table.filter(keep)
-            if fref.emit_dv:
-                # DV-diff delete: EMIT exactly these row indexes
-                from duckdb_delta_spark.delta.dv import (
-                    read_dv_from_descriptor,
-                )
-
-                rows = read_dv_from_descriptor(
-                    json.loads(fref.emit_dv), partition.table_path
-                )
-                table = table.take(pa.array(rows.astype("int64")))
-
+        def project(table, fref, change_type):
+            """Shape a (possibly row-subset) file table to the stream
+            schema: change-feed metadata columns, partition constants,
+            mergeSchema NULL defaulting."""
             pvals = dict(fref.partition_values)
             cols = []
             for f, af in zip(self.schema.fields, arrow_schema):
-                if fref.change_type is not None and f.name == "_change_type":
+                if change_type is not None and f.name == "_change_type":
                     cols.append(
                         table.column(f.name).cast(af.type)
-                        if fref.change_type == "__cdc__"
+                        if change_type == "__cdc__"
                         else pa.array(
-                            [fref.change_type] * table.num_rows, type=af.type
+                            [change_type] * table.num_rows, type=af.type
                         )
                     )
-                elif fref.change_type is not None and f.name == "_commit_version":
+                elif change_type is not None and f.name == "_commit_version":
                     cols.append(pa.array(
                         np.full(table.num_rows, fref.commit_version,
                                 dtype="int64")))
-                elif fref.change_type is not None and f.name == "_commit_timestamp":
+                elif change_type is not None and f.name == "_commit_timestamp":
                     cols.append(pa.array(
                         np.full(table.num_rows, fref.commit_ts * 1000,
                                 dtype="int64")).cast(af.type))
@@ -584,8 +548,52 @@ class DeltaStreamReader(DataSourceStreamReader):
                     cols.append(pa.nulls(table.num_rows, af.type))
                 else:
                     cols.append(table.column(f.name).cast(af.type))
-            out = pa.Table.from_arrays(cols, schema=arrow_schema)
-            yield from out.to_batches()
+            return pa.Table.from_arrays(cols, schema=arrow_schema)
+
+        for fref in partition.files:
+            table = pq.read_table(fref.path)
+            if fref.dv:
+                from duckdb_delta_spark.delta.dv import (
+                    read_dv_from_descriptor,
+                )
+
+                deleted = read_dv_from_descriptor(
+                    json.loads(fref.dv), partition.table_path
+                )
+                keep = np.ones(table.num_rows, dtype=bool)
+                keep[deleted.astype("int64")] = False
+                table = table.filter(keep)
+            if fref.diff_pair:
+                # DV re-add: the driver shipped only the [dvNew, dvOld]
+                # descriptor pair — decode both HERE, next to the file
+                # bytes, and emit the two setdiff directions from this
+                # single file read: newly-masked rows (dvNew − dvOld) as
+                # deletes, resurrected rows (dvOld − dvNew, e.g. RESTORE
+                # rolling back a DV delete) as inserts. No driver-side
+                # row-index list exists at any point.
+                from duckdb_delta_spark.delta.dv import (
+                    read_dv_from_descriptor,
+                )
+
+                dv_new, dv_old = json.loads(fref.diff_pair)
+                new_rows = (
+                    read_dv_from_descriptor(dv_new, partition.table_path)
+                    if dv_new else np.empty(0, dtype="uint64")
+                )
+                old_rows = (
+                    read_dv_from_descriptor(dv_old, partition.table_path)
+                    if dv_old else np.empty(0, dtype="uint64")
+                )
+                for ct, idx in (
+                    ("delete", np.setdiff1d(new_rows, old_rows)),
+                    ("insert", np.setdiff1d(old_rows, new_rows)),
+                ):
+                    if len(idx):
+                        sub = table.take(pa.array(idx.astype("int64")))
+                        yield from project(sub, fref, ct).to_batches()
+                continue
+
+            yield from project(table, fref, fref.change_type).to_batches()
 
 
 def _coerce_pv(v, dtype):

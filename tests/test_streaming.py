@@ -1254,3 +1254,112 @@ def test_left_outer_interval_join_null_gating_and_withheld_tail(spark, tdir):
     # user 9's view at 490: 490+30 >= 430 -> also withheld
     assert not any(u == 9 for u, *_ in got)
     assert len(out) == 3
+
+
+def test_source_cdf_dv_diff_plans_without_driver_decode(spark, tdir, monkeypatch):
+    """Streaming twin of the batch big-route regression
+    (test_change_feed_big_diff_executor_decode): CDF planning ships the
+    [dvNew, dvOld] descriptor PAIR in the file-ref and never decodes a
+    deletion vector on the driver — read_dv_from_descriptor is
+    monkeypatched to raise in this process, and planning must still
+    succeed for grow (DELETE), re-grow (second DELETE) and shrink
+    (RESTORE) commits alike."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta import dv as dvmod
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    w.append(spark.range(40).select(F.col("id").alias("i")).coalesce(1))  # v1
+    w.delete("i < 6")        # v2: dvNew vs none
+    w.delete("i < 10")       # v3: dvNew vs dvOld (grow)
+    w.restore(version=2)     # v4: dvOld vs dvNew (shrink)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side DV decode in CDF stream planning")
+
+    monkeypatch.setattr(dvmod, "read_dv_from_descriptor", _boom)
+
+    src = DeltaPySource({"path": tdir, "readChangeFeed": "true",
+                         "startingVersion": "1"})
+    reader = src.streamReader(src.schema())
+    refs = reader._cdf_file_refs(1, 4)
+    diffs = [f for f in refs if f.diff_pair]
+    assert len(diffs) == 3 and all(
+        f.change_type == "__dv_diff__" for f in diffs)
+    import json as _json
+    for f in diffs:
+        new_dv, old_dv = _json.loads(f.diff_pair)
+        assert new_dv or old_dv  # a real pair, not a decoded index list
+    # v2: old side absent (first DV on the file)
+    assert _json.loads(
+        [f for f in diffs if f.commit_version == 2][0].diff_pair)[1] is None
+
+
+def test_source_cdf_many_masked_paths_stays_o_descriptors(spark, tdir,
+                                                          monkeypatch):
+    """A single DELETE masking MANY files must plan as one descriptor-pair
+    ref per file — driver memory O(#descriptors), no row-index list, no
+    cap — and the executor-decoded stream must match the batch feed row
+    for row."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta import dv as dvmod
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    w.append(spark.range(2400).select(
+        F.col("id").alias("i")).repartition(24))   # v1: 24 files
+    w.delete("i % 3 = 0")                           # v2: DV on every file
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side DV decode in CDF stream planning")
+
+    monkeypatch.setattr(dvmod, "read_dv_from_descriptor", _boom)
+    src = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    reader = src.streamReader(src.schema())
+    refs = reader._cdf_file_refs(1, 2)
+    assert len(refs) == 24 and all(f.diff_pair for f in refs)
+    # payload is descriptor-sized (a reference / inline DV bytes), never
+    # a materialized row-index list: 800 masked rows per 100-row file
+    # would dwarf this bound if anything decoded driver-side
+    assert all(len(f.diff_pair) < 10_000 for f in refs)
+    monkeypatch.undo()
+
+    # end-to-end: executor decode reproduces the batch feed exactly
+    spark.dataSource.register(DeltaPySource)
+    out = str(tdir) + "_many_out"
+    ckpt = str(tdir) + "_many_ckpt"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"])
+        for r in spark.read.parquet(out).collect()
+    )
+    exp = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"])
+        for r in table_changes(DeltaLog(tdir), spark,
+                               starting_version=1).collect()  # (1, HEAD]
+    )
+    assert got == exp and len(got) == 800
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
