@@ -89,6 +89,45 @@ class Pred:
         }[self.op]
 
 
+class OrPred:
+    """Top-level disjunction usable for manifest skipping, in DNF: a list
+    of AND-branches of :class:`Pred`. A file is kept iff ANY branch's
+    EVERY conjunct may match its stats/partition values — so an OR of two
+    tight ranges (``d < a OR d > b``) prunes the files between them
+    instead of falling back to scan-everything. Evidence gaps stay
+    conservative per child (missing stats ⇒ the child keeps ⇒ the branch
+    may keep ⇒ the file survives).
+
+    (The reference's pushdown matrix is conjunction-only,
+    delta_utils.cpp:981-1098; this exceeds it the same way the IN and
+    timestamp support already do.)"""
+
+    def __init__(self, branches: Iterable[Iterable]):
+        self.branches: list[list[Pred]] = [
+            [q if isinstance(q, Pred) else Pred(*q) for q in br]
+            for br in branches
+        ]
+        if not self.branches or any(not br for br in self.branches):
+            raise ValueError("OrPred needs >= 1 non-empty branches")
+
+    def __repr__(self) -> str:
+        return "Or(" + " | ".join(
+            "(" + " & ".join(repr(q) for q in br) + ")"
+            for br in self.branches
+        ) + ")"
+
+    def to_spark_column(self) -> F.Column:
+        import functools
+        import operator
+
+        def conj(br: list[Pred]) -> F.Column:
+            return functools.reduce(
+                operator.and_, (q.to_spark_column() for q in br))
+
+        return functools.reduce(
+            operator.or_, (conj(br) for br in self.branches))
+
+
 def _coerce(value: Any, like: Any) -> Any:
     """Coerce a stats/partition value (often a JSON string) to compare
     against the predicate literal ``like``."""
@@ -335,6 +374,17 @@ class DeltaScanBuilder:
         self._preds.append(Pred(column, op, value))
         return self
 
+    def filter_or(self, *branches) -> "DeltaScanBuilder":
+        """Top-level OR of AND-branches, each branch an iterable of
+        ``(column, op, value)`` tuples (or :class:`Pred`), e.g.::
+
+            sb.filter_or([("d", "<", lo)], [("d", ">", hi)])
+
+        Prunes the manifest as a union of per-branch masks AND is
+        re-applied row-level like every other pushed predicate."""
+        self._preds.append(OrPred(branches))
+        return self
+
     def dynamic_filter(
         self,
         column: str,
@@ -552,8 +602,23 @@ class DeltaScanBuilder:
             pairs = [
                 (q, d)
                 for p, d in pairs
+                if isinstance(p, Pred)
                 for q in self._derived_partition_preds(p)
-            ] + pairs
+            ] + [
+                # OR branches derive INSIDE the branch (a derived
+                # partition pred only holds under its own branch's
+                # conjunction, never as a top-level conjunct)
+                (
+                    OrPred([
+                        br + [q for c in br
+                              for q in self._derived_partition_preds(c)]
+                        for br in p.branches
+                    ])
+                    if isinstance(p, OrPred) else p,
+                    d,
+                )
+                for p, d in pairs
+            ]
             phys = self._phys_name_map()
             if phys:
                 # stats/partitionValues are keyed by physical names on
@@ -572,7 +637,13 @@ class DeltaScanBuilder:
                     q = Pred(col, p.op, p.value)
                     return q
 
-                pairs = [(xlate(p), d) for p, d in pairs]
+                def xlate_any(p):
+                    if isinstance(p, OrPred):
+                        return OrPred(
+                            [[xlate(q) for q in br] for br in p.branches])
+                    return xlate(p)
+
+                pairs = [(xlate_any(p), d) for p, d in pairs]
                 pcols = [phys.get(c, c) for c in pcols]
 
             # Vectorized evaluation over the columnar stats manifest —
@@ -590,19 +661,41 @@ class DeltaScanBuilder:
             )
             n = len(files)
             alive = np.ones(n, dtype=bool)
-            for p, dynamic in pairs:
-                is_part = p.column in pcols
+
+            def child_mask(q: Pred):
+                is_part = q.column in pcols
                 mask = None
                 if is_part:
-                    mask = self._partition_mask(files, p)
+                    mask = self._partition_mask(files, q)
                 elif man is not None:
-                    mask = self._stats_mask(man, p)
+                    mask = self._stats_mask(man, q)
                 if mask is None:
                     mask = np.fromiter(
-                        (_file_may_match(f, p, pcols)[0] for f in files),
+                        (_file_may_match(f, q, pcols)[0] for f in files),
                         dtype=bool,
                         count=n,
                     )
+                return mask, is_part
+
+            for p, dynamic in pairs:
+                if isinstance(p, OrPred):
+                    # union of branch masks; each branch is the
+                    # intersection of its conjunct masks (plus any
+                    # generated-partition preds the conjuncts imply) —
+                    # one numpy pass per child over the SAME columnar
+                    # manifest, so an OR costs #children vector ops,
+                    # not a per-file Python loop
+                    mask = np.zeros(n, dtype=bool)
+                    is_part = True
+                    for br in p.branches:
+                        bm = np.ones(n, dtype=bool)
+                        for q in br:
+                            m, qp = child_mask(q)
+                            is_part = is_part and qp
+                            bm &= m
+                        mask |= bm
+                else:
+                    mask, is_part = child_mask(p)
                 newly = int((alive & ~mask).sum())
                 if dynamic:
                     skipped_dynamic += newly

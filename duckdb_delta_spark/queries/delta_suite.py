@@ -60,6 +60,32 @@ def delta_stats_skip(spark, sf_dir):
     )
 
 
+# OR-disjunction file skipping: a union of branch masks over the stats
+# manifest — the middle commit's files (orderkeys between the two ranges)
+# must prune, not fall back to scan-everything
+@register(
+    "delta_or_prune",
+    oracle=f"""
+    SELECT count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_orderkey < {FX.SPLITS[1]} OR l_orderkey >= {FX.SPLITS[2]}
+    """,
+    group="delta",
+)
+def delta_or_prune(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_multi")
+    sb = t.scan(spark).filter_or(
+        [("l_orderkey", "<", FX.SPLITS[1])],
+        [("l_orderkey", ">=", FX.SPLITS[2])],
+    )
+    df = sb.to_df()
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_stats"] >= 4, rep
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total")
+    )
+
+
 # partition pruning + partition-value injection from the log
 @register(
     "delta_partition_prune",

@@ -4013,6 +4013,136 @@ def test_prune_fuzz_answer_preserved(spark, tdir):
     check()
 
 
+def test_prune_fuzz_or_trees_answer_preserved(spark, tdir):
+    """OR-tree extension of the pruning fuzz: random top-level
+    disjunctions (1-3 AND-branches of 1-2 conjuncts each, every pushable
+    op, null-heavy columns, partition + data columns mixed) must return
+    exactly what a pure-Python SQL evaluation selects — OR skipping is a
+    union of branch masks and must stay SOUND under every tree the
+    fuzzer finds."""
+    import datetime as _dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("g", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    rows = []
+    for k in range(40):
+        rows.append((
+            k if k % 7 else None,
+            f"s{k:03d}" if k % 5 else None,
+            k * 1.5 if k % 3 else None,
+            _dt.date(2024, 1 + k % 12, 1 + k % 28),
+            k % 4,
+        ))
+    w.append(spark.createDataFrame(rows, schema).repartition(8))
+    t = DeltaTable(tdir)
+    data = [dict(zip("isxdg", r)) for r in rows]
+
+    vals = {
+        "i": st.integers(min_value=-2, max_value=45),
+        "s": st.sampled_from(
+            ["s000", "s007", "s013", "s020", "s035", "s039", "zzz", ""]),
+        "x": st.sampled_from([-1.0, 0.0, 10.5, 33.0, 55.0, 58.5, 100.0]),
+        "d": st.dates(min_value=_dt.date(2023, 12, 1),
+                      max_value=_dt.date(2025, 1, 31)),
+        "g": st.integers(min_value=-1, max_value=5),
+    }
+    pred = st.one_of(
+        st.tuples(st.sampled_from("isxdg"),
+                  st.sampled_from(["<", "<=", ">", ">=", "=", "!="])
+                  ).flatmap(lambda co: st.tuples(
+                      st.just(co[0]), st.just(co[1]), vals[co[0]])),
+        st.tuples(st.sampled_from("isxdg"),
+                  st.sampled_from(["is null", "is not null"]),
+                  st.none()),
+        st.tuples(st.sampled_from(["i", "g"]), st.just("in"),
+                  st.lists(st.integers(min_value=-2, max_value=45),
+                           min_size=1, max_size=4)),
+    )
+    branch = st.lists(pred, min_size=1, max_size=2)
+    or_tree = st.lists(branch, min_size=1, max_size=3)
+
+    def matches(row, col, op, val):
+        v = row[col]
+        if op == "is null":
+            return v is None
+        if op == "is not null":
+            return v is not None
+        if v is None:
+            return False
+        if op == "in":
+            return v in val
+        return {"<": v < val, "<=": v <= val, ">": v > val,
+                ">=": v >= val, "=": v == val, "!=": v != val}[op]
+
+    @settings(max_examples=25, deadline=None)
+    @given(or_tree)
+    def check(branches):
+        sb = t.scan(spark).filter_or(*branches)
+        got = sorted(
+            repr((r["i"], r["s"], r["x"], r["d"], r["g"]))
+            for r in sb.to_df().collect()
+        )
+        want = sorted(
+            repr((r["i"], r["s"], r["x"], r["d"], r["g"]))
+            for r in data
+            if any(all(matches(r, *q) for q in br) for br in branches)
+        )
+        assert got == want, (branches, len(got), len(want))
+        rep = sb.skip_report()
+        assert rep["files_scanned"] + rep["files_skipped_by_partition"] + \
+            rep["files_skipped_by_stats"] == rep["files_total"]
+
+    check()
+
+
+def test_prune_or_of_ranges_skips_files(spark, tdir):
+    """The motivating case for OR skipping: ``i < lo OR i > hi`` over a
+    range-laid-out table must PRUNE the files between the two ranges —
+    the skip report proves manifest-level skipping, not just row
+    filtering — and an OR mixing partition and stats evidence must prune
+    too."""
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("g", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    df = spark.range(1000).select(
+        F.col("id").alias("i"), (F.col("id") % 2).alias("g"))
+    # range layout → per-file i-ranges are tight and disjoint per partition
+    w.append(df.repartitionByRange(10, "i"))
+
+    t = DeltaTable(tdir)
+    sb = t.scan(spark).filter_or([("i", "<", 50)], [("i", ">", 950)])
+    got = sorted(r["i"] for r in sb.to_df().collect())
+    assert got == list(range(50)) + list(range(951, 1000))
+    rep = sb.skip_report()
+    # 20 files (10 range buckets x 2 partitions); only the edge buckets
+    # may match → at least the middle 16 prune on stats
+    assert rep["files_skipped_by_stats"] >= 16, rep
+    assert rep["files_scanned"] + rep["files_skipped_by_stats"] + \
+        rep["files_skipped_by_partition"] == rep["files_total"]
+
+    # mixed evidence: partition column in one branch, stats in the other
+    sb2 = t.scan(spark).filter_or(
+        [("g", "=", 0), ("i", "<", 10)], [("i", ">", 990)])
+    got2 = sorted(r["i"] for r in sb2.to_df().collect())
+    assert got2 == list(range(0, 10, 2)) + list(range(991, 1000))
+    rep2 = sb2.skip_report()
+    assert rep2["files_skipped_by_stats"] >= 16, rep2
+
+
 def test_merge_fuzz_matches_python_reference(spark, tdir):
     """Property fuzz over MERGE: random base/source key-value sets and a
     random clause combo (update / delete / insert-only) must land the
