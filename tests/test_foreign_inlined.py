@@ -481,3 +481,141 @@ def test_variant_table_dml_restore_cdf(spark, tdir):
         "sum(CASE WHEN try_variant_get(data, '$.k', 'long') = id"
         " THEN 1 ELSE 0 END) AS m").collect()[0]["m"]
     assert ok == 30
+
+
+# ---------------------------------------------------------------------------
+# Parametrized dual-scan equivalence over EVERY inlined table — the DAT
+# pattern (reference: test/sql/dat/all.test:14-27, delta_scan vs
+# parquet_scan of the expected files). Auto-discovers table roots, so a
+# reference update that adds a seventh table is covered without a new test.
+# The expected side is computed INDEPENDENTLY of the scan under test:
+# pyarrow reads each live file, drops DV-masked row indexes, maps physical
+# column names back to logical, and injects log partition values.
+# ---------------------------------------------------------------------------
+
+
+def _discover_inlined_tables() -> list[str]:
+    roots = []
+    for dirpath, dirnames, _ in os.walk(REF):
+        if "_delta_log" in dirnames:
+            roots.append(dirpath)
+            dirnames.clear()  # a table root never nests another table
+    return sorted(roots)
+
+
+def _norm_cell(v):
+    """Comparable scalar: datetimes → epoch µs UTC, floats → repr,
+    Decimals → str, bytes → hex."""
+    import datetime as dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, _Dec):
+        return str(v.normalize())
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+@pytest.mark.parametrize(
+    "root",
+    _discover_inlined_tables(),
+    ids=lambda r: os.path.relpath(r, REF).replace("/", "__"),
+)
+def test_inlined_dual_scan_equivalence(spark, root):
+    """Our full Delta scan (log replay → checkpoint → column mapping →
+    DV mask → partition injection) must equal an independent pyarrow
+    read of the live files for every foreign table the reference inlines
+    — row counts on all columns, cell values on every atomic column."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.dv import read_dv_from_descriptor
+    from duckdb_delta_spark.delta.mapping import physical_path_map
+
+    t = DeltaTable(root)
+    snap = t.snapshot
+    pcols = snap.partition_columns
+    paths = physical_path_map(snap.schema)
+
+    atomic = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+              T.DoubleType, T.FloatType, T.StringType, T.BooleanType,
+              T.DateType, T.TimestampType, T.DecimalType, T.BinaryType)
+    cols = [f.name for f in snap.schema.fields
+            if isinstance(f.dataType, atomic)]
+
+    # ---- expected side: independent pyarrow reconstruction ----
+    exp_rows: list[tuple] = []
+    exp_total = 0
+    for f in snap.add_files():
+        try:
+            table = pq.read_table(f.absolute_path(root))
+        except OSError:
+            # pyarrow can't parse this file's metadata (e.g. the VARIANT
+            # Thrift LogicalType in variant/basic) — fall back to Spark's
+            # JVM parquet reader as the independent side, selecting only
+            # the physically-present atomic columns
+            import pyarrow as pa
+
+            sdf = spark.read.parquet(f.absolute_path(root))
+            want_phys = [paths.get(c, c) for c in cols
+                         if c not in pcols and paths.get(c, c) in sdf.columns]
+            rows = sdf.select(*want_phys).collect() if want_phys else []
+            n = sdf.count()
+            table = pa.table({
+                p: [r[i] for r in rows]
+                for i, p in enumerate(want_phys)
+            }) if want_phys else pa.table({"__n": list(range(n))})
+        keep = None
+        if f.deletion_vector:
+            import numpy as np
+
+            deleted = read_dv_from_descriptor(f.deletion_vector, root)
+            keep = np.ones(table.num_rows, dtype=bool)
+            keep[deleted.astype("int64")] = False
+            table = table.filter(keep)
+        exp_total += table.num_rows
+        file_cols = {}
+        for c in cols:
+            if c in pcols:
+                raw = f.partition_values.get(c)
+                sf = snap.schema[c]
+                if raw in (None, ""):
+                    v = None
+                elif isinstance(sf.dataType, (T.LongType, T.IntegerType,
+                                              T.ShortType, T.ByteType)):
+                    v = int(raw)
+                elif isinstance(sf.dataType, (T.DoubleType, T.FloatType)):
+                    v = float(raw)
+                elif isinstance(sf.dataType, T.BooleanType):
+                    v = str(raw).lower() == "true"
+                elif isinstance(sf.dataType, T.DateType):
+                    v = dt.date.fromisoformat(str(raw)[:10])
+                else:
+                    v = raw
+                file_cols[c] = [v] * table.num_rows
+            else:
+                pname = paths.get(c, c)
+                if pname in table.column_names:
+                    file_cols[c] = table.column(pname).to_pylist()
+                else:  # file predates a schema widening
+                    file_cols[c] = [None] * table.num_rows
+        exp_rows += list(zip(*(file_cols[c] for c in cols)))
+
+    # ---- scan under test ----
+    df = t.to_df(spark)
+    assert df.count() == exp_total
+    got = sorted(
+        tuple(_norm_cell(v) for v in r)
+        for r in df.select(*cols).collect()
+    )
+    want = sorted(tuple(_norm_cell(v) for v in r) for r in exp_rows)
+    assert got == want, (root, len(got), len(want))
