@@ -688,7 +688,13 @@ def stream_backfill_drain(spark, sf_dir):
             .trigger(availableNow=True).start()
         )
 
-    runs = drain_available_now(start)
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    # HEAD version known up front → the drain stops the moment a run's
+    # committed endOffset reaches it, skipping the final empty-run
+    # lifecycle (~1-2s of pure stream startup on the Python bridge)
+    runs = drain_available_now(
+        start, end_version=DeltaLog(src).resolve_version(None))
     assert len(runs) >= 2, "backlog should need multiple drained batches"
     return (
         spark.read.parquet(out)

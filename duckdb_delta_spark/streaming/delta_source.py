@@ -965,6 +965,7 @@ def drain_available_now(
     start_query,
     await_seconds: float = 120.0,
     max_runs: int = 10_000,
+    end_version: int | None = None,
 ) -> list:
     """Run-until-drained backfill for rate-limited Python-bridge sources.
 
@@ -984,6 +985,14 @@ def drain_available_now(
     Returns the per-run ``lastProgress`` dicts of the runs that moved
     data (so ``len(result)`` is the number of planned batches and
     ``sum(p["numInputRows"])`` the total drained rows).
+
+    ``end_version``: the table's HEAD version at drain start, when known.
+    Each run's committed ``endOffset`` is compared against it so the loop
+    stops the moment the backlog is drained — WITHOUT paying one extra
+    full query lifecycle (~1-2 s of stream startup on the Python bridge,
+    measured in docs/bench_environment_notes.md) just to observe an
+    empty batch. Without it the loop still terminates on the first
+    zero-row run.
     """
     progresses = []
     for _ in range(max_runs):
@@ -998,6 +1007,16 @@ def drain_available_now(
         if int(p["numInputRows"]) == 0:
             break  # empty batch: caught up
         progresses.append(p)
+        if end_version is not None:
+            try:
+                off = p["sources"][0]["endOffset"]
+                if isinstance(off, str):
+                    off = json.loads(off)
+                reached = int(off["version"]) if isinstance(off, dict) else None
+            except (KeyError, IndexError, TypeError, ValueError):
+                reached = None
+            if reached is not None and reached >= end_version:
+                break  # committed through HEAD: drained, skip the empty run
     else:  # pragma: no cover
         raise RuntimeError(f"backlog not drained in {max_runs} runs")
     return progresses

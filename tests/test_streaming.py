@@ -1363,3 +1363,46 @@ def test_source_cdf_many_masked_paths_stays_o_descriptors(spark, tdir,
     assert got == exp and len(got) == 800
     _sh.rmtree(out, ignore_errors=True)
     _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_drain_end_version_skips_empty_run(spark, tdir):
+    """drain_available_now(end_version=HEAD) must stop after the run that
+    commits through HEAD — no extra empty-run lifecycle — and leave the
+    checkpoint exactly caught up (a follow-up drain admits zero runs)."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaPySource, drain_available_now,
+    )
+
+    schema_in = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)                    # v0
+    w.append(spark.range(10).select(F.col("id").alias("i")))          # v1
+    w.append(spark.range(10, 25).select(F.col("id").alias("i")))      # v2
+
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_dv_out", str(tdir) + "_dv_ck"
+
+    def start():
+        return (
+            spark.readStream.format("delta_py")
+            .option("path", tdir)
+            .option("startingVersion", "0")
+            .option("maxFilesPerTrigger", "1").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+
+    runs = drain_available_now(start, end_version=2)
+    # one commit per run (maxFilesPerTrigger=1, always >= 1 commit): the
+    # loop stops at 2 data runs, never starting the empty third lifecycle
+    assert len(runs) == 2
+    assert sum(int(p["numInputRows"]) for p in runs) == 25
+    assert spark.read.parquet(out).count() == 25
+    # checkpoint is exactly caught up: a fresh drain plans nothing
+    assert drain_available_now(start) == []
+    import shutil as _sh
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ck, ignore_errors=True)
