@@ -385,6 +385,20 @@ class DeltaScanBuilder:
         self._preds.append(OrPred(branches))
         return self
 
+    def filter_sql(self, where: str) -> "DeltaScanBuilder":
+        """Parse a SQL WHERE clause (the pushable subset: comparisons,
+        IS [NOT] NULL, [NOT] IN, [NOT] BETWEEN, AND/OR/NOT trees, DATE /
+        TIMESTAMP literals, dotted struct paths) into manifest-skipping
+        predicates — the string-driven twin of :meth:`filter` /
+        :meth:`filter_or`, mirroring how the reference takes its scan
+        options as strings on the table function (delta_scan.cpp:113).
+        Raises ``ValueError`` on anything outside the grammar rather
+        than silently scanning everything."""
+        from duckdb_delta_spark.delta.predicates import parse_where
+
+        self._preds.extend(parse_where(where))
+        return self
+
     def dynamic_filter(
         self,
         column: str,

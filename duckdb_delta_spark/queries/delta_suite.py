@@ -86,6 +86,33 @@ def delta_or_prune(spark, sf_dir):
     )
 
 
+# SQL-string pushdown: the WHERE clause parses into Pred/OrPred trees
+# (predicates.py) and prunes at the manifest before Catalyst ever sees it
+@register(
+    "delta_where_sql",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE (l_orderkey BETWEEN 100 AND 300 AND l_linenumber <= 3)
+       OR l_orderkey >= {FX.SPLITS[2]}
+    """,
+    group="delta",
+)
+def delta_where_sql(spark, sf_dir):
+    t = _fx(spark, sf_dir, "lineitem_multi")
+    sb = t.scan(spark).filter_sql(
+        f"(l_orderkey BETWEEN 100 AND 300 AND l_linenumber <= 3) "
+        f"OR l_orderkey >= {FX.SPLITS[2]}"
+    )
+    df = sb.to_df()
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_stats"] > 0, rep
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
 # partition pruning + partition-value injection from the log
 @register(
     "delta_partition_prune",

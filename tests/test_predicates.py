@@ -1,0 +1,128 @@
+"""WHERE-clause parser → Pred/OrPred trees (delta/predicates.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_delta_spark.delta.predicates import parse_where
+from duckdb_delta_spark.delta.scan import OrPred, Pred
+from duckdb_delta_spark.delta.writer import DeltaWriter
+
+
+def _shape(p):
+    if isinstance(p, OrPred):
+        return ("or", [[_shape(q) for q in br] for br in p.branches])
+    return (p.column, p.op, p.value)
+
+
+def test_parse_conjunction_and_literals():
+    ps = parse_where(
+        "i < 5 AND s = 'it''s' AND x >= 1.5 AND b = TRUE "
+        "AND d > DATE '2024-02-29' AND t <= TIMESTAMP '2024-01-01 12:30:00'")
+    assert [_shape(p) for p in ps] == [
+        ("i", "<", 5),
+        ("s", "=", "it's"),
+        ("x", ">=", 1.5),
+        ("b", "=", True),
+        ("d", ">", dt.date(2024, 2, 29)),
+        ("t", "<=", dt.datetime(2024, 1, 1, 12, 30)),
+    ]
+
+
+def test_parse_or_between_in_not():
+    ps = parse_where("(i < 5 AND g = 1) OR i > 90")
+    assert len(ps) == 1 and isinstance(ps[0], OrPred)
+    assert _shape(ps[0]) == (
+        "or", [[("i", "<", 5), ("g", "=", 1)], [("i", ">", 90)]])
+
+    ps = parse_where("i BETWEEN 3 AND 7")
+    assert [_shape(p) for p in ps] == [("i", ">=", 3), ("i", "<=", 7)]
+
+    ps = parse_where("i NOT BETWEEN 3 AND 7")
+    assert _shape(ps[0]) == ("or", [[("i", "<", 3)], [("i", ">", 7)]])
+
+    ps = parse_where("g IN (1, 2, 3) AND s NOT IN ('a', 'b')")
+    assert _shape(ps[0]) == ("g", "in", [1, 2, 3])
+    assert [_shape(p) for p in ps[1:]] == [("s", "!=", "a"), ("s", "!=", "b")]
+
+    ps = parse_where("NOT (i < 5 OR (g = 1 AND i IS NULL))")
+    # De Morgan: i >= 5 AND (g != 1 OR i IS NOT NULL)
+    assert _shape(ps[0]) == ("i", ">=", 5)
+    assert _shape(ps[1]) == (
+        "or", [[("g", "!=", 1)], [("i", "is not null", None)]])
+
+
+def test_parse_dotted_and_backquoted_paths():
+    ps = parse_where("info.score > 3 AND `weird col`.`x` = 1")
+    assert _shape(ps[0]) == ("info.score", ">", 3)
+    assert _shape(ps[1]) == ("weird col.x", "=", 1)
+
+
+def test_parse_rejects_garbage():
+    for bad in ["i <", "i < 5 OR", "func(i) = 3", "i = i2", "5 < i",
+                "i LIKE 'x%'", "i < 5 extra", "i BETWEEN 1", ""]:
+        with pytest.raises(ValueError):
+            parse_where(bad)
+
+
+def test_parse_rejects_dnf_blowup():
+    # top-level AND conjuncts stay separate OrPreds (no cross-product)...
+    wide = " AND ".join(
+        f"(a{k} = 1 OR b{k} = 2 OR c{k} = 3 OR d{k} = 4)" for k in range(4))
+    assert len(parse_where(wide)) == 4
+    # ...but the SAME conjunction nested under an OR must cross-multiply
+    # to DNF — 4^4 = 256 branches > 64 → refuse rather than mis-prune
+    with pytest.raises(ValueError):
+        parse_where(f"z = 9 OR ({wide})")
+
+
+def test_filter_sql_equals_spark_sql(spark, tdir):
+    """End-to-end: for a matrix of WHERE clauses, scan().filter_sql(w)
+    must return exactly spark.sql's answer on the same data — and the
+    disjunctive ones must PRUNE files, not scan everything."""
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("g", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    df = spark.range(400).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit("s"), F.format_string("%03d", F.col("id"))).alias("s"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 300).cast("int")).alias("d"),
+        (F.col("id") % 2).alias("g"),
+    )
+    w.append(df.repartitionByRange(8, "i"))
+    t = DeltaTable(tdir)
+    full = t.to_df(spark)
+    full.createOrReplaceTempView("psql_t")
+
+    clauses = [
+        "i < 30 OR i > 370",
+        "(i < 30 AND g = 0) OR (i > 370 AND g = 1)",
+        "d BETWEEN DATE '2024-02-01' AND DATE '2024-02-10' OR s = 's399'",
+        "NOT (i >= 50 AND i <= 350)",
+        "g = 1 AND (s IN ('s001', 's003') OR i NOT BETWEEN 2 AND 398)",
+        "i IS NOT NULL AND (g = 0 OR s >= 's39')",
+    ]
+    for clause in clauses:
+        sb = t.scan(spark).filter_sql(clause)
+        got = sorted(map(tuple, sb.to_df().select("i", "s", "d", "g").collect()))
+        want = sorted(map(tuple, spark.sql(
+            f"SELECT i, s, d, g FROM psql_t WHERE {clause}").collect()))
+        assert got == want, clause
+        rep = sb.skip_report()
+        assert rep["files_scanned"] + rep["files_skipped_by_stats"] + \
+            rep["files_skipped_by_partition"] == rep["files_total"]
+    # the motivating OR clause prunes the middle range files
+    sb = t.scan(spark).filter_sql("i < 30 OR i > 370")
+    sb.to_df().collect()
+    assert sb.skip_report()["files_skipped_by_stats"] >= 8, sb.skip_report()
