@@ -55,7 +55,7 @@ _TOKEN = re.compile(
 )
 
 _KEYWORDS = {"and", "or", "not", "is", "null", "in", "between", "true",
-             "false", "date", "timestamp"}
+             "false", "date", "timestamp", "like"}
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -168,8 +168,15 @@ class _Parser:
             hi = self.literal()
             node = ("and", [("pred", col, ">=", lo), ("pred", col, "<=", hi)])
             return ("not", node) if negate else node
+        if t == ("kw", "like"):
+            self.next()
+            pat = self.literal()
+            if not isinstance(pat, str):
+                raise ValueError("LIKE needs a string pattern")
+            node = _like_node(col, pat)
+            return ("not", node) if negate else node
         if negate:
-            raise ValueError(f"NOT must precede IN/BETWEEN after {col!r}")
+            raise ValueError(f"NOT must precede IN/BETWEEN/LIKE after {col!r}")
         if t[0] != "op":
             raise ValueError(f"expected operator after {col!r}, got {t[1]!r}")
         op = self.next()[1]
@@ -195,7 +202,50 @@ class _Parser:
 
 
 _NEG = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
-        "is null": "is not null", "is not null": "is null"}
+        "is null": "is not null", "is not null": "is null",
+        "like": "not like", "not like": "like"}
+
+_WILD = re.compile(r"[%_]")
+
+
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string > every string starting with ``prefix``:
+    increment the last incrementable code point (UTF-8 encoding
+    preserves code-point order, so the bound holds byte-wise — the
+    collation Spark's UTF8String and DuckDB both compare in)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # unpaired surrogates: skip past
+                nxt = 0xE000
+            return prefix[: i] + chr(nxt)
+    return None
+
+
+def _like_node(col: str, pat: str):
+    """LIKE compiles to the exact row-level predicate PLUS sound derived
+    range companions for the literal prefix (delta-spark's startsWith
+    data-skipping rewrite): ``LIKE 'abc%d'`` ⇒ like AND col >= 'abc' AND
+    col < 'abd'. No wildcards at all ⇒ plain equality. The companions
+    are implied by the like, so conjoining them never changes results —
+    they exist purely so the manifest pruner has something to bite on."""
+    if "\\" in pat:
+        # escape sequences change what the literal prefix IS — deriving
+        # one naively from the raw pattern would mis-prune (e.g.
+        # 'ab\\%c%' matches strings starting "ab%c", which sort BELOW
+        # the raw prefix 'ab\\'); row-level only
+        return ("pred", col, "like", pat)
+    if not _WILD.search(pat):
+        return ("pred", col, "=", pat)
+    preds = [("pred", col, "like", pat)]
+    prefix = pat[: _WILD.search(pat).start()]
+    if prefix:
+        preds.append(("pred", col, ">=", prefix))
+        ub = _prefix_upper_bound(prefix)
+        if ub is not None:
+            preds.append(("pred", col, "<", ub))
+    return ("and", preds) if len(preds) > 1 else preds[0]
 
 #: DNF expansion guard — (a1 OR … OR a8) AND (b1 OR … OR b8) is 64
 #: branches; past this the predicate is too wide to evaluate per-file

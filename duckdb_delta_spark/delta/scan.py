@@ -53,7 +53,12 @@ _DV_CACHE: dict = {}
 def _executor_dv_cache() -> dict:
     return _DV_CACHE
 
-_OPS = {"<", "<=", ">", ">=", "=", "==", "!=", "<>", "in", "is null", "is not null"}
+#: ``like`` / ``not like`` are ROW-LEVEL ops: stats cannot prove a
+#: pattern absent, so pruning always keeps (sound) — but parse_where
+#: derives a [prefix, prefix+1) range companion for prefix patterns,
+#: which DOES prune (delta-spark's startsWith data-skipping rewrite)
+_OPS = {"<", "<=", ">", ">=", "=", "==", "!=", "<>", "in",
+        "is null", "is not null", "like", "not like"}
 
 
 class Pred:
@@ -78,6 +83,10 @@ class Pred:
             return c.isNotNull()
         if self.op == "in":
             return c.isin(list(self.value))
+        if self.op == "like":
+            return c.like(self.value)
+        if self.op == "not like":
+            return ~c.like(self.value)
         lit = F.lit(self.value)
         return {
             "<": c < lit,
@@ -188,6 +197,8 @@ def _file_may_match(f: AddFile, pred: Pred, partition_columns: list[str]) -> tup
     """Tri-state stats check collapsed to keep/skip (+which evidence).
 
     Conservative: missing stats ⇒ keep. Returns (keep, reason)."""
+    if pred.op in ("like", "not like"):
+        return (True, "none")  # row-level-only op
     col = pred.column
     if col in partition_columns:
         raw = f.partition_values.get(col)
@@ -487,6 +498,11 @@ class DeltaScanBuilder:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        if p.op in ("like", "not like"):
+            # row-level-only op: partition values can't disprove a
+            # pattern conservatively here — keep everything (the derived
+            # prefix-range companion from parse_where does the pruning)
+            return np.ones(len(files), dtype=bool)
         try:
             if self._only_paths is None and len(files) == len(
                 self.snapshot.files
@@ -531,6 +547,8 @@ class DeltaScanBuilder:
 
         n = man.num_rows
         ones = np.ones(n, dtype=bool)
+        if p.op in ("like", "not like"):
+            return ones  # row-level-only; prefix companion preds prune
         like = p.value if p.op != "in" else (p.value[0] if p.value else None)
         if isinstance(like, Decimal):
             return None  # exact decimal semantics live in _coerce
@@ -743,7 +761,7 @@ class DeltaScanBuilder:
         standalone) never derive."""
         import re
 
-        if p.op in ("is null", "is not null"):
+        if p.op in ("is null", "is not null", "like", "not like"):
             return []
         pcols = set(self.snapshot.partition_columns)
         out: list[Pred] = []

@@ -64,7 +64,7 @@ def test_parse_dotted_and_backquoted_paths():
 
 def test_parse_rejects_garbage():
     for bad in ["i <", "i < 5 OR", "func(i) = 3", "i = i2", "5 < i",
-                "i LIKE 'x%'", "i < 5 extra", "i BETWEEN 1", ""]:
+                "i LIKE 5", "i < 5 extra", "i BETWEEN 1", ""]:
         with pytest.raises(ValueError):
             parse_where(bad)
 
@@ -126,3 +126,62 @@ def test_filter_sql_equals_spark_sql(spark, tdir):
     sb = t.scan(spark).filter_sql("i < 30 OR i > 370")
     sb.to_df().collect()
     assert sb.skip_report()["files_skipped_by_stats"] >= 8, sb.skip_report()
+
+
+def test_parse_like_prefix_rewrite():
+    # no wildcards → equality
+    assert _shape(parse_where("s LIKE 'abc'")[0]) == ("s", "=", "abc")
+    # trailing % → like + derived [prefix, prefix+1) range companions
+    ps = parse_where("s LIKE 'abc%'")
+    assert [_shape(p) for p in ps] == [
+        ("s", "like", "abc%"), ("s", ">=", "abc"), ("s", "<", "abd")]
+    # embedded wildcards still derive the literal prefix
+    ps = parse_where("s LIKE 'ab_c%d'")
+    assert [_shape(p) for p in ps] == [
+        ("s", "like", "ab_c%d"), ("s", ">=", "ab"), ("s", "<", "ac")]
+    # leading wildcard → row-level only
+    assert [_shape(p) for p in parse_where("s LIKE '%abc'")] == [
+        ("s", "like", "%abc")]
+    # escapes → row-level only (prefix would mis-prune)
+    assert [_shape(p) for p in parse_where(r"s LIKE 'ab\%c%'")] == [
+        ("s", "like", r"ab\%c%")]
+    # NOT LIKE: De Morgan over (like AND companions) = exact complement
+    ps = parse_where("s NOT LIKE 'abc%'")
+    assert _shape(ps[0]) == ("or", [
+        [("s", "not like", "abc%")], [("s", "<", "abc")], [("s", ">=", "abd")]])
+
+
+def test_like_prefix_prunes_and_matches_spark(spark, tdir):
+    """End-to-end LIKE: results equal spark.sql, and a prefix pattern
+    PRUNES files via its derived range on a string-range-laid-out
+    table."""
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    df = spark.range(1000).select(
+        F.format_string("k%03d", F.col("id")).alias("s"),
+        F.col("id").alias("i"))
+    w.append(df.repartitionByRange(10, "s"))
+    t = DeltaTable(tdir)
+    full = t.to_df(spark)
+    full.createOrReplaceTempView("plike_t")
+
+    for clause in ["s LIKE 'k00%'", "s LIKE 'k99_'", "s NOT LIKE 'k0%'",
+                   "s LIKE 'k01%' OR s LIKE 'k98%'"]:
+        sb = t.scan(spark).filter_sql(clause)
+        got = sorted(r["i"] for r in sb.to_df().collect())
+        want = sorted(r["i"] for r in spark.sql(
+            f"SELECT i FROM plike_t WHERE {clause}").collect())
+        assert got == want, clause
+
+    sb = t.scan(spark).filter_sql("s LIKE 'k00%'")
+    sb.to_df().collect()
+    assert sb.skip_report()["files_skipped_by_stats"] >= 8, sb.skip_report()
+    # OR of two prefixes prunes the middle too
+    sb = t.scan(spark).filter_sql("s LIKE 'k01%' OR s LIKE 'k98%'")
+    sb.to_df().collect()
+    assert sb.skip_report()["files_skipped_by_stats"] >= 7, sb.skip_report()
