@@ -67,8 +67,14 @@ class DeltaTable:
     def scan(self, spark: SparkSession, pushdown: str = "all") -> DeltaScanBuilder:
         return DeltaScanBuilder(self.snapshot, spark, pushdown=pushdown)
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
-        return self.scan(spark).to_df()
+    def to_df(self, spark: SparkSession, where: str | None = None) -> DataFrame:
+        """Full-table DataFrame; ``where`` (a SQL clause in the pushable
+        grammar — see :meth:`DeltaScanBuilder.filter_sql`) prunes at the
+        manifest AND filters row-level."""
+        sb = self.scan(spark)
+        if where is not None:
+            sb = sb.filter_sql(where)
+        return sb.to_df()
 
     def refreshed(self) -> "DeltaTable":
         """Re-resolve HEAD, reusing this snapshot as incremental base."""

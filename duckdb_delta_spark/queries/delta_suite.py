@@ -86,6 +86,30 @@ def delta_or_prune(spark, sf_dir):
     )
 
 
+# LIKE semantics through the scan path: prefix pattern → equality-range
+# companions (startsWith rewrite) + exact row-level like; name sorts into
+# the driver's alphabetical first-50 correctness window
+@register(
+    "delta_like_scan",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS price
+    FROM part
+    WHERE p_brand LIKE 'Brand#1%' AND p_brand NOT LIKE '%5'
+    GROUP BY p_brand
+    """,
+    group="delta",
+)
+def delta_like_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "part_cm")
+    df = t.to_df(spark,
+                 where="p_brand LIKE 'Brand#1%' AND p_brand NOT LIKE '%5'")
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("price")
+    )
+
+
 # SQL-string pushdown: the WHERE clause parses into Pred/OrPred trees
 # (predicates.py) and prunes at the manifest before Catalyst ever sees it
 @register(
