@@ -76,9 +76,14 @@ class DeltaCatalog:
             self._register_view(name, entry)
         return entry.table
 
-    def to_df(self, name: str, version: int | None = None) -> DataFrame:
+    def to_df(self, name: str, version: int | None = None,
+              where: str | None = None) -> DataFrame:
         self.table(name, version)  # refresh unpinned entries
         entry = self._entries[name]
+        if where is not None:
+            # filtered reads bypass the cached full-scan plan: the WHERE
+            # prunes the manifest, so the file list differs per clause
+            return self.table(name, version).to_df(self.spark, where=where)
         if version is not None and version != entry.table.version:
             return DeltaTable(entry.path, version=version).to_df(self.spark)
         if entry.df is None:

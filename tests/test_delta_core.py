@@ -118,6 +118,11 @@ def test_time_travel_and_catalog(spark, tdir):
     # unpinned entry refreshes incrementally after an external commit
     DeltaWriter(tdir, spark).append(_ids(spark, 5, lo=20))
     assert cat.to_df("tt").count() == 25
+    # filtered reads push the WHERE through the scan (and never poison
+    # the cached full-scan plan)
+    assert cat.to_df("tt", where="i < 10 OR i >= 20").count() == 15
+    assert cat.to_df("tt", version=1, where="i BETWEEN 2 AND 4").count() == 3
+    assert cat.to_df("tt").count() == 25
     cat.detach("tt")
 
 
