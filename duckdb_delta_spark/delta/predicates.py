@@ -55,7 +55,7 @@ _TOKEN = re.compile(
 )
 
 _KEYWORDS = {"and", "or", "not", "is", "null", "in", "between", "true",
-             "false", "date", "timestamp", "like"}
+             "false", "date", "timestamp", "like", "distinct", "from"}
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -140,12 +140,24 @@ class _Parser:
             raise ValueError(f"dangling column {col!r}")
         if t == ("kw", "is"):
             self.next()
+            neg = False
             if self.peek() == ("kw", "not"):
                 self.next()
-                self.expect("kw", "null")
-                return ("pred", col, "is not null", None)
+                neg = True
+            if self.peek() == ("kw", "distinct"):
+                # null-safe compare, rewritten onto existing ops (the
+                # literal is never NULL in this grammar):
+                #   IS NOT DISTINCT FROM v  ≡  col = v
+                #   IS DISTINCT FROM v      ≡  col != v OR col IS NULL
+                self.next()
+                self.expect("kw", "from")
+                v = self.literal()
+                if neg:
+                    return ("pred", col, "=", v)
+                return ("or", [("pred", col, "!=", v),
+                               ("pred", col, "is null", None)])
             self.expect("kw", "null")
-            return ("pred", col, "is null", None)
+            return ("pred", col, "is not null" if neg else "is null", None)
         negate = False
         if t == ("kw", "not"):
             self.next()

@@ -185,3 +185,33 @@ def test_like_prefix_prunes_and_matches_spark(spark, tdir):
     sb = t.scan(spark).filter_sql("s LIKE 'k01%' OR s LIKE 'k98%'")
     sb.to_df().collect()
     assert sb.skip_report()["files_skipped_by_stats"] >= 7, sb.skip_report()
+
+
+def test_parse_distinct_from():
+    # IS NOT DISTINCT FROM a non-null literal ≡ plain equality
+    assert _shape(parse_where("i IS NOT DISTINCT FROM 5")[0]) == ("i", "=", 5)
+    # IS DISTINCT FROM ≡ != OR IS NULL (null-safe inequality)
+    ps = parse_where("i IS DISTINCT FROM 5")
+    assert _shape(ps[0]) == (
+        "or", [[("i", "!=", 5)], [("i", "is null", None)]])
+    # negation round-trips through De Morgan
+    ps = parse_where("NOT (i IS DISTINCT FROM 5)")
+    assert _shape(ps[0]) == ("i", "=", 5)
+
+
+def test_distinct_from_matches_spark(spark, tdir):
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("j", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    rows = [(k if k % 3 else None, k) for k in range(30)]
+    w.append(spark.createDataFrame(rows, schema))
+    t = DeltaTable(tdir)
+    t.to_df(spark).createOrReplaceTempView("pdist_t")
+    for clause in ["i IS DISTINCT FROM 4", "i IS NOT DISTINCT FROM 4",
+                   "i IS DISTINCT FROM 4 AND j < 20"]:
+        got = sorted(r["j"] for r in t.to_df(spark, where=clause).collect())
+        want = sorted(r["j"] for r in spark.sql(
+            f"SELECT j FROM pdist_t WHERE {clause}").collect())
+        assert got == want, clause
