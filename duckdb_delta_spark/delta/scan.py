@@ -32,6 +32,7 @@ Scale design:
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 from decimal import Decimal
 from typing import Any, Iterable
 
@@ -183,6 +184,35 @@ def _coerce(value: Any, like: Any) -> Any:
     return value
 
 
+@_functools.lru_cache(maxsize=256)
+def _like_regex(pattern: str):
+    """SQL LIKE pattern → anchored regex (Spark semantics: ``%`` any
+    sequence incl. newlines, ``_`` any single char, backslash escapes
+    the next char)."""
+    import re as _re
+
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return _re.compile("(?s)^" + "".join(out) + "$")
+
+
+def _like_match(pattern: str, value: str) -> bool:
+    return bool(_like_regex(pattern).match(value))
+
+
 def _stats_get(d: Any, dotted: str) -> Any:
     """Nested stats lookup: ``a.b.c`` descends minValues/maxValues/nullCount
     objects; scalar results only (a dict means we stopped at a struct)."""
@@ -198,7 +228,17 @@ def _file_may_match(f: AddFile, pred: Pred, partition_columns: list[str]) -> tup
 
     Conservative: missing stats ⇒ keep. Returns (keep, reason)."""
     if pred.op in ("like", "not like"):
-        return (True, "none")  # row-level-only op
+        # stats ranges can't disprove a pattern — but a PARTITION value
+        # is the exact column value for every row in the file, so the
+        # pattern evaluates exactly there (NULL LIKE p is NULL → no row
+        # matches → skip, both polarities)
+        if pred.column in partition_columns:
+            raw = f.partition_values.get(pred.column)
+            if raw is None or raw == "":
+                return (False, "partition")
+            hit = _like_match(pred.value, str(raw))
+            return (hit if pred.op == "like" else not hit, "partition")
+        return (True, "none")
     col = pred.column
     if col in partition_columns:
         raw = f.partition_values.get(col)
@@ -499,10 +539,10 @@ class DeltaScanBuilder:
         import pyarrow.compute as pc
 
         if p.op in ("like", "not like"):
-            # row-level-only op: partition values can't disprove a
-            # pattern conservatively here — keep everything (the derived
-            # prefix-range companion from parse_where does the pruning)
-            return np.ones(len(files), dtype=bool)
+            # partition values are EXACT column values, so the pattern
+            # evaluates precisely per file — route to the per-file
+            # oracle (_file_may_match), which regex-matches each value
+            return None
         try:
             if self._only_paths is None and len(files) == len(
                 self.snapshot.files

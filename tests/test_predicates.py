@@ -215,3 +215,32 @@ def test_distinct_from_matches_spark(spark, tdir):
         want = sorted(r["j"] for r in spark.sql(
             f"SELECT j FROM pdist_t WHERE {clause}").collect())
         assert got == want, clause
+
+
+def test_like_on_partition_column_prunes_exactly(spark, tdir):
+    """A partition value is the exact column value for every row in its
+    file, so LIKE/NOT LIKE evaluate precisely there — files prune by
+    pattern match (including NULL partitions, where no row can match
+    either polarity), and results equal spark.sql."""
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([T.StructField("src", T.StringType()),
+                           T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["src"])
+    rows = [(f"crawl-{k % 3}" if k % 5 else ("web" if k % 2 else None), k)
+            for k in range(60)]
+    w.append(spark.createDataFrame(rows, schema))
+    t = DeltaTable(tdir)
+    t.to_df(spark).createOrReplaceTempView("plpart_t")
+
+    for clause, min_skip in [("src LIKE 'crawl-%'", 2),
+                             ("src NOT LIKE 'crawl-%'", 4),
+                             ("src LIKE '%eb'", 4),
+                             ("src LIKE 'crawl-_' OR src = 'web'", 1)]:
+        sb = t.scan(spark).filter_sql(clause)
+        got = sorted(r["i"] for r in sb.to_df().collect())
+        want = sorted(r["i"] for r in spark.sql(
+            f"SELECT i FROM plpart_t WHERE {clause}").collect())
+        assert got == want, clause
+        rep = sb.skip_report()
+        assert rep["files_skipped_by_partition"] >= min_skip, (clause, rep)
