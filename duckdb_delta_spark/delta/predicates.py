@@ -313,6 +313,64 @@ def _to_dnf(node) -> list[list[tuple]]:
     return acc
 
 
+def arrow_mask(table, preds: list):
+    """Boolean pyarrow mask (True = keep) evaluating a conjunction list
+    of Pred/OrPred over a pyarrow Table — SQL three-valued logic
+    collapsed to keep/drop (a NULL comparison drops the row, matching
+    WHERE semantics). The executor-side row half of the streaming
+    source's ``where`` option; the driver half is per-file pruning via
+    scan.file_may_match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from duckdb_delta_spark.delta.scan import OrPred
+
+    def col(name: str):
+        parts = name.split(".")
+        arr = table.column(parts[0])
+        for seg in parts[1:]:
+            arr = pc.struct_field(arr, seg)
+        return arr
+
+    def leaf(p):
+        a = col(p.column)
+        op = p.op
+        if op == "is null":
+            return pc.is_null(a)
+        if op == "is not null":
+            return pc.is_valid(a)
+        if op == "in":
+            m = pc.is_in(a, value_set=pa.array(list(p.value)))
+        elif op == "like":
+            m = pc.match_like(a, p.value)
+        elif op == "not like":
+            m = pc.invert(pc.match_like(a, p.value))
+        else:
+            fn = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+                  ">=": pc.greater_equal, "=": pc.equal,
+                  "!=": pc.not_equal}[op]
+            m = fn(a, pa.scalar(p.value))
+        return pc.fill_null(m, False)
+
+    def node(p):
+        if isinstance(p, OrPred):
+            out = None
+            for br in p.branches:
+                bm = None
+                for q in br:
+                    m = node(q)
+                    bm = m if bm is None else pc.and_(bm, m)
+                out = bm if out is None else pc.or_(out, bm)
+            return out
+        return leaf(p)
+
+    mask = None
+    for p in preds:
+        m = node(p)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
 def parse_where(where: str) -> list:
     """Parse a SQL WHERE clause into a conjunction list of
     :class:`~duckdb_delta_spark.delta.scan.Pred` /

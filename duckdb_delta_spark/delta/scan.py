@@ -314,6 +314,18 @@ def _file_may_match(f: AddFile, pred: Pred, partition_columns: list[str]) -> tup
     return (keep, "stats")
 
 
+def file_may_match(f: AddFile, pred, partition_columns: list[str]) -> bool:
+    """Per-file keep/skip for a Pred OR an OrPred tree (public seam for
+    callers outside the scan builder, e.g. the streaming source's
+    ``where`` option). Conservative exactly like :func:`_file_may_match`."""
+    if isinstance(pred, OrPred):
+        return any(
+            all(file_may_match(f, q, partition_columns) for q in br)
+            for br in pred.branches
+        )
+    return _file_may_match(f, pred, partition_columns)[0]
+
+
 def _np_mask(arrow_bool, fill: bool):
     """Arrow boolean array → numpy, nulls (no evidence) → ``fill``."""
     import pyarrow.compute as pc

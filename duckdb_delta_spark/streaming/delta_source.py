@@ -154,6 +154,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.read_change_feed = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
+        #: .option('where', '<sql clause>') — predicate pushdown for the
+        #: stream: files whose partition values / stats disprove the
+        #: clause never enter a micro-batch (driver-side prune, same
+        #: evaluator as the batch scan), and surviving files are
+        #: row-filtered executor-side over the Arrow batches, so the
+        #: option is EXACT on its own. A stream over a 100-TB partitioned
+        #: table reading one partition plans + reads only that partition.
+        wsql = options.get("where")
+        self.where_preds = []
+        if wsql:
+            from duckdb_delta_spark.delta.predicates import parse_where
+
+            self.where_preds = parse_where(str(wsql))
+            if self.read_change_feed:
+                raise ValueError(
+                    "option 'where' is not supported with readChangeFeed "
+                    "(the feed's delete semantics need every masked file)"
+                )
         #: delta-spark parity: cap how many FILES one micro-batch admits.
         #: On a 100-TB backlog the first batch otherwise swallows the
         #: whole table; with the cap, latestOffset advances commit-by-
@@ -307,6 +325,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                         "'skipChangeCommits'/'ignoreDeletes')"
                     )
             for a in adds:
+                if not self._admit(a):
+                    continue  # where-option pruned (partition/stats proof)
                 rel = urllib.parse.unquote(a["path"])
                 full = (
                     rel
@@ -369,6 +389,28 @@ class DeltaStreamReader(DataSourceStreamReader):
             out.append(_SplitSlice(files=tuple(cur),
                                    table_path=self.table_path))
         return out
+
+    def _admit(self, a: dict) -> bool:
+        """where-option file pruning: same conservative evaluator as the
+        batch scan (partition values exact, stats min/max/nullCount,
+        missing evidence keeps)."""
+        if not self.where_preds:
+            return True
+        from duckdb_delta_spark.delta.scan import file_may_match
+        from duckdb_delta_spark.delta.snapshot import AddFile
+
+        f = AddFile(
+            path=a["path"],
+            partition_values=a.get("partitionValues") or {},
+            size=int(a.get("size") or 0),
+            modification_time=0,
+            stats=a.get("stats"),
+            deletion_vector=a.get("deletionVector"),
+        )
+        return all(
+            file_may_match(f, p, self._partition_columns)
+            for p in self.where_preds
+        )
 
     def _classify(self, version: int):
         adds, removes, cdcs = self._classify_full(version)
@@ -593,7 +635,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                         yield from project(sub, fref, ct).to_batches()
                 continue
 
-            yield from project(table, fref, fref.change_type).to_batches()
+            out = project(table, fref, fref.change_type)
+            if self.where_preds:
+                # row half of the where option: evaluate the same
+                # predicate trees over the projected Arrow table (pruning
+                # above was only conservative)
+                from duckdb_delta_spark.delta.predicates import arrow_mask
+
+                out = out.filter(arrow_mask(out, self.where_preds))
+            yield from out.to_batches()
 
 
 def _coerce_pv(v, dtype):

@@ -1406,3 +1406,70 @@ def test_drain_end_version_skips_empty_run(spark, tdir):
     import shutil as _sh
     _sh.rmtree(out, ignore_errors=True)
     _sh.rmtree(ck, ignore_errors=True)
+
+
+def test_source_where_option_prunes_and_filters(spark, tdir):
+    """.option('where', ...): files disproved by partition values/stats
+    never enter a micro-batch (planner-side, asserted via partitions()),
+    surviving files are row-filtered executor-side, and the streamed
+    result equals the batch scan with the same clause."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("g", T.StringType())])
+    w = DeltaWriter.create(spark, tdir, schema_in, partition_by=["g"])
+    df = spark.range(600).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"))
+    w.append(df.repartitionByRange(4, "i"))   # 3 partitions x 4 ranges
+    w.append(spark.range(600, 900).select(
+        F.col("id").alias("i"), F.lit("g1").alias("g")).coalesce(1))
+
+    clause = "g = 'g1' AND (i < 100 OR i >= 700)"
+
+    # planner-side: partitions() admits only files that may match
+    src = DeltaPySource({"path": tdir, "startingVersion": "0",
+                         "where": clause})
+    reader = src.streamReader(src.schema())
+    parts = reader.partitions({"version": -1}, {"version": 2})
+    admitted = [f for p in parts for f in p.files]
+    total_files = len(DeltaTable(tdir).snapshot.add_files())
+    assert 0 < len(admitted) < total_files, (len(admitted), total_files)
+
+    # end-to-end: stream result == batch scan with the same clause
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_w_out", str(tdir) + "_w_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("startingVersion", "0")
+        .option("where", clause)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["i"], r["g"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["i"], r["g"])
+                  for r in DeltaTable(tdir).to_df(spark, where=clause)
+                  .collect())
+    assert got == want and len(got) > 0
+
+    # where + readChangeFeed is a loud refusal
+    import pytest as _pytest
+    bad = DeltaPySource({"path": tdir, "readChangeFeed": "true",
+                         "where": "i < 5"})
+    with _pytest.raises(Exception):
+        bad.streamReader(bad.schema())
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ck, ignore_errors=True)
