@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_delta_spark.queries import local_df, register
+from duckdb_delta_spark.testing import fixtures as FX
 from duckdb_delta_spark.streaming import (
     hourly_event_counts_stream,
     run_stream_to_memory,
@@ -127,6 +128,54 @@ def stream_delta_source(spark, sf_dir):
     )
     return run_stream_to_memory(agg, output_mode="complete").select(
         "l_returnflag", "n", "qty"
+    )
+
+
+@register(
+    "stream_where_pushdown",
+    oracle=f"""
+    SELECT l_linestatus, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE (l_orderkey < {FX.SPLITS[1]} OR l_orderkey >= {FX.SPLITS[2]})
+      AND l_returnflag LIKE 'N%'
+    GROUP BY l_linestatus
+    """,
+    group="streaming",
+)
+def stream_where_pushdown(spark, sf_dir):
+    """The streaming source's .option('where', ...) end-to-end: the
+    middle commit's files are disproved by their l_orderkey stats and
+    never planned into a micro-batch; survivors are row-filtered
+    executor-side — the streamed aggregate equals the batch answer."""
+    import os
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    stream = (
+        spark.readStream.format("delta_py")
+        .option("path", os.path.join(root, "lineitem_multi"))
+        .option("startingVersion", "0")
+        .option("where",
+                f"(l_orderkey < {FX.SPLITS[1]} OR l_orderkey >= {FX.SPLITS[2]})"
+                f" AND l_returnflag LIKE 'N%'")
+        .load()
+    )
+    agg = stream.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete").select(
+        "l_linestatus", "n", "revenue"
     )
 
 
