@@ -2127,6 +2127,15 @@ def test_manifest_prune_1m_files_vectorized(tdir):
         1.0, "warm re-prune")
     assert len(files2) == 10
 
+    # OR tree at 1M files: a union of branch masks must stay vectorized
+    # (#children numpy passes over the same manifest, no Python loop)
+    sb3, files3 = timed_prune(
+        lambda: DeltaScanBuilder(snap, None).filter_or(
+            [("i", "<", 1000)], [("i", ">=", n * 10 - 1000)]),
+        1.0, "warm OR prune")
+    assert len(files3) == 200
+    assert sb3.skip_report()["files_skipped_by_stats"] == n - 200
+
 
 def test_vectorized_prune_matches_python_fallback(spark, tdir):
     """Parity gate: the pyarrow fast path and the per-file Python oracle
