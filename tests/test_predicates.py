@@ -244,3 +244,82 @@ def test_like_on_partition_column_prunes_exactly(spark, tdir):
         assert got == want, clause
         rep = sb.skip_report()
         assert rep["files_skipped_by_partition"] >= min_skip, (clause, rep)
+
+
+def test_filter_sql_fuzz_tree_equivalence(spark, tdir):
+    """Generative round-trip: random boolean trees (depth <= 3; every
+    grammar op: comparisons, IN, BETWEEN, LIKE, IS [NOT] NULL,
+    IS [NOT] DISTINCT FROM, NOT) render to SQL, run through
+    scan().filter_sql AND spark.sql on the same Delta table, and must
+    agree exactly — plus the skip-report soundness identity."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("g", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["g"])
+    rows = [(k if k % 7 else None,
+             f"w{k % 13:02d}x" if k % 5 else None,
+             k % 3) for k in range(60)]
+    w.append(spark.createDataFrame(rows, schema).repartition(6))
+    t = DeltaTable(tdir)
+    t.to_df(spark).createOrReplaceTempView("pfz_t")
+
+    ints = st.integers(min_value=-2, max_value=62)
+    strs = st.sampled_from(["w01x", "w05x", "w12x", "zzz", "w0"])
+
+    def lit(v):
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    leaf = st.one_of(
+        st.tuples(st.sampled_from(["i", "g"]),
+                  st.sampled_from(["<", "<=", ">", ">=", "=", "!="]), ints
+                  ).map(lambda t3: f"{t3[0]} {t3[1]} {t3[2]}"),
+        st.tuples(st.sampled_from(["s"]),
+                  st.sampled_from(["<", ">=", "=", "!="]), strs
+                  ).map(lambda t3: f"{t3[0]} {t3[1]} {lit(t3[2])}"),
+        st.tuples(st.sampled_from(["i", "s", "g"]),
+                  st.sampled_from(["IS NULL", "IS NOT NULL"])
+                  ).map(lambda t2: f"{t2[0]} {t2[1]}"),
+        st.tuples(st.lists(ints, min_size=1, max_size=3),
+                  st.sampled_from(["IN", "NOT IN"])
+                  ).map(lambda t2:
+                        f"i {t2[1]} ({', '.join(map(str, t2[0]))})"),
+        st.tuples(ints, ints).map(
+            lambda t2: f"i BETWEEN {min(t2)} AND {max(t2)}"),
+        st.sampled_from(["s LIKE 'w0%'", "s LIKE '%2x'", "s LIKE 'w_1%'",
+                         "s NOT LIKE 'w1%'", "s LIKE 'w05x'"]),
+        st.tuples(ints, st.sampled_from(["DISTINCT FROM",
+                                         "NOT DISTINCT FROM"])
+                  ).map(lambda t2: f"i IS {t2[1]} {t2[0]}"),
+    )
+
+    def tree(depth):
+        if depth == 0:
+            return leaf
+        sub = tree(depth - 1)
+        return st.one_of(
+            leaf,
+            st.tuples(sub, st.sampled_from(["AND", "OR"]), sub).map(
+                lambda t3: f"({t3[0]} {t3[1]} {t3[2]})"),
+            sub.map(lambda c: f"NOT ({c})"),
+        )
+
+    @settings(max_examples=30, deadline=None)
+    @given(tree(3))
+    def check(clause):
+        sb = t.scan(spark).filter_sql(clause)
+        got = sorted(repr(tuple(r))
+                     for r in sb.to_df().select("i", "s", "g").collect())
+        want = sorted(repr(tuple(r)) for r in spark.sql(
+            f"SELECT i, s, g FROM pfz_t WHERE {clause}").collect())
+        assert got == want, clause
+        rep = sb.skip_report()
+        assert rep["files_scanned"] + rep["files_skipped_by_stats"] + \
+            rep["files_skipped_by_partition"] == rep["files_total"]
+
+    check()
