@@ -161,17 +161,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: row-filtered executor-side over the Arrow batches, so the
         #: option is EXACT on its own. A stream over a 100-TB partitioned
         #: table reading one partition plans + reads only that partition.
+        #: on a readChangeFeed stream the option is ROW-LEVEL ONLY (file
+        #: pruning would be unsound for the feed's delete derivation:
+        #: every masked file must stay planned so DV diffs and
+        #: dropped-path deletes materialize) — rows filter executor-side
+        #: AFTER projection, so _change_type/_commit_version are
+        #: filterable columns too.
         wsql = options.get("where")
         self.where_preds = []
         if wsql:
             from duckdb_delta_spark.delta.predicates import parse_where
 
             self.where_preds = parse_where(str(wsql))
-            if self.read_change_feed:
-                raise ValueError(
-                    "option 'where' is not supported with readChangeFeed "
-                    "(the feed's delete semantics need every masked file)"
-                )
         #: delta-spark parity: cap how many FILES one micro-batch admits.
         #: On a 100-TB backlog the first batch otherwise swallows the
         #: whole table; with the cap, latestOffset advances commit-by-
@@ -632,18 +633,22 @@ class DeltaStreamReader(DataSourceStreamReader):
                 ):
                     if len(idx):
                         sub = table.take(pa.array(idx.astype("int64")))
-                        yield from project(sub, fref, ct).to_batches()
+                        yield from self._emit(project(sub, fref, ct))
                 continue
 
-            out = project(table, fref, fref.change_type)
-            if self.where_preds:
-                # row half of the where option: evaluate the same
-                # predicate trees over the projected Arrow table (pruning
-                # above was only conservative)
-                from duckdb_delta_spark.delta.predicates import arrow_mask
+            yield from self._emit(project(table, fref, fref.change_type))
 
-                out = out.filter(arrow_mask(out, self.where_preds))
-            yield from out.to_batches()
+    def _emit(self, out):
+        """Row half of the where option: evaluate the same Pred/OrPred
+        trees over the projected Arrow table (file pruning above was
+        only conservative; on a CDF stream it's the ONLY filter, and the
+        projected table includes _change_type/_commit_version, so those
+        are filterable too)."""
+        if self.where_preds:
+            from duckdb_delta_spark.delta.predicates import arrow_mask
+
+            out = out.filter(arrow_mask(out, self.where_preds))
+        return out.to_batches()
 
 
 def _coerce_pv(v, dtype):

@@ -1465,11 +1465,37 @@ def test_source_where_option_prunes_and_filters(spark, tdir):
                   .collect())
     assert got == want and len(got) > 0
 
-    # where + readChangeFeed is a loud refusal
-    import pytest as _pytest
-    bad = DeltaPySource({"path": tdir, "readChangeFeed": "true",
-                         "where": "i < 5"})
-    with _pytest.raises(Exception):
-        bad.streamReader(bad.schema())
-    _sh.rmtree(out, ignore_errors=True)
-    _sh.rmtree(ck, ignore_errors=True)
+    # where + readChangeFeed: ROW-level only (no file pruning — the
+    # feed's delete derivation needs every masked file), evaluated over
+    # the projected output so _change_type is filterable too
+    DeltaWriter(tdir, spark).delete("i >= 850")        # v3: DV deletes
+    cdf_out, cdf_ck = str(tdir) + "_wc_out", str(tdir) + "_wc_ck"
+    q2 = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("where", "g = 'g1' AND (i < 100 OR i >= 700)")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", cdf_out)
+        .option("checkpointLocation", cdf_ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    got_cdf = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"], r["g"])
+        for r in spark.read.parquet(cdf_out).collect())
+    want_cdf = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"], r["g"])
+        for r in table_changes(DeltaLog(tdir), spark, starting_version=0)
+        .where("g = 'g1' AND (i < 100 OR i >= 700)").collect())
+    assert got_cdf == want_cdf and len(got_cdf) > 0
+    # the DV-delete commit's rows survive the filter (v3 deletes i>=850,
+    # all in g1's second file)
+    assert any(t[0] == "delete" and t[1] == 3 for t in got_cdf)
+    for d in (out, ck, cdf_out, cdf_ck):
+        _sh.rmtree(d, ignore_errors=True)
