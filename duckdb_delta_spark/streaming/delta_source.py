@@ -101,6 +101,22 @@ class DeltaPySource(DataSource):
         from duckdb_delta_spark.delta.snapshot import Snapshot
 
         snap = Snapshot.build(DeltaLog(self._path))
+        fields = list(snap.schema.fields)
+        sel = self.options.get("select")
+        if sel:
+            # .option('select', 'a,b,c') — projection pushdown: the
+            # stream's schema is the subset, and the reader prunes the
+            # parquet column read to it (the Python DataSource bridge
+            # has no native column-pruning hook, so a downstream
+            # .select() alone would still READ every column)
+            names = [c.strip() for c in str(sel).split(",") if c.strip()]
+            by = {f.name: f for f in fields}
+            unknown = [c for c in names if c not in by]
+            if unknown:
+                raise ValueError(
+                    f"select option names unknown columns {unknown}; "
+                    f"table has {sorted(by)}")
+            fields = [by[c] for c in names]
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             from duckdb_delta_spark.delta.changes import (
                 CHANGE_TYPE,
@@ -108,15 +124,12 @@ class DeltaPySource(DataSource):
                 COMMIT_VERSION,
             )
 
-            return T.StructType(
-                list(snap.schema.fields)
-                + [
-                    T.StructField(CHANGE_TYPE, T.StringType()),
-                    T.StructField(COMMIT_VERSION, T.LongType()),
-                    T.StructField(COMMIT_TIMESTAMP, T.TimestampType()),
-                ]
-            )
-        return snap.schema
+            fields = fields + [
+                T.StructField(CHANGE_TYPE, T.StringType()),
+                T.StructField(COMMIT_VERSION, T.LongType()),
+                T.StructField(COMMIT_TIMESTAMP, T.TimestampType()),
+            ]
+        return T.StructType(fields)
 
     def streamReader(self, schema: StructType) -> "DeltaStreamReader":
         return DeltaStreamReader(self._path, schema, self.options)
@@ -228,6 +241,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         # partition columns fixed at stream start
         snap = Snapshot.build(self._log)
         self._partition_columns = snap.partition_columns
+        #: full table schema, kept for typing where-only columns that a
+        #: select-projected stream still needs to READ for filtering
+        self._full_schema = snap.schema
+        self.select = bool(options.get("select"))
         if snap.column_mapping_mode != "none":
             # footers carry PHYSICAL names the slice reader would miss
             from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
@@ -551,7 +568,22 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = to_arrow_schema(self.schema)
+        from pyspark.sql import types as T
+
+        # select-projected streams may still need where-only columns for
+        # the row filter: extend the projection with them (typed from the
+        # full table schema), mask, then drop them in _emit
+        fields = list(self.schema.fields)
+        out_names = [f.name for f in fields]
+        if self.where_preds:
+            have = set(out_names)
+            full_by = {f.name: f for f in self._full_schema.fields}
+            for p in self._where_top_cols():
+                if p not in have and p in full_by:
+                    fields.append(full_by[p])
+                    have.add(p)
+        proj_schema = T.StructType(fields)
+        arrow_schema = to_arrow_schema(proj_schema)
 
         def project(table, fref, change_type):
             """Shape a (possibly row-subset) file table to the stream
@@ -559,7 +591,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             mergeSchema NULL defaulting."""
             pvals = dict(fref.partition_values)
             cols = []
-            for f, af in zip(self.schema.fields, arrow_schema):
+            for f, af in zip(proj_schema.fields, arrow_schema):
                 if change_type is not None and f.name == "_change_type":
                     cols.append(
                         table.column(f.name).cast(af.type)
@@ -594,7 +626,17 @@ class DeltaStreamReader(DataSourceStreamReader):
             return pa.Table.from_arrays(cols, schema=arrow_schema)
 
         for fref in partition.files:
-            table = pq.read_table(fref.path)
+            if self.select:
+                # projection pushdown reaches the parquet read: footer
+                # names first, then a column-pruned read of exactly the
+                # projected (+ where-only) columns present in the file
+                pf = pq.ParquetFile(fref.path)
+                avail = set(pf.schema_arrow.names)
+                want = [f.name for f in proj_schema.fields
+                        if f.name in avail]
+                table = pf.read(columns=want)
+            else:
+                table = pq.read_table(fref.path)
             if fref.dv:
                 from duckdb_delta_spark.delta.dv import (
                     read_dv_from_descriptor,
@@ -633,21 +675,44 @@ class DeltaStreamReader(DataSourceStreamReader):
                 ):
                     if len(idx):
                         sub = table.take(pa.array(idx.astype("int64")))
-                        yield from self._emit(project(sub, fref, ct))
+                        yield from self._emit(project(sub, fref, ct),
+                                              out_names)
                 continue
 
-            yield from self._emit(project(table, fref, fref.change_type))
+            yield from self._emit(
+                project(table, fref, fref.change_type), out_names)
 
-    def _emit(self, out):
+    def _where_top_cols(self) -> list[str]:
+        """Top-level column names the where option's trees reference."""
+        from duckdb_delta_spark.delta.scan import OrPred
+
+        out: list[str] = []
+
+        def walk(p):
+            if isinstance(p, OrPred):
+                for br in p.branches:
+                    for q in br:
+                        walk(q)
+            else:
+                out.append(p.column.split(".")[0])
+
+        for p in self.where_preds:
+            walk(p)
+        return sorted(set(out))
+
+    def _emit(self, out, keep: list[str]):
         """Row half of the where option: evaluate the same Pred/OrPred
         trees over the projected Arrow table (file pruning above was
         only conservative; on a CDF stream it's the ONLY filter, and the
         projected table includes _change_type/_commit_version, so those
-        are filterable too)."""
+        are filterable too), then drop where-only columns a select
+        projection excluded."""
         if self.where_preds:
             from duckdb_delta_spark.delta.predicates import arrow_mask
 
             out = out.filter(arrow_mask(out, self.where_preds))
+            if out.column_names != keep:
+                out = out.select(keep)
         return out.to_batches()
 
 

@@ -1499,3 +1499,70 @@ def test_source_where_option_prunes_and_filters(spark, tdir):
     assert any(t[0] == "delete" and t[1] == 3 for t in got_cdf)
     for d in (out, ck, cdf_out, cdf_ck):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_source_select_option_projects_and_prunes_read(spark, tdir):
+    """.option('select', ...): the stream's schema is the subset and the
+    executor reads only those parquet columns (footer-checked pruned
+    read). Composes with where — a filter column OUTSIDE the selection
+    is read for masking, then dropped from the output."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("s", T.StringType()),
+                              T.StructField("x", T.DoubleType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema_in, partition_by=["g"])
+    w.append(spark.range(200).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        (F.col("id") * 0.5).alias("x"),
+        (F.col("id") % 2).alias("g")))
+
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_sel_out", str(tdir) + "_sel_ck"
+    stream = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("startingVersion", "0")
+        .option("select", "i,g")              # s and x never ship
+        .option("where", "x < 50.0 AND g = 1")  # x is select-excluded
+        .load()
+    )
+    assert stream.schema.fieldNames() == ["i", "g"]
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["i"], r["g"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r["i"], r["g"])
+        for r in DeltaTable(tdir).to_df(spark, where="x < 50.0 AND g = 1")
+        .select("i", "g").collect())
+    assert got == want and len(got) == 50  # i in [0,100) with g=1
+    assert spark.read.parquet(out).schema.fieldNames() == ["i", "g"]
+
+    # unknown select column refuses loudly at schema time
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        DeltaPySource({"path": tdir, "select": "i,nope"}).schema()
+
+    # select on a CDF stream: subset data columns + meta columns
+    cdf = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("select", "i")
+        .load()
+    )
+    assert cdf.schema.fieldNames() == [
+        "i", "_change_type", "_commit_version", "_commit_timestamp"]
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ck, ignore_errors=True)
