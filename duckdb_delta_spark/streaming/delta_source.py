@@ -245,13 +245,37 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: select-projected stream still needs to READ for filtering
         self._full_schema = snap.schema
         self.select = bool(options.get("select"))
+        #: column mapping (name/id mode): files + stats + partitionValues
+        #: carry PHYSICAL top-level names — the reader translates on the
+        #: fly. FLAT schemas only: nested renames need the batch scan's
+        #: positional struct-cast machinery, which the pyarrow slice
+        #: reader doesn't have, so nested CM still refuses loudly.
+        self._phys: dict[str, str] = {}
         if snap.column_mapping_mode != "none":
-            # footers carry PHYSICAL names the slice reader would miss
+            from pyspark.sql import types as T
+
             from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
 
-            raise UnsupportedFeatureError(
-                "delta_py streaming source on a column-mapped table"
-            )
+            def _nested(dt) -> bool:
+                if isinstance(dt, T.StructType):
+                    return True
+                if isinstance(dt, T.ArrayType):
+                    return _nested(dt.elementType)
+                if isinstance(dt, T.MapType):
+                    return _nested(dt.keyType) or _nested(dt.valueType)
+                return False
+
+            if any(_nested(f.dataType) for f in snap.schema.fields):
+                raise UnsupportedFeatureError(
+                    "delta_py streaming source on a column-mapped table "
+                    "with NESTED fields (flat schemas stream; use the "
+                    "batch scan for nested column mapping)"
+                )
+            self._phys = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name)
+                for f in snap.schema.fields
+            }
 
     def _commit_ts(self, v: int) -> int:
         return self._log.commit_timestamp(v)
@@ -356,7 +380,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     _FileRef(
                         path=full,
                         partition_values=tuple(
-                            (c, pv.get(c)) for c in self._partition_columns
+                            (c, pv.get(self._phys.get(c, c)))
+                            for c in self._partition_columns
                         ),
                         dv=json.dumps(a["deletionVector"])
                         if a.get("deletionVector")
@@ -477,7 +502,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             return _FileRef(
                 path=full,
                 partition_values=tuple(
-                    (c, (pv or {}).get(c)) for c in self._partition_columns
+                    (c, (pv or {}).get(self._phys.get(c, c)))
+                    for c in self._partition_columns
                 ),
                 size=int(size or 0),
                 **kw,
@@ -615,14 +641,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                         if v is None
                         else pa.array([v] * table.num_rows, type=af.type)
                     )
-                elif f.name not in table.column_names:
+                elif self._phys.get(f.name, f.name) not in table.column_names:
                     # file predates a mergeSchema widening
                     # (startingVersion=0 replay / RESTORE re-add) —
                     # surface typed NULLs, exactly like the batch scan's
                     # missing-column defaulting
                     cols.append(pa.nulls(table.num_rows, af.type))
                 else:
-                    cols.append(table.column(f.name).cast(af.type))
+                    # column-mapped tables: file carries the PHYSICAL name
+                    cols.append(table.column(
+                        self._phys.get(f.name, f.name)).cast(af.type))
             return pa.Table.from_arrays(cols, schema=arrow_schema)
 
         for fref in partition.files:
@@ -632,8 +660,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                 # projected (+ where-only) columns present in the file
                 pf = pq.ParquetFile(fref.path)
                 avail = set(pf.schema_arrow.names)
-                want = [f.name for f in proj_schema.fields
-                        if f.name in avail]
+                want = [self._phys.get(f.name, f.name)
+                        for f in proj_schema.fields
+                        if self._phys.get(f.name, f.name) in avail]
                 table = pf.read(columns=want)
             else:
                 table = pq.read_table(fref.path)
