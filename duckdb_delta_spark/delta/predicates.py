@@ -147,13 +147,20 @@ class _Parser:
             if self.peek() == ("kw", "distinct"):
                 # null-safe compare, rewritten onto existing ops (the
                 # literal is never NULL in this grammar):
-                #   IS NOT DISTINCT FROM v  ≡  col = v
+                #   IS NOT DISTINCT FROM v  ≡  col = v AND col IS NOT NULL
                 #   IS DISTINCT FROM v      ≡  col != v OR col IS NULL
+                # The IS NOT NULL conjunct is redundant in positive
+                # position ('=' already drops NULLs) but load-bearing
+                # under NOT: De Morgan needs it so the negation comes out
+                # as `!= v OR IS NULL`. A bare '=' would negate to '!=',
+                # which also drops NULL rows — a silent wrong answer
+                # (fuzz-caught: NOT (i IS NOT DISTINCT FROM 0)).
                 self.next()
                 self.expect("kw", "from")
                 v = self.literal()
                 if neg:
-                    return ("pred", col, "=", v)
+                    return ("and", [("pred", col, "=", v),
+                                    ("pred", col, "is not null", None)])
                 return ("or", [("pred", col, "!=", v),
                                ("pred", col, "is null", None)])
             self.expect("kw", "null")

@@ -246,36 +246,63 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._full_schema = snap.schema
         self.select = bool(options.get("select"))
         #: column mapping (name/id mode): files + stats + partitionValues
-        #: carry PHYSICAL top-level names — the reader translates on the
-        #: fly. FLAT schemas only: nested renames need the batch scan's
-        #: positional struct-cast machinery, which the pyarrow slice
-        #: reader doesn't have, so nested CM still refuses loudly.
+        #: carry PHYSICAL names at EVERY nesting level — top-level columns
+        #: resolve through ``_phys``, nested struct fields are renamed
+        #: executor-side by :func:`_to_logical_arrow` (physical-name
+        #: matching, the spec's resolution rule), and where-option paths
+        #: translate through ``_phys_paths`` before pruning.
         self._phys: dict[str, str] = {}
+        self._phys_paths: dict[str, str] = {}
         if snap.column_mapping_mode != "none":
             from pyspark.sql import types as T
 
-            from duckdb_delta_spark.delta.errors import UnsupportedFeatureError
+            from duckdb_delta_spark.delta.mapping import physical_path_map
 
-            def _nested(dt) -> bool:
-                if isinstance(dt, T.StructType):
-                    return True
-                if isinstance(dt, T.ArrayType):
-                    return _nested(dt.elementType)
-                if isinstance(dt, T.MapType):
-                    return _nested(dt.keyType) or _nested(dt.valueType)
-                return False
-
-            if any(_nested(f.dataType) for f in snap.schema.fields):
-                raise UnsupportedFeatureError(
-                    "delta_py streaming source on a column-mapped table "
-                    "with NESTED fields (flat schemas stream; use the "
-                    "batch scan for nested column mapping)"
-                )
             self._phys = {
                 f.name: (f.metadata or {}).get(
                     "delta.columnMapping.physicalName", f.name)
                 for f in snap.schema.fields
             }
+            self._phys_paths = physical_path_map(snap.schema)
+            # the schema Spark hands back may have been stripped of field
+            # metadata in transit; the nested rename needs the
+            # physicalName annotations, so re-source data fields from the
+            # snapshot schema (CDF meta columns pass through untouched)
+            full_by = {f.name: f for f in snap.schema.fields}
+            self.schema = T.StructType(
+                [full_by.get(f.name, f) for f in self.schema.fields]
+            )
+        #: driver-side pruning twin of where_preds with columns translated
+        #: logical→physical — add-action partitionValues/stats are keyed
+        #: by PHYSICAL names on mapped tables, so evaluating logical-named
+        #: preds against them would read every partition key as NULL and
+        #: '=' would silently skip EVERY file (mirrors the batch scan's
+        #: xlate, scan.py:706-731). Row filtering keeps the LOGICAL
+        #: preds: it runs over the projected table, already renamed.
+        self._pcols_phys = [
+            self._phys.get(c, c) for c in self._partition_columns
+        ]
+        self._where_preds_phys = (
+            [self._xlate_pred(p) for p in self.where_preds]
+            if self._phys else self.where_preds
+        )
+
+    def _xlate_pred(self, p):
+        """Pred/OrPred with its column path translated to the log's
+        physical dotted path (nested levels included, via the snapshot's
+        physical_path_map — same translation the batch scan applies,
+        scan.py:706-731)."""
+        from duckdb_delta_spark.delta.scan import OrPred, Pred
+
+        if isinstance(p, OrPred):
+            return OrPred(
+                [[self._xlate_pred(q) for q in br] for br in p.branches]
+            )
+        col = self._phys_paths.get(p.column)
+        if col is None:
+            head, _, rest = p.column.partition(".")
+            col = self._phys.get(head, head) + ("." + rest if rest else "")
+        return Pred(col, p.op, p.value)
 
     def _commit_ts(self, v: int) -> int:
         return self._log.commit_timestamp(v)
@@ -436,7 +463,9 @@ class DeltaStreamReader(DataSourceStreamReader):
     def _admit(self, a: dict) -> bool:
         """where-option file pruning: same conservative evaluator as the
         batch scan (partition values exact, stats min/max/nullCount,
-        missing evidence keeps)."""
+        missing evidence keeps). Uses the PHYSICAL-name twins of the
+        preds and partition columns — the add action's partitionValues
+        and stats carry physical keys on column-mapped tables."""
         if not self.where_preds:
             return True
         from duckdb_delta_spark.delta.scan import file_may_match
@@ -451,8 +480,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             deletion_vector=a.get("deletionVector"),
         )
         return all(
-            file_may_match(f, p, self._partition_columns)
-            for p in self.where_preds
+            file_may_match(f, p, self._pcols_phys)
+            for p in self._where_preds_phys
         )
 
     def _classify(self, version: int):
@@ -649,8 +678,13 @@ class DeltaStreamReader(DataSourceStreamReader):
                     cols.append(pa.nulls(table.num_rows, af.type))
                 else:
                     # column-mapped tables: file carries the PHYSICAL name
-                    cols.append(table.column(
-                        self._phys.get(f.name, f.name)).cast(af.type))
+                    # (nested struct fields too — renamed recursively)
+                    src = table.column(self._phys.get(f.name, f.name))
+                    cols.append(
+                        _to_logical_arrow(src, f.dataType, af.type)
+                        if self._phys and _contains_struct(f.dataType)
+                        else src.cast(af.type)
+                    )
             return pa.Table.from_arrays(cols, schema=arrow_schema)
 
         for fref in partition.files:
@@ -743,6 +777,88 @@ class DeltaStreamReader(DataSourceStreamReader):
             if out.column_names != keep:
                 out = out.select(keep)
         return out.to_batches()
+
+
+def _contains_struct(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+    return False
+
+
+def _to_logical_arrow(arr, dt, at):
+    """Physical-named parquet Arrow column → logical-named stream column
+    for column-mapped tables. Struct fields resolve by their
+    ``delta.columnMapping.physicalName`` metadata at EVERY nesting level —
+    the spec's resolution rule (positional matching breaks once nested
+    schema evolution adds or reorders fields); fields the file predates
+    null-fill, and leaves cast to the stream's Arrow types. This is the
+    Arrow-side twin of the batch scan's logical rename (Catalyst struct
+    casts there, scan.py nested CM; pyarrow casts don't rename struct
+    fields, so the arrays rebuild zero-copy from their children).
+
+    ``dt`` is the logical Spark type (metadata-bearing), ``at`` the
+    target Arrow type derived from it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.mapping import field_meta
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(dt, T.StructType) and pa.types.is_struct(arr.type):
+        by_phys = {
+            arr.type.field(i).name: i for i in range(arr.type.num_fields)
+        }
+        children = []
+        for i, sf in enumerate(dt.fields):
+            sub_at = at.field(i).type
+            j = by_phys.get(field_meta(sf)[0])
+            children.append(
+                pa.nulls(len(arr), sub_at)
+                if j is None
+                else _to_logical_arrow(arr.field(j), sf.dataType, sub_at)
+            )
+        return pa.StructArray.from_arrays(
+            children, fields=list(at),
+            mask=pc.is_null(arr) if arr.null_count else None,
+        )
+    if isinstance(dt, T.ArrayType) and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        cls = (pa.LargeListArray if pa.types.is_large_list(arr.type)
+               else pa.ListArray)
+        out = cls.from_arrays(
+            arr.offsets,
+            _to_logical_arrow(arr.values, dt.elementType, at.value_type),
+            mask=pc.is_null(arr) if arr.null_count else None,
+        )
+        return out if out.type.equals(at) else out.cast(at)
+    if isinstance(dt, T.MapType) and pa.types.is_map(arr.type):
+        offs = arr.offsets
+        if arr.null_count:
+            # MapArray.from_arrays has no mask kwarg; null entries are
+            # marked by NULL OFFSETS (the ListArray convention)
+            import numpy as np
+
+            off_np = offs.to_numpy(zero_copy_only=False)
+            nulls = np.zeros(len(off_np), dtype=bool)
+            nulls[:-1] = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            offs = pa.array(off_np, mask=nulls)
+        out = pa.MapArray.from_arrays(
+            offs,
+            arr.keys.cast(at.key_type),
+            _to_logical_arrow(arr.items, dt.valueType, at.item_type),
+        )
+        return out if out.type.equals(at) else out.cast(at)
+    return arr if arr.type.equals(at) else arr.cast(at)
 
 
 def _coerce_pv(v, dtype):

@@ -4003,7 +4003,7 @@ def test_prune_fuzz_answer_preserved(spark, tdir):
         return {"<": v < val, "<=": v <= val, ">": v > val,
                 ">=": v >= val, "=": v == val, "!=": v != val}[op]
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25, deadline=None, derandomize=True)
     @given(st.lists(pred, min_size=1, max_size=2))
     def check(preds):
         sb = t.scan(spark)
@@ -4098,7 +4098,7 @@ def test_prune_fuzz_or_trees_answer_preserved(spark, tdir):
         return {"<": v < val, "<=": v <= val, ">": v > val,
                 ">=": v >= val, "=": v == val, "!=": v != val}[op]
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25, deadline=None, derandomize=True)
     @given(or_tree)
     def check(branches):
         sb = t.scan(spark).filter_or(*branches)
@@ -4182,7 +4182,7 @@ def test_merge_fuzz_matches_python_reference(spark, tdir):
     )
     case_n = [0]
 
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=12, deadline=None, derandomize=True)
     @given(
         base=kv, src=kv,
         mode=st.sampled_from(["update", "delete", "insert_only"]),
@@ -4261,7 +4261,7 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
     # r10 CDF shrink loss; override DML_FUZZ_EXAMPLES to dial depth
     n_examples = int(os.environ.get("DML_FUZZ_EXAMPLES", "50"))
 
-    @settings(max_examples=n_examples, deadline=None)
+    @settings(max_examples=n_examples, deadline=None, derandomize=True)
     @given(ops=st.lists(op, min_size=3, max_size=7))
     def check(ops):
         case_n[0] += 1

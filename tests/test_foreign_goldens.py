@@ -391,7 +391,7 @@ def test_dv_codec_property_roundtrip(tmp_path):
 
     from duckdb_delta_spark.delta import dv as DV
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60, deadline=None, derandomize=True)
     @given(st.sets(
         st.one_of(
             st.integers(min_value=0, max_value=200_000),

@@ -252,7 +252,7 @@ def test_filter_sql_fuzz_tree_equivalence(spark, tdir):
     IS [NOT] DISTINCT FROM, NOT) render to SQL, run through
     scan().filter_sql AND spark.sql on the same Delta table, and must
     agree exactly — plus the skip-report soundness identity."""
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
     from duckdb_delta_spark.delta.table import DeltaTable
 
@@ -309,7 +309,15 @@ def test_filter_sql_fuzz_tree_equivalence(spark, tdir):
             sub.map(lambda c: f"NOT ({c})"),
         )
 
-    @settings(max_examples=30, deadline=None)
+    # derandomize: gate runs draw the SAME example set every time (the
+    # r13 null-safe-negation bug slipped through because random draws
+    # missed it); found falsifying examples are pinned below so the
+    # regression check is deterministic regardless of the draw.
+    @settings(max_examples=30, deadline=None, derandomize=True)
+    @example("NOT (i IS NOT DISTINCT FROM 0)")
+    @example("NOT (i IS DISTINCT FROM 7)")
+    @example("NOT (NOT (i IS NOT DISTINCT FROM 0))")
+    @example("NOT (s IS NOT DISTINCT FROM 'w05x')")
     @given(tree(3))
     def check(clause):
         sb = t.scan(spark).filter_sql(clause)

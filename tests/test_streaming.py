@@ -266,8 +266,26 @@ def test_sink_and_source_gates(spark, tmp_path):
                        configuration={"delta.columnMapping.mode": "name"})
     with pytest.raises(UnsupportedFeatureError, match="column-mapped"):
         DeltaStreamWriter(cm, schema, {})
-    with pytest.raises(UnsupportedFeatureError, match="column-mapped"):
-        DeltaStreamReader(cm, schema, {"startingVersion": "0"})
+    # column-mapped tables STREAM reader-side (flat since r13, nested via
+    # the Arrow physical-name rename since r14) — constructing the reader
+    # must NOT raise for either shape (positive value coverage:
+    # test_source_flat_column_mapping_* / test_source_nested_column_mapping_*)
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+
+    flat_schema = Snapshot.build(DeltaLog(cm)).schema
+    DeltaStreamReader(cm, flat_schema, {"startingVersion": "0"})
+
+    nested = str(tmp_path / "cm_nested")
+    nschema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType(
+            [T.StructField("a", T.LongType())])),
+    ])
+    DeltaWriter.create(spark, nested, nschema,
+                       configuration={"delta.columnMapping.mode": "name"})
+    nested_schema = Snapshot.build(DeltaLog(nested)).schema
+    DeltaStreamReader(nested, nested_schema, {"startingVersion": "0"})
 
 
 def test_source_old_files_yield_nulls_for_widened_schema(spark, tmp_path):
@@ -1566,3 +1584,242 @@ def test_source_select_option_projects_and_prunes_read(spark, tdir):
         "i", "_change_type", "_commit_version", "_commit_timestamp"]
     _sh.rmtree(out, ignore_errors=True)
     _sh.rmtree(ck, ignore_errors=True)
+
+
+def test_source_flat_column_mapping_streams_correct_values(spark, tdir):
+    """Positive coverage for flat column-mapped streaming reads (shipped
+    in r13 with zero tests): a name-mapped partitioned table streams the
+    correct logical-named values end-to-end, matching the batch scan."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("s", T.StringType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(
+        spark, tdir, schema_in, partition_by=["g"],
+        configuration={"delta.columnMapping.mode": "name"})
+    w.append(spark.range(30).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+        (F.col("id") % 3).alias("g")))
+
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_cm_out", str(tdir) + "_cm_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["i"], r["s"], r["g"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["i"], r["s"], r["g"])
+                  for r in DeltaTable(tdir).to_df(spark).collect())
+    assert got == want and len(got) == 30
+    for d in (out, ck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_source_where_option_on_column_mapped_table(spark, tdir):
+    """r13 regression (silent wrong answer): .option('where', 'g = 0') on
+    a flat column-mapped table returned ZERO rows — _admit evaluated
+    logical-named preds against the add action's PHYSICAL-name-keyed
+    partitionValues, so '=' skipped every file. Now the preds translate
+    logical→physical before pruning (like the batch scan), and both the
+    partition-pred and stats-pred paths return exact results while still
+    actually pruning files."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("g", T.LongType())])
+    w = DeltaWriter.create(
+        spark, tdir, schema_in, partition_by=["g"],
+        configuration={"delta.columnMapping.mode": "name"})
+    w.append(spark.range(60).select(
+        F.col("id").alias("i"), (F.col("id") % 3).alias("g"))
+        .repartitionByRange(4, "i"))
+
+    # planner-side: the partition pred admits a real subset (pruning
+    # works), not zero (the bug) and not everything (no translation)
+    total = len(DeltaTable(tdir).snapshot.add_files())
+    for clause in ("g = 0",        # partition-value path
+                   "i >= 40"):     # stats min/max path
+        src = DeltaPySource({"path": tdir, "startingVersion": "0",
+                             "where": clause})
+        reader = src.streamReader(src.schema())
+        parts = reader.partitions({"version": -1}, {"version": 1})
+        admitted = [f for p in parts for f in p.files]
+        assert 0 < len(admitted) < total, (clause, len(admitted), total)
+
+    spark.dataSource.register(DeltaPySource)
+    for tag, clause in (("p", "g = 0"), ("s", "i >= 40 AND g != 1")):
+        out, ck = f"{tdir}_cmw_{tag}_out", f"{tdir}_cmw_{tag}_ck"
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", tdir)
+            .option("startingVersion", "0")
+            .option("where", clause)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted((r["i"], r["g"])
+                     for r in spark.read.parquet(out).collect())
+        want = sorted((r["i"], r["g"])
+                      for r in DeltaTable(tdir).to_df(spark, where=clause)
+                      .collect())
+        assert got == want and len(got) > 0, clause
+        _sh.rmtree(out, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+
+
+def test_source_cdf_where_select_across_dv_diff(spark, tdir):
+    """readChangeFeed + where + select composed across a DV re-add
+    (__dv_diff__ ref): a second DELETE on an already-DV-masked file emits
+    its incremental delete rows, the where option filters rows (including
+    on _change_type) AFTER projection, and select prunes the data columns
+    — all three r13 options in one stream, matching the batch feed."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema_in = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("s", T.StringType())])
+    w = DeltaWriter.create(spark, tdir, schema_in)
+    w.append(spark.range(10).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit("v"), F.col("id")).alias("s")).coalesce(1))
+    DeltaWriter(tdir, spark).delete("i = 3")   # v2: fresh DV on the file
+    DeltaWriter(tdir, spark).delete("i = 5")   # v3: DV RE-ADD (diff pair)
+
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_cdfws_out", str(tdir) + "_cdfws_ck"
+    clause = "_change_type = 'delete' AND i >= 4"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("select", "i")                 # s never ships
+        .option("where", clause)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    assert res.schema.fieldNames() == [
+        "i", "_change_type", "_commit_version", "_commit_timestamp"]
+    got = sorted((r["i"], r["_change_type"], r["_commit_version"])
+                 for r in res.collect())
+    want = sorted((r["i"], r["_change_type"], r["_commit_version"])
+                  for r in table_changes(DeltaLog(tdir), spark,
+                                         starting_version=2)
+                  .where(clause).select(
+                      "i", "_change_type", "_commit_version").collect())
+    # v2's delete of i=3 fails i>=4; v3's dv-diff delete of i=5 survives
+    assert got == want == [(5, "delete", 3)], got
+    for d in (out, ck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_source_nested_column_mapping_streams_correct_values(spark, tdir):
+    """NESTED column-mapped streaming (the last CM shape the source
+    lacked): struct fields rename by their physicalName metadata at every
+    level executor-side (id-mode foreign fixture: struct + array + map +
+    a spec-byte DV on file 2), and a where option on a nested dotted path
+    prunes files via the PHYSICAL-keyed nested stats and row-filters
+    exactly — all matching the batch scan."""
+    import shutil as _sh
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.testing import foreign
+
+    foreign.build_foreign_nested_cm_dv(tdir)
+
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_ncm_out", str(tdir) + "_ncm_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = ("id", "info", "tags", "attrs")
+    got = sorted(repr(tuple(r[k] for k in key))
+                 for r in spark.read.parquet(out).collect())
+    want = sorted(repr(tuple(r[k] for k in key))
+                  for r in DeltaTable(tdir).to_df(spark).collect())
+    # ids 0..23 minus the DV-deleted {12, 15, 18, 21}
+    assert got == want and len(got) == 20
+    res = spark.read.parquet(out)
+    assert sorted(r["id"] for r in res.collect()) == [
+        i for i in range(24) if not (i >= 12 and i % 3 == 0)]
+    assert res.where("info.name = concat('n', id)").count() == 20
+    assert res.where("attrs['b'] = 2 * id").count() == 20
+
+    # where on a NESTED dotted path: file 1 (scores 0..16.5) is disproved
+    # by the physical-keyed nested stats, file 2 survives
+    src = DeltaPySource({"path": tdir, "startingVersion": "0",
+                         "where": "info.score >= 18.0"})
+    reader = src.streamReader(src.schema())
+    parts = reader.partitions({"version": -1}, {"version": 1})
+    admitted = [f for p in parts for f in p.files]
+    total = len(DeltaTable(tdir).snapshot.add_files())
+    assert 0 < len(admitted) < total, (len(admitted), total)
+
+    wout, wck = str(tdir) + "_ncmw_out", str(tdir) + "_ncmw_ck"
+    q2 = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("startingVersion", "0")
+        .option("where", "info.score >= 18.0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", wout)
+        .option("checkpointLocation", wck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_w = sorted(r["id"] for r in spark.read.parquet(wout).collect())
+    assert got_w == [i for i in range(12, 24) if i % 3 != 0]
+    for d in (out, ck, wout, wck):
+        _sh.rmtree(d, ignore_errors=True)
