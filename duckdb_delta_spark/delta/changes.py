@@ -182,8 +182,13 @@ def _read_cdc(
     ``_change_type`` + ``_commit_version``.
 
     Column-mapped tables: cdc files mirror data files (Delta spec), so
-    columns are read under their PHYSICAL names and renamed to logical;
+    columns are read under their PHYSICAL names — at EVERY nesting level
+    (a logical nested type in the read schema would name-match nothing
+    and null every nested field) — then cast back to logical names
+    (positional Catalyst struct cast, same as the batch scan);
     cdc-action partitionValues are keyed physically too."""
+    from duckdb_delta_spark.delta.mapping import nullable_type, physical_type
+
     pcols = snap.partition_columns
     schema = snap.schema
     ptypes = {f.name: f.dataType for f in schema.fields}
@@ -195,7 +200,7 @@ def _read_cdc(
     }
     file_schema = T.StructType(
         [
-            T.StructField(phys[f.name], f.dataType, True)
+            T.StructField(phys[f.name], physical_type(f.dataType), True)
             for f in schema.fields
             if f.name not in pcols
         ]
@@ -232,10 +237,15 @@ def _read_cdc(
     out = None
     for pv, paths in by_pv.items():
         df = spark.read.schema(file_schema).parquet(*paths)
-        # physical → logical rename for the data columns
+        # physical → logical rename for the data columns (nested fields
+        # rename via a positional struct cast to the logical shape)
         df = df.select(
             *[
-                F.col(phys[f.name]).alias(f.name)
+                (
+                    F.col(phys[f.name]).cast(nullable_type(f.dataType))
+                    if physical_type(f.dataType) != f.dataType
+                    else F.col(phys[f.name])
+                ).alias(f.name)
                 for f in schema.fields
                 if f.name not in pcols
             ],

@@ -637,26 +637,42 @@ class DeltaWriter:
         computed: list[str] = []
         if merge_schema:
             known = set(schema.fieldNames())
+            by_df = {f.name: f for f in df.schema.fields}
             new_fields = [f for f in df.schema.fields if f.name not in known]
-            if new_fields:
-                new_struct = T.StructType([
+            # NESTED widening too (delta-spark parity): input struct
+            # fields the table lacks append at the end of their struct;
+            # existing fields keep order/metadata (mapping ids)
+            widened_fields = []
+            nested_widened = False
+            for f in schema.fields:
+                d = by_df.get(f.name)
+                mdt = (
+                    _merge_nested_types(f.dataType, d.dataType)
+                    if d is not None else f.dataType
+                )
+                if mdt != f.dataType:
+                    nested_widened = True
+                widened_fields.append(
+                    T.StructField(f.name, mdt, f.nullable, f.metadata)
+                )
+            if new_fields or nested_widened:
+                merged = T.StructType(widened_fields + [
                     T.StructField(f.name, _nullable_type(f.dataType), True)
                     for f in new_fields
                 ])
                 if snapshot.column_mapping_mode != "none":
-                    # delta-spark parity: fresh columns get the next
-                    # mapping ids + uuid physical names (at every nesting
-                    # level); maxColumnId advances in the same commit
+                    # delta-spark parity: fresh columns/nested fields get
+                    # the next mapping ids + uuid physical names (existing
+                    # metadata preserved); maxColumnId advances in the
+                    # same commit
                     cfg = dict(snapshot.configuration)
                     start = int(cfg.get("delta.columnMapping.maxColumnId", 0))
-                    new_struct, new_max = _ensure_mapping_metadata(
-                        new_struct, start_id=start
+                    merged, new_max = _ensure_mapping_metadata(
+                        merged, start_id=start
                     )
                     cfg["delta.columnMapping.maxColumnId"] = str(new_max)
                     widened_config = cfg
-                schema = T.StructType(
-                    list(schema.fields) + list(new_struct.fields)
-                )
+                schema = merged
                 schema_widened = True
             gen = _generated_exprs(schema)
             dflt = _default_exprs(schema)
@@ -665,19 +681,30 @@ class DeltaWriter:
                         if f.name not in df.columns and f.name in gen]
             sel = [
                 (
-                    F.col(f.name)
-                    if f.name in df.columns
-                    else (
-                        F.expr(gen[f.name])
-                        if f.name in gen
-                        else ident_exprs.get(
-                            f.name,
-                            F.expr(dflt[f.name])
-                            if f.name in dflt
-                            else F.lit(None),
-                        )
+                    # struct shapes that differ (widened/old-shape/
+                    # reordered input) conform BY NAME — a positional
+                    # cast would fail or silently swap values
+                    _conform_nested_expr(
+                        F.col(f.name), by_df[f.name].dataType, f.dataType
                     )
-                ).cast(_nullable_type(f.dataType)).alias(f.name)
+                    if f.name in by_df and _needs_nested_conform(
+                        by_df[f.name].dataType, f.dataType
+                    )
+                    else (
+                        F.col(f.name)
+                        if f.name in df.columns
+                        else (
+                            F.expr(gen[f.name])
+                            if f.name in gen
+                            else ident_exprs.get(
+                                f.name,
+                                F.expr(dflt[f.name])
+                                if f.name in dflt
+                                else F.lit(None),
+                            )
+                        )
+                    ).cast(_nullable_type(f.dataType))
+                ).alias(f.name)
                 for f in schema.fields
             ]
         else:
@@ -692,19 +719,47 @@ class DeltaWriter:
                        if c not in gen and c not in ident_exprs and c not in dflt]
             if missing:
                 raise SchemaError(f"input missing table columns: {missing}")
+            # nested schema ENFORCEMENT (non-merge): input struct fields
+            # the table lacks, or table struct fields the input lacks,
+            # refuse — evolution and null-filling need merge_schema=True
+            by_df = {f.name: f for f in df.schema.fields}
+            for f in schema.fields:
+                if f.name not in by_df:
+                    continue
+                extra, lacking = _nested_name_diffs(
+                    by_df[f.name].dataType, f.dataType
+                )
+                if extra or lacking:
+                    raise SchemaError(
+                        f"column {f.name!r}: nested shape mismatch "
+                        f"(input-only fields {extra}, table-only fields "
+                        f"{lacking}); pass merge_schema=True to evolve "
+                        "the table / null-fill old-shape input"
+                    )
             # cast to the nullable shape — Spark refuses to cast a nullable
             # value into a non-nullable struct field, and NOT NULL
             # enforcement is ours (stats-based, post-write) anyway
             sel = [
                 (
-                    F.expr(gen[f.name])
-                    if f.name in computed
-                    else F.expr(dflt[f.name])
-                    if f.name in defaulted
-                    else ident_exprs.get(f.name, F.col(f.name))
-                    if f.name not in df.columns
-                    else F.col(f.name)
-                ).cast(_nullable_type(f.dataType)).alias(f.name)
+                    # same-name-set struct in a DIFFERENT field order:
+                    # conform by name (a positional cast would silently
+                    # swap same-typed fields)
+                    _conform_nested_expr(
+                        F.col(f.name), by_df[f.name].dataType, f.dataType
+                    )
+                    if f.name in by_df and _needs_nested_conform(
+                        by_df[f.name].dataType, f.dataType
+                    )
+                    else (
+                        F.expr(gen[f.name])
+                        if f.name in computed
+                        else F.expr(dflt[f.name])
+                        if f.name in defaulted
+                        else ident_exprs.get(f.name, F.col(f.name))
+                        if f.name not in df.columns
+                        else F.col(f.name)
+                    ).cast(_nullable_type(f.dataType))
+                ).alias(f.name)
                 for f in schema.fields
             ]
         df = df.select(*sel)
@@ -1387,40 +1442,33 @@ class DeltaWriter:
         extra_cols: tuple[str, ...] = (),
     ):
         """Rename columns to their column-mapping physical names and attach
-        parquet field ids for the write. Top-level mapping only — nested
-        mapped names are not supported on the write path. ``extra_cols``
-        pass through unrenamed (e.g. the cdc ``_change_type``, which the
-        spec keeps literal in change-data files)."""
+        parquet field ids for the write — at EVERY nesting level: nested
+        struct fields rename via a Catalyst cast to the physical-named
+        type (struct casts are positional, so a cast to the same shape
+        with different field names IS the rename, codegen-side; the cast
+        target carries ``parquet.field.id`` metadata on every level, which
+        the parquet writer emits with fieldId.write enabled). The stats
+        footer then comes out keyed by physical names at every level, as
+        the spec requires. ``extra_cols`` pass through unrenamed (e.g. the
+        cdc ``_change_type``, which the spec keeps literal in change-data
+        files)."""
         from pyspark.sql import functions as F
 
-        def _has_nested_mapping(dt: T.DataType) -> bool:
-            if isinstance(dt, T.StructType):
-                return any(
-                    "delta.columnMapping.physicalName" in (f.metadata or {})
-                    or _has_nested_mapping(f.dataType)
-                    for f in dt.fields
-                )
-            if isinstance(dt, T.ArrayType):
-                return _has_nested_mapping(dt.elementType)
-            if isinstance(dt, T.MapType):
-                return _has_nested_mapping(dt.valueType)
-            return False
+        from duckdb_delta_spark.delta.mapping import physical_type
 
         phys_fields = []
         sel = []
         for f in schema.fields:
-            if _has_nested_mapping(f.dataType):
-                raise UnsupportedFeatureError(
-                    f"append with nested column-mapping names ({f.name!r})"
-                )
             md = f.metadata or {}
             phys = md.get("delta.columnMapping.physicalName", f.name)
             fid = md.get("delta.columnMapping.id")
             meta = {"parquet.field.id": int(fid)} if fid is not None else {}
-            phys_fields.append(
-                T.StructField(phys, f.dataType, f.nullable, meta)
-            )
-            sel.append(F.col(f.name).alias(phys, metadata=meta))
+            p_dt = physical_type(f.dataType)
+            phys_fields.append(T.StructField(phys, p_dt, f.nullable, meta))
+            col = F.col(f.name)
+            if p_dt != f.dataType:
+                col = col.cast(p_dt)
+            sel.append(col.alias(phys, metadata=meta))
         for c in extra_cols:
             sel.append(F.col(c))
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -1972,9 +2020,9 @@ class DeltaWriter:
         if isinstance(condition, str):
             condition = F.expr(condition)
         schema = snap.schema
-        bad = [c for c in assignments if c not in schema.fieldNames()]
-        if bad:
-            raise SchemaError(f"assignments target unknown columns: {bad}")
+        # validates targets (incl. dotted nested struct paths → withField)
+        assigned_exprs = _assignment_exprs(schema, assignments, F.col)
+        assigned_tops = set(assigned_exprs)
 
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
         full = scan.to_df()
@@ -1993,10 +2041,7 @@ class DeltaWriter:
             n_updated = sum(r["n_new"] for r in results)
 
             def _assigned(name):
-                a = assignments.get(name)
-                if a is None:
-                    return F.col(name)
-                return F.expr(a) if isinstance(a, str) else a
+                return assigned_exprs.get(name, F.col(name))
 
             new_rows = matched.select(
                 *[
@@ -2008,10 +2053,10 @@ class DeltaWriter:
             # (sources may have changed); explicitly assigned ones are
             # enforced against their expression
             gen = _generated_exprs(schema)
-            new_rows = _apply_generated(new_rows, schema, keep=set(assignments))
+            new_rows = _apply_generated(new_rows, schema, keep=assigned_tops)
             self._enforce_check_constraints(new_rows)
             self._enforce_generated_columns(
-                new_rows, schema, skip={c for c in gen if c not in assignments}
+                new_rows, schema, skip={c for c in gen if c not in assigned_tops}
             )
             w_schema, w_parts, w_rows = (
                 schema, snap.partition_columns, new_rows
@@ -2125,13 +2170,13 @@ class DeltaWriter:
         gen = _generated_exprs(schema)
         new_parts = []  # (frame, generated-cols-already-consistent)
         if when_matched_update and results:
+            upd_exprs = _assignment_exprs(
+                schema, when_matched_update, lambda n: F.col("t." + n)
+            )
+            upd_tops = set(upd_exprs)
             upd = t.join(s, on_expr, "inner").select(
                 *[
-                    (
-                        F.expr(when_matched_update[f.name])
-                        if f.name in when_matched_update
-                        else F.col("t." + f.name)
-                    )
+                    upd_exprs.get(f.name, F.col("t." + f.name))
                     .cast(_nullable_type(f.dataType))
                     .alias(f.name)
                     for f in schema.fields
@@ -2139,9 +2184,9 @@ class DeltaWriter:
             )
             # recompute generated columns the assignments didn't set
             # (their sources may have changed); enforce the assigned ones
-            upd = _apply_generated(upd, schema, keep=set(when_matched_update))
+            upd = _apply_generated(upd, schema, keep=upd_tops)
             new_parts.append(
-                (upd, {c for c in gen if c not in when_matched_update})
+                (upd, {c for c in gen if c not in upd_tops})
             )
         ins = None
         ins_skip: set = set()
@@ -2737,11 +2782,12 @@ class DeltaWriter:
         """ALTER TABLE ADD COLUMN (nullable; existing files read typed
         NULLs via the schema-evolution path). Works on mapped AND
         unmapped tables; on mapped tables the new field gets the next
-        columnMapping id + a fresh physical name."""
+        columnMapping id + a fresh physical name. DOTTED paths add the
+        field INSIDE an existing struct (``add_column("info.b", "long")``
+        — end of the struct, delta-spark's default position); old files
+        null-fill nested additions exactly like top-level ones."""
         snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
         schema = snap.schema
-        if name in schema.fieldNames():
-            raise SchemaError(f"column {name!r} already exists")
         if isinstance(dtype, str):
             dtype = getattr(T, "_parse_datatype_string")(dtype)
         md: dict = {}
@@ -2755,9 +2801,33 @@ class DeltaWriter:
             md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
             config["delta.columnMapping.maxColumnId"] = str(next_id)
             meta["configuration"] = config
-        fields = list(schema.fields) + [
-            T.StructField(name, _nullable_type(dtype), True, md)
-        ]
+        new_field = T.StructField(
+            name.rpartition(".")[2], _nullable_type(dtype), True, md
+        )
+
+        def walk(struct: T.StructType, path: str) -> T.StructType:
+            seg, _, tail = path.partition(".")
+            if not tail:
+                if seg in struct.fieldNames():
+                    raise SchemaError(f"column {name!r} already exists")
+                return T.StructType(list(struct.fields) + [new_field])
+            out = []
+            hit = False
+            for f in struct.fields:
+                if f.name == seg:
+                    hit = True
+                    if not isinstance(f.dataType, T.StructType):
+                        raise SchemaError(f"{name!r}: {seg!r} is not a struct")
+                    out.append(T.StructField(
+                        f.name, walk(f.dataType, tail), f.nullable,
+                        f.metadata))
+                else:
+                    out.append(f)
+            if not hit:
+                raise SchemaError(f"no such column: {seg!r}")
+            return T.StructType(out)
+
+        fields = walk(schema, name).fields
         meta["schemaString"] = T.StructType(fields).json()
         actions = [
             {"commitInfo": _commit_info("ADD COLUMNS",
@@ -4657,6 +4727,190 @@ def _nullable_type(dt: T.DataType) -> T.DataType:
     if isinstance(dt, T.MapType):
         return T.MapType(dt.keyType, _nullable_type(dt.valueType), True)
     return dt
+
+
+def _assignment_exprs(schema: T.StructType, assignments: dict, col_for):
+    """UPDATE/MERGE ``SET`` targets → {top-level column: Column},
+    supporting DOTTED NESTED struct paths (``{"info.a": "expr"}`` →
+    ``Column.withField`` — delta-spark's ``SET info.a = ...`` surface;
+    sibling fields keep their pre-update values). Every target is
+    validated against the schema (unknown columns AND unknown nested
+    paths refuse — silent typo-drops were possible in MERGE before);
+    assigning a column wholesale and one of its nested fields in the
+    same statement is ambiguous and refuses. ``col_for(name)`` supplies
+    the base column (plain or alias-qualified for MERGE's ``t.``)."""
+    from pyspark.sql import functions as F
+
+    tops = {f.name: f for f in schema.fields}
+    whole: dict = {}
+    nested: dict[str, list] = {}
+    bad: list[str] = []
+    for target, a in assignments.items():
+        head, _, rest = target.partition(".")
+        f = tops.get(head)
+        if f is None:
+            bad.append(target)
+            continue
+        if not rest:
+            whole[head] = a
+            continue
+        dt = f.dataType
+        ok = True
+        for seg in rest.split("."):
+            if not isinstance(dt, T.StructType) or seg not in dt.fieldNames():
+                ok = False
+                break
+            dt = dt[seg].dataType
+        if not ok:
+            bad.append(target)
+            continue
+        nested.setdefault(head, []).append((rest, a))
+    if bad:
+        raise SchemaError(f"assignments target unknown columns: {bad}")
+    conflict = sorted(set(whole) & set(nested))
+    if conflict:
+        raise SchemaError(
+            f"both whole-column and nested-field assignments for: {conflict}"
+        )
+
+    def to_expr(a):
+        return F.expr(a) if isinstance(a, str) else a
+
+    out = {name: to_expr(a) for name, a in whole.items()}
+    for name, subs in nested.items():
+        col = col_for(name)
+        for sub, a in subs:
+            col = col.withField(sub, to_expr(a))
+        out[name] = col
+    return out
+
+
+def _merge_nested_types(t_dt: T.DataType, d_dt: T.DataType) -> T.DataType:
+    """Recursive mergeSchema union of a table type and an input type:
+    struct fields the input adds are appended (nullable, at the end of
+    their struct, delta-spark's placement); existing fields keep their
+    order, nullability and metadata (mapping ids!). Leaf type conflicts
+    keep the TABLE type — the conform cast upcasts compatible input and
+    fails loudly on incompatible input, same as today."""
+    if isinstance(t_dt, T.StructType) and isinstance(d_dt, T.StructType):
+        by_df = {f.name: f for f in d_dt.fields}
+        out = []
+        for f in t_dt.fields:
+            nf = by_df.pop(f.name, None)
+            dt = _merge_nested_types(f.dataType, nf.dataType) if nf else f.dataType
+            out.append(T.StructField(f.name, dt, f.nullable, f.metadata))
+        for f in d_dt.fields:  # df-only fields, in the input's order
+            if f.name in by_df:
+                out.append(T.StructField(f.name, _nullable_type(f.dataType), True))
+        return T.StructType(out)
+    if isinstance(t_dt, T.ArrayType) and isinstance(d_dt, T.ArrayType):
+        return T.ArrayType(
+            _merge_nested_types(t_dt.elementType, d_dt.elementType),
+            t_dt.containsNull,
+        )
+    if isinstance(t_dt, T.MapType) and isinstance(d_dt, T.MapType):
+        return T.MapType(
+            t_dt.keyType,
+            _merge_nested_types(t_dt.valueType, d_dt.valueType),
+            t_dt.valueContainsNull,
+        )
+    return t_dt
+
+
+def _nested_name_diffs(
+    src_dt: T.DataType, dst_dt: T.DataType, prefix: str = ""
+) -> tuple[list[str], list[str]]:
+    """(input-only, table-only) dotted struct-field paths between two
+    types — the schema-enforcement diff for nested shapes."""
+    src_only: list[str] = []
+    dst_only: list[str] = []
+    if isinstance(src_dt, T.StructType) and isinstance(dst_dt, T.StructType):
+        s_by = {f.name: f for f in src_dt.fields}
+        d_by = {f.name: f for f in dst_dt.fields}
+        for n in s_by:
+            if n not in d_by:
+                src_only.append(f"{prefix}{n}")
+        for n, f in d_by.items():
+            if n not in s_by:
+                dst_only.append(f"{prefix}{n}")
+            else:
+                a, b = _nested_name_diffs(
+                    s_by[n].dataType, f.dataType, f"{prefix}{n}."
+                )
+                src_only += a
+                dst_only += b
+    elif isinstance(src_dt, T.ArrayType) and isinstance(dst_dt, T.ArrayType):
+        return _nested_name_diffs(
+            src_dt.elementType, dst_dt.elementType, prefix
+        )
+    elif isinstance(src_dt, T.MapType) and isinstance(dst_dt, T.MapType):
+        return _nested_name_diffs(src_dt.valueType, dst_dt.valueType, prefix)
+    return src_only, dst_only
+
+
+def _needs_nested_conform(src_dt: T.DataType, dst_dt: T.DataType) -> bool:
+    """True when a plain Catalyst cast would be wrong: struct field NAME
+    LISTS differ anywhere (missing fields would fail the cast; reordered
+    same-type fields would SILENTLY swap values — struct casts are
+    positional)."""
+    if isinstance(src_dt, T.StructType) and isinstance(dst_dt, T.StructType):
+        if [f.name for f in src_dt.fields] != [f.name for f in dst_dt.fields]:
+            return True
+        return any(
+            _needs_nested_conform(a.dataType, b.dataType)
+            for a, b in zip(src_dt.fields, dst_dt.fields)
+        )
+    if isinstance(src_dt, T.ArrayType) and isinstance(dst_dt, T.ArrayType):
+        return _needs_nested_conform(src_dt.elementType, dst_dt.elementType)
+    if isinstance(src_dt, T.MapType) and isinstance(dst_dt, T.MapType):
+        return _needs_nested_conform(src_dt.valueType, dst_dt.valueType)
+    return False
+
+
+def _conform_nested_expr(col, src_dt: T.DataType, dst_dt: T.DataType):
+    """Column expression reshaping ``col`` (of ``src_dt``) to ``dst_dt``:
+    struct fields match BY NAME (missing → typed NULL, order normalized),
+    arrays/maps conform element-wise via ``transform`` /
+    ``transform_values`` (lambda-wrapped — transform feeds (element,
+    index) to binary callables), NULL structs stay NULL. All JVM-side
+    expressions, no UDFs."""
+    from pyspark.sql import functions as F
+
+    if isinstance(dst_dt, T.StructType) and isinstance(src_dt, T.StructType):
+        if not _needs_nested_conform(src_dt, dst_dt):
+            return col.cast(_nullable_type(dst_dt))
+        s_by = {f.name: f.dataType for f in src_dt.fields}
+        inner = []
+        for f in dst_dt.fields:
+            if f.name in s_by:
+                e = _conform_nested_expr(
+                    col.getField(f.name), s_by[f.name], f.dataType
+                )
+            else:
+                e = F.lit(None).cast(_nullable_type(f.dataType))
+            inner.append(e.alias(f.name))
+        return F.when(
+            col.isNull(), F.lit(None).cast(_nullable_type(dst_dt))
+        ).otherwise(F.struct(*inner))
+    if isinstance(dst_dt, T.ArrayType) and isinstance(src_dt, T.ArrayType):
+        if not _needs_nested_conform(src_dt, dst_dt):
+            return col.cast(_nullable_type(dst_dt))
+        return F.transform(
+            col,
+            lambda x: _conform_nested_expr(
+                x, src_dt.elementType, dst_dt.elementType
+            ),
+        )
+    if isinstance(dst_dt, T.MapType) and isinstance(src_dt, T.MapType):
+        if not _needs_nested_conform(src_dt, dst_dt):
+            return col.cast(_nullable_type(dst_dt))
+        return F.transform_values(
+            col,
+            lambda _k, v: _conform_nested_expr(
+                v, src_dt.valueType, dst_dt.valueType
+            ),
+        )
+    return col.cast(_nullable_type(dst_dt))
 
 
 def _indexed_stat_leaves(

@@ -1704,3 +1704,119 @@ def delta_partition_stats(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.sum("cardinality").cast("long").alias("n_rows"))
     )
+
+
+# nested column mapping on the WRITE path (r14): our writer creates a
+# name-mapped table with struct fields mapped at every nesting level,
+# appends 3 range files, UPDATE rewrites one row's struct — then a
+# nested-path predicate must prune files through the physically-keyed
+# nested stats our own writer produced. (Write-side twin of
+# delta_nested_cm_scan's foreign-fixture read; reference read analogue:
+# generated column_mapping tests, delta_utils.hpp:300-311.)
+@register(
+    "delta_nested_cm_write_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_key,
+           CASE WHEN n_nationkey = 20 THEN 'XX' ELSE n_name END AS name,
+           CAST(n_nationkey AS BIGINT) AS key_val
+    FROM nation WHERE n_nationkey >= 17
+    """,
+    group="delta",
+)
+def delta_nested_cm_write_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("nestedcmw_")
+    path = os.path.join(root, "t")
+    try:
+        schema = T.StructType([
+            T.StructField("n_key", T.LongType()),
+            T.StructField("info", T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("key", T.LongType()),
+            ])),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("n_key"),
+            F.struct(
+                F.col("n_name").alias("name"),
+                F.col("n_nationkey").cast("long").alias("key"),
+            ).alias("info"),
+        )
+        w = DeltaWriter.create(
+            spark, path, schema,
+            configuration={"delta.columnMapping.mode": "name"})
+        w.append(nat.repartitionByRange(3, "n_key"))
+        DeltaWriter(path, spark).update(
+            "n_key = 20", {"info": "named_struct('name', 'XX', 'key', 20L)"})
+        sb = DeltaTable(path).scan(spark).filter("info.key", ">=", 17)
+        df = sb.to_df().select(
+            F.col("n_key"),
+            F.col("info.name").alias("name"),
+            F.col("info.key").alias("key_val"),
+        )
+        rows = df.collect()
+        assert sb.skip_report()["files_skipped_by_stats"] >= 2, sb.skip_report()
+        return local_df(spark, [tuple(r) for r in rows], df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# nested schema evolution (r14): mergeSchema widens a struct IN PLACE
+# (info gains region_key), old files + old-shape merge appends null-fill
+# it, and the final scan reads both shapes as one schema. delta-spark
+# parity surface; the reference engine reads such tables via kernel
+# schema evolution (with_schema_change DAT shape).
+@register(
+    "delta_nested_evolution_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_key,
+           n_name AS name,
+           CASE WHEN n_nationkey >= 10 THEN CAST(n_regionkey AS BIGINT)
+                ELSE NULL END AS region_key
+    FROM nation
+    """,
+    group="delta",
+)
+def delta_nested_evolution_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("nestedevo_")
+    path = os.path.join(root, "t")
+    try:
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        schema = T.StructType([
+            T.StructField("n_key", T.LongType()),
+            T.StructField("info", T.StructType([
+                T.StructField("name", T.StringType()),
+            ])),
+        ])
+        w = DeltaWriter.create(spark, path, schema)
+        narrow = nat.where("n_nationkey < 10").select(
+            F.col("n_nationkey").cast("long").alias("n_key"),
+            F.struct(F.col("n_name").alias("name")).alias("info"))
+        w.append(narrow.coalesce(1))
+        wide = nat.where("n_nationkey >= 10").select(
+            F.col("n_nationkey").cast("long").alias("n_key"),
+            F.struct(
+                F.col("n_name").alias("name"),
+                F.col("n_regionkey").cast("long").alias("region_key"),
+            ).alias("info"))
+        DeltaWriter(path, spark).append(wide.coalesce(1), merge_schema=True)
+        df = DeltaTable(path).to_df(spark).select(
+            F.col("n_key"),
+            F.col("info.name").alias("name"),
+            F.col("info.region_key").alias("region_key"),
+        )
+        rows = [tuple(r) for r in df.collect()]
+        return local_df(spark, rows, df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -678,11 +678,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                     cols.append(pa.nulls(table.num_rows, af.type))
                 else:
                     # column-mapped tables: file carries the PHYSICAL name
-                    # (nested struct fields too — renamed recursively)
+                    # (nested struct fields too — renamed recursively);
+                    # unmapped struct columns take the same name-matching
+                    # route so files predating a NESTED mergeSchema
+                    # widening null-fill the new struct fields (a plain
+                    # pyarrow cast refuses mismatched field counts)
                     src = table.column(self._phys.get(f.name, f.name))
                     cols.append(
                         _to_logical_arrow(src, f.dataType, af.type)
-                        if self._phys and _contains_struct(f.dataType)
+                        if _contains_struct(f.dataType)
                         else src.cast(af.type)
                     )
             return pa.Table.from_arrays(cols, schema=arrow_schema)
@@ -813,6 +817,8 @@ def _to_logical_arrow(arr, dt, at):
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.type.equals(at):
+        return arr  # shapes already agree — zero work
     if isinstance(dt, T.StructType) and pa.types.is_struct(arr.type):
         by_phys = {
             arr.type.field(i).name: i for i in range(arr.type.num_fields)

@@ -1703,6 +1703,65 @@ def test_cdf_on_column_mapped_table(spark, tdir):
             "appendOnly", "invariants"} <= set(proto["writerFeatures"])
 
 
+def test_cdf_on_nested_column_mapped_table(spark, tdir):
+    """CDF with NESTED column mapping (reachable since nested-CM writes
+    landed): the batch feed must read _change_data files under physical
+    names at EVERY nesting level and cast back — a logical nested type in
+    the read schema silently nulls every nested field (the r14 bug this
+    pins) — and the streaming CDF source must agree exactly."""
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.enableChangeDataFeed": "true"})
+    w.append(spark.range(10).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    DeltaWriter(tdir, spark).update(
+        "i = 4", {"info": "named_struct('a', 44L)"})     # v2: cdc files
+    DeltaWriter(tdir, spark).delete("i = 7")             # v3: cdc files
+
+    want = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"], r["info"]["a"])
+        for r in table_changes(DeltaLog(tdir), spark,
+                               starting_version=0).collect())
+    # nested values present — not nulled — in the cdc-derived rows
+    assert ("update_preimage", 2, 4, 4) in want
+    assert ("update_postimage", 2, 4, 44) in want
+    assert ("delete", 3, 7, 7) in want
+
+    spark.dataSource.register(DeltaPySource)
+    out, ck = tdir + "_cdf_out", tdir + "_cdf_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["i"], r["info"]["a"])
+        for r in spark.read.parquet(out).collect())
+    assert got == want and len(got) == 13
+    import shutil as _sh
+    for d in (out, ck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def test_update_merge_on_column_mapped_table(spark, tdir):
     """UPDATE and MERGE now work on column-mapped tables: new image files
     are written under physical names with field ids, so both name- and
@@ -4347,3 +4406,193 @@ def test_dml_sequence_fuzz_model_based(spark, tdir):
         assert {k: c for k, c in full.items() if c} ==             {(k, v): 1 for k, v in model.items()}
 
     check()
+
+
+def test_nested_schema_evolution_merge_and_enforcement(spark, tdir):
+    """mergeSchema widens struct fields INSIDE existing columns
+    (delta-spark parity): a wide append adds info.b to the table schema
+    (nullable, end of struct; on mapped tables with a fresh mapping id +
+    maxColumnId advance), old files and old-SHAPE merge appends null-fill
+    it, reordered same-name-set struct input conforms BY NAME (a
+    positional cast would silently swap same-typed fields), and non-merge
+    appends with mismatched nested shapes refuse loudly. Streaming replay
+    from v0 matches the batch scan."""
+    import shutil as _sh
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    def narrow(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a")).alias("info"))
+
+    def wide(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a"),
+                     (F.col("id") * 2).alias("b")).alias("info"))
+
+    def reordered(lo, hi):  # b first: positional cast would swap
+        return spark.range(lo, hi).select(
+            F.col("id").alias("i"),
+            F.struct((F.col("id") * 2).alias("b"),
+                     F.col("id").alias("a")).alias("info"))
+
+    for mode in ("none", "name"):
+        path = os.path.join(tdir, f"t_{mode}")
+        cfg = {} if mode == "none" else {"delta.columnMapping.mode": mode}
+        schema = T.StructType([
+            T.StructField("i", T.LongType()),
+            T.StructField("info", T.StructType(
+                [T.StructField("a", T.LongType())])),
+        ])
+        w = DeltaWriter.create(spark, path, schema, configuration=cfg)
+        w.append(narrow(0, 5).coalesce(1))
+        DeltaWriter(path, spark).append(
+            wide(5, 8).coalesce(1), merge_schema=True)      # widens info
+        DeltaWriter(path, spark).append(
+            narrow(8, 10).coalesce(1), merge_schema=True)   # old shape
+        DeltaWriter(path, spark).append(reordered(10, 12).coalesce(1))
+
+        got = DeltaTable(path).to_df(spark)
+        assert [f.name for f in got.schema["info"].dataType.fields] == [
+            "a", "b"]
+        assert got.count() == 12
+        assert got.where("info.a = i").count() == 12       # no swaps
+        assert got.where("info.b IS NULL").count() == 7
+        assert got.where("info.b = 2 * i").count() == 5
+
+        with pytest.raises(errors.SchemaError, match="nested shape mismatch"):
+            DeltaWriter(path, spark).append(narrow(0, 1))
+
+        if mode == "name":
+            sch = DeltaTable(path).snapshot.schema
+            b_md = sch["info"].dataType["b"].metadata
+            assert "delta.columnMapping.id" in b_md
+            assert "delta.columnMapping.physicalName" in b_md
+
+        spark.dataSource.register(DeltaPySource)
+        out, ck = path + "_out", path + "_ck"
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", path)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        sgot = sorted((r["i"], r["info"]["a"], r["info"]["b"])
+                      for r in spark.read.parquet(out).collect())
+        want = sorted((r["i"], r["info"]["a"], r["info"]["b"])
+                      for r in got.collect())
+        assert sgot == want
+        for d in (out, ck):
+            _sh.rmtree(d, ignore_errors=True)
+
+
+def test_update_merge_nested_field_assignments(spark, tdir):
+    """UPDATE/MERGE SET on DOTTED NESTED struct paths (delta-spark's
+    ``SET info.a = ...``): only the named field changes (withField),
+    siblings and deeper structs keep their pre-update values; unknown
+    columns AND unknown nested paths refuse (MERGE silently dropped
+    unknown assignment keys before r14); assigning a column wholesale
+    and one of its nested fields together is ambiguous and refuses."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("deep", T.StructType(
+                [T.StructField("z", T.LongType())])),
+        ])),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(10).select(
+        F.col("id").alias("i"),
+        F.struct(
+            F.col("id").alias("a"),
+            F.concat(F.lit("n"), F.col("id")).alias("s"),
+            F.struct((F.col("id") * 10).alias("z")).alias("deep"),
+        ).alias("info")).coalesce(1))
+
+    DeltaWriter(tdir, spark).update("i = 3", {"info.a": "info.a + 1000"})
+    r = DeltaTable(tdir).to_df(spark).where("i = 3").collect()[0]
+    assert (r["info"]["a"], r["info"]["s"], r["info"]["deep"]["z"]) == (
+        1003, "n3", 30)
+
+    DeltaWriter(tdir, spark).update("i = 4", {"info.deep.z": "999"})
+    r = DeltaTable(tdir).to_df(spark).where("i = 4").collect()[0]
+    assert (r["info"]["a"], r["info"]["deep"]["z"]) == (4, 999)
+
+    with pytest.raises(errors.SchemaError, match="unknown columns"):
+        DeltaWriter(tdir, spark).update("i = 1", {"info.nope": "1"})
+    with pytest.raises(errors.SchemaError, match="whole-column and nested"):
+        DeltaWriter(tdir, spark).update(
+            "i = 1", {"info": "info", "info.a": "1"})
+
+    src = spark.range(2, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("nv"))
+    DeltaWriter(tdir, spark).merge(
+        src, "t.i = s.k",
+        when_matched_update={"info.a": "s.nv"},
+        when_not_matched_insert=False)
+    rows = {r["i"]: r["info"]["a"]
+            for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert rows[2] == 14 and rows[5] == 35 and rows[0] == 0
+    r3 = DeltaTable(tdir).to_df(spark).where("i = 3").collect()[0]
+    assert r3["info"]["s"] == "n3"  # sibling survives the merge rewrite
+
+    with pytest.raises(errors.SchemaError, match="unknown columns"):
+        DeltaWriter(tdir, spark).merge(
+            src, "t.i = s.k", when_matched_update={"typo_col": "1"},
+            when_not_matched_insert=False)
+
+
+def test_add_column_nested_dotted_path(spark, tdir):
+    """ALTER TABLE ADD COLUMN with a DOTTED path adds the field inside an
+    existing struct (end of struct, delta-spark's default position):
+    mapped tables assign a fresh mapping id + physical name to the nested
+    field, old files null-fill it, and new-shape appends write it."""
+    for mode in ("none", "name"):
+        path = os.path.join(tdir, f"t_{mode}")
+        cfg = {} if mode == "none" else {"delta.columnMapping.mode": mode}
+        schema = T.StructType([
+            T.StructField("i", T.LongType()),
+            T.StructField("info", T.StructType(
+                [T.StructField("a", T.LongType())])),
+        ])
+        w = DeltaWriter.create(spark, path, schema, configuration=cfg)
+        w.append(spark.range(5).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+        DeltaWriter(path, spark).add_column("info.b", "string")
+
+        t = DeltaTable(path)
+        assert [f.name for f in
+                t.snapshot.schema["info"].dataType.fields] == ["a", "b"]
+        got = t.to_df(spark)
+        assert got.where("info.b IS NULL").count() == 5
+        assert got.where("info.a = i").count() == 5
+        DeltaWriter(path, spark).append(spark.range(5, 7).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a"),
+                     F.lit("x").alias("b")).alias("info")).coalesce(1))
+        assert DeltaTable(path).to_df(spark).where(
+            "info.b = 'x'").count() == 2
+
+        with pytest.raises(errors.SchemaError, match="already exists"):
+            DeltaWriter(path, spark).add_column("info.a", "long")
+        with pytest.raises(errors.SchemaError, match="not a struct"):
+            DeltaWriter(path, spark).add_column("i.x", "long")
+        with pytest.raises(errors.SchemaError, match="no such column"):
+            DeltaWriter(path, spark).add_column("nope.x", "long")
+
+        if mode == "name":
+            md = DeltaTable(path).snapshot.schema["info"].dataType[
+                "b"].metadata
+            assert "delta.columnMapping.id" in md
+            assert "delta.columnMapping.physicalName" in md

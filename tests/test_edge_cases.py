@@ -321,3 +321,97 @@ def test_non_utc_session_timezone_semantics(spark, tdir):
         assert sb.skip_report()["files_scanned"] == 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_nested_column_mapping_write_roundtrip(spark, tdir):
+    """Writes to tables with NESTED column mapping (struct fields inside
+    structs/arrays/maps carry their own physicalName/id): the write path
+    renames every nesting level via a positional struct cast, parquet
+    footers hold physical names + field ids at every level, stats JSON is
+    keyed physically at every level (so nested-path pruning works on our
+    own writes), and UPDATE/DELETE rewrites preserve all of it."""
+    import pyarrow.parquet as pq
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ])),
+        T.StructField("tags", T.ArrayType(T.StructType([
+            T.StructField("k", T.StringType())]))),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StructType([
+            T.StructField("v", T.LongType())]))),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema,
+        configuration={"delta.columnMapping.mode": "name"})
+    df = spark.range(20).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a"),
+                 F.concat(F.lit("n"), F.col("id")).alias("s")).alias("info"),
+        F.array(F.struct(F.concat(F.lit("t"), F.col("id")).alias("k")))
+        .alias("tags"),
+        F.create_map(F.lit("m"), F.struct((F.col("id") * 3).alias("v")))
+        .alias("attrs"))
+    w.append(df.repartitionByRange(2, "i"))
+
+    t = DeltaTable(tdir)
+    files = t.snapshot.add_files()
+    # physical names + field ids at EVERY level in the footer
+    pf = pq.ParquetFile(files[0].absolute_path(tdir))
+    assert all(n.startswith("col-") for n in pf.schema_arrow.names)
+    info_f = pf.schema_arrow.field(1)
+    assert info_f.metadata[b"PARQUET:field_id"] is not None
+    inner_names = [info_f.type.field(j).name
+                   for j in range(info_f.type.num_fields)]
+    assert all(n.startswith("col-") for n in inner_names)
+    assert all(info_f.type.field(j).metadata
+               and b"PARQUET:field_id" in info_f.type.field(j).metadata
+               for j in range(info_f.type.num_fields))
+    # stats keyed by physical names at every level
+    stats = json.loads(files[0].stats)
+    info_phys = next(
+        (f.metadata or {})["delta.columnMapping.physicalName"]
+        for f in t.snapshot.schema.fields if f.name == "info")
+    assert info_phys in stats["minValues"]
+    assert all(k.startswith("col-")
+               for k in stats["minValues"][info_phys])
+
+    # logical read roundtrip, nested values intact
+    got = t.to_df(spark)
+    assert got.columns == ["i", "info", "tags", "attrs"]
+    assert got.count() == 20
+    assert got.where("info.a = i AND info.s = concat('n', i)").count() == 20
+    assert got.selectExpr("i", "explode(tags) AS e").where(
+        "e.k = concat('t', CAST(i AS STRING))").count() == 20
+    assert got.selectExpr("attrs['m'].v AS mv", "i").where(
+        "mv = 3 * i").count() == 20
+
+    # nested-path stats pruning against our OWN stats
+    sb = t.scan(spark).filter("info.a", ">=", 100)
+    assert sb.to_df().count() == 0
+    assert sb.skip_report()["files_skipped_by_stats"] == 2
+
+    # DML rewrites keep the mapping intact
+    DeltaWriter(tdir, spark).update(
+        "i = 3", {"info": "named_struct('a', 99L, 's', 'upd')"})
+    assert DeltaTable(tdir).to_df(spark).where(
+        "info.a = 99 AND info.s = 'upd'").count() == 1
+    DeltaWriter(tdir, spark).delete("i = 5")
+    assert DeltaTable(tdir).to_df(spark).count() == 19
+
+    # and the streaming source reads the rewritten nested-CM table too
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    src = DeltaPySource({"path": tdir, "startingVersion": "0",
+                         "ignoreChanges": "true"})
+    reader = src.streamReader(src.schema())
+    parts = reader.partitions(
+        {"version": -1},
+        {"version": 3})
+    rows = 0
+    for p in parts:
+        for batch in reader.read(p):
+            rows += batch.num_rows
+    assert rows > 0

@@ -633,6 +633,44 @@ def test_foreign_nested_cm_dv_projection_prunes(spark, foreign_nested):
     assert names == sorted(f"n{i}" for i in _nested_expected_ids())
 
 
+def test_foreign_nested_cm_dv_append_interop(spark, tmp_path):
+    """OUR writer appends to the FOREIGN id-mode nested-CM table: the new
+    file must come out physically named + field-id'd at every level with
+    physically-keyed nested stats, so the combined table reads as one and
+    nested-path skipping covers old and new files alike."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    dest = str(tmp_path / "t")
+    foreign.build_foreign_nested_cm_dv(dest)
+
+    df = spark.createDataFrame(
+        [(100, ("n100", 150.0), ["t", "t1"], {"a": 100, "b": 200})],
+        schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("info", T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType())])),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+        ]))
+    DeltaWriter(dest, spark).append(df.coalesce(1))
+
+    t = DeltaTable(dest)
+    got = t.to_df(spark)
+    assert got.count() == len(_nested_expected_ids()) + 1
+    r = got.where("id = 100").collect()[0]
+    assert (r["info"]["name"], r["info"]["score"]) == ("n100", 150.0)
+    assert r["tags"] == ["t", "t1"] and dict(r["attrs"]) == {"a": 100,
+                                                             "b": 200}
+    # nested-path pruning engages on BOTH the foreign files and ours
+    sb = t.scan(spark).filter("info.score", ">=", 100.0)
+    assert sorted(x["id"] for x in sb.to_df().collect()) == [100]
+    rep = sb.skip_report()
+    assert rep["files_total"] == 3 and rep["files_skipped_by_stats"] == 2
+
+
 def test_foreign_compacted_log_segment(spark, tmp_path):
     """A minor-compacted segment authored the way ANOTHER engine writes
     it (raw newline JSON, adds/removes interleaved in its own order, no
