@@ -3607,11 +3607,16 @@ class DeltaWriter:
                 )
             self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            from duckdb_delta_spark.delta.mapping import physical_type
+
+            # physical names at EVERY nesting level — a logical nested
+            # type here would name-match nothing in the files and the
+            # rewrite would silently NULL every nested field
             phys_schema = T.StructType(
                 [
                     T.StructField(
                         phys_of[f.name],
-                        f.dataType,
+                        physical_type(f.dataType),
                         True,
                         {"parquet.field.id": int((f.metadata or {})["delta.columnMapping.id"])}
                         if "delta.columnMapping.id" in (f.metadata or {})

@@ -415,3 +415,42 @@ def test_nested_column_mapping_write_roundtrip(spark, tdir):
         for batch in reader.read(p):
             rows += batch.num_rows
     assert rows > 0
+
+
+def test_nested_column_mapping_optimize_reorg_constraint(spark, tdir):
+    """Maintenance ops on NESTED column-mapped tables: OPTIMIZE's rewrite
+    reads the files under physical names at EVERY nesting level (a
+    logical nested read schema silently NULLED every nested field — the
+    r14 bug this pins), REORG PURGE materializes DVs without losing
+    nested values, and CHECK constraints referencing nested dotted paths
+    enforce on append."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType(
+            [T.StructField("a", T.LongType())])),
+    ])
+    DeltaWriter.create(spark, tdir, schema,
+                       configuration={"delta.columnMapping.mode": "name"})
+    for lo in range(0, 20, 5):
+        DeltaWriter(tdir, spark).append(spark.range(lo, lo + 5).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+
+    DeltaWriter(tdir, spark).add_constraint("a_pos", "info.a >= 0")
+    from duckdb_delta_spark.delta.errors import ConstraintViolationError
+    with pytest.raises(ConstraintViolationError):
+        DeltaWriter(tdir, spark).append(
+            spark.createDataFrame([(99, (-1,))], schema).coalesce(1))
+
+    DeltaWriter(tdir, spark).compact()
+    t = DeltaTable(tdir)
+    assert len(t.snapshot.add_files()) == 1
+    got = t.to_df(spark)
+    assert got.where("info.a = i").count() == 20 == got.count()
+
+    DeltaWriter(tdir, spark).delete("i = 3")
+    DeltaWriter(tdir, spark).reorg_purge()
+    t2 = DeltaTable(tdir)
+    g2 = t2.to_df(spark)
+    assert g2.where("info.a = i").count() == 19 == g2.count()
+    assert not any(f.deletion_vector for f in t2.snapshot.add_files())
