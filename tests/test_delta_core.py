@@ -4596,3 +4596,126 @@ def test_add_column_nested_dotted_path(spark, tdir):
                 "b"].metadata
             assert "delta.columnMapping.id" in md
             assert "delta.columnMapping.physicalName" in md
+
+
+def test_nested_schema_evolution_inside_array_and_map(spark, tdir):
+    """mergeSchema widening of structs INSIDE array elements and map
+    values: the recursive merge reaches them, conform uses transform /
+    transform_values (no UDFs), old files and old-shape merge appends
+    null-fill the new inner fields."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StructType(
+            [T.StructField("k", T.StringType())]))),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StructType(
+            [T.StructField("v", T.LongType())]))),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(3).select(
+        F.col("id").alias("i"),
+        F.array(F.struct(F.concat(F.lit("t"), F.col("id")).alias("k")))
+        .alias("tags"),
+        F.create_map(F.lit("m"), F.struct(F.col("id").alias("v")))
+        .alias("attrs")).coalesce(1))
+    wide = spark.range(3, 5).select(
+        F.col("id").alias("i"),
+        F.array(F.struct(F.concat(F.lit("t"), F.col("id")).alias("k"),
+                         (F.col("id") * 2).alias("w"))).alias("tags"),
+        F.create_map(F.lit("m"), F.struct(F.col("id").alias("v"),
+                                          F.lit("x").alias("s")))
+        .alias("attrs"))
+    DeltaWriter(tdir, spark).append(wide.coalesce(1), merge_schema=True)
+
+    t = DeltaTable(tdir)
+    sch = t.snapshot.schema
+    assert [f.name for f in sch["tags"].dataType.elementType.fields] == [
+        "k", "w"]
+    assert [f.name for f in sch["attrs"].dataType.valueType.fields] == [
+        "v", "s"]
+    got = t.to_df(spark)
+    assert got.selectExpr("explode(tags) e").where(
+        "e.w IS NULL").count() == 3
+    assert got.selectExpr("i", "explode(tags) e").where(
+        "e.w = 2 * i").count() == 2
+    assert got.selectExpr("attrs['m'].s AS s").where(
+        "s = 'x'").count() == 2
+
+    # old-shape merge append after the widening null-fills inner fields
+    DeltaWriter(tdir, spark).append(spark.range(5, 6).select(
+        F.col("id").alias("i"),
+        F.array(F.struct(F.lit("t5").alias("k"))).alias("tags"),
+        F.create_map(F.lit("m"), F.struct(F.col("id").alias("v")))
+        .alias("attrs")).coalesce(1), merge_schema=True)
+    r5 = DeltaTable(tdir).to_df(spark).where("i = 5").collect()[0]
+    assert r5["tags"][0]["k"] == "t5" and r5["tags"][0]["w"] is None
+    assert r5["attrs"]["m"]["v"] == 5 and r5["attrs"]["m"]["s"] is None
+
+
+def test_nested_evolution_random_shapes_model_based(spark, tdir):
+    """Model-based check over random append sequences: each append draws
+    a random SUBSET of the nested fields in a random ORDER (mergeSchema),
+    the Python model tracks expected values (absent → None), and the
+    final table must match the model on every leaf — order shuffles and
+    progressive widening can't swap or lose values. Seeded: the sequence
+    is identical on every run."""
+    import random
+
+    rng = random.Random(1404)
+    LEAVES = ["a", "s", "deep.z", "deep.y"]
+
+    def build_struct(present, i):
+        # expression for info given present leaves, in shuffled order
+        vals = {"a": F.col("id"), "s": F.concat(F.lit("n"), F.col("id")),
+                "deep.z": F.col("id") * 10, "deep.y": F.col("id") * 100}
+        top = [p for p in present if not p.startswith("deep.")]
+        deep = [p for p in present if p.startswith("deep.")]
+        parts = [vals[p].alias(p) for p in top]
+        if deep:
+            parts.append(F.struct(
+                *[vals[p].alias(p.split(".")[1]) for p in deep]
+            ).alias("deep"))
+        rng.shuffle(parts)
+        return F.struct(*parts)
+
+    model = {}  # i -> {leaf: value or None}
+    next_i = 0
+    for seq in range(6):
+        k = rng.randint(1, 4)
+        present = rng.sample(LEAVES, k)
+        n = rng.randint(1, 3)
+        ids = list(range(next_i, next_i + n))
+        next_i += n
+        df = spark.range(ids[0], ids[-1] + 1).select(
+            F.col("id").alias("i"),
+            build_struct(present, None).alias("info"))
+        if seq == 0:
+            # nullable-ized create schema: Catalyst marks expression
+            # outputs non-nullable, and a NOT NULL info.s would
+            # (correctly) reject later null-filling appends
+            from duckdb_delta_spark.delta.writer import _nullable_type
+
+            schema0 = T.StructType([
+                T.StructField(f.name, _nullable_type(f.dataType), True)
+                for f in df.schema.fields
+            ])
+            DeltaWriter.create(spark, tdir, schema0).append(
+                df.coalesce(1), merge_schema=True)
+        else:
+            DeltaWriter(tdir, spark).append(df.coalesce(1),
+                                            merge_schema=True)
+        for i in ids:
+            vals = {"a": i, "s": f"n{i}", "deep.z": i * 10,
+                    "deep.y": i * 100}
+            model[i] = {lf: (vals[lf] if lf in present else None)
+                        for lf in LEAVES}
+
+    got = DeltaTable(tdir).to_df(spark)
+    have = {f.name for f in got.schema["info"].dataType.fields}
+    sel = ["i"] + [
+        (f"info.{lf} AS `{lf}`" if lf.split(".")[0] in have
+         else f"NULL AS `{lf}`")
+        for lf in LEAVES
+    ]
+    rows = {r["i"]: {lf: r[lf] for lf in LEAVES}
+            for r in got.selectExpr(*sel).collect()}
+    assert rows == model
