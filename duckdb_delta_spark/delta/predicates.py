@@ -20,8 +20,10 @@ Grammar (case-insensitive keywords)::
     unit      := NOT unit | '(' expr ')' | predicate
     predicate := col (= | == | != | <> | < | <= | > | >=) literal
                | col IS [NOT] NULL
+               | col IS [NOT] DISTINCT FROM (literal | NULL)
                | col [NOT] IN '(' literal (',' literal)* ')'
                | col [NOT] BETWEEN literal AND literal
+               | col [NOT] LIKE 'pattern'
     literal   := number | 'string' | TRUE | FALSE
                | DATE 'yyyy-mm-dd' | TIMESTAMP 'yyyy-mm-dd hh:mm:ss[.ffffff]'
     col       := word ('.' word)*           -- dotted struct paths
@@ -157,6 +159,13 @@ class _Parser:
                 # (fuzz-caught: NOT (i IS NOT DISTINCT FROM 0)).
                 self.next()
                 self.expect("kw", "from")
+                if self.peek() == ("kw", "null"):
+                    # NULL literal: IS NOT DISTINCT FROM NULL ≡ IS NULL,
+                    # IS DISTINCT FROM NULL ≡ IS NOT NULL — both already
+                    # self-negating leaves, so NOT needs no special case
+                    self.next()
+                    return ("pred", col,
+                            "is null" if neg else "is not null", None)
                 v = self.literal()
                 if neg:
                     return ("and", [("pred", col, "=", v),

@@ -806,3 +806,81 @@ def stream_join_outer(spark, sf_dir):
     return out.where(F.col("view_ts") < F.lit(cut)).select(
         F.col("user_id").cast("long"), "view_ts", "purchase_ts",
     )
+
+
+@register(
+    "stream_cm_sink",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS g, count(*) AS n,
+           CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    group="streaming",
+)
+def stream_cm_sink(spark, sf_dir):
+    """Streaming INTO a nested column-mapped partitioned table (r14, the
+    last CM gate in the streaming surface): executor tasks rename Arrow
+    batches to physical names positionally and write field-id'd files
+    with physically-keyed stats/partitionValues; the batch scan of the
+    DESTINATION must equal the plain batch answer over nation — proving
+    the physical rename round-trips values at every nesting level."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    rt_root = os.path.join(root, "_cm_sink_roundtrip")
+    shutil.rmtree(rt_root, ignore_errors=True)
+    src, dst = os.path.join(rt_root, "src"), os.path.join(rt_root, "dst")
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("key", T.LongType()),
+        ])),
+        T.StructField("g", T.LongType()),
+    ])
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.struct(F.col("n_name").alias("name"),
+                 F.col("n_nationkey").cast("long").alias("key"))
+        .alias("info"),
+        F.col("n_regionkey").cast("long").alias("g"),
+    )
+    DeltaWriter.create(spark, src, schema).append(nat.coalesce(1))
+    DeltaWriter.create(spark, dst, schema, partition_by=["g"],
+                       configuration={"delta.columnMapping.mode": "name"})
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", dst)
+        .option("checkpointLocation", os.path.join(rt_root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        DeltaTable(dst)
+        .to_df(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("info.key")).alias("key_sum"),
+            F.min(F.col("info.name")).alias("first_name"),
+        )
+    )

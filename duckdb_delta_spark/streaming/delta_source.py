@@ -886,6 +886,87 @@ def _coerce_pv(v, dtype):
     return v
 
 
+def _arrow_with_field_ids(aschema, sschema):
+    """Arrow schema (from to_arrow_schema, which drops metadata) +
+    metadata-bearing Spark physical schema → Arrow schema carrying
+    ``PARQUET:field_id`` on every field at every nesting level, which
+    pyarrow's parquet writer emits as real field ids."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    def fld(af, sf: T.StructField):
+        meta = dict(af.metadata or {})
+        fid = (sf.metadata or {}).get("parquet.field.id")
+        if fid is not None:
+            meta[b"PARQUET:field_id"] = str(int(fid)).encode()
+        return pa.field(af.name, typ(af.type, sf.dataType), af.nullable,
+                        meta or None)
+
+    def typ(at, dt):
+        if isinstance(dt, T.StructType) and pa.types.is_struct(at):
+            return pa.struct([
+                fld(at.field(i), dt.fields[i])
+                for i in range(at.num_fields)
+            ])
+        if isinstance(dt, T.ArrayType) and pa.types.is_list(at):
+            return pa.list_(typ(at.value_type, dt.elementType))
+        if isinstance(dt, T.MapType) and pa.types.is_map(at):
+            return pa.map_(at.key_type, typ(at.item_type, dt.valueType))
+        return at
+
+    return pa.schema([
+        fld(aschema.field(i), sschema.fields[i])
+        for i in range(len(sschema.fields))
+    ])
+
+
+def _rename_arrow_positional(arr, at):
+    """Logical-named Arrow array → physical-named target type of the SAME
+    shape (the sink-side inverse of :func:`_to_logical_arrow`): struct
+    fields match by POSITION — incoming batches follow the stream schema
+    exactly, so no name resolution or null-filling is needed — rebuilt
+    zero-copy from children."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type.equals(at):
+        return arr
+    if pa.types.is_struct(arr.type) and pa.types.is_struct(at):
+        children = [
+            _rename_arrow_positional(arr.field(i), at.field(i).type)
+            for i in range(at.num_fields)
+        ]
+        return pa.StructArray.from_arrays(
+            children, fields=list(at),
+            mask=pc.is_null(arr) if arr.null_count else None,
+        )
+    if pa.types.is_list(arr.type) and pa.types.is_list(at):
+        return pa.ListArray.from_arrays(
+            arr.offsets,
+            _rename_arrow_positional(arr.values, at.value_type),
+            mask=pc.is_null(arr) if arr.null_count else None,
+        )
+    if pa.types.is_map(arr.type) and pa.types.is_map(at):
+        offs = arr.offsets
+        if arr.null_count:
+            import numpy as np
+
+            off_np = offs.to_numpy(zero_copy_only=False)
+            nulls = np.zeros(len(off_np), dtype=bool)
+            nulls[:-1] = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            offs = pa.array(off_np, mask=nulls)
+        out = pa.MapArray.from_arrays(
+            offs,
+            arr.keys.cast(at.key_type),
+            _rename_arrow_positional(arr.items, at.item_type),
+        )
+        return out if out.type.equals(at) else out.cast(at)
+    return arr.cast(at)
+
+
 # ---------------------------------------------------------------- sink side
 
 
@@ -938,6 +1019,11 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
     add actions carry the matching partitionValues.
     """
 
+    # class-level defaults: write()/commit() stay well-defined on
+    # partially-constructed instances (tests build via __new__)
+    _phys: dict = {}
+    _phys_schema = None
+
     def __init__(self, table_path: str, schema: StructType, options):
         self.table_path = os.path.abspath(table_path)
         self.schema = schema
@@ -945,6 +1031,11 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             "txnAppId", f"delta_py_sink:{self.table_path}"
         )
         self.partition_columns: list[str] = []
+        #: column mapping: logical→physical top-level names, and the
+        #: PHYSICAL data-column schema (names + parquet.field.id at every
+        #: nesting level) the executors write files and stats under
+        self._phys: dict[str, str] = {}
+        self._phys_schema = None
         self._gate()
 
     def _gate(self) -> None:
@@ -968,9 +1059,35 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 f"streaming sink input lacks partition columns {missing}"
             )
         if snap.column_mapping_mode != "none":
-            raise UnsupportedFeatureError(
-                "delta_py streaming sink on a column-mapped table"
+            # column-mapped sink (r14): files, stats and partitionValues
+            # come out PHYSICALLY named — tasks rename the Arrow batches
+            # positionally (same logical shape, physical names at every
+            # level) and write under the field-id'd physical schema
+            from pyspark.sql import types as T
+
+            from duckdb_delta_spark.delta.mapping import (
+                field_meta,
+                physical_type,
             )
+
+            snap_by = {f.name: f for f in snap.schema.fields}
+            unknown = [f.name for f in self.schema.fields
+                       if f.name not in snap_by]
+            if unknown:
+                raise UnsupportedFeatureError(
+                    f"streaming sink input columns {unknown} are not in "
+                    "the column-mapped table schema"
+                )
+            self._phys = {n: field_meta(f)[0] for n, f in snap_by.items()}
+            fields = []
+            for f in self.schema.fields:
+                if f.name in self.partition_columns:
+                    continue
+                sf = snap_by[f.name]
+                phys, meta = field_meta(sf)
+                fields.append(T.StructField(
+                    phys, physical_type(sf.dataType), True, meta))
+            self._phys_schema = T.StructType(fields)
         proto = snap.protocol
         if int(proto.get("minWriterVersion", 2)) >= 7:
             unsupported = (
@@ -1008,12 +1125,34 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         _rows = 0
         arrow_schema = to_arrow_schema(self.schema)
         parts = self.partition_columns
+        data_names = [f.name for f in self.schema.fields
+                      if f.name not in parts]
         # hive layout: partition columns live in the PATH + log, not the file
-        file_schema = (
-            pa.schema([f for f in arrow_schema if f.name not in parts])
-            if parts
-            else arrow_schema
-        )
+        if self._phys_schema is not None:
+            # column-mapped: physical names + PARQUET:field_id at every
+            # nesting level so both name- and id-resolving readers work
+            file_schema = _arrow_with_field_ids(
+                to_arrow_schema(self._phys_schema), self._phys_schema
+            )
+        else:
+            file_schema = (
+                pa.schema([f for f in arrow_schema if f.name not in parts])
+                if parts
+                else arrow_schema
+            )
+
+        def _render(data_tbl: pa.Table) -> pa.Table:
+            """Logical-named data columns → the file schema (positional
+            physical rename on mapped tables; identity otherwise)."""
+            if self._phys_schema is None:
+                return data_tbl
+            cols = [
+                _rename_arrow_positional(
+                    data_tbl.column(i), file_schema.field(i).type
+                )
+                for i in range(data_tbl.num_columns)
+            ]
+            return pa.Table.from_arrays(cols, schema=file_schema)
         # one open writer per partition tuple seen by this task
         writers: dict[tuple, tuple] = {}  # pv_tuple -> (writer, rel, full)
 
@@ -1046,7 +1185,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             if tbl.schema != arrow_schema:
                 tbl = tbl.cast(arrow_schema)
             if not parts:
-                _sink((), tbl)
+                _sink((), _render(tbl.select(data_names)))
                 continue
             # split by distinct partition tuples (few per batch by design)
             keys = tbl.select(parts)
@@ -1062,10 +1201,13 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     )
                     mask = m if mask is None else pc.and_(mask, m)
                 pv = tuple(
-                    (c, None if combo[c] is None else _pv_str(combo[c]))
+                    # partitionValues keys (and hive dirs) are PHYSICAL
+                    # names on mapped tables, like the batch writer's
+                    (self._phys.get(c, c),
+                     None if combo[c] is None else _pv_str(combo[c]))
                     for c in parts
                 )
-                _sink(pv, tbl.filter(mask).select(file_schema.names))
+                _sink(pv, _render(tbl.filter(mask).select(data_names)))
 
         out = []
         for pv, (w, rel, full) in writers.items():
@@ -1073,9 +1215,15 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             try:
                 from duckdb_delta_spark.delta.writer import _footer_stats
 
+                # mapped tables: stats keyed by the PHYSICAL schema the
+                # file was written under (spec) — partition cols already
+                # excluded from it
                 stats = json.dumps(
-                    _footer_stats(full, self.schema,
-                                  set(self.partition_columns)),
+                    _footer_stats(full, *(
+                        (self._phys_schema, set())
+                        if self._phys_schema is not None
+                        else (self.schema, set(self.partition_columns))
+                    )),
                     separators=(",", ":"),
                 )
             except Exception:  # noqa: BLE001 - driver fallback fills in
@@ -1144,7 +1292,9 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         if missing:
             results = _footer_stats_many(
                 [os.path.join(self.table_path, m.rel_path) for m in missing],
-                self.schema, pcols,
+                *((self._phys_schema, set())
+                  if self._phys_schema is not None
+                  else (self.schema, pcols)),
             )
             for m, (stats, _size) in zip(missing, results):
                 if stats is not None:

@@ -293,8 +293,9 @@ def test_filter_sql_fuzz_tree_equivalence(spark, tdir):
             lambda t2: f"i BETWEEN {min(t2)} AND {max(t2)}"),
         st.sampled_from(["s LIKE 'w0%'", "s LIKE '%2x'", "s LIKE 'w_1%'",
                          "s NOT LIKE 'w1%'", "s LIKE 'w05x'"]),
-        st.tuples(ints, st.sampled_from(["DISTINCT FROM",
-                                         "NOT DISTINCT FROM"])
+        st.tuples(st.one_of(ints, st.just("NULL")),
+                  st.sampled_from(["DISTINCT FROM",
+                                   "NOT DISTINCT FROM"])
                   ).map(lambda t2: f"i IS {t2[1]} {t2[0]}"),
     )
 

@@ -264,17 +264,22 @@ def test_sink_and_source_gates(spark, tmp_path):
     cm = str(tmp_path / "cm")
     DeltaWriter.create(spark, cm, schema,
                        configuration={"delta.columnMapping.mode": "name"})
-    with pytest.raises(UnsupportedFeatureError, match="column-mapped"):
-        DeltaStreamWriter(cm, schema, {})
-    # column-mapped tables STREAM reader-side (flat since r13, nested via
-    # the Arrow physical-name rename since r14) — constructing the reader
-    # must NOT raise for either shape (positive value coverage:
-    # test_source_flat_column_mapping_* / test_source_nested_column_mapping_*)
+    # column-mapped tables stream BOTH WAYS since r14 — reader (flat r13,
+    # nested via the Arrow physical-name rename) and writer (positional
+    # physical rename + field-id'd schema) construct without raising
+    # (positive value coverage: test_source_flat_column_mapping_*,
+    # test_source_nested_column_mapping_*, test_sink_on_column_mapped_table)
     from duckdb_delta_spark.delta.log import DeltaLog
     from duckdb_delta_spark.delta.snapshot import Snapshot
 
     flat_schema = Snapshot.build(DeltaLog(cm)).schema
+    DeltaStreamWriter(cm, flat_schema, {})
     DeltaStreamReader(cm, flat_schema, {"startingVersion": "0"})
+    # ...but an input column the mapped table lacks refuses loudly
+    extra = T.StructType(list(flat_schema.fields)
+                         + [T.StructField("zz", T.LongType())])
+    with pytest.raises(UnsupportedFeatureError, match="not in"):
+        DeltaStreamWriter(cm, extra, {})
 
     nested = str(tmp_path / "cm_nested")
     nschema = T.StructType([
@@ -1822,4 +1827,85 @@ def test_source_nested_column_mapping_streams_correct_values(spark, tdir):
     got_w = sorted(r["id"] for r in spark.read.parquet(wout).collect())
     assert got_w == [i for i in range(12, 24) if i % 3 != 0]
     for d in (out, ck, wout, wck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_on_column_mapped_table(spark, tdir):
+    """Streaming INTO a column-mapped table (nested mapping included):
+    executor tasks rename the Arrow batches to physical names
+    positionally and write under the field-id'd physical schema, so the
+    files carry physical names + PARQUET field ids at every level,
+    partitionValues key physically, stats key physically — and the batch
+    scan reads it all back logical with partition pruning intact."""
+    import json as _json
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType())])),
+        T.StructField("g", T.LongType()),
+    ])
+    DeltaWriter.create(spark, tdir, schema, partition_by=["g"],
+                       configuration={"delta.columnMapping.mode": "name"})
+    src = str(tdir) + "_src"
+    sw = DeltaWriter.create(spark, src, schema)
+    sw.append(spark.range(20).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a"),
+                 F.concat(F.lit("n"), F.col("id")).alias("s")).alias("info"),
+        (F.col("id") % 2).alias("g")).coalesce(1))
+
+    spark.dataSource.register(DeltaPySource)
+    ck = str(tdir) + "_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", tdir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    t = DeltaTable(tdir)
+    got = t.to_df(spark)
+    assert got.count() == 20
+    assert got.where("info.a = i AND info.s = concat('n', i)").count() == 20
+
+    files = t.snapshot.add_files()
+    assert len(files) == 2  # one per partition value
+    f0 = files[0]
+    # partitionValues keyed by the PHYSICAL partition column name
+    assert all(k.startswith("col-") for k in f0.partition_values)
+    pf = pq.ParquetFile(f0.absolute_path(tdir))
+    assert all(n.startswith("col-") for n in pf.schema_arrow.names)
+    # nested physical names + field ids on every level
+    sf = next(f for f in pf.schema_arrow
+              if str(f.type).startswith("struct"))
+    assert all(sf.type.field(j).name.startswith("col-")
+               for j in range(sf.type.num_fields))
+    assert all(pf.schema_arrow.field(i).metadata
+               and b"PARQUET:field_id" in pf.schema_arrow.field(i).metadata
+               for i in range(len(pf.schema_arrow.names)))
+    stats = _json.loads(f0.stats)
+    assert all(k.startswith("col-") for k in stats["minValues"])
+
+    # partition pruning through the mapping on the streamed table
+    sb = t.scan(spark).filter("g", "=", 0)
+    assert sb.to_df().count() == 10
+    assert sb.skip_report()["files_skipped_by_partition"] == 1
+    for d in (src, ck):
         _sh.rmtree(d, ignore_errors=True)
