@@ -636,42 +636,10 @@ class DeltaWriter:
         widened_config: dict | None = None
         computed: list[str] = []
         if merge_schema:
-            known = set(schema.fieldNames())
             by_df = {f.name: f for f in df.schema.fields}
-            new_fields = [f for f in df.schema.fields if f.name not in known]
-            # NESTED widening too (delta-spark parity): input struct
-            # fields the table lacks append at the end of their struct;
-            # existing fields keep order/metadata (mapping ids)
-            widened_fields = []
-            nested_widened = False
-            for f in schema.fields:
-                d = by_df.get(f.name)
-                mdt = (
-                    _merge_nested_types(f.dataType, d.dataType)
-                    if d is not None else f.dataType
-                )
-                if mdt != f.dataType:
-                    nested_widened = True
-                widened_fields.append(
-                    T.StructField(f.name, mdt, f.nullable, f.metadata)
-                )
-            if new_fields or nested_widened:
-                merged = T.StructType(widened_fields + [
-                    T.StructField(f.name, _nullable_type(f.dataType), True)
-                    for f in new_fields
-                ])
-                if snapshot.column_mapping_mode != "none":
-                    # delta-spark parity: fresh columns/nested fields get
-                    # the next mapping ids + uuid physical names (existing
-                    # metadata preserved); maxColumnId advances in the
-                    # same commit
-                    cfg = dict(snapshot.configuration)
-                    start = int(cfg.get("delta.columnMapping.maxColumnId", 0))
-                    merged, new_max = _ensure_mapping_metadata(
-                        merged, start_id=start
-                    )
-                    cfg["delta.columnMapping.maxColumnId"] = str(new_max)
-                    widened_config = cfg
+            merged, cfg, changed = _merged_table_schema(snapshot, df.schema)
+            if changed:
+                widened_config = cfg
                 schema = merged
                 schema_widened = True
             gen = _generated_exprs(schema)
@@ -2778,6 +2746,32 @@ class DeltaWriter:
         partition columns."""
         return self._alter_schema("DROP COLUMN", name)
 
+    def merge_schema_with(self, in_schema: T.StructType) -> int | None:
+        """Widen the table schema to the mergeSchema union with
+        ``in_schema`` in a METADATA-ONLY commit (nested struct widening
+        included; mapped tables assign fresh ids + advance maxColumnId).
+        Returns the committed version, or None when nothing widens. The
+        streaming sink's ``mergeSchema`` option runs this once at stream
+        start; batch appends get the same union inline via
+        ``append(merge_schema=True)``."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        merged, cfg, changed = _merged_table_schema(snap, in_schema)
+        if not changed:
+            return None
+        meta = dict(snap.metadata)
+        meta["schemaString"] = merged.json()
+        if cfg is not None:
+            meta["configuration"] = cfg
+        actions = [
+            {"commitInfo": _commit_info("ADD COLUMNS",
+                                        {"mergeSchema": "true"})},
+            {"metaData": meta},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     def add_column(self, name: str, dtype, comment: str | None = None) -> int:
         """ALTER TABLE ADD COLUMN (nullable; existing files read typed
         NULLs via the schema-evolution path). Works on mapped AND
@@ -4788,6 +4782,46 @@ def _assignment_exprs(schema: T.StructType, assignments: dict, col_for):
             col = col.withField(sub, to_expr(a))
         out[name] = col
     return out
+
+
+def _merged_table_schema(snapshot, in_schema: T.StructType):
+    """mergeSchema union of the table schema and an input schema:
+    ``(merged_schema, widened_config_or_None, changed)``. New top-level
+    columns append (nullable); NESTED widening too (delta-spark parity):
+    input struct fields the table lacks append at the end of their
+    struct, existing fields keep order/metadata (mapping ids). On mapped
+    tables fresh columns/nested fields get the next mapping ids + uuid
+    physical names and maxColumnId advances (returned in the config)."""
+    schema = snapshot.schema
+    known = set(schema.fieldNames())
+    by_in = {f.name: f for f in in_schema.fields}
+    new_fields = [f for f in in_schema.fields if f.name not in known]
+    widened_fields = []
+    nested_widened = False
+    for f in schema.fields:
+        d = by_in.get(f.name)
+        mdt = (
+            _merge_nested_types(f.dataType, d.dataType)
+            if d is not None else f.dataType
+        )
+        if mdt != f.dataType:
+            nested_widened = True
+        widened_fields.append(
+            T.StructField(f.name, mdt, f.nullable, f.metadata)
+        )
+    if not new_fields and not nested_widened:
+        return schema, None, False
+    merged = T.StructType(widened_fields + [
+        T.StructField(f.name, _nullable_type(f.dataType), True)
+        for f in new_fields
+    ])
+    cfg = None
+    if snapshot.column_mapping_mode != "none":
+        cfg = dict(snapshot.configuration)
+        start = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+        merged, new_max = _ensure_mapping_metadata(merged, start_id=start)
+        cfg["delta.columnMapping.maxColumnId"] = str(new_max)
+    return merged, cfg, True
 
 
 def _merge_nested_types(t_dt: T.DataType, d_dt: T.DataType) -> T.DataType:

@@ -1023,6 +1023,9 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
     # partially-constructed instances (tests build via __new__)
     _phys: dict = {}
     _phys_schema = None
+    _constraints: list = []
+    _not_null: list = []
+    _not_null_parts: list = []
 
     def __init__(self, table_path: str, schema: StructType, options):
         self.table_path = os.path.abspath(table_path)
@@ -1036,6 +1039,12 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         #: nesting level) the executors write files and stats under
         self._phys: dict[str, str] = {}
         self._phys_schema = None
+        #: .option('mergeSchema','true') — widen the table schema to the
+        #: union with the stream schema at stream start (metadata-only
+        #: commit, nested fields included), delta-spark sink parity
+        self._merge_schema_opt = (
+            str(options.get("mergeSchema", "false")).lower() == "true"
+        )
         self._gate()
 
     def _gate(self) -> None:
@@ -1058,6 +1067,40 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             raise UnsupportedFeatureError(
                 f"streaming sink input lacks partition columns {missing}"
             )
+        # input columns / nested struct fields the table lacks: widen the
+        # table once (metadata-only mergeSchema commit) when
+        # .option('mergeSchema','true'); refuse otherwise — a file
+        # carrying columns outside the table schema is dead weight at
+        # best and a silent divergence at worst
+        from duckdb_delta_spark.delta.writer import _nested_name_diffs
+
+        snap_by = {f.name: f for f in snap.schema.fields}
+        extras = [f.name for f in self.schema.fields
+                  if f.name not in snap_by]
+        for f in self.schema.fields:
+            tf = snap_by.get(f.name)
+            if tf is not None:
+                a, _ = _nested_name_diffs(
+                    f.dataType, tf.dataType, f"{f.name}.")
+                extras += a
+        if extras:
+            if self._merge_schema_opt:
+                from pyspark.sql import SparkSession
+
+                from duckdb_delta_spark.delta.writer import DeltaWriter
+
+                DeltaWriter(
+                    self.table_path, SparkSession.getActiveSession()
+                ).merge_schema_with(self.schema)
+                snap = Snapshot.build(DeltaLog(self.table_path))
+                _SINK_SNAP_CACHE[self.table_path] = snap
+                snap_by = {f.name: f for f in snap.schema.fields}
+            else:
+                raise UnsupportedFeatureError(
+                    "streaming sink input has columns the table lacks "
+                    f"({extras}); pass .option('mergeSchema', 'true') to "
+                    "widen the table schema at stream start"
+                )
         if snap.column_mapping_mode != "none":
             # column-mapped sink (r14): files, stats and partitionValues
             # come out PHYSICALLY named — tasks rename the Arrow batches
@@ -1110,6 +1153,95 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 raise UnsupportedFeatureError(
                     f"write with generated/identity column {f.name!r}"
                 )
+        # CHECK constraints: a writer honoring checkConstraints must
+        # ENFORCE them (Delta spec) — the sink evaluates each one
+        # executor-side per Arrow batch through the predicate machinery:
+        # violations = rows where NOT(expr) definitely holds (NULL passes
+        # a constraint, and parse_where's De Morgan keeps that exact).
+        # Constraints outside the pushable grammar refuse at stream
+        # start — enforce-or-refuse, never silently skip.
+        from pyspark.sql import types as T
+
+        from duckdb_delta_spark.delta.predicates import parse_where
+
+        self._constraints: list[tuple] = []
+        for key, cexpr in sorted(conf.items()):
+            if not key.startswith("delta.constraints."):
+                continue
+            cname = key[len("delta.constraints."):]
+            try:
+                negated = parse_where(f"NOT ({cexpr})")
+            except ValueError as e:
+                raise UnsupportedFeatureError(
+                    f"streaming sink cannot enforce CHECK constraint "
+                    f"{cname!r} ({cexpr}): {e}"
+                ) from None
+            self._constraints.append((cname, cexpr, negated))
+        # NOT NULL: same stats-free executor-side walk the batch writer
+        # enforces from footer stats — struct NODES are skipped (their
+        # non-nullable child leaves catch the parent-null case, and Arrow
+        # struct_field propagates parent nulls identically); NOT NULL
+        # under array/map elements is unverifiable and refuses loudly.
+        self._not_null: list[str] = []
+        self._not_null_parts: list[str] = []
+
+        def _inner_constraint(dt) -> bool:
+            if isinstance(dt, T.StructType):
+                return any((not f.nullable) or _inner_constraint(f.dataType)
+                           for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return _inner_constraint(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return _inner_constraint(dt.valueType)
+            return False
+
+        def _walk_nn(prefix: str, fields) -> None:
+            for f in fields:
+                name = f"{prefix}.{f.name}" if prefix else f.name
+                if name in self.partition_columns:
+                    if not f.nullable:
+                        self._not_null_parts.append(name)
+                    continue
+                if not f.nullable and not isinstance(f.dataType, T.StructType):
+                    self._not_null.append(name)
+                if isinstance(f.dataType, T.StructType):
+                    _walk_nn(name, f.dataType.fields)
+                elif isinstance(f.dataType, (T.ArrayType, T.MapType)):
+                    inner = (f.dataType.elementType
+                             if isinstance(f.dataType, T.ArrayType)
+                             else f.dataType.valueType)
+                    if _inner_constraint(inner):
+                        raise UnsupportedFeatureError(
+                            "streaming sink to a table with NOT NULL "
+                            f"constraints inside array/map column {name!r} "
+                            "is not supported"
+                        )
+
+        _walk_nn("", snap.schema.fields)
+
+        # every required (NOT NULL) path must exist in the INPUT schema —
+        # a file omitting a nullable column reads back as NULLs (fine),
+        # but omitting a required one would violate the constraint
+        def _resolvable(path: str) -> bool:
+            segs = path.split(".")
+            f = next((x for x in self.schema.fields
+                      if x.name == segs[0]), None)
+            if f is None:
+                return False
+            dt = f.dataType
+            for seg in segs[1:]:
+                if not isinstance(dt, T.StructType) \
+                        or seg not in dt.fieldNames():
+                    return False
+                dt = dt[seg].dataType
+            return True
+
+        lacking = [p for p in self._not_null + self._not_null_parts
+                   if not _resolvable(p)]
+        if lacking:
+            raise UnsupportedFeatureError(
+                f"streaming sink input lacks NOT NULL columns {lacking}"
+            )
 
     def write(self, iterator) -> _WrittenFiles:
         import time as _time
@@ -1177,6 +1309,32 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 w = writers[pv] = _open(pv)
             w[0].write_table(tbl)
 
+        def _enforce(tbl: pa.Table) -> None:
+            """Per-batch constraint enforcement, Arrow-side (fail-fast:
+            a raise fails the task, Spark aborts the batch, abort()
+            unlinks the partial files — no violating commit can land)."""
+            from duckdb_delta_spark.delta.errors import (
+                ConstraintViolationError,
+            )
+            from duckdb_delta_spark.delta.predicates import arrow_mask
+
+            for cname, cexpr, negated in self._constraints:
+                m = arrow_mask(tbl, negated)
+                if m is not None and pc.any(m).as_py():
+                    raise ConstraintViolationError(
+                        f"CHECK constraint {cname} ({cexpr}) violated by "
+                        "streaming batch"
+                    )
+            for path in self._not_null:
+                segs = path.split(".")
+                arr = tbl.column(segs[0])
+                for seg in segs[1:]:
+                    arr = pc.struct_field(arr, seg)
+                if arr.null_count:
+                    raise ConstraintViolationError(
+                        f"NOT NULL constraint violated for column {path!r}"
+                    )
+
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
@@ -1184,6 +1342,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             tbl = pa.Table.from_batches([batch])
             if tbl.schema != arrow_schema:
                 tbl = tbl.cast(arrow_schema)
+            _enforce(tbl)
             if not parts:
                 _sink((), _render(tbl.select(data_names)))
                 continue
@@ -1191,6 +1350,16 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             keys = tbl.select(parts)
             distinct = keys.group_by(parts).aggregate([]).to_pylist()
             for combo in distinct:
+                for nc in self._not_null_parts:
+                    if combo.get(nc) is None:
+                        from duckdb_delta_spark.delta.errors import (
+                            ConstraintViolationError,
+                        )
+
+                        raise ConstraintViolationError(
+                            "NOT NULL constraint violated for partition "
+                            f"column {nc!r}"
+                        )
                 mask = None
                 for c in parts:
                     v = combo[c]

@@ -275,10 +275,11 @@ def test_sink_and_source_gates(spark, tmp_path):
     flat_schema = Snapshot.build(DeltaLog(cm)).schema
     DeltaStreamWriter(cm, flat_schema, {})
     DeltaStreamReader(cm, flat_schema, {"startingVersion": "0"})
-    # ...but an input column the mapped table lacks refuses loudly
+    # ...but an input column the table lacks refuses loudly (unless
+    # mergeSchema widens it — test_sink_merge_schema_option)
     extra = T.StructType(list(flat_schema.fields)
                          + [T.StructField("zz", T.LongType())])
-    with pytest.raises(UnsupportedFeatureError, match="not in"):
+    with pytest.raises(UnsupportedFeatureError, match="mergeSchema"):
         DeltaStreamWriter(cm, extra, {})
 
     nested = str(tmp_path / "cm_nested")
@@ -1907,5 +1908,156 @@ def test_sink_on_column_mapped_table(spark, tdir):
     sb = t.scan(spark).filter("g", "=", 0)
     assert sb.to_df().count() == 10
     assert sb.skip_report()["files_skipped_by_partition"] == 1
+    for d in (src, ck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_enforces_check_and_not_null_constraints(spark, tdir):
+    """The sink ENFORCES table constraints (Delta spec: a writer honoring
+    checkConstraints/invariants must enforce or refuse — before r14 it
+    silently committed violating rows): CHECK constraints evaluate
+    executor-side per Arrow batch (violations = rows where NOT(expr)
+    definitely holds, so NULL passes), NOT NULL fails the batch, aborted
+    files are cleaned up, and constraints outside the pushable predicate
+    grammar refuse loudly at stream start instead of going unenforced."""
+    import glob as _glob
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaPySource,
+        DeltaStreamWriter,
+    )
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType()),
+                           T.StructField("v", T.LongType())])
+
+    def run(dst, src_rows, tag):
+        src, ck = f"{tdir}_src_{tag}", f"{tdir}_ck_{tag}"
+        sw = DeltaWriter.create(spark, src, schema)
+        sw.append(src_rows.coalesce(1))
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", src)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("delta_py")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        exc = q.exception()
+        _sh.rmtree(src, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+        return exc
+
+    # CHECK violation: batch fails, nothing commits, no files leak
+    dst1 = str(tdir) + "_t1"
+    DeltaWriter.create(spark, dst1, schema)
+    DeltaWriter(dst1, spark).add_constraint("v_pos", "v >= 0")
+    exc = run(dst1, spark.range(5).select(
+        F.col("id").alias("i"), (F.col("id") - 3).alias("v")), "c1")
+    assert exc is not None and "v_pos" in str(exc)
+    assert DeltaTable(dst1).to_df(spark).count() == 0
+    assert not _glob.glob(dst1 + "/*.parquet")
+
+    # clean stream on the same constrained table commits
+    exc = run(dst1, spark.range(5).select(
+        F.col("id").alias("i"), (F.col("id") + 3).alias("v")), "c2")
+    assert exc is None
+    assert DeltaTable(dst1).to_df(spark).count() == 5
+
+    # unparseable constraint: refuse at stream start, never unenforced
+    import pytest as _pytest
+
+    DeltaWriter(dst1, spark).add_constraint("hard", "i + v >= 0")
+    with _pytest.raises(Exception, match="hard"):
+        DeltaStreamWriter(dst1, schema, {})
+
+    # NOT NULL: violating batch fails and commits nothing
+    dst2 = str(tdir) + "_t2"
+    nn = T.StructType([T.StructField("i", T.LongType(), False),
+                       T.StructField("v", T.LongType())])
+    DeltaWriter.create(spark, dst2, nn)
+    exc = run(dst2, spark.createDataFrame([(None, 1), (2, 2)], schema), "n1")
+    assert exc is not None and "NOT NULL" in str(exc)
+    assert DeltaTable(dst2).to_df(spark).count() == 0
+
+
+def test_sink_merge_schema_option(spark, tdir):
+    """.option('mergeSchema','true') on the sink: input columns and
+    NESTED struct fields the table lacks widen the table schema once at
+    stream start (metadata-only commit via merge_schema_with), old rows
+    read the new fields as NULLs; without the option the mismatch
+    refuses at stream start instead of writing out-of-schema files."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaPySource,
+        DeltaStreamWriter,
+    )
+
+    spark.dataSource.register(DeltaPySource)
+    tbl_schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType(
+            [T.StructField("a", T.LongType())])),
+    ])
+    DeltaWriter.create(spark, tdir, tbl_schema)
+    DeltaWriter(tdir, spark).append(spark.range(3).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+
+    wide = spark.range(3, 6).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a"),
+                 (F.col("id") * 2).alias("b")).alias("info"),
+        (F.col("id") * 1.5).alias("x"))
+    src = str(tdir) + "_src"
+    DeltaWriter.create(spark, src, wide.schema).append(wide.coalesce(1))
+
+    # without the option: loud stream-start refusal naming the columns
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mergeSchema"):
+        DeltaStreamWriter(tdir, wide.schema, {})
+
+    ck = str(tdir) + "_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", tdir)
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    t = DeltaTable(tdir)
+    sch = t.snapshot.schema
+    assert sch.fieldNames() == ["i", "info", "x"]
+    assert [f.name for f in sch["info"].dataType.fields] == ["a", "b"]
+    got = t.to_df(spark)
+    assert got.count() == 6
+    assert got.where("info.b IS NULL AND x IS NULL").count() == 3
+    assert got.where("info.b = 2 * i AND x = 1.5 * i").count() == 3
     for d in (src, ck):
         _sh.rmtree(d, ignore_errors=True)
