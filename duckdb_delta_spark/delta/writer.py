@@ -931,73 +931,11 @@ class DeltaWriter:
     def _assign_row_ids(
         self, version: int, actions: list[dict], snap: Snapshot
     ) -> None:
-        """Row tracking (Delta spec "Row Tracking"): on tables with the
-        ``rowTracking`` writer feature, every NEW add gets a
-        ``baseRowId`` (fresh row id of row i = baseRowId + i) and
-        ``defaultRowCommitVersion``; re-adds of a live path (DV updates,
-        stats rewrites) KEEP their ids — the file bytes are unchanged.
-        The ``rowIdHighWaterMark`` advances in the same commit via the
-        delta.rowTracking domain metadata. Runs inside ``_commit`` so
-        every write path (append, DML rewrites, streaming sink) and
-        every RETRY reallocates against the snapshot it is committing
-        on — two writers racing the same watermark conflict instead of
-        double-allocating."""
-        try:
-            _, wfeats = _legacy_features(snap.protocol)
-        except UnsupportedFeatureError:
-            return
-        if "rowTracking" not in wfeats:
-            return
-        adds = [a["add"] for a in actions if a.get("add")]
-        if not adds:
-            return
-        existing: dict[str, AddFile] = {}
-        for f in snap.add_files():
-            existing[f.path] = f
-        try:
-            conf = json.loads(
-                snap.domain_metadata.get(self.ROW_TRACKING_DOMAIN) or "{}"
-            )
-        except json.JSONDecodeError:
-            conf = {}
-        hwm = int(conf.get("rowIdHighWaterMark", -1))
-        moved = False
-        for a in adds:
-            prior = existing.get(a["path"])
-            if prior is not None and prior.base_row_id is not None:
-                a["baseRowId"] = prior.base_row_id
-                a["defaultRowCommitVersion"] = (
-                    prior.default_row_commit_version
-                )
-                continue
-            stats = json.loads(a.get("stats") or "{}")
-            n = stats.get("numRecords")
-            if n is None:
-                raise UnsupportedFeatureError(
-                    f"rowTracking needs numRecords stats to allocate "
-                    f"baseRowId for {a['path']!r}"
-                )
-            a["baseRowId"] = hwm + 1
-            a["defaultRowCommitVersion"] = version
-            hwm += int(n)
-            moved = True
-        if moved:
-            # idempotent across retries: drop any stale watermark action
-            actions[:] = [
-                x for x in actions
-                if not (
-                    x.get("domainMetadata")
-                    and x["domainMetadata"].get("domain")
-                    == self.ROW_TRACKING_DOMAIN
-                )
-            ]
-            actions.append({"domainMetadata": {
-                "domain": self.ROW_TRACKING_DOMAIN,
-                "configuration": json.dumps(
-                    {"rowIdHighWaterMark": hwm}, separators=(",", ":")
-                ),
-                "removed": False,
-            }})
+        """Delegates to module-level :func:`assign_row_ids` — runs inside
+        ``_commit`` so every write path and every RETRY reallocates
+        against the snapshot it is committing on; the streaming sink
+        calls the module function before its own put-if-absent."""
+        assign_row_ids(version, actions, snap)
 
     def _maybe_auto_compact(self) -> None:
         """``delta.autoOptimize.autoCompact = true`` (delta-spark parity,
@@ -4710,6 +4648,73 @@ def _commit_info(operation: str, params: dict | None = None) -> dict:
         "engineCommitInfo": {"engineInfo": ENGINE_INFO},
         "engineInfo": ENGINE_INFO,
     }
+
+
+def assign_row_ids(version: int, actions: list[dict], snap: Snapshot) -> None:
+    """Row tracking (Delta spec "Row Tracking"): on tables with the
+    ``rowTracking`` writer feature, every NEW add gets a ``baseRowId``
+    (fresh row id of row i = baseRowId + i) and
+    ``defaultRowCommitVersion``; re-adds of a live path (DV updates,
+    stats rewrites) KEEP their ids — the file bytes are unchanged. The
+    ``rowIdHighWaterMark`` advances in the same commit via the
+    delta.rowTracking domain metadata. Two writers racing the same
+    watermark conflict on the version instead of double-allocating —
+    DeltaWriter calls this inside ``_commit`` (so retries reallocate),
+    the streaming sink right before its put-if-absent."""
+    domain = DeltaWriter.ROW_TRACKING_DOMAIN
+    try:
+        _, wfeats = _legacy_features(snap.protocol)
+    except UnsupportedFeatureError:
+        return
+    if "rowTracking" not in wfeats:
+        return
+    adds = [a["add"] for a in actions if a.get("add")]
+    if not adds:
+        return
+    existing: dict[str, AddFile] = {}
+    for f in snap.add_files():
+        existing[f.path] = f
+    try:
+        conf = json.loads(snap.domain_metadata.get(domain) or "{}")
+    except json.JSONDecodeError:
+        conf = {}
+    hwm = int(conf.get("rowIdHighWaterMark", -1))
+    moved = False
+    for a in adds:
+        prior = existing.get(a["path"])
+        if prior is not None and prior.base_row_id is not None:
+            a["baseRowId"] = prior.base_row_id
+            a["defaultRowCommitVersion"] = (
+                prior.default_row_commit_version
+            )
+            continue
+        stats = json.loads(a.get("stats") or "{}")
+        n = stats.get("numRecords")
+        if n is None:
+            raise UnsupportedFeatureError(
+                f"rowTracking needs numRecords stats to allocate "
+                f"baseRowId for {a['path']!r}"
+            )
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = version
+        hwm += int(n)
+        moved = True
+    if moved:
+        # idempotent across retries: drop any stale watermark action
+        actions[:] = [
+            x for x in actions
+            if not (
+                x.get("domainMetadata")
+                and x["domainMetadata"].get("domain") == domain
+            )
+        ]
+        actions.append({"domainMetadata": {
+            "domain": domain,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": hwm}, separators=(",", ":")
+            ),
+            "removed": False,
+        }})
 
 
 def _nullable_type(dt: T.DataType) -> T.DataType:

@@ -1478,6 +1478,13 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 "dataChange": True,
                 "stats": getattr(m, "stats", None) or fallback.get(m.rel_path),
             }})
+        # row tracking: allocate baseRowId/defaultRowCommitVersion for
+        # the batch's adds from the table's rowIdHighWaterMark (same
+        # allocator as the batch writer; without this a row-tracked
+        # table's streamed files would silently violate the spec)
+        from duckdb_delta_spark.delta.writer import assign_row_ids
+
+        assign_row_ids(snap.version + 1, actions, snap)
         # per-batch cost breakdown IN the commit itself (delta-spark's
         # operationMetrics surface): executor write wall-time arrives in
         # the task messages, the driver-side phases are measured here —

@@ -2061,3 +2061,52 @@ def test_sink_merge_schema_option(spark, tdir):
     assert got.where("info.b = 2 * i AND x = 1.5 * i").count() == 3
     for d in (src, ck):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_assigns_row_ids_on_row_tracked_table(spark, tdir):
+    """Streaming into a row-tracked table allocates baseRowId /
+    defaultRowCommitVersion for the batch's adds from the
+    rowIdHighWaterMark — same allocator as the batch writer (before r14
+    the sink committed adds WITHOUT baseRowId, silently breaking the
+    table's row-tracking contract for every reader)."""
+    import json as _json
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={"delta.enableRowTracking": "true"})
+    w.append(spark.range(100, 103).select(F.col("id").alias("i"))
+             .coalesce(1))                      # batch file: ids 0..2
+    src, ck = str(tdir) + "_src", str(tdir) + "_ck"
+    DeltaWriter.create(spark, src, schema).append(
+        spark.range(7).select(F.col("id").alias("i")).coalesce(1))
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", tdir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    t = DeltaTable(tdir)
+    assert sorted(f.base_row_id for f in t.snapshot.add_files()) == [0, 3]
+    ids = sorted(r["_row_id"] for r in t.scan(spark).with_row_ids()
+                 .to_df().select("_row_id").collect())
+    assert ids == list(range(10))
+    hwm = _json.loads(t.snapshot.domain_metadata["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 9
+    for d in (src, ck):
+        _sh.rmtree(d, ignore_errors=True)
