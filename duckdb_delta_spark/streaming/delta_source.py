@@ -1141,10 +1141,11 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     f"writer features not supported: {sorted(unsupported)}"
                 )
         conf = snap.configuration
-        if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
-            raise UnsupportedFeatureError(
-                "write to a table with delta.enableChangeDataFeed"
-            )
+        # CDF-enabled tables are WRITABLE by this sink: blind appends
+        # never need _change_data files (the spec derives their rows as
+        # inserts from the add actions, exactly what the batch feed and
+        # the readChangeFeed stream do) — only row-CHANGING DML must
+        # write cdc files, and the sink performs none.
         for f in snap.schema.fields:
             md = f.metadata or {}
             if "delta.generationExpression" in md or any(

@@ -255,11 +255,14 @@ def test_sink_and_source_gates(spark, tmp_path):
     with pytest.raises(UnsupportedFeatureError, match="partition columns"):
         DeltaStreamWriter(part, narrow, {})  # input lacks partition col g
 
+    # CDF-enabled tables are writable since r14 — blind appends never
+    # need _change_data (the feed derives their rows as inserts); the
+    # sink constructs without raising (value coverage:
+    # test_sink_into_cdf_table_feeds_inserts)
     cdf = str(tmp_path / "cdf")
     DeltaWriter.create(spark, cdf, schema,
                        configuration={"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(UnsupportedFeatureError, match="ChangeDataFeed"):
-        DeltaStreamWriter(cdf, schema, {})
+    DeltaStreamWriter(cdf, schema, {})
 
     cm = str(tmp_path / "cm")
     DeltaWriter.create(spark, cm, schema,
@@ -2109,4 +2112,72 @@ def test_sink_assigns_row_ids_on_row_tracked_table(spark, tdir):
     hwm = _json.loads(t.snapshot.domain_metadata["delta.rowTracking"])
     assert hwm["rowIdHighWaterMark"] == 9
     for d in (src, ck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_into_cdf_table_feeds_inserts(spark, tdir):
+    """Streaming appends INTO a CDF-enabled table (the sink refused these
+    before r14): blind appends need no _change_data files — the derived
+    feed (batch table_changes AND a readChangeFeed stream) must surface
+    every streamed row as an insert at the sink's commit versions, plus a
+    subsequent DELETE's cdc-derived rows on top."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    DeltaWriter.create(spark, tdir, schema,
+                       configuration={"delta.enableChangeDataFeed": "true"})
+    src, ck = str(tdir) + "_src", str(tdir) + "_ck"
+    DeltaWriter.create(spark, src, schema).append(
+        spark.range(6).select(F.col("id").alias("i")).coalesce(1))
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("delta_py")
+        .option("path", tdir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert DeltaTable(tdir).to_df(spark).count() == 6
+
+    # CDF DML still works on the streamed-into table (writes cdc files)
+    DeltaWriter(tdir, spark).delete("i = 4")
+
+    got = sorted((r["_change_type"], r["i"]) for r in table_changes(
+        DeltaLog(tdir), spark, starting_version=0).collect())
+    assert got == sorted(
+        [("insert", k) for k in range(6)] + [("delete", 4)])
+
+    # the readChangeFeed STREAM over the sink's output agrees
+    out, ck2 = str(tdir) + "_cdf_out", str(tdir) + "_cdf_ck"
+    q2 = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted((r["_change_type"], r["i"])
+                  for r in spark.read.parquet(out).collect())
+    assert got2 == got
+    for d in (src, ck, out, ck2):
         _sh.rmtree(d, ignore_errors=True)
