@@ -1528,16 +1528,80 @@ class DeltaWriter:
         walk("", schema.fields)
         if not required:
             return
+
+        def _field_at(path: str):
+            segs = path.split(".")
+            dt: T.DataType = schema
+            for seg in segs:
+                dt = dt[seg].dataType
+            return dt
+
+        def _has_required_leaf(dt) -> bool:
+            # a non-nullable NON-struct descendant reachable through
+            # structs only — its own leaf-stats check (it is also in
+            # `required`) catches a null anywhere up its parent chain,
+            # because a null ancestor nulls every leaf beneath it
+            if not isinstance(dt, T.StructType):
+                return False
+            return any(
+                (not f.nullable and not isinstance(f.dataType, T.StructType))
+                or _has_required_leaf(f.dataType)
+                for f in dt.fields
+            )
+
+        def _min_leaf(v) -> int | None:
+            # smallest numeric leaf nullCount in a nested stats subtree;
+            # None when the subtree records no numeric leaves at all
+            if isinstance(v, dict):
+                vals = [m for m in (_min_leaf(x) for x in v.values())
+                        if m is not None]
+                return min(vals) if vals else None
+            return int(v or 0)
+
+        def _struct_nulls_exact(add, col: str) -> int:
+            # parquet footer stats conflate parent-null with child-null,
+            # but the data pages' def levels do NOT: pyarrow reconstructs
+            # struct validity exactly on read.  Only reached for the rare
+            # shape "non-nullable struct with no non-nullable leaf
+            # beneath it" AND only when every leaf under it has nulls —
+            # a bounded read of one just-written (page-cache-warm) column.
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            rel = urllib.parse.unquote(add["path"])
+            segs = col.split(".")
+            tbl = pq.read_table(
+                os.path.join(self.table_path, rel), columns=[segs[0]]
+            )
+            arr = tbl.column(segs[0])
+            for seg in segs[1:]:
+                # struct_field propagates parent nulls, matching the
+                # leaf-stats semantics (null ancestor ⇒ violation)
+                arr = pc.struct_field(arr, seg)
+            return arr.null_count
+
         for add in adds:
             stats = json.loads(add["stats"]) if add.get("stats") else {}
             nulls = stats.get("nullCount") or {}
             for col in required:
                 v = _get_nested(nulls, col)
+                if isinstance(_field_at(col), T.StructType):
+                    if _has_required_leaf(_field_at(col)):
+                        continue  # its required leaves verify it below
+                    # cheap proof first — a null struct nulls EVERY leaf
+                    # beneath it, so any zero-null leaf proves the struct
+                    # itself has no nulls; otherwise (or with no recorded
+                    # leaf stats) fall back to the exact read-back
+                    m = _min_leaf(v) if isinstance(v, dict) else None
+                    if m == 0:
+                        continue
+                    if _struct_nulls_exact(add, col) == 0:
+                        continue
+                    self._rollback(moved)
+                    raise ConstraintViolationError(
+                        f"NOT NULL constraint violated for column {col!r}"
+                    )
                 if isinstance(v, dict):
-                    # struct node: parquet leaf counts conflate parent-null
-                    # with child-null, so the node itself is unverifiable
-                    # from stats; its non-nullable child leaves (also in
-                    # `required`) catch the parent-null case
                     continue
                 if int(v or 0) > 0:
                     self._rollback(moved)
@@ -4854,7 +4918,7 @@ def _merge_nested_types(t_dt: T.DataType, d_dt: T.DataType) -> T.DataType:
         )
     if isinstance(t_dt, T.MapType) and isinstance(d_dt, T.MapType):
         return T.MapType(
-            t_dt.keyType,
+            _merge_nested_types(t_dt.keyType, d_dt.keyType),
             _merge_nested_types(t_dt.valueType, d_dt.valueType),
             t_dt.valueContainsNull,
         )
@@ -4907,7 +4971,9 @@ def _needs_nested_conform(src_dt: T.DataType, dst_dt: T.DataType) -> bool:
     if isinstance(src_dt, T.ArrayType) and isinstance(dst_dt, T.ArrayType):
         return _needs_nested_conform(src_dt.elementType, dst_dt.elementType)
     if isinstance(src_dt, T.MapType) and isinstance(dst_dt, T.MapType):
-        return _needs_nested_conform(src_dt.valueType, dst_dt.valueType)
+        return _needs_nested_conform(
+            src_dt.keyType, dst_dt.keyType
+        ) or _needs_nested_conform(src_dt.valueType, dst_dt.valueType)
     return False
 
 
@@ -4948,12 +5014,40 @@ def _conform_nested_expr(col, src_dt: T.DataType, dst_dt: T.DataType):
     if isinstance(dst_dt, T.MapType) and isinstance(src_dt, T.MapType):
         if not _needs_nested_conform(src_dt, dst_dt):
             return col.cast(_nullable_type(dst_dt))
-        return F.transform_values(
-            col,
-            lambda _k, v: _conform_nested_expr(
-                v, src_dt.valueType, dst_dt.valueType
-            ),
-        )
+        out = col
+        if _needs_nested_conform(src_dt.keyType, dst_dt.keyType):
+            # map KEYS conform too — but only pure struct-field REORDERS
+            # are safe: injecting a NULL for a missing key field would
+            # silently change the key's identity, so differing field
+            # SETS refuse loudly instead
+            src_only, dst_only = _nested_name_diffs(
+                src_dt.keyType, dst_dt.keyType
+            )
+            if src_only or dst_only:
+                raise SchemaError(
+                    "cannot conform map KEY type "
+                    f"{src_dt.keyType.simpleString()} to "
+                    f"{dst_dt.keyType.simpleString()}: key struct field "
+                    f"sets differ (input-only {src_only}, table-only "
+                    f"{dst_only}) and null-filling a key field would "
+                    "silently change key identity"
+                )
+            out = F.transform_keys(
+                out,
+                lambda k, _v: _conform_nested_expr(
+                    k, src_dt.keyType, dst_dt.keyType
+                ),
+            )
+        if _needs_nested_conform(src_dt.valueType, dst_dt.valueType):
+            out = F.transform_values(
+                out,
+                lambda _k, v: _conform_nested_expr(
+                    v, src_dt.valueType, dst_dt.valueType
+                ),
+            )
+        # trailing cast aligns scalar key/value types the by-name
+        # conform above left untouched (e.g. int keys → long keys)
+        return out.cast(_nullable_type(dst_dt))
     return col.cast(_nullable_type(dst_dt))
 
 

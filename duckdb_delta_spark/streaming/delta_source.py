@@ -1030,8 +1030,17 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, table_path: str, schema: StructType, options):
         self.table_path = os.path.abspath(table_path)
         self.schema = schema
+        # exactly-once lineage key: the CHECKPOINT LOCATION, not the table
+        # path — a replayed batch (failure → Spark re-runs it) always
+        # comes from the same checkpoint, while two INDEPENDENT queries
+        # writing the same table have distinct checkpoints and must not
+        # collide (a table-path appId made the second query's batch 0
+        # look already-committed and silently dropped it).  delta-spark
+        # keys the same way via the queryId persisted in the checkpoint.
+        ckpt = options.get("checkpointlocation")
         self.app_id = options.get(
-            "txnAppId", f"delta_py_sink:{self.table_path}"
+            "txnAppId",
+            f"delta_py_sink:{ckpt if ckpt else self.table_path}",
         )
         self.partition_columns: list[str] = []
         #: column mapping: logical→physical top-level names, and the
@@ -1178,11 +1187,76 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     f"{cname!r} ({cexpr}): {e}"
                 ) from None
             self._constraints.append((cname, cexpr, negated))
+        # Constraint columns must RESOLVE: the sink permits input that
+        # omits nullable table columns (they null-fill on read), so a
+        # constraint referencing such a column must be evaluated with
+        # that column ≡ NULL — not crash with a KeyError on
+        # table.column().  Wholly-absent top-level columns are appended
+        # as typed null arrays per batch (exact delta-spark semantics:
+        # NULL satisfies a comparison CHECK, fails an IS NOT NULL one);
+        # a top-level column that IS present but lacks a referenced
+        # nested field refuses at stream start — enforce-or-refuse.
+        self._constraint_null_cols: list[tuple] = []
+        if self._constraints:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            def _leaf_cols(preds, out):
+                for p in preds:
+                    br = getattr(p, "branches", None)
+                    if br is not None:
+                        for b in br:
+                            _leaf_cols(b, out)
+                    else:
+                        out.add(p.column)
+
+            refs: set[str] = set()
+            for _cn, _ce, negated in self._constraints:
+                _leaf_cols(negated, refs)
+
+            def _resolve(dt_fields, path: list[str]):
+                f = next((x for x in dt_fields if x.name == path[0]), None)
+                if f is None:
+                    return None
+                dt = f.dataType
+                for seg in path[1:]:
+                    if not isinstance(dt, T.StructType) \
+                            or seg not in dt.fieldNames():
+                        return None
+                    dt = dt[seg].dataType
+                return dt
+
+            null_tops: dict[str, object] = {}
+            for ref in sorted(refs):
+                segs = ref.split(".")
+                if _resolve(self.schema.fields, segs) is not None:
+                    continue  # present in the input — evaluates directly
+                in_table = _resolve(snap.schema.fields, segs)
+                if in_table is None:
+                    raise UnsupportedFeatureError(
+                        f"CHECK constraint references column {ref!r} "
+                        "that exists in neither the stream input nor the "
+                        "table schema"
+                    )
+                top = next((x for x in self.schema.fields
+                            if x.name == segs[0]), None)
+                if top is not None:
+                    raise UnsupportedFeatureError(
+                        f"CHECK constraint references nested field {ref!r}"
+                        f" but the stream input's {segs[0]!r} column lacks"
+                        " it; add the field to the input or drop the "
+                        "constraint"
+                    )
+                if segs[0] not in null_tops:
+                    tf = next(x for x in snap.schema.fields
+                              if x.name == segs[0])
+                    null_tops[segs[0]] = to_arrow_type(tf.dataType)
+            self._constraint_null_cols = sorted(null_tops.items())
         # NOT NULL: same stats-free executor-side walk the batch writer
-        # enforces from footer stats — struct NODES are skipped (their
-        # non-nullable child leaves catch the parent-null case, and Arrow
-        # struct_field propagates parent nulls identically); NOT NULL
-        # under array/map elements is unverifiable and refuses loudly.
+        # enforces — struct NODES are checked too (Arrow carries exact
+        # struct-level validity, so a non-nullable struct whose children
+        # are all nullable — invisible to the batch writer's footer
+        # stats — is caught here directly); NOT NULL under array/map
+        # elements is unverifiable and refuses loudly.
         self._not_null: list[str] = []
         self._not_null_parts: list[str] = []
 
@@ -1203,7 +1277,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     if not f.nullable:
                         self._not_null_parts.append(name)
                     continue
-                if not f.nullable and not isinstance(f.dataType, T.StructType):
+                if not f.nullable:
                     self._not_null.append(name)
                 if isinstance(f.dataType, T.StructType):
                     _walk_nn(name, f.dataType.fields)
@@ -1319,8 +1393,15 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             )
             from duckdb_delta_spark.delta.predicates import arrow_mask
 
+            ctbl = tbl
+            for name, atype in self._constraint_null_cols:
+                # table column absent from the stream input: it null-fills
+                # on read, so the constraint sees it as all-NULL
+                ctbl = ctbl.append_column(
+                    name, pa.nulls(len(ctbl), type=atype)
+                )
             for cname, cexpr, negated in self._constraints:
-                m = arrow_mask(tbl, negated)
+                m = arrow_mask(ctbl, negated)
                 if m is not None and pc.any(m).as_py():
                     raise ConstraintViolationError(
                         f"CHECK constraint {cname} ({cexpr}) violated by "

@@ -4719,3 +4719,305 @@ def test_nested_evolution_random_shapes_model_based(spark, tdir):
     rows = {r["i"]: {lf: r[lf] for lf in LEAVES}
             for r in got.selectExpr(*sel).collect()}
     assert rows == model
+
+
+def test_not_null_struct_all_nullable_children(spark, tdir):
+    """A NON-NULLABLE STRUCT whose children are all nullable is invisible
+    to parquet footer stats (leaf null counts conflate parent-null with
+    child-null), so the writer verifies the struct's own validity from
+    the written pages' def levels (exact in pyarrow). Child nulls with a
+    valid parent must PASS; a NULL parent must be rejected."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]), False),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    # every leaf has nulls>0 but the struct itself never is: the cheap
+    # min-leaf shortcut cannot prove this file, so the exact read-back
+    # runs and must NOT flag it
+    ok = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1L, named_struct('a', CAST(NULL AS BIGINT), 'b', 'x')), "
+        "(2L, named_struct('a', 2L, 'b', CAST(NULL AS STRING))) "
+        "AS t(i, s)"
+    ).coalesce(1)
+    w.append(ok)
+    assert DeltaTable(tdir).to_df(spark).count() == 2
+    # NULL struct → violation (previously committed silently)
+    bad = spark.sql(
+        "SELECT 3L AS i, "
+        "CAST(NULL AS STRUCT<a: BIGINT, b: STRING>) AS s"
+    ).coalesce(1)
+    with pytest.raises(errors.ConstraintViolationError):
+        w.append(bad)
+    assert DeltaTable(tdir).to_df(spark).count() == 2
+    # mixed batch: valid structs + one NULL struct, same file → rejected
+    mixed = spark.sql(
+        "SELECT * FROM VALUES "
+        "(4L, named_struct('a', 4L, 'b', 'y')), "
+        "(5L, CAST(NULL AS STRUCT<a: BIGINT, b: STRING>)) AS t(i, s)"
+    ).coalesce(1)
+    with pytest.raises(errors.ConstraintViolationError):
+        w.append(mixed)
+    assert DeltaTable(tdir).to_df(spark).count() == 2
+
+
+def test_map_key_struct_conform_by_name(spark, tdir):
+    """Map KEYS with struct types conform BY NAME like values do: an
+    input whose key struct lists the same fields in a different order
+    must land with values matched by field name (a positional cast
+    would silently swap the same-typed fields), and scalar key types
+    cast to the table's (int keys → long keys)."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("m", T.MapType(
+            T.StructType([
+                T.StructField("x", T.LongType()),
+                T.StructField("y", T.LongType()),
+            ]),
+            T.StructType([
+                T.StructField("p", T.LongType()),
+                T.StructField("q", T.StringType()),
+            ]),
+        )),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    # key fields ordered (y, x), value fields ordered (q, p): both must
+    # match by NAME; key x/y are same-typed so a swap would be silent
+    df = spark.sql(
+        "SELECT 1L AS i, map(named_struct('y', 20L, 'x', 10L), "
+        "named_struct('q', 'v', 'p', 7L)) AS m"
+    ).coalesce(1)
+    w.append(df)
+    row = DeltaTable(tdir).to_df(spark).collect()[0]
+    (key, val), = row["m"].items()
+    assert (key["x"], key["y"]) == (10, 20)
+    assert (val["p"], val["q"]) == (7, "v")
+
+    # scalar key-type widening rides the trailing cast: int keys → long
+    df2 = spark.sql(
+        "SELECT 2L AS i, map(named_struct('y', CAST(2 AS INT), "
+        "'x', CAST(1 AS INT)), named_struct('q', 'w', 'p', 8L)) AS m"
+    ).coalesce(1)
+    w.append(df2)
+    got = {r["i"]: r["m"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    (key2, val2), = got[2].items()
+    assert (key2["x"], key2["y"]) == (1, 2)
+    # the written file's key type must be the TABLE's (long), not int
+    import pyarrow.parquet as pq
+    snap = DeltaTable(tdir).snapshot
+    for f in snap.add_files():
+        sch = pq.ParquetFile(f.absolute_path(tdir)).schema_arrow
+        m_field = sch.field("m")
+        assert str(m_field.type.key_type.field("x").type) == "int64"
+
+
+def test_map_key_struct_field_set_mismatch_refuses(spark, tdir):
+    """Null-filling a MISSING field inside a map KEY would silently
+    change key identity — differing key field sets must refuse loudly,
+    never positional-cast or null-fill."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("m", T.MapType(
+            T.StructType([
+                T.StructField("x", T.LongType()),
+                T.StructField("y", T.LongType()),
+            ]),
+            T.LongType(),
+        )),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    bad = spark.sql(
+        "SELECT 1L AS i, map(named_struct('x', 1L), 5L) AS m"
+    ).coalesce(1)
+    with pytest.raises(errors.SchemaError):
+        w.append(bad)
+    with pytest.raises(errors.SchemaError):
+        w.append(bad, merge_schema=True)
+    assert DeltaTable(tdir).to_df(spark).count() == 0
+
+
+def test_nested_dml_random_model_based_on_cm_table(spark, tdir):
+    """Model-based DML fuzz on a COLUMN-MAPPED table, composing the r14
+    nested write surface end-to-end: seeded random interleaving of
+    mergeSchema appends (shuffled nested field subsets → progressive
+    widening with fresh mapping ids), UPDATE with dotted SET paths,
+    MERGE with dotted SET, and OPTIMIZE-after-evolution. A Python dict
+    model tracks every row's expected leaves (absent field → None, SET
+    through a NULL parent struct stays NULL — withField semantics,
+    delta-spark parity); the table must match the model after every
+    evolution-visible step and at the end. Pinned refusal: a SET
+    targeting a path inside an ARRAY refuses loudly (withField cannot
+    address array elements). Seeded — identical sequence every run."""
+    import random
+
+    from duckdb_delta_spark.delta.writer import _nullable_type
+
+    rng = random.Random(1515)
+    LEAVES = ["a", "s", "deep.z", "deep.y"]
+    vals = {"a": lambda i: i, "s": lambda i: f"n{i}",
+            "deep.z": lambda i: i * 10, "deep.y": lambda i: i * 100}
+
+    def build_struct(present):
+        e = {"a": F.col("id"), "s": F.concat(F.lit("n"), F.col("id")),
+             "deep.z": F.col("id") * 10, "deep.y": F.col("id") * 100}
+        top = [p for p in present if not p.startswith("deep.")]
+        deep = [p for p in present if p.startswith("deep.")]
+        parts = [e[p].alias(p) for p in top]
+        if deep:
+            parts.append(F.struct(
+                *[e[p].alias(p.split(".")[1]) for p in deep]).alias("deep"))
+        rng.shuffle(parts)
+        return F.struct(*parts)
+
+    # model: i -> {"a":…, "s":…, "deep": None | {"z":…, "y":…}}
+    model: dict = {}
+    table_leaves: set = set()
+    next_i = 0
+
+    def do_append(first=False):
+        nonlocal next_i
+        k = rng.randint(1, 4)
+        present = rng.sample(LEAVES, k)
+        n = rng.randint(1, 3)
+        ids = list(range(next_i, next_i + n))
+        next_i += n
+        df = spark.range(ids[0], ids[-1] + 1).select(
+            F.col("id").alias("i"), build_struct(present).alias("info"))
+        if first:
+            schema0 = T.StructType([
+                T.StructField(f.name, _nullable_type(f.dataType), True)
+                for f in df.schema.fields])
+            DeltaWriter.create(
+                spark, tdir, schema0,
+                configuration={"delta.columnMapping.mode": "name"}
+            ).append(df.coalesce(1), merge_schema=True)
+        else:
+            DeltaWriter(tdir, spark).append(df.coalesce(1),
+                                            merge_schema=True)
+        table_leaves.update(present)
+        deep_present = any(p.startswith("deep.") for p in present)
+        for i in ids:
+            model[i] = {
+                "a": vals["a"](i) if "a" in present else None,
+                "s": vals["s"](i) if "s" in present else None,
+                "deep": ({lf.split(".")[1]:
+                          (vals[lf](i) if lf in present else None)
+                          for lf in ("deep.z", "deep.y")}
+                         if deep_present else None),
+            }
+
+    def do_update(step):
+        targets = [lf for lf in table_leaves]
+        lf = rng.choice(sorted(targets))
+        m, r = rng.randint(2, 4), rng.randint(0, 1)
+        nv = 10_000 + step
+        if lf == "s":
+            nv = str(nv)   # the table column is STRING
+        res = DeltaWriter(tdir, spark).update(
+            (F.col("i") % m) == r, {f"info.{lf}": repr(nv)
+                                    if lf == "s" else str(nv)})
+        for i, row in model.items():
+            if i % m != r:
+                continue
+            if lf.startswith("deep."):
+                if row["deep"] is not None:   # NULL parent stays NULL
+                    row["deep"][lf.split(".")[1]] = nv
+            else:
+                row[lf] = nv
+        return res
+
+    def do_merge(step):
+        targets = sorted(table_leaves)
+        lf = rng.choice(targets)
+        lo = rng.randint(0, max(next_i - 1, 0))
+        hi = min(lo + rng.randint(1, 4), next_i)
+        if hi <= lo:
+            return
+        src = spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") + 77_000 + step).alias("nv"))
+        nv_is_long = not (lf == "s")
+        expr = "s.nv" if nv_is_long else "CAST(s.nv AS STRING)"
+        DeltaWriter(tdir, spark).merge(
+            src, "t.i = s.k",
+            when_matched_update={f"info.{lf}": expr},
+            when_not_matched_insert=False)
+        for i in range(lo, hi):
+            if i not in model:
+                continue
+            nv = i + 77_000 + step
+            v = nv if nv_is_long else str(nv)
+            row = model[i]
+            if lf.startswith("deep."):
+                if row["deep"] is not None:
+                    row["deep"][lf.split(".")[1]] = v
+            else:
+                row[lf] = v
+
+    def check():
+        got = DeltaTable(tdir).to_df(spark)
+        have = {f.name for f in got.schema["info"].dataType.fields}
+        deep_have = (
+            {f.name for f in got.schema["info"].dataType["deep"]
+             .dataType.fields} if "deep" in have else set())
+        rows = {}
+        for r in got.collect():
+            info = r["info"]
+            deep = info["deep"] if "deep" in have else None
+            rows[r["i"]] = {
+                "a": info["a"] if "a" in have else None,
+                "s": info["s"] if "s" in have else None,
+                "deep": (None if deep is None else
+                         {lf: (deep[lf] if lf in deep_have else None)
+                          for lf in ("z", "y")}),
+            }
+        assert rows == model
+
+    do_append(first=True)
+    for step in range(14):
+        op = rng.choice(["append", "append", "update", "merge", "optimize"])
+        if op == "append":
+            do_append()
+        elif op == "update":
+            do_update(step)
+        elif op == "merge":
+            do_merge(step)
+        else:
+            DeltaWriter(tdir, spark).compact(target_file_bytes=64 << 20)
+        if step % 4 == 3:
+            check()
+    check()
+
+    # column-mapping invariants after the whole dance: distinct physical
+    # names + ids at every level, maxColumnId == max assigned id
+    snap = DeltaTable(tdir).snapshot
+    seen_ids, seen_phys = [], []
+
+    def walk(fields):
+        for f in fields:
+            md = f.metadata or {}
+            seen_ids.append(int(md["delta.columnMapping.id"]))
+            seen_phys.append(md["delta.columnMapping.physicalName"])
+            if isinstance(f.dataType, T.StructType):
+                walk(f.dataType.fields)
+
+    walk(snap.schema.fields)
+    assert len(set(seen_ids)) == len(seen_ids)
+    assert len(set(seen_phys)) == len(seen_phys)
+    assert all(p.startswith("col-") for p in seen_phys)
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) \
+        == max(seen_ids)
+
+    # pinned refusal: SET through an ARRAY element cannot be expressed
+    # with withField and must refuse loudly, never corrupt
+    DeltaWriter(tdir, spark).append(
+        spark.range(next_i, next_i + 1).select(
+            F.col("id").alias("i"),
+            build_struct(["a"]).alias("info"),
+            F.array(F.struct(F.lit(1).alias("x"))).alias("arr")),
+        merge_schema=True)
+    with pytest.raises(errors.SchemaError, match="unknown columns"):
+        DeltaWriter(tdir, spark).update("i = 0", {"arr.x": "1"})

@@ -2181,3 +2181,453 @@ def test_sink_into_cdf_table_feeds_inserts(spark, tdir):
     assert got2 == got
     for d in (src, ck, out, ck2):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_not_null_struct_all_nullable_children(spark, tdir):
+    """A NON-NULLABLE STRUCT column whose children are all nullable has
+    no non-nullable descendant leaf to catch a parent NULL, so the sink
+    checks the struct column's own Arrow validity (exact, unlike parquet
+    footer stats): a NULL struct fails the batch; child-only nulls under
+    a valid parent commit fine."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    inner = T.StructType([T.StructField("a", T.LongType(), True),
+                          T.StructField("b", T.StringType(), True)])
+    dst = str(tdir) + "_nns"
+    DeltaWriter.create(spark, dst, T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", inner, False),
+    ]))
+    src_schema = T.StructType([T.StructField("i", T.LongType()),
+                               T.StructField("s", inner, True)])
+
+    def run(rows_sql, tag):
+        src, ck = f"{tdir}_nns_src_{tag}", f"{tdir}_nns_ck_{tag}"
+        sw = DeltaWriter.create(spark, src, src_schema)
+        sw.append(spark.sql(rows_sql).coalesce(1))
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", src).option("startingVersion", "0").load()
+            .writeStream.format("delta_py")
+            .option("path", dst).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        exc = q.exception()
+        _sh.rmtree(src, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+        return exc
+
+    # child nulls under a valid parent: every leaf is null somewhere,
+    # but the struct itself never — must commit
+    exc = run(
+        "SELECT * FROM VALUES "
+        "(1L, named_struct('a', CAST(NULL AS BIGINT), 'b', 'x')), "
+        "(2L, named_struct('a', 2L, 'b', CAST(NULL AS STRING))) AS t(i, s)",
+        "ok")
+    assert exc is None
+    assert DeltaTable(dst).to_df(spark).count() == 2
+
+    # a NULL struct violates the column's NOT NULL (pre-fix: silently
+    # committed because struct nodes were skipped)
+    exc = run(
+        "SELECT * FROM VALUES "
+        "(3L, named_struct('a', 3L, 'b', 'y')), "
+        "(4L, CAST(NULL AS STRUCT<a: BIGINT, b: STRING>)) AS t(i, s)",
+        "bad")
+    assert exc is not None and "NOT NULL" in str(exc)
+    assert DeltaTable(dst).to_df(spark).count() == 2
+    _sh.rmtree(dst, ignore_errors=True)
+
+
+def test_sink_check_constraint_on_absent_input_column(spark, tdir):
+    """A CHECK constraint referencing a table column the stream input
+    omits must evaluate with that column ≡ NULL (it null-fills on read),
+    not crash with a KeyError: NULL satisfies a comparison constraint
+    (commit), fails an IS NOT NULL one (reject), and a constraint on a
+    MISSING NESTED field refuses at stream start."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaPySource,
+        DeltaStreamWriter,
+    )
+
+    spark.dataSource.register(DeltaPySource)
+    src_schema = T.StructType([T.StructField("i", T.LongType())])
+
+    def run(dst, tag):
+        src, ck = f"{tdir}_cac_src_{tag}", f"{tdir}_cac_ck_{tag}"
+        sw = DeltaWriter.create(spark, src, src_schema)
+        sw.append(spark.range(3).select(F.col("id").alias("i")).coalesce(1))
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", src).option("startingVersion", "0").load()
+            .writeStream.format("delta_py")
+            .option("path", dst).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        exc = q.exception()
+        _sh.rmtree(src, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+        return exc
+
+    two_col = T.StructType([T.StructField("i", T.LongType()),
+                            T.StructField("v", T.LongType())])
+
+    # comparison CHECK on the absent column: NULL satisfies → commits
+    dst1 = str(tdir) + "_cac1"
+    DeltaWriter.create(spark, dst1, two_col)
+    DeltaWriter(dst1, spark).add_constraint("v_pos", "v >= 0")
+    exc = run(dst1, "a")
+    assert exc is None, exc
+    rows = DeltaTable(dst1).to_df(spark).collect()
+    assert len(rows) == 3 and all(r["v"] is None for r in rows)
+
+    # IS NOT NULL CHECK on the absent column: every row violates
+    dst2 = str(tdir) + "_cac2"
+    DeltaWriter.create(spark, dst2, two_col)
+    DeltaWriter(dst2, spark).add_constraint("v_req", "v IS NOT NULL")
+    exc = run(dst2, "b")
+    assert exc is not None and "v_req" in str(exc)
+    assert DeltaTable(dst2).to_df(spark).count() == 0
+
+    # constraint on a nested field the input's struct LACKS: the whole
+    # top-level column is present, so null-extension can't represent it —
+    # refuse at stream start (enforce-or-refuse)
+    import pytest as _pytest
+
+    dst3 = str(tdir) + "_cac3"
+    nested = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("z", T.LongType())])),
+    ])
+    DeltaWriter.create(spark, dst3, nested)
+    DeltaWriter(dst3, spark).add_constraint("z_pos", "s.z >= 0")
+    in_schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+    with _pytest.raises(Exception, match="s.z"):
+        DeltaStreamWriter(dst3, in_schema, {})
+    for d in (dst1, dst2, dst3):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_merge_schema_on_column_mapped_table(spark, tdir):
+    """COMBINATION: sink mergeSchema × column-mapped table. Widening a
+    name-mode table from inside the sink's stream-start gate must assign
+    the new column a FRESH physical name + mapping id, advance
+    maxColumnId, write the new files under the just-assigned physical
+    name, null-fill old rows, and make the new column's (physically
+    keyed) stats prunable — the exact seam r13's two wrong answers
+    lived next to (untested passing combinations)."""
+    import json as _json
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    DeltaWriter.create(
+        spark, tdir,
+        T.StructType([T.StructField("i", T.LongType())]),
+        configuration={"delta.columnMapping.mode": "name"})
+    DeltaWriter(tdir, spark).append(
+        spark.range(3).select(F.col("id").alias("i")).coalesce(1))
+    base_snap = DeltaTable(tdir).snapshot
+    base_max = int(base_snap.configuration["delta.columnMapping.maxColumnId"])
+    widen_at = base_snap.version + 1
+
+    def run(lo, hi, tag):
+        src, ck = f"{tdir}_src_{tag}", f"{tdir}_ck_{tag}"
+        DeltaWriter.create(spark, src, T.StructType([
+            T.StructField("i", T.LongType()),
+            T.StructField("v", T.LongType())])).append(
+            spark.range(lo, hi).select(
+                F.col("id").alias("i"),
+                (F.col("id") * 10).alias("v")).coalesce(1))
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", src).option("startingVersion", "0").load()
+            .writeStream.format("delta_py")
+            .option("path", tdir)
+            .option("mergeSchema", "true")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+        _sh.rmtree(src, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+
+    run(10, 13, "a")   # widens, then writes v ∈ {100,110,120}
+    run(50, 53, "b")   # second run: no re-widen, v ∈ {500,510,520}
+
+    t = DeltaTable(tdir)
+    snap = t.snapshot
+    # fresh mapping id on the widened column, maxColumnId advanced
+    vf = snap.schema["v"]
+    phys = vf.metadata["delta.columnMapping.physicalName"]
+    vid = int(vf.metadata["delta.columnMapping.id"])
+    assert phys.startswith("col-") and vid == base_max + 1
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) \
+        == base_max + 1
+    # the widen commit is metadata-only and carries the new field
+    widen = [a for a in DeltaLog(tdir).read_commit(widen_at)
+             if "metaData" in a]
+    assert widen, "expected the schema widen at the next version"
+    wsch = _json.loads(widen[0]["metaData"]["schemaString"])
+    wv = next(f for f in wsch["fields"] if f["name"] == "v")
+    assert wv["metadata"]["delta.columnMapping.physicalName"] == phys
+
+    # sink files carry the PHYSICAL name (+ field id) for v
+    new_files = [f for f in snap.add_files() if "part-stream" in f.path]
+    assert len(new_files) == 2
+    for f in new_files:
+        names = pq.ParquetFile(f.absolute_path(tdir)).schema_arrow.names
+        assert phys in names and "v" not in names
+        # stats keyed physically
+        st = _json.loads(f.stats) if isinstance(f.stats, str) else f.stats
+        assert phys in (st or {}).get("minValues", {})
+
+    # old rows null-fill, new rows read logically
+    got = t.to_df(spark)
+    assert got.count() == 9
+    assert got.where("v IS NULL").count() == 3
+    assert got.where("v = 10 * i").count() == 6
+
+    # new-column stats prune: v >= 500 disproves run-a's file (and the
+    # pre-widen file, which lacks v entirely → all-NULL)
+    sb = t.scan(spark).filter("v", ">=", 500)
+    assert sorted(r["i"] for r in sb.to_df().collect()) == [50, 51, 52]
+    rep = sb.skip_report()
+    assert rep["files_skipped_by_stats"] >= 1, rep
+
+
+def test_sink_merge_schema_on_row_tracked_table(spark, tdir):
+    """COMBINATION: sink mergeSchema × row tracking. The widen commit at
+    stream start must not disturb row-id allocation — the data commit
+    that follows still assigns baseRowId/defaultRowCommitVersion from
+    the high-water mark, and materialized row ids stay dense."""
+    import json as _json
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={"delta.enableRowTracking": "true"})
+    w.append(spark.range(4).select(F.col("id").alias("i")).coalesce(1))
+
+    src, ck = str(tdir) + "_src", str(tdir) + "_ck"
+    DeltaWriter.create(spark, src, T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("v", T.LongType())])).append(
+        spark.range(4, 9).select(
+            F.col("id").alias("i"), (F.col("id") * 2).alias("v"))
+        .coalesce(1))
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("delta_py")
+        .option("path", tdir)
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+    t = DeltaTable(tdir)
+    assert t.snapshot.schema.fieldNames() == ["i", "v"]
+    assert sorted(f.base_row_id for f in t.snapshot.add_files()) == [0, 4]
+    ids = sorted(r["_row_id"] for r in t.scan(spark).with_row_ids()
+                 .to_df().select("_row_id").collect())
+    assert ids == list(range(9))
+    hwm = _json.loads(t.snapshot.domain_metadata["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 8
+    got = t.to_df(spark)
+    assert got.where("v IS NULL").count() == 4
+    assert got.where("v = 2 * i").count() == 5
+    for d in (src, ck):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_into_cm_cdf_table_changes_agree(spark, tdir):
+    """COMBINATION: column-mapped × CDF × streaming sink. Sink appends
+    into a name-mode CDF table write physical-named files; the derived
+    insert feed (batch table_changes AND the readChangeFeed stream) must
+    decode them back to LOGICAL names — nested fields included — and a
+    follow-up DELETE's cdc files (physical-named on CM tables) must
+    round-trip too."""
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType())])),
+    ])
+    DeltaWriter.create(spark, tdir, schema, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true"})
+    src, ck = str(tdir) + "_src", str(tdir) + "_ck"
+    DeltaWriter.create(spark, src, schema).append(
+        spark.range(5).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a"),
+                     F.concat(F.lit("n"), F.col("id")).alias("s"))
+            .alias("info")).coalesce(1))
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("delta_py")
+        .option("path", tdir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+    t = DeltaTable(tdir)
+    # physical-named sink files
+    for f in t.snapshot.add_files():
+        names = pq.ParquetFile(f.absolute_path(tdir)).schema_arrow.names
+        assert all(n.startswith("col-") for n in names)
+
+    # DML on the streamed-into CM+CDF table writes cdc files
+    DeltaWriter(tdir, spark).delete("i = 2")
+
+    got = sorted((r["_change_type"], r["i"], r["info"]["a"], r["info"]["s"])
+                 for r in table_changes(
+                     DeltaLog(tdir), spark, starting_version=0).collect())
+    want = sorted([("insert", k, k, f"n{k}") for k in range(5)]
+                  + [("delete", 2, 2, "n2")])
+    assert got == want
+
+    # the readChangeFeed STREAM decodes the same rows
+    out, ck2 = str(tdir) + "_cdf_out", str(tdir) + "_cdf_ck"
+    q2 = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None, q2.exception()
+    got2 = sorted((r["_change_type"], r["i"], r["info"]["a"], r["info"]["s"])
+                  for r in spark.read.parquet(out).collect())
+    assert got2 == want
+    for d in (src, ck, out, ck2):
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_sink_two_independent_queries_both_commit(spark, tdir):
+    """REGRESSION: the sink's exactly-once appId is keyed by CHECKPOINT
+    location, not table path. Two independent streaming queries (fresh
+    checkpoints) into the same table both start at batchId 0 — with a
+    table-path appId the second query's batch looked already-committed
+    and was SILENTLY DROPPED (q.exception() None, no rows). Replay dedup
+    within one checkpoint must still hold."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    DeltaWriter.create(spark, tdir, schema)
+
+    def run(lo, hi, tag):
+        src, ck = f"{tdir}_src_{tag}", f"{tdir}_ck_{tag}"
+        if not _os.path.exists(src):
+            DeltaWriter.create(spark, src, schema).append(
+                spark.range(lo, hi).select(F.col("id").alias("i"))
+                .coalesce(1))
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", src).option("startingVersion", "0").load()
+            .writeStream.format("delta_py")
+            .option("path", tdir).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    run(0, 3, "q1")
+    run(10, 13, "q2")   # fresh checkpoint: MUST commit, not dedup-skip
+    t = DeltaTable(tdir)
+    assert sorted(r["i"] for r in t.to_df(spark).collect()) == \
+        [0, 1, 2, 10, 11, 12]
+
+    # distinct per-checkpoint txn appIds in the log
+    app_ids = set()
+    for v in range(1, t.version + 1):
+        for line in open(_os.path.join(
+                tdir, "_delta_log", f"{v:020d}.json")):
+            a = _json.loads(line)
+            if "txn" in a:
+                app_ids.add(a["txn"]["appId"])
+    assert len(app_ids) == 2, app_ids
+
+    # replay dedup within ONE checkpoint still holds
+    run(10, 13, "q2")
+    assert DeltaTable(tdir).to_df(spark).count() == 6
+    for tag in ("q1", "q2"):
+        _sh.rmtree(f"{tdir}_src_{tag}", ignore_errors=True)
+        _sh.rmtree(f"{tdir}_ck_{tag}", ignore_errors=True)
