@@ -706,7 +706,11 @@ def stream_backfill_drain(spark, sf_dir):
     ONE checkpoint until caught up — the production catch-up-then-stop
     mode. maxFilesPerTrigger=1 forces one commit per run; the drained
     parquet sink must equal the batch answer exactly (exactly-once
-    across runs via checkpoint replay)."""
+    across runs via checkpoint replay). This query INTENTIONALLY keeps
+    the multi-lifecycle loop to exercise that machinery — production
+    backfills should pass .option('drainAll','true') instead (one
+    lifecycle spans the backlog; measured 2-3x faster in
+    docs/bench_environment_notes.md)."""
     import os
     import tempfile
     import uuid

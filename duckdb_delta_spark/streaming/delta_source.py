@@ -205,6 +205,20 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: first ends the batch.
         mbt = options.get("maxBytesPerTrigger")
         self.max_bytes_per_trigger = int(mbt) if mbt is not None else None
+        #: .option('drainAll','true') — backfill the WHOLE backlog in one
+        #: micro-batch: latestOffset ignores the per-trigger caps and
+        #: returns HEAD, so one availableNow lifecycle (which the bridge
+        #: pins to a single batch, lacking prepareForTriggerAvailableNow)
+        #: drains everything instead of one capped batch per ~1.2-1.5s
+        #: process lifecycle. Executor memory stays bounded regardless:
+        #: _pack_splits caps every task at maxBytesPerPartition, which is
+        #: the WITHIN-batch budget the trigger caps can't provide anyway.
+        #: Exactly-once granularity coarsens to the whole backlog (a
+        #: mid-drain failure replays from the start), the documented
+        #: availableNow-fallback trade.
+        self.drain_all = (
+            str(options.get("drainAll", "false")).lower() == "true"
+        )
         #: split packing knobs (see _pack_splits): defaults mirror
         #: spark.sql.files.maxPartitionBytes and a per-host core floor
         self.max_bytes_per_partition = int(
@@ -314,8 +328,8 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = self._log.latest_version()
-        if (self.max_files_per_trigger is None
-                and self.max_bytes_per_trigger is None):
+        if self.drain_all or (self.max_files_per_trigger is None
+                              and self.max_bytes_per_trigger is None):
             return {"version": head}
         base = self._rate_pos if self._rate_pos is not None else self._initial
         f_budget = self.max_files_per_trigger or float("inf")

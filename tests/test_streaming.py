@@ -2631,3 +2631,63 @@ def test_sink_two_independent_queries_both_commit(spark, tdir):
     for tag in ("q1", "q2"):
         _sh.rmtree(f"{tdir}_src_{tag}", ignore_errors=True)
         _sh.rmtree(f"{tdir}_ck_{tag}", ignore_errors=True)
+
+
+def test_drain_all_single_lifecycle(spark, tdir):
+    """.option('drainAll','true'): the whole multi-commit backlog drains
+    in ONE availableNow lifecycle (the bridge pins availableNow to a
+    single batch, so without it a rate-limited backfill pays one
+    ~1.2-1.5s process lifecycle per capped batch). Per-trigger caps are
+    ignored; split packing still bounds per-task bytes. Exactly-once
+    across a restart holds: a second run on the same checkpoint adds
+    nothing."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import (
+        DeltaPySource,
+        drain_available_now,
+    )
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    for k in range(5):   # 5 data commits, one file each
+        w.append(spark.range(10 * k, 10 * k + 10)
+                 .select(F.col("id").alias("i")).coalesce(1))
+
+    out, ck = str(tdir) + "_out", str(tdir) + "_ck"
+
+    def start():
+        return (
+            spark.readStream.format("delta_py")
+            .option("path", tdir)
+            .option("startingVersion", "0")
+            .option("maxFilesPerTrigger", "1")   # ignored under drainAll
+            .option("drainAll", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_available_now(start)
+    import json as _json
+    progs = [(_json.loads(r) if isinstance(r, str) else r) for r in runs]
+    data_runs = [p for p in progs
+                 if p and int(p.get("numInputRows") or 0) > 0]
+    assert len(data_runs) == 1, f"expected ONE draining run, got {progs}"
+    assert sorted(r["i"] for r in spark.read.parquet(out).collect()) \
+        == list(range(50))
+
+    # restart on the same checkpoint: nothing re-emitted
+    q = start()
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert spark.read.parquet(out).count() == 50
+    for d in (out, ck):
+        _sh.rmtree(d, ignore_errors=True)
