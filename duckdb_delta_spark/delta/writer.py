@@ -4793,7 +4793,12 @@ def _nullable_type(dt: T.DataType) -> T.DataType:
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(_nullable_type(dt.elementType), True)
     if isinstance(dt, T.MapType):
-        return T.MapType(dt.keyType, _nullable_type(dt.valueType), True)
+        # the map KEY itself has no null flag, but fields INSIDE a
+        # struct-typed key do — Spark's parquet read types them nullable,
+        # so a cast target keeping them NOT NULL refuses to resolve
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
     return dt
 
 

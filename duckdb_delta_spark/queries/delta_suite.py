@@ -1820,3 +1820,73 @@ def delta_nested_evolution_scan(spark, sf_dir):
         return local_df(spark, rows, df.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# map KEY conform on the WRITE path (r15): struct-typed map keys conform
+# BY NAME like values do — one append arrives with the key struct's
+# fields REORDERED (a positional cast would silently swap the same-typed
+# fields), another with int-typed key fields (the trailing cast widens
+# them to the table's long). Exploded entries must reproduce the exact
+# (x, y, value) triples on a column-mapped table. Write-side surface the
+# reference reaches through delta-kernel's expression evaluation
+# (src/functions/delta_scan/: nested type handling).
+@register(
+    "delta_map_key_conform_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_key,
+           CAST(n_nationkey AS BIGINT) AS kx,
+           CAST(2 * n_nationkey AS BIGINT) AS ky,
+           CAST(3 * n_nationkey AS BIGINT) AS val
+    FROM nation
+    """,
+    group="delta",
+)
+def delta_map_key_conform_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("mapkeyconf_")
+    path = os.path.join(root, "t")
+    try:
+        schema = T.StructType([
+            T.StructField("n_key", T.LongType()),
+            T.StructField("m", T.MapType(
+                T.StructType([T.StructField("x", T.LongType()),
+                              T.StructField("y", T.LongType())]),
+                T.LongType())),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("k"))
+        w = DeltaWriter.create(
+            spark, path, schema,
+            configuration={"delta.columnMapping.mode": "name"})
+        # append 1: key struct fields REORDERED (y, x) — by-name conform
+        w.append(nat.where("k < 13").select(
+            F.col("k").alias("n_key"),
+            F.create_map(
+                F.struct((F.col("k") * 2).alias("y"), F.col("k").alias("x")),
+                F.col("k") * 3).alias("m")).coalesce(1))
+        # append 2: key fields typed INT (and reordered) — trailing cast
+        w.append(nat.where("k >= 13").select(
+            F.col("k").alias("n_key"),
+            F.create_map(
+                F.struct((F.col("k") * 2).cast("int").alias("y"),
+                         F.col("k").cast("int").alias("x")),
+                F.col("k") * 3).alias("m")).coalesce(1))
+        df = (
+            DeltaTable(path).to_df(spark)
+            .select("n_key", F.explode("m").alias("key", "val"))
+            .select(
+                "n_key",
+                F.col("key.x").alias("kx"),
+                F.col("key.y").alias("ky"),
+                F.col("val"),
+            )
+        )
+        rows = df.collect()
+        return local_df(spark, [tuple(r) for r in rows], df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -4873,6 +4873,15 @@ def test_nested_dml_random_model_based_on_cm_table(spark, tdir):
         rng.shuffle(parts)
         return F.struct(*parts)
 
+    def build_map():
+        # struct-KEYED map whose key field order shuffles per append:
+        # by-name key conform must never swap the same-typed x/y, and
+        # every DML rewrite (UPDATE/MERGE/OPTIMIZE) must carry the map
+        # through untouched. value = 3*i, key = {x: i, y: 2*i}.
+        kf = [F.col("id").alias("x"), (F.col("id") * 2).alias("y")]
+        rng.shuffle(kf)
+        return F.create_map(F.struct(*kf), F.col("id") * 3)
+
     # model: i -> {"a":…, "s":…, "deep": None | {"z":…, "y":…}}
     model: dict = {}
     table_leaves: set = set()
@@ -4886,7 +4895,8 @@ def test_nested_dml_random_model_based_on_cm_table(spark, tdir):
         ids = list(range(next_i, next_i + n))
         next_i += n
         df = spark.range(ids[0], ids[-1] + 1).select(
-            F.col("id").alias("i"), build_struct(present).alias("info"))
+            F.col("id").alias("i"), build_struct(present).alias("info"),
+            build_map().alias("m"))
         if first:
             schema0 = T.StructType([
                 T.StructField(f.name, _nullable_type(f.dataType), True)
@@ -4974,6 +4984,10 @@ def test_nested_dml_random_model_based_on_cm_table(spark, tdir):
                          {lf: (deep[lf] if lf in deep_have else None)
                           for lf in ("z", "y")}),
             }
+            # struct-keyed map: exactly one entry, key fields by NAME
+            (mk, mv), = dict(r["m"]).items()
+            assert (mk["x"], mk["y"], mv) == (r["i"], 2 * r["i"],
+                                              3 * r["i"]), r
         assert rows == model
 
     do_append(first=True)
