@@ -5035,3 +5035,101 @@ def test_nested_dml_random_model_based_on_cm_table(spark, tdir):
         merge_schema=True)
     with pytest.raises(errors.SchemaError, match="unknown columns"):
         DeltaWriter(tdir, spark).update("i = 0", {"arr.x": "1"})
+
+
+def test_checkpoint_nested_cm_evolution_time_travel(spark, tdir):
+    """COMBINATION: classic checkpoint × nested column mapping × post-
+    checkpoint schema evolution × time travel. Replay from the
+    checkpoint must keep the physically-keyed nested stats prunable, a
+    mergeSchema widen AFTER the checkpoint must land on the replayed
+    metadata, and time travel to the pre-widen version must read the
+    OLD schema (not the widened one)."""
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType())])),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={"delta.columnMapping.mode": "name"})
+    for k in range(6):
+        w.append(spark.range(10 * k, 10 * k + 10).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a"),
+                     F.concat(F.lit("n"), F.col("id")).alias("s"))
+            .alias("info")).coalesce(1))
+    v = w.checkpoint()
+    w.append(spark.range(60, 70).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a"),
+                 F.concat(F.lit("n"), F.col("id")).alias("s"),
+                 (F.col("id") * 2).alias("b")).alias("info")).coalesce(1),
+        merge_schema=True)
+
+    t = DeltaTable(tdir)
+    df = t.to_df(spark)
+    assert df.count() == 70
+    assert df.where("info.b IS NOT NULL").count() == 10
+    assert df.where("info.b = 2 * i").count() == 10
+
+    # nested stats prune THROUGH the checkpoint-replayed manifest
+    sb = t.scan(spark).filter("info.a", ">=", 55)
+    assert sorted(r["i"] for r in sb.to_df().collect()) \
+        == list(range(55, 70))
+    rep = sb.skip_report()
+    assert rep["files_total"] == 7 and rep["files_skipped_by_stats"] == 5
+
+    # time travel to the checkpointed (pre-widen) version: OLD schema
+    old = DeltaTable(tdir, version=v)
+    assert [f.name for f in old.snapshot.schema["info"].dataType.fields] \
+        == ["a", "s"]
+    odf = old.to_df(spark)
+    assert odf.count() == 60 and odf.select("info.*").columns == ["a", "s"]
+
+
+def test_replace_where_cdf_on_partitioned_cm_table(spark, tdir):
+    """COMBINATION: replaceWhere × hive partitioning × column mapping ×
+    CDF. The partition-predicate overwrite must key its removes/adds by
+    PHYSICAL partition names, leave other partitions untouched, keep
+    partition pruning exact afterwards, and a subsequent UPDATE's cdc
+    pre/post images must decode logically on the mapped, partitioned
+    layout."""
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+    w = DeltaWriter.create(
+        spark, tdir, schema, partition_by=["g"],
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.enableChangeDataFeed": "true"})
+
+    def rows(lo, hi, mul=1):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("i"), (F.col("id") % 3).alias("g"),
+            F.struct((F.col("id") * mul).alias("a")).alias("info"))
+
+    w.append(rows(0, 30))
+    w.overwrite(rows(0, 30, mul=10).where("id % 3 = 1"), where="g = 1")
+
+    t = DeltaTable(tdir)
+    df = t.to_df(spark)
+    assert df.count() == 30
+    assert df.where("g = 1 AND info.a = 10 * i").count() == 10
+    assert df.where("g != 1 AND info.a = i").count() == 20
+
+    sb = t.scan(spark).filter("g", "=", 2)
+    assert sb.to_df().count() == 10
+    assert sb.skip_report()["files_skipped_by_partition"] > 0
+
+    DeltaWriter(tdir, spark).update("i = 4", {"info.a": "999"})
+    ch = sorted((r["_change_type"], r["i"], r["info"]["a"])
+                for r in table_changes(
+                    DeltaLog(tdir), spark, starting_version=2).collect())
+    assert ch == [("update_postimage", 4, 999), ("update_preimage", 4, 40)]
+    assert {r["i"]: r["info"]["a"]
+            for r in DeltaTable(tdir).to_df(spark).collect()}[4] == 999

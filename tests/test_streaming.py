@@ -2691,3 +2691,76 @@ def test_drain_all_single_lifecycle(spark, tdir):
     assert spark.read.parquet(out).count() == 50
     for d in (out, ck):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_drain_all_composes_with_where_and_cdf(spark, tdir):
+    """drainAll composes with the source's other options: (a) a `where`
+    predicate still file-prunes and row-filters across the whole
+    multi-commit backlog in the single batch; (b) a readChangeFeed
+    stream drains every commit's change rows in one lifecycle."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={
+                               "delta.enableChangeDataFeed": "true"})
+    for k in range(4):
+        w.append(spark.range(10 * k, 10 * k + 10)
+                 .select(F.col("id").alias("i")).coalesce(1))
+    DeltaWriter(tdir, spark).delete("i = 5")
+
+    # (a) where × drainAll: one lifecycle, filtered rows from the whole
+    # backlog — the DELETE commit is a data change the plain stream
+    # refuses, so read only versions 0..4 via endingVersion-free where
+    # stream against a second, DELETE-free table
+    src2 = str(tdir) + "_plain"
+    w2 = DeltaWriter.create(spark, src2, schema)
+    for k in range(4):
+        w2.append(spark.range(10 * k, 10 * k + 10)
+                  .select(F.col("id").alias("i")).coalesce(1))
+    out, ck = str(tdir) + "_w_out", str(tdir) + "_w_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src2).option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .option("drainAll", "true")
+        .option("where", "i >= 25")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(r["i"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(25, 40))
+
+    # (b) readChangeFeed × drainAll: all five commits' change rows in
+    # one lifecycle (4 insert commits + the DELETE's cdc rows)
+    cout, cck = str(tdir) + "_c_out", str(tdir) + "_c_ck"
+    q2 = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .option("drainAll", "true")
+        .load()
+        .writeStream.format("parquet").option("path", cout)
+        .option("checkpointLocation", cck)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    ch = sorted((r["_change_type"], r["i"])
+                for r in spark.read.parquet(cout).collect())
+    assert ch == sorted([("insert", k) for k in range(40)]
+                        + [("delete", 5)])
+    for d in (src2, out, ck, cout, cck):
+        _sh.rmtree(d, ignore_errors=True)
