@@ -198,9 +198,16 @@ def _read_cdc(
         )
         for f in schema.fields
     }
+    # field ids only for id mode — name mode matches by name, and an
+    # upgraded table's pre-upgrade cdc-era files carry no ids
+    ids_ok = getattr(snap, "column_mapping_mode", "none") == "id"
     file_schema = T.StructType(
         [
-            T.StructField(phys[f.name], physical_type(f.dataType), True)
+            T.StructField(
+                phys[f.name],
+                physical_type(f.dataType, with_field_ids=ids_ok),
+                True,
+            )
             for f in schema.fields
             if f.name not in pcols
         ]

@@ -20,31 +20,54 @@ PHYS_KEY = "delta.columnMapping.physicalName"
 ID_KEY = "delta.columnMapping.id"
 
 
-def field_meta(f: T.StructField) -> tuple[str, dict]:
+def field_meta(
+    f: T.StructField, with_field_ids: bool = True
+) -> tuple[str, dict]:
     """(physical name, parquet metadata) for one mapped field."""
     md = f.metadata or {}
     phys = md.get(PHYS_KEY, f.name)
     fid = md.get(ID_KEY)
-    return phys, ({"parquet.field.id": int(fid)} if fid is not None else {})
+    return phys, (
+        {"parquet.field.id": int(fid)}
+        if (fid is not None and with_field_ids) else {}
+    )
 
 
-def physical_type(dt: T.DataType) -> T.DataType:
+def physical_type(
+    dt: T.DataType, with_field_ids: bool = True
+) -> T.DataType:
     """Recursively rename struct fields to their physical names, replacing
     the mapping metadata with ``parquet.field.id`` (what the parquet writer
     emits and the field-id-matching reader consumes). Identity on unmapped
-    subtrees."""
+    subtrees.
+
+    ``with_field_ids=False`` omits the parquet ids — REQUIRED for
+    name-mode READ schemas: the spec matches name mode by physical name
+    only, and tables UPGRADED to name mode contain files written before
+    any ids existed; with ``spark.sql.parquet.fieldId.read.enabled`` on
+    (session-global, set by any id-mode scan), an id-carrying read
+    schema makes Spark reject those id-less files outright."""
     if isinstance(dt, T.StructType):
         out = []
         for f in dt.fields:
-            phys, meta = field_meta(f)
+            phys, meta = field_meta(f, with_field_ids)
             out.append(
-                T.StructField(phys, physical_type(f.dataType), f.nullable, meta)
+                T.StructField(
+                    phys, physical_type(f.dataType, with_field_ids),
+                    f.nullable, meta,
+                )
             )
         return T.StructType(out)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            physical_type(dt.elementType, with_field_ids), dt.containsNull
+        )
     if isinstance(dt, T.MapType):
-        return T.MapType(dt.keyType, physical_type(dt.valueType), dt.valueContainsNull)
+        return T.MapType(
+            dt.keyType,
+            physical_type(dt.valueType, with_field_ids),
+            dt.valueContainsNull,
+        )
     return dt
 
 

@@ -995,9 +995,14 @@ class DeltaScanBuilder:
         elif mode == "name":
             # nested struct fields are ALSO renamed under column mapping —
             # the read schema must use physical names all the way down or
-            # name-matching returns nulls for every nested field
+            # name-matching returns nulls for every nested field. NO
+            # parquet field ids here: name mode matches by name per spec,
+            # and an UPGRADED table's pre-upgrade files have no ids (an
+            # id-carrying schema makes Spark reject them when
+            # fieldId.read.enabled was turned on by any id-mode scan)
             phys_schema = T.StructType(
-                [T.StructField(phys, physical_type(t)) for _, phys, t, _ in fields]
+                [T.StructField(phys, physical_type(t, with_field_ids=False))
+                 for _, phys, t, _ in fields]
             )
         else:
             phys_schema = T.StructType(

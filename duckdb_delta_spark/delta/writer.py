@@ -103,14 +103,21 @@ def _legacy_features(proto: dict) -> tuple[set[str], set[str]]:
 
 
 def _ensure_mapping_metadata(
-    schema: T.StructType, start_id: int = 0
+    schema: T.StructType, start_id: int = 0,
+    physical_names: str = "uuid",
 ) -> tuple[T.StructType, int]:
     """Assign ``delta.columnMapping.id``/``physicalName`` to every struct
     field (nested included) that lacks them — what delta-spark does when
     column mapping is enabled. Existing metadata is preserved, so
     fixture-authored schemas keep their ids; returns (schema, maxColumnId).
     With stable physical names in place, RENAME/DROP COLUMN become pure
-    metadata commits."""
+    metadata commits.
+
+    ``physical_names="logical"`` assigns each field's LOGICAL name as its
+    physical name instead of a fresh ``col-<uuid>`` — the delta-spark
+    UPGRADE semantics (enabling name mode on an EXISTING table), where
+    the already-written files are keyed by logical names and a fresh
+    physical name would orphan every one of them."""
     max_id = start_id
 
     # global pre-scan FIRST: ids already present anywhere in the schema
@@ -141,7 +148,9 @@ def _ensure_mapping_metadata(
                 max_id += 1
                 md["delta.columnMapping.id"] = max_id
             md.setdefault(
-                "delta.columnMapping.physicalName", f"col-{uuid.uuid4()}"
+                "delta.columnMapping.physicalName",
+                f.name if physical_names == "logical"
+                else f"col-{uuid.uuid4()}",
             )
             dt = f.dataType
             if isinstance(dt, T.StructType):
@@ -2717,6 +2726,59 @@ class DeltaWriter:
             config.pop(k, None)
         meta = dict(snap.metadata)
         meta["configuration"] = config
+
+        # delta.columnMapping.mode transitions are NOT plain properties:
+        # enabling name mode on an existing table must also assign
+        # mapping ids + LOGICAL-named physicalNames to every field
+        # (existing files are keyed by logical names — fresh col-<uuid>
+        # names would orphan them all), set maxColumnId, and upgrade the
+        # protocol — otherwise spec readers reject or misread the table.
+        # delta-spark semantics: none→name upgrades; none→id is refused
+        # on existing tables (their parquet files carry no field ids);
+        # disabling or switching an enabled mode is refused.
+        old_mode = snap.column_mapping_mode
+        new_mode = config.get("delta.columnMapping.mode", "none")
+        proto_action: dict | None = None
+        if new_mode != old_mode:
+            if old_mode != "none":
+                raise UnsupportedFeatureError(
+                    f"cannot change delta.columnMapping.mode "
+                    f"{old_mode!r} → {new_mode!r}: disabling or switching "
+                    "an enabled mapping mode is not supported (the files "
+                    "are keyed under the existing mapping)"
+                )
+            if new_mode == "id":
+                raise UnsupportedFeatureError(
+                    "cannot enable id-mode column mapping on an existing "
+                    "table: already-written parquet files carry no "
+                    "parquet field ids (delta-spark refuses identically; "
+                    "create the table with the mode instead)"
+                )
+            if new_mode != "name":
+                raise UnsupportedFeatureError(
+                    f"unknown delta.columnMapping.mode {new_mode!r}"
+                )
+            start = int(config.get("delta.columnMapping.maxColumnId", 0))
+            mapped, max_id = _ensure_mapping_metadata(
+                snap.schema, start_id=start, physical_names="logical")
+            config["delta.columnMapping.maxColumnId"] = str(max_id)
+            meta["schemaString"] = mapped.json()
+            proto = snap.protocol
+            r_ver = int(proto.get("minReaderVersion", 1))
+            w_ver = int(proto.get("minWriterVersion", 2))
+            if r_ver >= 3 or w_ver >= 7:
+                r, w = _legacy_features(proto)
+                proto_action = {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": sorted(r | {"columnMapping"}),
+                    "writerFeatures": sorted(w | {"columnMapping"}),
+                }}
+            elif r_ver < 2 or w_ver < 5:
+                proto_action = {"protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": max(w_ver, 5),
+                }}
+
         actions: list[dict] = [
             {
                 "commitInfo": _commit_info(
@@ -2725,6 +2787,7 @@ class DeltaWriter:
                      "unset": json.dumps(unset or [])},
                 )
             },
+            *([proto_action] if proto_action else []),
             {"metaData": meta},
         ]
         version = snap.version + 1
@@ -3601,21 +3664,28 @@ class DeltaWriter:
                 phys_of[f.name] = md.get(
                     "delta.columnMapping.physicalName", f.name
                 )
-            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            if mode == "id":
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.enabled", "true")
             self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
             from duckdb_delta_spark.delta.mapping import physical_type
 
             # physical names at EVERY nesting level — a logical nested
             # type here would name-match nothing in the files and the
-            # rewrite would silently NULL every nested field
+            # rewrite would silently NULL every nested field. Field ids
+            # in the READ schema only for id mode: name mode matches by
+            # name, and a table UPGRADED to name mode has pre-upgrade
+            # files without ids that an id-carrying schema would reject.
+            ids_ok = mode == "id"
             phys_schema = T.StructType(
                 [
                     T.StructField(
                         phys_of[f.name],
-                        physical_type(f.dataType),
+                        physical_type(f.dataType, with_field_ids=ids_ok),
                         True,
                         {"parquet.field.id": int((f.metadata or {})["delta.columnMapping.id"])}
-                        if "delta.columnMapping.id" in (f.metadata or {})
+                        if ids_ok
+                        and "delta.columnMapping.id" in (f.metadata or {})
                         else {},
                     )
                     for f in schema.fields

@@ -1890,3 +1890,55 @@ def delta_map_key_conform_scan(spark, sf_dir):
         return local_df(spark, [tuple(r) for r in rows], df.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# column-mapping UPGRADE (r15): ALTER ... SET delta.columnMapping.mode =
+# 'name' on an EXISTING table assigns ids with LOGICAL-named
+# physicalNames (pre-upgrade files stay readable by name) and upgrades
+# the protocol to (2,5); a metadata-only RENAME then lands, and the scan
+# reads pre-upgrade (id-less) and post-upgrade (id-carrying) files as
+# one logical schema. delta-spark upgrade semantics; the reference reads
+# such tables via kernel column mapping (delta_utils.hpp:300-311).
+@register(
+    "delta_cm_upgrade_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region_key
+    FROM nation
+    """,
+    group="delta",
+)
+def delta_cm_upgrade_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("cmupgrade_")
+    path = os.path.join(root, "t")
+    try:
+        schema = T.StructType([
+            T.StructField("n_key", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("region_key", T.LongType()),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("n_key"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").cast("long").alias("region_key"))
+        w = DeltaWriter.create(spark, path, schema)
+        w.append(nat.where("n_key < 13").coalesce(1))     # pre-upgrade file
+        v = w.set_properties({"delta.columnMapping.mode": "name"})
+        assert v is not None
+        w.rename_column("n_key", "nation_key")            # metadata-only
+        DeltaWriter(path, spark).append(
+            nat.where("n_key >= 13")
+            .withColumnRenamed("n_key", "nation_key").coalesce(1))
+        df = DeltaTable(path).to_df(spark).select(
+            "nation_key", "name", "region_key")
+        rows = df.collect()
+        return local_df(spark, [tuple(r) for r in rows], df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -5133,3 +5133,135 @@ def test_replace_where_cdf_on_partitioned_cm_table(spark, tdir):
     assert ch == [("update_postimage", 4, 999), ("update_preimage", 4, 40)]
     assert {r["i"]: r["info"]["a"]
             for r in DeltaTable(tdir).to_df(spark).collect()}[4] == 999
+
+
+def test_clone_cm_row_tracked_dv_then_widen(spark, tdir):
+    """COMBINATION: shallow CLONE of a column-mapped, row-tracked table
+    carrying a DV, then mergeSchema evolution ON THE CLONE. The clone
+    must read the source's absolute-path files with the DV applied and
+    row ids preserved, the widen must assign a fresh mapping id in the
+    CLONE only (source schema untouched), and nested stats pruning must
+    work across the mixed absolute/relative file manifest."""
+    src, dst = str(tdir) + "_src", str(tdir) + "_dst"
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+    w = DeltaWriter.create(spark, src, schema,
+                           configuration={
+                               "delta.columnMapping.mode": "name",
+                               "delta.enableRowTracking": "true"})
+    for k in range(3):
+        w.append(spark.range(10 * k, 10 * k + 10).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    w.delete("i = 5")
+
+    cw = DeltaWriter.clone(spark, src, dst)
+    t = DeltaTable(dst)
+    df = t.to_df(spark)
+    assert df.count() == 29 and df.where("i = 5").count() == 0
+    assert df.where("info.a = i").count() == 29
+    ids = sorted(r["_row_id"] for r in t.scan(spark).with_row_ids()
+                 .to_df().select("_row_id").collect())
+    assert len(ids) == 29 and ids[0] == 0   # source row ids carry over
+
+    cw.append(spark.range(100, 105).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a"),
+                 (F.col("id") * 2).alias("b")).alias("info")).coalesce(1),
+        merge_schema=True)
+    assert DeltaTable(dst).to_df(spark) \
+        .where("info.b = 2 * i").count() == 5
+    # the SOURCE is untouched by the clone's evolution
+    assert [f.name for f in DeltaTable(src).snapshot
+            .schema["info"].dataType.fields] == ["a"]
+    assert DeltaTable(src).to_df(spark).count() == 29
+
+    sb = DeltaTable(dst).scan(spark).filter("info.a", ">=", 100)
+    assert sorted(r["i"] for r in sb.to_df().collect()) \
+        == [100, 101, 102, 103, 104]
+    assert sb.skip_report()["files_skipped_by_stats"] == 3
+
+
+def test_enable_column_mapping_on_existing_table(spark, tdir):
+    """ALTER TABLE SET TBLPROPERTIES delta.columnMapping.mode='name' on
+    an EXISTING table is an UPGRADE, not a plain property write
+    (delta-spark semantics): every field (nested included) gets a
+    mapping id with physicalName = its LOGICAL name (existing files are
+    keyed by logical names — fresh names would orphan them), maxColumnId
+    lands in the config, and the protocol upgrades to (2,5). Rename —
+    impossible before the upgrade — then works as a metadata-only
+    commit; a post-upgrade ADD COLUMN gets a FRESH col-<uuid> physical
+    name. id-mode and disabling are refused."""
+    import json as _json
+    import os as _os
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(10).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+
+    v = w.set_properties({"delta.columnMapping.mode": "name"})
+
+    # log artifacts: protocol upgrade + fully-mapped schema in ONE commit
+    actions = [_json.loads(line) for line in open(
+        _os.path.join(tdir, "_delta_log", f"{v:020d}.json"))]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    sch = _json.loads(meta["schemaString"])
+    ids = []
+
+    def walk(fields):
+        for f in fields:
+            md = f["metadata"]
+            assert md["delta.columnMapping.physicalName"] == f["name"]
+            ids.append(md["delta.columnMapping.id"])
+            if isinstance(f["type"], dict) and f["type"]["type"] == "struct":
+                walk(f["type"]["fields"])
+
+    walk(sch["fields"])
+    assert sorted(ids) == list(range(1, len(ids) + 1))
+    assert int(meta["configuration"]["delta.columnMapping.maxColumnId"]) \
+        == max(ids)
+
+    # old files still read; appends and DML keep working
+    t = DeltaTable(tdir)
+    assert t.to_df(spark).where("info.a = i").count() == 10
+    DeltaWriter(tdir, spark).append(spark.range(10, 15).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    DeltaWriter(tdir, spark).update("i = 3", {"info.a": "1003"})
+    got = {r["i"]: r["info"]["a"]
+           for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert len(got) == 15 and got[3] == 1003 and got[12] == 12
+
+    # the upgrade unlocks metadata-only RENAME
+    DeltaWriter(tdir, spark).rename_column("i", "row_id")
+    assert DeltaTable(tdir).to_df(spark) \
+        .where("row_id = 3").count() == 1
+
+    # post-upgrade ADD COLUMN: fresh col-<uuid> physical name
+    DeltaWriter(tdir, spark).add_column("extra", T.LongType())
+    xf = DeltaTable(tdir).snapshot.schema["extra"]
+    assert xf.metadata["delta.columnMapping.physicalName"].startswith("col-")
+
+    # refusals: id-mode on existing data; disabling an enabled mode
+    t2 = str(tdir) + "_b"
+    w2 = DeltaWriter.create(spark, t2, schema)
+    w2.append(spark.range(3).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    with pytest.raises(errors.UnsupportedFeatureError, match="id-mode"):
+        w2.set_properties({"delta.columnMapping.mode": "id"})
+    with pytest.raises(errors.UnsupportedFeatureError,
+                       match="disabling or switching"):
+        DeltaWriter(tdir, spark).set_properties(
+            {"delta.columnMapping.mode": "none"})

@@ -2764,3 +2764,49 @@ def test_drain_all_composes_with_where_and_cdf(spark, tdir):
                         + [("delete", 5)])
     for d in (src2, out, ck, cout, cck):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_reads_table_upgraded_to_column_mapping(spark, tdir):
+    """Streaming source over a table UPGRADED to name-mode column
+    mapping mid-history (plus a rename): pre-upgrade files carry no
+    parquet field ids and logical==physical names, post-upgrade files
+    carry ids — the stream must read both shapes as one logical
+    schema."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    spark.dataSource.register(DeltaPySource)
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(5).select(
+        F.col("id").alias("i"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    w.set_properties({"delta.columnMapping.mode": "name"})
+    w.rename_column("i", "row_id")
+    DeltaWriter(tdir, spark).append(spark.range(5, 10).select(
+        F.col("id").alias("row_id"),
+        F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+
+    out, ck = str(tdir) + "_out", str(tdir) + "_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir).option("startingVersion", "0").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    res = spark.read.parquet(out)
+    assert sorted(r["row_id"] for r in res.collect()) == list(range(10))
+    assert res.where("info.a = row_id").count() == 10
+    for d in (out, ck):
+        _sh.rmtree(d, ignore_errors=True)
