@@ -2739,6 +2739,7 @@ class DeltaWriter:
         old_mode = snap.column_mapping_mode
         new_mode = config.get("delta.columnMapping.mode", "none")
         proto_action: dict | None = None
+        extra_actions: list[dict] = []
         if new_mode != old_mode:
             if old_mode != "none":
                 raise UnsupportedFeatureError(
@@ -2779,6 +2780,90 @@ class DeltaWriter:
                     "minWriterVersion": max(w_ver, 5),
                 }}
 
+        def _flag(c: dict, key: str) -> bool:
+            return str(c.get(key, "false")).lower() == "true"
+
+        base_proto = (proto_action or {}).get("protocol") or snap.protocol
+
+        # enabling CDF is a WRITER-protocol event (Delta spec: legacy
+        # minWriterVersion 4 / the changeDataFeed feature): without the
+        # upgrade, a spec v2-writer would keep committing row-changing
+        # DML with no cdc files and the feed would silently lie
+        if _flag(config, "delta.enableChangeDataFeed") and not _flag(
+                snap.configuration, "delta.enableChangeDataFeed"):
+            r_ver = int(base_proto.get("minReaderVersion", 1))
+            w_ver = int(base_proto.get("minWriterVersion", 2))
+            if w_ver >= 7:
+                r, w = _legacy_features(base_proto)
+                if "changeDataFeed" not in w:
+                    p = dict(base_proto)
+                    p["writerFeatures"] = sorted(w | {"changeDataFeed"})
+                    proto_action = {"protocol": p}
+            elif w_ver < 4:
+                proto_action = {"protocol": {
+                    "minReaderVersion": r_ver, "minWriterVersion": 4}}
+            base_proto = (proto_action or {}).get("protocol") or base_proto
+
+        # enabling ROW TRACKING on an existing table is an upgrade +
+        # BACKFILL (delta-spark semantics): (3,7)-feature protocol, every
+        # already-live file re-committed with a freshly allocated
+        # baseRowId/defaultRowCommitVersion (dataChange=false — the bytes
+        # are untouched), and the rowIdHighWaterMark domain metadata in
+        # the same commit. O(#files) driver metadata, no data rewrite.
+        if _flag(config, "delta.enableRowTracking") and not _flag(
+                snap.configuration, "delta.enableRowTracking"):
+            r_implied, w_implied = _legacy_features(base_proto)
+            p = {
+                "minReaderVersion": int(
+                    base_proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    w_implied | {"rowTracking", "domainMetadata"}),
+            }
+            if p["minReaderVersion"] >= 3:
+                p["readerFeatures"] = sorted(r_implied)
+            proto_action = {"protocol": p}
+            try:
+                rt_conf = json.loads(
+                    snap.domain_metadata.get(self.ROW_TRACKING_DOMAIN)
+                    or "{}")
+            except json.JSONDecodeError:
+                rt_conf = {}
+            hwm = int(rt_conf.get("rowIdHighWaterMark", -1))
+            backfill_version = snap.version + 1
+            for f in snap.add_files():
+                if f.base_row_id is not None:
+                    continue
+                n = f.parsed_stats().get("numRecords")
+                if n is None:
+                    raise UnsupportedFeatureError(
+                        "cannot enable row tracking: file "
+                        f"{f.path!r} has no numRecords stats to "
+                        "allocate a baseRowId range from"
+                    )
+                add = {
+                    "path": f.path,
+                    "partitionValues": dict(f.partition_values),
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": False,
+                    "stats": f.stats,
+                    "baseRowId": hwm + 1,
+                    "defaultRowCommitVersion": backfill_version,
+                }
+                if f.tags:
+                    add["tags"] = f.tags
+                if f.deletion_vector:
+                    add["deletionVector"] = f.deletion_vector
+                extra_actions.append({"add": add})
+                hwm += int(n)
+            extra_actions.append({"domainMetadata": {
+                "domain": self.ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}, separators=(",", ":")),
+                "removed": False,
+            }})
+
         actions: list[dict] = [
             {
                 "commitInfo": _commit_info(
@@ -2789,6 +2874,7 @@ class DeltaWriter:
             },
             *([proto_action] if proto_action else []),
             {"metaData": meta},
+            *extra_actions,
         ]
         version = snap.version + 1
         self._commit(version, actions, snap)

@@ -5265,3 +5265,82 @@ def test_enable_column_mapping_on_existing_table(spark, tdir):
                        match="disabling or switching"):
         DeltaWriter(tdir, spark).set_properties(
             {"delta.columnMapping.mode": "none"})
+
+
+def test_enable_cdf_and_row_tracking_on_existing_table(spark, tdir):
+    """SET TBLPROPERTIES feature ENABLES are protocol events, not plain
+    config writes. Enabling changeDataFeed upgrades the writer protocol
+    (legacy v4 / the (3,7) feature) so spec writers know to emit cdc;
+    enabling rowTracking on an existing table backfills: (3,7) +
+    rowTracking/domainMetadata features, every live file re-committed
+    dataChange=false with a fresh baseRowId range, rowIdHighWaterMark
+    domain metadata in the same commit — and later appends continue the
+    allocation."""
+    import json as _json
+    import os as _os
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+
+    # --- CDF enable: legacy protocol jumps to minWriterVersion 4
+    t1 = str(tdir) + "_cdf"
+    w = DeltaWriter.create(spark, t1, schema)
+    w.append(spark.range(5).select(F.col("id").alias("i")).coalesce(1))
+    v = w.set_properties({"delta.enableChangeDataFeed": "true"})
+    actions = [_json.loads(line) for line in open(
+        _os.path.join(t1, "_delta_log", f"{v:020d}.json"))]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    DeltaWriter(t1, spark).delete("i = 2")
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    ch = sorted((r["_change_type"], r["i"]) for r in table_changes(
+        DeltaLog(t1), spark, starting_version=v).collect())
+    assert ch == [("delete", 2)]
+
+    # --- row tracking enable: backfill + protocol + watermark
+    t2 = str(tdir) + "_rt"
+    w = DeltaWriter.create(spark, t2, schema)
+    w.append(spark.range(4).select(F.col("id").alias("i")).coalesce(1))
+    w.append(spark.range(4, 10).select(F.col("id").alias("i")).coalesce(1))
+    v = w.set_properties({"delta.enableRowTracking": "true"})
+    actions = [_json.loads(line) for line in open(
+        _os.path.join(t2, "_delta_log", f"{v:020d}.json"))]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    backfills = [a["add"] for a in actions if "add" in a]
+    assert len(backfills) == 2
+    assert all(a["dataChange"] is False for a in backfills)
+    # allocation order over existing files is unspecified; the ranges
+    # must exactly tile 0..9 without overlap
+    ranges = sorted(
+        (a["baseRowId"],
+         a["baseRowId"] + _json.loads(a["stats"])["numRecords"])
+        for a in backfills)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 10
+    assert all(ranges[k][1] == ranges[k + 1][0]
+               for k in range(len(ranges) - 1))
+    dm = next(a["domainMetadata"] for a in actions if "domainMetadata" in a)
+    assert _json.loads(dm["configuration"])["rowIdHighWaterMark"] == 9
+
+    t = DeltaTable(t2)
+    ids = sorted(r["_row_id"] for r in t.scan(spark).with_row_ids()
+                 .to_df().select("_row_id").collect())
+    assert ids == list(range(10))
+    # later appends continue from the watermark
+    DeltaWriter(t2, spark).append(
+        spark.range(10, 13).select(F.col("id").alias("i")).coalesce(1))
+    ids = sorted(r["_row_id"] for r in DeltaTable(t2).scan(spark)
+                 .with_row_ids().to_df().select("_row_id").collect())
+    assert ids == list(range(13))
+
+    # both flags together in ONE call compose (protocol carries both)
+    t3 = str(tdir) + "_both"
+    w = DeltaWriter.create(spark, t3, schema)
+    w.append(spark.range(3).select(F.col("id").alias("i")).coalesce(1))
+    w.set_properties({"delta.enableChangeDataFeed": "true",
+                      "delta.enableRowTracking": "true"})
+    snap = DeltaTable(t3).snapshot
+    wf = set(snap.protocol.get("writerFeatures") or [])
+    assert {"rowTracking", "domainMetadata", "changeDataFeed"} <= wf
+    assert sorted(f.base_row_id for f in snap.add_files()) == [0]
