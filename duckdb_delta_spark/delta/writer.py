@@ -2810,6 +2810,54 @@ class DeltaWriter:
         # baseRowId/defaultRowCommitVersion (dataChange=false — the bytes
         # are untouched), and the rowIdHighWaterMark domain metadata in
         # the same commit. O(#files) driver metadata, no data rewrite.
+        # enabling IN-COMMIT TIMESTAMPS mid-life: writer-feature upgrade
+        # plus the spec's provenance properties (enablementVersion /
+        # enablementTimestamp = this very commit and its ICT) so foreign
+        # readers know where the ICT/mtime clock boundary sits without
+        # the binary search our own reader does. The enabling commit
+        # itself must carry the first ICT (spec) — stamped here because
+        # _commit reads the OLD config and would skip it.
+        ict_stamp: int | None = None
+        if _flag(config, "delta.enableInCommitTimestamps") and not _flag(
+                snap.configuration, "delta.enableInCommitTimestamps"):
+            r_implied, w_implied = _legacy_features(base_proto)
+            p = {
+                "minReaderVersion": int(
+                    base_proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    w_implied | {"inCommitTimestamp"}),
+            }
+            if p["minReaderVersion"] >= 3:
+                p["readerFeatures"] = sorted(r_implied)
+            proto_action = {"protocol": p}
+            base_proto = p
+            prev_ict = self.log.read_ict(snap.version) or 0
+            ict_stamp = max(int(time.time() * 1000), prev_ict + 1)
+            config["delta.inCommitTimestampEnablementVersion"] = str(
+                snap.version + 1)
+            config["delta.inCommitTimestampEnablementTimestamp"] = str(
+                ict_stamp)
+
+        # delta.checkpointPolicy classic→v2 requires the v2Checkpoint
+        # READER feature before any v2 checkpoint exists — upgrade in the
+        # same commit, exactly what the lazy checkpoint-time upgrade does
+        if config.get("delta.checkpointPolicy", "classic") == "v2" and \
+                snap.configuration.get(
+                    "delta.checkpointPolicy", "classic") != "v2":
+            r_implied, w_implied = _legacy_features(base_proto)
+            if any(isinstance(f.dataType, T.TimestampNTZType)
+                   for f in snap.schema.fields):
+                r_implied = r_implied | {"timestampNtz"}
+                w_implied = w_implied | {"timestampNtz"}
+            proto_action = {"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(r_implied | {"v2Checkpoint"}),
+                "writerFeatures": sorted(w_implied | {"v2Checkpoint"}),
+            }}
+            base_proto = proto_action["protocol"]
+
         if _flag(config, "delta.enableRowTracking") and not _flag(
                 snap.configuration, "delta.enableRowTracking"):
             r_implied, w_implied = _legacy_features(base_proto)
@@ -2876,6 +2924,10 @@ class DeltaWriter:
             {"metaData": meta},
             *extra_actions,
         ]
+        if ict_stamp is not None:
+            # the ICT-enabling commit carries the first ICT (spec);
+            # _commit reads the OLD config and would not stamp it
+            actions[0]["commitInfo"]["inCommitTimestamp"] = ict_stamp
         version = snap.version + 1
         self._commit(version, actions, snap)
         self._snapshot = Snapshot.build(self.log, base=snap)
@@ -4472,6 +4524,12 @@ class DeltaWriter:
         import pyarrow.parquet as pq
 
         snap = Snapshot.build(self.log)
+        # a table whose checkpointPolicy is v2 must not get classic
+        # checkpoints from a manual call (auto-checkpoints already honor
+        # the policy; spec: the policy property governs the format)
+        if not v2 and snap.configuration.get(
+                "delta.checkpointPolicy", "classic") == "v2":
+            v2 = True
         if v2:
             # spec: tables must advertise the v2Checkpoint reader feature
             # before a v2 checkpoint exists — upgrade (one commit) if absent

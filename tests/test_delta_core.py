@@ -5344,3 +5344,54 @@ def test_enable_cdf_and_row_tracking_on_existing_table(spark, tdir):
     wf = set(snap.protocol.get("writerFeatures") or [])
     assert {"rowTracking", "domainMetadata", "changeDataFeed"} <= wf
     assert sorted(f.base_row_id for f in snap.add_files()) == [0]
+
+
+def test_enable_ict_and_v2_checkpoint_policy_on_existing_table(spark, tdir):
+    """Two more property-driven protocol events: enabling in-commit
+    timestamps mid-life upgrades to the inCommitTimestamp writer
+    feature, stamps the enabling commit itself with the first ICT, and
+    records the spec's enablement provenance (version + timestamp of
+    that commit); setting delta.checkpointPolicy='v2' upgrades to
+    (3,7)+v2Checkpoint in the same commit, and a MANUAL checkpoint()
+    call then writes the v2 sidecar layout, not classic."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+
+    # --- ICT enable
+    t1 = str(tdir) + "_ict"
+    w = DeltaWriter.create(spark, t1, schema)
+    w.append(spark.range(3).select(F.col("id").alias("i")).coalesce(1))
+    v = w.set_properties({"delta.enableInCommitTimestamps": "true"})
+    actions = [_json.loads(line) for line in open(
+        _os.path.join(t1, "_delta_log", f"{v:020d}.json"))]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    ci = next(a["commitInfo"] for a in actions if "commitInfo" in a)
+    assert "inCommitTimestamp" in ci
+    cfg = next(a["metaData"] for a in actions
+               if "metaData" in a)["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == str(v)
+    assert cfg["delta.inCommitTimestampEnablementTimestamp"] == str(
+        ci["inCommitTimestamp"])
+    # subsequent commits stay monotonic
+    w.append(spark.range(3, 6).select(F.col("id").alias("i")).coalesce(1))
+    from duckdb_delta_spark.delta.log import DeltaLog
+    log = DeltaLog(t1)
+    assert log.read_ict(v + 1) > log.read_ict(v) - 1
+
+    # --- checkpointPolicy v2
+    t2 = str(tdir) + "_v2cp"
+    w = DeltaWriter.create(spark, t2, schema)
+    w.append(spark.range(3).select(F.col("id").alias("i")).coalesce(1))
+    v = w.set_properties({"delta.checkpointPolicy": "v2"})
+    snap = DeltaTable(t2).snapshot
+    assert "v2Checkpoint" in (snap.protocol.get("readerFeatures") or [])
+    cv = w.checkpoint()          # manual call must honor the policy
+    assert _glob.glob(_os.path.join(t2, "_delta_log", "_sidecars", "*")), \
+        "expected v2 sidecar checkpoint"
+    w.append(spark.range(3, 6).select(F.col("id").alias("i")).coalesce(1))
+    assert DeltaTable(t2).to_df(spark).count() == 6
+    assert cv >= v
