@@ -2810,6 +2810,24 @@ class DeltaWriter:
         # baseRowId/defaultRowCommitVersion (dataChange=false — the bytes
         # are untouched), and the rowIdHighWaterMark domain metadata in
         # the same commit. O(#files) driver metadata, no data rewrite.
+        # delta.enableDeletionVectors=true requires the deletionVectors
+        # feature to be SUPPORTED from the moment the property is set
+        # (spec) — not only once our own first DV lands (an external
+        # writer could write the first DV before us)
+        if _flag(config, "delta.enableDeletionVectors") and not _flag(
+                snap.configuration, "delta.enableDeletionVectors"):
+            r_implied, w_implied = _legacy_features(base_proto)
+            if "deletionVectors" not in r_implied:
+                proto_action = {"protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        r_implied | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        w_implied | {"deletionVectors"}),
+                }}
+                base_proto = proto_action["protocol"]
+
         # enabling IN-COMMIT TIMESTAMPS mid-life: writer-feature upgrade
         # plus the spec's provenance properties (enablementVersion /
         # enablementTimestamp = this very commit and its ICT) so foreign

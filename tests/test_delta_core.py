@@ -5395,3 +5395,21 @@ def test_enable_ict_and_v2_checkpoint_policy_on_existing_table(spark, tdir):
     w.append(spark.range(3, 6).select(F.col("id").alias("i")).coalesce(1))
     assert DeltaTable(t2).to_df(spark).count() == 6
     assert cv >= v
+
+
+def test_enable_deletion_vectors_property_upgrades_protocol(spark, tdir):
+    """delta.enableDeletionVectors=true requires the deletionVectors
+    feature from the moment the property is SET (an external writer may
+    write the first DV before this engine does), not lazily at our own
+    first DV write."""
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(5).select(F.col("id").alias("i")).coalesce(1))
+    w.set_properties({"delta.enableDeletionVectors": "true"})
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+    # the DV path itself still works end-to-end on the upgraded table
+    DeltaWriter(tdir, spark).delete("i = 2")
+    assert sorted(r["i"] for r in DeltaTable(tdir).to_df(spark).collect()) \
+        == [0, 1, 3, 4]
