@@ -2674,6 +2674,15 @@ class DeltaWriter:
                 add["tags"] = f.tags
             if f.deletion_vector:
                 add["deletionVector"] = f.deletion_vector
+            if f.base_row_id is not None:
+                # row-id STABILITY across RESTORE (spec "Row Tracking"):
+                # the resurrected rows keep the ids they were first
+                # allocated — reallocating would break every downstream
+                # consumer keyed on _row_id
+                add["baseRowId"] = f.base_row_id
+                add["defaultRowCommitVersion"] = (
+                    f.default_row_commit_version
+                )
             actions.append({"add": add})
         for f in drop:
             remove = {
@@ -4977,6 +4986,12 @@ def assign_row_ids(version: int, actions: list[dict], snap: Snapshot) -> None:
     hwm = int(conf.get("rowIdHighWaterMark", -1))
     moved = False
     for a in adds:
+        if a.get("baseRowId") is not None:
+            # the action carries its ids already (RESTORE re-adds of
+            # files absent from the CURRENT snapshot, row-tracking
+            # backfill) — row-id stability says keep them; the watermark
+            # covered these ranges when they were first allocated
+            continue
         prior = existing.get(a["path"])
         if prior is not None and prior.base_row_id is not None:
             a["baseRowId"] = prior.base_row_id

@@ -5413,3 +5413,40 @@ def test_enable_deletion_vectors_property_upgrades_protocol(spark, tdir):
     DeltaWriter(tdir, spark).delete("i = 2")
     assert sorted(r["i"] for r in DeltaTable(tdir).to_df(spark).collect()) \
         == [0, 1, 3, 4]
+
+
+def test_restore_preserves_row_ids(spark, tdir):
+    """Row-id STABILITY across RESTORE (spec "Row Tracking"): deleting a
+    file and restoring past the delete must resurrect its rows with the
+    ids they were FIRST allocated — before this fix the restore re-add
+    lost baseRowId and the allocator handed the rows fresh ids, breaking
+    every consumer keyed on _row_id."""
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={"delta.enableRowTracking": "true"})
+    w.append(spark.range(5).select(F.col("id").alias("i")).coalesce(1))
+    w.append(spark.range(5, 8).select(F.col("id").alias("i")).coalesce(1))
+    before = sorted(
+        (r["i"], r["_row_id"])
+        for r in DeltaTable(tdir).scan(spark).with_row_ids()
+        .to_df().select("i", "_row_id").collect())
+
+    w2 = DeltaWriter(tdir, spark)
+    w2.delete("i >= 5")          # drops the second file wholesale
+    w2.restore(2)                # resurrect it
+    after = sorted(
+        (r["i"], r["_row_id"])
+        for r in DeltaTable(tdir).scan(spark).with_row_ids()
+        .to_df().select("i", "_row_id").collect())
+    assert after == before
+    # watermark untouched by the restore (no fresh allocation happened)
+    import json as _json
+    hwm = _json.loads(DeltaTable(tdir).snapshot
+                      .domain_metadata["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 7
+    # and NEW appends still allocate past it
+    DeltaWriter(tdir, spark).append(
+        spark.range(8, 10).select(F.col("id").alias("i")).coalesce(1))
+    ids = sorted(r["_row_id"] for r in DeltaTable(tdir).scan(spark)
+                 .with_row_ids().to_df().select("_row_id").collect())
+    assert ids == list(range(10))
