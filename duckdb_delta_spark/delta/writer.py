@@ -2639,12 +2639,29 @@ class DeltaWriter:
         )
         if not re_add and not drop and not meta_changed:
             return None
+        from duckdb_delta_spark.delta.dv import dv_file_path
+
         for f in re_add:
             if not os.path.exists(f.absolute_path(self.table_path)):
                 raise MissingVersionError(
                     f"cannot restore to version {version}: data file "
                     f"{f.path!r} no longer exists (vacuumed)"
                 )
+            dv = f.deletion_vector or {}
+            if dv.get("storageType") in ("u", "p"):
+                # a replaced DV's .bin is tombstoned and vacuumable while
+                # its DATA file stays live — restoring past the
+                # replacement must not resurrect a dangling DV reference
+                try:
+                    dv_path = dv_file_path(self.table_path, dv)
+                except Exception:  # noqa: BLE001 - undecodable descriptor
+                    dv_path = None
+                if dv_path is not None and not os.path.exists(dv_path):
+                    raise MissingVersionError(
+                        f"cannot restore to version {version}: deletion "
+                        f"vector file for {f.path!r} no longer exists "
+                        "(vacuumed)"
+                    )
 
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [

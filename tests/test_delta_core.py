@@ -5450,3 +5450,27 @@ def test_restore_preserves_row_ids(spark, tdir):
     ids = sorted(r["_row_id"] for r in DeltaTable(tdir).scan(spark)
                  .with_row_ids().to_df().select("_row_id").collect())
     assert ids == list(range(10))
+
+
+def test_restore_refuses_when_dv_file_vacuumed(spark, tdir):
+    """A second DELETE on the same file REPLACES its deletion vector;
+    the old .bin is tombstoned and vacuumable while the DATA file stays
+    live. RESTORE to the replaced-DV version must refuse loudly (like
+    the vacuumed-data-file guard) instead of committing a dangling DV
+    reference that every later read trips over."""
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(10).select(F.col("id").alias("i")).coalesce(1))
+    w2 = DeltaWriter(tdir, spark)
+    w2.delete("i = 2")            # v2: DV1 on the file
+    dv_version = DeltaTable(tdir).version
+    w2.delete("i = 5")            # v3: DV2 replaces DV1 (tombstoned)
+    w2.vacuum(retention_ms=0)     # DV1's .bin deleted
+
+    with pytest.raises(errors.MissingVersionError, match="deletion "):
+        DeltaWriter(tdir, spark).restore(dv_version)
+    # table unharmed, HEAD still reads
+    assert sorted(r["i"] for r in DeltaTable(tdir).to_df(spark).collect()) \
+        == [0, 1, 3, 4, 6, 7, 8, 9]
+    # restore to HEAD-equivalent state is still a no-op success path
+    assert DeltaWriter(tdir, spark).restore(DeltaTable(tdir).version) is None
