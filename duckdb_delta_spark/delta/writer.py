@@ -865,7 +865,8 @@ class DeltaWriter:
                 snapshot = self._snapshot = fresh
                 version = snapshot.version + 1
 
-    def _commit(self, version: int, actions: list[dict], snap: Snapshot) -> None:
+    def _commit(self, version: int, actions: list[dict], snap: Snapshot,
+                preserve_row_ids: bool = False) -> None:
         """``log.commit`` plus in-commit timestamps: when
         ``delta.enableInCommitTimestamps`` is true the commitInfo gets a
         MONOTONIC ``inCommitTimestamp`` — max(wall clock, predecessor's
@@ -873,7 +874,7 @@ class DeltaWriter:
         writer feature; timestamp travel then survives file copies whose
         mtimes lie). Re-stamped on every retry so monotonicity holds
         against the commit that won the race."""
-        self._assign_row_ids(version, actions, snap)
+        self._assign_row_ids(version, actions, snap, preserve_row_ids)
         enabled = (
             snap.configuration.get("delta.enableInCommitTimestamps", "")
             .lower()
@@ -938,13 +939,14 @@ class DeltaWriter:
     ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
     def _assign_row_ids(
-        self, version: int, actions: list[dict], snap: Snapshot
+        self, version: int, actions: list[dict], snap: Snapshot,
+        preserve_existing: bool = False,
     ) -> None:
         """Delegates to module-level :func:`assign_row_ids` — runs inside
         ``_commit`` so every write path and every RETRY reallocates
         against the snapshot it is committing on; the streaming sink
         calls the module function before its own put-if-absent."""
-        assign_row_ids(version, actions, snap)
+        assign_row_ids(version, actions, snap, preserve_existing)
 
     def _maybe_auto_compact(self) -> None:
         """``delta.autoOptimize.autoCompact = true`` (delta-spark parity,
@@ -2714,7 +2716,7 @@ class DeltaWriter:
             actions.append({"remove": remove})
 
         new_version = snap_now.version + 1
-        self._commit(new_version, actions, snap_now)
+        self._commit(new_version, actions, snap_now, preserve_row_ids=True)
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -4045,6 +4047,30 @@ class DeltaWriter:
                 )
             else:
                 src = src.coalesce(int(n_out))
+            if mode == "name":
+                # the READ schema is id-less (pre-upgrade files have no
+                # ids and would be rejected), but the spec requires
+                # WRITERS to emit field ids whenever column mapping is
+                # enabled — re-attach the mapping metadata before the
+                # write (DataFrame.to applies nested field metadata)
+                from duckdb_delta_spark.delta.mapping import physical_type
+
+                id_schema = T.StructType([
+                    T.StructField(
+                        phys_of[f.name], physical_type(f.dataType), True,
+                        {"parquet.field.id": int(
+                            (f.metadata or {})["delta.columnMapping.id"])}
+                        if "delta.columnMapping.id" in (f.metadata or {})
+                        else {},
+                    )
+                    for f in schema.fields if f.name not in parts
+                ])
+                if row_tracked:
+                    id_schema = T.StructType(
+                        list(id_schema.fields)
+                        + [T.StructField(mat_id, T.LongType()),
+                           T.StructField(mat_ver, T.LongType())])
+                src = src.to(id_schema)
             src.write.mode("overwrite").parquet(staging)
             try:
                 rels: list[tuple[str, str]] = []
@@ -4972,7 +4998,8 @@ def _commit_info(operation: str, params: dict | None = None) -> dict:
     }
 
 
-def assign_row_ids(version: int, actions: list[dict], snap: Snapshot) -> None:
+def assign_row_ids(version: int, actions: list[dict], snap: Snapshot,
+                   preserve_existing: bool = False) -> None:
     """Row tracking (Delta spec "Row Tracking"): on tables with the
     ``rowTracking`` writer feature, every NEW add gets a ``baseRowId``
     (fresh row id of row i = baseRowId + i) and
@@ -5003,11 +5030,14 @@ def assign_row_ids(version: int, actions: list[dict], snap: Snapshot) -> None:
     hwm = int(conf.get("rowIdHighWaterMark", -1))
     moved = False
     for a in adds:
-        if a.get("baseRowId") is not None:
-            # the action carries its ids already (RESTORE re-adds of
-            # files absent from the CURRENT snapshot, row-tracking
-            # backfill) — row-id stability says keep them; the watermark
-            # covered these ranges when they were first allocated
+        if preserve_existing and a.get("baseRowId") is not None:
+            # the action carries ids that MUST survive (RESTORE re-adds
+            # of files absent from the current snapshot keep the ids the
+            # rows were first allocated; the watermark already covered
+            # those ranges). NEVER the default: a conflict RETRY re-runs
+            # this function on actions that still carry the LOSING
+            # attempt's ids, and keeping them would overlap the winner's
+            # ranges — retries must reallocate.
             continue
         prior = existing.get(a["path"])
         if prior is not None and prior.base_row_id is not None:

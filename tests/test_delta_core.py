@@ -5474,3 +5474,55 @@ def test_restore_refuses_when_dv_file_vacuumed(spark, tdir):
         == [0, 1, 3, 4, 6, 7, 8, 9]
     # restore to HEAD-equivalent state is still a no-op success path
     assert DeltaWriter(tdir, spark).restore(DeltaTable(tdir).version) is None
+
+
+def test_compact_writes_field_ids_on_name_mode_tables(spark, tdir):
+    """OPTIMIZE on a name-mode table READS id-less (upgraded tables have
+    pre-upgrade files without ids) but must still WRITE parquet field
+    ids at every nesting level — the spec requires writers to emit them
+    whenever column mapping is enabled. Covers both a native name-mode
+    table and one upgraded mid-history."""
+    import pyarrow.parquet as pq
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("info", T.StructType([
+            T.StructField("a", T.LongType())])),
+    ])
+
+    def ids_everywhere(table_path):
+        ok = True
+        for f in DeltaTable(table_path).snapshot.add_files():
+            sch = pq.ParquetFile(f.absolute_path(table_path)).schema_arrow
+            for idx in range(len(sch.names)):
+                fld = sch.field(idx)
+                ok &= b"PARQUET:field_id" in (fld.metadata or {})
+                if getattr(fld.type, "num_fields", 0) > 0:
+                    ok &= b"PARQUET:field_id" in (
+                        fld.type.field(0).metadata or {})
+        return ok
+
+    # native name-mode table
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={"delta.columnMapping.mode": "name"})
+    for k in range(3):
+        w.append(spark.range(5 * k, 5 * k + 5).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    assert w.compact(target_file_bytes=64 << 20) is not None
+    assert ids_everywhere(tdir)
+    assert DeltaTable(tdir).to_df(spark).where("info.a = i").count() == 15
+
+    # upgraded table: pre-upgrade files are id-less; the compacted
+    # output still carries ids
+    t2 = str(tdir) + "_upg"
+    w = DeltaWriter.create(spark, t2, schema)
+    for k in range(3):
+        w.append(spark.range(5 * k, 5 * k + 5).select(
+            F.col("id").alias("i"),
+            F.struct(F.col("id").alias("a")).alias("info")).coalesce(1))
+    w.set_properties({"delta.columnMapping.mode": "name"})
+    assert DeltaWriter(t2, spark).compact(
+        target_file_bytes=64 << 20) is not None
+    assert ids_everywhere(t2)
+    assert DeltaTable(t2).to_df(spark).where("info.a = i").count() == 15
