@@ -2101,6 +2101,11 @@ class DeltaWriter:
         when_not_matched_insert: bool = True,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        when_matched_condition=None,
+        when_not_matched_condition=None,
+        when_not_matched_by_source_update: dict | None = None,
+        when_not_matched_by_source_delete: bool = False,
+        when_not_matched_by_source_condition=None,
     ) -> tuple[int, int, int] | None:
         """MERGE INTO: upsert ``source`` into the table — ONE atomic commit.
 
@@ -2112,6 +2117,21 @@ class DeltaWriter:
         source rows with no target match (source must carry the table's
         columns). Returns ``(version, n_matched, n_inserted)`` or None
         when the merge is a no-op.
+
+        delta-spark's full clause surface (DeltaMergeBuilder parity):
+
+        * ``when_matched_condition`` — extra predicate on the matched
+          clause (may reference ``t.*``/``s.*``); matched rows failing it
+          stay untouched.
+        * ``when_not_matched_condition`` — predicate on the insert clause
+          (``s.*``).
+        * ``when_not_matched_by_source_update`` /
+          ``when_not_matched_by_source_delete`` (+ optional
+          ``when_not_matched_by_source_condition``, ``t.*`` only) —
+          delta-spark's ``whenNotMatchedBySource``: target rows with NO
+          source match are updated in place (assignments may reference
+          ``t.*`` only) or deleted. Counted in commitInfo's
+          ``numTargetRowsNotMatchedBySource``.
 
         The source should be unique on the join keys (standard MERGE
         precondition); duplicate matches would duplicate rows exactly as
@@ -2127,35 +2147,84 @@ class DeltaWriter:
         )
         if when_matched_update and when_matched_delete:
             raise ValueError("choose either when_matched_update or when_matched_delete")
+        if when_not_matched_by_source_update and \
+                when_not_matched_by_source_delete:
+            raise ValueError(
+                "choose either when_not_matched_by_source_update or "
+                "when_not_matched_by_source_delete")
+        touch_by_source = bool(when_not_matched_by_source_update) or \
+            when_not_matched_by_source_delete
+        if touch_by_source:
+            self._assert_writable("MERGE", removes_rows=True)
         schema = snap.schema
         on_expr = F.expr(on) if isinstance(on, str) else on
+
+        def _cond(c):
+            return F.expr(c) if isinstance(c, str) else c
 
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
         t = scan.to_df().alias("t")
         s = source.alias("s")
 
-        results = []
-        n_matched = 0
-        touch_matched = bool(when_matched_update) or when_matched_delete
-        if touch_matched:
+        # matched-clause frame (condition may reference s.*, so a
+        # conditional clause joins inner instead of left_semi)
+        if when_matched_condition is not None:
+            matched_t = t.join(s, on_expr, "inner").where(
+                _cond(when_matched_condition))
+        else:
             matched_t = t.join(s, on_expr, "left_semi")
-            results = self._dv_results(
-                snap,
-                matched_t.select(
+        # not-matched-by-source frame: target rows with NO source match
+        bys = None
+        if touch_by_source:
+            bys = t.join(s, on_expr, "left_anti")
+            if when_not_matched_by_source_condition is not None:
+                bys = bys.where(_cond(when_not_matched_by_source_condition))
+
+        results = []
+        n_matched = n_by_source = 0
+        touch_matched = bool(when_matched_update) or when_matched_delete
+        if touch_matched or touch_by_source:
+            mask_parts = []
+            if touch_matched:
+                mask_parts.append(matched_t.select(
                     F.col("filename").alias("f"),
                     F.col("file_row_number").alias("r"),
-                ),
-            )
-            n_matched = sum(r["n_new"] for r in results)
+                    F.lit("m").alias("_tag")))
+            if bys is not None:
+                mask_parts.append(bys.select(
+                    F.col("filename").alias("f"),
+                    F.col("file_row_number").alias("r"),
+                    F.lit("b").alias("_tag")))
+            mask_df = mask_parts[0]
+            for p in mask_parts[1:]:
+                mask_df = mask_df.unionByName(p)
+            if len(mask_parts) > 1:
+                # matched and by-source rows are disjoint by definition;
+                # ONE DV round over the union, counts split in one job
+                counts = {r["_tag"]: r["count"] for r in
+                          mask_df.groupBy("_tag").count().collect()}
+                n_matched = int(counts.get("m", 0))
+                n_by_source = int(counts.get("b", 0))
+                results = self._dv_results(snap, mask_df.drop("_tag"))
+            else:
+                results = self._dv_results(snap, mask_df.drop("_tag"))
+                n_rows = sum(r["n_new"] for r in results)
+                if touch_matched:
+                    n_matched = n_rows
+                else:
+                    n_by_source = n_rows
 
         gen = _generated_exprs(schema)
         new_parts = []  # (frame, generated-cols-already-consistent)
-        if when_matched_update and results:
+        if when_matched_update and n_matched:
             upd_exprs = _assignment_exprs(
                 schema, when_matched_update, lambda n: F.col("t." + n)
             )
             upd_tops = set(upd_exprs)
-            upd = t.join(s, on_expr, "inner").select(
+            upd = t.join(s, on_expr, "inner")
+            if when_matched_condition is not None:
+                upd = upd.where(_cond(when_matched_condition))
+            upd = upd.select(
                 *[
                     upd_exprs.get(f.name, F.col("t." + f.name))
                     .cast(_nullable_type(f.dataType))
@@ -2169,6 +2238,25 @@ class DeltaWriter:
             new_parts.append(
                 (upd, {c for c in gen if c not in upd_tops})
             )
+        bys_upd = None
+        if when_not_matched_by_source_update and n_by_source:
+            bys_exprs = _assignment_exprs(
+                schema, when_not_matched_by_source_update,
+                lambda n: F.col("t." + n)
+            )
+            bys_tops = set(bys_exprs)
+            bys_upd = bys.select(
+                *[
+                    bys_exprs.get(f.name, F.col("t." + f.name))
+                    .cast(_nullable_type(f.dataType))
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            bys_upd = _apply_generated(bys_upd, schema, keep=bys_tops)
+            new_parts.append(
+                (bys_upd, {c for c in gen if c not in bys_tops})
+            )
         ins = None
         ins_skip: set = set()
         if when_not_matched_insert:
@@ -2180,7 +2268,10 @@ class DeltaWriter:
             if missing:
                 raise SchemaError(f"merge source missing table columns: {missing}")
             ins_skip = set(computable)
-            ins = s.join(t, on_expr, "left_anti").select(
+            ins = s.join(t, on_expr, "left_anti")
+            if when_not_matched_condition is not None:
+                ins = ins.where(_cond(when_not_matched_condition))
+            ins = ins.select(
                 *[
                     (
                         F.expr(gen[f.name])
@@ -2235,19 +2326,29 @@ class DeltaWriter:
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap):
             data_cols = [F.col(f.name) for f in schema.fields]
+            t_cols = [F.col("t." + f.name).alias(f.name)
+                      for f in schema.fields]
             cdc_parts = []
-            if results:
+            if touch_matched and n_matched:
                 pre_tag = (
                     "update_preimage" if when_matched_update else "delete"
                 )
-                cdc_parts.append(
-                    t.join(s, on_expr, "left_semi").select(
-                        *data_cols, F.lit(pre_tag).alias("_change_type")
-                    )
-                )
-            if when_matched_update and results:
-                for branch, _skip in new_parts:
-                    cdc_parts.append(branch.select(
+                cdc_parts.append(matched_t.select(
+                    *t_cols).select(
+                    *data_cols, F.lit(pre_tag).alias("_change_type")
+                ))
+                if when_matched_update:
+                    cdc_parts.append(upd.select(
+                        *data_cols,
+                        F.lit("update_postimage").alias("_change_type"),
+                    ))
+            if touch_by_source and n_by_source:
+                bys_pre = ("update_preimage"
+                           if when_not_matched_by_source_update else "delete")
+                cdc_parts.append(bys.select(*t_cols).select(
+                    *data_cols, F.lit(bys_pre).alias("_change_type")))
+                if bys_upd is not None:
+                    cdc_parts.append(bys_upd.select(
                         *data_cols,
                         F.lit("update_postimage").alias("_change_type"),
                     ))
@@ -2271,6 +2372,7 @@ class DeltaWriter:
                     {
                         "numTargetRowsMatched": str(n_matched),
                         "numTargetRowsInserted": str(n_inserted),
+                        "numTargetRowsNotMatchedBySource": str(n_by_source),
                     },
                 )
             }

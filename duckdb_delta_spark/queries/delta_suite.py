@@ -1942,3 +1942,60 @@ def delta_cm_upgrade_scan(spark, sf_dir):
         return local_df(spark, [tuple(r) for r in rows], df.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# full MERGE clause surface (r15): conditional WHEN MATCHED, conditional
+# WHEN NOT MATCHED, and WHEN NOT MATCHED BY SOURCE delete — delta-spark
+# DeltaMergeBuilder parity in one atomic commit (reference runs MERGE
+# through the host engine; the Delta mechanics are the DV mask + image
+# appends, delta_deletes.cpp analogue).
+@register(
+    "delta_merge_by_source_scan",
+    oracle="""
+    SELECT key, val FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS key,
+               CAST(CASE WHEN n_nationkey >= 10 AND n_nationkey % 2 = 0
+                         THEN 99 ELSE n_regionkey END AS BIGINT) AS val
+        FROM nation WHERE n_nationkey >= 5
+        UNION ALL
+        SELECT CAST(n_nationkey + 10 AS BIGINT), CAST(99 AS BIGINT)
+        FROM nation WHERE n_nationkey + 10 BETWEEN 25 AND 30
+    ) u
+    """,
+    group="delta",
+)
+def delta_merge_by_source_scan(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.tmp_dir("mergebys_")
+    path = os.path.join(root, "t")
+    try:
+        schema = T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("val", T.LongType()),
+        ])
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        w = DeltaWriter.create(spark, path, schema)
+        w.append(nat.select(
+            F.col("n_nationkey").cast("long").alias("key"),
+            F.col("n_regionkey").cast("long").alias("val")).coalesce(1))
+        src = nat.select(
+            (F.col("n_nationkey") + 10).cast("long").alias("key"),
+            F.lit(99).cast("long").alias("val"))
+        DeltaWriter(path, spark).merge(
+            src, "t.key = s.key",
+            when_matched_update={"val": "s.val"},
+            when_matched_condition="t.key % 2 = 0",
+            when_not_matched_condition="s.key <= 30",
+            when_not_matched_by_source_delete=True,
+            when_not_matched_by_source_condition="t.key < 5",
+        )
+        df = DeltaTable(path).to_df(spark).select("key", "val")
+        rows = df.collect()
+        return local_df(spark, [tuple(r) for r in rows], df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -5526,3 +5526,74 @@ def test_compact_writes_field_ids_on_name_mode_tables(spark, tdir):
         target_file_bytes=64 << 20) is not None
     assert ids_everywhere(t2)
     assert DeltaTable(t2).to_df(spark).where("info.a = i").count() == 15
+
+
+def test_merge_full_clause_surface(spark, tdir):
+    """delta-spark DeltaMergeBuilder parity: conditional WHEN MATCHED,
+    conditional WHEN NOT MATCHED (insert), and WHEN NOT MATCHED BY
+    SOURCE (update / delete, with condition) — one atomic commit, DV
+    masks for every removed row, CDF pre/post images for each clause."""
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w.append(spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")).coalesce(1))
+    # target: k 0..5 (v = 10k); source: k 2..7 (nv = k+100)
+    src = spark.range(2, 8).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("v"))
+
+    # matched rows update only when t.v >= 30 (k 3,4,5; k=2 untouched);
+    # inserts only for s.nv <= 106 (k 6; k=7 filtered out);
+    # by-source rows (k 0,1) delete only when t.k = 0 (k 1 untouched)
+    v, n_matched, n_inserted = DeltaWriter(tdir, spark).merge(
+        src, "t.k = s.k",
+        when_matched_update={"v": "s.v"},
+        when_matched_condition="t.v >= 30",
+        when_not_matched_condition="s.v <= 106",
+        when_not_matched_by_source_delete=True,
+        when_not_matched_by_source_condition="t.k = 0",
+    )
+    assert (n_matched, n_inserted) == (3, 1)
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got == {1: 10, 2: 20, 3: 103, 4: 104, 5: 105, 6: 106}
+
+    ch = sorted((r["_change_type"], r["k"], r["v"]) for r in table_changes(
+        DeltaLog(tdir), spark, starting_version=v - 1).collect())
+    assert ch == sorted(
+        [("delete", 0, 0)]
+        + [("update_preimage", k, 10 * k) for k in (3, 4, 5)]
+        + [("update_postimage", k, 100 + k) for k in (3, 4, 5)]
+        + [("insert", 6, 106)])
+
+    # by-source UPDATE flavor: bump every target row the source no
+    # longer carries (k=1 after the dance above; source now k>=3)
+    src2 = spark.range(3, 7).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    v2 = DeltaWriter(tdir, spark).merge(
+        src2, "t.k = s.k",
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"v": "t.v + 1000"},
+    )
+    assert v2 is not None
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got == {1: 1010, 2: 1020, 3: 103, 4: 104, 5: 105, 6: 106}
+    # commitInfo records the by-source count
+    import json as _json
+    import os as _os
+    lines = [_json.loads(line) for line in open(_os.path.join(
+        tdir, "_delta_log", f"{v2[0]:020d}.json"))]
+    ci = next(a["commitInfo"] for a in lines if "commitInfo" in a)
+    assert ci["operationParameters"]["numTargetRowsNotMatchedBySource"] == "2"
+
+    # both by-source flavors at once refuse
+    with pytest.raises(ValueError, match="by_source"):
+        DeltaWriter(tdir, spark).merge(
+            src2, "t.k = s.k",
+            when_not_matched_by_source_update={"v": "t.v"},
+            when_not_matched_by_source_delete=True)
