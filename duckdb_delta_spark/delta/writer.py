@@ -2832,6 +2832,83 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap_now)
         return new_version
 
+    def upgrade_protocol(self, min_reader: int, min_writer: int) -> int | None:
+        """delta-spark ``upgradeTableProtocol``: raise the protocol's
+        legacy versions (never lowers — downgrades go through
+        ``drop_feature``). Crossing into the table-features versions
+        (reader 3 / writer 7) carries every feature the legacy versions
+        implied, exactly like the automatic upgrade paths. Returns the
+        committed version, or None when nothing changes."""
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        proto = snap.protocol
+        r_old = int(proto.get("minReaderVersion", 1))
+        w_old = int(proto.get("minWriterVersion", 2))
+        r_new, w_new = max(r_old, int(min_reader)), max(w_old, int(min_writer))
+        if (r_new, w_new) == (r_old, w_old):
+            return None
+        new_proto: dict = {"minReaderVersion": r_new,
+                           "minWriterVersion": w_new}
+        if r_new >= 3 or w_new >= 7:
+            r_implied, w_implied = _legacy_features(proto)
+            if w_new >= 7:
+                new_proto["minWriterVersion"] = 7
+                new_proto["writerFeatures"] = sorted(w_implied)
+            if r_new >= 3:
+                new_proto["minReaderVersion"] = 3
+                new_proto["readerFeatures"] = sorted(r_implied)
+        actions = [
+            {"commitInfo": _commit_info(
+                "UPGRADE PROTOCOL",
+                {"newProtocol": json.dumps(new_proto)})},
+            {"protocol": new_proto},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
+    def add_feature_support(self, feature: str) -> int | None:
+        """delta-spark ``addFeatureSupport``: upgrade to the
+        table-features protocol (3,7) and list ``feature`` — in BOTH
+        lists for reader-writer features, writer-only otherwise. Unknown
+        features refuse (a feature this engine cannot honor must not be
+        advertised). Returns the committed version, or None when the
+        feature is already supported."""
+        from duckdb_delta_spark.delta.snapshot import (
+            SUPPORTED_READER_FEATURES,
+            SUPPORTED_WRITER_FEATURES,
+        )
+
+        if feature not in SUPPORTED_WRITER_FEATURES | \
+                SUPPORTED_READER_FEATURES:
+            raise UnsupportedFeatureError(
+                f"cannot add support for unknown feature {feature!r}"
+            )
+        snap = self._snapshot = Snapshot.build(self.log, base=self._snapshot)
+        proto = snap.protocol
+        r, w = _legacy_features(proto)
+        is_reader = feature in SUPPORTED_READER_FEATURES
+        if feature in w and (not is_reader or feature in r):
+            return None
+        new_proto = {
+            "minReaderVersion": 3 if is_reader else max(
+                int(proto.get("minReaderVersion", 1)), 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(w | {feature}),
+        }
+        if new_proto["minReaderVersion"] >= 3:
+            new_proto["readerFeatures"] = sorted(
+                r | ({feature} if is_reader else set()))
+        actions = [
+            {"commitInfo": _commit_info(
+                "UPGRADE PROTOCOL", {"newFeature": feature})},
+            {"protocol": new_proto},
+        ]
+        version = snap.version + 1
+        self._commit(version, actions, snap)
+        self._snapshot = Snapshot.build(self.log, base=snap)
+        return version
+
     # ---------- ALTER TABLE SET/UNSET TBLPROPERTIES ----------
 
     def set_properties(

