@@ -169,8 +169,19 @@ def table_changes(
         return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        # the schema may have WIDENED inside the range: pre-widen
+        # commits' parts lack the new columns — null-fill them
+        out = out.unionByName(p, allowMissingColumns=True)
+    # normalize to the ENDING version's schema (order + any column no
+    # data part carried), delta-spark CDF semantics: a range is served
+    # under the end schema, old rows read the new columns as NULL
+    have = set(out.columns)
+    cols = [
+        (F.col(f.name) if f.name in have
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in snap.schema.fields
+    ] + [F.col(CHANGE_TYPE), F.col(COMMIT_VERSION), F.col(COMMIT_TIMESTAMP)]
+    return out.select(*cols)
 
 
 def _read_cdc(

@@ -5647,3 +5647,58 @@ def test_upgrade_protocol_and_add_feature_support(spark, tdir):
     assert proto["minWriterVersion"] == 7
     assert "rowTracking" in proto["writerFeatures"]
     assert "appendOnly" in proto["writerFeatures"]   # legacy w2 implied
+
+
+def test_change_feed_across_schema_widen(spark, tdir):
+    """CDF ranges spanning a mergeSchema widen: pre-widen commits' parts
+    lack the new column, and the union used to fail with
+    NUM_COLUMNS_MISMATCH — the feed is now served under the ENDING
+    version's schema with old rows null-filling the new columns
+    (delta-spark CDF semantics), batch AND readChangeFeed stream."""
+    import shutil as _sh
+
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.log import DeltaLog
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema,
+                           configuration={
+                               "delta.enableChangeDataFeed": "true"})
+    w.append(spark.range(4).select(F.col("id").alias("i")).coalesce(1))
+    w.update("i = 1", {"i": "100"})                  # cdc, OLD schema
+    w.append(spark.range(4, 6).select(
+        F.col("id").alias("i"), (F.col("id") * 2).alias("x")).coalesce(1),
+        merge_schema=True)                           # widen + insert
+    DeltaWriter(tdir, spark).update("i = 4", {"x": "999"})  # cdc, NEW
+
+    want = sorted([
+        ("insert", 0, None), ("insert", 1, None), ("insert", 2, None),
+        ("insert", 3, None), ("insert", 4, 8), ("insert", 5, 10),
+        ("update_preimage", 1, None), ("update_postimage", 100, None),
+        ("update_preimage", 4, 8), ("update_postimage", 4, 999),
+    ])
+    got = sorted((r["_change_type"], r["i"], r["x"]) for r in table_changes(
+        DeltaLog(tdir), spark, starting_version=0).collect())
+    assert got == want
+
+    # the readChangeFeed STREAM over the same history agrees
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tdir) + "_out", str(tdir) + "_ck"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    got2 = sorted((r["_change_type"], r["i"], r["x"])
+                  for r in spark.read.parquet(out).collect())
+    assert got2 == want
+    for d in (out, ck):
+        _sh.rmtree(d, ignore_errors=True)
