@@ -49,6 +49,44 @@ COMMIT_TIMESTAMP = "_commit_timestamp"
 DIFF_JOIN_MAX = 5_000_000
 
 
+def _non_additive_changes(old_fields, new_fields, prefix: str = ""):
+    """Rename/drop detection between two schema versions inside a CDF
+    range. Matches fields by ``delta.columnMapping.id`` when present
+    (renames are only expressible under column mapping) and by name
+    otherwise. Returns human-readable problem strings; empty means the
+    newer schema is a pure widening (added columns / relaxed types),
+    which CDF serves by null-filling — anything else must raise, or
+    pre-change rows would silently read NULL where they have values
+    (delta-spark raises a non-additive-schema-change error here)."""
+    problems: list[str] = []
+
+    def fid(f):
+        return (f.metadata or {}).get("delta.columnMapping.id")
+
+    new_by_id = {fid(g): g for g in new_fields if fid(g) is not None}
+    new_by_name = {g.name: g for g in new_fields}
+    for f in old_fields:
+        i = fid(f)
+        nf = new_by_id.get(i) if i is not None else None
+        if nf is None:
+            nf = new_by_name.get(f.name)
+            if nf is not None and i is not None and \
+                    fid(nf) not in (None, i):
+                nf = None  # same logical name but a DIFFERENT column
+        if nf is None:
+            problems.append(f"column {prefix}{f.name!r} was dropped")
+            continue
+        if nf.name != f.name:
+            problems.append(
+                f"column {prefix}{f.name!r} was renamed to {nf.name!r}")
+        if isinstance(f.dataType, T.StructType) and isinstance(
+                nf.dataType, T.StructType):
+            problems += _non_additive_changes(
+                f.dataType.fields, nf.dataType.fields,
+                prefix=f"{prefix}{f.name}.")
+    return problems
+
+
 def table_changes(
     log: DeltaLog,
     spark: SparkSession,
@@ -74,9 +112,19 @@ def table_changes(
         snap = Snapshot(log, -1)
     else:
         snap = Snapshot.build(log, starting_version)
+    # every distinct schema observed in the range, oldest first — each is
+    # validated against the END schema after the walk (rename/drop inside
+    # the range must raise, not null-fill; see _non_additive_changes).
+    # The pre-table baseline (-1) has no schema and contributes nothing.
+    schema_versions: list[tuple[int, object]] = (
+        [] if starting_version < 0 else [(starting_version, snap.schema)])
     for v in range(starting_version + 1, end + 1):
         prev = snap
         snap = Snapshot.build(log, v, base=prev)
+        if not schema_versions or (
+                snap.schema is not schema_versions[-1][1]
+                and snap.schema != schema_versions[-1][1]):
+            schema_versions.append((v, snap.schema))
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         cdcs: list[dict] = []
@@ -156,6 +204,21 @@ def table_changes(
                 .to_df()
             )
             parts.append(_tag(dels, "delete", v, ts_ms))
+
+    # rename/drop inside the range → loud error (delta-spark parity);
+    # only genuinely ADDED columns may be null-filled below
+    from duckdb_delta_spark.delta.errors import SchemaError
+
+    end_fields = snap.schema.fields
+    for sv, sch in schema_versions[:-1]:
+        probs = _non_additive_changes(sch.fields, end_fields)
+        if probs:
+            raise SchemaError(
+                "table_changes: non-additive schema change inside the "
+                f"requested range (schema at version {sv} vs end "
+                f"{end}): " + "; ".join(probs) + ". Retrieve changes "
+                "in sub-ranges that do not cross the rename/drop."
+            )
 
     if not parts:
         schema = T.StructType(

@@ -41,6 +41,7 @@ from duckdb_delta_spark.delta.errors import (
     IdempotencyError,
     InvalidTableLocationError,
     SchemaError,
+    TransactionError,
     UnsupportedFeatureError,
 )
 from duckdb_delta_spark.delta.log import DeltaLog
@@ -1606,7 +1607,14 @@ class DeltaWriter:
                     m = _min_leaf(v) if isinstance(v, dict) else None
                     if m == 0:
                         continue
-                    if _struct_nulls_exact(add, col) == 0:
+                    try:
+                        exact = _struct_nulls_exact(add, col)
+                    except Exception:
+                        # an unreadable/corrupt just-written file must
+                        # not leak promoted staging files as orphans
+                        self._rollback(moved)
+                        raise
+                    if exact == 0:
                         continue
                     self._rollback(moved)
                     raise ConstraintViolationError(
@@ -1829,7 +1837,9 @@ class DeltaWriter:
         """Distributed DV construction: ``matched`` is (f: file uri, r: row
         index). Each file group builds, merges (with any prior DV) and
         WRITES its roaring bitmap executor-side; only descriptor rows
-        return. Columns: f, n_new, full, desc(JSON)."""
+        return. Columns: f, n_src (input rows BEFORE dedup — n_src >
+        n_new means a caller's join fanned out, e.g. MERGE multi-match),
+        n_new (distinct new rows), full, desc(JSON)."""
         import pandas as pd
 
         by_uri = self._by_uri(snap)
@@ -1846,6 +1856,7 @@ class DeltaWriter:
             from duckdb_delta_spark.delta import dv as dvmod
 
             uri = pdf["f"].iloc[0]
+            n_src = len(pdf)
             rows = np.unique(pdf["r"].to_numpy(dtype="uint64"))
             n_new = len(rows)
             prior_desc, num_records = ctx_bc.value.get(uri, (None, None))
@@ -1867,6 +1878,7 @@ class DeltaWriter:
             return pd.DataFrame(
                 {
                     "f": [uri],
+                    "n_src": [n_src],
                     "n_new": [n_new],
                     "full": [full],
                     "desc": [None if desc is None else json.dumps(desc)],
@@ -1875,7 +1887,10 @@ class DeltaWriter:
 
         return (
             matched.groupBy("f")
-            .applyInPandas(_build_dv, "f string, n_new long, full boolean, desc string")
+            .applyInPandas(
+                _build_dv,
+                "f string, n_src long, n_new long, full boolean, desc string",
+            )
             .collect()
         )
 
@@ -1917,6 +1932,95 @@ class DeltaWriter:
                     f"concurrent commit modified file {f_old.path!r} "
                     f"during {operation} retry"
                 )
+
+    def _added_data_paths(self, old: Snapshot, fresh: Snapshot) -> list[str]:
+        """Paths added with ``dataChange: true`` in the commits
+        ``(old.version, fresh.version]`` that are still live in ``fresh``
+        — rows a lost-race DML never saw. OPTIMIZE's dataChange:false
+        rewrites are excluded on purpose: they reorganize bytes, not
+        rows, so they cannot change what a predicate matches."""
+        added: list[str] = []
+        for v in range(old.version + 1, fresh.version + 1):
+            for action in self.log.read_commit(v):
+                a = action.get("add")
+                if a and a.get("dataChange", True):
+                    added.append(a["path"])
+        fresh_by = {f.path: f for f in fresh.add_files()}
+        old_by = {f.path: f for f in old.add_files()}
+
+        def _new_rows_possible(p: str) -> bool:
+            f_new = fresh_by.get(p)
+            if f_new is None:
+                return False  # re-removed by a later racer: nothing live
+            f_old = old_by.get(p)
+            if f_old is None:
+                return True  # brand-new file: all its rows are unseen
+            # the same path re-added = a DV change. A GROWN mask only
+            # removes rows (concurrent DELETE/UPDATE) — it cannot create
+            # matches. A shrunk/equal mask (RESTORE resurrecting rows)
+            # re-exposes rows this op never saw → conflict.
+            old_card = int((f_old.deletion_vector or {}).get(
+                "cardinality") or 0)
+            new_card = int((f_new.deletion_vector or {}).get(
+                "cardinality") or 0)
+            return new_card <= old_card
+
+        return [p for p in added if _new_rows_possible(p)]
+
+    def _revalidate_dml_retry(
+        self,
+        old: Snapshot,
+        fresh: Snapshot,
+        results: list,
+        operation: str,
+        condition=None,
+    ) -> None:
+        """delta-spark ConflictChecker semantics for UPDATE/MERGE losing
+        a commit race: the retry is valid only when the racer's commit
+        cannot have changed this operation's outcome —
+
+        * table metadata (schema / constraints / configuration) must be
+          unchanged: the new images were computed and validated under it
+          (ConcurrentMetadataChange otherwise);
+        * every file this op touched must be byte- and DV-identical in
+          the fresh snapshot (``_revalidate_dv_retry``), else the racer
+          removed/rewrote/re-masked rows underneath us;
+        * files ADDED with dataChange by the racer hold rows this op
+          never evaluated. With a ``condition`` (UPDATE) the check is
+          EXACT — one restricted scan of only the added files; rows
+          matching the predicate mean the retry would silently skip them
+          (delta-spark's ConcurrentAppendException), no matching rows
+          means a disjoint append that commutes. Without a condition
+          (MERGE — the read set depends on the source join, not a
+          predicate) any added data file conflicts, conservatively.
+        """
+        if fresh.metadata != old.metadata:
+            raise CommitConflictError(
+                f"concurrent metadata change during {operation} retry"
+            )
+        self._revalidate_dv_retry(old, fresh, results, operation)
+        added = self._added_data_paths(old, fresh)
+        if not added:
+            return
+        if condition is None:
+            raise CommitConflictError(
+                f"concurrent commit added {len(added)} data file(s) "
+                f"during {operation}; re-run {operation} against the "
+                "current version"
+            )
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        probe = (
+            DeltaScanBuilder(fresh, self.spark)
+            .restrict_paths(added)
+            .to_df()
+            .where(condition)
+        )
+        if not probe.isEmpty():
+            raise CommitConflictError(
+                f"concurrent commit added rows matching the {operation} "
+                f"condition; re-run {operation} against the current version"
+            )
 
     def _dv_protocol_upgrade(self, snap: Snapshot) -> dict | None:
         """First DV write upgrades to (3,7) + deletionVectors feature.
@@ -2076,11 +2180,32 @@ class DeltaWriter:
         actions.extend(cdc_actions)
 
         version = snap.version + 1
-        try:
-            self._commit(version, actions, snap)
-        except CommitConflictError:
-            self._rollback(moved)
-            raise
+        undo = moved + self._dv_moved(results)
+        attempt = 0
+        while True:
+            try:
+                self._commit(version, actions, snap)
+                break
+            except CommitConflictError:
+                # losing the version race is the norm on a busy table;
+                # retry iff the racer's commit commutes with this UPDATE
+                # (metadata untouched, our files un-modified, no added
+                # rows matching the condition) — delta-spark
+                # ConflictChecker semantics, see _revalidate_dml_retry
+                attempt += 1
+                if attempt > 3:
+                    self._rollback(undo)
+                    raise
+                fresh = Snapshot.build(self.log, base=snap)
+                try:
+                    self._revalidate_dml_retry(
+                        snap, fresh, results, "UPDATE", condition=condition
+                    )
+                except Exception:
+                    self._rollback(undo)
+                    raise
+                snap = fresh
+                version = snap.version + 1
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -2133,9 +2258,12 @@ class DeltaWriter:
           ``t.*`` only) or deleted. Counted in commitInfo's
           ``numTargetRowsNotMatchedBySource``.
 
-        The source should be unique on the join keys (standard MERGE
-        precondition); duplicate matches would duplicate rows exactly as
-        they do elsewhere.
+        The source must be unique on the join keys whenever a
+        when-matched UPDATE (or conditional DELETE) is present: a target
+        row matching more than one source row raises (delta-spark's
+        DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW) instead of
+        silently appending one updated image per match. Unconditional
+        when-matched DELETE tolerates duplicates (deterministic).
         """
         from pyspark.sql import functions as F
 
@@ -2167,12 +2295,40 @@ class DeltaWriter:
         s = source.alias("s")
 
         # matched-clause frame (condition may reference s.*, so a
-        # conditional clause joins inner instead of left_semi)
+        # conditional clause joins inner instead of left_semi). An
+        # UPDATE clause also joins inner even without a condition: the
+        # semi join would hide source fan-out from the multi-match
+        # uniqueness check below (the DV build dedupes rows either way,
+        # and with a key-unique source the row sets are identical)
         if when_matched_condition is not None:
             matched_t = t.join(s, on_expr, "inner").where(
                 _cond(when_matched_condition))
+        elif when_matched_update is not None:
+            matched_t = t.join(s, on_expr, "inner")
         else:
             matched_t = t.join(s, on_expr, "left_semi")
+        # delta-spark raises on ON-join multi-match for any modifying
+        # matched clause except an unconditional DELETE — for CONDITIONAL
+        # clauses the fan-out is filtered out of the mask below, so probe
+        # the raw join here (one agg, only when a conditional modifying
+        # clause exists; the unconditional-update case is caught for free
+        # from the DV build's n_src)
+        if (when_matched_condition is not None
+                and (when_matched_update is not None or when_matched_delete)):
+            dup = (
+                t.join(s, on_expr, "inner")
+                .groupBy("filename", "file_row_number")
+                .count()
+                .where(F.col("count") > 1)
+            )
+            if not dup.isEmpty():
+                raise TransactionError(
+                    "MERGE: a target row matches more than one source "
+                    "row, making the when-matched clause ambiguous — "
+                    "de-duplicate the source on the join keys "
+                    "(delta-spark raises "
+                    "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW)"
+                )
         # not-matched-by-source frame: target rows with NO source match
         bys = None
         if touch_by_source:
@@ -2200,9 +2356,14 @@ class DeltaWriter:
                 mask_df = mask_df.unionByName(p)
             if len(mask_parts) > 1:
                 # matched and by-source rows are disjoint by definition;
-                # ONE DV round over the union, counts split in one job
-                counts = {r["_tag"]: r["count"] for r in
-                          mask_df.groupBy("_tag").count().collect()}
+                # ONE DV round over the union, counts split in one job.
+                # DISTINCT target rows: a conditional matched clause
+                # joins inner, so a multi-match source fans (f, r) out —
+                # plain count() would overstate numTargetRowsMatched
+                counts = {r["_tag"]: r["n"] for r in
+                          mask_df.groupBy("_tag").agg(
+                              F.countDistinct("f", "r").alias("n")
+                          ).collect()}
                 n_matched = int(counts.get("m", 0))
                 n_by_source = int(counts.get("b", 0))
                 results = self._dv_results(snap, mask_df.drop("_tag"))
@@ -2213,6 +2374,28 @@ class DeltaWriter:
                     n_matched = n_rows
                 else:
                     n_by_source = n_rows
+            # delta-spark DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW:
+            # a target row matched by >1 source row makes an UPDATE (or a
+            # conditional DELETE) ambiguous — and our inner-join rewrite
+            # would silently append one updated image PER match. Detected
+            # for free from the DV build: n_src counts mask rows before
+            # dedup (by-source rows are join-unique, so any surplus is
+            # matched-clause fan-out). Unconditional DELETE stays legal —
+            # deleting a row twice is deterministic (delta-spark parity).
+            if (when_matched_update is not None
+                    or (when_matched_delete
+                        and when_matched_condition is not None)):
+                n_src = sum(r["n_src"] for r in results)
+                n_distinct = sum(r["n_new"] for r in results)
+                if n_src > n_distinct:
+                    self._rollback(self._dv_moved(results))
+                    raise TransactionError(
+                        "MERGE: a target row matches more than one source "
+                        "row, making the when-matched clause ambiguous — "
+                        "de-duplicate the source on the join keys "
+                        "(delta-spark raises "
+                        "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW)"
+                    )
 
         gen = _generated_exprs(schema)
         new_parts = []  # (frame, generated-cols-already-consistent)
@@ -2393,11 +2576,31 @@ class DeltaWriter:
             )
 
         version = snap.version + 1
-        try:
-            self._commit(version, actions, snap)
-        except CommitConflictError:
-            self._rollback(moved)
-            raise
+        undo = moved + self._dv_moved(results)
+        attempt = 0
+        while True:
+            try:
+                self._commit(version, actions, snap)
+                break
+            except CommitConflictError:
+                # MERGE's read set depends on the source join, not a
+                # predicate, so the retry bar is stricter than UPDATE's:
+                # metadata untouched, our files un-modified, and NO
+                # concurrently added data files at all (added rows could
+                # flip a not-matched decision) — condition=None path of
+                # _revalidate_dml_retry
+                attempt += 1
+                if attempt > 3:
+                    self._rollback(undo)
+                    raise
+                fresh = Snapshot.build(self.log, base=snap)
+                try:
+                    self._revalidate_dml_retry(snap, fresh, results, "MERGE")
+                except Exception:
+                    self._rollback(undo)
+                    raise
+                snap = fresh
+                version = snap.version + 1
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -2844,6 +3047,14 @@ class DeltaWriter:
         r_old = int(proto.get("minReaderVersion", 1))
         w_old = int(proto.get("minWriterVersion", 2))
         r_new, w_new = max(r_old, int(min_reader)), max(w_old, int(min_writer))
+        # Delta protocol spec: reader version 3 (readerFeatures) REQUIRES
+        # writer version 7 (writerFeatures) — a table cannot list reader
+        # features while its writer side stays legacy. delta-spark's
+        # upgradeTableProtocol validates the same way, so mirror it by
+        # forcing the writer side up rather than committing a protocol
+        # spec-compliant readers would reject.
+        if r_new >= 3:
+            w_new = max(w_new, 7)
         if (r_new, w_new) == (r_old, w_old):
             return None
         new_proto: dict = {"minReaderVersion": r_new,

@@ -1040,6 +1040,7 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
     _constraints: list = []
     _not_null: list = []
     _not_null_parts: list = []
+    _legacy_app_id = None
 
     def __init__(self, table_path: str, schema: StructType, options):
         self.table_path = os.path.abspath(table_path)
@@ -1055,6 +1056,22 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         self.app_id = options.get(
             "txnAppId",
             f"delta_py_sink:{ckpt if ckpt else self.table_path}",
+        )
+        # one-time migration seam: a pipeline created before the
+        # checkpoint-keyed appId (when the default was table-path-keyed)
+        # that resumes from its old checkpoint gets a NEW appId, so its
+        # last committed batch would be re-committed once.  Opting in to
+        # .option('legacyTxnAppIdMigration','true') makes commit() also
+        # consult the legacy table-path appId when the new one has no
+        # transaction yet.  Opt-in, never default: the legacy key is
+        # shared by EVERY query on the table, so consulting it from a
+        # genuinely new query would skip its first batches — the exact
+        # collision the checkpoint-keyed default fixed.
+        self._legacy_app_id = (
+            f"delta_py_sink:{self.table_path}"
+            if "txnAppId" not in options and str(options.get(
+                "legacyTxnAppIdMigration", "false")).lower() == "true"
+            else None
         )
         self.partition_columns: list[str] = []
         #: column mapping: logical→physical top-level names, and the
@@ -1529,6 +1546,12 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
         # pay O(log length) driver replay per batch (O(n²) cumulative)
         snap = Snapshot.build(log, base=_SINK_SNAP_CACHE.get(self.table_path))
         last = snap.transaction_version(self.app_id)
+        if last is None and getattr(self, "_legacy_app_id", None):
+            # opt-in upgrade path: no transaction yet under the
+            # checkpoint-keyed appId — honor the pre-upgrade table-path
+            # appId's version so the resumed pipeline's last committed
+            # batch is not re-committed (see __init__)
+            last = snap.transaction_version(self._legacy_app_id)
         files = [f for m in messages if m is not None
                  for f in _message_files(m) if f.rel_path]
         if last is not None and batchId <= last:
