@@ -1805,7 +1805,14 @@ class DeltaWriter:
                     raise
                 fresh = Snapshot.build(self.log, base=snap)
                 try:
-                    self._revalidate_dv_retry(snap, fresh, results, "DELETE")
+                    # full ConflictChecker bar (r16): beyond the touched
+                    # files' DV identity, the racer must not have changed
+                    # metadata NOR added rows matching this predicate —
+                    # the old file-only check silently left a racing
+                    # append's matching rows undeleted
+                    self._revalidate_dml_retry(
+                        snap, fresh, results, "DELETE", condition=condition
+                    )
                 except Exception:
                     self._rollback(undo)
                     raise

@@ -510,3 +510,115 @@ def test_rollback_unlink_failure_leaks_then_vacuum_reclaims(
     assert leaked <= deleted  # DV .bin files may be reclaimed too
     got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
     assert got == {i: f"v{i}" for i in range(5)}  # update never half-landed
+
+
+def test_delete_retries_past_disjoint_append(spark, tdir):
+    """append ∥ DELETE whose predicate the appended rows do NOT match:
+    retry commits; the appended rows survive."""
+    w1 = _mk(spark, tdir, n=10)
+    w2 = DeltaWriter(tdir, spark)
+    w1.append(spark.createDataFrame([(100, "keep")], SCHEMA).coalesce(1))
+    v, n = w2.delete("k < 3")
+    assert n == 3
+    got = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_delete_conflicts_on_matching_append(spark, tdir):
+    """append ∥ DELETE where the appended rows MATCH the predicate: the
+    old file-only retry silently left them undeleted — now a loud
+    conflict (delta-spark ConcurrentAppendException analogue)."""
+    w1 = _mk(spark, tdir, n=10)
+    w2 = DeltaWriter(tdir, spark)
+    w1.append(spark.createDataFrame([(1, "late")], SCHEMA).coalesce(1))
+    with pytest.raises(errors.CommitConflictError, match="added rows"):
+        w2.delete("k < 3")
+    assert DeltaTable(tdir).to_df(spark).count() == 11  # nothing applied
+
+
+def test_racing_writers_fuzz_serializable_or_loud(spark, tdir):
+    """Property fuzz over TWO racing writers: B pins a snapshot, A
+    commits first, B then runs its op. Every outcome must be
+    serializable-or-loud — B either commits (and the table equals the
+    SERIAL application A-then-B of a pure-Python model), raises a
+    CommitConflictError (table equals A alone), or was a genuine no-op
+    on its snapshot (table equals A alone — serializes as B-then-A).
+    Silent lost updates / resurrections / duplications are the bug class
+    this hunts; ops span append / DV-delete / DV-update / compact."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    op_st = st.tuples(
+        st.sampled_from(["append", "delete", "update", "compact"]),
+        st.integers(min_value=0, max_value=2),
+    )
+    case_n = [0]
+
+    def model_apply(model: dict, op, who: str) -> None:
+        kind, f = op
+        if kind == "append":
+            base = 100 if who == "A" else 200
+            for i in range(3):
+                model[base + i] = i
+        elif kind == "delete":
+            for k in range(f * 10, f * 10 + 5):
+                model.pop(k, None)
+        elif kind == "update":
+            for k in range(f * 10, f * 10 + 5):
+                if k in model:
+                    model[k] += 1000
+        # compact: content identity
+
+    def spark_apply(w, op, who: str):
+        """Returns True if the op COMMITTED data-visible changes, False
+        for a genuine no-op; raises on conflict."""
+        kind, f = op
+        lo, hi = f * 10, f * 10 + 5
+        if kind == "append":
+            base = 100 if who == "A" else 200
+            w.append(spark.createDataFrame(
+                [(base + i, i) for i in range(3)], schema).coalesce(1))
+            return True
+        if kind == "delete":
+            return w.delete(f"k >= {lo} and k < {hi}") is not None
+        if kind == "update":
+            return w.update(
+                f"k >= {lo} and k < {hi}", {"v": "v + 1000"}) is not None
+        return w.compact(min_files=2) is not None  # content identity
+
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    @given(op_a=op_st, op_b=op_st)
+    def check(op_a, op_b):
+        case_n[0] += 1
+        path = os.path.join(tdir, f"race{case_n[0]}")
+        w = DeltaWriter.create(spark, path, schema)
+        for f in range(3):
+            w.append(spark.createDataFrame(
+                [(k, k) for k in range(f * 10, f * 10 + 10)],
+                schema).coalesce(1))
+
+        model: dict = {k: k for k in range(30)}
+        wb = DeltaWriter(path, spark)   # B pins the pre-A snapshot
+        wa = DeltaWriter(path, spark)
+        a_did = spark_apply(wa, op_a, "A")
+        model_a = dict(model)
+        model_apply(model_a, op_a, "A")
+
+        try:
+            b_did = spark_apply(wb, op_b, "B")
+        except errors.CommitConflictError:
+            expected = model_a                      # loud loss: A alone
+        else:
+            expected = dict(model_a)
+            if b_did:
+                model_apply(expected, op_b, "B")    # serial A then B
+            # else: B no-op on its snapshot — serializes as B-then-A
+
+        got = {r["k"]: r["v"]
+               for r in DeltaTable(path).to_df(spark).collect()}
+        assert got == expected, (op_a, op_b, a_did, got, expected)
+
+    check()
