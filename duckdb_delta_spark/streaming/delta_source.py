@@ -1597,13 +1597,6 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 "dataChange": True,
                 "stats": getattr(m, "stats", None) or fallback.get(m.rel_path),
             }})
-        # row tracking: allocate baseRowId/defaultRowCommitVersion for
-        # the batch's adds from the table's rowIdHighWaterMark (same
-        # allocator as the batch writer; without this a row-tracked
-        # table's streamed files would silently violate the spec)
-        from duckdb_delta_spark.delta.writer import assign_row_ids
-
-        assign_row_ids(snap.version + 1, actions, snap)
         # per-batch cost breakdown IN the commit itself (delta-spark's
         # operationMetrics surface): executor write wall-time arrives in
         # the task messages, the driver-side phases are measured here —
@@ -1626,14 +1619,69 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             "commitPrepareTimeMs": str(prepare_ms),
             "numStatsFallback": str(len(missing)),
         }
-        log.commit(snap.version + 1, actions)
+        from duckdb_delta_spark.delta.errors import CommitConflictError
+        from duckdb_delta_spark.delta.writer import assign_row_ids
+
+        attempt = 0
+        while True:
+            version = snap.version + 1
+            # row tracking: allocate baseRowId/defaultRowCommitVersion
+            # for the batch's adds from the table's rowIdHighWaterMark
+            # (same allocator as the batch writer; re-run per ATTEMPT so
+            # a retry reallocates past the race winner's ranges — the
+            # function is retry-idempotent, it drops its stale watermark
+            # action)
+            assign_row_ids(version, actions, snap)
+            # in-commit timestamps (same invariant as writer._commit):
+            # once the table carries ICT, EVERY commit must — including
+            # streamed batches; monotonic vs the predecessor, re-stamped
+            # per attempt so a retry stays above the race winner's ICT
+            ict_on = (
+                snap.configuration.get(
+                    "delta.enableInCommitTimestamps", "").lower() == "true"
+            )
+            if not ict_on and "delta.enableInCommitTimestamps" \
+                    not in snap.configuration:
+                ict_on = log.read_ict(version - 1) is not None
+            if ict_on:
+                prev_ict = log.read_ict(version - 1) or 0
+                info["inCommitTimestamp"] = max(
+                    int(time.time() * 1000), prev_ict + 1)
+            try:
+                log.commit(version, actions)
+                break
+            except CommitConflictError:
+                # a racing writer (maintenance OPTIMIZE, another batch
+                # job) took this version. The sink is a blind append, so
+                # it commutes with anything that left the table's
+                # metadata/protocol intact — re-base and retry instead
+                # of failing the whole streaming query (Spark would call
+                # abort(), unlinking this batch's files).
+                attempt += 1
+                fresh = Snapshot.build(log, base=snap)
+                if attempt > 5 or fresh.metadata != snap.metadata \
+                        or fresh.protocol != snap.protocol:
+                    raise
+                snap = fresh
+                replayed = snap.transaction_version(self.app_id)
+                if replayed is not None and batchId <= replayed:
+                    # the racer was a twin of this very batch (duplicate
+                    # query on the same checkpoint): already committed
+                    for m in files:
+                        try:
+                            os.unlink(os.path.join(
+                                self.table_path, m.rel_path))
+                        except OSError:
+                            pass
+                    _SINK_SNAP_CACHE[self.table_path] = snap
+                    return
         _SINK_SNAP_CACHE[self.table_path] = snap
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
             "stream.sink.commit",
             table_path=self.table_path,
-            version=snap.version + 1,
+            version=version,
             batch_id=int(batchId),
             n_files=len(files),
             n_stats_fallback=len(missing),

@@ -622,3 +622,83 @@ def test_racing_writers_fuzz_serializable_or_loud(spark, tdir):
         assert got == expected, (op_a, op_b, a_did, got, expected)
 
     check()
+
+
+# ---------- streaming sink: ICT stamping + conflict retry ----------
+
+
+def test_sink_stamps_in_commit_timestamp(spark, tdir, tmp_path):
+    """Once a table carries inCommitTimestamps, EVERY commit must — the
+    sink's batches included (spec invariant; timestamp travel breaks
+    otherwise). Stamped monotonic vs the predecessor."""
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamWriter
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.enableInCommitTimestamps": "true"})
+    w.append(spark.createDataFrame([(1, "a")], SCHEMA).coalesce(1))
+    log = DeltaLog(tdir)
+    ict1 = log.read_ict(1)
+    assert ict1 is not None
+
+    s = DeltaStreamWriter(
+        tdir, SCHEMA, {"checkpointlocation": str(tmp_path / "ck")})
+    s.commit([], batchId=0)
+    ict2 = log.read_ict(2)
+    assert ict2 is not None and ict2 > ict1
+    s.commit([], batchId=1)
+    assert log.read_ict(3) > ict2
+
+
+def test_sink_retries_past_racing_append(spark, tdir, tmp_path, monkeypatch):
+    """A concurrent batch writer stealing the sink's version must not
+    fail the streaming query: the sink is a blind append, so it re-bases
+    and retries when the racer left metadata/protocol intact."""
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamWriter
+
+    w = _mk(spark, tdir, n=3)
+    s = DeltaStreamWriter(
+        tdir, SCHEMA, {"checkpointlocation": str(tmp_path / "ck")})
+
+    real = DeltaLog.commit
+    fired = []
+
+    def racing(self, version, actions):
+        if not fired:
+            fired.append(1)
+            DeltaWriter(tdir, spark).append(spark.createDataFrame(
+                [(50, "racer")], SCHEMA).coalesce(1))
+        return real(self, version, actions)
+
+    monkeypatch.setattr(DeltaLog, "commit", racing)
+    s.commit([], batchId=0)
+    monkeypatch.undo()
+
+    snap = Snapshot.build(DeltaLog(tdir))
+    assert snap.transaction_version(s.app_id) == 0  # batch committed
+    got = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert got == [0, 1, 2, 50]  # racer's row intact too
+
+
+def test_sink_conflict_raises_on_metadata_racer(
+        spark, tdir, tmp_path, monkeypatch):
+    """A racer that CHANGED table metadata invalidates the sink's
+    stream-start gates — loud failure, not a blind retry."""
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamWriter
+
+    w = _mk(spark, tdir, n=3)
+    s = DeltaStreamWriter(
+        tdir, SCHEMA, {"checkpointlocation": str(tmp_path / "ck")})
+
+    real = DeltaLog.commit
+    fired = []
+
+    def racing(self, version, actions):
+        if not fired:
+            fired.append(1)
+            DeltaWriter(tdir, spark).set_properties({"custom.x": "1"})
+        return real(self, version, actions)
+
+    monkeypatch.setattr(DeltaLog, "commit", racing)
+    with pytest.raises(errors.CommitConflictError):
+        s.commit([], batchId=0)
