@@ -2238,6 +2238,7 @@ class DeltaWriter:
         when_not_matched_by_source_update: dict | None = None,
         when_not_matched_by_source_delete: bool = False,
         when_not_matched_by_source_condition=None,
+        merge_schema: bool = False,
     ) -> tuple[int, int, int] | None:
         """MERGE INTO: upsert ``source`` into the table — ONE atomic commit.
 
@@ -2271,6 +2272,19 @@ class DeltaWriter:
         DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW) instead of
         silently appending one updated image per match. Unconditional
         when-matched DELETE tolerates duplicates (deterministic).
+
+        ``merge_schema=True`` (delta-spark ``withSchemaEvolution``):
+        source columns / nested struct fields the table lacks widen the
+        table schema first (old rows read typed NULLs), so inserts carry
+        them and matched updates may assign them. Deviation from
+        delta-spark: the widening is its own metadata-only commit
+        IMMEDIATELY before the merge commit (same behavior as the
+        streaming sink's ``mergeSchema``) rather than folded into the
+        merge commit — additive and harmless to any reader, and a
+        concurrent-writer race between the two commits is caught by the
+        merge's own conflict re-validation. Without the flag, extra
+        source columns are simply ignored (the insert projects the table
+        schema).
         """
         from pyspark.sql import functions as F
 
@@ -2291,6 +2305,13 @@ class DeltaWriter:
             when_not_matched_by_source_delete
         if touch_by_source:
             self._assert_writable("MERGE", removes_rows=True)
+        if merge_schema:
+            # withSchemaEvolution: widen to the union with the source
+            # schema (metadata-only commit; no-op when nothing widens),
+            # then merge under the widened snapshot — old files read the
+            # new columns as typed NULLs via the evolution scan path
+            if self.merge_schema_with(source.schema) is not None:
+                snap = self._snapshot
         schema = snap.schema
         on_expr = F.expr(on) if isinstance(on, str) else on
 

@@ -1037,6 +1037,59 @@ def delta_merge_scan(spark, sf_dir):
     )
 
 
+# MERGE with schema evolution (merge_schema=True, delta-spark
+# withSchemaEvolution): the source's NEW src_batch column widened the
+# table — matched rows carry the assigned value, inserts carry theirs,
+# pre-existing unmatched rows read typed NULL
+@register(
+    "delta_merge_evolve_scan",
+    oracle=f"""
+    SELECT src_batch, count(*) AS n, {osum('o_totalprice')} AS total
+    FROM (SELECT CASE WHEN o_orderkey >= {FX.MERGE_LO}
+                      THEN CAST(7 AS BIGINT) END AS src_batch,
+                 o_totalprice
+          FROM orders WHERE o_orderkey < {FX.MERGE_END}) t
+    GROUP BY src_batch
+    """,
+    group="delta",
+)
+def delta_merge_evolve_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_merge_evo")
+    return t.to_df(spark).groupBy("src_batch").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# a COMMITTED two-writer race: writer B's UPDATE lost the version race
+# to a disjoint append, re-validated (metadata unchanged, its files
+# untouched, the appended rows don't match its predicate) and committed
+# on retry — the fixture builder asserts B landed ABOVE the racer. The
+# oracle derives the serial A-then-B content, so any silently lost or
+# double-applied update shows up as a value mismatch.
+@register(
+    "delta_racing_update_scan",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n, {osum('p')} AS total
+    FROM (SELECT o_orderpriority,
+                 CASE WHEN o_orderkey < {FX.MERGE_LO}
+                           AND o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 3 ELSE o_totalprice END AS p
+          FROM orders
+          WHERE o_orderkey < {FX.MERGE_LO}
+             OR (o_orderkey >= {FX.MERGE_HI}
+                 AND o_orderkey < {FX.MERGE_END})) t
+    GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_racing_update_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_racing")
+    assert t.version == 3  # create, append, racer append, retried UPDATE
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
 # change feed derived from the log: the UPDATE commit on orders_upd reads
 # back as delete+insert pairs for exactly the urgent rows
 @register(

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 24  # bump to force a rebuild
+LAYOUT_VERSION = 25  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -96,6 +96,9 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_lineitem_bigdv(spark, sf_dir, os.path.join(root, "lineitem_bigdv"))
     _build_orders_upd(spark, sf_dir, os.path.join(root, "orders_upd"))
     _build_orders_merge(spark, sf_dir, os.path.join(root, "orders_merge"))
+    _build_orders_merge_evo(
+        spark, sf_dir, os.path.join(root, "orders_merge_evo"))
+    _build_orders_racing(spark, sf_dir, os.path.join(root, "orders_racing"))
     _build_orders_restore(spark, sf_dir, os.path.join(root, "orders_restore"))
     _build_orders_ow(spark, sf_dir, os.path.join(root, "orders_ow"))
     _build_orders_v2ckpt(spark, sf_dir, os.path.join(root, "orders_v2ckpt"))
@@ -698,6 +701,49 @@ def _build_orders_merge(spark, sf_dir, path):
         when_matched_update={"o_totalprice": "s.o_totalprice"},
     )
     assert res is not None and res[1] > 0 and res[2] > 0
+
+
+def _build_orders_merge_evo(spark, sf_dir, path):
+    """MERGE with schema evolution (merge_schema=True): the source
+    carries a NEW column ``src_batch`` — the widen lands first
+    (metadata-only), matched rows get it assigned, inserts carry it,
+    pre-existing unmatched rows read NULL."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") < MERGE_HI).repartition(2))
+    src = (
+        o.where((F.col("o_orderkey") >= MERGE_LO)
+                & (F.col("o_orderkey") < MERGE_END))
+        .withColumn("src_batch", F.lit(7).cast("long"))
+    )
+    res = w.merge(
+        src, "t.o_orderkey = s.o_orderkey",
+        when_matched_update={"src_batch": "s.src_batch"},
+        merge_schema=True,
+    )
+    assert res is not None and res[1] > 0 and res[2] > 0
+
+
+def _build_orders_racing(spark, sf_dir, path):
+    """A REAL two-writer race committed into the fixture: writer B pins
+    the post-create snapshot, writer A appends the upper half (disjoint
+    from B's predicate), then B's UPDATE loses the version race,
+    re-validates (metadata unchanged, its files untouched, A's added
+    rows don't match its predicate), and commits on retry. Final content
+    is SQL-derivable; the builder asserts the retry actually happened
+    (B's commit landed ABOVE A's)."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") < MERGE_LO).repartition(2))  # v1
+    wb = DeltaWriter(path, spark)  # pins v1
+    w.append(o.where((F.col("o_orderkey") >= MERGE_HI)
+                     & (F.col("o_orderkey") < MERGE_END))
+             .repartition(2))                                         # v2
+    res = wb.update(
+        f"o_orderkey < {MERGE_LO} AND o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 3"},
+    )
+    assert res is not None and res[0] == 3, res  # committed on RETRY
 
 
 def _build_orders_restore(spark, sf_dir, path):

@@ -702,3 +702,34 @@ def test_sink_conflict_raises_on_metadata_racer(
     monkeypatch.setattr(DeltaLog, "commit", racing)
     with pytest.raises(errors.CommitConflictError):
         s.commit([], batchId=0)
+
+
+def test_merge_with_schema_evolution(spark, tdir):
+    """merge(merge_schema=True) — delta-spark withSchemaEvolution: new
+    source columns widen the table, inserts carry them, matched updates
+    may assign them, old rows read typed NULLs."""
+    w = _mk(spark, tdir, n=3)
+    src_schema = T.StructType(list(SCHEMA.fields)
+                              + [T.StructField("score", T.LongType())])
+    src = spark.createDataFrame([(1, "upd", 10), (99, "new", 20)],
+                                src_schema)
+    v, n_matched, n_ins = w.merge(
+        src, "t.k = s.k",
+        when_matched_update={"v": "s.v", "score": "s.score"},
+        merge_schema=True)
+    assert (n_matched, n_ins) == (1, 1)
+    got = {r["k"]: (r["v"], r["score"])
+           for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got == {0: ("v0", None), 1: ("upd", 10), 2: ("v2", None),
+                   99: ("new", 20)}
+    # without the flag, extra source columns are ignored (insert projects
+    # the table schema) — and the table schema does not change
+    w2 = DeltaWriter(tdir, spark)
+    src2 = spark.createDataFrame(
+        [(100, "x", 1, 9)],
+        T.StructType(list(src_schema.fields)
+                     + [T.StructField("extra", T.LongType())]))
+    w2.merge(src2, "t.k = s.k")
+    t = DeltaTable(tdir)
+    assert "extra" not in t.to_df(spark).columns
+    assert t.to_df(spark).where("k = 100").first()["score"] == 1
