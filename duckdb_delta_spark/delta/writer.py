@@ -533,26 +533,34 @@ class DeltaWriter:
         spark: SparkSession, src_path: str, dest_path: str,
         shallow: bool = True,
     ) -> "DeltaWriter":
-        """Shallow CLONE (delta-spark parity): a zero-copy new table whose
-        version-0 commit references the source's CURRENT data files by
-        ABSOLUTE path (Delta spec "File Paths": paths may be absolute);
-        file-relative DV descriptors (``u``) convert to absolute (``p``)
-        so they keep resolving from the clone. Stats, partition values
-        and row-tracking ids carry over; domain metadata (incl. the
-        rowIdHighWaterMark) is copied so future writes to the clone
-        allocate correctly; the clone's subsequent commits never touch
-        the source. 100-TB shape: the clone commit is O(#files) driver
-        metadata — no data moves."""
+        """CLONE (delta-spark parity). ``shallow=True``: a zero-copy new
+        table whose version-0 commit references the source's CURRENT
+        data files by ABSOLUTE path (Delta spec "File Paths": paths may
+        be absolute); file-relative DV descriptors (``u``) convert to
+        absolute (``p``) so they keep resolving from the clone. Stats,
+        partition values and row-tracking ids carry over; domain
+        metadata (incl. the rowIdHighWaterMark) is copied so future
+        writes to the clone allocate correctly; the clone's subsequent
+        commits never touch the source. 100-TB shape: the clone commit
+        is O(#files) driver metadata — no data moves.
+
+        ``shallow=False`` (DEEP CLONE): data + DV files are copied
+        byte-identical into the clone under their source-relative paths,
+        so the add actions (paths, stats, DV descriptors, row ids) carry
+        over UNCHANGED and the clone is fully source-independent —
+        vacuuming or dropping the source cannot break it. The copy is a
+        Spark job above 64 files (each task copies its slice; on a real
+        cluster the copies run where the executors sit next to the
+        storage), a driver thread pool below (task-dispatch overhead
+        beats the copy time for small tables)."""
         from duckdb_delta_spark.delta.dv import dv_file_path
 
-        if not shallow:
-            raise UnsupportedFeatureError(
-                "deep CLONE (data copy) is not implemented; use shallow"
-            )
         src = os.path.abspath(src_path)
         dest = os.path.abspath(dest_path)
         src_snap = Snapshot.build(DeltaLog(src))
         os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=False)
+        if not shallow:
+            return DeltaWriter._deep_clone(spark, src, dest, src_snap)
         meta = dict(src_snap.metadata)
         meta["id"] = str(uuid.uuid4())
         meta["createdTime"] = int(time.time() * 1000)
@@ -593,6 +601,109 @@ class DeltaWriter:
                 add["baseRowId"] = f.base_row_id
                 add["defaultRowCommitVersion"] = f.default_row_commit_version
             actions.append({"add": add})
+        dest_log = DeltaLog(dest)
+        dest_log.commit(0, actions)
+        w = DeltaWriter(dest, spark)
+        w._write_crc(0, Snapshot(dest_log, -1))
+        return w
+
+    @staticmethod
+    def _deep_clone(
+        spark: SparkSession, src: str, dest: str, src_snap: Snapshot
+    ) -> "DeltaWriter":
+        """DEEP CLONE body (see :meth:`clone`): byte-identical file copy
+        under source-relative paths, add actions carried over unchanged
+        (stats / DV descriptors / row ids stay valid because the bytes
+        and relative layout do)."""
+        from duckdb_delta_spark.delta.dv import dv_file_path
+
+        copies: list[tuple[str, str]] = []
+        adds: list[dict] = []
+        for f in src_snap.add_files():
+            p = urllib.parse.unquote(f.path)
+            if "://" in p or os.path.isabs(p):
+                # absolute source path (e.g. the source is itself a
+                # shallow clone): materialize under a fresh root name —
+                # partition VALUES live in the action, dirs are cosmetic
+                rel = f"part-{uuid.uuid4().hex}.parquet"
+            else:
+                rel = p
+            copies.append((f.absolute_path(src), os.path.join(dest, rel)))
+            dv = f.deletion_vector
+            if dv:
+                dv = dict(dv)
+                if dv.get("storageType") == "u":
+                    # same descriptor resolves in the clone once the DV
+                    # file sits at the same relative location
+                    copies.append((
+                        dv_file_path(src, f.deletion_vector),
+                        dv_file_path(dest, f.deletion_vector),
+                    ))
+                elif dv.get("storageType") == "p":
+                    dst_dv = os.path.join(dest, os.path.basename(
+                        urllib.parse.unquote(dv["pathOrInlineDv"])))
+                    copies.append((
+                        dv_file_path(src, f.deletion_vector), dst_dv))
+                    dv["pathOrInlineDv"] = dst_dv
+                # 'i' (inline): travels inside the descriptor, no file
+            add = {
+                "path": urllib.parse.quote(rel, safe="/"),
+                "partitionValues": dict(f.partition_values),
+                "size": f.size,
+                "modificationTime": f.modification_time,
+                "dataChange": True,
+                "stats": f.stats,
+            }
+            if f.tags:
+                add["tags"] = f.tags
+            if dv:
+                add["deletionVector"] = dv
+            if f.base_row_id is not None:
+                add["baseRowId"] = f.base_row_id
+                add["defaultRowCommitVersion"] = f.default_row_commit_version
+            adds.append({"add": add})
+
+        seen: set[str] = set()
+        uniq = [c for c in copies
+                if not (c[1] in seen or seen.add(c[1]))]
+
+        def _copy(pair) -> None:
+            import os as _os
+            import shutil as _shutil
+
+            s_, d_ = pair
+            _os.makedirs(_os.path.dirname(d_), exist_ok=True)
+            _shutil.copyfile(s_, d_)
+
+        if len(uniq) <= 64:
+            # task-dispatch overhead beats the copy time for small tables
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                list(ex.map(_copy, uniq))
+        else:
+            # distributed copy: each task copies its slice of files where
+            # the executors sit next to the storage
+            spark.sparkContext.parallelize(
+                uniq, min(len(uniq) // 8 + 1, 256)
+            ).foreach(_copy)
+
+        meta = dict(src_snap.metadata)
+        meta["id"] = str(uuid.uuid4())
+        meta["createdTime"] = int(time.time() * 1000)
+        actions: list[dict] = [
+            {"commitInfo": _commit_info("CLONE", {
+                "source": src, "sourceVersion": src_snap.version,
+                "isShallow": False})},
+            {"protocol": dict(src_snap.protocol)},
+            {"metaData": meta},
+        ]
+        for domain, conf in sorted(src_snap.domain_metadata.items()):
+            actions.append({"domainMetadata": {
+                "domain": domain, "configuration": conf, "removed": False}})
+        for app_id, ver in sorted(src_snap.app_transactions.items()):
+            actions.append({"txn": {"appId": app_id, "version": int(ver)}})
+        actions.extend(adds)
         dest_log = DeltaLog(dest)
         dest_log.commit(0, actions)
         w = DeltaWriter(dest, spark)

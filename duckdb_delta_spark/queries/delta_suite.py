@@ -1377,6 +1377,52 @@ def delta_clone_scan(spark, sf_dir):
         shutil.rmtree(dest_root, ignore_errors=True)
 
 
+# DEEP CLONE: byte-identical file copy, add actions (stats, DV
+# descriptors, row ids) carried over unchanged — and the clone stays
+# correct after the SOURCE tree is deleted outright (full independence,
+# the property shallow clones cannot give)
+@register(
+    "delta_deep_clone_scan",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS qty
+    FROM lineitem WHERE l_linenumber <> {FX.DV_DELETE_LINENUMBER}
+    GROUP BY l_returnflag
+    """,
+    group="delta",
+)
+def delta_deep_clone_scan(spark, sf_dir):
+    import shutil
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    root = FX.ensure_fixtures(spark, sf_dir)
+    dest_root = FX.tmp_dir("deepclone_")
+    try:
+        # shallow first, deep from the shallow: exercises absolute-path
+        # adds + 'p' DV descriptors re-materializing under the new root
+        mid = os.path.join(dest_root, "mid")
+        dest = os.path.join(dest_root, "t")
+        DeltaWriter.clone(spark, os.path.join(root, "lineitem_dv"), mid)
+        DeltaWriter.clone(spark, mid, dest, shallow=False)
+        shutil.rmtree(mid)  # the deep clone must not care
+        df = DeltaTable(dest).to_df(spark)
+        rows = df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+        ).collect()
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("qty", T.DoubleType()),
+        ])
+        return local_df(spark, rows, schema)
+    finally:
+        shutil.rmtree(dest_root, ignore_errors=True)
+
+
 # ALTER TABLE RENAME/ADD/DROP COLUMN under column mapping: three pure-
 # metadata commits, zero file rewrites; old files read typed NULLs for
 # the added column

@@ -733,3 +733,61 @@ def test_merge_with_schema_evolution(spark, tdir):
     t = DeltaTable(tdir)
     assert "extra" not in t.to_df(spark).columns
     assert t.to_df(spark).where("k = 100").first()["score"] == 1
+
+
+def test_deep_clone_independent_of_source(spark, tdir):
+    """DEEP CLONE: byte-identical copy, adds carried unchanged (stats,
+    DV descriptors, row ids), and fully source-independent — deleting
+    the source's data files cannot break the clone."""
+    import shutil
+
+    src = str(tdir) + "_src"
+    dst = str(tdir) + "_dst"
+    w = DeltaWriter.create(
+        spark, src, SCHEMA,
+        partition_by=None,
+        configuration={"delta.enableRowTracking": "true"})
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], SCHEMA).coalesce(1))
+    w.delete("k in (2, 5)")  # DV on the file
+
+    wc = DeltaWriter.clone(spark, src, dst, shallow=False)
+    t = DeltaTable(dst)
+    got = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # adds carried relative + row ids preserved
+    for f in t.snapshot.add_files():
+        assert not os.path.isabs(f.path)
+        assert f.base_row_id is not None
+    rows = (t.scan(spark).with_row_ids().to_df()
+            .select("k", "_row_id").collect())
+    assert all(r["_row_id"] == r["k"] for r in rows)
+
+    # source independence: nuke the source tree entirely
+    shutil.rmtree(src)
+    got2 = sorted(r["k"] for r in DeltaTable(dst).to_df(spark).collect())
+    assert got2 == got
+    # the clone keeps working as a table (write + vacuum untouched)
+    DeltaWriter(dst, spark).append(
+        spark.createDataFrame([(100, "x")], SCHEMA).coalesce(1))
+    assert DeltaTable(dst).to_df(spark).count() == 9
+
+
+def test_deep_clone_of_shallow_clone(spark, tdir):
+    """Deep-cloning a SHALLOW clone (absolute paths, 'p' DV descriptors)
+    re-materializes everything inside the new root."""
+    import shutil
+
+    a = str(tdir) + "_a"
+    b = str(tdir) + "_b"
+    c = str(tdir) + "_c"
+    w = DeltaWriter.create(spark, a, SCHEMA)
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], SCHEMA).coalesce(1))
+    w.delete("k = 3")
+    DeltaWriter.clone(spark, a, b, shallow=True)
+    DeltaWriter.clone(spark, b, c, shallow=False)
+    shutil.rmtree(a)
+    shutil.rmtree(b)
+    got = sorted(r["k"] for r in DeltaTable(c).to_df(spark).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7]
