@@ -4759,9 +4759,32 @@ class DeltaWriter:
         self._snapshot = Snapshot.build(self.log, base=snap)
         return version
 
+    def _info_only_commit(
+        self, operation: str, params: dict, metrics: dict
+    ) -> int:
+        """A commitInfo-only commit (VACUUM START/END style): touches no
+        files or metadata, so it re-bases freely past any concurrent
+        writer — the retry just takes the next version."""
+        for _ in range(8):
+            snap = Snapshot.build(self.log, base=self._snapshot)
+            info = _commit_info(operation, params)
+            info["operationMetrics"] = dict(metrics)
+            try:
+                self._commit(
+                    snap.version + 1, [{"commitInfo": info}], snap)
+                self._snapshot = Snapshot.build(self.log, base=snap)
+                return snap.version + 1
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"could not land {operation} commit after 8 attempts at "
+            f"{self.table_path}"
+        )
+
     def vacuum(
         self, retention_ms: int | None = None, dry_run: bool = False,
         inventory: "DataFrame | None" = None,
+        logging: bool | None = None,
     ) -> list[str]:
         """Delete data files no longer referenced by the current snapshot
         whose remove tombstone is older than ``retention_ms`` (default:
@@ -4786,10 +4809,22 @@ class DeltaWriter:
         bottleneck, and warehouses already have S3-Inventory-style
         reports. Rows stream through ``toLocalIterator`` so the driver
         never holds the whole inventory.
+
+        ``logging`` (delta-spark vacuum protocol logging): bracket the
+        deletion with a ``VACUUM START`` commit (numFilesToDelete /
+        sizeOfDataToDelete) and a ``VACUUM END`` commit
+        (status COMPLETED, numDeletedFiles) so the maintenance run is
+        auditable from the log alone. Defaults to the table property
+        ``delta.vacuum.logging.enabled`` (our table-scoped analogue of
+        delta-spark's spark conf), else off. The commits are
+        commitInfo-only and re-base freely past concurrent writers.
         """
         from duckdb_delta_spark.delta.dv import dv_file_path
 
         snap = Snapshot.build(self.log)
+        if logging is None:
+            logging = snap.configuration.get(
+                "delta.vacuum.logging.enabled", "").lower() == "true"
         if retention_ms is None:
             retention_ms = _parse_interval_ms(
                 snap.configuration.get("delta.deletedFileRetentionDuration"),
@@ -4845,7 +4880,7 @@ class DeltaWriter:
                         fs.append(os.path.abspath(e.path))
             return fs, ds
 
-        def _maybe_delete(item) -> str | None:
+        def _decide(item) -> str | None:
             full, inv_ts = item
             if full in live:
                 return None
@@ -4860,11 +4895,24 @@ class DeltaWriter:
                     return None  # raced away
             if ts > cutoff_ms:
                 return None
+            return full
+
+        def _maybe_delete(item) -> str | None:
+            full = _decide(item)
+            if full is None:
+                return None
             if not dry_run:
                 try:
                     os.unlink(full)
                 except OSError:
                     return None  # raced away / permission — leave next run
+            return os.path.relpath(full, self.table_path)
+
+        def _unlink(full: str) -> str | None:
+            try:
+                os.unlink(full)
+            except OSError:
+                return None  # raced away / permission — leave next run
             return os.path.relpath(full, self.table_path)
 
         candidates: list[tuple[str, int | None]] = []
@@ -4893,7 +4941,32 @@ class DeltaWriter:
                     for fs, ds in batch:
                         candidates.extend((f, None) for f in fs)
                         pending.extend(ds)
-            deleted = [r for r in ex.map(_maybe_delete, candidates) if r]
+            if logging and not dry_run:
+                # delta-spark vacuum protocol logging: decide first, log
+                # the plan, delete, log the outcome — two commitInfo-only
+                # commits bracketing the deletion
+                plan = [f for f in ex.map(_decide, candidates) if f]
+                size = 0
+                for f in plan:
+                    try:
+                        size += os.path.getsize(f)
+                    except OSError:
+                        pass
+                self._info_only_commit("VACUUM START", {
+                    "retentionDurationMs": str(retention_ms),
+                }, {
+                    "numFilesToDelete": str(len(plan)),
+                    "sizeOfDataToDelete": str(size),
+                })
+                deleted = [r for r in ex.map(_unlink, plan) if r]
+                self._info_only_commit("VACUUM END", {
+                    "status": "COMPLETED",
+                }, {
+                    "numDeletedFiles": str(len(deleted)),
+                })
+            else:
+                deleted = [r for r in ex.map(_maybe_delete, candidates)
+                           if r]
         from duckdb_delta_spark.delta.logging import emit
 
         emit(

@@ -791,3 +791,45 @@ def test_deep_clone_of_shallow_clone(spark, tdir):
     shutil.rmtree(b)
     got = sorted(r["k"] for r in DeltaTable(c).to_df(spark).collect())
     assert got == [0, 1, 2, 4, 5, 6, 7]
+
+
+def test_vacuum_protocol_logging(spark, tdir):
+    """VACUUM with logging brackets the deletion with VACUUM START
+    (numFilesToDelete/sizeOfDataToDelete) and VACUUM END
+    (COMPLETED/numDeletedFiles) commits — delta-spark vacuum protocol
+    logging, here keyed off the delta.vacuum.logging.enabled table
+    property or the explicit kwarg."""
+    w = _mk(spark, tdir, n=10)
+    w.append(spark.createDataFrame(
+        [(50 + i, "y") for i in range(5)], SCHEMA).coalesce(1))
+    w.compact()  # tombstones the two small files
+    w.append(spark.createDataFrame([(100, "x")], SCHEMA).coalesce(1))
+    w2 = DeltaWriter(tdir, spark)
+    deleted = w2.vacuum(retention_ms=0, logging=True)
+    assert len(deleted) >= 1
+
+    hist = {r["version"]: (r["operation"], r)
+            for r in DeltaTable(tdir).history(spark).collect()}
+    ops = [op for op, _ in hist.values()]
+    assert "VACUUM START" in ops and "VACUUM END" in ops
+    import json as _json
+    for v, (op, row) in sorted(hist.items()):
+        if op == "VACUUM START":
+            start_v = v
+        if op == "VACUUM END":
+            end_v = v
+    assert end_v == start_v + 1
+
+    # dry_run and logging=False leave the log untouched
+    before = DeltaTable(tdir).version
+    DeltaWriter(tdir, spark).vacuum(retention_ms=0, dry_run=True,
+                                    logging=True)
+    DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert DeltaTable(tdir).version == before
+
+    # table-property default switches it on
+    DeltaWriter(tdir, spark).set_properties(
+        {"delta.vacuum.logging.enabled": "true"})
+    v0 = DeltaTable(tdir).version
+    DeltaWriter(tdir, spark).vacuum(retention_ms=0)
+    assert DeltaTable(tdir).version == v0 + 2  # START + END landed
