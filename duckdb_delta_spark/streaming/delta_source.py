@@ -1642,7 +1642,14 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
             )
             if not ict_on and "delta.enableInCommitTimestamps" \
                     not in snap.configuration:
-                ict_on = log.read_ict(version - 1) is not None
+                # predecessor probe ONLY when the protocol lists the
+                # feature — the common non-ICT table must not pay a
+                # commit-JSON read per batch
+                ict_on = (
+                    "inCommitTimestamp" in (
+                        snap.protocol.get("writerFeatures") or [])
+                    and log.read_ict(version - 1) is not None
+                )
             if ict_on:
                 prev_ict = log.read_ict(version - 1) or 0
                 info["inCommitTimestamp"] = max(
