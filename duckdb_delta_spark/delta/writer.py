@@ -1823,7 +1823,10 @@ class DeltaWriter:
 
     # ---------- DELETE (deletion vectors) ----------
 
-    def delete(self, condition) -> tuple[int, int] | None:
+    def delete(
+        self, condition,
+        txn_app_id: str | None = None, txn_version: int | None = None,
+    ) -> tuple[int, int] | None:
         """Row-level DELETE via deletion vectors. Returns
         ``(committed_version, rows_deleted)``, or None when nothing matched.
 
@@ -1858,6 +1861,12 @@ class DeltaWriter:
 
         snap = self._snapshot
         self._assert_writable("DELETE", removes_rows=True)
+        if txn_app_id is not None and txn_version is not None:
+            # idempotent foreachBatch DELETE (same contract as merge's
+            # txn args): a replayed batch is recognized and skipped
+            last = snap.transaction_version(txn_app_id)
+            if last is not None and txn_version <= last:
+                return None
         if isinstance(condition, str):
             condition = F.expr(condition)
 
@@ -1901,6 +1910,11 @@ class DeltaWriter:
             actions.append(proto_action)
         actions.extend(self._dv_actions(snap, results))
         actions.extend(cdc_actions)
+        if txn_app_id is not None and txn_version is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version),
+                         "lastUpdated": int(time.time() * 1000)}}
+            )
 
         undo = cdc_moved + self._dv_moved(results)
         version = snap.version + 1
@@ -2202,7 +2216,10 @@ class DeltaWriter:
 
     # ---------- UPDATE / MERGE (DV-masked rewrite) ----------
 
-    def update(self, condition, assignments: dict) -> tuple[int, int] | None:
+    def update(
+        self, condition, assignments: dict,
+        txn_app_id: str | None = None, txn_version: int | None = None,
+    ) -> tuple[int, int] | None:
         """Row-level UPDATE: mask matched rows with deletion vectors and
         append their updated images — ONE atomic commit, no file rewrite.
 
@@ -2220,6 +2237,12 @@ class DeltaWriter:
 
         snap = self._snapshot
         self._assert_writable("UPDATE", removes_rows=True)
+        if txn_app_id is not None and txn_version is not None:
+            # idempotent foreachBatch UPDATE (same contract as merge's
+            # txn args): a replayed batch is recognized and skipped
+            last = snap.transaction_version(txn_app_id)
+            if last is not None and txn_version <= last:
+                return None
         if isinstance(condition, str):
             condition = F.expr(condition)
         schema = snap.schema
@@ -2290,6 +2313,11 @@ class DeltaWriter:
         actions: list[dict] = [
             {"commitInfo": _commit_info("UPDATE", {"numUpdatedRows": str(n_updated)})}
         ]
+        if txn_app_id is not None and txn_version is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version),
+                         "lastUpdated": int(time.time() * 1000)}}
+            )
         proto_action = self._dv_protocol_upgrade(snap)
         if proto_action:
             actions.append(proto_action)

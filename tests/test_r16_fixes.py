@@ -833,3 +833,26 @@ def test_vacuum_protocol_logging(spark, tdir):
     v0 = DeltaTable(tdir).version
     DeltaWriter(tdir, spark).vacuum(retention_ms=0)
     assert DeltaTable(tdir).version == v0 + 2  # START + END landed
+
+
+def test_update_delete_idempotent_txn(spark, tdir):
+    """foreachBatch-style idempotency on UPDATE/DELETE (merge parity):
+    the commit carries txn(appId, version); a replayed version is
+    recognized from the snapshot and skipped."""
+    w = _mk(spark, tdir, n=6)
+    assert w.update("k = 1", {"v": "'a'"},
+                    txn_app_id="job", txn_version=1) is not None
+    # replay of version 1 → skipped
+    w2 = DeltaWriter(tdir, spark)
+    assert w2.update("k = 2", {"v": "'b'"},
+                     txn_app_id="job", txn_version=1) is None
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got[1] == "a" and got[2] == "v2"
+    # next version applies; delete honors the same ledger
+    w3 = DeltaWriter(tdir, spark)
+    assert w3.delete("k = 3", txn_app_id="job", txn_version=2) is not None
+    w4 = DeltaWriter(tdir, spark)
+    assert w4.delete("k = 4", txn_app_id="job", txn_version=2) is None
+    left = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert left == [0, 1, 2, 4, 5]
+    assert DeltaTable(tdir).get_transaction_version("job") == 2
