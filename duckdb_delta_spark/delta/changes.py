@@ -84,6 +84,19 @@ def _non_additive_changes(old_fields, new_fields, prefix: str = ""):
             problems += _non_additive_changes(
                 f.dataType.fields, nf.dataType.fields,
                 prefix=f"{prefix}{f.name}.")
+        elif nf.dataType != f.dataType:
+            # a non-widening type change (e.g. overwrite_schema long ->
+            # string) is just as non-additive as a rename: unionByName
+            # would implicitly cast pre-change rows. Spec-allowed
+            # widenings stay fine — the walk already pre-widens frames.
+            from duckdb_delta_spark.delta.writer import _is_widening
+
+            if not _is_widening(f.dataType, nf.dataType):
+                problems.append(
+                    f"column {prefix}{f.name!r} changed type "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{nf.dataType.simpleString()} (not a spec-allowed "
+                    "widening)")
     return problems
 
 

@@ -21,6 +21,7 @@ COPY's WRITTEN_FILE_STATISTICS).
 
 from __future__ import annotations
 
+import copy
 import datetime as _dt
 import json
 import os
@@ -640,11 +641,21 @@ class DeltaWriter:
                         dv_file_path(dest, f.deletion_vector),
                     ))
                 elif dv.get("storageType") == "p":
-                    dst_dv = os.path.join(dest, os.path.basename(
-                        urllib.parse.unquote(dv["pathOrInlineDv"])))
+                    # re-home absolute-path DVs as table-relative 'u'
+                    # descriptors (fresh uuid, verbatim bytes: offset /
+                    # sizeInBytes / cardinality stay valid) — an absolute
+                    # dest path would break the clone if the table
+                    # directory is later moved or renamed
+                    from duckdb_delta_spark.delta.dv import z85_encode
+
+                    dv_uid = uuid.uuid4()
+                    dv["storageType"] = "u"
+                    dv["pathOrInlineDv"] = z85_encode(dv_uid.bytes)
                     copies.append((
-                        dv_file_path(src, f.deletion_vector), dst_dv))
-                    dv["pathOrInlineDv"] = dst_dv
+                        dv_file_path(src, f.deletion_vector),
+                        os.path.join(
+                            dest, f"deletion_vector_{dv_uid}.bin"),
+                    ))
                 # 'i' (inline): travels inside the descriptor, no file
             add = {
                 "path": urllib.parse.quote(rel, safe="/"),
@@ -1967,11 +1978,17 @@ class DeltaWriter:
 
     def _dv_results(self, snap: Snapshot, matched: DataFrame) -> list:
         """Distributed DV construction: ``matched`` is (f: file uri, r: row
-        index). Each file group builds, merges (with any prior DV) and
-        WRITES its roaring bitmap executor-side; only descriptor rows
-        return. Columns: f, n_src (input rows BEFORE dedup — n_src >
-        n_new means a caller's join fanned out, e.g. MERGE multi-match),
-        n_new (distinct new rows), full, desc(JSON)."""
+        index) plus an optional ``_live`` boolean — rows with
+        ``_live=false`` are counted for fan-out detection but NOT deleted
+        (MERGE ships its raw ON-join here so the multi-match probe rides
+        the same job instead of a second target×source join). Each file
+        group builds, merges (with any prior DV) and WRITES its roaring
+        bitmap executor-side; only descriptor rows return. Columns: f,
+        n_src (input rows BEFORE dedup), n_fan (raw rows minus distinct
+        raw rows — >0 means the caller's join fanned out, e.g. MERGE
+        multi-match), n_new (distinct live rows), full, desc(JSON).
+        Groups with no live rows return n_new=0 and no descriptor —
+        callers drop them before building remove/add actions."""
         import pandas as pd
 
         by_uri = self._by_uri(snap)
@@ -1989,8 +2006,21 @@ class DeltaWriter:
 
             uri = pdf["f"].iloc[0]
             n_src = len(pdf)
-            rows = np.unique(pdf["r"].to_numpy(dtype="uint64"))
+            raw = pdf["r"].to_numpy(dtype="uint64")
+            n_fan = n_src - len(np.unique(raw))
+            live = (
+                pdf[pdf["_live"].astype(bool)] if "_live" in pdf.columns
+                else pdf
+            )
+            rows = np.unique(live["r"].to_numpy(dtype="uint64"))
             n_new = len(rows)
+            if n_new == 0:
+                # fan-out-only group (every match failed the clause
+                # condition): nothing to delete, no DV bin to orphan
+                return pd.DataFrame(
+                    {"f": [uri], "n_src": [n_src], "n_fan": [n_fan],
+                     "n_new": [0], "full": [False], "desc": [None]}
+                )
             prior_desc, num_records = ctx_bc.value.get(uri, (None, None))
             if prior_desc:
                 prior = dvmod.read_dv_from_descriptor(prior_desc, table_path)
@@ -2011,6 +2041,7 @@ class DeltaWriter:
                 {
                     "f": [uri],
                     "n_src": [n_src],
+                    "n_fan": [n_fan],
                     "n_new": [n_new],
                     "full": [full],
                     "desc": [None if desc is None else json.dumps(desc)],
@@ -2021,7 +2052,8 @@ class DeltaWriter:
             matched.groupBy("f")
             .applyInPandas(
                 _build_dv,
-                "f string, n_src long, n_new long, full boolean, desc string",
+                "f string, n_src long, n_fan long, n_new long, "
+                "full boolean, desc string",
             )
             .collect()
         )
@@ -2153,6 +2185,40 @@ class DeltaWriter:
                 f"concurrent commit added rows matching the {operation} "
                 f"condition; re-run {operation} against the current version"
             )
+
+    def _revalidate_info_only_retry(
+        self, old: Snapshot, fresh: Snapshot, operation: str
+    ) -> None:
+        """Retry bar for whole-table-state operations (full OVERWRITE,
+        RESTORE): their read set is the entire manifest, so the ONLY
+        racer they commute with is one that changed no table state at
+        all — commitInfo-only commits (VACUUM START/END protocol
+        logging) and app-txn markers. Any metadata / protocol / file-set
+        / domain-metadata delta means the precomputed remove list or
+        restore diff is stale → loud conflict."""
+        if fresh.metadata != old.metadata:
+            raise CommitConflictError(
+                f"concurrent metadata change during {operation} retry")
+        if fresh.protocol != old.protocol:
+            raise CommitConflictError(
+                f"concurrent protocol change during {operation} retry")
+        if fresh.domain_metadata != old.domain_metadata:
+            raise CommitConflictError(
+                f"concurrent domain-metadata change during {operation} "
+                "retry")
+
+        def _fileset(snap: Snapshot):
+            return {
+                (f.path,
+                 json.dumps(f.deletion_vector, sort_keys=True)
+                 if f.deletion_vector else None)
+                for f in snap.files.values()
+            }
+
+        if _fileset(fresh) != _fileset(old):
+            raise CommitConflictError(
+                f"concurrent data change during {operation}; re-run "
+                f"{operation} against the current version")
 
     def _dv_protocol_upgrade(self, snap: Snapshot) -> dict | None:
         """First DV write upgrades to (3,7) + deletionVectors feature.
@@ -2414,16 +2480,14 @@ class DeltaWriter:
 
         ``merge_schema=True`` (delta-spark ``withSchemaEvolution``):
         source columns / nested struct fields the table lacks widen the
-        table schema first (old rows read typed NULLs), so inserts carry
-        them and matched updates may assign them. Deviation from
-        delta-spark: the widening is its own metadata-only commit
-        IMMEDIATELY before the merge commit (same behavior as the
-        streaming sink's ``mergeSchema``) rather than folded into the
-        merge commit — additive and harmless to any reader, and a
-        concurrent-writer race between the two commits is caught by the
-        merge's own conflict re-validation. Without the flag, extra
-        source columns are simply ignored (the insert projects the table
-        schema).
+        table schema ATOMICALLY with the merge — the ``metaData`` action
+        rides the merge commit itself (delta-spark parity), so a merge
+        that fails validation / multi-match / conflict retries leaves
+        the table schema untouched. The merge plans against an in-memory
+        overlay snapshot carrying the widened metadata (old rows read
+        typed NULLs), so inserts carry the new columns and matched
+        updates may assign them. Without the flag, extra source columns
+        are simply ignored (the insert projects the table schema).
         """
         from pyspark.sql import functions as F
 
@@ -2444,13 +2508,24 @@ class DeltaWriter:
             when_not_matched_by_source_delete
         if touch_by_source:
             self._assert_writable("MERGE", removes_rows=True)
+        pending_meta: dict | None = None
         if merge_schema:
             # withSchemaEvolution: widen to the union with the source
-            # schema (metadata-only commit; no-op when nothing widens),
-            # then merge under the widened snapshot — old files read the
-            # new columns as typed NULLs via the evolution scan path
-            if self.merge_schema_with(source.schema) is not None:
-                snap = self._snapshot
+            # schema IN THE MERGE COMMIT (no separate metadata commit —
+            # a failed merge must not leave a widened schema behind).
+            # The merge plans under an overlay snapshot carrying the
+            # widened metadata; old files read the new columns as typed
+            # NULLs via the evolution scan path.
+            merged_schema, merged_cfg, changed = _merged_table_schema(
+                snap, source.schema)
+            if changed:
+                pending_meta = dict(snap.metadata)
+                pending_meta["schemaString"] = merged_schema.json()
+                if merged_cfg is not None:
+                    pending_meta["configuration"] = merged_cfg
+                overlay = copy.copy(snap)
+                overlay.metadata = pending_meta
+                snap = overlay
         schema = snap.schema
         on_expr = F.expr(on) if isinstance(on, str) else on
 
@@ -2475,27 +2550,14 @@ class DeltaWriter:
         else:
             matched_t = t.join(s, on_expr, "left_semi")
         # delta-spark raises on ON-join multi-match for any modifying
-        # matched clause except an unconditional DELETE — for CONDITIONAL
-        # clauses the fan-out is filtered out of the mask below, so probe
-        # the raw join here (one agg, only when a conditional modifying
-        # clause exists; the unconditional-update case is caught for free
-        # from the DV build's n_src)
-        if (when_matched_condition is not None
-                and (when_matched_update is not None or when_matched_delete)):
-            dup = (
-                t.join(s, on_expr, "inner")
-                .groupBy("filename", "file_row_number")
-                .count()
-                .where(F.col("count") > 1)
-            )
-            if not dup.isEmpty():
-                raise TransactionError(
-                    "MERGE: a target row matches more than one source "
-                    "row, making the when-matched clause ambiguous — "
-                    "de-duplicate the source on the join keys "
-                    "(delta-spark raises "
-                    "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW)"
-                )
+        # matched clause except an unconditional DELETE. For CONDITIONAL
+        # clauses the fan-out is filtered out of matched_t, so the DV
+        # mask below ships the RAW join with a `_live` condition marker
+        # instead: the probe rides the DV-build job (n_fan), no second
+        # target×source join
+        cond_modifying = (
+            when_matched_condition is not None
+            and (when_matched_update is not None or when_matched_delete))
         # not-matched-by-source frame: target rows with NO source match
         bys = None
         if touch_by_source:
@@ -2509,15 +2571,29 @@ class DeltaWriter:
         if touch_matched or touch_by_source:
             mask_parts = []
             if touch_matched:
-                mask_parts.append(matched_t.select(
-                    F.col("filename").alias("f"),
-                    F.col("file_row_number").alias("r"),
-                    F.lit("m").alias("_tag")))
+                if cond_modifying:
+                    # raw ON join, condition as a marker: `_live=false`
+                    # rows are fan-out evidence only, never deleted
+                    mask_parts.append(t.join(s, on_expr, "inner").select(
+                        F.col("filename").alias("f"),
+                        F.col("file_row_number").alias("r"),
+                        F.lit("m").alias("_tag"),
+                        F.coalesce(
+                            _cond(when_matched_condition).cast("boolean"),
+                            F.lit(False),
+                        ).alias("_live")))
+                else:
+                    mask_parts.append(matched_t.select(
+                        F.col("filename").alias("f"),
+                        F.col("file_row_number").alias("r"),
+                        F.lit("m").alias("_tag"),
+                        F.lit(True).alias("_live")))
             if bys is not None:
                 mask_parts.append(bys.select(
                     F.col("filename").alias("f"),
                     F.col("file_row_number").alias("r"),
-                    F.lit("b").alias("_tag")))
+                    F.lit("b").alias("_tag"),
+                    F.lit(True).alias("_live")))
             mask_df = mask_parts[0]
             for p in mask_parts[1:]:
                 mask_df = mask_df.unionByName(p)
@@ -2527,9 +2603,14 @@ class DeltaWriter:
                 # DISTINCT target rows: a conditional matched clause
                 # joins inner, so a multi-match source fans (f, r) out —
                 # plain count() would overstate numTargetRowsMatched
+                # `_live=false` rows (condition-failed fan-out evidence)
+                # must not count as matched
                 counts = {r["_tag"]: r["n"] for r in
                           mask_df.groupBy("_tag").agg(
-                              F.countDistinct("f", "r").alias("n")
+                              F.countDistinct(
+                                  F.when(F.col("_live"), F.col("f")),
+                                  F.when(F.col("_live"), F.col("r")),
+                              ).alias("n")
                           ).collect()}
                 n_matched = int(counts.get("m", 0))
                 n_by_source = int(counts.get("b", 0))
@@ -2545,16 +2626,16 @@ class DeltaWriter:
             # a target row matched by >1 source row makes an UPDATE (or a
             # conditional DELETE) ambiguous — and our inner-join rewrite
             # would silently append one updated image PER match. Detected
-            # for free from the DV build: n_src counts mask rows before
-            # dedup (by-source rows are join-unique, so any surplus is
-            # matched-clause fan-out). Unconditional DELETE stays legal —
-            # deleting a row twice is deterministic (delta-spark parity).
+            # for free from the DV build: n_fan counts raw ON-join rows
+            # minus distinct target rows (conditional clauses ship the
+            # raw join with `_live`, so condition-filtered fan-out is
+            # still seen; by-source rows are join-unique and contribute
+            # nothing). Unconditional DELETE stays legal — deleting a row
+            # twice is deterministic (delta-spark parity).
             if (when_matched_update is not None
                     or (when_matched_delete
                         and when_matched_condition is not None)):
-                n_src = sum(r["n_src"] for r in results)
-                n_distinct = sum(r["n_new"] for r in results)
-                if n_src > n_distinct:
+                if sum(r["n_fan"] for r in results) > 0:
                     self._rollback(self._dv_moved(results))
                     raise TransactionError(
                         "MERGE: a target row matches more than one source "
@@ -2563,6 +2644,9 @@ class DeltaWriter:
                         "(delta-spark raises "
                         "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW)"
                     )
+            # fan-out-only groups (all matches failed the condition)
+            # carry no deletions — drop before building actions
+            results = [r for r in results if r["n_new"]]
 
         gen = _generated_exprs(schema)
         new_parts = []  # (frame, generated-cols-already-consistent)
@@ -2727,6 +2811,10 @@ class DeltaWriter:
                 )
             }
         ]
+        if pending_meta is not None:
+            # withSchemaEvolution: the widening lands atomically with the
+            # merge (racing writers see ONE commit changing metadata)
+            actions.append({"metaData": pending_meta})
         if results:
             proto_action = self._dv_protocol_upgrade(snap)
             if proto_action:
@@ -2940,11 +3028,36 @@ class DeltaWriter:
 
         undo = moved + cdc_moved + self._dv_moved(results)
         version = snap.version + 1
-        try:
-            self._commit(version, actions, snap)
-        except CommitConflictError:
-            self._rollback(undo)
-            raise
+        attempt = 0
+        while True:
+            try:
+                self._commit(version, actions, snap)
+                break
+            except CommitConflictError:
+                # replaceWhere commutes with racers that neither touched
+                # its files nor added rows inside the replaced region
+                # (UPDATE's exact added-rows probe, predicate = the
+                # replace predicate); a FULL overwrite's read set is the
+                # whole manifest, so it only rebases past state-free
+                # racers (VACUUM START/END logging, txn markers)
+                attempt += 1
+                if attempt > 3:
+                    self._rollback(undo)
+                    raise
+                fresh = Snapshot.build(self.log, base=snap)
+                try:
+                    if where is not None:
+                        self._revalidate_dml_retry(
+                            snap, fresh, results, "OVERWRITE",
+                            condition=where)
+                    else:
+                        self._revalidate_info_only_retry(
+                            snap, fresh, "OVERWRITE")
+                except Exception:
+                    self._rollback(undo)
+                    raise
+                snap = fresh
+                version = snap.version + 1
         from duckdb_delta_spark.delta.logging import emit
 
         emit(
@@ -3188,7 +3301,24 @@ class DeltaWriter:
             actions.append({"remove": remove})
 
         new_version = snap_now.version + 1
-        self._commit(new_version, actions, snap_now, preserve_row_ids=True)
+        attempt = 0
+        while True:
+            try:
+                self._commit(new_version, actions, snap_now,
+                             preserve_row_ids=True)
+                break
+            except CommitConflictError:
+                # RESTORE's diff is against the whole manifest: rebase
+                # only past state-free racers (VACUUM START/END protocol
+                # logging commits, app-txn markers) — anything else
+                # invalidates the precomputed re_add/drop sets
+                attempt += 1
+                if attempt > 3:
+                    raise
+                fresh = Snapshot.build(self.log, base=snap_now)
+                self._revalidate_info_only_retry(snap_now, fresh, "RESTORE")
+                snap_now = fresh
+                new_version = snap_now.version + 1
         from duckdb_delta_spark.delta.logging import emit
 
         emit(

@@ -1654,6 +1654,12 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                 prev_ict = log.read_ict(version - 1) or 0
                 info["inCommitTimestamp"] = max(
                     int(time.time() * 1000), prev_ict + 1)
+            else:
+                # a LOSING attempt may have stamped ICT against a
+                # predecessor that carried one; if the race winner's
+                # commit doesn't, the stale stamp must not leak into
+                # this attempt's commitInfo (non-monotonic otherwise)
+                info.pop("inCommitTimestamp", None)
             try:
                 log.commit(version, actions)
                 break

@@ -541,3 +541,49 @@ def test_ivf_probe_distributed_route_no_query_collect(spark, tmp_path,
     assert sorted(map(tuple, got.collect())) == want
     plan = _plan(got)
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_merge_multimatch_probe_rides_dv_mask_single_join(spark, tmp_path,
+                                                          monkeypatch):
+    """MERGE with a CONDITIONAL modifying clause: the multi-match probe
+    must ride the DV-mask job as a `_live` marker over the raw ON join —
+    ONE join in the mask plan, no second target×source probe job."""
+    from duckdb_delta_spark import errors
+    from duckdb_delta_spark.delta.writer import DeltaWriter as W
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    path = str(tmp_path / "m")
+    w = W.create(spark, path, schema)
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], schema).coalesce(1))
+
+    captured = []
+    real = W._dv_results
+
+    def spy(self, snap, matched):
+        captured.append(matched._jdf.queryExecution().optimizedPlan()
+                        .toString())
+        return real(self, snap, matched)
+
+    monkeypatch.setattr(W, "_dv_results", spy)
+
+    # conditional matched-only update, key-unique source → commits
+    src = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    w.merge(src, "t.k = s.k", when_matched_update={"v": "s.v"},
+            when_matched_condition="s.v = 'a'",
+            when_not_matched_insert=False)
+    assert len(captured) == 1
+    assert captured[0].count("Join Inner") == 1, captured[0]
+    # the mask carries the condition marker, not a pre-filtered join
+    assert "_live" in captured[0]
+
+    # and the folded probe still raises on fan-out (no second join job)
+    captured.clear()
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], schema)
+    with pytest.raises(errors.TransactionError, match="more than one"):
+        w.merge(dup, "t.k = s.k", when_matched_update={"v": "s.v"},
+                when_matched_condition="s.v = 'a'",
+                when_not_matched_insert=False)
+    assert len(captured) == 1
+    assert captured[0].count("Join Inner") == 1, captured[0]

@@ -1,0 +1,306 @@
+"""Round-17 fixes: conflict re-validation for OVERWRITE/replaceWhere
+and RESTORE (the last fail-hard DML paths), atomic MERGE schema
+evolution, CDF non-widening type-change refusal, deep-clone DV
+re-homing.
+
+Delta anchors: delta-spark ConflictChecker (ConcurrentAppendException /
+ConcurrentWriteException), withSchemaEvolution's single-commit
+atomicity, DELTA_NON_ADDITIVE_SCHEMA_CHANGE; reference conflict seam:
+delta_transaction_manager.cpp:20-32.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import types as T
+
+from duckdb_delta_spark import DeltaTable, DeltaWriter, errors
+from duckdb_delta_spark.delta.changes import table_changes
+from duckdb_delta_spark.delta.log import DeltaLog
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _mk(spark, path, n=6, configuration=None):
+    w = DeltaWriter.create(spark, path, SCHEMA, configuration=configuration)
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], SCHEMA).coalesce(1))
+    return w
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).coalesce(1)
+
+
+# ---------- replaceWhere conflict re-validation ----------
+
+
+def test_replace_where_retries_past_disjoint_append(spark, tdir):
+    """append ∥ replaceWhere where the appended rows do NOT match the
+    replace predicate: the loser re-validates (UPDATE's exact
+    added-rows probe with the replace predicate) and commits."""
+    _mk(spark, tdir, n=10)
+    w1 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)  # stale snapshot
+    w1.append(_df(spark, [(100, "racer")]))
+    w2.overwrite(_df(spark, [(1, "repl"), (3, "repl")]), where="k in (1, 3)")
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got[1] == "repl" and got[3] == "repl"
+    assert got[100] == "racer"
+    assert len(got) == 11
+
+
+def test_replace_where_conflicts_on_matching_append(spark, tdir):
+    """append ∥ replaceWhere where the appended rows MATCH the replace
+    predicate: the retry would silently leave rows inside the replaced
+    region → loud conflict, nothing half-applied."""
+    _mk(spark, tdir, n=10)
+    w1 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)
+    w1.append(_df(spark, [(3, "racer")]))
+    with pytest.raises(errors.CommitConflictError, match="added rows"):
+        w2.overwrite(_df(spark, [(1, "repl")]), where="k < 5")
+    t = DeltaTable(tdir).to_df(spark)
+    assert t.count() == 11
+    assert t.where("v = 'repl'").count() == 0
+
+
+def test_replace_where_conflicts_on_touched_file(spark, tdir):
+    """UPDATE ∥ replaceWhere masking the SAME file: the loser's DV was
+    built against the old mask → loud conflict (no lost update)."""
+    _mk(spark, tdir, n=10)
+    w1 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)
+    w1.update("k = 7", {"v": "'upd'"})
+    with pytest.raises(errors.CommitConflictError):
+        w2.overwrite(_df(spark, [(1, "repl")]), where="k < 5")
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got[7] == "upd" and got[1] == "v1"
+
+
+def test_replace_where_retries_past_vacuum_logging(spark, tdir):
+    """VACUUM protocol-logging commits (commitInfo-only) ∥ replaceWhere:
+    state-free racer, the replace re-bases and commits."""
+    w1 = _mk(spark, tdir, n=6)
+    w1.delete("k = 0")
+    w2 = DeltaWriter(tdir, spark)
+    w1.vacuum(retention_ms=0, logging=True)
+    w2.overwrite(_df(spark, [(1, "repl")]), where="k = 1")
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got[1] == "repl" and len(got) == 5
+
+
+# ---------- full OVERWRITE conflict re-validation ----------
+
+
+def test_full_overwrite_retries_past_vacuum_logging(spark, tdir):
+    """VACUUM START/END ∥ full overwrite: the racer changed no table
+    state, so the precomputed manifest removes are still exact → the
+    overwrite re-bases and commits."""
+    w1 = _mk(spark, tdir, n=6)
+    w1.delete("k = 0")  # tombstone so the vacuum has something to log
+    w2 = DeltaWriter(tdir, spark)
+    w1.vacuum(retention_ms=0, logging=True)
+    v = w2.overwrite(_df(spark, [(42, "only")]))
+    assert v is not None
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got == {42: "only"}
+
+
+def test_full_overwrite_conflicts_on_append(spark, tdir):
+    """append ∥ full overwrite: the overwrite's remove list no longer
+    covers the table → loud conflict (retrying would leave the racer's
+    rows alive under 'replace everything' semantics)."""
+    _mk(spark, tdir, n=6)
+    w1 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)
+    w1.append(_df(spark, [(100, "racer")]))
+    with pytest.raises(errors.CommitConflictError, match="data change"):
+        w2.overwrite(_df(spark, [(42, "only")]))
+    assert DeltaTable(tdir).to_df(spark).count() == 7
+
+
+# ---------- RESTORE conflict re-validation ----------
+
+
+def test_restore_retries_past_vacuum_logging(spark, tdir):
+    """VACUUM protocol-logging ∥ RESTORE: commitInfo-only racer, the
+    restore diff stays exact → re-base and commit."""
+    w1 = _mk(spark, tdir, n=6)           # v1
+    w1.append(_df(spark, [(50, "x")]))   # v2
+    w1.delete("k = 50")                  # v3 (tombstone for the vacuum)
+    w2 = DeltaWriter(tdir, spark)        # pinned at v3
+    w1.vacuum(retention_ms=10**12, logging=True)  # deletes nothing, logs
+    v = w2.restore(version=2)            # resurrect the k=50 file
+    assert v is not None
+    got = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 50]
+
+
+def test_restore_conflicts_on_append(spark, tdir):
+    """append ∥ RESTORE: the restore diff was computed against a stale
+    manifest → loud conflict, racer's rows intact."""
+    w1 = _mk(spark, tdir, n=6)           # v1
+    w1.append(_df(spark, [(50, "x")]))   # v2
+    w2 = DeltaWriter(tdir, spark)        # pinned at v2
+    w1.append(_df(spark, [(60, "racer")]))
+    with pytest.raises(errors.CommitConflictError, match="data change"):
+        w2.restore(version=1)
+    got = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 50, 60]
+
+
+# ---------- atomic MERGE schema evolution ----------
+
+
+def test_merge_schema_evolution_atomic_on_failure(spark, tdir):
+    """merge(merge_schema=True) that FAILS (multi-match raise) must not
+    leave the widened schema behind — the metaData action rides the
+    merge commit itself (delta-spark withSchemaEvolution atomicity)."""
+    w = _mk(spark, tdir, n=5)
+    src_schema = T.StructType(list(SCHEMA.fields)
+                              + [T.StructField("score", T.LongType())])
+    dup = spark.createDataFrame([(1, "a", 1), (1, "b", 2)], src_schema)
+    with pytest.raises(errors.TransactionError, match="more than one"):
+        w.merge(dup, "t.k = s.k",
+                when_matched_update={"v": "s.v", "score": "s.score"},
+                merge_schema=True)
+    t = DeltaTable(tdir)
+    assert "score" not in [f.name for f in t.snapshot.schema.fields]
+    assert t.snapshot.version == 1  # no extra metadata commit landed
+
+
+def test_merge_schema_evolution_single_commit(spark, tdir):
+    """A successful merge_schema merge lands EXACTLY ONE commit carrying
+    both the widened metaData and the data actions."""
+    w = _mk(spark, tdir, n=3)
+    src_schema = T.StructType(list(SCHEMA.fields)
+                              + [T.StructField("score", T.LongType())])
+    src = spark.createDataFrame([(1, "upd", 10), (99, "new", 20)],
+                                src_schema)
+    v0 = DeltaTable(tdir).snapshot.version
+    v, n_matched, n_ins = w.merge(
+        src, "t.k = s.k",
+        when_matched_update={"v": "s.v", "score": "s.score"},
+        merge_schema=True)
+    assert v == v0 + 1 and (n_matched, n_ins) == (1, 1)
+    got = {r["k"]: r["score"]
+           for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got == {0: None, 1: 10, 2: None, 99: 20}
+
+
+# ---------- CDF non-widening type change ----------
+
+
+def test_cdf_refuses_type_change_inside_range(spark, tdir):
+    """table_changes over a range crossing an overwriteSchema TYPE
+    change (string -> long is not a spec widening) must raise instead of
+    implicitly casting pre-change rows through unionByName."""
+    w = _mk(spark, tdir, n=3)
+    new_schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("v", T.LongType())])
+    w.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], new_schema).coalesce(1),
+        overwrite_schema=True)
+    with pytest.raises(errors.SchemaError, match="changed type"):
+        table_changes(DeltaLog(tdir), spark, starting_version=0).collect()
+    # sub-range after the change still works
+    post = table_changes(DeltaLog(tdir), spark, starting_version=2)
+    assert post.count() == 0 or "v" in post.columns
+
+
+def test_cdf_allows_spec_widening_inside_range(spark, tdir):
+    """int -> long style widenings stay servable (the walk pre-widens
+    frames); only NON-widening type changes raise."""
+    int_schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("x", T.IntegerType())])
+    w = DeltaWriter.create(spark, tdir, int_schema)
+    w.append(spark.createDataFrame([(1, 7)], int_schema).coalesce(1))
+    w.alter_column_type("x", T.LongType())
+    long_schema = T.StructType([T.StructField("k", T.LongType()),
+                                T.StructField("x", T.LongType())])
+    w.append(spark.createDataFrame([(2, 8)], long_schema).coalesce(1))
+    rows = table_changes(DeltaLog(tdir), spark, starting_version=-1).collect()
+    assert sorted((r["k"], r["x"]) for r in rows) == [(1, 7), (2, 8)]
+
+
+# ---------- deep clone DV re-homing ----------
+
+
+def test_deep_clone_survives_directory_move(spark, tdir):
+    """Deep clone of a shallow clone (whose DVs are absolute 'p'
+    descriptors) re-homes the DVs as table-relative 'u' descriptors —
+    moving/renaming the cloned directory must not break reads."""
+    src = str(tdir) + "_src"
+    mid = str(tdir) + "_shallow"
+    dst = str(tdir) + "_deep"
+    w = _mk(spark, src, n=10)
+    w.delete("k in (2, 5)")  # DV on the source file
+
+    DeltaWriter.clone(spark, src, mid, shallow=True)   # 'u' -> 'p'
+    DeltaWriter.clone(spark, mid, dst, shallow=False)  # re-home to 'u'
+
+    for f in DeltaTable(dst).snapshot.add_files():
+        dv = f.deletion_vector
+        if dv:
+            assert dv["storageType"] == "u"
+
+    moved = str(tdir) + "_moved"
+    shutil.move(dst, moved)
+    got = sorted(r["k"] for r in DeltaTable(moved).to_df(spark).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # fully source-independent: deleting source AND shallow stage is fine
+    shutil.rmtree(src)
+    shutil.rmtree(mid)
+    assert DeltaTable(moved).to_df(spark).count() == 8
+
+
+# ---------- streaming sink: stale ICT stamp cleared on retry ----------
+
+
+def test_sink_retry_clears_stale_ict_stamp(spark, tdir, tmp_path,
+                                           monkeypatch):
+    """A losing commit attempt that stamped inCommitTimestamp (its
+    predecessor carried one) must not leak the stale stamp into a later
+    attempt whose NEW predecessor — the race winner — carries none."""
+    import time as _time
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamWriter
+
+    w = _mk(spark, tdir, n=1)
+    # feature listed but config NOT enabled: external writers may then
+    # legally commit without ICT while ours stamp when the predecessor did
+    w.add_feature_support("inCommitTimestamp")
+    log = DeltaLog(tdir)
+    v = DeltaTable(tdir).snapshot.version + 1
+    now = int(_time.time() * 1000)
+    log.commit(v, [{"commitInfo": {
+        "operation": "WRITE", "timestamp": now, "inCommitTimestamp": now}}])
+
+    s = DeltaStreamWriter(
+        tdir, SCHEMA, {"checkpointlocation": str(tmp_path / "ck")})
+    real = DeltaLog.commit
+    fired = []
+
+    def racing(self, version, actions):
+        if not fired:
+            fired.append(1)
+            # race winner steals the version WITHOUT an ICT stamp
+            real(self, version, [{"commitInfo": {
+                "operation": "RACER", "timestamp": now}}])
+        return real(self, version, actions)
+
+    monkeypatch.setattr(DeltaLog, "commit", racing)
+    s.commit([], batchId=0)
+    monkeypatch.undo()
+
+    head = DeltaTable(tdir).snapshot.version
+    # the sink's winning attempt sits after a no-ICT predecessor → its
+    # commitInfo must not carry the stale first-attempt stamp
+    assert DeltaLog(tdir).read_ict(head) is None
