@@ -553,3 +553,78 @@ def _rows_at(
     return df.join(
         F.broadcast(wanted), on=["filename", "file_row_number"], how="left_semi"
     ).select(*data_cols)
+
+
+def table_changes_segments(
+    log: DeltaLog,
+    spark: SparkSession,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> list[tuple[int, int, DataFrame]]:
+    """Drain a CDF range that CROSSES non-additive schema changes — the
+    escape hatch :func:`table_changes`' error recommends (delta-spark's
+    streaming schema-tracking restart, done eagerly for batch): split
+    the range at every non-additive ``metaData`` commit (rename / drop /
+    non-widening type change) and return ``[(start, end, frame), ...]``
+    sub-ranges, each valid for :func:`table_changes` and served under
+    its own END schema.
+
+    Non-additive schema commits in this engine are METADATA-ONLY
+    (RENAME/DROP/ALTER TYPE; overwriteSchema is refused on CDF tables),
+    so they contribute no row changes and the concatenated segments are
+    exactly the full range's row-change stream — each era under the
+    schema its rows actually have, never null-filled across a rename. A
+    non-additive commit that itself carries data actions cannot be
+    represented under either schema and raises.
+    """
+    end = log.resolve_version(ending_version)
+    if starting_version > end:
+        raise ValueError(f"starting_version {starting_version} > end {end}")
+    from duckdb_delta_spark.delta.errors import SchemaError
+
+    cur_fields = None
+    if starting_version >= 0:
+        cur_fields = Snapshot.build(log, starting_version).schema.fields
+    boundaries: list[int] = []
+    for v in range(max(starting_version, -1) + 1, end + 1):
+        meta = data = None
+        for action in log.read_commit(v):
+            if action.get("metaData"):
+                meta = action["metaData"]
+            elif action.get("add") or action.get("remove"):
+                a = action.get("add") or action.get("remove")
+                if a.get("dataChange", True):
+                    data = a
+        if meta is None:
+            continue
+        import json as _json
+
+        new_fields = T.StructType.fromJson(
+            _json.loads(meta["schemaString"])).fields
+        if cur_fields is not None and \
+                _non_additive_changes(cur_fields, new_fields):
+            if data is not None:
+                raise SchemaError(
+                    f"table_changes_segments: commit {v} changes the "
+                    "schema non-additively AND carries data changes — "
+                    "its row changes span two schemas and cannot be "
+                    "served under either"
+                )
+            boundaries.append(v)
+        cur_fields = new_fields
+
+    out: list[tuple[int, int, DataFrame]] = []
+    seg_start = starting_version
+    for b in boundaries + [None]:
+        # the boundary commit itself is metadata-only: segment ends just
+        # before it, and the next segment starts AT it (exclusive start)
+        seg_end = end if b is None else b - 1
+        if seg_end >= seg_start and seg_end >= 0:
+            frame = table_changes(log, spark, seg_start, seg_end)
+            if seg_end > max(seg_start, -1):
+                out.append((seg_start, seg_end, frame))
+            elif frame.limit(1).count():
+                out.append((seg_start, seg_end, frame))
+        if b is not None:
+            seg_start = b
+    return out

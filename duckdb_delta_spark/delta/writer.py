@@ -2873,7 +2873,8 @@ class DeltaWriter:
     def overwrite(
         self, df: DataFrame, where=None, overwrite_schema: bool = False,
         partition_by: list[str] | None = None,
-    ) -> int:
+        txn_app_id: str | None = None, txn_version: int | None = None,
+    ) -> int | None:
         """INSERT OVERWRITE: atomically replace the whole table
         (``where=None``) or exactly the rows matching ``where``
         (replaceWhere) with ``df`` — ONE commit. Returns the version.
@@ -2905,6 +2906,12 @@ class DeltaWriter:
 
         snap = self._snapshot
         self._assert_writable("OVERWRITE", removes_rows=True)
+        if txn_app_id is not None and txn_version is not None:
+            # idempotent foreachBatch OVERWRITE/replaceWhere (same
+            # contract as merge's txn args): replayed batches skip
+            last = snap.transaction_version(txn_app_id)
+            if last is not None and txn_version <= last:
+                return None
         cdf = self._cdf_enabled(snap)
         if overwrite_schema:
             if where is not None:
@@ -3025,6 +3032,11 @@ class DeltaWriter:
         actions.extend(removes)
         actions.extend({"add": a} for a in adds)
         actions.extend(cdc_actions)
+        if txn_app_id is not None and txn_version is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version),
+                         "lastUpdated": int(time.time() * 1000)}}
+            )
 
         undo = moved + cdc_moved + self._dv_moved(results)
         version = snap.version + 1

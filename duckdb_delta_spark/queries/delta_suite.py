@@ -2098,3 +2098,70 @@ def delta_merge_by_source_scan(spark, sf_dir):
         return local_df(spark, [tuple(r) for r in rows], df.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# replaceWhere losing a two-writer race (committed into the fixture):
+# B's replace re-validates with the replace predicate past A's disjoint
+# append and commits on retry — urgent lower-range rows carry price*7
+@register(
+    "delta_racing_replace_scan",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n, {osum('p')} AS total
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 7 ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey < {FX.MERGE_LO}
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice AS p
+      FROM orders
+      WHERE o_orderkey >= {FX.MERGE_HI} AND o_orderkey < {FX.MERGE_END}
+    ) t GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_racing_replace_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_racing_rw")
+    assert t.version == 3  # create, append, racer append, retried replace
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# segmented CDF drain across a rename boundary: one frame per schema
+# era, each under its own end schema (the escape hatch for the
+# non-additive-range refusal)
+@register(
+    "delta_cdf_segments_scan",
+    oracle=f"""
+    SELECT seg, _change_type, count(*) AS n
+    FROM (
+      SELECT 0 AS seg, 'insert' AS _change_type
+      FROM orders WHERE o_orderkey < {FX.MERGE_LO}
+      UNION ALL
+      SELECT 0, 'delete' FROM orders
+      WHERE o_orderkey < {FX.MERGE_LO} AND o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 1, 'insert' FROM orders
+      WHERE o_orderkey >= {FX.MERGE_HI} AND o_orderkey < {FX.MERGE_END}
+    ) t GROUP BY seg, _change_type
+    """,
+    group="delta",
+)
+def delta_cdf_segments_scan(spark, sf_dir):
+    from duckdb_delta_spark.delta.changes import table_changes_segments
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    t = _fx(spark, sf_dir, "orders_cdf_seg")
+    segs = table_changes_segments(DeltaLog(t.path), spark, -1)
+    assert [(s, e) for s, e, _ in segs] == [(-1, 2), (3, 4)], segs
+    parts = [
+        df.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(i).cast("int").alias("seg"), "_change_type", "n")
+        for i, (_, _, df) in enumerate(segs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -167,3 +167,65 @@ def delta_foreach_merge(
              duration_ms=int((_time.time() - _t0) * 1000))
 
     return _write
+
+
+def delta_foreach_replace_where(
+    table_path: str,
+    where,
+    txn_app_id: str | None = None,
+):
+    """Build a ``foreachBatch`` function that REPLACES a region of the
+    Delta table with each micro-batch — the standard streaming
+    compaction / partition-backfill pattern (foreachBatch +
+    ``replaceWhere``), exactly-once like the other foreach sinks: the
+    overwrite commit carries ``txn(appId, batchId)`` and replayed
+    batches are recognized from the snapshot's app-transaction map and
+    skipped. Losing a commit race re-validates with the replace
+    predicate (racer-added rows inside the region → loud conflict;
+    disjoint racers → retry commits).
+
+    ``where``: the replace predicate — a SQL string, or a CALLABLE
+    ``batch_df -> str`` evaluated per batch (e.g. build an ``IN`` list
+    of the partition values present in the batch, so each micro-batch
+    replaces exactly the partitions it covers). ``where=None`` (or the
+    callable returning None) makes the batch a FULL overwrite.
+
+    Scale shape: one distributed write of the batch plus a DV build over
+    only the files straddling the predicate — cost follows batch size
+    and the replaced region, never table size.
+    """
+    import os
+
+    app_id = txn_app_id or f"delta_py_replace:{os.path.abspath(table_path)}"
+    state: dict = {}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from duckdb_delta_spark.delta.logging import emit
+        from duckdb_delta_spark.delta.snapshot import Snapshot
+        from duckdb_delta_spark.delta.writer import DeltaWriter
+
+        _t0 = _time.time()
+        w: DeltaWriter | None = state.get("writer")
+        if w is None:
+            w = state["writer"] = DeltaWriter(
+                table_path, batch_df.sparkSession)
+        else:
+            w._snapshot = Snapshot.build(w.log, base=w._snapshot)
+        last = w._snapshot.transaction_version(app_id)
+        if last is not None and int(batch_id) <= last:
+            emit("stream.replace.skip_replayed", table_path=table_path,
+                 batch_id=int(batch_id), last_committed=last)
+            return
+        pred = where(batch_df) if callable(where) else where
+        version = w.overwrite(
+            batch_df, where=pred,
+            txn_app_id=app_id, txn_version=int(batch_id),
+        )
+        emit("stream.replace.commit", table_path=table_path,
+             version=version, batch_id=int(batch_id),
+             predicate=pred,
+             duration_ms=int((_time.time() - _t0) * 1000))
+
+    return _write

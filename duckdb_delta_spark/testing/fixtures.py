@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 25  # bump to force a rebuild
+LAYOUT_VERSION = 26  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -111,6 +111,8 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
         spark, sf_dir, os.path.join(root, "events_var_shredwrite"))
     _build_orders_converted(spark, sf_dir, os.path.join(root, "orders_converted"))
     _build_orders_replaced(spark, sf_dir, os.path.join(root, "orders_replaced"))
+    _build_orders_racing_rw(spark, sf_dir, os.path.join(root, "orders_racing_rw"))
+    _build_orders_cdf_seg(spark, sf_dir, os.path.join(root, "orders_cdf_seg"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -903,3 +905,50 @@ def _build_orders_replaced(spark, sf_dir, path):
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("total"),
     ).withColumn("bucket", (F.col("o_custkey") % 4).cast("long"))
     w.overwrite(summary, overwrite_schema=True, partition_by=["bucket"])
+
+
+def _build_orders_racing_rw(spark, sf_dir, path):
+    """A REAL replaceWhere race committed into the fixture: writer B
+    pins the post-first-append snapshot, writer A appends a DISJOINT
+    upper key range, then B's replaceWhere (urgent rows in the lower
+    range -> price*7) loses the version race, re-validates with the
+    replace predicate (A's added rows don't match), and commits on
+    retry. The builder asserts the retry actually happened."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    w.append(o.where(F.col("o_orderkey") < MERGE_LO).repartition(2))  # v1
+    wb = DeltaWriter(path, spark)  # pins v1
+    w.append(o.where((F.col("o_orderkey") >= MERGE_HI)
+                     & (F.col("o_orderkey") < MERGE_END))
+             .repartition(2))                                         # v2
+    repl = (
+        o.where((F.col("o_orderkey") < MERGE_LO)
+                & (F.col("o_orderpriority") == "1-URGENT"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 7)
+    )
+    v = wb.overwrite(
+        repl,
+        where=(f"o_orderkey < {MERGE_LO} "
+               "AND o_orderpriority = '1-URGENT'"),
+    )
+    assert v == 3, v  # committed on RETRY, above A's append
+
+
+def _build_orders_cdf_seg(spark, sf_dir, path):
+    """A rename-crossing CDF history for the segmented-drain escape
+    hatch: v1 inserts the lower key range, v2 DV-deletes its urgent
+    rows, v3 renames o_orderstatus -> status (column mapping, metadata-only),
+    v4 appends an upper key range under the new name."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema, configuration={
+        "delta.columnMapping.mode": "name",
+    })
+    w.append(o.where(F.col("o_orderkey") < MERGE_LO).repartition(2))  # v1
+    w.delete(f"o_orderkey < {MERGE_LO} "
+             "AND o_orderpriority = '1-URGENT'")                      # v2
+    assert w.rename_column("o_orderstatus", "status") == 3            # v3
+    w.append(
+        o.where((F.col("o_orderkey") >= MERGE_HI)
+                & (F.col("o_orderkey") < MERGE_END))
+        .withColumnRenamed("o_orderstatus", "status").repartition(2)
+    )                                                                 # v4

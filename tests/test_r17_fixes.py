@@ -304,3 +304,201 @@ def test_sink_retry_clears_stale_ict_stamp(spark, tdir, tmp_path,
     # the sink's winning attempt sits after a no-ICT predecessor → its
     # commitInfo must not carry the stale first-attempt stamp
     assert DeltaLog(tdir).read_ict(head) is None
+
+
+# ---------- three-writer racing fuzz: MERGE / replaceWhere / RESTORE ----------
+
+
+def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
+    """Property fuzz over THREE racing writers: B and C pin the pre-A
+    snapshot, A commits first, then B, then C. Every outcome must be
+    serializable-or-loud — each of B/C either commits (table equals the
+    serial application in COMMIT order of a pure-Python model), raises
+    CommitConflictError (no trace of the loser), or was a genuine no-op.
+    Extends the r16 two-writer fuzz with the ops whose read sets are the
+    subtlest: MERGE upsert (source-join read set), replaceWhere
+    (predicate region), RESTORE (whole-manifest diff), and the
+    state-free VACUUM-logging racer the info-only rebase exists for."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    op_st = st.tuples(
+        st.sampled_from(["append", "delete", "update", "compact",
+                         "merge", "replace", "restore", "vacuum_log"]),
+        st.integers(min_value=0, max_value=2),
+    )
+    BASE = {"A": 100, "B": 200, "C": 400}
+    case_n = [0]
+
+    def model_apply(model: dict, op, who: str) -> None:
+        kind, f = op
+        lo, hi = f * 10, f * 10 + 5
+        if kind == "append":
+            for i in range(3):
+                model[BASE[who] + i] = i
+        elif kind == "delete":
+            for k in range(lo, hi):
+                model.pop(k, None)
+        elif kind == "update":
+            for k in range(lo, hi):
+                if k in model:
+                    model[k] += 1000
+        elif kind == "merge":  # upsert: update-matched + insert-new
+            for k in (lo + 2, BASE[who] + 50):
+                model[k] = 7000 + BASE[who]
+        elif kind == "replace":  # replaceWhere [lo, hi) -> single row
+            for k in range(lo, hi):
+                model.pop(k, None)
+            model[lo] = 999
+        elif kind == "restore":  # to v2: exactly the first two seed files
+            model.clear()
+            model.update({k: k for k in range(20)})
+        # compact / vacuum_log: content identity
+
+    def spark_apply(w, op, who: str):
+        """True if the op committed, False for a genuine no-op; raises
+        CommitConflictError when the engine (correctly) refuses."""
+        kind, f = op
+        lo, hi = f * 10, f * 10 + 5
+        if kind == "append":
+            w.append(spark.createDataFrame(
+                [(BASE[who] + i, i) for i in range(3)],
+                schema).coalesce(1))
+            return True
+        if kind == "delete":
+            return w.delete(f"k >= {lo} and k < {hi}") is not None
+        if kind == "update":
+            return w.update(
+                f"k >= {lo} and k < {hi}", {"v": "v + 1000"}) is not None
+        if kind == "merge":
+            src = spark.createDataFrame(
+                [(lo + 2, 7000 + BASE[who]),
+                 (BASE[who] + 50, 7000 + BASE[who])], schema)
+            return w.merge(src, "t.k = s.k",
+                           when_matched_update={"v": "s.v"}) is not None
+        if kind == "replace":
+            return w.overwrite(
+                spark.createDataFrame([(lo, 999)], schema).coalesce(1),
+                where=f"k >= {lo} and k < {hi}") is not None
+        if kind == "restore":
+            return w.restore(version=2) is not None
+        if kind == "vacuum_log":
+            w.vacuum(retention_ms=10**12, logging=True)
+            return True
+        return w.compact(min_files=2) is not None  # content identity
+
+    @settings(max_examples=28, deadline=None, derandomize=True)
+    @given(op_a=op_st, op_b=op_st, op_c=op_st)
+    def check(op_a, op_b, op_c):
+        case_n[0] += 1
+        path = os.path.join(tdir, f"race3_{case_n[0]}")
+        w = DeltaWriter.create(spark, path, schema)
+        for f in range(3):
+            w.append(spark.createDataFrame(
+                [(k, k) for k in range(f * 10, f * 10 + 10)],
+                schema).coalesce(1))
+
+        wb = DeltaWriter(path, spark)   # pins the pre-A snapshot
+        wc = DeltaWriter(path, spark)   # pins the pre-A snapshot
+        wa = DeltaWriter(path, spark)
+
+        expected = {k: k for k in range(30)}
+        spark_apply(wa, op_a, "A")
+        model_apply(expected, op_a, "A")
+
+        for w_i, op_i, who in ((wb, op_b, "B"), (wc, op_c, "C")):
+            try:
+                did = spark_apply(w_i, op_i, who)
+            except errors.CommitConflictError:
+                continue                       # loud loss: no trace
+            if did:
+                model_apply(expected, op_i, who)
+            # else: genuine no-op on its snapshot — serializes first
+
+        got = {r["k"]: r["v"]
+               for r in DeltaTable(path).to_df(spark).collect()}
+        assert got == expected, (op_a, op_b, op_c, got, expected)
+
+    check()
+
+
+# ---------- CDF non-additive range: segmented drain escape hatch ----------
+
+
+def test_cdf_segments_drain_rename_crossing_range(spark, tdir, tmp_path):
+    """table_changes_segments drains a range CROSSING a rename: one
+    segment per schema era (the metadata-only rename commit contributes
+    no rows), each served under its own end schema; the streaming CDF
+    source started at each segment boundary agrees row for row."""
+    from duckdb_delta_spark.delta.changes import table_changes_segments
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=4, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                                   # v1: insert 0..3
+    w.delete("k = 0")                                    # v2: delete 0
+    rename_v = w.rename_column("v", "label")             # v3: rename
+    w.append(spark.createDataFrame(
+        [(100, "post")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("label", T.StringType())])
+    ).coalesce(1))                                       # v4: insert 100
+
+    log = DeltaLog(tdir)
+    # the plain call still refuses the crossing range
+    with pytest.raises(errors.SchemaError, match="renamed"):
+        table_changes(log, spark, starting_version=-1).collect()
+
+    segs = table_changes_segments(log, spark, starting_version=-1)
+    assert [(s, e) for s, e, _ in segs] == \
+        [(-1, rename_v - 1), (rename_v, 4)]
+
+    pre = sorted((r["_commit_version"], r["_change_type"], r["k"], r["v"])
+                 for r in segs[0][2].collect())
+    assert pre == sorted(
+        [(1, "insert", i, f"v{i}") for i in range(4)]
+        + [(2, "delete", 0, "v0")])
+    post = [(r["_commit_version"], r["_change_type"], r["k"], r["label"])
+            for r in segs[1][2].collect()]
+    assert post == [(4, "insert", 100, "post")]
+
+    # streaming CDF started AT the post-rename boundary agrees
+    spark.dataSource.register(DeltaPySource)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(rename_v + 1))
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    stream = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["label"])
+        for r in spark.read.parquet(out).collect())
+    assert stream == post
+
+
+def test_cdf_segments_no_boundary_single_segment(spark, tdir):
+    """Without a non-additive change the helper degrades to one segment
+    identical to the plain table_changes call."""
+    from duckdb_delta_spark.delta.changes import table_changes_segments
+
+    w = _mk(spark, tdir, n=3)
+    w.add_column("extra", "bigint")  # additive: NOT a boundary
+    w.delete("k = 1")
+    segs = table_changes_segments(DeltaLog(tdir), spark, starting_version=0)
+    assert len(segs) == 1 and (segs[0][0], segs[0][1]) == (0, 3)
+    want = sorted((r["_commit_version"], r["_change_type"], r["k"]) for r in
+                  table_changes(DeltaLog(tdir), spark, 0).collect())
+    got = sorted((r["_commit_version"], r["_change_type"], r["k"]) for r in
+                 segs[0][2].collect())
+    assert got == want

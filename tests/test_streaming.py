@@ -2810,3 +2810,55 @@ def test_stream_reads_table_upgraded_to_column_mapping(spark, tdir):
     assert res.where("info.a = row_id").count() == 10
     for d in (out, ck):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_replace_where_exactly_once(spark, tdir):
+    """delta_foreach_replace_where: each batch replaces exactly the
+    region its per-batch predicate covers (streaming partition-backfill
+    pattern), replayed batch ids are skipped (txn rides the OVERWRITE
+    commit), and a racing disjoint append survives via the replaceWhere
+    conflict re-validation."""
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark import DeltaTable, DeltaWriter
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    schema = T.StructType([T.StructField("day", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    w = DeltaWriter.create(spark, tdir, schema, partition_by=["day"])
+    w.append(spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], schema))
+
+    def days_pred(batch_df):
+        days = sorted(r["day"] for r in
+                      batch_df.select("day").distinct().collect())
+        return "day in (" + ",".join(map(str, days)) + ")"
+
+    fn = delta_foreach_replace_where(tdir, days_pred, txn_app_id="rw")
+
+    # batch 0 recompacts day 1 down to a single corrected row
+    fn(spark.createDataFrame([(1, 111)], schema), 0)
+    got = sorted(map(tuple, DeltaTable(tdir).to_df(spark).select("day", "v").collect()))
+    assert got == [(1, 111), (2, 20), (3, 30)]
+
+    # replay of batch 0 with DIFFERENT data must be skipped
+    fn(spark.createDataFrame([(1, 999)], schema), 0)
+    assert sorted(map(tuple, DeltaTable(tdir).to_df(spark)
+                      .select("day", "v").collect())) == got
+
+    # a racing append on a DIFFERENT day commutes: the sink's writer holds
+    # a now-stale snapshot, loses the version race, re-validates, commits
+    DeltaWriter(tdir, spark).append(
+        spark.createDataFrame([(9, 90)], schema))
+    fn(spark.createDataFrame([(2, 222)], schema), 1)
+    got = sorted(map(tuple, DeltaTable(tdir).to_df(spark)
+                      .select("day", "v").collect()))
+    assert got == [(1, 111), (2, 222), (3, 30), (9, 90)]
+
+    # full-overwrite mode: predicate callable returning None
+    fn2 = delta_foreach_replace_where(tdir, lambda b: None, txn_app_id="fo")
+    fn2(spark.createDataFrame([(7, 70)], schema), 0)
+    assert sorted(map(tuple, DeltaTable(tdir).to_df(spark)
+                      .select("day", "v").collect())) == [(7, 70)]
