@@ -229,8 +229,9 @@ def table_changes(
             raise SchemaError(
                 "table_changes: non-additive schema change inside the "
                 f"requested range (schema at version {sv} vs end "
-                f"{end}): " + "; ".join(probs) + ". Retrieve changes "
-                "in sub-ranges that do not cross the rename/drop."
+                f"{end}): " + "; ".join(probs) + ". Use "
+                "table_changes_segments() to drain the range split at "
+                "the schema boundary, one frame per schema era."
             )
 
     if not parts:

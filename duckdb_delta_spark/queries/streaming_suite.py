@@ -888,3 +888,84 @@ def stream_cm_sink(spark, sf_dir):
             F.min(F.col("info.name")).alias("first_name"),
         )
     )
+
+
+@register(
+    "stream_replace_sink",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_discount AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="streaming",
+)
+def stream_replace_sink(spark, sf_dir):
+    """Streaming region-backfill over the PRODUCTION write path:
+    the destination is pre-seeded with STALE rows (discount doubled),
+    then one availableNow run streams the source and REPLACES exactly
+    the key region each micro-batch covers — foreachBatch +
+    delta_foreach_replace_where with a per-batch min/max predicate
+    callable, txn(appId,batchId) exactly-once. Equal to the batch
+    answer over lineitem iff the stale region was fully replaced and
+    nothing double-applied."""
+    import os
+    import shutil
+
+    from duckdb_delta_spark.delta.table import DeltaTable
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    src = os.path.join(root, "lineitem_multi")
+    rt_root = os.path.join(root, "_replace_roundtrip")
+    shutil.rmtree(rt_root, ignore_errors=True)
+    dst = os.path.join(rt_root, "dst")
+    w = DeltaWriter.create(spark, dst, DeltaTable(src).schema())
+    stale = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("l_discount", F.col("l_discount") * 2)
+    )
+    w.append(stale.repartition(4))
+
+    def key_range_pred(batch_df):
+        r = batch_df.agg(F.min("l_orderkey").alias("lo"),
+                         F.max("l_orderkey").alias("hi")).first()
+        if r["lo"] is None:
+            return "1 = 0"  # empty batch replaces nothing
+        return f"l_orderkey >= {r['lo']} AND l_orderkey <= {r['hi']}"
+
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(
+            delta_foreach_replace_where(dst, key_range_pred))
+        .option("checkpointLocation", os.path.join(rt_root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    return (
+        DeltaTable(dst)
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(25,6)")), 2
+            )
+            .cast("double")
+            .alias("disc"),
+        )
+    )

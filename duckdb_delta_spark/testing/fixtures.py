@@ -506,8 +506,15 @@ def _build_nested_cm_dv_foreign(path):
 
 
 def _parquet_rows(path: str) -> int:
+    """Footer row count of a parquet file OR a Spark-written parquet
+    directory (sum of part-file footers)."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
     return pq.ParquetFile(path).metadata.num_rows
 
 
@@ -524,9 +531,7 @@ def bigdv_copies(sf_dir: str) -> int:
     """Duplication factor so the single-file table exceeds BIGDV_TARGET_ROWS
     rows at every SF. MUST stay in lockstep with the oracle SQL's
     range-filter formula (queries/delta_suite.py)."""
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    n = _parquet_rows(os.path.join(sf_dir, "lineitem.parquet"))
     return max(2, -(-BIGDV_TARGET_ROWS // n))
 
 
