@@ -1916,9 +1916,15 @@ class DeltaWriter:
                 )
             }
         ]
-        proto_action = self._dv_protocol_upgrade(snap)
-        if proto_action:
-            actions.append(proto_action)
+        # upgrade only when a DV is MATERIALIZED: a delete whose every
+        # touched file is fully covered commits remove-only actions and
+        # must leave a legacy table legacy (delta-spark parity — and a
+        # protocol action would needlessly conflict concurrent DML
+        # retries, see _revalidate_dml_retry)
+        if any(not r["full"] for r in results):
+            proto_action = self._dv_protocol_upgrade(snap)
+            if proto_action:
+                actions.append(proto_action)
         actions.extend(self._dv_actions(snap, results))
         actions.extend(cdc_actions)
         if txn_app_id is not None and txn_version is not None:
@@ -2146,6 +2152,12 @@ class DeltaWriter:
         * table metadata (schema / constraints / configuration) must be
           unchanged: the new images were computed and validated under it
           (ConcurrentMetadataChange otherwise);
+        * the protocol must be unchanged: delta-spark's
+          checkProtocolCompatibility raises ProtocolChangedException
+          UNCONDITIONALLY when the winner carried a protocol action —
+          a racer may have enabled a feature this op's plan predates
+          (rowTracking ranges, appendOnly, a reader feature the retry's
+          adds would have to honor);
         * every file this op touched must be byte- and DV-identical in
           the fresh snapshot (``_revalidate_dv_retry``), else the racer
           removed/rewrote/re-masked rows underneath us;
@@ -2161,6 +2173,10 @@ class DeltaWriter:
         if fresh.metadata != old.metadata:
             raise CommitConflictError(
                 f"concurrent metadata change during {operation} retry"
+            )
+        if fresh.protocol != old.protocol:
+            raise CommitConflictError(
+                f"concurrent protocol change during {operation} retry"
             )
         self._revalidate_dv_retry(old, fresh, results, operation)
         added = self._added_data_paths(old, fresh)
@@ -2384,9 +2400,10 @@ class DeltaWriter:
                 {"txn": {"appId": txn_app_id, "version": int(txn_version),
                          "lastUpdated": int(time.time() * 1000)}}
             )
-        proto_action = self._dv_protocol_upgrade(snap)
-        if proto_action:
-            actions.append(proto_action)
+        if any(not r["full"] for r in results):  # DV materialized only
+            proto_action = self._dv_protocol_upgrade(snap)
+            if proto_action:
+                actions.append(proto_action)
         actions.extend(self._dv_actions(snap, results))
         actions.extend({"add": a} for a in adds_new)
         actions.extend(cdc_actions)
@@ -2816,9 +2833,10 @@ class DeltaWriter:
             # merge (racing writers see ONE commit changing metadata)
             actions.append({"metaData": pending_meta})
         if results:
-            proto_action = self._dv_protocol_upgrade(snap)
-            if proto_action:
-                actions.append(proto_action)
+            if any(not r["full"] for r in results):  # DV materialized only
+                proto_action = self._dv_protocol_upgrade(snap)
+                if proto_action:
+                    actions.append(proto_action)
             actions.extend(self._dv_actions(snap, results))
         actions.extend({"add": a} for a in adds_new)
         actions.extend(cdc_actions)
@@ -3025,9 +3043,10 @@ class DeltaWriter:
             info["predicate"] = pred_str or str(where)
         actions: list[dict] = [{"commitInfo": _commit_info("WRITE", info)}]
         if results:
-            proto_action = self._dv_protocol_upgrade(snap)
-            if proto_action:
-                actions.append(proto_action)
+            if any(not r["full"] for r in results):  # DV materialized only
+                proto_action = self._dv_protocol_upgrade(snap)
+                if proto_action:
+                    actions.append(proto_action)
             actions.extend(self._dv_actions(snap, results))
         actions.extend(removes)
         actions.extend({"add": a} for a in adds)

@@ -128,14 +128,29 @@ def _orders(spark, sf_dir):
 
 
 def _build_lineitem_multi(spark, sf_dir, path):
-    """3 append commits split by l_orderkey range, 4 files each."""
+    """3 append commits split by l_orderkey range, 4 files each — PER
+    10M key band. Driver testdata keys stay under 600k (one band), so
+    sf0.001/0.01/0.1 get exactly the historical 3 commits; the 10x
+    key-shifted `.benchdata/sf1` replica set (tools/make_sf1.py,
+    STRIDE=10M) gets 30 — commit count scales with data, the realistic
+    stream-backlog shape (per-batch log replay is O(new commits), so a
+    scale checkpoint that kept commits constant would not measure it)."""
     li = _li(spark, sf_dir)
     w = DeltaWriter.create(spark, path, li.schema)
-    for lo, hi in zip(SPLITS, SPLITS[1:]):
-        w.append(
-            li.where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
-            .repartition(4)
-        )
+    band = 10_000_000
+    bands = [
+        r[0] for r in li.select(
+            (F.col("l_orderkey") / band).cast("long").alias("b"))
+        .distinct().orderBy("b").collect()
+    ]
+    for b in bands:
+        base = b * band
+        for lo, hi in zip(SPLITS, SPLITS[1:]):
+            w.append(
+                li.where((F.col("l_orderkey") >= base + lo)
+                         & (F.col("l_orderkey") < min(base + hi, base + band)))
+                .repartition(4)
+            )
 
 
 def _build_lineitem_part(spark, sf_dir, path):

@@ -1669,8 +1669,12 @@ def test_cdf_on_column_mapped_table(spark, tdir):
                        "delta.columnMapping.maxColumnId": "2",
                        "delta.enableChangeDataFeed": "true"},
     )
+    # ONE file so the delete/update are partial and DVs MATERIALIZE
+    # (full-file coverage commits remove-only and keeps the protocol
+    # legacy — see test_full_file_delete_keeps_legacy_protocol)
     w.append(spark.range(10).select(
-        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")))
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v")).coalesce(1))
     w.delete("k < 3")                        # v2
     w.update("k = 5", {"v": "'patched'"})    # v3
 

@@ -228,8 +228,12 @@ def test_update_conflicts_on_matching_append(spark, tdir):
 def test_update_update_disjoint_files_both_commit(spark, tdir):
     """UPDATE ∥ UPDATE touching DIFFERENT files: the loser re-validates
     (its file untouched, the winner's new images don't match its
-    condition) and commits."""
-    _two_file_table(spark, tdir)
+    condition) and commits. The DV protocol is pre-enabled: on a LEGACY
+    table the winner's first materialized DV carries a protocol action,
+    which (delta-spark ProtocolChangedException parity) correctly
+    conflicts the loser — steady state is what commutes."""
+    w = _two_file_table(spark, tdir)
+    w.add_feature_support("deletionVectors")
     w1 = DeltaWriter(tdir, spark)
     w2 = DeltaWriter(tdir, spark)
     w1.update("k = 1", {"v": "'a'"})

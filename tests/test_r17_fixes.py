@@ -317,8 +317,12 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
     CommitConflictError (no trace of the loser), or was a genuine no-op.
     Extends the r16 two-writer fuzz with the ops whose read sets are the
     subtlest: MERGE upsert (source-join read set), replaceWhere
-    (predicate region), RESTORE (whole-manifest diff), and the
-    state-free VACUUM-logging racer the info-only rebase exists for."""
+    (predicate region), RESTORE (whole-manifest diff), the state-free
+    VACUUM-logging racer the info-only rebase exists for, and the two
+    table-state racers every DML retry must refuse to slide past:
+    ADD COLUMN (metadata) and protocol upgrade (ProtocolChangedException
+    parity — row content is unchanged by either, but a loser pinned
+    before them must serialize-or-raise, never blind-retry)."""
     from hypothesis import given, settings, strategies as st
 
     schema = T.StructType([
@@ -327,7 +331,8 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
     ])
     op_st = st.tuples(
         st.sampled_from(["append", "delete", "update", "compact",
-                         "merge", "replace", "restore", "vacuum_log"]),
+                         "merge", "replace", "restore", "vacuum_log",
+                         "addcol", "upgrade"]),
         st.integers(min_value=0, max_value=2),
     )
     BASE = {"A": 100, "B": 200, "C": 400}
@@ -356,7 +361,10 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
         elif kind == "restore":  # to v2: exactly the first two seed files
             model.clear()
             model.update({k: k for k in range(20)})
-        # compact / vacuum_log: content identity
+        # compact / vacuum_log / addcol / upgrade: row-content identity
+        # (addcol adds a NULL column the k→v projection never reads;
+        # upgrade is protocol-only — but BOTH force later racers pinned
+        # before them to serialize-or-raise, the path under test)
 
     def spark_apply(w, op, who: str):
         """True if the op committed, False for a genuine no-op; raises
@@ -388,9 +396,13 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
         if kind == "vacuum_log":
             w.vacuum(retention_ms=10**12, logging=True)
             return True
+        if kind == "addcol":
+            return w.add_column(f"extra_{who.lower()}_{f}", "long") is not None
+        if kind == "upgrade":
+            return w.upgrade_protocol(1, 3 + f) is not None
         return w.compact(min_files=2) is not None  # content identity
 
-    @settings(max_examples=28, deadline=None, derandomize=True)
+    @settings(max_examples=34, deadline=None, derandomize=True)
     @given(op_a=op_st, op_b=op_st, op_c=op_st)
     def check(op_a, op_b, op_c):
         case_n[0] += 1
@@ -502,3 +514,84 @@ def test_cdf_segments_no_boundary_single_segment(spark, tdir):
     got = sorted((r["_commit_version"], r["_change_type"], r["k"]) for r in
                  segs[0][2].collect())
     assert got == want
+
+
+# ---------- commit-scaled lineitem_multi fixture ----------
+
+
+def test_lineitem_multi_commits_scale_with_key_bands(spark, tmp_path):
+    """_build_lineitem_multi splits 3 append commits per 10M key band:
+    driver testdata (keys < 600k) keeps the historical single-band 3
+    commits, while the key-shifted sf1 replica set (tools/make_sf1.py,
+    STRIDE=10M) scales commit count with data — the axis the streaming
+    SF1 checkpoint measures (per-batch log replay is O(new commits))."""
+    from duckdb_delta_spark.testing import fixtures as FX
+
+    src = tmp_path / "src"
+    src.mkdir()
+    li = spark.createDataFrame(
+        [(k + band * 10_000_000, float(k)) for band in (0, 1, 2)
+         for k in (1, 600, 1_500)],
+        "l_orderkey bigint, l_quantity double",
+    )
+    li.coalesce(1).write.parquet(str(src / "lineitem.parquet"))
+
+    path = str(tmp_path / "multi")
+    FX._build_lineitem_multi(spark, str(src), path)
+    # create + 3 bands x 3 range commits
+    assert DeltaLog(path).resolve_version(None) == 9
+    got = sorted(r["l_orderkey"]
+                 for r in DeltaTable(path).to_df(spark).collect())
+    assert got == sorted(r["l_orderkey"] for r in li.collect())
+
+
+# ---------- protocol-change racers conflict DML retries ----------
+
+
+def test_update_conflicts_on_protocol_change(spark, tdir):
+    """protocol upgrade ∥ UPDATE: delta-spark's checkProtocolCompatibility
+    raises ProtocolChangedException UNCONDITIONALLY when the winner
+    carried a protocol action — the loser's plan predates whatever the
+    new protocol obliges writers to do (row-id ranges, appendOnly,
+    reader features its adds must honor), so no silent retry."""
+    _mk(spark, tdir, n=10)
+    w1 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)  # stale snapshot
+    assert w1.upgrade_protocol(1, 3) is not None
+    with pytest.raises(errors.CommitConflictError, match="protocol change"):
+        w2.update("k = 7", {"v": "'upd'"})
+    got = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    assert got[7] == "v7"  # nothing half-applied
+
+
+def test_delete_conflicts_on_feature_enable(spark, tdir):
+    """add_feature_support ∥ DELETE: same bar via the writer-features
+    path (the racer may have enabled e.g. rowTracking, which obliges
+    every subsequent add to carry a baseRowId the loser never planned)."""
+    _mk(spark, tdir, n=10)
+    w1 = DeltaWriter(tdir, spark)
+    w2 = DeltaWriter(tdir, spark)
+    assert w1.add_feature_support("rowTracking") is not None
+    with pytest.raises(errors.CommitConflictError, match="protocol change"):
+        w2.delete("k >= 8")
+    assert DeltaTable(tdir).to_df(spark).count() == 10
+
+
+def test_full_file_delete_keeps_legacy_protocol(spark, tdir):
+    """A DELETE whose every touched file is FULLY covered writes no DV —
+    it must leave a legacy (1,2) table legacy (delta-spark only upgrades
+    when a vector is materialized; a gratuitous protocol action would
+    also conflict every concurrent DML retry for nothing)."""
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA)
+    w.append(_df(spark, [(i, f"v{i}") for i in range(5)]))
+    w.append(_df(spark, [(i, f"v{i}") for i in range(10, 15)]))
+    w.delete("k < 5")  # whole first file
+    snap = Snapshot.build(DeltaLog(tdir))
+    assert snap.protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    assert DeltaTable(tdir).to_df(spark).count() == 5
+    # a PARTIAL delete then upgrades exactly once
+    w.delete("k = 10")
+    snap = Snapshot.build(DeltaLog(tdir))
+    assert "deletionVectors" in snap.protocol.get("readerFeatures", [])
