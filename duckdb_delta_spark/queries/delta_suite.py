@@ -703,6 +703,32 @@ def delta_delete_scan(spark, sf_dir):
     )
 
 
+# partition-drop retention DELETE: every touched file fully covered →
+# remove-only commit, NO deletion vector, table stays on the legacy
+# (1,2) protocol (asserted in the fixture AND here) — the common
+# retention-job shape at scale
+@register(
+    "delta_retention_delete_scan",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    """,
+    group="delta",
+)
+def delta_retention_delete_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_retention")
+    assert t.snapshot.protocol == {
+        "minReaderVersion": 1, "minWriterVersion": 2}
+    assert not any(f.deletion_vector for f in t.snapshot.add_files())
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
 # OPTIMIZE bin-packing compaction (+ vacuum): 12 small files rewritten to
 # one, content unchanged — beyond the reference (no DML there), core
 # maintenance at scale

@@ -32,16 +32,23 @@ def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """events.parquet as a bounded file stream with proper event-time ts."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # file streams take a directory: stream the sf dir, globbed to events
-    reader = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    if os.path.isdir(path):
+        # Spark-written DIRECTORY layout (e.g. .benchdata/sf1): stream
+        # the directory itself — a pathGlobFilter on the dir name would
+        # match no leaf part-files and silently stream nothing
+        df = reader.parquet(path)
+    else:
+        # single-file layout (driver testdata): file streams take a
+        # directory, so stream the sf dir globbed to this one file
+        df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):

@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 26  # bump to force a rebuild
+LAYOUT_VERSION = 27  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -88,6 +88,8 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_events_var(spark, sf_dir, os.path.join(root, "events_var"))
     _build_events_var_deep(spark, sf_dir, os.path.join(root, "events_var_deep"))
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
+    _build_orders_retention(
+        spark, sf_dir, os.path.join(root, "orders_retention"))
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
     _build_lineitem_compacted(spark, sf_dir, os.path.join(root, "lineitem_compacted"))
     _build_lineitem_del(spark, sf_dir, os.path.join(root, "lineitem_del"))
@@ -388,6 +390,25 @@ def _build_lineitem_del(spark, sf_dir, path):
     w.append(li.repartition(4))
     res = w.delete(F.col("l_linenumber") >= 5)
     assert res is not None and res[1] > 0
+
+
+def _build_orders_retention(spark, sf_dir, path):
+    """Partition-drop retention DELETE: orders hive-partitioned by
+    o_orderpriority, then DELETE one whole partition. Every touched
+    file is FULLY covered, so the commit is remove-only — no DV is
+    materialized and the table stays on the legacy (1,2) protocol (the
+    100-TB retention-job shape: `DELETE WHERE date < X` must not
+    serialize concurrent DML through a gratuitous protocol action)."""
+    from duckdb_delta_spark.delta.snapshot import Snapshot
+
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(
+        spark, path, o.schema, partition_by=["o_orderpriority"])
+    w.append(o.repartition(4))
+    res = w.delete("o_orderpriority = '5-LOW'")
+    assert res is not None and res[1] > 0
+    snap = Snapshot.build(DeltaLog(path))
+    assert snap.protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def _build_orders_widen(spark, sf_dir, path):
