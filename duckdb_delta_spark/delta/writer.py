@@ -1884,29 +1884,44 @@ class DeltaWriter:
         scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
         cdf = self._cdf_enabled(snap)
         rows = scan.to_df().where(condition)
-        if cdf:
-            rows = rows.persist()  # consumed twice: DV build + cdc write
         cdc_moved: list[tuple[str, dict]] = []
         cdc_actions: list[dict] = []
-        try:
-            matched = rows.select(
-                F.col("filename").alias("f"),
-                F.col("file_row_number").alias("r"),
-            )
-            results = self._dv_results(snap, matched)
-            if not results:
-                return None
-            if cdf:
-                pre = rows.select(
+        # the DV build consumes only (filename, row#) — Catalyst prunes
+        # every payload column out of this scan
+        matched = rows.select(
+            F.col("filename").alias("f"),
+            F.col("file_row_number").alias("r"),
+        )
+        results = self._dv_results(snap, matched)
+        if not results:
+            return None
+        if cdf and not all(r["full"] for r in results):
+            # Delta spec: a commit with NO cdc actions serves CDF
+            # from its add/remove actions, and a fully-removed
+            # file's rows read as 'delete' at the previous version —
+            # so a pure partition-drop DELETE skips cdc entirely
+            # instead of REWRITING the dropped data as _change_data
+            # (the retention job on 100 TB must not copy 100 TB).
+            # Any partial file in the commit forces cdc for ALL rows
+            # (readers use ONLY cdc actions once one is present).
+            # The pre-images come from a SECOND scan restricted to the
+            # touched files (immutable parquet ⇒ identical rows) —
+            # cheaper at scale than persisting full payloads through
+            # the DV build just in case cdc needs them.
+            by_uri = self._by_uri(snap)
+            pre = (
+                DeltaScanBuilder(snap, self.spark)
+                .restrict_paths([by_uri[r["f"]].path for r in results])
+                .to_df()
+                .where(condition)
+                .select(
                     *[F.col(f.name) for f in snap.schema.fields],
                     F.lit("delete").alias("_change_type"),
                 )
-                cdc_moved, cdc_actions = self._write_cdc(
-                    pre, snap.partition_columns
-                )
-        finally:
-            if cdf:
-                rows.unpersist()
+            )
+            cdc_moved, cdc_actions = self._write_cdc(
+                pre, snap.partition_columns
+            )
 
         n_deleted = sum(r["n_new"] for r in results)
         actions: list[dict] = [
@@ -2986,7 +3001,6 @@ class DeltaWriter:
         now_ms = int(time.time() * 1000)
         results: list = []
         removes: list[dict] = []
-        pre = None  # CDF delete-preimages of the replaced rows
         rows = None
         if where is None:
             for f in snap.add_files():
@@ -3000,38 +3014,48 @@ class DeltaWriter:
                 if f.deletion_vector:
                     r["deletionVector"] = f.deletion_vector
                 removes.append({"remove": r})
-            if cdf and removes:
-                pre = DeltaScanBuilder(snap, self.spark).to_df()
+            # no cdc pre-images: a full overwrite is whole-file removes
+            # + adds, which readers derive CDF from directly (see below)
         else:
             scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
             rows = scan.to_df().where(where)
-            if cdf:
-                rows = rows.persist()  # consumed twice: DV build + cdc
 
         cdc_moved: list[tuple[str, dict]] = []
         cdc_actions: list[dict] = []
-        try:
-            if rows is not None:
-                matched = rows.select(
-                    F.col("filename").alias("f"),
-                    F.col("file_row_number").alias("r"),
-                )
-                results = self._dv_results(snap, matched)
-                if cdf and results:
-                    pre = rows  # still pinned to the pre-overwrite file set
-            if cdf:
-                ins = df.select(
-                    *data_cols, F.lit("insert").alias("_change_type")
-                )
-                cdc = ins
-                if pre is not None:
-                    cdc = pre.select(
-                        *data_cols, F.lit("delete").alias("_change_type")
-                    ).unionByName(ins)
-                cdc_moved, cdc_actions = self._write_cdc(cdc, parts)
-        finally:
-            if rows is not None and cdf:
-                rows.unpersist()
+        if rows is not None:
+            # the DV build consumes only (filename, row#) — Catalyst
+            # prunes every payload column out of this scan
+            matched = rows.select(
+                F.col("filename").alias("f"),
+                F.col("file_row_number").alias("r"),
+            )
+            results = self._dv_results(snap, matched)
+        # Delta spec: with NO cdc actions in the commit, readers
+        # derive CDF from add/remove (adds → 'insert', a dropped
+        # path's live rows → 'delete') — exactly OVERWRITE's change
+        # set. So cdc files are written ONLY when a replaceWhere
+        # DV-masked a file partially (once one cdc action exists,
+        # readers use cdc exclusively, so it must then carry
+        # everything). A full INSERT OVERWRITE of 100 TB with CDF
+        # on must not write the table twice.
+        needs_cdc = bool(results) and any(not r["full"] for r in results)
+        if cdf and needs_cdc:
+            # pre-images from a second scan RESTRICTED to the touched
+            # files (immutable parquet ⇒ identical rows) — cheaper at
+            # scale than persisting full payloads through the DV build
+            by_uri = self._by_uri(snap)
+            pre = (
+                DeltaScanBuilder(snap, self.spark)
+                .restrict_paths([by_uri[r["f"]].path for r in results])
+                .to_df()
+                .where(where)
+            )
+            cdc = pre.select(
+                *data_cols, F.lit("delete").alias("_change_type")
+            ).unionByName(df.select(
+                *data_cols, F.lit("insert").alias("_change_type")
+            ))
+            cdc_moved, cdc_actions = self._write_cdc(cdc, parts)
 
         write_schema, write_parts, wdf = schema, parts, df
         if snap.column_mapping_mode != "none":

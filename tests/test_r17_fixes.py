@@ -595,3 +595,93 @@ def test_full_file_delete_keeps_legacy_protocol(spark, tdir):
     w.delete("k = 10")
     snap = Snapshot.build(DeltaLog(tdir))
     assert "deletionVectors" in snap.protocol.get("readerFeatures", [])
+
+
+# ---------- CDF without cdc files (remove-only / overwrite commits) ----------
+
+
+def test_cdf_partition_drop_delete_writes_no_cdc(spark, tdir, tmp_path):
+    """A CDF-enabled DELETE whose every touched file is fully covered
+    commits remove-only and writes NO _change_data — readers derive the
+    deletes from the removed files' live rows (Delta spec no-cdc
+    derivation; a 100-TB retention DELETE must not rewrite the dropped
+    partition as cdc). Batch and streaming CDF agree row for row."""
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w.append(_df(spark, [(i, f"v{i}") for i in range(4)]))        # v1 file A
+    w.append(_df(spark, [(i, f"v{i}") for i in range(10, 14)]))   # v2 file B
+    res = w.delete("k < 4")                                       # v3: drop A
+    assert res is not None and res[1] == 4
+    assert not os.path.isdir(os.path.join(tdir, "_change_data"))
+
+    batch = sorted((r["_commit_version"], r["_change_type"], r["k"])
+                   for r in table_changes(DeltaLog(tdir), spark,
+                                          starting_version=2).collect())
+    assert batch == [(3, "delete", i) for i in range(4)]
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (spark.readStream.format("delta_py").option("path", tdir)
+         .option("readChangeFeed", "true").option("startingVersion", "3")
+         .load().writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    stream = sorted((r["_commit_version"], r["_change_type"], r["k"])
+                    for r in spark.read.parquet(out).collect()
+                    if r["_commit_version"] >= 3)
+    assert stream == batch
+
+
+def test_cdf_full_overwrite_writes_no_cdc(spark, tdir):
+    """INSERT OVERWRITE with CDF on: whole-file removes + adds, so no
+    cdc files — the feed derives old rows as deletes, new as inserts
+    (an overwrite of 100 TB must not write the table twice)."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w.append(_df(spark, [(1, "old"), (2, "old")]))   # v1
+    w.overwrite(_df(spark, [(7, "new")]))            # v2
+    assert not os.path.isdir(os.path.join(tdir, "_change_data"))
+    got = sorted((r["_change_type"], r["k"])
+                 for r in table_changes(DeltaLog(tdir), spark,
+                                        starting_version=1).collect())
+    assert got == [("delete", 1), ("delete", 2), ("insert", 7)]
+
+
+def test_cdf_replace_where_partial_still_writes_cdc(spark, tdir):
+    """replaceWhere that DV-masks a file PARTIALLY keeps writing cdc for
+    the whole commit (once one cdc action exists, readers use cdc
+    exclusively) — feed equals replaced-region deletes + inserted rows."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w.append(_df(spark, [(i, f"v{i}") for i in range(6)]))       # one file
+    w.overwrite(_df(spark, [(1, "repl")]), where="k in (1, 2)")  # partial
+    assert os.path.isdir(os.path.join(tdir, "_change_data"))
+    got = sorted((r["_change_type"], r["k"])
+                 for r in table_changes(DeltaLog(tdir), spark,
+                                        starting_version=1).collect())
+    assert got == [("delete", 1), ("delete", 2), ("insert", 1)]
+
+
+def test_cdf_partition_drop_on_column_mapped_table(spark, tdir):
+    """No-cdc derivation × column mapping: the dropped file is read at
+    the PREVIOUS snapshot through the mapping (physical parquet names →
+    logical), so the derived deletes carry logical columns exactly like
+    cdc-file commits do."""
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true"})
+    w.append(_df(spark, [(i, f"v{i}") for i in range(3)]))      # v1 file A
+    w.append(_df(spark, [(i, f"v{i}") for i in range(10, 13)]))  # v2 file B
+    w.delete("k < 3")                                            # v3 drop A
+    assert not os.path.isdir(os.path.join(tdir, "_change_data"))
+    got = sorted((r["_commit_version"], r["_change_type"], r["k"], r["v"])
+                 for r in table_changes(DeltaLog(tdir), spark,
+                                        starting_version=2).collect())
+    assert got == [(3, "delete", i, f"v{i}") for i in range(3)]
