@@ -322,7 +322,10 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
     table-state racers every DML retry must refuse to slide past:
     ADD COLUMN (metadata) and protocol upgrade (ProtocolChangedException
     parity — row content is unchanged by either, but a loser pinned
-    before them must serialize-or-raise, never blind-retry)."""
+    before them must serialize-or-raise, never blind-retry). The table
+    runs with CDF ENABLED and every example additionally replays the
+    change feed from the pre-table baseline: folding insert/delete/
+    update_postimage in commit order must reconstruct the final state."""
     from hypothesis import given, settings, strategies as st
 
     schema = T.StructType([
@@ -407,7 +410,12 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
     def check(op_a, op_b, op_c):
         case_n[0] += 1
         path = os.path.join(tdir, f"race3_{case_n[0]}")
-        w = DeltaWriter.create(spark, path, schema)
+        # CDF ON: beyond the content property, every example also proves
+        # the change feed REPLAYS to the final state (cdc-file commits,
+        # DV-diff derivation, no-cdc remove-only derivation, restore
+        # resurrections — all under racing writers)
+        w = DeltaWriter.create(spark, path, schema, configuration={
+            "delta.enableChangeDataFeed": "true"})
         for f in range(3):
             w.append(spark.createDataFrame(
                 [(k, k) for k in range(f * 10, f * 10 + 10)],
@@ -433,6 +441,22 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
         got = {r["k"]: r["v"]
                for r in DeltaTable(path).to_df(spark).collect()}
         assert got == expected, (op_a, op_b, op_c, got, expected)
+
+        # CDF replay: fold the feed over an empty dict in commit order
+        # (within a commit: deletes before inserts, so a replaced key
+        # keeps its new image); preimages carry no state. Equality with
+        # the model proves the derived feed is change-complete.
+        replay: dict = {}
+        feed = sorted(
+            table_changes(DeltaLog(path), spark, -1).collect(),
+            key=lambda r: (r["_commit_version"],
+                           0 if r["_change_type"] == "delete" else 1))
+        for r in feed:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                replay[r["k"]] = r["v"]
+            elif r["_change_type"] == "delete":
+                replay.pop(r["k"], None)
+        assert replay == expected, (op_a, op_b, op_c, replay, expected)
 
     check()
 
