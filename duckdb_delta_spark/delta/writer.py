@@ -4998,6 +4998,7 @@ class DeltaWriter:
         self, retention_ms: int | None = None, dry_run: bool = False,
         inventory: "DataFrame | None" = None,
         logging: bool | None = None,
+        lite: bool = False,
     ) -> list[str]:
         """Delete data files no longer referenced by the current snapshot
         whose remove tombstone is older than ``retention_ms`` (default:
@@ -5022,6 +5023,16 @@ class DeltaWriter:
         bottleneck, and warehouses already have S3-Inventory-style
         reports. Rows stream through ``toLocalIterator`` so the driver
         never holds the whole inventory.
+
+        ``lite`` (VACUUM ... LITE, delta-spark 3.3): candidate files come
+        from the LOG's remove tombstones alone — NO directory walk, so
+        cost is O(tombstones the snapshot retains), not O(files on
+        disk). At object-store scale the listing is the vacuum
+        bottleneck; a lite pass between full passes cleans everything
+        the log knows about. Orphans the log never mentions (crashed
+        staging leftovers) are left for a FULL vacuum — exactly
+        delta-spark's LITE contract. Mutually exclusive with
+        ``inventory``.
 
         ``logging`` (delta-spark vacuum protocol logging): bracket the
         deletion with a ``VACUUM START`` commit (numFilesToDelete /
@@ -5128,9 +5139,19 @@ class DeltaWriter:
                 return None  # raced away / permission — leave next run
             return os.path.relpath(full, self.table_path)
 
+        if lite and inventory is not None:
+            raise ValueError("vacuum: lite and inventory are mutually "
+                             "exclusive candidate sources")
         candidates: list[tuple[str, int | None]] = []
         with ThreadPoolExecutor(max_workers=16) as ex:
-            if inventory is not None:
+            if lite:
+                # LITE: the log's tombstones ARE the candidate list — no
+                # tree walk. The existence check keeps dry-run honest
+                # (a prior vacuum may already have unlinked the file);
+                # one stat per tombstone, still O(log) not O(disk).
+                candidates.extend(
+                    (p, None) for p in tomb_ts if os.path.exists(p))
+            elif inventory is not None:
                 cols = set(inventory.columns)
                 for row in inventory.toLocalIterator():
                     if "isDir" in cols and row["isDir"]:

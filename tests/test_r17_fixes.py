@@ -709,3 +709,37 @@ def test_cdf_partition_drop_on_column_mapped_table(spark, tdir):
                  for r in table_changes(DeltaLog(tdir), spark,
                                         starting_version=2).collect())
     assert got == [(3, "delete", i, f"v{i}") for i in range(3)]
+
+
+# ---------- VACUUM LITE (log-tombstone-driven, no listing) ----------
+
+
+def test_vacuum_lite_uses_log_tombstones_only(spark, tdir):
+    """VACUUM LITE (delta-spark 3.3): candidates come from the log's
+    remove tombstones — the expired compacted-away file goes, the
+    ORPHAN the log never saw stays (a full vacuum's job), and no
+    directory walk happens (cost O(tombstones), the object-store-scale
+    shape)."""
+    w = _mk(spark, tdir, n=6)
+    w.append(_df(spark, [(10, "x")]))
+    assert w.compact(min_files=2) is not None  # tombstones the old files
+
+    orphan = os.path.join(tdir, "orphan-staging-leftover.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    os.utime(orphan, (1000, 1000))  # ancient: a FULL vacuum would take it
+
+    deleted = w.vacuum(retention_ms=0, lite=True)
+    assert deleted and all("orphan" not in p for p in deleted)
+    assert os.path.exists(orphan)
+    # the table still reads exactly its live content
+    got = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 10]
+    # lite again: nothing left that the log knows about
+    assert w.vacuum(retention_ms=0, lite=True) == []
+    # a FULL vacuum finally reaps the orphan
+    assert any("orphan" in p for p in w.vacuum(retention_ms=0))
+    assert not os.path.exists(orphan)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        w.vacuum(lite=True, inventory=spark.range(1).selectExpr(
+            "'x.parquet' AS path"))
