@@ -7,7 +7,9 @@ from duckdb_delta_spark.delta.writer import DeltaWriter
 from duckdb_delta_spark.delta import errors as E
 
 spark = get_spark("probe")
-base = tempfile.mkdtemp(dir=os.path.join(os.path.dirname(__file__), "..", ".fixtures"))
+_fx = os.path.join(os.path.dirname(__file__), "..", ".fixtures")
+os.makedirs(_fx, exist_ok=True)  # gitignored; absent on fresh checkouts
+base = tempfile.mkdtemp(dir=_fx)
 try:
     # taxonomy: bad location / bad version
     try:

@@ -6,7 +6,9 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter
 
 spark = get_spark("smoke")
-base = tempfile.mkdtemp(dir=os.path.join(os.path.dirname(__file__), "..", ".fixtures"))
+_fx = os.path.join(os.path.dirname(__file__), "..", ".fixtures")
+os.makedirs(_fx, exist_ok=True)  # gitignored; absent on fresh checkouts
+base = tempfile.mkdtemp(dir=_fx)
 try:
     path = os.path.join(base, "t")
     df = spark.range(100).selectExpr(
