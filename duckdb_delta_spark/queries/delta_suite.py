@@ -703,6 +703,28 @@ def delta_delete_scan(spark, sf_dir):
     )
 
 
+# OPTIMIZE then VACUUM LITE (log-tombstone candidates, no directory
+# walk — delta-spark 3.3): content stays exactly `orders`, proving the
+# lite pass reaped only the compacted-away files; the fixture asserts 9
+# files were actually deleted from tombstones alone
+@register(
+    "delta_vacuum_lite_scan",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+             AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    group="delta",
+)
+def delta_vacuum_lite_scan(spark, sf_dir):
+    t = _fx(spark, sf_dir, "orders_litevac")
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
 # partition-drop retention DELETE: every touched file fully covered →
 # remove-only commit, NO deletion vector, table stays on the legacy
 # (1,2) protocol (asserted in the fixture AND here) — the common

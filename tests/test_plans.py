@@ -587,3 +587,31 @@ def test_merge_multimatch_probe_rides_dv_mask_single_join(spark, tmp_path,
                 when_not_matched_insert=False)
     assert len(captured) == 1
     assert captured[0].count("Join Inner") == 1, captured[0]
+
+
+def test_dv_build_scan_prunes_payload_columns(spark, tmp_path):
+    """The DELETE/replaceWhere DV build consumes only (filename, row#):
+    with the cdc payload persist removed (r17), Catalyst must prune
+    every data column out of that scan — deleting from a 100-column
+    table reads the predicate column plus file metadata, nothing else."""
+    path = str(tmp_path / "t")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("payload_a", T.StringType()),
+        T.StructField("payload_b", T.DoubleType()),
+    ])
+    w = DeltaWriter.create(spark, path, schema)
+    w.append(spark.createDataFrame(
+        [(i, f"p{i}", float(i)) for i in range(20)], schema).coalesce(1))
+
+    from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+    snap = DeltaTable(path).snapshot
+    scan = DeltaScanBuilder(snap, spark).with_virtual_columns()
+    matched = (scan.to_df().where(F.col("k") < 5)
+               .select(F.col("filename").alias("f"),
+                       F.col("file_row_number").alias("r")))
+    plan = _plan(matched)
+    # predicate + virtual columns survive; payloads are pruned
+    assert "payload_a" not in plan and "payload_b" not in plan
+    assert "PushedFilters" in plan
