@@ -111,9 +111,32 @@ def table_changes(
     Returns the table schema + ``_change_type`` ('insert'|'delete') +
     ``_commit_version``.
     """
+    segs = _walk_changes(log, spark, starting_version, ending_version,
+                         split=False)
+    return segs[0][2]
+
+
+def _walk_changes(
+    log: DeltaLog,
+    spark: SparkSession,
+    starting_version: int,
+    ending_version: int | None,
+    split: bool,
+) -> list[tuple[int, int, DataFrame]]:
+    """One driver pass over the range's commits, shared by
+    :func:`table_changes` (``split=False``: one frame for the whole
+    range, raising on a non-additive schema change inside it) and
+    :func:`table_changes_segments` (``split=True``: close the current
+    segment at every non-additive ``metaData`` commit and start the
+    next era AT it). The segment walk reads each commit JSON exactly
+    once — boundary detection rides the same snapshot replay that
+    derives the row changes, and a metadata-only boundary commit is
+    known row-free by construction, so no probe job is ever issued
+    for it."""
     end = log.resolve_version(ending_version)
     if starting_version > end:
         raise ValueError(f"starting_version {starting_version} > end {end}")
+    from duckdb_delta_spark.delta.errors import SchemaError
 
     # one directory listing for the whole walk — commit_timestamp would
     # otherwise re-list per version, making CDF O(versions × listdir)
@@ -125,23 +148,66 @@ def table_changes(
         snap = Snapshot(log, -1)
     else:
         snap = Snapshot.build(log, starting_version)
-    # every distinct schema observed in the range, oldest first — each is
-    # validated against the END schema after the walk (rename/drop inside
-    # the range must raise, not null-fill; see _non_additive_changes).
-    # The pre-table baseline (-1) has no schema and contributes nothing.
+    # every distinct schema observed in the current segment, oldest
+    # first — each is validated against the segment's END schema at
+    # finalize (rename/drop inside a segment must raise, not null-fill;
+    # see _non_additive_changes). The pre-table baseline (-1) has no
+    # schema and contributes nothing.
     schema_versions: list[tuple[int, object]] = (
         [] if starting_version < 0 else [(starting_version, snap.schema)])
+    segments: list[tuple[int, int, DataFrame]] = []
+    seg_start = starting_version
+
+    def _finalize(seg_end: int, end_snap: Snapshot) -> DataFrame:
+        # rename/drop inside the segment → loud error (delta-spark
+        # parity); only genuinely ADDED columns may be null-filled below
+        end_fields = end_snap.schema.fields
+        for sv, sch in schema_versions[:-1]:
+            probs = _non_additive_changes(sch.fields, end_fields)
+            if probs:
+                raise SchemaError(
+                    "table_changes: non-additive schema change inside the "
+                    f"requested range (schema at version {sv} vs end "
+                    f"{seg_end}): " + "; ".join(probs) + ". Use "
+                    "table_changes_segments() to drain the range split at "
+                    "the schema boundary, one frame per schema era."
+                )
+        if not parts:
+            schema = T.StructType(
+                list(end_snap.schema.fields)
+                + [
+                    T.StructField(CHANGE_TYPE, T.StringType()),
+                    T.StructField(COMMIT_VERSION, T.LongType()),
+                    T.StructField(COMMIT_TIMESTAMP, T.TimestampType()),
+                ]
+            )
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            # the schema may have WIDENED inside the segment: pre-widen
+            # commits' parts lack the new columns — null-fill them
+            out = out.unionByName(p, allowMissingColumns=True)
+        # normalize to the ENDING version's schema (order + any column no
+        # data part carried), delta-spark CDF semantics: a range is served
+        # under the end schema, old rows read the new columns as NULL
+        have = set(out.columns)
+        cols = [
+            (F.col(f.name) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in end_snap.schema.fields
+        ] + [F.col(CHANGE_TYPE), F.col(COMMIT_VERSION),
+             F.col(COMMIT_TIMESTAMP)]
+        return out.select(*cols)
+
     for v in range(starting_version + 1, end + 1):
         prev = snap
         snap = Snapshot.build(log, v, base=prev)
-        if not schema_versions or (
-                snap.schema is not schema_versions[-1][1]
-                and snap.schema != schema_versions[-1][1]):
-            schema_versions.append((v, snap.schema))
+        schema_changed = not schema_versions or (
+            snap.schema is not schema_versions[-1][1]
+            and snap.schema != schema_versions[-1][1])
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         cdcs: list[dict] = []
-        ts_ms = log.commit_timestamp(v, commits=commit_paths)
         for action in log.read_commit(v):
             if action.get("cdc"):
                 cdcs.append(action["cdc"])
@@ -149,13 +215,36 @@ def table_changes(
                 adds[action["add"]["path"]] = action["add"]
             elif action.get("remove") and action["remove"].get("dataChange", True):
                 removes[action["remove"]["path"]] = action["remove"]
+        if split and schema_changed and schema_versions and \
+                _non_additive_changes(schema_versions[-1][1].fields,
+                                      snap.schema.fields):
+            if adds or removes or cdcs:
+                raise SchemaError(
+                    f"table_changes_segments: commit {v} changes the "
+                    "schema non-additively AND carries data changes — "
+                    "its row changes span two schemas and cannot be "
+                    "served under either"
+                )
+            # metadata-only boundary: the era ends just before it and the
+            # next era starts AT it (exclusive start). The boundary commit
+            # contributes no rows by construction, so a zero-commit era
+            # ((s, s]) is dropped without any probe job.
+            if v - 1 > max(seg_start, -1):
+                segments.append((seg_start, v - 1, _finalize(v - 1, prev)))
+            seg_start = v
+            parts = []
+            schema_versions = [(v, snap.schema)]
+            continue
+        if schema_changed:
+            schema_versions.append((v, snap.schema))
+        if not adds and not removes and not cdcs:
+            continue
+        ts_ms = log.commit_timestamp(v, commits=commit_paths)
         if cdcs:
             # Delta spec: when a commit carries cdc actions, readers use
             # the _change_data files EXCLUSIVELY for that commit — richer
             # than the derived view (update_preimage/update_postimage)
             parts.append(_read_cdc(snap, spark, cdcs, v, ts_ms))
-            continue
-        if not adds and not removes:
             continue
 
         new_paths = [p for p in adds if p not in removes]
@@ -218,47 +307,11 @@ def table_changes(
             )
             parts.append(_tag(dels, "delete", v, ts_ms))
 
-    # rename/drop inside the range → loud error (delta-spark parity);
-    # only genuinely ADDED columns may be null-filled below
-    from duckdb_delta_spark.delta.errors import SchemaError
-
-    end_fields = snap.schema.fields
-    for sv, sch in schema_versions[:-1]:
-        probs = _non_additive_changes(sch.fields, end_fields)
-        if probs:
-            raise SchemaError(
-                "table_changes: non-additive schema change inside the "
-                f"requested range (schema at version {sv} vs end "
-                f"{end}): " + "; ".join(probs) + ". Use "
-                "table_changes_segments() to drain the range split at "
-                "the schema boundary, one frame per schema era."
-            )
-
-    if not parts:
-        schema = T.StructType(
-            list(snap.schema.fields)
-            + [
-                T.StructField(CHANGE_TYPE, T.StringType()),
-                T.StructField(COMMIT_VERSION, T.LongType()),
-                T.StructField(COMMIT_TIMESTAMP, T.TimestampType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
-    out = parts[0]
-    for p in parts[1:]:
-        # the schema may have WIDENED inside the range: pre-widen
-        # commits' parts lack the new columns — null-fill them
-        out = out.unionByName(p, allowMissingColumns=True)
-    # normalize to the ENDING version's schema (order + any column no
-    # data part carried), delta-spark CDF semantics: a range is served
-    # under the end schema, old rows read the new columns as NULL
-    have = set(out.columns)
-    cols = [
-        (F.col(f.name) if f.name in have
-         else F.lit(None).cast(f.dataType)).alias(f.name)
-        for f in snap.schema.fields
-    ] + [F.col(CHANGE_TYPE), F.col(COMMIT_VERSION), F.col(COMMIT_TIMESTAMP)]
-    return out.select(*cols)
+    if not split:
+        return [(seg_start, end, _finalize(end, snap))]
+    if end > max(seg_start, -1):
+        segments.append((seg_start, end, _finalize(end, snap)))
+    return segments
 
 
 def _read_cdc(
@@ -577,55 +630,11 @@ def table_changes_segments(
     schema its rows actually have, never null-filled across a rename. A
     non-additive commit that itself carries data actions cannot be
     represented under either schema and raises.
+
+    One driver pass: boundary detection rides the same snapshot replay
+    that derives each segment's row changes (each commit JSON is read
+    once for the walk), and metadata-only boundary commits are known
+    row-free by construction — no per-segment probe job.
     """
-    end = log.resolve_version(ending_version)
-    if starting_version > end:
-        raise ValueError(f"starting_version {starting_version} > end {end}")
-    from duckdb_delta_spark.delta.errors import SchemaError
-
-    cur_fields = None
-    if starting_version >= 0:
-        cur_fields = Snapshot.build(log, starting_version).schema.fields
-    boundaries: list[int] = []
-    for v in range(max(starting_version, -1) + 1, end + 1):
-        meta = data = None
-        for action in log.read_commit(v):
-            if action.get("metaData"):
-                meta = action["metaData"]
-            elif action.get("add") or action.get("remove"):
-                a = action.get("add") or action.get("remove")
-                if a.get("dataChange", True):
-                    data = a
-        if meta is None:
-            continue
-        import json as _json
-
-        new_fields = T.StructType.fromJson(
-            _json.loads(meta["schemaString"])).fields
-        if cur_fields is not None and \
-                _non_additive_changes(cur_fields, new_fields):
-            if data is not None:
-                raise SchemaError(
-                    f"table_changes_segments: commit {v} changes the "
-                    "schema non-additively AND carries data changes — "
-                    "its row changes span two schemas and cannot be "
-                    "served under either"
-                )
-            boundaries.append(v)
-        cur_fields = new_fields
-
-    out: list[tuple[int, int, DataFrame]] = []
-    seg_start = starting_version
-    for b in boundaries + [None]:
-        # the boundary commit itself is metadata-only: segment ends just
-        # before it, and the next segment starts AT it (exclusive start)
-        seg_end = end if b is None else b - 1
-        if seg_end >= seg_start and seg_end >= 0:
-            frame = table_changes(log, spark, seg_start, seg_end)
-            if seg_end > max(seg_start, -1):
-                out.append((seg_start, seg_end, frame))
-            elif frame.limit(1).count():
-                out.append((seg_start, seg_end, frame))
-        if b is not None:
-            seg_start = b
-    return out
+    return _walk_changes(log, spark, starting_version, ending_version,
+                         split=True)

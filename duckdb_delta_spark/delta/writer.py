@@ -1409,6 +1409,32 @@ class DeltaWriter:
             == "true"
         )
 
+    @staticmethod
+    def _assert_deterministic_condition(filtered: DataFrame, op: str) -> None:
+        """CDF pre-images on this path come from a SECOND evaluation of
+        the predicate over the (immutable) touched files — sound only
+        when the predicate is deterministic. A ``rand()``-based sampling
+        DELETE would DV-mask one row set and record a DIFFERENT set as
+        cdc pre-images, silently corrupting the change feed — refuse it
+        loudly instead (delta-spark likewise rejects nondeterministic
+        DML conditions). Best-effort: inspects the analyzed plan's top
+        (Filter) expressions through the JVM; if that surface is absent
+        (non-classic sessions), the documented restriction stands."""
+        try:
+            exprs = filtered._jdf.queryExecution().analyzed().expressions()
+            det = all(exprs.apply(i).deterministic()
+                      for i in range(exprs.size()))
+        except Exception:
+            return
+        if not det:
+            raise UnsupportedFeatureError(
+                f"{op}: nondeterministic condition — this path evaluates "
+                "the predicate more than once (region/contract checks, "
+                "cdc pre-images), and two evaluations would select "
+                "different rows. Materialize the sampling decision into "
+                "a column first (delta-spark rejects these too)."
+            )
+
     def _write_cdc(
         self, df: DataFrame, parts: list[str]
     ) -> tuple[list[tuple[str, dict]], list[dict]]:
@@ -1905,9 +1931,11 @@ class DeltaWriter:
             # Any partial file in the commit forces cdc for ALL rows
             # (readers use ONLY cdc actions once one is present).
             # The pre-images come from a SECOND scan restricted to the
-            # touched files (immutable parquet ⇒ identical rows) —
+            # touched files (immutable parquet ⇒ identical rows — which
+            # requires a DETERMINISTIC predicate, asserted below) —
             # cheaper at scale than persisting full payloads through
             # the DV build just in case cdc needs them.
+            self._assert_deterministic_condition(rows, "DELETE")
             by_uri = self._by_uri(snap)
             pre = (
                 DeltaScanBuilder(snap, self.spark)
@@ -2184,6 +2212,16 @@ class DeltaWriter:
           means a disjoint append that commutes. Without a condition
           (MERGE — the read set depends on the source join, not a
           predicate) any added data file conflicts, conservatively.
+
+        Note for legacy ``(1, 2)`` tables under concurrent DML: this
+        engine auto-upgrades the protocol when a DML FIRST materializes
+        a deletion vector (delta-spark never upgrades from DML — but it
+        also cannot write DVs on a legacy table at all), so that first
+        partial DELETE/UPDATE hard-conflicts every in-flight concurrent
+        writer via the protocol bar above, exactly once. Pre-enabling
+        the feature (``add_feature_support("deletionVectors")`` or the
+        ``delta.enableDeletionVectors`` property) at table setup avoids
+        the one-time conflict storm.
         """
         if fresh.metadata != old.metadata:
             raise CommitConflictError(
@@ -2986,6 +3024,13 @@ class DeltaWriter:
         pred_str = where if isinstance(where, str) else None
         if isinstance(where, str):
             where = F.expr(where)
+        # replaceWhere inherently evaluates the predicate several times
+        # (contract check below, region mask, CDF pre-images) — a
+        # nondeterministic one would replace one region and validate
+        # another, so refuse it at entry (delta-spark parity)
+        if where is not None:
+            self._assert_deterministic_condition(
+                df.where(where), "replaceWhere")
         # NULL predicate counts as a violation (replaceWhere constraint
         # semantics, matching delta-spark): ~where alone drops NULL rows.
         if (
@@ -3041,8 +3086,10 @@ class DeltaWriter:
         needs_cdc = bool(results) and any(not r["full"] for r in results)
         if cdf and needs_cdc:
             # pre-images from a second scan RESTRICTED to the touched
-            # files (immutable parquet ⇒ identical rows) — cheaper at
-            # scale than persisting full payloads through the DV build
+            # files (immutable parquet ⇒ identical rows — sound because
+            # the predicate was asserted deterministic at entry) —
+            # cheaper at scale than persisting full payloads through
+            # the DV build
             by_uri = self._by_uri(snap)
             pre = (
                 DeltaScanBuilder(snap, self.spark)
@@ -5148,9 +5195,15 @@ class DeltaWriter:
                 # LITE: the log's tombstones ARE the candidate list — no
                 # tree walk. The existence check keeps dry-run honest
                 # (a prior vacuum may already have unlinked the file);
-                # one stat per tombstone, still O(log) not O(disk).
+                # one stat per tombstone, still O(log) not O(disk) —
+                # fanned through the pool: at object-store latency a
+                # sequential loop over ~1M tombstones would be the lite
+                # pass's own bottleneck.
+                tombs = list(tomb_ts)
                 candidates.extend(
-                    (p, None) for p in tomb_ts if os.path.exists(p))
+                    (p, None)
+                    for p, ok in zip(tombs, ex.map(os.path.exists, tombs))
+                    if ok)
             elif inventory is not None:
                 cols = set(inventory.columns)
                 for row in inventory.toLocalIterator():

@@ -218,6 +218,17 @@ def delta_foreach_replace_where(
             emit("stream.replace.skip_replayed", table_path=table_path,
                  batch_id=int(batch_id), last_committed=last)
             return
+        if batch_df.isEmpty():
+            # an idle stream must not grow the log: an empty micro-batch
+            # replaces nothing, so skip the commit entirely (a no-op
+            # commit per sparse batch would inflate log replay for every
+            # reader). Replay-safe without a txn stamp: re-running an
+            # empty batch is itself a no-op. Deliberately applies to the
+            # where=None full-overwrite mode too — an idle stream must
+            # not TRUNCATE the table.
+            emit("stream.replace.skip_empty", table_path=table_path,
+                 batch_id=int(batch_id))
+            return
         pred = where(batch_df) if callable(where) else where
         version = w.overwrite(
             batch_df, where=pred,

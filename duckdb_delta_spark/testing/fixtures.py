@@ -408,8 +408,22 @@ def _build_orders_litevac(spark, sf_dir, path):
             .repartition(3)
         )
     assert w.compact(target_file_bytes=256 << 20) is not None
+    log = DeltaLog(path)
+    tombs = set()
+    for v in range(DeltaTable(path).snapshot.version + 1):
+        for a in log.read_commit(v):
+            if a.get("remove"):
+                tombs.add(a["remove"]["path"])
     deleted = w.vacuum(retention_ms=0, lite=True)
-    assert len(deleted) == 9  # the 3x3 pre-compaction files, via log only
+    # exactly the log's tombstones, no directory walk — compared against
+    # the OBSERVED tombstone set, not a hardcoded 3x3: at tiny scale
+    # factors a repartition partition may come up empty (Spark writes no
+    # file for it), which must not fail the fixture build
+    assert deleted and set(deleted) == tombs, (sorted(deleted),
+                                               sorted(tombs))
+    live = [f.path for f in DeltaTable(path).snapshot.add_files()]
+    assert live and all(
+        os.path.exists(os.path.join(path, p)) for p in live)
 
 
 def _build_orders_retention(spark, sf_dir, path):

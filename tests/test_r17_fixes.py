@@ -335,7 +335,7 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
     op_st = st.tuples(
         st.sampled_from(["append", "delete", "update", "compact",
                          "merge", "replace", "restore", "vacuum_log",
-                         "addcol", "upgrade"]),
+                         "addcol", "upgrade", "merge_evolve"]),
         st.integers(min_value=0, max_value=2),
     )
     BASE = {"A": 100, "B": 200, "C": 400}
@@ -354,7 +354,11 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
             for k in range(lo, hi):
                 if k in model:
                     model[k] += 1000
-        elif kind == "merge":  # upsert: update-matched + insert-new
+        elif kind in ("merge", "merge_evolve"):
+            # upsert: update-matched + insert-new; the _evolve variant
+            # additionally widens the schema ATOMICALLY with the merge
+            # (its commit CARRIES a metaData action) — the added column
+            # is NULL on old rows and never read by the k→v projection
             for k in (lo + 2, BASE[who] + 50):
                 model[k] = 7000 + BASE[who]
         elif kind == "replace":  # replaceWhere [lo, hi) -> single row
@@ -390,6 +394,18 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
                  (BASE[who] + 50, 7000 + BASE[who])], schema)
             return w.merge(src, "t.k = s.k",
                            when_matched_update={"v": "s.v"}) is not None
+        if kind == "merge_evolve":
+            # the one DML whose commit carries a metaData action: the
+            # widening must land atomically with the row changes, and a
+            # loser pinned before it must serialize-or-raise
+            evo = T.StructType(list(schema.fields) + [
+                T.StructField(f"mcol_{who.lower()}", T.LongType())])
+            src = spark.createDataFrame(
+                [(lo + 2, 7000 + BASE[who], int(f)),
+                 (BASE[who] + 50, 7000 + BASE[who], int(f))], evo)
+            return w.merge(src, "t.k = s.k",
+                           when_matched_update={"v": "s.v"},
+                           merge_schema=True) is not None
         if kind == "replace":
             return w.overwrite(
                 spark.createDataFrame([(lo, 999)], schema).coalesce(1),
@@ -457,6 +473,25 @@ def test_racing_writers_fuzz3_serializable_or_loud(spark, tdir):
             elif r["_change_type"] == "delete":
                 replay.pop(r["k"], None)
         assert replay == expected, (op_a, op_b, op_c, replay, expected)
+
+        # reader-side: table_changes_segments over the full history must
+        # tile the range contiguously and concatenate to the SAME
+        # row-change stream (no op in the fuzz is non-additive — addcol
+        # and merge_evolve widen — so this also pins that the segment
+        # walker never splits on additive changes)
+        from duckdb_delta_spark.delta.changes import table_changes_segments
+
+        head = DeltaTable(path).snapshot.version
+        segs = table_changes_segments(DeltaLog(path), spark, -1)
+        assert segs[0][0] == -1 and segs[-1][1] == head
+        assert all(segs[i + 1][0] == segs[i][1]
+                   for i in range(len(segs) - 1)), [(s, e) for s, e, _ in segs]
+        key = ["_commit_version", "_change_type", "k", "v"]
+        seg_rows = sorted(
+            tuple(r[c] for c in key)
+            for _s, _e, fr in segs for r in fr.select(*key).collect())
+        assert seg_rows == sorted(tuple(r[c] for c in key) for r in feed), \
+            (op_a, op_b, op_c)
 
     check()
 

@@ -1,0 +1,223 @@
+"""Round-18 fixes: idle foreachBatch replaceWhere streams must not grow
+the log, table_changes_segments is a single driver pass with no probe
+jobs, OVERWRITE/replaceWhere/RESTORE conflict retries commit through the
+object-store conditional-PUT seam, and nondeterministic predicates are
+refused on the CDF pre-image re-scan path.
+
+Delta anchors: delta-spark rejects nondeterministic DML conditions
+(DeltaAnalysisException NON_DETERMINISTIC_EXPRESSION); S3 conditional
+writes (If-None-Match) as the commit primitive — reference analogue:
+delta_transaction_manager.cpp conflict seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import DataFrame, types as T
+
+from duckdb_delta_spark import DeltaTable, DeltaWriter, errors
+from duckdb_delta_spark.delta.log import DeltaLog
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _mk(spark, path, n=6, configuration=None, partition_by=None):
+    w = DeltaWriter.create(spark, path, SCHEMA, configuration=configuration,
+                           partition_by=partition_by)
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], SCHEMA).coalesce(1))
+    return w
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).coalesce(1)
+
+
+# ---------- idle replaceWhere streams must not grow the log ----------
+
+
+def test_foreach_replace_where_skips_empty_batch(spark, tdir):
+    """An empty micro-batch commits NOTHING (an idle stream with sparse
+    batches must not inflate log replay with no-op commits) — including
+    in where=None full-overwrite mode, where the old behavior would have
+    TRUNCATED the table. Exactly-once stays intact: the skipped batch id
+    carries no txn stamp, and a later non-empty batch commits normally;
+    a replayed empty batch is skipped again."""
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    w = _mk(spark, tdir, n=4)
+    head = DeltaTable(tdir).snapshot.version
+
+    def pred(batch_df):
+        ks = sorted(r["k"] for r in batch_df.select("k").distinct().collect())
+        return "k in (" + ",".join(map(str, ks)) + ")"
+
+    fn = delta_foreach_replace_where(tdir, pred, txn_app_id="r18")
+    empty = spark.createDataFrame([], SCHEMA)
+
+    fn(empty, 0)                                   # idle batch: no commit
+    assert DeltaTable(tdir).snapshot.version == head
+    fn(empty, 0)                                   # replayed empty: no-op
+    assert DeltaTable(tdir).snapshot.version == head
+
+    fn(_df(spark, [(1, "one")]), 1)                # real batch commits
+    assert DeltaTable(tdir).snapshot.version == head + 1
+    got = sorted(map(tuple,
+                     DeltaTable(tdir).to_df(spark).collect()))
+    assert got == [(0, "v0"), (1, "one"), (2, "v2"), (3, "v3")]
+
+    # full-overwrite mode: an idle batch must NOT truncate the table
+    fo = delta_foreach_replace_where(tdir, lambda b: None, txn_app_id="fo")
+    fo(empty, 0)
+    assert DeltaTable(tdir).snapshot.version == head + 1
+    assert sorted(map(tuple, DeltaTable(tdir).to_df(spark).collect())) == got
+
+
+# ---------- segments: one driver pass, zero probe jobs ----------
+
+
+def test_cdf_segments_issue_no_count_jobs(spark, tdir, monkeypatch):
+    """table_changes_segments never fires a Spark job: boundary commits
+    are metadata-only (row-free by construction) and zero-commit eras are
+    dropped statically. Guarded by making ANY count()/isEmpty() call
+    explode — the walk must stay lazy. Covers the probe-prone shapes: a
+    rename as the FINAL commit (trailing zero-commit era) and two
+    back-to-back renames (zero-commit middle era)."""
+    from duckdb_delta_spark.delta.changes import table_changes_segments
+
+    w = _mk(spark, tdir, n=4, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                            # v1: insert 0..3
+    w.delete("k = 0")                             # v2: delete 0
+    v3 = w.rename_column("v", "label")            # v3: boundary
+    v4 = w.rename_column("label", "tag")          # v4: boundary (adjacent)
+
+    def boom(self, *a, **kw):                     # pragma: no cover
+        raise AssertionError("segments walk must not run Spark jobs")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "isEmpty", boom)
+    segs = table_changes_segments(DeltaLog(tdir), spark, -1)
+    monkeypatch.undo()
+
+    # the (v3, v3] era between the adjacent renames and the trailing
+    # (v4, v4] era are both zero-commit: dropped without any probe
+    assert [(s, e) for s, e, _ in segs] == [(-1, v3 - 1)]
+    rows = sorted((r["_commit_version"], r["_change_type"], r["k"])
+                  for r in segs[0][2].collect())
+    assert rows == sorted([(1, "insert", i) for i in range(4)]
+                          + [(2, "delete", 0)])
+
+
+# ---------- DML conflict retries through the conditional-PUT store ----------
+
+
+class _CountingStore:
+    """Conditional-PUT LogStore (If-None-Match model): refuses the second
+    PUT of a key — the object-store commit primitive."""
+
+    def __init__(self):
+        self.puts = 0
+
+    def put_if_absent(self, path, data):
+        self.puts += 1
+        if os.path.exists(path):
+            raise FileExistsError(path)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)
+
+
+def test_replace_where_retry_through_object_store_stub(spark, tdir):
+    """A replaceWhere losing the version race to a DISJOINT append
+    retries and commits THROUGH the conditional-PUT store: first PUT
+    412s, re-validation passes (no racer rows inside the region), second
+    PUT wins the next version."""
+    w = _mk(spark, tdir, n=6)
+    store = _CountingStore()
+    loser = DeltaWriter(tdir, spark, store=store)  # pins pre-race snapshot
+    DeltaWriter(tdir, spark).append(_df(spark, [(100, "racer")]))
+
+    v = loser.overwrite(_df(spark, [(2, "two")]), where="k >= 2 and k < 4")
+    assert store.puts == 2, "expected one 412 + one winning PUT"
+    assert v == DeltaTable(tdir).snapshot.version
+    got = sorted(map(tuple, DeltaTable(tdir).to_df(spark).collect()))
+    assert got == [(0, "v0"), (1, "v1"), (2, "two"), (4, "v4"),
+                   (5, "v5"), (100, "racer")]
+
+    # a racer INSIDE the region still loses loudly through the store
+    store2 = _CountingStore()
+    loser2 = DeltaWriter(tdir, spark, store=store2)
+    DeltaWriter(tdir, spark).append(_df(spark, [(2, "inside")]))
+    with pytest.raises(errors.CommitConflictError):
+        loser2.overwrite(_df(spark, [(2, "x")]), where="k >= 2 and k < 4")
+    assert store2.puts == 1  # the 412; re-validation refused the retry
+
+
+def test_restore_retry_through_object_store_stub(spark, tdir):
+    """RESTORE losing the race to a state-free VACUUM-logging commit
+    rebases past it and commits through the REAL S3-model store
+    (ObjectStoreLogStore over FilesystemObjectStore): the loser's first
+    conditional PUT 412s, the rebase retry wins the next version."""
+    from duckdb_delta_spark.delta.objectstore import (
+        FilesystemObjectStore,
+        ObjectStoreLogStore,
+    )
+
+    w = _mk(spark, tdir, n=3)                      # v0 create, v1 append
+    w.append(_df(spark, [(10, "ten")]))            # v2
+    client = FilesystemObjectStore()
+    loser = DeltaWriter(tdir, spark, store=ObjectStoreLogStore(client))
+    DeltaWriter(tdir, spark).vacuum(retention_ms=10**12, logging=True)
+
+    v = loser.restore(version=1)
+    assert v is not None
+    assert client.conflicts == 1 and client.puts == 2  # one 412 + one win
+    assert sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect()) \
+        == [0, 1, 2]
+
+
+# ---------- CDF pre-image re-scan requires a deterministic predicate ----------
+
+
+def test_cdf_delete_rejects_nondeterministic_condition(spark, tdir):
+    """A rand()-based sampling DELETE on a CDF table would DV-mask one
+    row set and record a DIFFERENT set as cdc pre-images (the pre-images
+    come from a second evaluation of the predicate) — refused loudly.
+    The same delete with CDF off is fine: the mask is built from a
+    single evaluation."""
+    w = _mk(spark, tdir, n=20, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    with pytest.raises(errors.UnsupportedFeatureError,
+                       match="nondeterministic"):
+        w.delete("rand() < 0.5")
+    # table untouched by the refused delete
+    assert DeltaTable(tdir).to_df(spark).count() == 20
+
+    path2 = tdir + "_nocdf"
+    w2 = _mk(spark, path2, n=20)
+    w2.delete("rand(42) < 0.5")  # seeded but still nondeterministic class
+    assert DeltaTable(path2).to_df(spark).count() < 20
+
+
+def test_replace_where_rejects_nondeterministic_condition(spark, tdir):
+    """replaceWhere refuses nondeterministic predicates AT ENTRY (with
+    or without CDF): the flow evaluates the predicate several times —
+    contract check, region mask, cdc pre-images — and two evaluations
+    would replace one region while validating another."""
+    for conf in ({"delta.enableChangeDataFeed": "true"}, None):
+        path = tdir + ("_cdf" if conf else "_plain")
+        w = _mk(spark, path, n=20, configuration=conf)
+        with pytest.raises(errors.UnsupportedFeatureError,
+                           match="nondeterministic"):
+            w.overwrite(_df(spark, [(1, "x")]), where="rand() < 0.5")
+        assert DeltaTable(path).to_df(spark).count() == 20
