@@ -705,8 +705,9 @@ def delta_delete_scan(spark, sf_dir):
 
 # OPTIMIZE then VACUUM LITE (log-tombstone candidates, no directory
 # walk — delta-spark 3.3): content stays exactly `orders`, proving the
-# lite pass reaped only the compacted-away files; the fixture asserts 9
-# files were actually deleted from tombstones alone
+# lite pass reaped only the compacted-away files; the fixture asserts
+# the deleted set equals the log's observed tombstones AND every live
+# file survived
 @register(
     "delta_vacuum_lite_scan",
     oracle="""

@@ -221,3 +221,155 @@ def test_replace_where_rejects_nondeterministic_condition(spark, tdir):
                            match="nondeterministic"):
             w.overwrite(_df(spark, [(1, "x")]), where="rand() < 0.5")
         assert DeltaTable(path).to_df(spark).count() == 20
+
+
+# ---------- TRUE thread-concurrent writers: serializable in commit order ----------
+
+
+def test_threaded_writers_serialize_in_commit_order(spark, tdir):
+    """Four OS threads hammer one CDF-enabled table CONCURRENTLY (no
+    pinned turn-taking — every interleaving, retry, and put-if-absent
+    race is real). The serializability oracle: fold each committed op's
+    SEMANTIC effect (predicate + payload) over a pure-Python model in
+    LOG-COMMIT order; the table must equal the fold, and the change feed
+    must replay to it. Ops that lose loudly (CommitConflictError) must
+    leave no trace — any residue breaks the fold equality.
+
+    Complements the derandomized 3-writer fuzz (pinned snapshots,
+    deterministic commit order) with genuine thread interleaving:
+    commit-version allocation under contention, retry re-validation
+    against snapshots that move WHILE the op runs, and the local
+    O_EXCL put-if-absent as the only arbiter."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    w0 = DeltaWriter.create(spark, tdir, schema, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w0.append(spark.createDataFrame(
+        [(k, k) for k in range(30)], schema).coalesce(1))   # v1: seed
+    SEED_V = 1
+    BASE = {"A": 100, "B": 200, "C": 300, "D": 400}
+
+    # per-thread scripts: heavy key overlap on [0, 30) to force real
+    # conflicts; appends/merges use disjoint per-(thread, step) keys
+    SCRIPTS = {
+        "A": [("append", 0), ("delete", 0), ("merge", 1),
+              ("update", 2), ("replace", 1)],
+        "B": [("delete", 1), ("append", 1), ("update", 0),
+              ("merge", 2), ("addcol", 0)],
+        "C": [("merge", 0), ("replace", 2), ("append", 2),
+              ("delete", 2), ("update", 1)],
+        "D": [("update", 1), ("addcol", 1), ("restore", 0),
+              ("append", 3), ("delete", 0)],
+    }
+
+    def run_thread(who):
+        """Returns [(commit_version, kind, f)] for ops that committed."""
+        w = DeltaWriter(tdir, spark)
+        out = []
+        barrier.wait()
+        for kind, f in SCRIPTS[who]:
+            lo, hi = f * 10, f * 10 + 5
+            try:
+                if kind == "append":
+                    res = w.append(spark.createDataFrame(
+                        [(BASE[who] + f * 10 + j, j) for j in range(3)],
+                        schema).coalesce(1))
+                elif kind == "delete":
+                    res = w.delete(f"k >= {lo} and k < {hi}")
+                elif kind == "update":
+                    res = w.update(f"k >= {lo} and k < {hi}",
+                                   {"v": "v + 1000"})
+                elif kind == "merge":
+                    src = spark.createDataFrame(
+                        [(lo + 2, 7000 + BASE[who]),
+                         (BASE[who] + 50 + f, 7000 + BASE[who])], schema)
+                    res = w.merge(src, "t.k = s.k",
+                                  when_matched_update={"v": "s.v"})
+                elif kind == "replace":
+                    res = w.overwrite(
+                        spark.createDataFrame([(lo, 999)], schema)
+                        .coalesce(1),
+                        where=f"k >= {lo} and k < {hi}")
+                elif kind == "restore":
+                    res = w.restore(version=SEED_V)
+                elif kind == "addcol":
+                    res = w.add_column(f"x_{who.lower()}_{f}", "long")
+            except errors.CommitConflictError:
+                continue                    # loud loss: must leave no trace
+            if res is None:
+                continue                    # genuine no-op on its snapshot
+            out.append((res if isinstance(res, int) else res[0], kind,
+                        f, who))
+        return out
+
+    barrier = threading.Barrier(len(SCRIPTS))
+    with ThreadPoolExecutor(max_workers=len(SCRIPTS)) as ex:
+        committed = [c for f in [
+            ex.submit(run_thread, who) for who in SCRIPTS
+        ] for c in f.result(timeout=600)]
+
+    versions = [v for v, *_ in committed]
+    assert len(set(versions)) == len(versions), \
+        f"two ops claim one commit version: {sorted(committed)}"
+
+    model = {k: k for k in range(30)}
+    for v, kind, f, who in sorted(committed):
+        lo, hi = f * 10, f * 10 + 5
+        if kind == "append":
+            for j in range(3):
+                model[BASE[who] + f * 10 + j] = j
+        elif kind == "delete":
+            for k in range(lo, hi):
+                model.pop(k, None)
+        elif kind == "update":
+            for k in range(lo, hi):
+                if k in model:
+                    model[k] += 1000
+        elif kind == "merge":
+            for k in (lo + 2, BASE[who] + 50 + f):
+                model[k] = 7000 + BASE[who]
+        elif kind == "replace":
+            for k in range(lo, hi):
+                model.pop(k, None)
+            model[lo] = 999
+        elif kind == "restore":
+            model = {k: k for k in range(30)}
+        # addcol: row-content identity
+
+    got = {r["k"]: r["v"] for r in
+           DeltaTable(tdir).to_df(spark).select("k", "v").collect()}
+    assert got == model, (sorted(committed), got, model)
+
+    # the change feed replays to the same state (delete-before-insert
+    # within a commit, like the fuzz's replay property). One interleaving
+    # is legitimately unservable: a RESTORE that crosses a racer's ADD
+    # COLUMN rolls the schema back NON-additively in a commit that also
+    # carries data changes — both table_changes and the segment walker
+    # must refuse that range LOUDLY rather than null-fill (delta-spark's
+    # non-additive-schema-change error), and only then is replay skipped.
+    from duckdb_delta_spark.delta.changes import table_changes
+    from duckdb_delta_spark.delta.errors import SchemaError
+
+    try:
+        feed = table_changes(DeltaLog(tdir), spark, -1).collect()
+    except SchemaError:
+        restores = [v for v, kind, _f, _w in committed if kind == "restore"]
+        addcols = [v for v, kind, _f, _w in committed if kind == "addcol"]
+        assert restores and addcols and min(addcols) < max(restores), \
+            "CDF refused a range with no schema-rollback to justify it"
+        return
+    replay: dict = {}
+    for r in sorted(feed,
+                    key=lambda r: (r["_commit_version"],
+                                   0 if r["_change_type"] == "delete"
+                                   else 1)):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            replay[r["k"]] = r["v"]
+        elif r["_change_type"] == "delete":
+            replay.pop(r["k"], None)
+    assert replay == model
