@@ -373,3 +373,105 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
         elif r["_change_type"] == "delete":
             replay.pop(r["k"], None)
     assert replay == model
+
+
+def test_threaded_ingest_optimize_retention_triad(spark, tdir):
+    """The production concurrency triad on ONE table, real threads: an
+    exactly-once ingest loop (txn-stamped appends), an OPTIMIZE loop
+    (dataChange=false compaction), and a retention job (partition-drop
+    DELETEs — remove-only, no cdc rewrite — plus VACUUM-protocol
+    logging, the state-free racer everyone must rebase past). Loud
+    losses are allowed for OPTIMIZE/retention (they re-run); the ingest
+    path must land ALL batches exactly once. Final state is made
+    deterministic by a post-join retention sweep; the change feed must
+    replay to it through the compaction noise (dataChange=false commits
+    contribute nothing)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    schema = T.StructType([
+        T.StructField("day", T.LongType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    DeltaWriter.create(spark, tdir, schema, partition_by=["day"],
+                       configuration={"delta.enableChangeDataFeed": "true"})
+    N_BATCH, PER = 8, 25   # days 0..3, two batches each
+
+    def batch_rows(b):
+        return [(b // 2, b * 1000 + j, j) for j in range(PER)]
+
+    barrier = threading.Barrier(3)
+
+    def ingest():
+        w = DeltaWriter(tdir, spark)
+        barrier.wait()
+        for b in range(N_BATCH):
+            w.append(spark.createDataFrame(batch_rows(b), schema)
+                     .coalesce(1),
+                     txn_app_id="ingest", txn_version=b, max_retries=25)
+
+    def compactor():
+        w = DeltaWriter(tdir, spark)
+        barrier.wait()
+        n = 0
+        for _ in range(6):
+            try:
+                if w.compact(min_files=2) is not None:
+                    n += 1
+            except errors.CommitConflictError:
+                continue
+        return n
+
+    def retention():
+        w = DeltaWriter(tdir, spark)
+        barrier.wait()
+        for day in (0, 1, 0):
+            try:
+                w.delete(f"day = {day}")
+            except errors.CommitConflictError:
+                pass
+            w.vacuum(retention_ms=10**12, logging=True)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(f) for f in (ingest, compactor, retention)]
+        for f in futs:
+            f.result(timeout=600)
+
+    # deterministic final sweep: whatever the interleaving left of days
+    # 0/1, retention finishes the job after the race
+    w = DeltaWriter(tdir, spark)
+    for day in (0, 1):
+        w.delete(f"day = {day}")
+
+    snap = DeltaTable(tdir).snapshot
+    assert snap.transaction_version("ingest") == N_BATCH - 1  # all landed
+    expected = {r[1]: (r[0], r[2]) for b in range(4, 8)
+                for r in batch_rows(b)}
+    got = {r["id"]: (r["day"], r["v"]) for r in
+           DeltaTable(tdir).to_df(spark).collect()}
+    assert got == expected, (len(got), len(expected))
+
+    # replayed batch with DIFFERENT data is skipped (exactly-once)
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_batch
+
+    head = snap.version
+    delta_foreach_batch(tdir, txn_app_id="ingest")(
+        spark.createDataFrame([(9, 10**6, -1)], schema), 3)
+    assert DeltaTable(tdir).snapshot.version == head
+
+    # change feed replays to the final state through the noise:
+    # compaction commits add nothing, partition drops derive deletes
+    # without cdc files, racing interleavings fold away
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    replay: dict = {}
+    for r in sorted(table_changes(DeltaLog(tdir), spark, -1).collect(),
+                    key=lambda r: (r["_commit_version"],
+                                   0 if r["_change_type"] == "delete"
+                                   else 1)):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            replay[r["id"]] = (r["day"], r["v"])
+        elif r["_change_type"] == "delete":
+            replay.pop(r["id"], None)
+    assert replay == expected
