@@ -1411,15 +1411,18 @@ class DeltaWriter:
 
     @staticmethod
     def _assert_deterministic_condition(filtered: DataFrame, op: str) -> None:
-        """CDF pre-images on this path come from a SECOND evaluation of
-        the predicate over the (immutable) touched files — sound only
-        when the predicate is deterministic. A ``rand()``-based sampling
-        DELETE would DV-mask one row set and record a DIFFERENT set as
-        cdc pre-images, silently corrupting the change feed — refuse it
-        loudly instead (delta-spark likewise rejects nondeterministic
-        DML conditions). Best-effort: inspects the analyzed plan's top
-        (Filter) expressions through the JVM; if that surface is absent
-        (non-classic sessions), the documented restriction stands."""
+        """Refuse predicates whose re-evaluation could select different
+        rows, on paths that inherently evaluate them more than once —
+        replaceWhere's contract check ("input rows inside the region")
+        and region mask are separate queries over separate datasets, so
+        a ``rand()`` predicate would replace one region and validate
+        another (delta-spark likewise rejects nondeterministic DML
+        conditions). DELETE needs no such bar: its single predicate
+        evaluation feeds the DV build, and cdc pre-images derive from
+        the DV diff (`_dv_diff_preimages`), never a re-scan. Best-effort:
+        inspects the analyzed plan's top (Filter) expressions through
+        the JVM; if that surface is absent (non-classic sessions), the
+        documented restriction stands."""
         try:
             exprs = filtered._jdf.queryExecution().analyzed().expressions()
             det = all(exprs.apply(i).deterministic()
@@ -1930,23 +1933,14 @@ class DeltaWriter:
             # (the retention job on 100 TB must not copy 100 TB).
             # Any partial file in the commit forces cdc for ALL rows
             # (readers use ONLY cdc actions once one is present).
-            # The pre-images come from a SECOND scan restricted to the
-            # touched files (immutable parquet ⇒ identical rows — which
-            # requires a DETERMINISTIC predicate, asserted below) —
-            # cheaper at scale than persisting full payloads through
+            # Pre-images come from the DV DIFF the delete just built —
+            # NOT a second evaluation of the predicate — so the cdc
+            # rows equal the masked rows BY CONSTRUCTION, even for
+            # wall-clock ("ts < now()") or nondeterministic sampling
+            # ("rand() < p") predicates, where a re-scan would diverge.
+            # Cheaper at scale than persisting full payloads through
             # the DV build just in case cdc needs them.
-            self._assert_deterministic_condition(rows, "DELETE")
-            by_uri = self._by_uri(snap)
-            pre = (
-                DeltaScanBuilder(snap, self.spark)
-                .restrict_paths([by_uri[r["f"]].path for r in results])
-                .to_df()
-                .where(condition)
-                .select(
-                    *[F.col(f.name) for f in snap.schema.fields],
-                    F.lit("delete").alias("_change_type"),
-                )
-            )
+            pre = self._dv_diff_preimages(snap, results)
             cdc_moved, cdc_actions = self._write_cdc(
                 pre, snap.partition_columns
             )
@@ -2310,6 +2304,74 @@ class DeltaWriter:
                 "writerFeatures": sorted(w | {"deletionVectors"}),
             }
         }
+
+    def _dv_diff_preimages(self, snap: Snapshot, results: list) -> DataFrame:
+        """cdc 'delete' pre-images for a DV-masking DML, derived from the
+        vectors just built instead of re-evaluating the predicate:
+
+        * fully-covered files contribute ALL their live rows at ``snap``
+          (one restricted scan, no predicate);
+        * partially-masked files contribute rows in ``dvNew − dvOld``,
+          routed exactly like the CDF reader (changes.py): descriptor
+          pairs broadcast + executor-side decode above ``DIFF_JOIN_MAX``,
+          driver decode + broadcast semi-join below.
+
+        Exactness by construction: a predicate re-scan is a SECOND
+        evaluation, which diverges for wall-clock predicates
+        (``ts < current_timestamp()`` moves between the mask job and
+        the re-scan) and nondeterministic sampling (``rand() < p``) —
+        the DV bytes are the single source of truth for what this
+        commit masked."""
+        from pyspark.sql import functions as F
+
+        from duckdb_delta_spark.delta.changes import (
+            DIFF_JOIN_MAX,
+            _dv_diffs,
+            _rows_at,
+            _rows_at_big,
+        )
+        from duckdb_delta_spark.delta.scan import DeltaScanBuilder
+
+        by_uri = self._by_uri(snap)
+        data_cols = [F.col(f.name) for f in snap.schema.fields]
+        full_paths = [by_uri[r["f"]].path for r in results if r["full"]]
+        pairs: dict[str, tuple[dict | None, dict | None]] = {}
+        card = 0
+        for r in results:
+            if r["full"]:
+                continue
+            f = by_uri[r["f"]]
+            dv_new = json.loads(r["desc"])
+            pairs[f.path] = (dv_new, f.deletion_vector)
+            card += int(dv_new.get("cardinality") or 0)
+            card += int((f.deletion_vector or {}).get("cardinality") or 0)
+
+        parts: list[DataFrame] = []
+        if full_paths:
+            parts.append(
+                DeltaScanBuilder(snap, self.spark)
+                .restrict_paths(full_paths)
+                .to_df()
+                .select(*data_cols)
+            )
+        if pairs and card > DIFF_JOIN_MAX:
+            parts.append(
+                _rows_at_big(snap, self.spark, pairs, shrink=False)
+                .select(*data_cols)
+            )
+        elif pairs:
+            del_rows, _ = _dv_diffs(self.table_path, pairs)
+            if del_rows:
+                parts.append(
+                    _rows_at(snap, self.spark, list(del_rows), del_rows)
+                    .select(*data_cols)
+                )
+        pre = parts[0]
+        for p in parts[1:]:
+            pre = pre.unionByName(p)
+        return pre.select(
+            *data_cols, F.lit("delete").alias("_change_type")
+        )
 
     def _dv_actions(self, snap: Snapshot, results: list) -> list[dict]:
         """remove + add-with-DV actions for the touched files (fully
@@ -3085,21 +3147,13 @@ class DeltaWriter:
         # on must not write the table twice.
         needs_cdc = bool(results) and any(not r["full"] for r in results)
         if cdf and needs_cdc:
-            # pre-images from a second scan RESTRICTED to the touched
-            # files (immutable parquet ⇒ identical rows — sound because
-            # the predicate was asserted deterministic at entry) —
-            # cheaper at scale than persisting full payloads through
-            # the DV build
-            by_uri = self._by_uri(snap)
-            pre = (
-                DeltaScanBuilder(snap, self.spark)
-                .restrict_paths([by_uri[r["f"]].path for r in results])
-                .to_df()
-                .where(where)
-            )
-            cdc = pre.select(
-                *data_cols, F.lit("delete").alias("_change_type")
-            ).unionByName(df.select(
+            # pre-images from the DV DIFF just built (not a second
+            # predicate evaluation — a wall-clock predicate like
+            # "ts < now()" would match a different row set by the time
+            # a re-scan ran); fully-replaced files contribute their
+            # live rows, partial files exactly their newly-masked rows
+            pre = self._dv_diff_preimages(snap, results)
+            cdc = pre.unionByName(df.select(
                 *data_cols, F.lit("insert").alias("_change_type")
             ))
             cdc_moved, cdc_actions = self._write_cdc(cdc, parts)

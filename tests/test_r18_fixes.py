@@ -1,13 +1,16 @@
 """Round-18 fixes: idle foreachBatch replaceWhere streams must not grow
 the log, table_changes_segments is a single driver pass with no probe
 jobs, OVERWRITE/replaceWhere/RESTORE conflict retries commit through the
-object-store conditional-PUT seam, and nondeterministic predicates are
-refused on the CDF pre-image re-scan path.
+object-store conditional-PUT seam, DELETE/replaceWhere cdc pre-images
+derive from the DV diff (exact even for sampling and wall-clock
+predicates), and replaceWhere refuses nondeterministic predicates at
+entry (its contract check is inherently a second evaluation).
 
 Delta anchors: delta-spark rejects nondeterministic DML conditions
-(DeltaAnalysisException NON_DETERMINISTIC_EXPRESSION); S3 conditional
-writes (If-None-Match) as the commit primitive — reference analogue:
-delta_transaction_manager.cpp conflict seam.
+(DeltaAnalysisException NON_DETERMINISTIC_EXPRESSION) — this engine
+exceeds that for DELETE by making the single evaluation authoritative;
+S3 conditional writes (If-None-Match) as the commit primitive —
+reference analogue: delta_transaction_manager.cpp conflict seam.
 """
 
 from __future__ import annotations
@@ -189,24 +192,57 @@ def test_restore_retry_through_object_store_stub(spark, tdir):
 # ---------- CDF pre-image re-scan requires a deterministic predicate ----------
 
 
-def test_cdf_delete_rejects_nondeterministic_condition(spark, tdir):
-    """A rand()-based sampling DELETE on a CDF table would DV-mask one
-    row set and record a DIFFERENT set as cdc pre-images (the pre-images
-    come from a second evaluation of the predicate) — refused loudly.
-    The same delete with CDF off is fine: the mask is built from a
-    single evaluation."""
-    w = _mk(spark, tdir, n=20, configuration={
+def test_cdf_sampling_delete_preimages_match_mask(spark, tdir):
+    """A rand()-based sampling DELETE on a CDF table is SOUND here:
+    the predicate is evaluated exactly once (into the DV build), and
+    cdc pre-images derive from the DV DIFF — never a re-scan that would
+    select a different random subset. The cdc 'delete' rows must equal
+    EXACTLY the rows that vanished from the table (LLM-pipeline random
+    downsampling with an auditable change feed)."""
+    w = _mk(spark, tdir, n=200, configuration={
         "delta.enableChangeDataFeed": "true"})
-    with pytest.raises(errors.UnsupportedFeatureError,
-                       match="nondeterministic"):
-        w.delete("rand() < 0.5")
-    # table untouched by the refused delete
-    assert DeltaTable(tdir).to_df(spark).count() == 20
+    before = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    res = w.delete("rand() < 0.5 and k >= 10")
+    assert res is not None
+    head = res[0]
+    after = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    vanished = {k: v for k, v in before.items() if k not in after}
+    assert 0 < len(vanished) < 190  # the sample actually sampled
+    assert all(k >= 10 for k in vanished)
 
-    path2 = tdir + "_nocdf"
-    w2 = _mk(spark, path2, n=20)
-    w2.delete("rand(42) < 0.5")  # seeded but still nondeterministic class
-    assert DeltaTable(path2).to_df(spark).count() < 20
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    feed = table_changes(DeltaLog(tdir), spark, head - 1, head).collect()
+    assert all(r["_change_type"] == "delete" for r in feed)
+    assert {r["k"]: r["v"] for r in feed} == vanished
+
+
+def test_cdf_wall_clock_delete_preimages_match_mask(spark, tdir):
+    """The same exactness bar for a WALL-CLOCK predicate
+    (current_timestamp()-relative retention): Catalyst calls it
+    deterministic, but each query binds its own current time, so a
+    pre-image re-scan could match MORE rows than the mask did. DV-diff
+    derivation makes the cdc rows equal the masked rows regardless."""
+    import time as _t
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    now_s = int(_t.time())
+    # half the rows are "old" relative to the wall clock, half are far
+    # in the future; keys 0..9 old
+    rows = [(i, str(now_s - (10**6 if i < 10 else -10**6))) for i in range(20)]
+    w.append(_df(spark, rows))
+    res = w.delete(
+        "cast(v as long) < unix_timestamp(current_timestamp())")
+    assert res is not None and res[1] == 10
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    feed = table_changes(DeltaLog(tdir), spark, res[0] - 1, res[0]).collect()
+    assert sorted(r["k"] for r in feed) == list(range(10))
+    assert all(r["_change_type"] == "delete" for r in feed)
+    assert sorted(r["k"] for r in
+                  DeltaTable(tdir).to_df(spark).collect()) == \
+        list(range(10, 20))
 
 
 def test_replace_where_rejects_nondeterministic_condition(spark, tdir):
@@ -475,3 +511,28 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
         elif r["_change_type"] == "delete":
             replay.pop(r["id"], None)
     assert replay == expected
+
+
+def test_cdf_delete_mixed_full_and_partial_files(spark, tdir):
+    """One DELETE spanning a FULLY-covered file and a PARTIALLY-masked
+    one: a partial file forces cdc for the whole commit (readers use cdc
+    exclusively once present), so the pre-images must combine the full
+    file's live rows (restricted scan, no predicate) with the partial
+    file's DV-diff rows — both derived without re-evaluating the
+    predicate."""
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    w = DeltaWriter.create(spark, tdir, SCHEMA, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w.append(_df(spark, [(i, f"a{i}") for i in range(5)]))     # file A: 0..4
+    w.append(_df(spark, [(i, f"b{i}") for i in range(10, 15)]))  # file B
+    res = w.delete("k < 12")     # all of A, part of B
+    assert res is not None and res[1] == 7
+    assert os.path.isdir(os.path.join(tdir, "_change_data"))
+
+    feed = table_changes(DeltaLog(tdir), spark, res[0] - 1, res[0]).collect()
+    assert all(r["_change_type"] == "delete" for r in feed)
+    assert sorted((r["k"], r["v"]) for r in feed) == \
+        [(i, f"a{i}") for i in range(5)] + [(10, "b10"), (11, "b11")]
+    assert sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect()) \
+        == [12, 13, 14]
