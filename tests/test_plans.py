@@ -615,3 +615,39 @@ def test_dv_build_scan_prunes_payload_columns(spark, tmp_path):
     # predicate + virtual columns survive; payloads are pruned
     assert "payload_a" not in plan and "payload_b" not in plan
     assert "PushedFilters" in plan
+
+
+def test_cdc_preimage_plan_no_predicate_single_broadcast_join(
+        spark, tmp_path, monkeypatch):
+    """The DELETE cdc pre-image job (r18: DV-diff derivation) must not
+    contain the user predicate AT ALL — the predicate is evaluated once
+    into the DV build, and the pre-image plan is a restricted scan
+    filtered by a broadcast semi-join on (filename, row#) (small route).
+    A predicate re-evaluation in this plan is exactly the wall-clock /
+    sampling divergence bug the derivation exists to prevent."""
+    from duckdb_delta_spark.delta.writer import DeltaWriter as W
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("sentinel_col", T.StringType())])
+    path = str(tmp_path / "t")
+    w = W.create(spark, path, schema, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    w.append(spark.createDataFrame(
+        [(i, f"s{i}") for i in range(20)], schema).coalesce(1))
+
+    captured = []
+    real = W._write_cdc
+
+    def spy(self, df, parts):
+        captured.append(df._jdf.queryExecution().optimizedPlan().toString())
+        return real(self, df, parts)
+
+    monkeypatch.setattr(W, "_write_cdc", spy)
+    w.delete("k >= 17")          # partial file → cdc path
+    assert len(captured) == 1
+    plan = captured[0]
+    # no re-evaluation of the predicate in the pre-image plan
+    assert "17" not in plan, plan
+    # one broadcast-able semi join on the virtual (filename, row#) pair
+    assert plan.count("Join LeftSemi") == 1, plan
+    assert "file_row_number" in plan
