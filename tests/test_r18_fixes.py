@@ -262,7 +262,47 @@ def test_replace_where_rejects_nondeterministic_condition(spark, tdir):
 # ---------- TRUE thread-concurrent writers: serializable in commit order ----------
 
 
-def test_threaded_writers_serialize_in_commit_order(spark, tdir):
+THREAD_VARIANTS = {
+    # the original mix: every op family, spread contention
+    "mixed": {
+        "A": [("append", 0), ("delete", 0), ("merge", 1),
+              ("update", 2), ("replace", 1)],
+        "B": [("delete", 1), ("append", 1), ("update", 0),
+              ("merge", 2), ("addcol", 0)],
+        "C": [("merge", 0), ("replace", 2), ("append", 2),
+              ("delete", 2), ("update", 1)],
+        "D": [("update", 1), ("addcol", 1), ("restore", 0),
+              ("append", 3), ("delete", 0)],
+    },
+    # region contention: four threads replacing/deleting/updating the
+    # SAME key ranges — maximal read-set overlap, retries must refuse
+    "regions": {
+        "A": [("replace", 0), ("delete", 0), ("replace", 1),
+              ("update", 0), ("append", 0)],
+        "B": [("delete", 0), ("replace", 0), ("update", 1),
+              ("replace", 2), ("append", 1)],
+        "C": [("update", 0), ("delete", 1), ("replace", 0),
+              ("delete", 2), ("append", 2)],
+        "D": [("replace", 2), ("update", 2), ("delete", 0),
+              ("replace", 1), ("append", 3)],
+    },
+    # metadata-heavy: racing widenings (addcol + merge_evolve, the
+    # metaData-carrying DML) and RESTOREs rolling them back
+    "metadata": {
+        "A": [("merge_evolve", 0), ("addcol", 0), ("merge", 1),
+              ("restore", 0), ("append", 0)],
+        "B": [("addcol", 1), ("merge_evolve", 1), ("update", 0),
+              ("addcol", 2), ("append", 1)],
+        "C": [("restore", 0), ("merge_evolve", 2), ("delete", 0),
+              ("addcol", 3), ("append", 2)],
+        "D": [("update", 1), ("restore", 0), ("merge_evolve", 0),
+              ("delete", 1), ("append", 3)],
+    },
+}
+
+
+@pytest.mark.parametrize("variant", list(THREAD_VARIANTS))
+def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
     """Four OS threads hammer one CDF-enabled table CONCURRENTLY (no
     pinned turn-taking — every interleaving, retry, and put-if-absent
     race is real). The serializability oracle: fold each committed op's
@@ -275,7 +315,9 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
     deterministic commit order) with genuine thread interleaving:
     commit-version allocation under contention, retry re-validation
     against snapshots that move WHILE the op runs, and the local
-    O_EXCL put-if-absent as the only arbiter."""
+    O_EXCL put-if-absent as the only arbiter. Three op-mix variants:
+    spread contention, same-region contention, metadata-heavy
+    (widenings racing RESTOREs)."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -292,16 +334,7 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
 
     # per-thread scripts: heavy key overlap on [0, 30) to force real
     # conflicts; appends/merges use disjoint per-(thread, step) keys
-    SCRIPTS = {
-        "A": [("append", 0), ("delete", 0), ("merge", 1),
-              ("update", 2), ("replace", 1)],
-        "B": [("delete", 1), ("append", 1), ("update", 0),
-              ("merge", 2), ("addcol", 0)],
-        "C": [("merge", 0), ("replace", 2), ("append", 2),
-              ("delete", 2), ("update", 1)],
-        "D": [("update", 1), ("addcol", 1), ("restore", 0),
-              ("append", 3), ("delete", 0)],
-    }
+    SCRIPTS = THREAD_VARIANTS[variant]
 
     def run_thread(who):
         """Returns [(commit_version, kind, f)] for ops that committed."""
@@ -326,6 +359,16 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
                          (BASE[who] + 50 + f, 7000 + BASE[who])], schema)
                     res = w.merge(src, "t.k = s.k",
                                   when_matched_update={"v": "s.v"})
+                elif kind == "merge_evolve":
+                    evo = T.StructType(list(schema.fields) + [
+                        T.StructField(f"mc_{who.lower()}_{f}", T.LongType())])
+                    src = spark.createDataFrame(
+                        [(lo + 2, 7000 + BASE[who], int(f)),
+                         (BASE[who] + 60 + f, 7000 + BASE[who], int(f))],
+                        evo)
+                    res = w.merge(src, "t.k = s.k",
+                                  when_matched_update={"v": "s.v"},
+                                  merge_schema=True)
                 elif kind == "replace":
                     res = w.overwrite(
                         spark.createDataFrame([(lo, 999)], schema)
@@ -337,6 +380,13 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
                     res = w.add_column(f"x_{who.lower()}_{f}", "long")
             except errors.CommitConflictError:
                 continue                    # loud loss: must leave no trace
+            except errors.SchemaError:
+                # also a loud loss: a racer WIDENED the table mid-flight
+                # and this op's source no longer carries every table
+                # column (plain merge's insert clause requires them) —
+                # documented refusal; the fold equality below verifies
+                # it left no trace
+                continue
             if res is None:
                 continue                    # genuine no-op on its snapshot
             out.append((res if isinstance(res, int) else res[0], kind,
@@ -369,6 +419,9 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
         elif kind == "merge":
             for k in (lo + 2, BASE[who] + 50 + f):
                 model[k] = 7000 + BASE[who]
+        elif kind == "merge_evolve":
+            for k in (lo + 2, BASE[who] + 60 + f):
+                model[k] = 7000 + BASE[who]
         elif kind == "replace":
             for k in range(lo, hi):
                 model.pop(k, None)
@@ -395,8 +448,9 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir):
         feed = table_changes(DeltaLog(tdir), spark, -1).collect()
     except SchemaError:
         restores = [v for v, kind, _f, _w in committed if kind == "restore"]
-        addcols = [v for v, kind, _f, _w in committed if kind == "addcol"]
-        assert restores and addcols and min(addcols) < max(restores), \
+        widens = [v for v, kind, _f, _w in committed
+                  if kind in ("addcol", "merge_evolve")]
+        assert restores and widens and min(widens) < max(restores), \
             "CDF refused a range with no schema-rollback to justify it"
         return
     replay: dict = {}

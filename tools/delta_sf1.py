@@ -42,6 +42,9 @@ DEFAULT = [
     "delta_racing_update_scan",
     # remove-only retention DELETE (r17: no DV, no cdc)
     "delta_retention_delete_scan",
+    # r18: log-tombstone VACUUM LITE + segmented CDF drain
+    "delta_vacuum_lite_scan",
+    "delta_cdf_segments_scan",
 ]
 
 
