@@ -2452,6 +2452,7 @@ class DeltaWriter:
         # matched feeds two jobs (DV build + new-image write) — persist so
         # the scan/filter runs once, spilling to disk if it doesn't fit
         matched = full.where(condition).persist()
+        pinned: list = []
         try:
             results = self._dv_results(
                 snap,
@@ -2477,6 +2478,15 @@ class DeltaWriter:
             # enforced against their expression
             gen = _generated_exprs(schema)
             new_rows = _apply_generated(new_rows, schema, keep=assigned_tops)
+            if self._cdf_enabled(snap):
+                # pin ONE evaluation of the assignment expressions: the
+                # data write and the cdc postimage write are separate
+                # jobs, and a nondeterministic assignment (SET v =
+                # uuid(), rand()-salted ids) would otherwise write one
+                # value to the data file and a DIFFERENT one to
+                # _change_data — silent feed corruption. (delta-spark
+                # computes both in one rewrite job; our DV path has two.)
+                pinned.append(new_rows.persist())
             self._enforce_check_constraints(new_rows)
             self._enforce_generated_columns(
                 new_rows, schema, skip={c for c in gen if c not in assigned_tops}
@@ -2506,6 +2516,8 @@ class DeltaWriter:
                 moved = moved + cdc_moved
         finally:
             matched.unpersist()
+            for df_ in pinned:
+                df_.unpersist()
 
         actions: list[dict] = [
             {"commitInfo": _commit_info("UPDATE", {"numUpdatedRows": str(n_updated)})}
@@ -2864,72 +2876,91 @@ class DeltaWriter:
                 return self._write_data(wf, ws, wp)
             return self._write_data(frame, schema, snap.partition_columns)
 
-        moved, adds_new, n_inserted = [], [], 0
-        for branch, gen_skip in new_parts:
-            self._enforce_check_constraints(branch)
-            self._enforce_generated_columns(branch, schema, skip=gen_skip)
-            m, a = _write_images(branch)
-            moved.extend(m)
-            adds_new.extend(a)
-        if ins is not None:
-            self._enforce_check_constraints(ins)
-            self._enforce_generated_columns(ins, schema, skip=ins_skip)
-            m, a = _write_images(ins)
-            n_inserted = sum(
-                int(json.loads(ad.get("stats") or "{}").get("numRecords") or 0)
-                for ad in a
-            )
-            if n_inserted:
+        cdf_on = self._cdf_enabled(snap)
+        pinned: list = []
+        if cdf_on:
+            # pin ONE evaluation of every image frame: each is consumed
+            # by TWO jobs (data write, then the cdc write below), and a
+            # nondeterministic assignment or insert expression (SET v =
+            # uuid()) would otherwise put one value in the data file and
+            # a DIFFERENT one in _change_data — silent feed corruption.
+            # (delta-spark computes data + cdc in one rewrite job; the
+            # DV path has two.) Unpersisted in the finally below.
+            new_parts = [(b.persist(), sk) for b, sk in new_parts]
+            pinned.extend(b for b, _ in new_parts)
+            if ins is not None:
+                ins = ins.persist()
+                pinned.append(ins)
+        try:
+            moved, adds_new, n_inserted = [], [], 0
+            for branch, gen_skip in new_parts:
+                self._enforce_check_constraints(branch)
+                self._enforce_generated_columns(branch, schema, skip=gen_skip)
+                m, a = _write_images(branch)
                 moved.extend(m)
                 adds_new.extend(a)
-            else:
-                self._rollback(m)
-
-        if not results and not n_inserted:
-            self._rollback(moved)
-            return None
-
-        cdc_actions: list[dict] = []
-        if self._cdf_enabled(snap):
-            data_cols = [F.col(f.name) for f in schema.fields]
-            t_cols = [F.col("t." + f.name).alias(f.name)
-                      for f in schema.fields]
-            cdc_parts = []
-            if touch_matched and n_matched:
-                pre_tag = (
-                    "update_preimage" if when_matched_update else "delete"
+            if ins is not None:
+                self._enforce_check_constraints(ins)
+                self._enforce_generated_columns(ins, schema, skip=ins_skip)
+                m, a = _write_images(ins)
+                n_inserted = sum(
+                    int(json.loads(ad.get("stats") or "{}").get("numRecords") or 0)
+                    for ad in a
                 )
-                cdc_parts.append(matched_t.select(
-                    *t_cols).select(
-                    *data_cols, F.lit(pre_tag).alias("_change_type")
-                ))
-                if when_matched_update:
-                    cdc_parts.append(upd.select(
-                        *data_cols,
-                        F.lit("update_postimage").alias("_change_type"),
+                if n_inserted:
+                    moved.extend(m)
+                    adds_new.extend(a)
+                else:
+                    self._rollback(m)
+
+            if not results and not n_inserted:
+                self._rollback(moved)
+                return None
+
+            cdc_actions: list[dict] = []
+            if self._cdf_enabled(snap):
+                data_cols = [F.col(f.name) for f in schema.fields]
+                t_cols = [F.col("t." + f.name).alias(f.name)
+                          for f in schema.fields]
+                cdc_parts = []
+                if touch_matched and n_matched:
+                    pre_tag = (
+                        "update_preimage" if when_matched_update else "delete"
+                    )
+                    cdc_parts.append(matched_t.select(
+                        *t_cols).select(
+                        *data_cols, F.lit(pre_tag).alias("_change_type")
                     ))
-            if touch_by_source and n_by_source:
-                bys_pre = ("update_preimage"
-                           if when_not_matched_by_source_update else "delete")
-                cdc_parts.append(bys.select(*t_cols).select(
-                    *data_cols, F.lit(bys_pre).alias("_change_type")))
-                if bys_upd is not None:
-                    cdc_parts.append(bys_upd.select(
-                        *data_cols,
-                        F.lit("update_postimage").alias("_change_type"),
+                    if when_matched_update:
+                        cdc_parts.append(upd.select(
+                            *data_cols,
+                            F.lit("update_postimage").alias("_change_type"),
+                        ))
+                if touch_by_source and n_by_source:
+                    bys_pre = ("update_preimage"
+                               if when_not_matched_by_source_update else "delete")
+                    cdc_parts.append(bys.select(*t_cols).select(
+                        *data_cols, F.lit(bys_pre).alias("_change_type")))
+                    if bys_upd is not None:
+                        cdc_parts.append(bys_upd.select(
+                            *data_cols,
+                            F.lit("update_postimage").alias("_change_type"),
+                        ))
+                if ins is not None and n_inserted:
+                    cdc_parts.append(ins.select(
+                        *data_cols, F.lit("insert").alias("_change_type")
                     ))
-            if ins is not None and n_inserted:
-                cdc_parts.append(ins.select(
-                    *data_cols, F.lit("insert").alias("_change_type")
-                ))
-            if cdc_parts:
-                cdc = cdc_parts[0]
-                for p in cdc_parts[1:]:
-                    cdc = cdc.unionByName(p)
-                cdc_moved, cdc_actions = self._write_cdc(
-                    cdc, snap.partition_columns
-                )
-                moved = moved + cdc_moved
+                if cdc_parts:
+                    cdc = cdc_parts[0]
+                    for p in cdc_parts[1:]:
+                        cdc = cdc.unionByName(p)
+                    cdc_moved, cdc_actions = self._write_cdc(
+                        cdc, snap.partition_columns
+                    )
+                    moved = moved + cdc_moved
+        finally:
+            for df_ in pinned:
+                df_.unpersist()
 
         actions: list[dict] = [
             {

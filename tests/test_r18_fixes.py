@@ -590,3 +590,47 @@ def test_cdf_delete_mixed_full_and_partial_files(spark, tdir):
         [(i, f"a{i}") for i in range(5)] + [(10, "b10"), (11, "b11")]
     assert sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect()) \
         == [12, 13, 14]
+
+
+def test_cdf_update_nondeterministic_assignment_postimage_matches(spark, tdir):
+    """UPDATE ... SET v = uuid()-class assignments: the data write and
+    the cdc postimage write are two jobs, so the computed images are
+    PINNED (persist) — the postimage in the change feed must equal the
+    row actually written to the table, byte for byte."""
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    w = _mk(spark, tdir, n=8, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    res = w.update("k < 4", {"v": "concat('u-', uuid())"})
+    assert res is not None and res[1] == 4
+    table = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    post = {r["k"]: r["v"]
+            for r in table_changes(DeltaLog(tdir), spark,
+                                   res[0] - 1, res[0]).collect()
+            if r["_change_type"] == "update_postimage"}
+    assert set(post) == {0, 1, 2, 3}
+    assert all(post[k] == table[k] for k in post), (post, table)
+    assert all(v.startswith("u-") for v in post.values())
+
+
+def test_cdf_merge_nondeterministic_assignment_postimage_matches(spark, tdir):
+    """Same pin for MERGE: update assignments and insert expressions
+    evaluating uuid() must agree between the written files and the cdc
+    images (update_postimage AND insert rows)."""
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    w = _mk(spark, tdir, n=4, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    src = spark.createDataFrame([(1, "x"), (99, "x")], SCHEMA)
+    res = w.merge(src, "t.k = s.k",
+                  when_matched_update={"v": "concat('m-', uuid())"})
+    assert res is not None
+    version = res[0]
+    table = {r["k"]: r["v"] for r in DeltaTable(tdir).to_df(spark).collect()}
+    feed = table_changes(DeltaLog(tdir), spark, version - 1,
+                         version).collect()
+    post = {r["k"]: r["v"] for r in feed
+            if r["_change_type"] in ("update_postimage", "insert")}
+    assert set(post) == {1, 99}
+    assert all(post[k] == table[k] for k in post), (post, table)
+    assert post[1].startswith("m-")
