@@ -59,6 +59,29 @@ _ZORDERABLE = (
 _STATS_TRUNC = 32
 _MAX_CODEPOINT = 0x10FFFF
 
+#: nondeterministic SQL functions a TEXTUAL predicate scan can still catch
+#: when the JVM plan surface is unavailable (Spark Connect) — the fallback
+#: twin of the analyzed-plan determinism check in
+#: :meth:`DeltaWriter._assert_deterministic_condition`
+_NONDET_FUNC_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _plan_all_deterministic(df: DataFrame) -> bool | None:
+    """True/False from the analyzed plan's top expressions via the
+    classic-session JVM surface; None when that surface is absent (Spark
+    Connect has no ``_jdf``) — callers fall back to a textual scan of the
+    original predicate instead of silently passing."""
+    try:
+        exprs = df._jdf.queryExecution().analyzed().expressions()
+        return all(exprs.apply(i).deterministic()
+                   for i in range(exprs.size()))
+    except Exception:
+        return None
+
 # Delta spec (table features appendix): legacy protocol versions imply
 # feature sets; a (3,7) upgrade must list EVERY implied feature explicitly
 # or spec-compliant readers/writers (delta-spark, kernel) reject the table.
@@ -1410,7 +1433,9 @@ class DeltaWriter:
         )
 
     @staticmethod
-    def _assert_deterministic_condition(filtered: DataFrame, op: str) -> None:
+    def _assert_deterministic_condition(
+        filtered: DataFrame, op: str, condition=None
+    ) -> None:
         """Refuse predicates whose re-evaluation could select different
         rows, on paths that inherently evaluate them more than once —
         replaceWhere's contract check ("input rows inside the region")
@@ -1419,17 +1444,15 @@ class DeltaWriter:
         another (delta-spark likewise rejects nondeterministic DML
         conditions). DELETE needs no such bar: its single predicate
         evaluation feeds the DV build, and cdc pre-images derive from
-        the DV diff (`_dv_diff_preimages`), never a re-scan. Best-effort:
-        inspects the analyzed plan's top (Filter) expressions through
-        the JVM; if that surface is absent (non-classic sessions), the
-        documented restriction stands."""
-        try:
-            exprs = filtered._jdf.queryExecution().analyzed().expressions()
-            det = all(exprs.apply(i).deterministic()
-                      for i in range(exprs.size()))
-        except Exception:
-            return
-        if not det:
+        the DV diff (`_dv_diff_preimages`), never a re-scan. Primary
+        check: the analyzed plan's top (Filter) expressions through the
+        classic-session JVM surface; when that surface is absent (Spark
+        Connect), ``condition``'s TEXT is scanned for the known
+        nondeterministic functions instead of silently passing."""
+        det = _plan_all_deterministic(filtered)
+        if det is None and condition is not None:
+            det = _NONDET_FUNC_RE.search(str(condition)) is None
+        if det is False:
             raise UnsupportedFeatureError(
                 f"{op}: nondeterministic condition — this path evaluates "
                 "the predicate more than once (region/contract checks, "
@@ -2334,6 +2357,11 @@ class DeltaWriter:
 
         by_uri = self._by_uri(snap)
         data_cols = [F.col(f.name) for f in snap.schema.fields]
+        # n_new == 0 rows carry no descriptor (desc=None) and masked
+        # nothing — drop them like MERGE does instead of relying on the
+        # caller to have pre-filtered (an n_new==0 row reaching the
+        # json.loads below would crash with an opaque TypeError)
+        results = [r for r in results if r["n_new"]]
         full_paths = [by_uri[r["f"]].path for r in results if r["full"]]
         pairs: dict[str, tuple[dict | None, dict | None]] = {}
         card = 0
@@ -2366,6 +2394,18 @@ class DeltaWriter:
                     _rows_at(snap, self.spark, list(del_rows), del_rows)
                     .select(*data_cols)
                 )
+        if not parts:
+            # every surviving result's DV diff was empty — unreachable
+            # from DELETE/replaceWhere (a partial file's DV strictly
+            # grows, and full files always carry live rows), but a future
+            # caller deserves an explicit empty feed, not an IndexError
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(snap.schema.fields)
+                    + [T.StructField("_change_type", T.StringType())]
+                ),
+            )
         pre = parts[0]
         for p in parts[1:]:
             pre = pre.unionByName(p)
@@ -2486,6 +2526,12 @@ class DeltaWriter:
                 # value to the data file and a DIFFERENT one to
                 # _change_data — silent feed corruption. (delta-spark
                 # computes both in one rewrite job; our DV path has two.)
+                # BEST-EFFORT: persist() (MEMORY_AND_DISK) recomputes a
+                # cache block lost to executor failure, re-evaluating the
+                # nondeterministic expression for that block — hard
+                # exactness would need a checkpoint or a write-then-read
+                # of the data files, at a full extra materialization per
+                # DML. Single-JVM local mode cannot lose blocks.
                 pinned.append(new_rows.persist())
             self._enforce_check_constraints(new_rows)
             self._enforce_generated_columns(
@@ -2886,6 +2932,11 @@ class DeltaWriter:
             # a DIFFERENT one in _change_data — silent feed corruption.
             # (delta-spark computes data + cdc in one rewrite job; the
             # DV path has two.) Unpersisted in the finally below.
+            # BEST-EFFORT like UPDATE's pin: a cache block lost to
+            # executor failure is recomputed, re-evaluating the
+            # nondeterministic expression for that block; hard exactness
+            # would need a checkpoint or write-then-read of the data
+            # files. Single-JVM local mode cannot lose blocks.
             new_parts = [(b.persist(), sk) for b, sk in new_parts]
             pinned.extend(b for b, _ in new_parts)
             if ins is not None:
@@ -3038,10 +3089,24 @@ class DeltaWriter:
         self, df: DataFrame, where=None, overwrite_schema: bool = False,
         partition_by: list[str] | None = None,
         txn_app_id: str | None = None, txn_version: int | None = None,
+        skip_if_empty: bool = False,
     ) -> int | None:
         """INSERT OVERWRITE: atomically replace the whole table
         (``where=None``) or exactly the rows matching ``where``
         (replaceWhere) with ``df`` — ONE commit. Returns the version.
+
+        ``where`` may also be a CALLABLE ``df -> str | None`` (batch-
+        derived predicates, e.g. an IN-list of the partition values
+        present in ``df``); it is resolved lazily, AFTER the
+        ``skip_if_empty`` decision, so it never runs against an empty
+        frame it cannot describe.
+
+        ``skip_if_empty=True`` (the foreachBatch replaceWhere sink's
+        mode): the data files are written FIRST and their own footer
+        stats decide emptiness — a zero-row input rolls the staged files
+        back and returns None WITHOUT committing (an idle stream must not
+        grow the log or truncate the table), and a non-empty input pays
+        no ``isEmpty()``/``count()`` probe job at all.
 
         ``overwrite_schema=True`` is delta-spark's ``overwriteSchema``
         (REPLACE TABLE semantics): the commit also replaces the table
@@ -3114,85 +3179,144 @@ class DeltaWriter:
         self._enforce_check_constraints(df)
         self._enforce_generated_columns(df, schema, skip=set(computed))
 
-        pred_str = where if isinstance(where, str) else None
-        if isinstance(where, str):
-            where = F.expr(where)
-        # replaceWhere inherently evaluates the predicate several times
-        # (contract check below, region mask, CDF pre-images) — a
-        # nondeterministic one would replace one region and validate
-        # another, so refuse it at entry (delta-spark parity)
-        if where is not None:
-            self._assert_deterministic_condition(
-                df.where(where), "replaceWhere")
-        # NULL predicate counts as a violation (replaceWhere constraint
-        # semantics, matching delta-spark): ~where alone drops NULL rows.
-        if (
-            where is not None
-            and df.where(~F.coalesce(where, F.lit(False))).limit(1).count() > 0
-        ):
-            raise ConstraintViolationError(
-                "overwrite(where=...): input rows fall outside the "
-                "replaced region (replaceWhere contract)"
-            )
+        pinned: DataFrame | None = None
+        pre_written: tuple[list, list] | None = None
+        if skip_if_empty or (cdf and where is not None):
+            # pin ONE evaluation of df: with CDF on, the cdc 'insert'
+            # image write and the data write are separate jobs, and a
+            # nondeterministic projection (a uuid()/rand()-bearing input,
+            # a now()-valued default) would otherwise write one value to
+            # the data file and a DIFFERENT one to _change_data — the
+            # same feed corruption the UPDATE/MERGE image pin prevents.
+            # BEST-EFFORT like those pins: persist() (MEMORY_AND_DISK)
+            # recomputes a cache block lost to executor failure,
+            # re-evaluating the nondeterministic expression for that
+            # block; single-JVM local mode cannot lose blocks.
+            df = pinned = df.persist()
+        try:
+            if skip_if_empty:
+                # write-first: the write's own footer stats decide
+                # emptiness (_write_data drops zero-row part files, so
+                # "no adds" == zero records) — the common non-empty
+                # micro-batch pays no isEmpty()/count() probe job, and
+                # an empty one skips the commit so an idle stream never
+                # grows the log (or truncates in full-overwrite mode)
+                w_schema, w_parts, wdf = schema, parts, df
+                if snap.column_mapping_mode != "none":
+                    w_schema, w_parts, wdf = self._to_physical(
+                        df, schema, parts)
+                pre_written = self._write_data(wdf, w_schema, w_parts)
+                if not pre_written[1]:
+                    self._rollback(pre_written[0])
+                    from duckdb_delta_spark.delta.logging import emit
 
-        data_cols = [F.col(f.name) for f in schema.fields]
-        now_ms = int(time.time() * 1000)
-        results: list = []
-        removes: list[dict] = []
-        rows = None
-        if where is None:
-            for f in snap.add_files():
-                r = {
-                    "path": f.path,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                    "partitionValues": dict(f.partition_values),
-                    "size": f.size,
-                }
-                if f.deletion_vector:
-                    r["deletionVector"] = f.deletion_vector
-                removes.append({"remove": r})
-            # no cdc pre-images: a full overwrite is whole-file removes
-            # + adds, which readers derive CDF from directly (see below)
-        else:
-            scan = DeltaScanBuilder(snap, self.spark).with_virtual_columns()
-            rows = scan.to_df().where(where)
+                    emit("overwrite.skip_empty", table_path=self.table_path)
+                    return None
+            if callable(where):
+                # batch-derived predicate: resolved only for a batch that
+                # actually carries rows (see skip_if_empty above)
+                where = where(df)
+            pred_str = where if isinstance(where, str) else None
+            if isinstance(where, str):
+                where = F.expr(where)
+            # replaceWhere inherently evaluates the predicate several
+            # times (contract check below, region mask) — a
+            # nondeterministic one would replace one region and validate
+            # another, so refuse it at entry (delta-spark parity)
+            if where is not None:
+                self._assert_deterministic_condition(
+                    df.where(where), "replaceWhere", condition=where)
+            # NULL predicate counts as a violation (replaceWhere
+            # constraint semantics, matching delta-spark): ~where alone
+            # drops NULL rows.
+            if (
+                where is not None
+                and df.where(
+                    ~F.coalesce(where, F.lit(False))).limit(1).count() > 0
+            ):
+                raise ConstraintViolationError(
+                    "overwrite(where=...): input rows fall outside the "
+                    "replaced region (replaceWhere contract)"
+                )
 
-        cdc_moved: list[tuple[str, dict]] = []
-        cdc_actions: list[dict] = []
-        if rows is not None:
-            # the DV build consumes only (filename, row#) — Catalyst
-            # prunes every payload column out of this scan
-            matched = rows.select(
-                F.col("filename").alias("f"),
-                F.col("file_row_number").alias("r"),
-            )
-            results = self._dv_results(snap, matched)
-        # Delta spec: with NO cdc actions in the commit, readers
-        # derive CDF from add/remove (adds → 'insert', a dropped
-        # path's live rows → 'delete') — exactly OVERWRITE's change
-        # set. So cdc files are written ONLY when a replaceWhere
-        # DV-masked a file partially (once one cdc action exists,
-        # readers use cdc exclusively, so it must then carry
-        # everything). A full INSERT OVERWRITE of 100 TB with CDF
-        # on must not write the table twice.
-        needs_cdc = bool(results) and any(not r["full"] for r in results)
-        if cdf and needs_cdc:
-            # pre-images from the DV DIFF just built (not a second
-            # predicate evaluation — a wall-clock predicate like
-            # "ts < now()" would match a different row set by the time
-            # a re-scan ran); fully-replaced files contribute their
-            # live rows, partial files exactly their newly-masked rows
-            pre = self._dv_diff_preimages(snap, results)
-            cdc = pre.unionByName(df.select(
-                *data_cols, F.lit("insert").alias("_change_type")
-            ))
-            cdc_moved, cdc_actions = self._write_cdc(cdc, parts)
+            data_cols = [F.col(f.name) for f in schema.fields]
+            now_ms = int(time.time() * 1000)
+            results: list = []
+            removes: list[dict] = []
+            rows = None
+            if where is None:
+                for f in snap.add_files():
+                    r = {
+                        "path": f.path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": dict(f.partition_values),
+                        "size": f.size,
+                    }
+                    if f.deletion_vector:
+                        r["deletionVector"] = f.deletion_vector
+                    removes.append({"remove": r})
+                # no cdc pre-images: a full overwrite is whole-file
+                # removes + adds, which readers derive CDF from directly
+                # (see below)
+            else:
+                scan = DeltaScanBuilder(
+                    snap, self.spark).with_virtual_columns()
+                rows = scan.to_df().where(where)
 
-        write_schema, write_parts, wdf = schema, parts, df
-        if snap.column_mapping_mode != "none":
-            write_schema, write_parts, wdf = self._to_physical(df, schema, parts)
-        moved, adds = self._write_data(wdf, write_schema, write_parts)
+            cdc_moved: list[tuple[str, dict]] = []
+            cdc_actions: list[dict] = []
+            if rows is not None:
+                # the DV build consumes only (filename, row#) — Catalyst
+                # prunes every payload column out of this scan
+                matched = rows.select(
+                    F.col("filename").alias("f"),
+                    F.col("file_row_number").alias("r"),
+                )
+                results = self._dv_results(snap, matched)
+            # Delta spec: with NO cdc actions in the commit, readers
+            # derive CDF from add/remove (adds → 'insert', a dropped
+            # path's live rows → 'delete') — exactly OVERWRITE's change
+            # set. So cdc files are written ONLY when a replaceWhere
+            # DV-masked a file partially (once one cdc action exists,
+            # readers use cdc exclusively, so it must then carry
+            # everything). A full INSERT OVERWRITE of 100 TB with CDF
+            # on must not write the table twice.
+            needs_cdc = bool(results) and any(
+                not r["full"] for r in results)
+            if cdf and needs_cdc:
+                # pre-images from the DV DIFF just built (not a second
+                # predicate evaluation — a wall-clock predicate like
+                # "ts < now()" would match a different row set by the
+                # time a re-scan ran); fully-replaced files contribute
+                # their live rows, partial files exactly their
+                # newly-masked rows. Insert images read the PINNED df
+                # (persisted above whenever cdf and where != None).
+                pre = self._dv_diff_preimages(snap, results)
+                cdc = pre.unionByName(df.select(
+                    *data_cols, F.lit("insert").alias("_change_type")
+                ))
+                cdc_moved, cdc_actions = self._write_cdc(cdc, parts)
+
+            if pre_written is not None:
+                moved, adds = pre_written
+            else:
+                write_schema, write_parts, wdf = schema, parts, df
+                if snap.column_mapping_mode != "none":
+                    write_schema, write_parts, wdf = self._to_physical(
+                        df, schema, parts)
+                moved, adds = self._write_data(
+                    wdf, write_schema, write_parts)
+        except BaseException:
+            # write-first mode: a post-write failure (contract violation,
+            # callable error, DV-build failure) must not leak the staged
+            # data files — they were never committed
+            if pre_written is not None:
+                self._rollback(pre_written[0])
+            raise
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
 
         info = {"mode": "Overwrite"}
         if where is not None:

@@ -173,6 +173,7 @@ def delta_foreach_replace_where(
     table_path: str,
     where,
     txn_app_id: str | None = None,
+    skip_empty: bool | None = None,
 ):
     """Build a ``foreachBatch`` function that REPLACES a region of the
     Delta table with each micro-batch — the standard streaming
@@ -190,6 +191,22 @@ def delta_foreach_replace_where(
     replaces exactly the partitions it covers). ``where=None`` (or the
     callable returning None) makes the batch a FULL overwrite.
 
+    ``skip_empty``: whether an EMPTY micro-batch skips its commit (an
+    idle stream must not inflate log replay — or TRUNCATE the table when
+    the callable would have returned None). Default (None): skip exactly
+    when ``where`` is a callable — a batch-derived predicate is
+    meaningless for a batch with no rows. For a STATIC predicate (SQL
+    string or ``where=None``), replace-with-empty is a real pipeline
+    semantic (clear the region / truncate on an empty batch), so those
+    modes commit by default; pass ``skip_empty=True`` to opt in to
+    skipping. Skipping is replay-safe without a txn stamp: re-running an
+    empty batch is itself a no-op.
+
+    Cost shape: emptiness is decided from the batch write's OWN footer
+    stats inside :meth:`DeltaWriter.overwrite` (``skip_if_empty``) — a
+    non-empty batch pays ZERO extra probe jobs (no ``isEmpty()``), an
+    empty one rolls back its zero staged files and commits nothing.
+
     Scale shape: one distributed write of the batch plus a DV build over
     only the files straddling the predicate — cost follows batch size
     and the replaced region, never table size.
@@ -198,6 +215,7 @@ def delta_foreach_replace_where(
 
     app_id = txn_app_id or f"delta_py_replace:{os.path.abspath(table_path)}"
     state: dict = {}
+    skip = callable(where) if skip_empty is None else bool(skip_empty)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -218,25 +236,20 @@ def delta_foreach_replace_where(
             emit("stream.replace.skip_replayed", table_path=table_path,
                  batch_id=int(batch_id), last_committed=last)
             return
-        if batch_df.isEmpty():
-            # an idle stream must not grow the log: an empty micro-batch
-            # replaces nothing, so skip the commit entirely (a no-op
-            # commit per sparse batch would inflate log replay for every
-            # reader). Replay-safe without a txn stamp: re-running an
-            # empty batch is itself a no-op. Deliberately applies to the
-            # where=None full-overwrite mode too — an idle stream must
-            # not TRUNCATE the table.
+        # the callable predicate is resolved INSIDE overwrite, after the
+        # skip_if_empty decision — it never runs against an empty batch
+        version = w.overwrite(
+            batch_df, where=where,
+            txn_app_id=app_id, txn_version=int(batch_id),
+            skip_if_empty=skip,
+        )
+        if version is None:
             emit("stream.replace.skip_empty", table_path=table_path,
                  batch_id=int(batch_id))
             return
-        pred = where(batch_df) if callable(where) else where
-        version = w.overwrite(
-            batch_df, where=pred,
-            txn_app_id=app_id, txn_version=int(batch_id),
-        )
         emit("stream.replace.commit", table_path=table_path,
              version=version, batch_id=int(batch_id),
-             predicate=pred,
+             predicate=None if callable(where) else where,
              duration_ms=int((_time.time() - _t0) * 1000))
 
     return _write

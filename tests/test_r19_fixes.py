@@ -1,0 +1,220 @@
+"""Round-19 fixes: the replaceWhere CDF path pins ONE evaluation of the
+input frame across the cdc and data writes (the UPDATE/MERGE pin's
+sibling gap), the foreachBatch replaceWhere sink decides emptiness from
+the write's own footer stats (no per-batch isEmpty probe job) and skips
+only batch-derived (callable) predicates by default (replace-with-empty
+stays a real semantic for static predicates), the nondeterministic-
+condition guard falls back to a textual scan when the JVM plan surface
+is absent (Spark Connect), `_dv_diff_preimages` handles an all-empty
+diff explicitly, and the streaming CDF source fails LOUDLY at a
+non-additive schema boundary (rename/drop/type change mid-stream) with
+an error naming `table_changes_segments` — delta-spark parity: CDF
+streams fail on non-additive changes and require a restart, never serve
+rows under the wrong column name or silently null-fill.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from duckdb_delta_spark import DeltaTable, DeltaWriter, errors
+from duckdb_delta_spark.delta.log import DeltaLog
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _mk(spark, path, n=6, configuration=None, partition_by=None):
+    w = DeltaWriter.create(spark, path, SCHEMA, configuration=configuration,
+                           partition_by=partition_by)
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], SCHEMA).coalesce(1))
+    return w
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).coalesce(1)
+
+
+def _table(spark, path):
+    return {r["k"]: r["v"] for r in DeltaTable(path).to_df(spark).collect()}
+
+
+# ---------- replaceWhere sink: emptiness from write stats, no probe ----------
+
+
+def test_foreach_replace_where_no_isempty_probe(spark, tdir, monkeypatch):
+    """The sink must never call isEmpty(): emptiness is decided from the
+    batch write's own footer stats inside overwrite(skip_if_empty=True).
+    With isEmpty booby-trapped, a non-empty batch still commits and an
+    empty batch still skips — zero probe jobs either way."""
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    w = _mk(spark, tdir, n=4)
+    head = DeltaTable(tdir).snapshot.version
+
+    def boom(self, *a, **kw):  # pragma: no cover
+        raise AssertionError("sink must not run an isEmpty probe job")
+
+    monkeypatch.setattr(DataFrame, "isEmpty", boom)
+
+    def pred(batch_df):
+        ks = sorted(r["k"] for r in batch_df.select("k").distinct().collect())
+        return "k in (" + ",".join(map(str, ks)) + ")"
+
+    fn = delta_foreach_replace_where(tdir, pred, txn_app_id="r19")
+    fn(_df(spark, [(1, "one")]), 0)                # non-empty: commits
+    assert DeltaTable(tdir).snapshot.version == head + 1
+    fn(spark.createDataFrame([], SCHEMA), 1)       # empty: skipped
+    assert DeltaTable(tdir).snapshot.version == head + 1
+    assert _table(spark, tdir) == {0: "v0", 1: "one", 2: "v2", 3: "v3"}
+
+
+def test_foreach_replace_where_static_empty_batch_replaces(spark, tdir):
+    """Replace-with-empty is a real pipeline semantic for STATIC
+    predicates: an empty batch with a static where clears the region,
+    and where=None truncates — the r18 skip no longer silently leaves
+    stale rows in those modes. skip_empty=True opts back in."""
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    w = _mk(spark, tdir, n=6)
+    empty = spark.createDataFrame([], SCHEMA)
+
+    # static predicate: the empty batch REPLACES (clears) the region
+    fn = delta_foreach_replace_where(tdir, "k >= 4", txn_app_id="s1")
+    fn(empty, 0)
+    assert _table(spark, tdir) == {i: f"v{i}" for i in range(4)}
+
+    # static predicate + skip_empty=True: opt back in to skipping
+    head = DeltaTable(tdir).snapshot.version
+    fn2 = delta_foreach_replace_where(tdir, "k >= 2", txn_app_id="s2",
+                                      skip_empty=True)
+    fn2(empty, 0)
+    assert DeltaTable(tdir).snapshot.version == head
+    assert _table(spark, tdir) == {i: f"v{i}" for i in range(4)}
+
+    # where=None (static full overwrite): the empty batch TRUNCATES
+    fn3 = delta_foreach_replace_where(tdir, None, txn_app_id="s3")
+    fn3(empty, 0)
+    assert _table(spark, tdir) == {}
+
+
+def test_foreach_replace_where_callable_empty_never_runs_callable(
+        spark, tdir):
+    """An empty batch must never reach the callable: a batch-derived
+    predicate is meaningless with no rows (an IN-list builder would
+    produce 'k in ()' or return None and TRUNCATE)."""
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    w = _mk(spark, tdir, n=3)
+    head = DeltaTable(tdir).snapshot.version
+    calls = []
+
+    def pred(batch_df):  # pragma: no cover - must not run
+        calls.append(1)
+        return None
+
+    fn = delta_foreach_replace_where(tdir, pred, txn_app_id="r19c")
+    fn(spark.createDataFrame([], SCHEMA), 0)
+    assert not calls
+    assert DeltaTable(tdir).snapshot.version == head
+    assert len(_table(spark, tdir)) == 3
+
+
+def test_overwrite_skip_if_empty_rolls_back_failed_contract(spark, tdir):
+    """Write-first mode: a contract violation AFTER the data write must
+    roll the staged files back — no orphan parquet outside the log."""
+    w = _mk(spark, tdir, n=4)
+    before = {f.path for f in DeltaTable(tdir).snapshot.add_files()}
+    with pytest.raises(errors.ConstraintViolationError):
+        w.overwrite(_df(spark, [(99, "outside")]), where="k < 2",
+                    skip_if_empty=True)
+    live = {f.path for f in DeltaTable(tdir).snapshot.add_files()}
+    assert live == before
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), tdir)
+        for r, _d, fs in os.walk(tdir) for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+        and "deletion_vector" not in f
+    }
+    assert on_disk == before, "staged files leaked past the rollback"
+
+
+# ---------- replaceWhere CDF: the input frame is pinned across writes ----------
+
+
+def test_cdf_replace_where_nondeterministic_input_insert_matches(spark, tdir):
+    """uuid()-bearing INPUT to a replaceWhere on a CDF table: the cdc
+    'insert' image write and the data write are two jobs, so the input
+    frame is PINNED (persist) — the feed's insert rows must equal the
+    rows actually written to the table, byte for byte (the UPDATE/MERGE
+    pin's sibling path, ADVICE r18)."""
+    from duckdb_delta_spark.delta.changes import table_changes
+
+    w = _mk(spark, tdir, n=8, configuration={
+        "delta.enableChangeDataFeed": "true"})
+    inp = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("r-"), F.expr("uuid()")).alias("v"),
+    ).coalesce(1)
+    v = w.overwrite(inp, where="k < 4")   # partial file: forces cdc
+    assert v is not None
+    table = _table(spark, tdir)
+    feed = table_changes(DeltaLog(tdir), spark, v - 1, v).collect()
+    ins = {r["k"]: r["v"] for r in feed if r["_change_type"] == "insert"}
+    assert set(ins) == {0, 1, 2}
+    assert all(ins[k] == table[k] for k in ins), (ins, table)
+    assert all(x.startswith("r-") for x in ins.values())
+    dels = sorted(r["k"] for r in feed if r["_change_type"] == "delete")
+    assert dels == [0, 1, 2, 3]
+
+
+# ---------- nondeterministic guard: textual fallback without the JVM ----------
+
+
+def test_replace_where_rejects_nondeterministic_without_jvm_surface(
+        spark, tdir, monkeypatch):
+    """When the analyzed-plan surface is absent (Spark Connect has no
+    _jdf), the guard must NOT silently pass: the predicate's text is
+    scanned for the known nondeterministic functions."""
+    from duckdb_delta_spark.delta import writer as W
+
+    monkeypatch.setattr(W, "_plan_all_deterministic", lambda df: None)
+    w = _mk(spark, tdir, n=6)
+    for bad in ("rand() < 0.5", "uuid() = 'x'",
+                "monotonically_increasing_id() = 0"):
+        with pytest.raises(errors.UnsupportedFeatureError,
+                           match="nondeterministic"):
+            w.overwrite(_df(spark, [(1, "x")]), where=bad)
+    # deterministic predicates still pass through the fallback
+    v = w.overwrite(_df(spark, [(1, "one")]), where="k = 1")
+    assert v is not None
+    assert _table(spark, tdir)[1] == "one"
+
+
+# ---------- _dv_diff_preimages: explicit empty-diff handling ----------
+
+
+def test_dv_diff_preimages_empty_results_explicit(spark, tdir):
+    """Defensive contract (ADVICE r18): results rows with n_new == 0
+    (desc=None) are filtered, and an all-empty result set returns an
+    explicit empty frame with the feed schema — never an IndexError or
+    json.loads(None) crash."""
+    w = _mk(spark, tdir, n=4)
+    snap = DeltaTable(tdir).snapshot
+    fake = [{"f": "file:/nowhere", "n_src": 3, "n_fan": 0, "n_new": 0,
+             "full": False, "desc": None}]
+    pre = w._dv_diff_preimages(snap, fake)
+    assert pre.columns == ["k", "v", "_change_type"]
+    assert pre.count() == 0
