@@ -258,6 +258,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: full table schema, kept for typing where-only columns that a
         #: select-projected stream still needs to READ for filtering
         self._full_schema = snap.schema
+        #: the version whose schema the stream is pinned to — a CDF
+        #: stream validates every served commit's schema era against it
+        #: and fails LOUDLY on a non-additive boundary (_check_cdf_schema)
+        self._pinned_version = snap.version
+        #: schema eras already validated against the pinned schema
+        #: (object references kept alive so identity checks stay sound)
+        self._cdf_schema_ok: list = []
         self.select = bool(options.get("select"))
         #: column mapping (name/id mode): files + stats + partitionValues
         #: carry PHYSICAL names at EVERY nesting level — top-level columns
@@ -513,6 +520,49 @@ class DeltaStreamReader(DataSourceStreamReader):
                 removes.append(action["remove"])
         return adds, removes, cdcs
 
+    def _check_cdf_schema(self, snap, v: int) -> None:
+        """Fail LOUDLY when a commit's schema era is NON-ADDITIVE relative
+        to the stream's pinned schema (delta-spark parity: a CDF stream
+        fails on rename/drop/non-widening type change and requires a
+        restart) — the alternative is silent corruption: under column
+        mapping the executor read matches files by physicalName, so a
+        post-rename commit's rows would be served under the OLD logical
+        column name without any error.
+
+        Direction-aware like the batch walker (changes.py): a commit AT
+        OR BEFORE the pinned version is an older era — the batch rule
+        ``era → pinned`` applies (pure column ADDS between era and pinned
+        null-fill, anything else raises); a commit AFTER it is a newer
+        era — ``pinned → era`` applies (columns ADDED after stream start
+        are projected away by the pinned stream schema, matching the
+        plain stream's pinned-projection semantics; renames/drops/type
+        changes raise). Validated eras are cached by object identity —
+        snapshot replay shares the schema object across commits that
+        didn't change it, so the check is O(changes), not O(commits)."""
+        sch = snap.schema
+        if any(sch is s or sch == s for s in self._cdf_schema_ok):
+            return
+        from duckdb_delta_spark.delta.changes import _non_additive_changes
+        from duckdb_delta_spark.delta.errors import SchemaError
+
+        if v <= self._pinned_version:
+            probs = _non_additive_changes(
+                sch.fields, self._full_schema.fields)
+        else:
+            probs = _non_additive_changes(
+                self._full_schema.fields, sch.fields)
+        if probs:
+            raise SchemaError(
+                f"readChangeFeed stream: the schema at version {v} is "
+                "non-additive relative to the stream's schema (pinned at "
+                f"version {self._pinned_version}): " + "; ".join(probs)
+                + ". A CDF stream cannot serve rows across a rename/drop/"
+                "type change — restart the stream past the boundary "
+                f"(startingVersion {v}), or drain the range in batch with "
+                "table_changes_segments(), one frame per schema era."
+            )
+        self._cdf_schema_ok.append(sch)
+
     def _cdf_file_refs(self, start_v: int, end_v: int) -> list[_FileRef]:
         """Change-feed refs for commits (start_v, end_v] — the streaming
         twin of delta/changes.table_changes: cdc files exclusively when a
@@ -533,6 +583,10 @@ class DeltaStreamReader(DataSourceStreamReader):
             if start_v >= 0
             else Snapshot(self._log, -1)
         )
+        if start_v >= 0:
+            # the start snapshot's era serves dropped-path deletes for the
+            # first commit — it must be servable under the pinned schema
+            self._check_cdf_schema(prev, start_v)
         out: list[_FileRef] = []
 
         def ref(path_rel: str, pv: dict, size, **kw) -> _FileRef:
@@ -554,6 +608,7 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         for v in range(start_v + 1, end_v + 1):
             snap = Snapshot.build(self._log, v, base=prev)
+            self._check_cdf_schema(snap, v)
             ts = self._commit_ts(v)
             adds, removes, cdcs = self._classify_full(v)
             common = dict(commit_version=v, commit_ts=ts)

@@ -206,6 +206,117 @@ def test_replace_where_rejects_nondeterministic_without_jvm_surface(
 # ---------- _dv_diff_preimages: explicit empty-diff handling ----------
 
 
+def test_cdf_stream_fails_loudly_on_rename_midstream(spark, tdir):
+    """A rename committed MID-STREAM (after the reader pinned its
+    schema): the next planning pass must fail LOUDLY with an error
+    naming table_changes_segments — never serve post-rename rows under
+    the stream's old column name (the executor read matches files by
+    physicalName, so without the check the rows would arrive silently
+    mislabeled). A fresh reader restarted past the boundary drains the
+    new era; a fresh reader over the WHOLE range fails too (the old era
+    is unservable under the new pinned schema — batch parity)."""
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=4, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert 0..3
+    src = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    reader = src.streamReader(src.schema())        # pins the (k, v) schema
+    pre = reader._cdf_file_refs(0, 1)              # pre-boundary era drains
+    assert pre and all(f.change_type == "insert" for f in pre)
+
+    v2 = w.rename_column("v", "label")             # non-additive boundary
+    w.append(spark.createDataFrame(
+        [(9, "nine")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("label", T.StringType())])).coalesce(1))
+    head = DeltaTable(tdir).snapshot.version
+
+    with pytest.raises(SchemaError, match="table_changes_segments"):
+        reader._cdf_file_refs(1, head)
+
+    # restart past the boundary: pinned at the post-rename schema, the
+    # new era drains
+    src2 = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    r2 = src2.streamReader(src2.schema())
+    refs = r2._cdf_file_refs(v2, head)
+    assert refs and all(f.change_type == "insert" for f in refs)
+    # ...but the whole range still crosses the boundary and fails
+    with pytest.raises(SchemaError, match="non-additive"):
+        r2._cdf_file_refs(0, head)
+
+
+def test_cdf_stream_rename_fails_loudly_end_to_end(spark, tdir):
+    """End-to-end: a readChangeFeed stream planned over a range crossing
+    a rename fails the QUERY with the error naming
+    table_changes_segments — no rows are served under the wrong name."""
+    import shutil as _sh
+
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=4, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })
+    w.rename_column("v", "label")
+    w.append(spark.createDataFrame(
+        [(9, "nine")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("label", T.StringType())])).coalesce(1))
+
+    spark.dataSource.register(DeltaPySource)
+    out, ckpt = str(tdir) + "_out", str(tdir) + "_ckpt"
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="table_changes_segments"):
+        q.awaitTermination(120)
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_cdf_stream_tolerates_additive_changes(spark, tdir):
+    """Additive evolution must NOT trip the boundary check, in either
+    time direction: a reader pinned BEFORE an ADD COLUMN keeps serving
+    (the new column is projected away by the pinned stream schema), and
+    a reader pinned AFTER it serves the old era (null-fill) — exactly
+    the batch walker's additive rule."""
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert 0..2
+    src = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    old_reader = src.streamReader(src.schema())    # pins (k, v)
+
+    w.add_column("extra", "long")                  # v2: additive
+    w.append(spark.createDataFrame(
+        [(7, "seven", 1)],
+        T.StructType(list(SCHEMA.fields)
+                     + [T.StructField("extra", T.LongType())])).coalesce(1))
+    head = DeltaTable(tdir).snapshot.version
+
+    refs = old_reader._cdf_file_refs(0, head)      # newer additive era: ok
+    assert sum(1 for f in refs if f.change_type == "insert") == 2
+
+    src2 = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    new_reader = src2.streamReader(src2.schema())  # pins (k, v, extra)
+    refs2 = new_reader._cdf_file_refs(0, head)     # older era: null-fill ok
+    assert sum(1 for f in refs2 if f.change_type == "insert") == 2
+
+
 def test_dv_diff_preimages_empty_results_explicit(spark, tdir):
     """Defensive contract (ADVICE r18): results rows with n_new == 0
     (desc=None) are filtered, and an all-empty result set returns an
