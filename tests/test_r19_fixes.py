@@ -329,3 +329,111 @@ def test_dv_diff_preimages_empty_results_explicit(spark, tdir):
     pre = w._dv_diff_preimages(snap, fake)
     assert pre.columns == ["k", "v", "_change_type"]
     assert pre.count() == 0
+
+
+# ---------- split/non-split walk equivalence over random histories ----------
+
+
+OPS_POOL = ["append", "append", "delete", "update", "rename", "addcol",
+            "widen", "append"]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_walk_changes_split_nonsplit_equivalence(spark, tdir, seed):
+    """Property over derandomized random histories (appends / deletes /
+    updates / renames / added columns / type widenings) for the
+    r18-rewritten single-pass `_walk_changes`:
+
+    * history with NO non-additive change → exactly one segment, equal
+      to `table_changes` row-for-row (split and non-split walks agree);
+    * history WITH renames → `table_changes` over the full range raises
+      loudly, and EACH segment equals `table_changes` re-run over that
+      segment's own (start, end] bounds — direct frame equality, not
+      just the replay property the r17 fuzz pins."""
+    import random
+
+    from duckdb_delta_spark.delta.changes import (
+        table_changes,
+        table_changes_segments,
+    )
+    from duckdb_delta_spark.delta.errors import SchemaError
+
+    rng = random.Random(1000 + seed)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+    w = DeltaWriter.create(spark, tdir, schema, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })
+
+    vname, extras, widened = "v", [], False
+    next_k, n_renames = 0, 0
+
+    def cur_schema():
+        return T.StructType(
+            [T.StructField("k", T.LongType()),
+             T.StructField(vname, T.StringType()),
+             T.StructField("n", T.LongType() if widened
+                           else T.IntegerType())]
+            + [T.StructField(x, T.LongType()) for x in extras])
+
+    def do_append():
+        nonlocal next_k
+        rows = [(next_k + i, f"s{next_k + i}", (next_k + i) % 100)
+                + (None,) * len(extras) for i in range(5)]
+        w.append(spark.createDataFrame(rows, cur_schema()).coalesce(1))
+        next_k += 5
+
+    do_append()                                     # seed data
+    for step in range(5):
+        op = rng.choice(OPS_POOL)
+        if op == "append":
+            do_append()
+        elif op == "delete":
+            w.delete(f"k % 7 = {rng.randrange(7)} and k < {next_k}")
+        elif op == "update":
+            w.update(f"k % 5 = {rng.randrange(5)}",
+                     {vname: f"concat({vname}, '_u')"})
+        elif op == "rename":
+            new = f"{vname}_r{step}"
+            w.rename_column(vname, new)
+            vname, n_renames = new, n_renames + 1
+        elif op == "addcol":
+            x = f"x{step}"
+            w.add_column(x, "long")
+            extras.append(x)
+        elif op == "widen" and not widened:
+            w.alter_column_type("n", "long")
+            widened = True
+        else:                                       # widen again: append
+            do_append()
+
+    log = DeltaLog(tdir)
+    head = DeltaTable(tdir).snapshot.version
+    segs = table_changes_segments(log, spark, -1)
+
+    def rows(fr):
+        cols = sorted(fr.columns)
+        return sorted(tuple(str(r[c]) for c in cols)
+                      for r in fr.select(*cols).collect())
+
+    # bounds: ordered, non-overlapping, inside (-1, head]
+    bounds = [(s, e) for s, e, _ in segs]
+    assert bounds[0][0] == -1 and bounds[-1][1] <= head
+    assert all(s < e or s == -1 for s, e in bounds)
+    assert all(bounds[i][1] <= bounds[i + 1][0]
+               for i in range(len(bounds) - 1)), bounds
+
+    if n_renames == 0:
+        assert len(segs) == 1 and bounds[0] == (-1, head)
+        assert rows(segs[0][2]) == rows(table_changes(log, spark, -1))
+    else:
+        with pytest.raises(SchemaError,
+                           match="table_changes_segments"):
+            table_changes(log, spark, -1)
+        for s, e, fr in segs:
+            assert rows(fr) == rows(table_changes(log, spark, s, e)), \
+                (seed, s, e)
