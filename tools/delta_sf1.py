@@ -95,6 +95,37 @@ def main() -> int:
               f"{t1q / max(t01, 1e-9):.1f}x | {rows1} |", flush=True)
     print(f"\nSubset total: sf0.1 {tot01:.1f}s, sf1 {tot1:.1f}s — "
           f"{tot1 / tot01:.1f}x wall for 10x data")
+
+    # --- vacuum-lite OP timing (r19): the registry row measures the
+    # post-OPTIMIZE SCAN of the litevac fixture (sf1 compaction packs the
+    # 10x rows into ~3 files, so the scan ratio reads as a regression
+    # every round); this times the LITE VACUUM CALL alone — its cost is
+    # O(log tombstones) unlinks + existence probes, independent of data
+    # volume, and the ratio should be ~1.0x at any scale.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+
+    def time_litevac(sf_dir: str) -> tuple[float, int]:
+        path = os.path.join(os.path.dirname(sf1), f"_tmp_litevac_{os.path.basename(sf_dir)}")
+        shutil.rmtree(path, ignore_errors=True)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = DeltaWriter.create(spark, path, o.schema)
+        for i in range(3):
+            w.append(o.where(F.col("o_orderkey") % 3 == i).repartition(3))
+        assert w.compact(target_file_bytes=256 << 20) is not None
+        t = time.time()
+        deleted = w.vacuum(retention_ms=0, lite=True)
+        dt = time.time() - t
+        shutil.rmtree(path, ignore_errors=True)
+        return dt, len(deleted or [])
+
+    t01, n01 = time_litevac(sf01)
+    t1v, n1 = time_litevac(sf1)
+    print(f"\n| delta_vacuum_lite_op | {t01:.2f} | {t1v:.2f} | "
+          f"{t1v / max(t01, 1e-9):.1f}x | {n1} tombstones reaped |")
     return 0
 
 
