@@ -755,8 +755,12 @@ class DeltaWriter:
         max_retries: int = 0,
         merge_schema: bool = False,
         shred: dict[str, dict[str, str]] | None = None,
-    ) -> int:
-        """Blind append. Returns the committed version.
+        skip_if_empty: bool = False,
+    ) -> int | None:
+        """Blind append. Returns the committed version (or None when
+        ``skip_if_empty=True`` and the input carried zero rows — the
+        streaming foreachBatch mode; an idle stream must not grow the
+        log with no-op commits).
 
         ``shred``: opt-in shredded-variant encoding (Delta spec "Variant
         Shredding") — {variant column → {field → scalar type}}. The
@@ -936,6 +940,21 @@ class DeltaWriter:
                 )
 
         moved, adds = self._write_data(df, schema, parts)
+        if skip_if_empty and not adds and not schema_widened:
+            # streaming-sink mode (delta_foreach_batch): an idle stream's
+            # empty micro-batch must not grow the log — a no-op commit
+            # per sparse batch inflates replay for every reader forever.
+            # Decided from the write's own footer stats (zero probe jobs;
+            # _write_data already dropped zero-row part files). Replay-
+            # safe without a txn stamp: re-running an empty batch is
+            # itself a no-op. A batch that WIDENS the schema still
+            # commits (the metaData change is real). Plain append keeps
+            # its committed-empty-version semantics (see
+            # test_append_drops_empty_part_files).
+            from duckdb_delta_spark.delta.logging import emit
+
+            emit("append.skip_empty", table_path=self.table_path)
+            return None
 
         actions: list[dict] = [{"commitInfo": _commit_info("WRITE", {"mode": "Append"})}]
         # identity high-water-mark advance: read the new extremes from the

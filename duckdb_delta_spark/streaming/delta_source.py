@@ -1618,6 +1618,19 @@ class DeltaStreamWriter(DataSourceStreamArrowWriter):
                     pass
             _SINK_SNAP_CACHE[self.table_path] = snap
             return
+        if not files:
+            # empty micro-batch: an idle stream must not grow the log
+            # with a no-op commit per trigger (~1M commits/year at a 30s
+            # trigger — every reader replays them forever). Emptiness is
+            # already known from the executor commit messages, zero probe
+            # jobs. Replay-safe without the txn stamp: the replayed batch
+            # re-plans the same (empty) offset range and skips again.
+            from duckdb_delta_spark.delta.logging import emit
+
+            _SINK_SNAP_CACHE[self.table_path] = snap
+            emit("stream.sink.skip_empty", table_path=self.table_path,
+                 batch_id=int(batchId))
+            return
         t_snapshot_ms = int((time.time() - _t0) * 1000)
         now_ms = int(time.time() * 1000)
         info = _commit_info("STREAMING UPDATE", {"epochId": str(batchId)})

@@ -84,7 +84,16 @@ def delta_foreach_batch(
             txn_app_id=app_id,
             txn_version=int(batch_id),
             max_retries=3,
+            merge_schema=merge_schema,
+            skip_if_empty=True,
         )
+        if version is None:
+            # empty micro-batch: nothing appended, nothing committed — an
+            # idle stream must not grow the log (decided from the write's
+            # own footer stats inside append, zero probe jobs)
+            emit("stream.foreach.skip_empty", table_path=table_path,
+                 batch_id=int(batch_id))
+            return
         emit(
             "stream.foreach.commit",
             table_path=table_path,

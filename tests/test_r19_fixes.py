@@ -437,3 +437,64 @@ def test_walk_changes_split_nonsplit_equivalence(spark, tdir, seed):
         for s, e, fr in segs:
             assert rows(fr) == rows(table_changes(log, spark, s, e)), \
                 (seed, s, e)
+
+
+# ---------- empty APPEND micro-batches skip the commit (both sinks) ----------
+
+
+def test_foreach_append_skips_empty_batch(spark, tdir):
+    """The foreachBatch APPEND sink skips empty micro-batches entirely
+    (same idle-stream log-growth class as the r18 replaceWhere skip, and
+    decided the same zero-probe way: from the write's own footer stats).
+    Plain w.append keeps its committed-empty-version semantics."""
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_batch
+
+    w = _mk(spark, tdir, n=2)
+    head = DeltaTable(tdir).snapshot.version
+    fn = delta_foreach_batch(tdir, txn_app_id="ap19")
+    empty = spark.createDataFrame([], SCHEMA)
+    fn(empty, 0)                                   # idle: no commit
+    fn(empty, 0)                                   # replayed idle: no-op
+    assert DeltaTable(tdir).snapshot.version == head
+    fn(_df(spark, [(7, "seven")]), 1)              # real batch commits
+    assert DeltaTable(tdir).snapshot.version == head + 1
+    assert _table(spark, tdir) == {0: "v0", 1: "v1", 7: "seven"}
+    # plain append still commits an empty version (API semantics pinned
+    # by test_append_drops_empty_part_files)
+    v = DeltaWriter(tdir, spark).append(empty)
+    assert v == head + 2
+
+
+def test_foreach_append_merge_schema_wired(spark, tdir):
+    """delta_foreach_batch(merge_schema=True) actually forwards the flag
+    (it was declared but never passed to append — a widened batch raised
+    SchemaError): a batch carrying a new column widens the table in the
+    same commit, and a schema-widening EMPTY batch still commits (the
+    metaData change is real)."""
+    _mk(spark, tdir, n=2)
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_batch
+
+    wide = T.StructType(list(SCHEMA.fields)
+                        + [T.StructField("extra", T.LongType())])
+    fn = delta_foreach_batch(tdir, txn_app_id="ms19", merge_schema=True)
+    fn(spark.createDataFrame([(5, "five", 50)], wide).coalesce(1), 0)
+    t = DeltaTable(tdir)
+    assert "extra" in [f.name for f in t.snapshot.schema.fields]
+    rows = {r["k"]: (r["v"], r["extra"])
+            for r in t.to_df(spark).collect()}
+    assert rows == {0: ("v0", None), 1: ("v1", None), 5: ("five", 50)}
+
+
+def test_datasource_sink_skips_empty_batch(spark, tdir):
+    """The exactly-once DataSource sink commits NOTHING for an empty
+    micro-batch (emptiness is already known from the executor commit
+    messages — zero probe jobs), and a later non-empty replay check
+    still works off the txn map."""
+    from duckdb_delta_spark.streaming.delta_source import DeltaStreamWriter
+
+    _mk(spark, tdir, n=2)
+    head = DeltaTable(tdir).snapshot.version
+    w = DeltaStreamWriter(tdir, SCHEMA, {"checkpointlocation": "/tmp/ck19"})
+    w.commit([], 0)
+    w.commit([], 1)
+    assert DeltaTable(tdir).snapshot.version == head
