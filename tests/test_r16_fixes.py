@@ -24,6 +24,25 @@ SCHEMA = T.StructType([
 ])
 
 
+def _sink_file_msg(tdir, k=90):
+    """A real one-row parquet in the table dir + its commit message — the
+    sink SKIPS empty batches since r19 (idle-stream log growth), so tests
+    of the COMMIT machinery must carry a file like every real batch."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_delta_spark.streaming.delta_source import _WrittenFile
+
+    name = f"part-sinktest-{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([k], pa.int64()),
+                  "v": pa.array([f"s{k}"], pa.string())}),
+        f"{tdir}/{name}")
+    return _WrittenFile(rel_path=name, size=os.path.getsize(f"{tdir}/{name}"))
+
+
 def _mk(spark, path, n=6, configuration=None):
     w = DeltaWriter.create(spark, path, SCHEMA, configuration=configuration)
     df = spark.createDataFrame([(i, f"v{i}") for i in range(n)], SCHEMA)
@@ -646,10 +665,10 @@ def test_sink_stamps_in_commit_timestamp(spark, tdir, tmp_path):
 
     s = DeltaStreamWriter(
         tdir, SCHEMA, {"checkpointlocation": str(tmp_path / "ck")})
-    s.commit([], batchId=0)
+    s.commit([_sink_file_msg(tdir, 90)], batchId=0)
     ict2 = log.read_ict(2)
     assert ict2 is not None and ict2 > ict1
-    s.commit([], batchId=1)
+    s.commit([_sink_file_msg(tdir, 91)], batchId=1)
     assert log.read_ict(3) > ict2
 
 
@@ -675,13 +694,13 @@ def test_sink_retries_past_racing_append(spark, tdir, tmp_path, monkeypatch):
         return real(self, version, actions)
 
     monkeypatch.setattr(DeltaLog, "commit", racing)
-    s.commit([], batchId=0)
+    s.commit([_sink_file_msg(tdir, 90)], batchId=0)
     monkeypatch.undo()
 
     snap = Snapshot.build(DeltaLog(tdir))
     assert snap.transaction_version(s.app_id) == 0  # batch committed
     got = sorted(r["k"] for r in DeltaTable(tdir).to_df(spark).collect())
-    assert got == [0, 1, 2, 50]  # racer's row intact too
+    assert got == [0, 1, 2, 50, 90]  # racer's row intact too
 
 
 def test_sink_conflict_raises_on_metadata_racer(
@@ -705,7 +724,7 @@ def test_sink_conflict_raises_on_metadata_racer(
 
     monkeypatch.setattr(DeltaLog, "commit", racing)
     with pytest.raises(errors.CommitConflictError):
-        s.commit([], batchId=0)
+        s.commit([_sink_file_msg(tdir, 90)], batchId=0)
 
 
 def test_merge_with_schema_evolution(spark, tdir):

@@ -27,6 +27,25 @@ SCHEMA = T.StructType([
 ])
 
 
+def _sink_file_msg(tdir, k=90):
+    """A real one-row parquet in the table dir + its commit message — the
+    sink SKIPS empty batches since r19 (idle-stream log growth), so tests
+    of the COMMIT machinery must carry a file like every real batch."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_delta_spark.streaming.delta_source import _WrittenFile
+
+    name = f"part-sinktest-{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([k], pa.int64()),
+                  "v": pa.array([f"s{k}"], pa.string())}),
+        f"{tdir}/{name}")
+    return _WrittenFile(rel_path=name, size=os.path.getsize(f"{tdir}/{name}"))
+
+
 def _mk(spark, path, n=6, configuration=None):
     w = DeltaWriter.create(spark, path, SCHEMA, configuration=configuration)
     w.append(spark.createDataFrame(
@@ -297,7 +316,7 @@ def test_sink_retry_clears_stale_ict_stamp(spark, tdir, tmp_path,
         return real(self, version, actions)
 
     monkeypatch.setattr(DeltaLog, "commit", racing)
-    s.commit([], batchId=0)
+    s.commit([_sink_file_msg(tdir, 90)], batchId=0)
     monkeypatch.undo()
 
     head = DeltaTable(tdir).snapshot.version
