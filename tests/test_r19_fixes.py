@@ -335,21 +335,21 @@ def test_dv_diff_preimages_empty_results_explicit(spark, tdir):
 
 
 OPS_POOL = ["append", "append", "delete", "update", "rename", "addcol",
-            "widen", "append"]
+            "widen", "append", "dropx"]
 
 
 @pytest.mark.parametrize("seed", range(20))
 def test_walk_changes_split_nonsplit_equivalence(spark, tdir, seed):
     """Property over derandomized random histories (appends / deletes /
-    updates / renames / added columns / type widenings) for the
-    r18-rewritten single-pass `_walk_changes`:
+    updates / renames / DROPPED columns / added columns / type
+    widenings) for the r18-rewritten single-pass `_walk_changes`:
 
     * history with NO non-additive change → exactly one segment, equal
       to `table_changes` row-for-row (split and non-split walks agree);
-    * history WITH renames → `table_changes` over the full range raises
-      loudly, and EACH segment equals `table_changes` re-run over that
-      segment's own (start, end] bounds — direct frame equality, not
-      just the replay property the r17 fuzz pins."""
+    * history WITH renames/drops → `table_changes` over the full range
+      raises loudly, and EACH segment equals `table_changes` re-run over
+      that segment's own (start, end] bounds — direct frame equality,
+      not just the replay property the r17 fuzz pins."""
     import random
 
     from duckdb_delta_spark.delta.changes import (
@@ -370,7 +370,7 @@ def test_walk_changes_split_nonsplit_equivalence(spark, tdir, seed):
     })
 
     vname, extras, widened = "v", [], False
-    next_k, n_renames = 0, 0
+    next_k, n_boundaries = 0, 0
 
     def cur_schema():
         return T.StructType(
@@ -400,15 +400,21 @@ def test_walk_changes_split_nonsplit_equivalence(spark, tdir, seed):
         elif op == "rename":
             new = f"{vname}_r{step}"
             w.rename_column(vname, new)
-            vname, n_renames = new, n_renames + 1
+            vname, n_boundaries = new, n_boundaries + 1
         elif op == "addcol":
             x = f"x{step}"
             w.add_column(x, "long")
             extras.append(x)
+        elif op == "dropx" and extras:
+            # DROP COLUMN is the other non-additive boundary op: only
+            # previously-ADDED columns drop, so later appends/updates
+            # stay valid against the tracked schema
+            w.drop_column(extras.pop())
+            n_boundaries += 1
         elif op == "widen" and not widened:
             w.alter_column_type("n", "long")
             widened = True
-        else:                                       # widen again: append
+        else:                              # widen/dropx unavailable
             do_append()
 
     log = DeltaLog(tdir)
@@ -427,7 +433,7 @@ def test_walk_changes_split_nonsplit_equivalence(spark, tdir, seed):
     assert all(bounds[i][1] <= bounds[i + 1][0]
                for i in range(len(bounds) - 1)), bounds
 
-    if n_renames == 0:
+    if n_boundaries == 0:
         assert len(segs) == 1 and bounds[0] == (-1, head)
         assert rows(segs[0][2]) == rows(table_changes(log, spark, -1))
     else:
@@ -498,3 +504,49 @@ def test_datasource_sink_skips_empty_batch(spark, tdir):
     w.commit([], 0)
     w.commit([], 1)
     assert DeltaTable(tdir).snapshot.version == head
+
+
+def test_cdf_stream_fails_loudly_on_drop_midstream(spark, tdir):
+    """DROP COLUMN is the other non-additive boundary: a reader pinned
+    before the drop must fail loudly on the post-drop era (serving NULL
+    where pre-drop rows had values is the silent corruption delta-spark
+    refuses), naming table_changes_segments."""
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })
+    w.add_column("extra", "long")                  # v2: additive
+    src = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    reader = src.streamReader(src.schema())        # pins (k, v, extra)
+    w.drop_column("extra")                         # v3: boundary
+    w.append(_df(spark, [(9, "nine")]))            # v4: post-drop era
+    head = DeltaTable(tdir).snapshot.version
+    with pytest.raises(SchemaError, match="table_changes_segments"):
+        reader._cdf_file_refs(2, head)
+    # restarted past the boundary, the post-drop era drains
+    src2 = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    refs = src2.streamReader(src2.schema())._cdf_file_refs(3, head)
+    assert refs and all(f.change_type == "insert" for f in refs)
+
+
+def test_foreach_merge_empty_batch_commits_nothing(spark, tdir):
+    """The merge sink's empty micro-batch is a genuine no-op on the
+    writer side (merge returns None before any commit when nothing
+    matched and nothing inserted) — pin that idle upsert streams don't
+    grow the log either."""
+    from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_merge
+
+    _mk(spark, tdir, n=3)
+    head = DeltaTable(tdir).snapshot.version
+    fn = delta_foreach_merge(tdir, "t.k = s.k",
+                             when_matched_update={"v": "s.v"},
+                             txn_app_id="mg19")
+    fn(spark.createDataFrame([], SCHEMA), 0)
+    fn(spark.createDataFrame([], SCHEMA), 1)
+    assert DeltaTable(tdir).snapshot.version == head
+    fn(_df(spark, [(1, "upd"), (50, "new")]), 2)   # real batch commits
+    assert DeltaTable(tdir).snapshot.version == head + 1
+    assert _table(spark, tdir) == {0: "v0", 1: "upd", 2: "v2", 50: "new"}
