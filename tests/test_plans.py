@@ -645,7 +645,13 @@ def test_cdc_preimage_plan_no_predicate_single_broadcast_join(
     monkeypatch.setattr(W, "_write_cdc", spy)
     w.delete("k >= 17")          # partial file → cdc path
     assert len(captured) == 1
-    plan = captured[0]
+    # Catalyst expression IDs (#82017L) can legitimately contain the
+    # digits of the predicate literal late in a long session — strip
+    # them before asserting the LITERAL is absent (r19: this tripped
+    # once in a full-suite run after ~80k expression IDs)
+    import re as _re
+
+    plan = _re.sub(r"#\d+", "", captured[0])
     # no re-evaluation of the predicate in the pre-image plan
     assert "17" not in plan, plan
     # one broadcast-able semi join on the virtual (filename, row#) pair
