@@ -69,6 +69,26 @@ _NONDET_FUNC_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: quoted string literals inside a predicate's text — stripped before the
+#: nondeterministic-function scan so a LITERAL containing "uuid(" (e.g.
+#: ``msg = 'call uuid() first'``) is not a false positive. Handles SQL
+#: doubled-quote ('it''s' matches as two adjacent literals — both
+#: removed) and backslash escapes.
+_QUOTED_LITERAL_RE = re.compile(
+    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
+def _strip_string_literals(text: str) -> str:
+    """``text`` with every quoted string literal replaced by an empty
+    literal, for the textual nondeterminism fallback — function names
+    appearing inside literals must not trip the scan. A ``Column<'…'>``
+    repr (callers that only have a Column) is unwrapped first: its
+    outer quotes would otherwise invert the literal/non-literal parity
+    of every quote inside."""
+    if text.startswith("Column<'") and text.endswith("'>"):
+        text = text[8:-2]
+    return _QUOTED_LITERAL_RE.sub("''", text)
+
 
 def _plan_all_deterministic(df: DataFrame) -> bool | None:
     """True/False from the analyzed plan's top expressions via the
@@ -1466,11 +1486,17 @@ class DeltaWriter:
         the DV diff (`_dv_diff_preimages`), never a re-scan. Primary
         check: the analyzed plan's top (Filter) expressions through the
         classic-session JVM surface; when that surface is absent (Spark
-        Connect), ``condition``'s TEXT is scanned for the known
-        nondeterministic functions instead of silently passing."""
+        Connect), ``condition``'s TEXT — with quoted string literals
+        stripped, so a literal containing "uuid(" is not a false
+        positive — is scanned for the known nondeterministic functions
+        instead of silently passing. The textual fallback is
+        pattern-limited BY DESIGN: nondeterministic Python UDFs and
+        generator functions outside the list pass it (the JVM plan
+        check, which runs on every classic session, catches those)."""
         det = _plan_all_deterministic(filtered)
         if det is None and condition is not None:
-            det = _NONDET_FUNC_RE.search(str(condition)) is None
+            det = _NONDET_FUNC_RE.search(
+                _strip_string_literals(str(condition))) is None
         if det is False:
             raise UnsupportedFeatureError(
                 f"{op}: nondeterministic condition — this path evaluates "
@@ -3154,6 +3180,13 @@ class DeltaWriter:
 
         snap = self._snapshot
         self._assert_writable("OVERWRITE", removes_rows=True)
+        # observability for foreachBatch sinks: callable predicates
+        # resolve INSIDE this method (after the skip_if_empty decision),
+        # so the caller can't log the per-batch predicate string unless
+        # we surface it — reset per call so a skipped batch never shows
+        # a stale predicate/count from the previous commit
+        self.last_overwrite_predicate: str | None = None
+        self.last_overwrite_added_files: int | None = None
         if txn_app_id is not None and txn_version is not None:
             # idempotent foreachBatch OVERWRITE/replaceWhere (same
             # contract as merge's txn args): replayed batches skip
@@ -3243,8 +3276,12 @@ class DeltaWriter:
             # nondeterministic one would replace one region and validate
             # another, so refuse it at entry (delta-spark parity)
             if where is not None:
+                # textual fallback wants the ORIGINAL SQL string when we
+                # have one: Column.__repr__ wraps the text in Column<'…'>
+                # whose outer quotes break literal-stripping quote parity
                 self._assert_deterministic_condition(
-                    df.where(where), "replaceWhere", condition=where)
+                    df.where(where), "replaceWhere",
+                    condition=pred_str if pred_str is not None else where)
             # NULL predicate counts as a violation (replaceWhere
             # constraint semantics, matching delta-spark): ~where alone
             # drops NULL rows.
@@ -3340,6 +3377,8 @@ class DeltaWriter:
         info = {"mode": "Overwrite"}
         if where is not None:
             info["predicate"] = pred_str or str(where)
+        self.last_overwrite_predicate = info.get("predicate")
+        self.last_overwrite_added_files = len(adds)
         actions: list[dict] = [{"commitInfo": _commit_info("WRITE", info)}]
         if results:
             if any(not r["full"] for r in results):  # DV materialized only

@@ -262,9 +262,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: stream validates every served commit's schema era against it
         #: and fails LOUDLY on a non-additive boundary (_check_cdf_schema)
         self._pinned_version = snap.version
-        #: schema eras already validated against the pinned schema
-        #: (object references kept alive so identity checks stay sound)
-        self._cdf_schema_ok: list = []
+        #: schema eras already validated against the pinned schema,
+        #: keyed by DIRECTION (era ≤ pinned vs era > pinned) — the two
+        #: directions check opposite containments (old→pinned admits
+        #: pure adds, pinned→new admits drops-of-post-pin adds), so a
+        #: schema validated as an OLDER era must NOT be trusted when the
+        #: same schema reappears AFTER the pin (column added at pin,
+        #: then dropped post-pin: the post-pin DROP must still raise).
+        #: Object references kept alive so identity checks stay sound.
+        self._cdf_schema_ok_old: list = []
+        self._cdf_schema_ok_new: list = []
         self.select = bool(options.get("select"))
         #: column mapping (name/id mode): files + stats + partitionValues
         #: carry PHYSICAL names at EVERY nesting level — top-level columns
@@ -536,16 +543,23 @@ class DeltaStreamReader(DataSourceStreamReader):
         era — ``pinned → era`` applies (columns ADDED after stream start
         are projected away by the pinned stream schema, matching the
         plain stream's pinned-projection semantics; renames/drops/type
-        changes raise). Validated eras are cached by object identity —
-        snapshot replay shares the schema object across commits that
-        didn't change it, so the check is O(changes), not O(commits)."""
+        changes raise). Validated eras are cached PER DIRECTION by
+        object identity — snapshot replay shares the schema object
+        across commits that didn't change it, so the check is
+        O(changes), not O(commits); the two directions never share a
+        cache because their containment rules are opposite (a schema
+        green as an older era — pure add up to the pin — can reappear
+        post-pin via a DROP of the added column, which must raise)."""
         sch = snap.schema
-        if any(sch is s or sch == s for s in self._cdf_schema_ok):
+        old_era = v <= self._pinned_version
+        cache = (self._cdf_schema_ok_old if old_era
+                 else self._cdf_schema_ok_new)
+        if any(sch is s or sch == s for s in cache):
             return
         from duckdb_delta_spark.delta.changes import _non_additive_changes
         from duckdb_delta_spark.delta.errors import SchemaError
 
-        if v <= self._pinned_version:
+        if old_era:
             probs = _non_additive_changes(
                 sch.fields, self._full_schema.fields)
         else:
@@ -561,7 +575,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                 f"(startingVersion {v}), or drain the range in batch with "
                 "table_changes_segments(), one frame per schema era."
             )
-        self._cdf_schema_ok.append(sch)
+        cache.append(sch)
 
     def _cdf_file_refs(self, start_v: int, end_v: int) -> list[_FileRef]:
         """Change-feed refs for commits (start_v, end_v] — the streaming

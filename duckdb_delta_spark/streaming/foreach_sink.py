@@ -201,15 +201,21 @@ def delta_foreach_replace_where(
     callable returning None) makes the batch a FULL overwrite.
 
     ``skip_empty``: whether an EMPTY micro-batch skips its commit (an
-    idle stream must not inflate log replay — or TRUNCATE the table when
-    the callable would have returned None). Default (None): skip exactly
-    when ``where`` is a callable — a batch-derived predicate is
-    meaningless for a batch with no rows. For a STATIC predicate (SQL
-    string or ``where=None``), replace-with-empty is a real pipeline
-    semantic (clear the region / truncate on an empty batch), so those
-    modes commit by default; pass ``skip_empty=True`` to opt in to
-    skipping. Skipping is replay-safe without a txn stamp: re-running an
-    empty batch is itself a no-op.
+    idle stream must not inflate log replay — or TRUNCATE the table).
+    Default (None): skip when ``where`` is a callable (a batch-derived
+    predicate is meaningless for a batch with no rows) AND when
+    ``where`` is None — Structured Streaming DOES deliver empty batches
+    (stateful queries emitting nothing, recovery re-execution), and a
+    full overwrite of an empty batch wipes whatever the previous batch
+    just wrote, so truncate-on-idle must be the explicit opt-in
+    (``skip_empty=False``), never the default. For a STATIC SQL-string
+    predicate, replace-with-empty remains a real pipeline semantic
+    (clear the region on an empty batch), so that mode commits by
+    default — but the sink emits a loud ``stream.replace.empty_commit``
+    event whenever an empty batch clears a region, so an unintended
+    idle-stream wipe is visible in the log; pass ``skip_empty=True`` to
+    opt in to skipping. Skipping is replay-safe without a txn stamp:
+    re-running an empty batch is itself a no-op.
 
     Cost shape: emptiness is decided from the batch write's OWN footer
     stats inside :meth:`DeltaWriter.overwrite` (``skip_if_empty``) — a
@@ -224,7 +230,11 @@ def delta_foreach_replace_where(
 
     app_id = txn_app_id or f"delta_py_replace:{os.path.abspath(table_path)}"
     state: dict = {}
-    skip = callable(where) if skip_empty is None else bool(skip_empty)
+    skip = (
+        (callable(where) or where is None)
+        if skip_empty is None
+        else bool(skip_empty)
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -256,9 +266,17 @@ def delta_foreach_replace_where(
             emit("stream.replace.skip_empty", table_path=table_path,
                  batch_id=int(batch_id))
             return
+        if w.last_overwrite_added_files == 0:
+            # committed an EMPTY batch (skip_empty opted out, or static
+            # predicate default): the region was cleared / table
+            # truncated with zero replacement rows — loud by design so
+            # an unintended idle-stream wipe is visible in the log
+            emit("stream.replace.empty_commit", table_path=table_path,
+                 version=version, batch_id=int(batch_id),
+                 predicate=w.last_overwrite_predicate)
         emit("stream.replace.commit", table_path=table_path,
              version=version, batch_id=int(batch_id),
-             predicate=None if callable(where) else where,
+             predicate=w.last_overwrite_predicate,
              duration_ms=int((_time.time() - _t0) * 1000))
 
     return _write

@@ -78,10 +78,13 @@ def test_foreach_replace_where_no_isempty_probe(spark, tdir, monkeypatch):
 
 
 def test_foreach_replace_where_static_empty_batch_replaces(spark, tdir):
-    """Replace-with-empty is a real pipeline semantic for STATIC
-    predicates: an empty batch with a static where clears the region,
-    and where=None truncates — the r18 skip no longer silently leaves
-    stale rows in those modes. skip_empty=True opts back in."""
+    """Replace-with-empty is a real pipeline semantic for STATIC SQL
+    predicates: an empty batch with a static where clears the region
+    (with a loud ``stream.replace.empty_commit`` event). where=None is
+    the dangerous mode — a full overwrite of an idle/empty batch wipes
+    what the previous batch wrote — so it SKIPS by default (r20, per
+    advisor) and ``skip_empty=False`` is the explicit truncate opt-in.
+    skip_empty=True opts a static predicate back into skipping."""
     from duckdb_delta_spark.streaming.foreach_sink import (
         delta_foreach_replace_where,
     )
@@ -89,10 +92,19 @@ def test_foreach_replace_where_static_empty_batch_replaces(spark, tdir):
     w = _mk(spark, tdir, n=6)
     empty = spark.createDataFrame([], SCHEMA)
 
-    # static predicate: the empty batch REPLACES (clears) the region
+    # static predicate: the empty batch REPLACES (clears) the region,
+    # and the clear is loudly visible in the event log
+    from duckdb_delta_spark.delta import logging as dlog
+
+    events: list = []
     fn = delta_foreach_replace_where(tdir, "k >= 4", txn_app_id="s1")
-    fn(empty, 0)
+    dlog.add_sink(events.append)
+    try:
+        fn(empty, 0)
+    finally:
+        dlog.remove_sink(events.append)
     assert _table(spark, tdir) == {i: f"v{i}" for i in range(4)}
+    assert any(e["event"] == "stream.replace.empty_commit" for e in events)
 
     # static predicate + skip_empty=True: opt back in to skipping
     head = DeltaTable(tdir).snapshot.version
@@ -102,9 +114,17 @@ def test_foreach_replace_where_static_empty_batch_replaces(spark, tdir):
     assert DeltaTable(tdir).snapshot.version == head
     assert _table(spark, tdir) == {i: f"v{i}" for i in range(4)}
 
-    # where=None (static full overwrite): the empty batch TRUNCATES
+    # where=None (full overwrite): the empty batch SKIPS by default —
+    # truncate-on-idle must never be the default
     fn3 = delta_foreach_replace_where(tdir, None, txn_app_id="s3")
     fn3(empty, 0)
+    assert DeltaTable(tdir).snapshot.version == head
+    assert _table(spark, tdir) == {i: f"v{i}" for i in range(4)}
+
+    # where=None + skip_empty=False: the explicit truncate opt-in
+    fn4 = delta_foreach_replace_where(tdir, None, txn_app_id="s4",
+                                      skip_empty=False)
+    fn4(empty, 0)
     assert _table(spark, tdir) == {}
 
 

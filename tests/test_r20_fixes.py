@@ -1,0 +1,176 @@
+"""Round-20 fixes (ADVICE r19): the streaming CDF schema-era cache is
+DIRECTION-KEYED (a schema validated as an older era — pure add between
+era and pin — must not be trusted when the same schema reappears AFTER
+the pin via a post-pin DROP of the added column), the foreachBatch
+replaceWhere sink skips empty batches by default for where=None (an
+idle full-overwrite stream must not truncate the table; the explicit
+``skip_empty=False`` opts into truncate) and emits a loud
+``stream.replace.empty_commit`` event when a static predicate's empty
+batch clears its region, the sink's commit event carries the RESOLVED
+per-batch predicate for callable mode, and the textual nondeterminism
+fallback strips quoted string literals before the function-name scan
+(a literal containing "uuid(" is not a nondeterministic predicate).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from duckdb_delta_spark import DeltaTable, DeltaWriter, errors
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _mk(spark, path, n=4, configuration=None):
+    w = DeltaWriter.create(spark, path, SCHEMA, configuration=configuration)
+    w.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], SCHEMA).coalesce(1))
+    return w
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).coalesce(1)
+
+
+def _table(spark, path):
+    return {r["k"]: r["v"] for r in DeltaTable(path).to_df(spark).collect()}
+
+
+# ---------- CDF stream: schema-era cache is direction-keyed ----------
+
+
+def test_cdf_schema_cache_direction_keyed(spark, tdir):
+    """ADVICE r19 (delta_source direction-agnostic cache): a column is
+    ADDED just before the stream pins, then DROPPED after the pin — the
+    pre-add era's schema and the post-drop era's schema are EQUAL
+    StructTypes, so an undirected cache that validated the pre-add era
+    (pure add old→pinned, legal) would trust the post-drop era by
+    equality and serve the DROP silently. The caches must be keyed by
+    direction: the post-pin DROP still raises."""
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert, schema (k,v)
+    w.add_column("extra", "long")                  # v2: schema (k,v,extra)
+    w.append(spark.createDataFrame(
+        [(7, "seven", 1)],
+        T.StructType(list(SCHEMA.fields)
+                     + [T.StructField("extra", T.LongType())])).coalesce(1))
+
+    src = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    reader = src.streamReader(src.schema())        # pins (k, v, extra)
+    pin = reader._pinned_version
+
+    # drain the whole pre-pin range: validates and CACHES the (k, v)
+    # schema as an older era (pure add between era and pin — legal)
+    refs = reader._cdf_file_refs(0, pin)
+    assert refs
+    assert reader._cdf_schema_ok_old  # (k, v) era cached as OLD
+
+    w.drop_column("extra")                         # post-pin: schema (k,v)
+    w.append(spark.createDataFrame(
+        [(9, "nine")], SCHEMA).coalesce(1))
+    head = DeltaTable(tdir).snapshot.version
+
+    # the post-drop schema EQUALS the cached older-era schema; the
+    # direction-keyed cache must not be fooled — the drop still raises
+    with pytest.raises(SchemaError, match="non-additive"):
+        reader._cdf_file_refs(pin, head)
+
+
+# ---------- replace sink: resolved callable predicate in the event ----------
+
+
+def test_replace_sink_logs_resolved_callable_predicate(spark, tdir):
+    """ADVICE r19 (observability): since callable predicates resolve
+    inside overwrite(), the sink's ``stream.replace.commit`` event must
+    still carry the RESOLVED per-batch predicate string, not None."""
+    from duckdb_delta_spark.delta import logging as dlog
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    _mk(spark, tdir, n=4)
+
+    def pred(batch_df):
+        ks = sorted(r["k"] for r in batch_df.select("k").collect())
+        return "k in (" + ",".join(str(k) for k in ks) + ")"
+
+    fn = delta_foreach_replace_where(tdir, pred, txn_app_id="r20obs")
+    events: list = []
+    dlog.add_sink(events.append)
+    try:
+        fn(_df(spark, [(1, "one"), (2, "two")]), 0)
+    finally:
+        dlog.remove_sink(events.append)
+    commits = [e for e in events if e["event"] == "stream.replace.commit"]
+    assert commits and commits[0]["predicate"] == "k in (1,2)"
+    assert _table(spark, tdir) == {0: "v0", 1: "one", 2: "two", 3: "v3"}
+
+
+def test_replace_sink_where_none_empty_batch_skips_by_default(spark, tdir):
+    """ADVICE r19 (medium): Structured Streaming delivers empty batches
+    (stateful no-emit, recovery re-execution) — a where=None sink must
+    not truncate on one by default. Non-empty batches still overwrite."""
+    from duckdb_delta_spark.streaming.foreach_sink import (
+        delta_foreach_replace_where,
+    )
+
+    _mk(spark, tdir, n=4)
+    head = DeltaTable(tdir).snapshot.version
+    fn = delta_foreach_replace_where(tdir, None, txn_app_id="r20none")
+    fn(spark.createDataFrame([], SCHEMA), 0)       # idle batch: no-op
+    assert DeltaTable(tdir).snapshot.version == head
+    assert len(_table(spark, tdir)) == 4
+    fn(_df(spark, [(8, "eight")]), 1)              # real batch: overwrites
+    assert _table(spark, tdir) == {8: "eight"}
+
+
+# ---------- textual nondeterminism fallback: literal-safe ----------
+
+
+def test_nondet_textual_fallback_ignores_string_literals(
+        spark, tdir, monkeypatch):
+    """ADVICE r19: a string LITERAL containing "uuid(" inside an
+    otherwise deterministic predicate must not trip the textual
+    fallback; real nondeterministic calls outside literals still do."""
+    from duckdb_delta_spark.delta import writer as W
+
+    monkeypatch.setattr(W, "_plan_all_deterministic", lambda df: None)
+    w = _mk(spark, tdir, n=4)
+
+    # literal mentioning uuid( — deterministic, must pass
+    v = w.overwrite(_df(spark, [(1, "call uuid() first")]),
+                    where="k = 1 or v = 'call uuid() first'")
+    assert v is not None
+    assert _table(spark, tdir)[1] == "call uuid() first"
+
+    # doubled-quote SQL escape inside the literal, still deterministic
+    v2 = w.overwrite(_df(spark, [(1, "x")]),
+                     where="k = 1 or v = 'it''s rand() o''clock'")
+    assert v2 is not None
+
+    # a REAL nondeterministic call outside any literal still refuses,
+    # even with a decoy literal alongside
+    with pytest.raises(errors.UnsupportedFeatureError,
+                       match="nondeterministic"):
+        w.overwrite(_df(spark, [(1, "x")]),
+                    where="v = 'rand()' and uuid() = 'y'")
+
+
+def test_strip_string_literals_unit():
+    from duckdb_delta_spark.delta.writer import _strip_string_literals as s
+
+    assert s("v = 'uuid()'") == "v = ''"
+    assert s('v = "rand()"') == "v = ''"
+    assert s(r"v = 'a\'b rand()'") == "v = ''"
+    assert s("v = 'it''s rand()'") == "v = ''''"  # two adjacent literals
+    assert "rand(" not in s("v = 'it''s rand() x'")
+    assert s("rand() < 0.5") == "rand() < 0.5"
