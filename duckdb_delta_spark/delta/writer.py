@@ -5409,10 +5409,30 @@ class DeltaWriter:
         def _scan_dir(d: str) -> tuple[list[str], list[str]]:
             fs: list[str] = []
             ds: list[str] = []
-            with os.scandir(d) as it:
+            try:
+                it = os.scandir(d)
+            except FileNotFoundError:
+                # raced away: a concurrent writer's transient dir (or an
+                # emptied partition dir) was listed by the parent scan
+                # and removed before this scan reached it — exactly the
+                # soak-captured triad flake (vacuum walking a racer's
+                # _staging_* dir mid-rollback). Vanished == nothing to
+                # vacuum there.
+                return fs, ds
+            with it:
                 for e in it:
                     if e.is_dir(follow_symlinks=False):
-                        if e.name != "_delta_log":
+                        # _delta_log is the log; _staging_* dirs are a
+                        # writer's PRIVATE uncommitted workspace (files
+                        # move out on commit, the dir is deleted on
+                        # rollback) — never vacuum candidates, and
+                        # skipping them also closes the listed-then-
+                        # vanished race at its hottest site. delta-spark
+                        # likewise hides uncommitted paths from vacuum
+                        # only via the retention window; we can do
+                        # better because our staging prefix is ours.
+                        if e.name != "_delta_log" and \
+                                not e.name.startswith("_staging_"):
                             ds.append(e.path)
                     elif e.name.endswith((".parquet", ".bin")):
                         fs.append(os.path.abspath(e.path))

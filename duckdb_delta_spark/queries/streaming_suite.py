@@ -969,3 +969,100 @@ def stream_replace_sink(spark, sf_dir):
             .alias("disc"),
         )
     )
+
+
+@register(
+    "stream_schema_track",
+    oracle="""
+    SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_nationkey < 5
+    """,
+    group="streaming",
+)
+def stream_schema_track(spark, sf_dir):
+    """Auto-advancing CDF stream restart across a RENAME boundary
+    (delta-spark ``schemaTrackingLocation`` analogue, r20): era 1 of a
+    column-mapped CDF table drains, a rename + more commits land, the
+    next run FAILS LOUDLY at the boundary (recording it in
+    ``schemaTrackingDir``), and ONE restart drains the remaining
+    commits from the checkpointed offset under the new schema — exactly
+    once, old-era reads relabeled by columnMapping id. The drained feed
+    folds to the batch answer over nation iff no era was skipped,
+    duplicated, or served under the wrong column."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from duckdb_delta_spark.delta.writer import DeltaWriter
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    try:
+        spark.dataSource.register(DeltaPySource)
+    except Exception:  # noqa: BLE001 - already registered on this session
+        pass
+    root = FX.ensure_fixtures(spark, sf_dir)
+    rt_root = os.path.join(root, "_schema_track")
+    shutil.rmtree(rt_root, ignore_errors=True)
+    tbl = os.path.join(rt_root, "tbl")
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    w = DeltaWriter.create(spark, tbl, schema, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })
+    w.append(nat.where("k < 13").coalesce(1))       # v1: era-1 inserts
+
+    got: list = []
+
+    def run():
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", tbl)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .option("schemaTrackingDir", os.path.join(rt_root, "track"))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r["k"], r["_change_type"]) for r in df.collect()))
+            .option("checkpointLocation", os.path.join(rt_root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        except Exception as e:  # noqa: BLE001 - the failing leg IS the test
+            return e
+        return q.exception()
+
+    assert run() is None                            # era 1 drains
+    w.rename_column("name", "nm")                   # v2: boundary
+    w.append(nat.where("k >= 13").coalesce(1)
+             .withColumnRenamed("name", "nm"))      # v3: era-2 inserts
+    w.delete("k < 5")                               # v4: deletes
+    exc = run()                                     # fails AT the boundary
+    assert exc is not None and "schemaTrackingDir" in str(exc), exc
+    assert run() is None                            # ONE restart: drains rest
+
+    return (
+        local_df(spark, [(k, ct) for k, ct in got],
+                 T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("change_type",
+                                             T.StringType())]))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("key_sum"))
+    )

@@ -40,6 +40,56 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _tracked_era_problems(era_fields, pinned_fields, prefix: str = ""):
+    """The RELAXED era check behind ``schemaTrackingDir`` (delta-spark's
+    ``schemaTrackingLocation`` analogue): after a restart acknowledged a
+    schema boundary, every era is served UNDER THE PINNED SCHEMA via
+    columnMapping-id / physicalName matching — a rename just relabels
+    (physical identity is preserved, the executor read resolves files by
+    physical name anyway), a column dropped before the pin is projected
+    away, and a column added after the era null-fills. The ONLY
+    unservable change is an id-matched column whose type cannot widen
+    era→pinned: those rows cannot be represented in the pinned schema at
+    all. Mirrors :func:`delta.changes._non_additive_changes`' matching
+    (id first, name fallback) and type rules, minus the rename/drop
+    refusals the restart explicitly opted out of."""
+    from pyspark.sql import types as T
+
+    problems: list[str] = []
+
+    def fid(f):
+        return (f.metadata or {}).get("delta.columnMapping.id")
+
+    pin_by_id = {fid(g): g for g in pinned_fields if fid(g) is not None}
+    pin_by_name = {g.name: g for g in pinned_fields}
+    for f in era_fields:
+        i = fid(f)
+        nf = pin_by_id.get(i) if i is not None else None
+        if nf is None:
+            nf = pin_by_name.get(f.name)
+            if nf is not None and i is not None and \
+                    fid(nf) not in (None, i):
+                nf = None  # same logical name but a DIFFERENT column
+        if nf is None:
+            continue  # dropped before the pin: projected away — fine
+        if isinstance(f.dataType, T.StructType) and isinstance(
+                nf.dataType, T.StructType):
+            problems += _tracked_era_problems(
+                f.dataType.fields, nf.dataType.fields,
+                prefix=f"{prefix}{f.name}.")
+        elif nf.dataType != f.dataType:
+            from duckdb_delta_spark.delta.writer import _is_widening
+
+            if not _is_widening(f.dataType, nf.dataType):
+                problems.append(
+                    f"column {prefix}{f.name!r} changed type "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{nf.dataType.simpleString()} (not a spec-allowed "
+                    "widening — unrepresentable under the tracked "
+                    "schema)")
+    return problems
+
+
 @dataclass
 class _FileRef:
     """One data file inside a split.
@@ -272,6 +322,27 @@ class DeltaStreamReader(DataSourceStreamReader):
         #: Object references kept alive so identity checks stay sound.
         self._cdf_schema_ok_old: list = []
         self._cdf_schema_ok_new: list = []
+        #: .option('schemaTrackingDir', <dir>) — delta-spark's
+        #: ``schemaTrackingLocation`` analogue: when a non-additive
+        #: boundary fails the stream, the boundary version is PERSISTED
+        #: to <dir>/boundary.json before raising; a RESTARTED reader
+        #: (which naturally re-pins at HEAD) sees the record and serves
+        #: pre-pin eras under the pinned schema via columnMapping-id /
+        #: physicalName matching (_tracked_era_problems) — renames
+        #: relabel, drops project away, adds null-fill — so recovery is
+        #: ONE restart from the checkpointed offset instead of a manual
+        #: startingVersion computation. Without the option, today's
+        #: fail-loud behavior is unchanged.
+        self._schema_tracking_dir = options.get("schemaTrackingDir")
+        self._auto_advance = False
+        self._tracked_boundary: int | None = None
+        if self._schema_tracking_dir:
+            rec = os.path.join(self._schema_tracking_dir, "boundary.json")
+            if os.path.isfile(rec):
+                with open(rec) as fh:
+                    self._auto_advance = True
+                    self._tracked_boundary = int(
+                        json.load(fh).get("version", -1))
         self.select = bool(options.get("select"))
         #: column mapping (name/id mode): files + stats + partitionValues
         #: carry PHYSICAL names at EVERY nesting level — top-level columns
@@ -559,23 +630,82 @@ class DeltaStreamReader(DataSourceStreamReader):
         from duckdb_delta_spark.delta.changes import _non_additive_changes
         from duckdb_delta_spark.delta.errors import SchemaError
 
-        if old_era:
+        if old_era and self._auto_advance:
+            # a restart acknowledged a persisted boundary: serve old
+            # eras under the PINNED schema via id/physical matching
+            # (renames relabel, drops project away, adds null-fill);
+            # only an unrepresentable type change still refuses
+            probs = _tracked_era_problems(
+                sch.fields, self._full_schema.fields)
+            if not probs:
+                from duckdb_delta_spark.delta.logging import emit
+
+                emit("stream.cdf.schema_advance",
+                     table_path=self.table_path, era_version=v,
+                     pinned_version=self._pinned_version)
+                cache.append(sch)
+                return
+        elif old_era:
             probs = _non_additive_changes(
                 sch.fields, self._full_schema.fields)
         else:
             probs = _non_additive_changes(
                 self._full_schema.fields, sch.fields)
         if probs:
+            remedy = (
+                "restart the stream past the boundary "
+                f"(startingVersion {v}), or drain the range in batch "
+                "with table_changes_segments(), one frame per schema era."
+            )
+            if self._schema_tracking_dir and not (
+                    old_era and self._auto_advance):
+                # persist the boundary BEFORE raising so the restarted
+                # reader auto-advances: re-pins at HEAD and serves every
+                # era under the new schema from its checkpointed offset.
+                # (An auto-advancing reader that STILL refuses hit an
+                # unrepresentable type change — recording again would
+                # promise a restart that cannot help; the segments
+                # remedy above stands.)
+                self._record_boundary(v)
+                remedy = (
+                    "the boundary was recorded in schemaTrackingDir — "
+                    "RESTART the stream and it resumes from its "
+                    "checkpointed offset under the current schema "
+                    "(renamed columns relabel, dropped columns project "
+                    "away)."
+                )
             raise SchemaError(
                 f"readChangeFeed stream: the schema at version {v} is "
                 "non-additive relative to the stream's schema (pinned at "
                 f"version {self._pinned_version}): " + "; ".join(probs)
                 + ". A CDF stream cannot serve rows across a rename/drop/"
-                "type change — restart the stream past the boundary "
-                f"(startingVersion {v}), or drain the range in batch with "
-                "table_changes_segments(), one frame per schema era."
+                "type change — " + remedy
             )
         cache.append(sch)
+
+    def _record_boundary(self, v: int) -> None:
+        """Persist the failed era boundary (monotonic: never regress a
+        later recorded boundary) so the next restart auto-advances."""
+        import time as _time
+
+        d = self._schema_tracking_dir
+        os.makedirs(d, exist_ok=True)
+        rec = os.path.join(d, "boundary.json")
+        prev = -1
+        if os.path.isfile(rec):
+            try:
+                with open(rec) as fh:
+                    prev = int(json.load(fh).get("version", -1))
+            except (ValueError, OSError):
+                prev = -1
+        if v <= prev:
+            return
+        tmp = rec + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v,
+                       "pinned_version": self._pinned_version,
+                       "recorded_ms": int(_time.time() * 1000)}, fh)
+        os.replace(tmp, rec)
 
     def _cdf_file_refs(self, start_v: int, end_v: int) -> list[_FileRef]:
         """Change-feed refs for commits (start_v, end_v] — the streaming

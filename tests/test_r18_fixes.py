@@ -336,6 +336,10 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
     # conflicts; appends/merges use disjoint per-(thread, step) keys
     SCRIPTS = THREAD_VARIANTS[variant]
 
+    from thread_evidence import Evidence
+
+    ev = Evidence(f"serialize-{variant}")
+
     def run_thread(who):
         """Returns [(commit_version, kind, f)] for ops that committed."""
         w = DeltaWriter(tdir, spark)
@@ -379,6 +383,7 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
                 elif kind == "addcol":
                     res = w.add_column(f"x_{who.lower()}_{f}", "long")
             except errors.CommitConflictError:
+                ev.op(who, kind, f=f, outcome="conflict")
                 continue                    # loud loss: must leave no trace
             except errors.SchemaError:
                 # also a loud loss: a racer WIDENED the table mid-flight
@@ -386,22 +391,26 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
                 # column (plain merge's insert clause requires them) —
                 # documented refusal; the fold equality below verifies
                 # it left no trace
+                ev.op(who, kind, f=f, outcome="schema_refusal")
                 continue
             if res is None:
+                ev.op(who, kind, f=f, outcome="noop")
                 continue                    # genuine no-op on its snapshot
-            out.append((res if isinstance(res, int) else res[0], kind,
-                        f, who))
+            v = res if isinstance(res, int) else res[0]
+            ev.op(who, kind, f=f, version=v)
+            out.append((v, kind, f, who))
         return out
 
     barrier = threading.Barrier(len(SCRIPTS))
     with ThreadPoolExecutor(max_workers=len(SCRIPTS)) as ex:
         committed = [c for f in [
-            ex.submit(run_thread, who) for who in SCRIPTS
+            ex.submit(ev.wrap(who, run_thread), who) for who in SCRIPTS
         ] for c in f.result(timeout=600)]
 
     versions = [v for v, *_ in committed]
-    assert len(set(versions)) == len(versions), \
-        f"two ops claim one commit version: {sorted(committed)}"
+    ev.check(len(set(versions)) == len(versions),
+             "two ops claim one commit version",
+             committed=sorted(committed))
 
     model = {k: k for k in range(30)}
     for v, kind, f, who in sorted(committed):
@@ -432,7 +441,9 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
 
     got = {r["k"]: r["v"] for r in
            DeltaTable(tdir).to_df(spark).select("k", "v").collect()}
-    assert got == model, (sorted(committed), got, model)
+    ev.check(got == model, "table state != log-order fold oracle",
+             committed=sorted(committed), got=sorted(got.items()),
+             model=sorted(model.items()))
 
     # the change feed replays to the same state (delete-before-insert
     # within a commit, like the fuzz's replay property). One interleaving
@@ -450,8 +461,10 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
         restores = [v for v, kind, _f, _w in committed if kind == "restore"]
         widens = [v for v, kind, _f, _w in committed
                   if kind in ("addcol", "merge_evolve")]
-        assert restores and widens and min(widens) < max(restores), \
-            "CDF refused a range with no schema-rollback to justify it"
+        ev.check(
+            bool(restores and widens and min(widens) < max(restores)),
+            "CDF refused a range with no schema-rollback to justify it",
+            committed=sorted(committed))
         return
     replay: dict = {}
     for r in sorted(feed,
@@ -462,7 +475,9 @@ def test_threaded_writers_serialize_in_commit_order(spark, tdir, variant):
             replay[r["k"]] = r["v"]
         elif r["_change_type"] == "delete":
             replay.pop(r["k"], None)
-    assert replay == model
+    ev.check(replay == model, "CDF replay != fold oracle",
+             committed=sorted(committed), replay=sorted(replay.items()),
+             model=sorted(model.items()))
 
 
 def test_threaded_ingest_optimize_retention_triad(spark, tdir):
@@ -479,6 +494,8 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    from thread_evidence import Evidence
+
     schema = T.StructType([
         T.StructField("day", T.LongType()),
         T.StructField("id", T.LongType()),
@@ -487,6 +504,7 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
     DeltaWriter.create(spark, tdir, schema, partition_by=["day"],
                        configuration={"delta.enableChangeDataFeed": "true"})
     N_BATCH, PER = 8, 25   # days 0..3, two batches each
+    ev = Evidence("triad")
 
     def batch_rows(b):
         return [(b // 2, b * 1000 + j, j) for j in range(PER)]
@@ -497,34 +515,42 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
         w = DeltaWriter(tdir, spark)
         barrier.wait()
         for b in range(N_BATCH):
-            w.append(spark.createDataFrame(batch_rows(b), schema)
-                     .coalesce(1),
-                     txn_app_id="ingest", txn_version=b, max_retries=25)
+            v = w.append(spark.createDataFrame(batch_rows(b), schema)
+                         .coalesce(1),
+                         txn_app_id="ingest", txn_version=b, max_retries=25)
+            ev.op("ingest", "append", batch=b, version=v)
 
     def compactor():
         w = DeltaWriter(tdir, spark)
         barrier.wait()
         n = 0
-        for _ in range(6):
+        for i in range(6):
             try:
-                if w.compact(min_files=2) is not None:
+                v = w.compact(min_files=2)
+                ev.op("compactor", "compact", attempt=i, version=v)
+                if v is not None:
                     n += 1
             except errors.CommitConflictError:
+                ev.op("compactor", "compact", attempt=i, outcome="conflict")
                 continue
         return n
 
     def retention():
         w = DeltaWriter(tdir, spark)
         barrier.wait()
-        for day in (0, 1, 0):
+        for i, day in enumerate((0, 1, 0)):
             try:
-                w.delete(f"day = {day}")
+                v = w.delete(f"day = {day}")
+                ev.op("retention", "delete", day=day, version=v)
             except errors.CommitConflictError:
-                pass
-            w.vacuum(retention_ms=10**12, logging=True)
+                ev.op("retention", "delete", day=day, outcome="conflict")
+            v = w.vacuum(retention_ms=10**12, logging=True)
+            ev.op("retention", "vacuum", round=i, version=v)
 
     with ThreadPoolExecutor(max_workers=3) as ex:
-        futs = [ex.submit(f) for f in (ingest, compactor, retention)]
+        futs = [ex.submit(ev.wrap(n, f)) for n, f in
+                (("ingest", ingest), ("compactor", compactor),
+                 ("retention", retention))]
         for f in futs:
             f.result(timeout=600)
 
@@ -535,12 +561,17 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
         w.delete(f"day = {day}")
 
     snap = DeltaTable(tdir).snapshot
-    assert snap.transaction_version("ingest") == N_BATCH - 1  # all landed
+    ev.check(snap.transaction_version("ingest") == N_BATCH - 1,
+             "not every ingest batch landed exactly once",
+             txn_version=snap.transaction_version("ingest"))
     expected = {r[1]: (r[0], r[2]) for b in range(4, 8)
                 for r in batch_rows(b)}
     got = {r["id"]: (r["day"], r["v"]) for r in
            DeltaTable(tdir).to_df(spark).collect()}
-    assert got == expected, (len(got), len(expected))
+    ev.check(got == expected, "final table state != fold oracle",
+             n_got=len(got), n_expected=len(expected),
+             extra_keys=sorted(set(got) - set(expected))[:20],
+             missing_keys=sorted(set(expected) - set(got))[:20])
 
     # replayed batch with DIFFERENT data is skipped (exactly-once)
     from duckdb_delta_spark.streaming.foreach_sink import delta_foreach_batch
@@ -548,7 +579,9 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
     head = snap.version
     delta_foreach_batch(tdir, txn_app_id="ingest")(
         spark.createDataFrame([(9, 10**6, -1)], schema), 3)
-    assert DeltaTable(tdir).snapshot.version == head
+    ev.check(DeltaTable(tdir).snapshot.version == head,
+             "replayed ingest batch was not skipped",
+             head=head, got=DeltaTable(tdir).snapshot.version)
 
     # change feed replays to the final state through the noise:
     # compaction commits add nothing, partition drops derive deletes
@@ -564,7 +597,8 @@ def test_threaded_ingest_optimize_retention_triad(spark, tdir):
             replay[r["id"]] = (r["day"], r["v"])
         elif r["_change_type"] == "delete":
             replay.pop(r["id"], None)
-    assert replay == expected
+    ev.check(replay == expected, "CDF replay != final state",
+             n_replay=len(replay), n_expected=len(expected))
 
 
 def test_cdf_delete_mixed_full_and_partial_files(spark, tdir):

@@ -52,18 +52,24 @@ def test_threaded_replace_sink_optimize_retention(spark, tdir):
         delta_foreach_replace_where,
     )
 
+    from thread_evidence import Evidence
+
+    ev = Evidence("replace-sink-triad")
     barrier = threading.Barrier(3)
 
     def sink():
         fn = delta_foreach_replace_where(tdir, pred, txn_app_id="replsink")
         barrier.wait()
         for b in range(N_BATCH):
-            for _attempt in range(30):
+            for attempt in range(30):
                 try:
                     fn(spark.createDataFrame(batch_rows(b), schema)
                        .coalesce(1), b)
+                    ev.op("sink", "replace", batch=b, attempt=attempt)
                     break
                 except errors.CommitConflictError:
+                    ev.op("sink", "replace", batch=b, attempt=attempt,
+                          outcome="conflict")
                     continue            # loud loss: replay the batch
             else:                       # pragma: no cover
                 raise AssertionError(f"batch {b} never landed")
@@ -71,24 +77,30 @@ def test_threaded_replace_sink_optimize_retention(spark, tdir):
     def compactor():
         w = DeltaWriter(tdir, spark)
         barrier.wait()
-        for _ in range(6):
+        for i in range(6):
             try:
-                w.compact(min_files=2)
+                v = w.compact(min_files=2)
+                ev.op("compactor", "compact", attempt=i, version=v)
             except errors.CommitConflictError:
+                ev.op("compactor", "compact", attempt=i, outcome="conflict")
                 continue
 
     def retention():
         w = DeltaWriter(tdir, spark)
         barrier.wait()
-        for day in (0, 1, 0):
+        for i, day in enumerate((0, 1, 0)):
             try:
-                w.delete(f"day = {day}")
+                v = w.delete(f"day = {day}")
+                ev.op("retention", "delete", day=day, version=v)
             except errors.CommitConflictError:
-                pass
-            w.vacuum(retention_ms=10**12, logging=True)
+                ev.op("retention", "delete", day=day, outcome="conflict")
+            v = w.vacuum(retention_ms=10**12, logging=True)
+            ev.op("retention", "vacuum", round=i, version=v)
 
     with ThreadPoolExecutor(max_workers=3) as ex:
-        for f in [ex.submit(g) for g in (sink, compactor, retention)]:
+        for f in [ex.submit(ev.wrap(n, g)) for n, g in
+                  (("sink", sink), ("compactor", compactor),
+                   ("retention", retention))]:
             f.result(timeout=600)
 
     # deterministic final sweep: whatever interleaving won on days 0/1,
@@ -98,18 +110,24 @@ def test_threaded_replace_sink_optimize_retention(spark, tdir):
         w.delete(f"day = {day}")
 
     snap = DeltaTable(tdir).snapshot
-    assert snap.transaction_version("replsink") == N_BATCH - 1
+    ev.check(snap.transaction_version("replsink") == N_BATCH - 1,
+             "not every sink batch landed exactly once",
+             txn_version=snap.transaction_version("replsink"))
     # last replace per surviving day wins: batch 5 owns day 2, 7 owns 3
     expected = {r[1]: (r[0], r[2]) for b in (5, 7) for r in batch_rows(b)}
     got = {r["id"]: (r["day"], r["v"]) for r in
            DeltaTable(tdir).to_df(spark).collect()}
-    assert got == expected, (len(got), len(expected))
+    ev.check(got == expected, "final table state != last-replace-wins",
+             n_got=len(got), n_expected=len(expected),
+             extra_keys=sorted(set(got) - set(expected))[:20],
+             missing_keys=sorted(set(expected) - set(got))[:20])
 
     # a replayed batch with different data must be skipped (exactly-once)
     head = DeltaTable(tdir).snapshot.version
     fn = delta_foreach_replace_where(tdir, pred, txn_app_id="replsink")
     fn(spark.createDataFrame([(9, 10**6, -1)], schema), 3)
-    assert DeltaTable(tdir).snapshot.version == head
+    ev.check(DeltaTable(tdir).snapshot.version == head,
+             "replayed sink batch was not skipped", head=head)
 
     # CDF replays to the final state through the noise
     from duckdb_delta_spark.delta.changes import table_changes
@@ -123,7 +141,8 @@ def test_threaded_replace_sink_optimize_retention(spark, tdir):
             replay[r["id"]] = (r["day"], r["v"])
         elif r["_change_type"] == "delete":
             replay.pop(r["id"], None)
-    assert replay == expected
+    ev.check(replay == expected, "CDF replay != final state",
+             n_replay=len(replay), n_expected=len(expected))
 
 
 def test_threaded_writers_with_renames_serialize_or_loud(spark, tdir):
@@ -165,6 +184,9 @@ def test_threaded_writers_with_renames_serialize_or_loud(spark, tdir):
         # columns append at the end; this mix adds none)
         return snap.schema.fields[1].name
 
+    from thread_evidence import Evidence
+
+    ev = Evidence("renames-mix")
     barrier = threading.Barrier(len(SCRIPTS))
 
     def run_thread(who):
@@ -195,23 +217,28 @@ def test_threaded_writers_with_renames_serialize_or_loud(spark, tdir):
                     res = w.rename_column(
                         vcol_of(snap), f"v_{who.lower()}_{f}")
             except (errors.CommitConflictError, errors.SchemaError):
+                ev.op(who, kind, f=f, outcome="loud_loss")
                 continue        # loud loss (incl. a racer renaming the
             except errors.UnsupportedFeatureError:
+                ev.op(who, kind, f=f, outcome="unsupported")
                 continue        # column out from under this op mid-plan)
             if res is None:
+                ev.op(who, kind, f=f, outcome="noop")
                 continue
-            out.append((res if isinstance(res, int) else res[0], kind,
-                        f, who))
+            v = res if isinstance(res, int) else res[0]
+            ev.op(who, kind, f=f, version=v)
+            out.append((v, kind, f, who))
         return out
 
     with ThreadPoolExecutor(max_workers=len(SCRIPTS)) as ex:
         committed = [c for f in [
-            ex.submit(run_thread, who) for who in SCRIPTS
+            ex.submit(ev.wrap(who, run_thread), who) for who in SCRIPTS
         ] for c in f.result(timeout=600)]
 
     versions = [v for v, *_ in committed]
-    assert len(set(versions)) == len(versions), \
-        f"two ops claim one commit version: {sorted(committed)}"
+    ev.check(len(set(versions)) == len(versions),
+             "two ops claim one commit version",
+             committed=sorted(committed))
 
     model = {k: k for k in range(30)}
     for v, kind, f, who in sorted(committed):
@@ -232,7 +259,9 @@ def test_threaded_writers_with_renames_serialize_or_loud(spark, tdir):
     vfinal = vcol_of(final_snap)
     got = {r["k"]: r[vfinal] for r in
            DeltaTable(tdir).to_df(spark).collect()}
-    assert got == model, (sorted(committed), got, model)
+    ev.check(got == model, "table state != log-order fold oracle",
+             committed=sorted(committed), got=sorted(got.items()),
+             model=sorted(model.items()))
 
     # change-feed replay, era-aware: with a committed rename the
     # whole-range feed refuses LOUDLY; the segmented drain replays
@@ -264,4 +293,6 @@ def test_threaded_writers_with_renames_serialize_or_loud(spark, tdir):
             replay[k] = val
         elif ct == "delete":
             replay.pop(k, None)
-    assert replay == model
+    ev.check(replay == model, "era-segmented CDF replay != fold oracle",
+             committed=sorted(committed), replay=sorted(replay.items()),
+             model=sorted(model.items()))

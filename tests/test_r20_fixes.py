@@ -174,3 +174,174 @@ def test_strip_string_literals_unit():
     assert s("v = 'it''s rand()'") == "v = ''''"  # two adjacent literals
     assert "rand(" not in s("v = 'it''s rand() x'")
     assert s("rand() < 0.5") == "rand() < 0.5"
+
+
+# ---------- schemaTrackingDir: auto-advancing CDF stream restart ----------
+
+
+def test_cdf_schema_tracking_records_boundary_and_auto_advances(spark, tdir):
+    """VERDICT r19 #2 (delta-spark ``schemaTrackingLocation`` analogue):
+    with .option('schemaTrackingDir', d) the stream STILL fails loudly
+    at a non-additive boundary (unchanged contract) but persists the
+    boundary first; a restarted reader — naturally re-pinned at HEAD —
+    auto-advances: it serves every era under the pinned schema via
+    columnMapping-id matching (renames relabel, drops project away), so
+    recovery is one restart from the checkpointed offset instead of a
+    manual startingVersion computation."""
+    import json as _json
+    import os as _os
+
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert 0..2
+    track = str(tdir) + "_track"
+    opts = {"path": tdir, "readChangeFeed": "true",
+            "schemaTrackingDir": track}
+    src = DeltaPySource(opts)
+    reader = src.streamReader(src.schema())        # pins (k, v)
+    pre = reader._cdf_file_refs(0, 1)              # checkpointed offset: 1
+    assert pre and all(f.change_type == "insert" for f in pre)
+
+    w.rename_column("v", "label")                  # v2: boundary
+    w.append(spark.createDataFrame(
+        [(9, "nine")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("label", T.StringType())])).coalesce(1))
+    head = DeltaTable(tdir).snapshot.version
+
+    # fail-loud is unchanged, but the error names the recorded remedy
+    with pytest.raises(SchemaError, match="schemaTrackingDir"):
+        reader._cdf_file_refs(1, head)
+    rec = _os.path.join(track, "boundary.json")
+    assert _os.path.isfile(rec)
+    assert _json.load(open(rec))["version"] == 2
+
+    # restart (fresh reader, same options): auto-advances — the old era
+    # serves under the pinned schema, the whole backlog drains
+    src2 = DeltaPySource(opts)
+    r2 = src2.streamReader(src2.schema())          # pins (k, label) @ HEAD
+    assert r2._auto_advance
+    refs = r2._cdf_file_refs(1, head)              # from checkpointed offset
+    assert refs and all(f.change_type == "insert" for f in refs)
+    full = r2._cdf_file_refs(0, head)              # old era also servable
+    assert sum(1 for f in full if f.change_type == "insert") == 2
+
+    # a NO-option restart keeps today's fail-loud behavior
+    src3 = DeltaPySource({"path": tdir, "readChangeFeed": "true"})
+    r3 = src3.streamReader(src3.schema())
+    with pytest.raises(SchemaError, match="table_changes_segments"):
+        r3._cdf_file_refs(0, head)
+
+
+def test_cdf_schema_tracking_end_to_end_restart(spark, tdir):
+    """End-to-end over real query lifecycles sharing one checkpoint:
+    the stream fails at the rename, and ONE restart with the option
+    drains the remaining commits exactly once — row-values equal to the
+    era-segmented batch feed over the same range (old-era rows relabel
+    to the pinned column names)."""
+    from duckdb_delta_spark.delta.changes import table_changes_segments
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert 0..2
+    spark.dataSource.register(DeltaPySource)
+    track, ck = str(tdir) + "_track", str(tdir) + "_ck"
+    got: list = []
+
+    def run():
+        q = (spark.readStream.format("delta_py")
+             .option("path", tdir)
+             .option("readChangeFeed", "true")
+             .option("startingVersion", "0")
+             .option("schemaTrackingDir", track)
+             .load()
+             .writeStream
+             .foreachBatch(lambda df, bid: got.extend(
+                 tuple(r) for r in df.drop("_commit_timestamp").collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    run()                                          # drains era 1
+    n_first = len(got)
+    assert n_first == 3
+
+    w.rename_column("v", "label")                  # v2: boundary
+    w.append(spark.createDataFrame(
+        [(9, "nine")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("label", T.StringType())])).coalesce(1))
+    w.delete("k = 1")                              # v4: delete row
+
+    with pytest.raises(Exception, match="schemaTrackingDir"):
+        run()                                      # fails AT the boundary
+    assert len(got) == n_first                     # nothing duplicated
+
+    run()                                          # ONE restart: drains rest
+    new = sorted(got[n_first:])
+    # oracle: the era-segmented batch feed over the same range
+    from duckdb_delta_spark.delta.log import DeltaLog
+
+    expect = []
+    for _s, _e, fr in table_changes_segments(DeltaLog(tdir), spark, 1):
+        expect.extend(
+            (r[0], r[1], r[2], r[3])
+            for r in fr.drop("_commit_timestamp").collect())
+    assert new == sorted(expect), (new, sorted(expect))
+
+
+# ---------- vacuum vs racing writers: the soak-captured triad flake ----------
+
+
+def test_vacuum_skips_staging_dirs(spark, tdir):
+    """Regression for the soak-captured triad flake (1/50 runs,
+    .fixtures/thread_evidence): vacuum's tree walk listed a concurrent
+    writer's transient ``_staging_*`` dir, which vanished (rollback /
+    move-on-commit) before its own scandir — FileNotFoundError killed
+    the retention thread. Staging dirs are a writer's PRIVATE
+    uncommitted workspace: vacuum must never walk them (so an aggressive
+    retention can't reap mid-write files either)."""
+    import os
+    import time
+
+    w = _mk(spark, tdir, n=4)
+    staged = os.path.join(tdir, "_staging_deadbeef")
+    os.makedirs(staged)
+    f = os.path.join(staged, "part-00000.parquet")
+    open(f, "wb").write(b"x")
+    old = time.time() - 10 * 86400
+    os.utime(f, (old, old))                        # far past any cutoff
+
+    gone = w.vacuum(retention_ms=0)                # reap everything eligible
+    assert os.path.exists(f), "vacuum reaped an uncommitted staging file"
+    assert not any("_staging_" in p for p in gone)
+
+
+def test_vacuum_tolerates_vanished_dir(spark, tdir, monkeypatch):
+    """The other half of the race: ANY listed directory (an emptied
+    hive-partition dir, a racer's workspace) may vanish between the
+    parent listing and its own scandir — vacuum must treat it as empty,
+    not die."""
+    import os
+
+    w = _mk(spark, tdir, n=4)
+    doomed = os.path.join(tdir, "day=9")
+    os.makedirs(doomed)
+
+    real_scandir = os.scandir
+
+    def racing_scandir(path, *a, **k):
+        if os.path.abspath(str(path)) == os.path.abspath(doomed):
+            raise FileNotFoundError(2, "No such file or directory", path)
+        return real_scandir(path, *a, **k)
+
+    monkeypatch.setattr(os, "scandir", racing_scandir)
+    gone = w.vacuum(retention_ms=10**12)           # must not raise
+    assert gone == []
