@@ -79,6 +79,18 @@ def cpu_canary() -> float:
 MT_CANARY_PROCS = 8
 MT_CANARY_ITERS = 10_000_000  # per process
 
+# Committed healthy band for the MULTICORE canary (aggregate iter/s),
+# from the observed healthy-window spread: r17 ~157M, r19 200.1M
+# (BENCH_DETAIL.json canary_mt_post across rounds; the r18 throttled
+# window measured ~2-3× under this floor). The band is DATA the runner
+# compares against — not prose that drifts (docs/
+# bench_environment_notes.md §3). ``throttled`` is emitted true when
+# the measured MT canary falls >1.3× below the floor; readings above
+# the ceiling are fine (faster box) and only widen the band next round.
+CANARY_MT_HEALTHY_FLOOR = 157_000_000.0
+CANARY_MT_HEALTHY_CEILING = 205_000_000.0
+CANARY_MT_THROTTLE_RATIO = 1.3
+
 
 def _mt_loop(_):
     acc = 0
@@ -162,6 +174,17 @@ def main() -> int:
     canary_mt_post = cpu_canary_mt()
     total = round(sum(timings.values()), 3)
 
+    # self-judgment against the COMMITTED band: the artifact says whether
+    # its own absolute times are comparable to other healthy rounds
+    canary_mt = min(canary_mt_pre, canary_mt_post)
+    throttled = canary_mt < (CANARY_MT_HEALTHY_FLOOR
+                             / CANARY_MT_THROTTLE_RATIO)
+    canary_band = {
+        "floor": CANARY_MT_HEALTHY_FLOOR,
+        "ceiling": CANARY_MT_HEALTHY_CEILING,
+        "throttle_ratio": CANARY_MT_THROTTLE_RATIO,
+    }
+
     # Full per-query detail goes to a committed sidecar file; the stdout
     # line must stay under the driver's capture limit (BENCH_r09.json was
     # truncated to an unparseable tail by the 277-entry map).
@@ -184,9 +207,11 @@ def main() -> int:
                 "canary_iters_per_sec": min(canary_pre, canary_post),
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
-                "canary_mt_iters_per_sec": min(canary_mt_pre, canary_mt_post),
+                "canary_mt_iters_per_sec": canary_mt,
                 "canary_mt_pre": canary_mt_pre,
                 "canary_mt_post": canary_mt_post,
+                "canary_band": canary_band,
+                "throttled": throttled,
                 "timing_mode": "min_of_2_under_60s_plus_spike_guard",
                 "suite_total": len(queries),
             },
@@ -217,10 +242,14 @@ def main() -> int:
                 # the r17→r18 throttle hit the many-core envelope while
                 # single-core stayed fast — compare THIS number across
                 # rounds before reading absolute suite seconds
-                "canary_mt_iters_per_sec": min(canary_mt_pre,
-                                               canary_mt_post),
+                "canary_mt_iters_per_sec": canary_mt,
                 "canary_mt_pre": canary_mt_pre,
                 "canary_mt_post": canary_mt_post,
+                # committed healthy band + the artifact's own verdict:
+                # throttled=true ⇒ absolute times NOT comparable across
+                # rounds (the r18 lesson, now a number not a judgment)
+                "canary_band": canary_band,
+                "throttled": throttled,
                 "timing_mode": "min_of_2_under_60s_plus_spike_guard",
                 # artifact self-description: the driver's correctness
                 # window covers only the first 50 registry names

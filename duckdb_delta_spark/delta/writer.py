@@ -94,9 +94,16 @@ def _plan_all_deterministic(df: DataFrame) -> bool | None:
     """True/False from the analyzed plan's top expressions via the
     classic-session JVM surface; None when that surface is absent (Spark
     Connect has no ``_jdf``) — callers fall back to a textual scan of the
-    original predicate instead of silently passing."""
+    original predicate instead of silently passing. Routed through
+    :func:`duckdb_delta_spark.plans.jdf_or_none`, the package-wide seam
+    for the classic-only JVM surface."""
+    from duckdb_delta_spark.plans import jdf_or_none
+
+    jdf = jdf_or_none(df)
+    if jdf is None:
+        return None
     try:
-        exprs = df._jdf.queryExecution().analyzed().expressions()
+        exprs = jdf.queryExecution().analyzed().expressions()
         return all(exprs.apply(i).deterministic()
                    for i in range(exprs.size()))
     except Exception:

@@ -16,6 +16,7 @@ explicitly in the SQL itself.
 
 from __future__ import annotations
 
+from duckdb_delta_spark.plans import physical_plan_text
 from duckdb_delta_spark.queries import register, register_views
 
 #: exact decimal accumulation, surfaced as rounded double (both dialects)
@@ -256,7 +257,7 @@ def ds_region_nation_rank(spark, sf_dir):
               _REGION_NATION_RANK)
     # all three dim joins must plan as broadcasts (no shuffle join on
     # customer/nation/region at any scale — orders is the only big side)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan_text(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     return df
 
@@ -365,7 +366,7 @@ def ds_return_ratio_rank(spark, sf_dir):
     df = _sql(spark, sf_dir,
               ["lineitem", "orders", "customer", "nation"],
               _RETURN_RATIO_RANK)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan_text(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     return df
 
@@ -754,7 +755,7 @@ def ds_join_chain(spark, sf_dir):
     df = _sql(spark, sf_dir,
               ["lineitem", "orders", "customer", "nation", "region",
                "supplier"], _JOIN_CHAIN)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan_text(df)
     # dims (customer/nation/region/supplier) broadcast; the two facts shuffle
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     return df

@@ -28,6 +28,7 @@ calendar date.
 
 from __future__ import annotations
 
+from duckdb_delta_spark.plans import physical_plan_text
 from duckdb_delta_spark.queries import register, register_views
 
 _DSUM = "CAST(round(sum(CAST({x} AS DECIMAL(25,6))), 2) AS DOUBLE)"
@@ -429,7 +430,7 @@ def ds_nation_pair_orders(spark, sf_dir):
     df = _sql(spark, sf_dir,
               ["lineitem", "orders", "customer", "nation", "supplier"],
               _NATION_PAIR_ORDERS)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan_text(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     return df
 
@@ -632,7 +633,7 @@ def ds_geo_rollup_avgs(spark, sf_dir):
     df = _sql(spark, sf_dir,
               ["lineitem", "orders", "customer", "nation", "region"],
               _GEO_ROLLUP_AVGS)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan_text(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     return df
 

@@ -345,3 +345,59 @@ def test_vacuum_tolerates_vanished_dir(spark, tdir, monkeypatch):
     monkeypatch.setattr(os, "scandir", racing_scandir)
     gone = w.vacuum(retention_ms=10**12)           # must not raise
     assert gone == []
+
+
+# ---------- Connect-surface sweep: every _jdf consumer has a fallback ----
+
+#: the five registry queries that assert on physical-plan text — the
+#: package's only _jdf consumers besides the writer's determinism guard
+_PLAN_ASSERTING = [
+    "ds_region_nation_rank",
+    "ds_return_ratio_rank",
+    "ds_join_chain",
+    "ds_nation_pair_orders",
+    "ds_geo_rollup_avgs",
+]
+
+
+def test_connect_sim_plan_asserting_queries(spark, monkeypatch):
+    """VERDICT r19 #3: with the classic-only JVM surface mocked away
+    (``plans.jdf_or_none`` → None, the package-wide seam), every
+    plan-asserting registry query must still run — the broadcast-join
+    assertion evaluates against captured ``df.explain()`` text instead
+    of crashing on a missing ``_jdf`` — and return real rows."""
+    from duckdb_delta_spark import plans
+    from duckdb_delta_spark.queries import all_queries
+
+    monkeypatch.setattr(plans, "jdf_or_none", lambda df: None)
+
+    # prove the fallback produces real physical-plan text, not ""
+    text = plans.physical_plan_text(spark.range(2))
+    assert "Physical Plan" in text or "Range" in text, text
+
+    queries = all_queries()
+    for name in _PLAN_ASSERTING:
+        # the broadcast assertion inside each query ran on explain text
+        rows = queries[name].fn(spark, "/root/testdata/sf0.001").collect()
+        # ds_nation_pair_orders is genuinely empty at sf0.001
+        assert rows or name == "ds_nation_pair_orders", name
+
+
+def test_connect_sim_nondet_guard_fails_closed(spark, tdir, monkeypatch):
+    """With ``_jdf`` absent everywhere (Connect simulation through the
+    real seam, not a writer-internal patch), the determinism guard must
+    neither silently pass a nondeterministic predicate nor crash: the
+    textual fallback refuses with the NAMED UnsupportedFeatureError,
+    and deterministic predicates still commit."""
+    from duckdb_delta_spark import plans
+
+    monkeypatch.setattr(plans, "jdf_or_none", lambda df: None)
+    w = _mk(spark, tdir, n=4)
+
+    v = w.overwrite(_df(spark, [(1, "det")]), where="k = 1")
+    assert v is not None
+    assert _table(spark, tdir)[1] == "det"
+
+    with pytest.raises(errors.UnsupportedFeatureError,
+                       match="nondeterministic"):
+        w.overwrite(_df(spark, [(2, "x")]), where="uuid() = 'y'")
