@@ -39,6 +39,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 def _tests():
     import test_r18_fixes as r18
     import test_r19_threads as r19
+    import test_r20_threads as r20
 
     def serialize(spark, tdir):
         # all three op-mix variants, fresh table dir each
@@ -51,6 +52,7 @@ def _tests():
         "triad": r18.test_threaded_ingest_optimize_retention_triad,
         "replace-sink": r19.test_threaded_replace_sink_optimize_retention,
         "renames": r19.test_threaded_writers_with_renames_serialize_or_loud,
+        "cdf-reader": r20.test_threaded_cdf_stream_reader_races_writers,
         "serialize": serialize,
     }
 
