@@ -297,6 +297,67 @@ def test_cdf_schema_tracking_end_to_end_restart(spark, tdir):
     assert new == sorted(expect), (new, sorted(expect))
 
 
+def test_cdf_schema_tracking_two_boundaries_two_restarts(spark, tdir):
+    """Boundaries can repeat: after an auto-advancing restart crossed
+    rename #1, a LATER rename #2 is a new post-pin boundary — the
+    reader must fail loudly again, the tracking record must advance
+    MONOTONICALLY (4 over 2, never regress), and a second restart must
+    serve all THREE eras under the newest pinned schema."""
+    import json as _json
+    import os as _os
+
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert 0..2
+    track = str(tdir) + "_track"
+    opts = {"path": tdir, "readChangeFeed": "true",
+            "schemaTrackingDir": track}
+    rec = _os.path.join(track, "boundary.json")
+
+    src = DeltaPySource(opts)
+    r1 = src.streamReader(src.schema())            # pins (k, v)
+    assert r1._cdf_file_refs(0, 1)
+
+    w.rename_column("v", "a")                      # v2: boundary #1
+    w.append(spark.createDataFrame(
+        [(10, "ten")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("a", T.StringType())])).coalesce(1))
+    head1 = DeltaTable(tdir).snapshot.version      # v3
+    with pytest.raises(SchemaError, match="schemaTrackingDir"):
+        r1._cdf_file_refs(1, head1)
+    assert _json.load(open(rec))["version"] == 2
+
+    src2 = DeltaPySource(opts)
+    r2 = src2.streamReader(src2.schema())          # pins (k, a) @ v3
+    assert r2._auto_advance
+    assert len(r2._cdf_file_refs(1, head1)) == 1   # crossed boundary #1
+
+    w.rename_column("a", "b")                      # v4: boundary #2
+    w.append(spark.createDataFrame(
+        [(11, "eleven")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("b", T.StringType())])).coalesce(1))
+    head2 = DeltaTable(tdir).snapshot.version      # v5
+    # the auto-advancing reader STILL fails loudly on the NEW era...
+    with pytest.raises(SchemaError, match="schemaTrackingDir"):
+        r2._cdf_file_refs(head1, head2)
+    # ...and the record advanced monotonically
+    assert _json.load(open(rec))["version"] == 4
+
+    src3 = DeltaPySource(opts)
+    r3 = src3.streamReader(src3.schema())          # pins (k, b) @ v5
+    assert r3._auto_advance
+    assert len(r3._cdf_file_refs(head1, head2)) == 1
+    # all three eras servable under the newest pin, nothing duplicated
+    full = r3._cdf_file_refs(0, head2)
+    assert sum(1 for f in full if f.change_type == "insert") == 3
+
+
 # ---------- vacuum vs racing writers: the soak-captured triad flake ----------
 
 

@@ -7,7 +7,14 @@ the ENTIRE registry and writes `ORACLE_r{N}.json` at the repo root, so
 every round carries its own complete correctness proof.
 
 Usage: python tools/oracle_artifact.py <round_n> [sf_dir]
-  writes /root/repo/ORACLE_r<round_n>.json and exits nonzero on any red.
+           [--subset name1,name2,... | --subset @file] [--out path]
+  writes /root/repo/ORACLE_r<round_n>.json (or --out) and exits nonzero
+  on any red. --subset restricts the run — used for the per-round sf0.1
+  spot-check (VERDICT r19 #5): the correctness gate runs only at sf0.01,
+  so the 25 slowest + all delta_* DML queries are re-compared against
+  DuckDB at sf0.1 once to catch scale-dependent divergence (stats
+  skipping, DV routing thresholds, broadcast flips) the small gate
+  can't see.
 """
 
 from __future__ import annotations
@@ -27,8 +34,23 @@ def main() -> int:
     from duckdb_delta_spark.queries import TABLES, all_queries
     from duckdb_delta_spark.session import get_spark
 
-    round_n = int(sys.argv[1])
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    subset: set[str] | None = None
+    out_path: str | None = None
+    if "--subset" in args:
+        i = args.index("--subset")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        if spec.startswith("@"):
+            spec = open(spec[1:]).read()
+        subset = {n.strip() for n in spec.replace("\n", ",").split(",")
+                  if n.strip()}
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    round_n = int(args[0])
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     spark = get_spark("oracle_artifact")
     con = duckdb.connect()
@@ -36,6 +58,11 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = all_queries()
+    if subset is not None:
+        unknown = subset - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown subset names: {sorted(unknown)}")
+        queries = {n: q for n, q in queries.items() if n in subset}
     per: dict[str, dict] = {}
     n_ok = n_fail = n_rows_only = 0
     t_start = time.time()
@@ -79,7 +106,9 @@ def main() -> int:
         "wall_s": round(time.time() - t_start, 1),
         "queries": per,
     }
-    out = f"/root/repo/ORACLE_r{round_n}.json"
+    if subset is not None:
+        artifact["subset"] = sorted(subset)
+    out = out_path or f"/root/repo/ORACLE_r{round_n}.json"
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"\n{n_ok} ok / {n_fail} fail / {n_rows_only} rows-only "
