@@ -5429,18 +5429,31 @@ class DeltaWriter:
             with it:
                 for e in it:
                     if e.is_dir(follow_symlinks=False):
-                        # _delta_log is the log; _staging_* dirs are a
-                        # writer's PRIVATE uncommitted workspace (files
-                        # move out on commit, the dir is deleted on
-                        # rollback) — never vacuum candidates, and
-                        # skipping them also closes the listed-then-
-                        # vanished race at its hottest site. delta-spark
-                        # likewise hides uncommitted paths from vacuum
-                        # only via the retention window; we can do
-                        # better because our staging prefix is ours.
-                        if e.name != "_delta_log" and \
-                                not e.name.startswith("_staging_"):
-                            ds.append(e.path)
+                        if e.name == "_delta_log":
+                            continue  # the log is never a candidate
+                        if e.name.startswith("_staging_"):
+                            # a writer's PRIVATE uncommitted workspace
+                            # (files move out on commit, the dir is
+                            # deleted on rollback) — never a vacuum
+                            # candidate while LIVE, which also closes
+                            # the listed-then-vanished race at its
+                            # hottest site. But a dir orphaned by a
+                            # hard-crashed writer must still be
+                            # reclaimable or repeated crashes leak disk
+                            # unboundedly: descend only once the dir
+                            # itself has aged past the retention cutoff
+                            # (a live writer's staging dir is seconds
+                            # old — its mtime moves with every file it
+                            # stages; the aged-mtime signal is the same
+                            # one delta-spark's retention window applies
+                            # to uncommitted files).
+                            try:
+                                if e.stat(follow_symlinks=False
+                                          ).st_mtime * 1000 > cutoff_ms:
+                                    continue
+                            except OSError:
+                                continue  # raced away: nothing there
+                        ds.append(e.path)
                     elif e.name.endswith((".parquet", ".bin")):
                         fs.append(os.path.abspath(e.path))
             return fs, ds

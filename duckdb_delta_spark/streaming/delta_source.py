@@ -339,10 +339,27 @@ class DeltaStreamReader(DataSourceStreamReader):
         if self._schema_tracking_dir:
             rec = os.path.join(self._schema_tracking_dir, "boundary.json")
             if os.path.isfile(rec):
-                with open(rec) as fh:
-                    self._auto_advance = True
-                    self._tracked_boundary = int(
-                        json.load(fh).get("version", -1))
+                # the record gates a SEMANTIC relaxation (eras before the
+                # acknowledged boundary are served relabeled) — a corrupt
+                # or hand-edited record must be LOUD, not silently treated
+                # as absent (which would re-fail an already-acknowledged
+                # boundary) nor trusted (garbage version)
+                from duckdb_delta_spark.delta.errors import SchemaError
+
+                try:
+                    with open(rec) as fh:
+                        b = int(json.load(fh)["version"])
+                    if b < 0:
+                        raise ValueError(f"negative version {b}")
+                except (ValueError, KeyError, OSError, TypeError) as e:
+                    raise SchemaError(
+                        f"schemaTrackingDir record {rec} is unreadable or "
+                        f"corrupt: {e!r}. Delete the file to reset "
+                        "tracking — the stream then fails loudly at the "
+                        "next schema boundary and re-records it."
+                    ) from e
+                self._auto_advance = True
+                self._tracked_boundary = b
         self.select = bool(options.get("select"))
         #: column mapping (name/id mode): files + stats + partitionValues
         #: carry PHYSICAL names at EVERY nesting level — top-level columns
@@ -630,7 +647,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         from duckdb_delta_spark.delta.changes import _non_additive_changes
         from duckdb_delta_spark.delta.errors import SchemaError
 
-        if old_era and self._auto_advance:
+        # the relaxation only covers eras STRICTLY BEFORE the recorded
+        # (user-acknowledged) boundary — a boundary that committed while
+        # the stream was OFFLINE is past the record, so its eras take
+        # the strict check and fail loudly exactly once (the failure
+        # advances the record to the new boundary; the next restart
+        # serves it). Without the gate, any boundary.json would silently
+        # cross every boundary ≤ pin, acknowledged or not.
+        relaxed = (old_era and self._auto_advance
+                   and self._tracked_boundary is not None
+                   and v < self._tracked_boundary)
+        if relaxed:
             # a restart acknowledged a persisted boundary: serve old
             # eras under the PINNED schema via id/physical matching
             # (renames relabel, drops project away, adds null-fill);
@@ -657,16 +684,20 @@ class DeltaStreamReader(DataSourceStreamReader):
                 f"(startingVersion {v}), or drain the range in batch "
                 "with table_changes_segments(), one frame per schema era."
             )
-            if self._schema_tracking_dir and not (
-                    old_era and self._auto_advance):
+            if self._schema_tracking_dir and not relaxed:
                 # persist the boundary BEFORE raising so the restarted
                 # reader auto-advances: re-pins at HEAD and serves every
                 # era under the new schema from its checkpointed offset.
+                # For an OLD-era failure the failing commit v is not the
+                # boundary itself (v's era STARTS before the change that
+                # broke it) — record the version from which every later
+                # era is strict-additive to the pin, else the next
+                # restart would relax v but re-fail at v+1.
                 # (An auto-advancing reader that STILL refuses hit an
                 # unrepresentable type change — recording again would
                 # promise a restart that cannot help; the segments
                 # remedy above stands.)
-                self._record_boundary(v)
+                self._record_boundary(self._boundary_to_record(v))
                 remedy = (
                     "the boundary was recorded in schemaTrackingDir — "
                     "RESTART the stream and it resumes from its "
@@ -706,6 +737,50 @@ class DeltaStreamReader(DataSourceStreamReader):
                        "pinned_version": self._pinned_version,
                        "recorded_ms": int(_time.time() * 1000)}, fh)
         os.replace(tmp, rec)
+
+    def _boundary_to_record(self, v: int) -> int:
+        """The version the tracking record must carry so that ONE restart
+        serves the failed era: the first version from which every later
+        schema era is strict-additive to the pinned schema. For a
+        NEW-era failure (v > pinned) that is v itself — the failing
+        commit IS the boundary metaData. For an OLD-era failure the
+        boundary lies somewhere in (v, pinned]: scan that range's
+        metaData actions (failure-path only, one driver pass over commit
+        JSON the log has mostly already read) and return the first
+        schema version after the LAST one that is still non-additive to
+        the pin. Recording v itself would leave the restart relaxing
+        only eras < v and re-failing at the very next commit."""
+        if v > self._pinned_version:
+            return v
+        from pyspark.sql.types import StructType as _ST
+
+        from duckdb_delta_spark.delta.changes import _non_additive_changes
+
+        metas: list[tuple[int, object]] = []
+        for ver in range(v + 1, self._pinned_version + 1):
+            try:
+                actions = self._log.read_commit(ver)
+            except Exception:  # noqa: BLE001 - compacted/absent commit
+                continue
+            for action in actions:
+                md = action.get("metaData")
+                if md and md.get("schemaString"):
+                    try:
+                        metas.append((ver, _ST.fromJson(
+                            json.loads(md["schemaString"]))))
+                    except Exception:  # noqa: BLE001 - unparseable: skip
+                        pass
+        last_bad = v
+        for ver, sch in metas:
+            if _non_additive_changes(sch.fields, self._full_schema.fields):
+                last_bad = ver
+        for ver, _sch in metas:
+            if ver > last_bad:
+                return ver
+        # no servable era follows the last bad one (cannot happen when
+        # the pin's own schema era lives in the range); fall back to the
+        # failing commit — monotonic record, strictly better than stale
+        return max(v, last_bad)
 
     def _cdf_file_refs(self, start_v: int, end_v: int) -> list[_FileRef]:
         """Change-feed refs for commits (start_v, end_v] — the streaming

@@ -358,6 +358,105 @@ def test_cdf_schema_tracking_two_boundaries_two_restarts(spark, tdir):
     assert sum(1 for f in full if f.change_type == "insert") == 3
 
 
+def test_cdf_schema_tracking_offline_boundary_still_loud(spark, tdir):
+    """A boundary that commits while the stream is OFFLINE must not be
+    crossed silently by a pre-existing tracking record: relaxation only
+    covers eras strictly BEFORE the recorded (user-acknowledged)
+    boundary. The restarted reader fails loudly exactly once at the
+    unacknowledged era — and the failure records the REAL boundary
+    start (the first version from which every later era is additive to
+    the pin), not the failing commit, so ONE more restart serves
+    everything instead of re-failing commit by commit."""
+    import json as _json
+    import os as _os
+
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    w = _mk(spark, tdir, n=3, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })                                             # v1: insert 0..2
+    track = str(tdir) + "_track"
+    opts = {"path": tdir, "readChangeFeed": "true",
+            "schemaTrackingDir": track}
+    rec = _os.path.join(track, "boundary.json")
+
+    src = DeltaPySource(opts)
+    r1 = src.streamReader(src.schema())            # pins (k, v)
+    assert r1._cdf_file_refs(0, 1)
+
+    w.rename_column("v", "a")                      # v2: boundary #1
+    w.append(spark.createDataFrame(
+        [(10, "ten")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("a", T.StringType())])).coalesce(1))
+    head1 = DeltaTable(tdir).snapshot.version      # v3
+    with pytest.raises(SchemaError, match="schemaTrackingDir"):
+        r1._cdf_file_refs(1, head1)                # acknowledged: record=2
+    assert _json.load(open(rec))["version"] == 2
+
+    # boundary #2 commits while NO reader is live
+    w.rename_column("a", "b")                      # v4: boundary #2
+    w.append(spark.createDataFrame(
+        [(11, "eleven")],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("b", T.StringType())])).coalesce(1))
+    head2 = DeltaTable(tdir).snapshot.version      # v5
+
+    # the restart acknowledges ONLY boundary #1: eras at/after the
+    # record take the strict check and the offline rename is LOUD
+    src2 = DeltaPySource(opts)
+    r2 = src2.streamReader(src2.schema())          # pins (k, b) @ v5
+    assert r2._auto_advance and r2._tracked_boundary == 2
+    with pytest.raises(SchemaError, match="schemaTrackingDir"):
+        r2._cdf_file_refs(1, head2)
+    # ...recording the real boundary start v4, NOT the failing commit v2
+    assert _json.load(open(rec))["version"] == 4
+
+    # second restart serves all three eras under the newest pin
+    src3 = DeltaPySource(opts)
+    r3 = src3.streamReader(src3.schema())
+    full = r3._cdf_file_refs(0, head2)
+    assert sum(1 for f in full if f.change_type == "insert") == 3
+
+
+def test_cdf_schema_tracking_corrupt_record_is_loud(spark, tdir):
+    """The tracking record gates a semantic relaxation — a corrupt or
+    hand-edited ``boundary.json`` must fail stream START with an
+    actionable error naming the file, never be silently ignored (which
+    would re-fail an acknowledged boundary) or trusted (garbage
+    version). Deleting the file resets tracking."""
+    import os as _os
+
+    from duckdb_delta_spark.delta.errors import SchemaError
+    from duckdb_delta_spark.streaming.delta_source import DeltaPySource
+
+    _mk(spark, tdir, n=2, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableChangeDataFeed": "true",
+    })
+    track = str(tdir) + "_track"
+    _os.makedirs(track)
+    rec = _os.path.join(track, "boundary.json")
+    opts = {"path": tdir, "readChangeFeed": "true",
+            "schemaTrackingDir": track}
+
+    for payload in (b"", b"{not json", b'{"no_version": 1}',
+                    b'{"version": -5}', b'{"version": "abc"}'):
+        with open(rec, "wb") as fh:
+            fh.write(payload)
+        src = DeltaPySource(opts)
+        with pytest.raises(SchemaError, match="boundary.json"):
+            src.streamReader(src.schema())
+
+    _os.unlink(rec)                                # reset: starts clean
+    src = DeltaPySource(opts)
+    reader = src.streamReader(src.schema())
+    assert not reader._auto_advance
+    assert reader._cdf_file_refs(0, 1)
+
+
 # ---------- vacuum vs racing writers: the soak-captured triad flake ----------
 
 
@@ -366,9 +465,9 @@ def test_vacuum_skips_staging_dirs(spark, tdir):
     .fixtures/thread_evidence): vacuum's tree walk listed a concurrent
     writer's transient ``_staging_*`` dir, which vanished (rollback /
     move-on-commit) before its own scandir — FileNotFoundError killed
-    the retention thread. Staging dirs are a writer's PRIVATE
-    uncommitted workspace: vacuum must never walk them (so an aggressive
-    retention can't reap mid-write files either)."""
+    the retention thread. A LIVE staging dir (its mtime moves with every
+    file the writer stages) must never be walked, so retention can't
+    reap mid-write files."""
     import os
     import time
 
@@ -378,11 +477,52 @@ def test_vacuum_skips_staging_dirs(spark, tdir):
     f = os.path.join(staged, "part-00000.parquet")
     open(f, "wb").write(b"x")
     old = time.time() - 10 * 86400
-    os.utime(f, (old, old))                        # far past any cutoff
+    os.utime(f, (old, old))      # the FILE is old; the DIR is live (fresh)
 
-    gone = w.vacuum(retention_ms=0)                # reap everything eligible
+    gone = w.vacuum(retention_ms=3_600_000)        # 1h retention
     assert os.path.exists(f), "vacuum reaped an uncommitted staging file"
     assert not any("_staging_" in p for p in gone)
+
+
+def test_vacuum_reclaims_orphaned_staging_dirs(spark, tdir):
+    """The flip side of the live-staging protection: a ``_staging_*``
+    dir orphaned by a hard-crashed writer (SIGKILL between the parquet
+    write and the rollback rmtree) must STILL be reclaimable, or
+    repeated crashes leak disk unboundedly with no cleanup path. Vacuum
+    descends into a staging dir only once the dir itself has aged past
+    the retention cutoff — a live writer's dir is seconds old."""
+    import os
+    import time
+
+    w = _mk(spark, tdir, n=4)
+    orphan = os.path.join(tdir, "_staging_0ddba11")
+    os.makedirs(orphan)
+    f = os.path.join(orphan, "part-00000.parquet")
+    open(f, "wb").write(b"x")
+    old = time.time() - 10 * 86400                 # crashed 10 days ago
+    os.utime(f, (old, old))
+    os.utime(orphan, (old, old))
+
+    live = os.path.join(tdir, "_staging_cdc_fresh")
+    os.makedirs(live)
+    g = os.path.join(live, "part-00000.parquet")
+    open(g, "wb").write(b"y")
+
+    gone = w.vacuum(retention_ms=3_600_000)        # 1h retention
+    assert not os.path.exists(f), "orphaned staging file never reclaimed"
+    assert os.path.exists(g), "vacuum reaped a live writer's staging file"
+    assert any("_staging_0ddba11" in p for p in gone)
+
+    # dry_run reports without deleting
+    orphan2 = os.path.join(tdir, "_staging_feedface")
+    os.makedirs(orphan2)
+    h = os.path.join(orphan2, "part-00000.parquet")
+    open(h, "wb").write(b"z")
+    os.utime(h, (old, old))
+    os.utime(orphan2, (old, old))
+    plan = w.vacuum(retention_ms=3_600_000, dry_run=True)
+    assert os.path.exists(h)
+    assert any("_staging_feedface" in p for p in plan)
 
 
 def test_vacuum_tolerates_vanished_dir(spark, tdir, monkeypatch):

@@ -34,11 +34,15 @@ def main() -> int:
     from duckdb_delta_spark.queries import TABLES, all_queries
     from duckdb_delta_spark.session import get_spark
 
+    usage = ("usage: oracle_artifact.py <round> [sf_dir] "
+             "[--subset name,... | @file] [--out path]")
     args = list(sys.argv[1:])
     subset: set[str] | None = None
     out_path: str | None = None
     if "--subset" in args:
         i = args.index("--subset")
+        if i + 1 >= len(args):
+            raise SystemExit(f"--subset needs a value\n{usage}")
         spec = args[i + 1]
         del args[i:i + 2]
         if spec.startswith("@"):
@@ -47,8 +51,12 @@ def main() -> int:
                   if n.strip()}
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            raise SystemExit(f"--out needs a value\n{usage}")
         out_path = args[i + 1]
         del args[i:i + 2]
+    if not args:
+        raise SystemExit(f"missing <round>\n{usage}")
     round_n = int(args[0])
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 

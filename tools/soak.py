@@ -86,6 +86,12 @@ def main() -> int:
             try:
                 tests[name](spark, os.path.join(scratch, "table"))
                 rec["ok"] = True
+            except (KeyboardInterrupt, SystemExit):
+                # an interrupt is NOT a flake: re-raise so Ctrl-C stops
+                # the soak instead of polluting the evidence artifact
+                # with a phantom failure and running the remaining
+                # iterations anyway
+                raise
             except BaseException as e:  # noqa: BLE001 - soak must count, not die
                 fails += 1
                 rec["ok"] = False
