@@ -80,15 +80,16 @@ MT_CANARY_PROCS = 8
 MT_CANARY_ITERS = 10_000_000  # per process
 
 # Committed healthy band for the MULTICORE canary (aggregate iter/s),
-# from the observed healthy-window spread: r17 ~157M, r19 200.1M
-# (BENCH_DETAIL.json canary_mt_post across rounds; the r18 throttled
-# window measured ~2-3× under this floor). The band is DATA the runner
-# compares against — not prose that drifts (docs/
-# bench_environment_notes.md §3). ``throttled`` is emitted true when
-# the measured MT canary falls >1.3× below the floor; readings above
-# the ceiling are fine (faster box) and only widen the band next round.
+# from the observed healthy-window spread: r17 ~157M, r19 200.1M, two
+# r20 healthy-window peaks at 212M/208M (BENCH_DETAIL.json
+# canary_mt_{pre,post} across rounds; the r18 throttled window measured
+# ~2-3× under this floor). The band is DATA the runner compares against
+# — not prose that drifts (docs/bench_environment_notes.md §3).
+# ``throttled`` is emitted true when the measured MT canary falls >1.3×
+# below the floor; readings above the ceiling are fine (faster box) and
+# only widen the band next round.
 CANARY_MT_HEALTHY_FLOOR = 157_000_000.0
-CANARY_MT_HEALTHY_CEILING = 205_000_000.0
+CANARY_MT_HEALTHY_CEILING = 215_000_000.0
 CANARY_MT_THROTTLE_RATIO = 1.3
 
 
