@@ -29,12 +29,13 @@ filter for large ones.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from duckdb_delta_spark.localrel import local_df as _local_df
 from duckdb_delta_spark.delta.dv import read_dv_from_descriptor
 from duckdb_delta_spark.delta.log import DeltaLog
 from duckdb_delta_spark.delta.scan import DeltaScanBuilder
@@ -79,25 +80,77 @@ def _non_additive_changes(old_fields, new_fields, prefix: str = ""):
         if nf.name != f.name:
             problems.append(
                 f"column {prefix}{f.name!r} was renamed to {nf.name!r}")
-        if isinstance(f.dataType, T.StructType) and isinstance(
-                nf.dataType, T.StructType):
-            problems += _non_additive_changes(
-                f.dataType.fields, nf.dataType.fields,
-                prefix=f"{prefix}{f.name}.")
-        elif nf.dataType != f.dataType:
-            # a non-widening type change (e.g. overwrite_schema long ->
-            # string) is just as non-additive as a rename: unionByName
-            # would implicitly cast pre-change rows. Spec-allowed
-            # widenings stay fine — the walk already pre-widens frames.
-            from duckdb_delta_spark.delta.writer import _is_widening
-
-            if not _is_widening(f.dataType, nf.dataType):
-                problems.append(
-                    f"column {prefix}{f.name!r} changed type "
-                    f"{f.dataType.simpleString()} -> "
-                    f"{nf.dataType.simpleString()} (not a spec-allowed "
-                    "widening)")
+        problems += _dtype_problems(
+            f.dataType, nf.dataType, f"{prefix}{f.name}")
     return problems
+
+
+def _dtype_problems(od, nd, path: str) -> list[str]:
+    """Type-pair leg of :func:`_non_additive_changes`, recursing through
+    CONTAINERS: additive evolution is legal at any nesting level (Delta
+    ALTER TABLE ADD COLUMNS reaches ``array<struct<...>>`` elements and
+    map values), so a field added or spec-widened inside an array
+    element / map entry must not be flagged — only genuine
+    rename/drop/non-widening changes anywhere in the tree are
+    non-additive. A non-widening type change (e.g. overwrite_schema
+    long -> string) is just as non-additive as a rename: serving would
+    implicitly cast pre-change rows."""
+    if od == nd:
+        return []
+    if isinstance(od, T.StructType) and isinstance(nd, T.StructType):
+        return _non_additive_changes(od.fields, nd.fields, path + ".")
+    if isinstance(od, T.ArrayType) and isinstance(nd, T.ArrayType):
+        return _dtype_problems(od.elementType, nd.elementType,
+                               path + ".element")
+    if isinstance(od, T.MapType) and isinstance(nd, T.MapType):
+        return (_dtype_problems(od.keyType, nd.keyType, path + ".key")
+                + _dtype_problems(od.valueType, nd.valueType,
+                                  path + ".value"))
+    from duckdb_delta_spark.delta.writer import _is_widening
+
+    if _is_widening(od, nd):
+        return []
+    return [
+        f"column {path!r} changed type {od.simpleString()} -> "
+        f"{nd.simpleString()} (not a spec-allowed widening)"
+    ]
+
+
+def _conform_col(c, frm, to):
+    """Catalyst expression conforming a column of era type ``frm`` to
+    serving type ``to`` — the NESTED twin of the top-level null-fill:
+    struct fields match by name (renames/drops are refused upstream, so
+    surviving names are stable), fields the era predates null-fill,
+    arrays/maps recurse via ``F.transform`` (whole-stage codegen, no
+    UDF), scalars cast (spec widenings only, enforced upstream).
+    Identity when the shapes already agree. Mirrors the streaming
+    source's Arrow-side ``_to_logical_arrow`` null-fill semantics."""
+    if frm.simpleString() == to.simpleString():
+        return c
+    if isinstance(frm, T.StructType) and isinstance(to, T.StructType):
+        by = {f.name: f for f in frm.fields}
+        parts = []
+        for g in to.fields:
+            f = by.get(g.name)
+            sub = (F.lit(None).cast(g.dataType) if f is None
+                   else _conform_col(c.getField(g.name), f.dataType,
+                                     g.dataType))
+            parts.append(sub.alias(g.name))
+        # a NULL struct must stay NULL, not become struct(null, ...)
+        return F.when(c.isNull(), F.lit(None).cast(to)).otherwise(
+            F.struct(*parts))
+    if isinstance(frm, T.ArrayType) and isinstance(to, T.ArrayType):
+        return F.transform(
+            c, lambda x: _conform_col(x, frm.elementType, to.elementType))
+    if isinstance(frm, T.MapType) and isinstance(to, T.MapType):
+        return F.map_from_entries(F.transform(
+            F.map_entries(c),
+            lambda e: F.struct(
+                _conform_col(e.getField("key"), frm.keyType,
+                             to.keyType).alias("key"),
+                _conform_col(e.getField("value"), frm.valueType,
+                             to.valueType).alias("value"))))
+    return c.cast(to)
 
 
 def table_changes(
@@ -182,39 +235,57 @@ def _walk_changes(
                 ]
             )
             return spark.createDataFrame([], schema)
-        out = parts[0]
+
+        # normalize EVERY part to the ENDING version's schema before the
+        # union — delta-spark CDF semantics: a range is served under the
+        # end schema, old rows read the added columns as NULL. The
+        # per-part conform (rather than unionByName(allowMissingColumns)
+        # + a top-level select) is what makes ADDITIVE NESTED evolution
+        # servable: unionByName cannot null-fill a field added inside an
+        # array element or map value, _conform_col can (F.transform).
+        def _conform(df: DataFrame) -> DataFrame:
+            by = {f.name: f for f in df.schema.fields}
+            cols = []
+            for g in end_snap.schema.fields:
+                f = by.get(g.name)
+                cols.append(
+                    (F.lit(None).cast(g.dataType) if f is None
+                     else _conform_col(F.col(g.name), f.dataType,
+                                       g.dataType)).alias(g.name))
+            cols += [F.col(CHANGE_TYPE), F.col(COMMIT_VERSION),
+                     F.col(COMMIT_TIMESTAMP)]
+            return df.select(*cols)
+
+        out = _conform(parts[0])
         for p in parts[1:]:
-            # the schema may have WIDENED inside the segment: pre-widen
-            # commits' parts lack the new columns — null-fill them
-            out = out.unionByName(p, allowMissingColumns=True)
-        # normalize to the ENDING version's schema (order + any column no
-        # data part carried), delta-spark CDF semantics: a range is served
-        # under the end schema, old rows read the new columns as NULL
-        have = set(out.columns)
-        cols = [
-            (F.col(f.name) if f.name in have
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in end_snap.schema.fields
-        ] + [F.col(CHANGE_TYPE), F.col(COMMIT_VERSION),
-             F.col(COMMIT_TIMESTAMP)]
-        return out.select(*cols)
+            out = out.unionByName(_conform(p))
+        return out
 
     for v in range(starting_version + 1, end + 1):
+        # ONE read_commit per version: the same parsed actions feed the
+        # snapshot replay (Snapshot.build(actions=...)), the add/remove/
+        # cdc classification, and the commit clock below — previously
+        # each commit JSON was parsed twice and probed a third time for
+        # the ICT.
+        actions = log.read_commit(v)
         prev = snap
-        snap = Snapshot.build(log, v, base=prev)
+        snap = Snapshot.build(log, v, base=prev, actions=actions)
         schema_changed = not schema_versions or (
             snap.schema is not schema_versions[-1][1]
             and snap.schema != schema_versions[-1][1])
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         cdcs: list[dict] = []
-        for action in log.read_commit(v):
+        commit_info: dict | None = None
+        for action in actions:
             if action.get("cdc"):
                 cdcs.append(action["cdc"])
             elif action.get("add") and action["add"].get("dataChange", True):
                 adds[action["add"]["path"]] = action["add"]
             elif action.get("remove") and action["remove"].get("dataChange", True):
                 removes[action["remove"]["path"]] = action["remove"]
+            elif commit_info is None and action.get("commitInfo") is not None:
+                commit_info = action["commitInfo"]
         if split and schema_changed and schema_versions and \
                 _non_additive_changes(schema_versions[-1][1].fields,
                                       snap.schema.fields):
@@ -239,7 +310,16 @@ def _walk_changes(
             schema_versions.append((v, snap.schema))
         if not adds and not removes and not cdcs:
             continue
-        ts_ms = log.commit_timestamp(v, commits=commit_paths)
+        # commit clock from the actions already in hand (ICT of the
+        # FIRST commitInfo, read_ict's rule), mtime fallback from the
+        # one up-front listing — no per-version re-open of the JSON
+        ict = (commit_info or {}).get("inCommitTimestamp")
+        if ict is not None:
+            ts_ms = int(ict)
+        elif commit_paths.get(v):
+            ts_ms = int(os.path.getmtime(commit_paths[v]) * 1000)
+        else:
+            ts_ms = log.commit_timestamp(v, commits=commit_paths)
         if cdcs:
             # Delta spec: when a commit carries cdc actions, readers use
             # the _change_data files EXCLUSIVELY for that commit — richer
@@ -274,14 +354,28 @@ def _walk_changes(
                 # rows), so the common one-direction commit — first
                 # delete on a file, or a restore dropping a DV outright
                 # — never pays a second scan of the masked files.
-                grow_pairs = {
-                    p: d for p, d in pairs.items()
-                    if int((d[0] or {}).get("cardinality") or 0)
-                }
-                shrink_pairs = {
-                    p: d for p, d in pairs.items()
-                    if int((d[1] or {}).get("cardinality") or 0)
-                }
+                def _dir_pairs(idx):
+                    # prune a direction only on PROOF of emptiness: no
+                    # descriptor on that side, or an explicit cardinality
+                    # of 0. The spec requires cardinality, but a foreign
+                    # descriptor that omits it must still route to the
+                    # executor decode (which computes the true diff) —
+                    # silently dropping it would lose feed rows with no
+                    # error, and the small route (which always decodes)
+                    # would disagree with this one by route.
+                    out = {}
+                    for p, d in pairs.items():
+                        desc = d[idx]
+                        if not desc:
+                            continue
+                        c = desc.get("cardinality")
+                        if c is not None and int(c) == 0:
+                            continue
+                        out[p] = d
+                    return out
+
+                grow_pairs = _dir_pairs(0)
+                shrink_pairs = _dir_pairs(1)
                 if grow_pairs:
                     dels = _rows_at_big(prev, spark, grow_pairs,
                                         shrink=False)
@@ -355,64 +449,65 @@ def _read_cdc(
         + [T.StructField(CHANGE_TYPE, T.StringType())]
     )
 
-    def _pv_col(raw, typ):
-        if raw in (None, ""):
-            return F.lit(None).cast(typ)
-        c = F.lit(str(raw))
-        if isinstance(typ, T.TimestampType):
-            return F.to_timestamp(c)
-        if isinstance(typ, T.DateType):
-            return F.to_date(c)
-        if isinstance(typ, T.BinaryType):
-            return F.encode(c, "utf-8")
-        return c.cast(typ)
+    from duckdb_delta_spark.delta.scan import FILE_COL, pv_string_to_col
+    from duckdb_delta_spark.delta.snapshot import resolve_log_path
 
-    import os
-    import urllib.parse
-
-    by_pv: dict[tuple, list[str]] = {}
+    # ONE parquet read for the commit's cdc files + a broadcast
+    # (file → partition values) map join — never a read/union per
+    # distinct partition tuple (a replaceWhere cdc commit touching 500
+    # partitions would otherwise build a 500-branch union plan); same
+    # FinalizeBind mechanism as the batch scan's
+    # _inject_partition_values, sharing its pv_string_to_col ladder.
+    by_uri_pv: dict[str, tuple] = {}  # keyed by uri: dedupes, join-safe
+    paths: list[str] = []
     for c in cdcs:
-        pv = tuple(
-            (k, c.get("partitionValues", {}).get(phys[k])) for k in pcols
-        )
-        rel = urllib.parse.unquote(c["path"])
-        full = (
-            rel if "://" in rel or os.path.isabs(rel)
-            else os.path.join(snap.log.table_path, rel)
-        )
-        by_pv.setdefault(pv, []).append(full)
+        full = resolve_log_path(snap.log.table_path, c["path"])
+        uri = DeltaScanBuilder._spark_file_uri(full)
+        if uri in by_uri_pv:
+            continue
+        paths.append(full)
+        pv = c.get("partitionValues", {})
+        by_uri_pv[uri] = (
+            uri,
+            *[None if (v := pv.get(phys[k])) in (None, "") else str(v)
+              for k in pcols])
+    pv_rows = list(by_uri_pv.values())
 
-    out = None
-    for pv, paths in by_pv.items():
-        df = spark.read.schema(file_schema).parquet(*paths)
-        # physical → logical rename for the data columns (nested fields
-        # rename via a positional struct cast to the logical shape)
-        df = df.select(
-            *[
-                (
-                    F.col(phys[f.name]).cast(nullable_type(f.dataType))
-                    if physical_type(f.dataType) != f.dataType
-                    else F.col(phys[f.name])
-                ).alias(f.name)
-                for f in schema.fields
-                if f.name not in pcols
-            ],
-            F.col(CHANGE_TYPE),
-        )
-        for name, raw in pv:
-            df = df.withColumn(name, _pv_col(raw, ptypes[name]))
-        df = df.select(
-            *[F.col(f.name) for f in schema.fields],
-            F.col(CHANGE_TYPE),
-            F.lit(version).cast("long").alias(COMMIT_VERSION),
+    df = spark.read.schema(file_schema).parquet(*paths)
+    # physical → logical rename for the data columns (nested fields
+    # rename via a positional struct cast to the logical shape)
+    df = df.select(
+        *[
             (
-                F.timestamp_millis(F.lit(int(ts_ms)))
-                if ts_ms is not None
-                else F.lit(None).cast("timestamp")
-            ).alias(COMMIT_TIMESTAMP),
-        )
-        out = df if out is None else out.unionByName(df)
-    return out
+                F.col(phys[f.name]).cast(nullable_type(f.dataType))
+                if physical_type(f.dataType) != f.dataType
+                else F.col(phys[f.name])
+            ).alias(f.name)
+            for f in schema.fields
+            if f.name not in pcols
+        ],
+        F.col(CHANGE_TYPE),
+        F.col("_metadata.file_path").alias(FILE_COL),
+    )
+    if pcols:
+        pmap_schema = T.StructType(
+            [T.StructField(FILE_COL, T.StringType())]
+            + [T.StructField(f"__pv_{p}", T.StringType()) for p in pcols])
+        pmap = spark.createDataFrame(pv_rows, pmap_schema)
+        df = df.join(F.broadcast(pmap), on=FILE_COL, how="left")
+        for p in pcols:
+            df = df.withColumn(
+                p, pv_string_to_col(F.col(f"__pv_{p}"), ptypes[p]))
+    return df.select(
+        *[F.col(f.name) for f in schema.fields],
+        F.col(CHANGE_TYPE),
+        F.lit(version).cast("long").alias(COMMIT_VERSION),
+        (
+            F.timestamp_millis(F.lit(int(ts_ms)))
+            if ts_ms is not None
+            else F.lit(None).cast("timestamp")
+        ).alias(COMMIT_TIMESTAMP),
+    )
 
 
 def _tag(df: DataFrame, change: str, version: int,
@@ -593,20 +688,34 @@ def _rows_at(
                  if c not in ("filename", "file_row_number", "delta_file_number",
                               FILE_COL, ROW_COL)]
     # only reached on the small route (diff cardinality ≤ DIFF_JOIN_MAX):
-    # pure-JVM broadcast semi-join; big diffs go through _rows_at_big
-    wanted_pairs = [(uri, int(r)) for uri, arr in by_uri.items() for r in arr]
-    wanted = _local_df(spark, 
-        wanted_pairs,
-        T.StructType(
-            [
-                T.StructField("filename", T.StringType()),
-                T.StructField("file_row_number", T.LongType()),
-            ]
-        ),
+    # pure-JVM broadcast semi-joins; big diffs go through _rows_at_big.
+    # The wanted set ships as two INT64 columns keyed by a per-file
+    # surrogate id — numpy end to end, no per-row Python tuples and no
+    # file URI repeated per row (at the threshold that repetition alone
+    # was hundreds of driver-side MB): a tiny (filename -> id) broadcast
+    # join tags the scan, then the (id, row) semi-join keeps the rows.
+    uris = list(by_uri)
+    if not uris:
+        return df.limit(0).select(*data_cols)
+    wanted_pd = pd.concat(
+        [pd.DataFrame({
+            "__cdf_fid": np.full(len(by_uri[u]), i, dtype="int64"),
+            "file_row_number": by_uri[u].astype("int64"),
+        }) for i, u in enumerate(uris)],
+        ignore_index=True,
     )
-    return df.join(
-        F.broadcast(wanted), on=["filename", "file_row_number"], how="left_semi"
-    ).select(*data_cols)
+    wanted = spark.createDataFrame(
+        wanted_pd, schema="__cdf_fid long, file_row_number long")
+    fmap = spark.createDataFrame(
+        pd.DataFrame({"filename": uris,
+                      "__cdf_fid": np.arange(len(uris), dtype="int64")}),
+        schema="filename string, __cdf_fid long")
+    return (
+        df.join(F.broadcast(fmap), on="filename", how="inner")
+        .join(F.broadcast(wanted), on=["__cdf_fid", "file_row_number"],
+              how="left_semi")
+        .select(*data_cols)
+    )
 
 
 def table_changes_segments(

@@ -208,7 +208,15 @@ def deserialize_bitmap(data: bytes) -> np.ndarray:
     pos = 12
     out: list[np.ndarray] = []
     for key in range(n_bitmaps):
-        vals, consumed = _decode_roaring32(buf, pos)
+        try:
+            vals, consumed = _decode_roaring32(buf, pos)
+        except (struct.error, ValueError) as e:
+            # an overclaimed n_bitmaps / truncated payload must surface
+            # as the module's own error naming where it broke, not a raw
+            # struct.error from an executor with no context
+            raise DeletionVectorError(
+                f"corrupt DV payload: bitmap {key + 1}/{n_bitmaps} at "
+                f"byte {pos} of {len(data)}: {e}") from None
         pos += consumed
         if len(vals):
             out.append(vals.astype(np.uint64) | (np.uint64(key) << np.uint64(32)))
@@ -245,12 +253,25 @@ def read_dv_from_descriptor(descriptor: dict, table_path: str) -> np.ndarray:
         path = dv_file_path(table_path, descriptor)
     else:
         raise DeletionVectorError(f"unknown DV storageType {storage!r}")
-    offset = int(descriptor.get("offset") or 1)
+    # the spec's offset is optional (data follows the version byte when
+    # absent); an EXPLICIT value must be honored, not coerced — `or 1`
+    # would silently rewrite a (corrupt) offset 0 to 1 and misread
+    raw_off = descriptor.get("offset")
+    offset = 1 if raw_off is None else int(raw_off)
     with open(path, "rb") as f:
         raw = f.read()
     if not raw or raw[0] != 1:
         raise DeletionVectorError(f"unsupported DV file version in {path}")
+    if offset < 1 or offset + 4 > len(raw):
+        raise DeletionVectorError(
+            f"DV descriptor offset {offset} is outside file {path} "
+            f"({len(raw)} bytes)")
     (data_size,) = struct.unpack_from(">i", raw, offset)
+    if data_size < 0 or offset + 4 + data_size + 4 > len(raw):
+        raise DeletionVectorError(
+            f"DV dataSize {data_size} at offset {offset} extends past "
+            f"the end of {path} ({len(raw)} bytes) — truncated or "
+            "corrupt DV file")
     data = raw[offset + 4 : offset + 4 + data_size]
     (crc,) = struct.unpack_from(">I", raw, offset + 4 + data_size)
     if zlib.crc32(data) & 0xFFFFFFFF != crc:

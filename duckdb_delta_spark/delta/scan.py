@@ -46,6 +46,20 @@ from duckdb_delta_spark.delta.snapshot import AddFile, Snapshot
 FILE_COL = "__delta_file_path"
 ROW_COL = "__delta_row_index"
 
+
+def pv_string_to_col(raw, typ):
+    """Typed partition value from its log STRING column (NULL stays
+    NULL): the to_timestamp / to_date / encode / cast ladder — shared by
+    the batch scan's broadcast-map injection and the CDF cdc reader so
+    the conversion semantics cannot drift between them."""
+    if isinstance(typ, T.TimestampType):
+        return F.to_timestamp(raw)
+    if isinstance(typ, T.DateType):
+        return F.to_date(raw)
+    if isinstance(typ, T.BinaryType):
+        return F.encode(raw, "utf-8")
+    return raw.cast(typ)
+
 #: per-worker-process decoded-DV cache (uri-keyed); lives for the Python
 #: worker's lifetime so repeated batches of the same split decode once
 _DV_CACHE: dict = {}
@@ -1170,17 +1184,9 @@ class DeltaScanBuilder:
         pmap = _local_df(self.spark, rows, schema)
         df = df.join(F.broadcast(pmap), on=FILE_COL, how="left")
         for p in pcols:
-            typ = ptypes[p]
-            raw = F.col(f"__pv_{p}")
-            if isinstance(typ, T.TimestampType):
-                col = F.to_timestamp(raw)
-            elif isinstance(typ, T.DateType):
-                col = F.to_date(raw)
-            elif isinstance(typ, T.BinaryType):
-                col = F.encode(raw, "utf-8")
-            else:
-                col = raw.cast(typ)
-            df = df.withColumn(p, col).drop(f"__pv_{p}")
+            df = df.withColumn(
+                p, pv_string_to_col(F.col(f"__pv_{p}"), ptypes[p])
+            ).drop(f"__pv_{p}")
         return df
 
     def _apply_deletion_vectors(self, df: DataFrame, files: list[AddFile]) -> DataFrame:

@@ -88,6 +88,18 @@ SUPPORTED_READER_FEATURES = {
 }
 
 
+def resolve_log_path(table_path: str, raw: str) -> str:
+    """A log action's ``path`` field (relative url-encoded, or absolute)
+    → filesystem path. THE resolution rule — add actions
+    (:meth:`AddFile.absolute_path`), cdc actions (changes._read_cdc) and
+    any future consumer must share it so a path-handling fix lands
+    everywhere at once."""
+    p = urllib.parse.unquote(raw)
+    if "://" in p or os.path.isabs(p):
+        return p
+    return os.path.join(table_path, p)
+
+
 @dataclass(slots=True)
 class AddFile:
     """One live data file (a reconciled ``add`` action)."""
@@ -107,10 +119,7 @@ class AddFile:
     _parsed_stats: dict | None = field(default=None, repr=False, compare=False)
 
     def absolute_path(self, table_path: str) -> str:
-        p = urllib.parse.unquote(self.path)
-        if "://" in p or os.path.isabs(p):
-            return p
-        return os.path.join(table_path, p)
+        return resolve_log_path(table_path, self.path)
 
     def parsed_stats(self) -> dict:
         """Parse the stats JSON once: {numRecords, minValues, maxValues, nullCount}."""
@@ -174,13 +183,22 @@ class Snapshot:
 
     @classmethod
     def build(
-        cls, log: DeltaLog, version: int | None = None, base: "Snapshot | None" = None
+        cls, log: DeltaLog, version: int | None = None,
+        base: "Snapshot | None" = None,
+        actions: "list[dict] | None" = None,
     ) -> "Snapshot":
         """Replay the log up to ``version`` (default HEAD).
 
         ``base``: a previously built snapshot of the same table; when its
         version ≤ target only the newer commits are read (incremental
         refresh). A backward move ignores the base and rebuilds.
+
+        ``actions``: the TARGET commit's already-parsed actions — a
+        caller walking the log commit-by-commit (CDF) has just read the
+        JSON it is asking this build to apply; passing it here makes the
+        single-commit incremental refresh parse each commit exactly
+        once instead of twice. Only consulted for the target version
+        and never for a compaction-covered one.
         """
         target = log.resolve_version(version)
         if base is not None and base.log.table_path == log.table_path and base.version <= target:
@@ -215,6 +233,11 @@ class Snapshot:
                 for action in log.read_actions_file(seg_path):
                     snap._apply(action, hi)
                 v = hi + 1
+                continue
+            if v == target and actions is not None:
+                for action in actions:
+                    snap._apply(action, v)
+                v += 1
                 continue
             if v not in commits:
                 # distinguish an expired prefix (log retention cleanup

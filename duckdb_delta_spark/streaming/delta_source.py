@@ -72,22 +72,41 @@ def _tracked_era_problems(era_fields, pinned_fields, prefix: str = ""):
                 nf = None  # same logical name but a DIFFERENT column
         if nf is None:
             continue  # dropped before the pin: projected away — fine
-        if isinstance(f.dataType, T.StructType) and isinstance(
-                nf.dataType, T.StructType):
-            problems += _tracked_era_problems(
-                f.dataType.fields, nf.dataType.fields,
-                prefix=f"{prefix}{f.name}.")
-        elif nf.dataType != f.dataType:
-            from duckdb_delta_spark.delta.writer import _is_widening
-
-            if not _is_widening(f.dataType, nf.dataType):
-                problems.append(
-                    f"column {prefix}{f.name!r} changed type "
-                    f"{f.dataType.simpleString()} -> "
-                    f"{nf.dataType.simpleString()} (not a spec-allowed "
-                    "widening — unrepresentable under the tracked "
-                    "schema)")
+        problems += _tracked_dtype_problems(
+            f.dataType, nf.dataType, f"{prefix}{f.name}")
     return problems
+
+
+def _tracked_dtype_problems(od, nd, path: str) -> list[str]:
+    """Type-pair leg of :func:`_tracked_era_problems`, recursing through
+    CONTAINERS like changes._dtype_problems: fields added/renamed/
+    dropped inside an array element or map value relabel / project /
+    null-fill through the executor's ``_to_logical_arrow`` resolution
+    exactly like top-level ones, so only a genuinely unrepresentable
+    (non-widening) scalar change anywhere in the tree refuses."""
+    from pyspark.sql import types as T
+
+    if od == nd:
+        return []
+    if isinstance(od, T.StructType) and isinstance(nd, T.StructType):
+        return _tracked_era_problems(od.fields, nd.fields, path + ".")
+    if isinstance(od, T.ArrayType) and isinstance(nd, T.ArrayType):
+        return _tracked_dtype_problems(od.elementType, nd.elementType,
+                                       path + ".element")
+    if isinstance(od, T.MapType) and isinstance(nd, T.MapType):
+        return (_tracked_dtype_problems(od.keyType, nd.keyType,
+                                        path + ".key")
+                + _tracked_dtype_problems(od.valueType, nd.valueType,
+                                          path + ".value"))
+    from duckdb_delta_spark.delta.writer import _is_widening
+
+    if _is_widening(od, nd):
+        return []
+    return [
+        f"column {path!r} changed type {od.simpleString()} -> "
+        f"{nd.simpleString()} (not a spec-allowed widening — "
+        "unrepresentable under the tracked schema)"
+    ]
 
 
 @dataclass
