@@ -181,16 +181,25 @@ def simhash(
     toked = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
-    votes = []
-    for j in range(bits):
-        nib = F.conv(F.substring("h", 1 + j // 4, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, 3 - (j % 4)) % 2
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v_{j}"))
+    # per-bit expressions rendered as SQL strings: one py4j round-trip per
+    # bit instead of ~30 (the F.when/F.conv/F.shiftright chain cost ~1.3 s
+    # of driver socket chatter per 48-bit build — guide §5, driver work).
+    # The parsed trees are identical to the Column-API originals.
+    votes = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(CAST(conv(substring(h, {1 + j // 4},"
+            f" 1), 16, 10) AS INT), {3 - (j % 4)}) % 2) = 1"
+            " THEN 1 ELSE -1 END)"
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
     agg = toked.groupBy(id_col).agg(*votes)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+    )
     return agg.select(
         F.col(id_col).cast("long"), sig.cast("long").alias("simhash")
     )

@@ -24,6 +24,7 @@ import struct
 import pandas as pd
 
 from duckdb_delta_spark.localrel import local_df as _local_df
+from duckdb_delta_spark.operators.exprlit import lit_double_matrix, lit_doubles
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -117,10 +118,12 @@ def brute_force_topk(
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket string, one char per hyperplane."""
+    """Sign-pattern bucket string, one char per hyperplane. Plane
+    literals render in one round-trip each (exprlit) — the per-element
+    ``F.lit`` path paid ~2 py4j round-trips per component."""
     parts = []
     for row in planes:
-        plane = F.array(*[F.lit(x) for x in row])
+        plane = lit_doubles(row)
         parts.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*parts)
 
@@ -673,9 +676,11 @@ def pq_encode(
 
 def _subdist_array(sv, book) -> Column:
     """array<long> of fixed-point distances from subvector ``sv`` to every
-    codeword in ``book`` — one transform over a literal array-of-arrays."""
-    cb = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in book])
-    return F.transform(cb, lambda cw: _ssd_fixed(sv, cw))
+    codeword in ``book`` — one transform over a literal array-of-arrays.
+    The codebook literal is rendered as ONE parsed expression (see
+    exprlit): the per-element ``F.lit`` path cost ~280 py4j round-trips
+    per call site × 8 sites ≈ 1.7 s of driver chatter per pq build."""
+    return F.transform(lit_double_matrix(book), lambda cw: _ssd_fixed(sv, cw))
 
 
 def pq_topk(

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from duckdb_delta_spark.operators.exprlit import lit_strings
+
 #: token splitter shared with the oracle (duckdb regexp_split_to_array)
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -109,7 +111,7 @@ def tfidf_top_terms(
 
 def _stopword_hits(text_col: str, lang: str) -> Column:
     toks = tokens(F.col(text_col))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    sw = lit_strings(STOPWORDS[lang])
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
 
 
@@ -145,7 +147,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     ).cast("long")
     all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
-    sw_arr = F.array(*[F.lit(w) for w in all_sw])
+    sw_arr = lit_strings(all_sw)
     toks = tokens(text)
     sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))) / F.greatest(
         F.size(toks), F.lit(1)

