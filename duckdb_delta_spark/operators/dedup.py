@@ -908,24 +908,25 @@ def minhash_estimate_pairs(
         *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)],
         *[F.col(f"band_{b}").alias(f"bb_{b}") for b in range(n_bands)],
     )
-    pairs = None
-    for b in range(n_bands):
-        p = a.join(b_, F.col(f"ab_{b}") == F.col(f"bb_{b}")).where(
-            F.col("id_a") < F.col("id_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.select(
-        "id_a", "id_b",
-        *[F.col(f"a_{s}") for s in range(num_hashes)],
-        *[F.col(f"b_{s}") for s in range(num_hashes)],
-    ).distinct()
+    # the estimate is a pure function of the pair, so compute it INSIDE
+    # each band join and dedup on the narrow (id_a, id_b, est) row —
+    # the previous shape ran distinct() over all 2×num_hashes md5 strings
+    # (~1.1 KB/row through the exchange vs ~24 B now; guide §2.3, shuffle
+    # fewer bytes). Same pairs, same estimate, bit-identical output.
     agree = None
     for s in range(num_hashes):
         t = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
         agree = t if agree is None else agree + t
-    est = pairs.select(
-        "id_a", "id_b", (agree / float(num_hashes)).alias("est_jaccard")
-    )
+    est_col = (agree / float(num_hashes)).alias("est_jaccard")
+    pairs = None
+    for b in range(n_bands):
+        p = (
+            a.join(b_, F.col(f"ab_{b}") == F.col(f"bb_{b}"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", est_col)
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    est = pairs.distinct()
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
     ex = (

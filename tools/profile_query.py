@@ -24,7 +24,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# repo-relative so a scratch worktree profiles ITS OWN code (capturing
+# a "before" plan from an old commit must not import the live repo)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
