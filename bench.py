@@ -130,6 +130,21 @@ def main() -> int:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # Scaling-evidence contract (round-20 verdict item 2): the artifact
+    # must carry the EFFECTIVE core count so a low-core probe run can
+    # verify $SPARK_GRAFT_CPUS was honored instead of inferring
+    # "suspect_cpus_ignored" from ≈1 timing ratios (which is also what a
+    # constant-bound suite at this SF looks like). Additions-only: the
+    # timing methodology and every existing field are unchanged.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    cpus = int(cpus_env or 0) or os.cpu_count() or 4
+    scaling_evidence = {
+        "cpus": cpus,
+        "spark_master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+    }
+
     # setup outside the clock: delta fixtures + JVM warmup
     t0 = time.time()
     ensure_fixtures(spark, sf_dir)
@@ -215,6 +230,7 @@ def main() -> int:
                 "throttled": throttled,
                 "timing_mode": "min_of_2_under_60s_plus_spike_guard",
                 "suite_total": len(queries),
+                **scaling_evidence,
             },
             f,
             indent=1,
@@ -258,6 +274,10 @@ def main() -> int:
                 # tests/oracle_check.py for the all-names gate
                 "suite_total": len(queries),
                 "correctness_window": 50,
+                # effective core count the run ACTUALLY used (resolved
+                # from $SPARK_GRAFT_CPUS by session.py) — the scaling
+                # probe's verification that the env var is honored
+                **scaling_evidence,
             }
         )
     )

@@ -32,8 +32,18 @@ def sql_double(x: float) -> str:
 
 
 def sql_string(s: str) -> str:
-    """SQL string literal with backslash escaping (Spark default mode)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """SQL string literal. Quotes are escaped by doubling (``''``), which
+    both of Spark's parser modes accept; backslashes are doubled for the
+    default ``spark.sql.parser.escapedStringLiterals=false`` mode — a
+    session running the legacy mode would read them literally, so such a
+    string refuses to render rather than silently corrupt."""
+    if "\\" in s:
+        raise ValueError(
+            "sql_string is only exact under the default "
+            "escapedStringLiterals=false parser mode for backslashes; "
+            "use F.lit for strings containing backslashes"
+        )
+    return "'" + s.replace("'", "''") + "'"
 
 
 def lit_doubles(vals) -> Column:

@@ -37,6 +37,15 @@ DEC = "DECIMAL(25,6)"
 def dsum_dec(col):
     """Exact decimal sum of a ≤6dp double measure — fixed-point fast path.
 
+    **PRECONDITION (required, not advisory):** every non-NULL value of
+    ``col`` must be an exact ≤6-decimal-place value with |x| < 2^52, and
+    the expression must be deterministic (it is inlined several times in
+    the SQL twin). Outside that contract the result can differ from the
+    declared ``sum(CAST(x AS DECIMAL(25,6)))`` semantics by 1e-6 per row
+    — ``tests/test_fast_sums.py::test_dsum_precondition_divergence_documented``
+    pins a concrete diverging input (0.0001245, a 7dp value). Do NOT
+    reuse this helper for averages, quotients, or arbitrary doubles.
+
     Value-identical to ``sum(CAST(x AS DECIMAL(25,6)))`` but ~3.7× faster
     (measured: the q01 4-sum shape 1.70 s → 0.45 s at sf0.1): the per-row
     ``double → DECIMAL`` cast goes through ``BigDecimal.valueOf`` (a
@@ -203,7 +212,12 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     if seen is None:
         seen = spark._graft_views = set()
     for n in names:
-        if (sf_dir, n) in seen:
+        # the memo can go stale if anything drops/shadows a view (a
+        # second Python wrapper over the same JVM session, an explicit
+        # dropTempView); tableExists is a catalog lookup — far cheaper
+        # than the parquet load+analysis the memo saves — so guard the
+        # skip with it instead of trusting the memo alone
+        if (sf_dir, n) in seen and spark.catalog.tableExists(n):
             continue
         load(spark, sf_dir, n).createOrReplaceTempView(n)
         # a later sf_dir wins the view name: drop stale keys for n

@@ -88,3 +88,27 @@ def test_fast_decimal_sums_leaves_non_idiom_alone():
     keep2 = "CAST(sum(CAST(CAST(x AS DECIMAL(12,2)) * CAST(x AS " \
             "DECIMAL(12,2)) AS DECIMAL(38,4))) AS DOUBLE)"
     assert fast_decimal_sums(keep2) == keep2
+
+
+def test_dsum_precondition_divergence_documented(spark):
+    """The dsum/dsum_dec ≡ sum(CAST(x AS DECIMAL(25,6))) identity is a
+    DATA CONTRACT, not an algebraic identity: it holds for measures that
+    are exact ≤6dp decimal values (|x| < 2^52 so the whole/frac split is
+    exact). This test pins a concrete input OUTSIDE the contract where
+    the two paths genuinely diverge — so a future caller summing
+    arbitrary-precision doubles can't silently assume the fast path
+    still computes the declared decimal spelling (round-20 verdict #5).
+
+    0.0001245 is a 7dp value: the decimal cast HALF_UPs its shortest
+    repr to 0.000125, while the fast path's double product
+    x·1e6 = 124.49999999999999 truncates the not-quite-half to 0.000124.
+    """
+    df = spark.createDataFrame([(0.0001245,)], "x double")
+    dec = df.agg(
+        F.round(F.sum(F.col("x").cast("decimal(25,6)")), 6)
+        .cast("double").alias("s")).collect()[0]["s"]
+    fast = df.agg(
+        F.round(dsum_dec("x"), 6).cast("double").alias("s")).collect()[0]["s"]
+    assert dec == 0.000125
+    assert fast == 0.000124
+    assert dec != fast  # the divergence the precondition exists to exclude
