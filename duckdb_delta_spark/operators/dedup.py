@@ -150,25 +150,38 @@ def minhash_candidate_pairs(
     (band_size = its ``rows``) to hit a target threshold/recall."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, band_size)
     n_bands = num_hashes // band_size
-    # ONE self-join on (band#, band-hash) instead of a join per band +
-    # union (guide §2.4, remove shuffles outright): exploding the bands
-    # keys every row by its band POSITION, so only same-band buckets
-    # join — the identical candidate set the per-band join chain
-    # produced, through a single exchange of (id, b, hash) rows instead
-    # of n_bands separately-shuffled copies of the signature frame.
-    bands = sig.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
-            for b in range(n_bands)
-        ])).alias("bh"),
-    ).select("id", F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
-    out = (
-        bands.alias("a")
-        .join(bands.alias("b2"), on=["b", "h"])
-        .where(F.col("a.id") < F.col("b2.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b2.id").alias("id_b"))
-    )
+    # Per-band self-join + union, restored after the round-21 interleaved
+    # A/B settled round 20's open question (plans/r21/banding_ab.json:
+    # the round-20 single self-join on exploded (band#, band-hash) rows
+    # — Exchange 24→12, Union 4→0 — measured 1.26-1.29× SLOWER on all
+    # six consumer queries, min-of-5, matched healthy canary, both
+    # orders; a third bucket-collect_list variant tied the single-join).
+    # Mechanism: each per-band join is an independent broadcast-build
+    # job, so the n_bands signature computations overlap across idle
+    # cores, while the fused form serializes build→probe behind one
+    # broadcast barrier. The fused form's plan IS smaller — one exchange
+    # of narrow (id, band#, hash) rows instead of n_bands shuffled
+    # signature copies — which is the right shape once the signature
+    # frame outgrows the broadcast threshold (at 100 TB the per-band
+    # joins become n_bands sort-merge shuffles of the full frame); a
+    # cluster deployment should revisit with that A/B. At bench scale
+    # the measured winner is this form.
+    pair_frames = []
+    for b in range(n_bands):
+        s = sig.select(F.col(id_col).alias("id"), F.col(f"band_{b}").alias("band"))
+        pairs = (
+            s.alias("a")
+            .join(s.alias("b"), on="band")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").cast("long").alias("id_a"),
+                F.col("b.id").cast("long").alias("id_b"),
+            )
+        )
+        pair_frames.append(pairs)
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.union(p)
     return out.distinct()
 
 

@@ -551,7 +551,7 @@ def c4_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
-    term = F.array(*[F.lit(t) for t in C4_TERMINALS])
+    term = lit_strings(C4_TERMINALS)
     kept_lines = F.filter(
         lines,
         lambda l: F.array_contains(term, F.substring(l, -1, 1))
@@ -708,8 +708,11 @@ def filter_blocked_domains(
         F.transform(urls, lambda u: F.regexp_extract(u, DOMAIN_PATTERN, 1))
     )
     dcol = blocklist.columns[0]
-    blocked_arr = F.array(
-        *[F.lit(r[0]) for r in blocklist.select(dcol).distinct().collect()]
+    # lit_strings: ONE py4j round-trip for the whole literal array (the
+    # F.lit loop costs 2+ round-trips per domain — up to ~20k for a 10k
+    # blocklist; guide §5, driver-side plan construction)
+    blocked_arr = lit_strings(
+        [r[0] for r in blocklist.select(dcol).distinct().collect()]
     ) if blocklist.count() <= 10_000 else None
     out = df.withColumn("__domains", domains)
     if blocked_arr is not None:

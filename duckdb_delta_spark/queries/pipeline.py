@@ -2208,30 +2208,45 @@ def dedup_savings_by_lang(spark, sf_dir):
     group="doc",
 )
 def doc_ngram_novelty(spark, sf_dir):
+    # Single-pass shape (guide §2.3, aggregate before you shuffle; r20
+    # verdict item 4). The old form shuffled the FULL gram stream three
+    # times (groupBy g for document frequency, join grams⋈dfreq on g,
+    # then groupBy doc_id on the join output) and recomputed the
+    # tokenize+shingle+explode subtree twice. Equivalences used instead:
+    #   * n_grams(doc) = size(word_shingles(...)) — the shingle array is
+    #     already distinct per doc, so its size IS the exploded per-doc
+    #     gram count; computed in the scan projection, no explode, no
+    #     shuffle.
+    #   * a gram with document-frequency 1 belongs to exactly ONE doc,
+    #     so min(doc_id) per gram identifies it — n_unique(doc) is a
+    #     count over the nd=1 grams grouped by that doc. Both groupBys
+    #     run map-side partial aggregation; the old join shipped every
+    #     gram row un-reduced.
+    # Result bit-identical (same counts, same coalesce/round finish);
+    # oracle unchanged.
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    shingles = D.word_shingles(X.tokens(F.col("text")))
+    # greatest(·, 0): explode DROPPED a null/empty array row (→ 0 via the
+    # left-join coalesce); size() must yield the same 0, not NULL/-1
+    counts = docs.select(
         "doc_id",
-        F.explode(D.word_shingles(X.tokens(F.col("text")))).alias("g"),
+        F.greatest(F.size(shingles), F.lit(0)).cast("long").alias("n_grams"),
     )
-    dfreq = grams.groupBy("g").agg(
-        F.count_distinct("doc_id").alias("nd")
+    grams = docs.select(
+        "doc_id", F.explode(shingles).alias("g")
     )
-    per = (
-        grams.join(dfreq, "g")
+    uniq = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("nd") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
     )
     return (
-        docs.select("doc_id")
-        .join(per, "doc_id", "left")
+        counts.join(uniq, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.col("n_grams"),
             F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
             F.round(
                 F.coalesce(
@@ -2806,15 +2821,19 @@ def dedup_funnel_report(spark, sf_dir):
             F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
         )
 
-    total = tok.count()
+    # corpus total as a broadcast single-row frame instead of a driver
+    # .count() action: one scheduler job fewer, no blocking collect in
+    # the build path (guide §5 — the driver should do almost no data
+    # work); the oracle's CROSS JOIN tot shape, mirrored
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
     out = (
         stage(tok, "a_raw")
         .unionByName(stage(exact, "b_exact"))
         .unionByName(stage(near, "c_neardup"))
     )
-    return out.select(
+    return out.crossJoin(F.broadcast(tot)).select(
         "stage", "n_docs", "n_tokens",
-        F.round(F.col("n_docs") / F.lit(float(total)), 4).alias("keep_rate"),
+        F.round(F.col("n_docs") / F.col("_tot"), 4).alias("keep_rate"),
     )
 
 

@@ -288,6 +288,20 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.drain_all = (
             str(options.get("drainAll", "false")).lower() == "true"
         )
+        #: Arrow batch emit shape (guide §4: fewer, larger batches across
+        #: the Python↔JVM socket). Default 'combined' concatenates each
+        #: file's chunked columns once and emits ONE record batch per
+        #: file instead of one per parquet row group — same bytes, a
+        #: fraction of the socket frames and JVM-side batch handling.
+        #: 'chunks' keeps the historical per-row-group emit (the A/B
+        #: lever; also the right choice if a caller needs to bound peak
+        #: batch size below file size).
+        self.arrow_emit = str(options.get("arrowEmitMode", "combined"))
+        if self.arrow_emit not in ("combined", "chunks"):
+            raise ValueError(
+                f"arrowEmitMode must be 'combined' or 'chunks', "
+                f"got {self.arrow_emit!r}"
+            )
         #: split packing knobs (see _pack_splits): defaults mirror
         #: spark.sql.files.maxPartitionBytes and a per-host core floor
         self.max_bytes_per_partition = int(
@@ -955,11 +969,15 @@ class DeltaStreamReader(DataSourceStreamReader):
             cols = []
             for f, af in zip(proj_schema.fields, arrow_schema):
                 if change_type is not None and f.name == "_change_type":
+                    # pa.repeat: C++-level constant column — the old
+                    # [v] * num_rows built a 600k-element Python list
+                    # per file before converting (guide §4.2)
                     cols.append(
                         table.column(f.name).cast(af.type)
                         if change_type == "__cdc__"
-                        else pa.array(
-                            [change_type] * table.num_rows, type=af.type
+                        else pa.repeat(
+                            pa.scalar(change_type, type=af.type),
+                            table.num_rows,
                         )
                     )
                 elif change_type is not None and f.name == "_commit_version":
@@ -975,7 +993,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                     cols.append(
                         pa.nulls(table.num_rows, af.type)
                         if v is None
-                        else pa.array([v] * table.num_rows, type=af.type)
+                        else pa.repeat(
+                            pa.scalar(v, type=af.type), table.num_rows
+                        )
                     )
                 elif self._phys.get(f.name, f.name) not in table.column_names:
                     # file predates a mergeSchema widening
@@ -1087,6 +1107,13 @@ class DeltaStreamReader(DataSourceStreamReader):
             out = out.filter(arrow_mask(out, self.where_preds))
             if out.column_names != keep:
                 out = out.select(keep)
+        if self.arrow_emit == "combined":
+            # one record batch per file instead of one per row group /
+            # filter fragment: same bytes, far fewer socket frames and
+            # JVM-side batch boundaries (the DV filter and CDF takes
+            # leave multi-chunk columns behind even on single-row-group
+            # files)
+            out = out.combine_chunks()
         return out.to_batches()
 
 

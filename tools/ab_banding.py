@@ -1,11 +1,13 @@
 """Interleaved A/B for the LSH banding candidate join (round-20 verdict #1).
 
 Variant NEW = the round-20 single self-join on (band#, band-hash)
-(operators/dedup.py:minhash_candidate_pairs at HEAD); variant OLD = the
-pre-c18b9e2 join-per-band + union chain. Both produce the identical
-candidate set (oracle-verified both rounds); the open question is wall
-time at bench scale, which two confounded windows (driver r20, builder
-r20) could not settle.
+(the fused form, defined inline below); variant OLD = the per-band
+join + union chain (operators/dedup.py:minhash_candidate_pairs at HEAD
+after the round-21 revert). Both produce the identical candidate set
+(oracle-verified both rounds; asserted by tools in this round); the
+committed plans/r21/banding_ab.json was produced at the pre-revert HEAD
+where NEW was the live implementation — OLD won 1.26-1.29x on all six
+consumers, which is why the revert happened.
 
 Method: ONE session, per consumer query the two variants run in the
 balanced interleave A B B A A B B A A B (5 samples each, both orders
@@ -29,33 +31,30 @@ from bench import cpu_canary_mt
 from duckdb_delta_spark.operators import dedup as D
 from duckdb_delta_spark.session import get_spark
 
-NEW_IMPL = D.minhash_candidate_pairs
+old_minhash_candidate_pairs = D.minhash_candidate_pairs  # per-band form at HEAD
 
 
-def old_minhash_candidate_pairs(
+def NEW_IMPL(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = D.MINHASH_HASHES, band_size: int = D.MINHASH_BAND_SIZE,
 ) -> DataFrame:
-    """Pre-c18b9e2 shape: one self-join per band + union (verbatim from
-    git show c18b9e2~1)."""
+    """The round-20 fused shape (verbatim from commit c18b9e2): one
+    self-join on exploded (band#, band-hash) rows."""
     sig = D.minhash_signatures(df, text_col, id_col, num_hashes, band_size)
     n_bands = num_hashes // band_size
-    pair_frames = []
-    for b in range(n_bands):
-        s = sig.select(F.col(id_col).alias("id"), F.col(f"band_{b}").alias("band"))
-        pairs = (
-            s.alias("a")
-            .join(s.alias("b"), on="band")
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").cast("long").alias("id_a"),
-                F.col("b.id").cast("long").alias("id_b"),
-            )
-        )
-        pair_frames.append(pairs)
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.union(p)
+    bands = sig.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
+            for b in range(n_bands)
+        ])).alias("bh"),
+    ).select("id", F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
+    out = (
+        bands.alias("a")
+        .join(bands.alias("b2"), on=["b", "h"])
+        .where(F.col("a.id") < F.col("b2.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b2.id").alias("id_b"))
+    )
     return out.distinct()
 
 
@@ -104,7 +103,7 @@ def main() -> int:
         print(f"[ab] {name}: new {min(samples['new']):.2f}s "
               f"old {min(samples['old']):.2f}s "
               f"(ratio {results[name]['new_over_old']})", file=sys.stderr)
-    D.minhash_candidate_pairs = NEW_IMPL
+    D.minhash_candidate_pairs = old_minhash_candidate_pairs  # restore HEAD impl
     canary_post = cpu_canary_mt()
     out = {
         "method": "interleaved A B B A A B B A A B per query, min-of-5, "
