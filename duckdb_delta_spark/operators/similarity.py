@@ -117,10 +117,29 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket string, one char per hyperplane. Plane
-    literals render in one round-trip each (exprlit) — the per-element
-    ``F.lit`` path paid ~2 py4j round-trips per component."""
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket string, one char per hyperplane.
+
+    Pass ``vec`` as a column NAME to get the one-round-trip rendering:
+    the whole concat-of-CASE expression (plane literals AND the
+    zip_with/aggregate dot products) becomes a single ``F.expr`` string —
+    the Column path still paid ~25 py4j round-trips per plane for the
+    three lambda creations (guide §5). A Column argument keeps the
+    expression-API path for composed callers; both parse to the same
+    tree."""
+    if isinstance(vec, str):
+        from duckdb_delta_spark.operators.exprlit import sql_double
+
+        parts = []
+        for row in planes:
+            arr = "array(" + ",".join(sql_double(v) for v in row) + ")"
+            d = (
+                f"aggregate(zip_with(`{vec}`, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            parts.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+        return F.expr("concat(" + ",".join(parts) + ")")
     parts = []
     for row in planes:
         plane = lit_doubles(row)
@@ -135,7 +154,7 @@ def with_lsh_bucket(
     if planes is None:
         dim = len(df.select(vec_col).first()[0])
         planes = plane_components(LSH_PLANES, dim)
-    return df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    return df.withColumn("bucket", lsh_bucket(vec_col, planes))
 
 
 def lsh_near_pairs(
@@ -658,19 +677,23 @@ def pq_encode(
     embarrassingly parallel scan producing m small ints per vector
     (a 256× compression of a float32 corpus at the usual m=8/k=256)."""
     sub = len(books[0][0])
-    v = F.col(vec_col).cast("array<double>")
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     cols = [F.col(id_col)]
     for s, book in enumerate(books):
-        sv = F.slice(v, s * sub + 1, sub)
         # ONE higher-order transform over the literal codebook array per
         # subspace (instead of k separate aggregates): 16× smaller
         # expression tree, ~2× faster end-to-end (codegen compile time is
         # the constant that dominates at bench scale). argmin =
         # array_position of the min — first occurrence, so ties go to the
-        # lower code exactly like the struct-min formulation.
-        dists = _subdist_array(sv, book)
-        code = F.array_position(dists, F.array_min(dists)) - 1
-        cols.append(code.cast("int").alias(f"code_{s}"))
+        # lower code exactly like the struct-min formulation. The whole
+        # per-subspace expression is rendered as ONE SQL string (see
+        # _subdist_sql — the lambda-API form paid ~350 py4j round-trips
+        # per subspace in plan construction alone).
+        sv_sql = f"slice({v_sql}, {s * sub + 1}, {sub})"
+        d = _subdist_sql(sv_sql, book)
+        cols.append(F.expr(
+            f"CAST((array_position({d}, array_min({d})) - 1) AS INT)"
+        ).alias(f"code_{s}"))
     return df.select(*cols)
 
 
@@ -681,6 +704,37 @@ def _subdist_array(sv, book) -> Column:
     exprlit): the per-element ``F.lit`` path cost ~280 py4j round-trips
     per call site × 8 sites ≈ 1.7 s of driver chatter per pq build."""
     return F.transform(lit_double_matrix(book), lambda cw: _ssd_fixed(sv, cw))
+
+
+def _ssd_fixed_sql(a_sql: str, b_sql: str) -> str:
+    """SQL twin of :func:`_ssd_fixed` over two array-expression strings —
+    parses to the same zip_with/aggregate tree (modulo lambda-variable
+    ids). ``0.5`` pitfalls avoided: the accumulator zero is written
+    ``CAST(0 AS BIGINT)`` (a bare 0 would type INT and change the
+    aggregate's declared type)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> CAST(round(((x - y) * (x - y)) * {PQ_SCALE}) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _subdist_sql(sv_sql: str, book) -> str:
+    """SQL twin of :func:`_subdist_array`, rendered ENTIRELY as one
+    expression string (codebook literal + the nested lambda chain).
+
+    The Column form still cost ~350 py4j round-trips per call site AFTER
+    exprlit fixed the literals: every ``F.transform``/``zip_with``/
+    ``aggregate`` lambda is created through the gateway (guide §5 —
+    driver-side plan construction is driver work too). cProfile on the
+    ann_pq_rerank build: 2,817 round-trips ≈ 1.3 s of socket wait, gone
+    with this rendering. Catalyst parses the string to the same tree."""
+    from duckdb_delta_spark.operators.exprlit import sql_double
+
+    arr = "array(" + ",".join(
+        "array(" + ",".join(sql_double(v) for v in cw) + ")" for cw in book
+    ) + ")"
+    return f"transform({arr}, cw -> {_ssd_fixed_sql(sv_sql, 'cw')})"
 
 
 def pq_topk(
@@ -713,12 +767,13 @@ def pq_topk(
     codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    qv = F.col(vec_col).cast("array<double>")
+    qv_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     qcols = [F.col(id_col).alias("query_id")]
     for s, book in enumerate(books):
-        qsub = F.slice(qv, s * sub + 1, sub)
         # the ADC lookup table IS the per-subspace distance array
-        qcols.append(_subdist_array(qsub, book).alias(f"lut_{s}"))
+        qcols.append(F.expr(_subdist_sql(
+            f"slice({qv_sql}, {s * sub + 1}, {sub})", book
+        )).alias(f"lut_{s}"))
     q = queries.select(*qcols)
 
     joined = codes.crossJoin(F.broadcast(q)).where(
@@ -790,7 +845,7 @@ def pq_topk_rerank(
     scored = (
         cand.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("dist_fx", _ssd_fixed(F.col("__qv"), F.col("__cv")))
+        .withColumn("dist_fx", F.expr(_ssd_fixed_sql("__qv", "__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_fx").asc(), F.col("neighbor_id").asc()
