@@ -94,6 +94,14 @@ class DeltaCatalog:
         # plan once; the temp view and to_df() share the same DataFrame
         if entry.df is None:
             entry.df = entry.table.to_df(self.spark)
+        # this is the one call site that can SHADOW a register_views
+        # base-table view (attach under e.g. 'lineitem'): invalidate the
+        # registration memo for the name so the next register_views call
+        # re-registers instead of trusting a stale memo hit (zero cost
+        # on the query hot path — only attaches pay it)
+        seen = getattr(self.spark, "_graft_views", None)
+        if seen is not None:
+            seen.difference_update({k for k in seen if k[1] == name})
         entry.df.createOrReplaceTempView(name)
 
     def __contains__(self, name: str) -> bool:

@@ -147,6 +147,15 @@ def fast_decimal_sums(text: str) -> str:
         body = text[j + len(_DEC_SUM_HEAD):k - 1]
         if depth or not body.endswith(_DEC_SUM_TAIL[:-1]) \
                 or k >= n or text[k] != ")":
+            # fail-closed, but VISIBLY (round-20 advice): a sum(CAST(
+            # prefix that doesn't match the exact _DSUM idiom keeps the
+            # canonical decimal path — correct, but silently losing the
+            # optimization would be invisible, so log the near-match
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "fast_decimal_sums: left non-idiom sum on the decimal "
+                "path: %r", text[j:min(k + 1, j + 120)])
             out.append(text[i:j + len(_DEC_SUM_HEAD)])
             i = j + len(_DEC_SUM_HEAD)
             continue
@@ -212,12 +221,17 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     if seen is None:
         seen = spark._graft_views = set()
     for n in names:
-        # the memo can go stale if anything drops/shadows a view (a
-        # second Python wrapper over the same JVM session, an explicit
-        # dropTempView); tableExists is a catalog lookup — far cheaper
-        # than the parquet load+analysis the memo saves — so guard the
-        # skip with it instead of trusting the memo alone
-        if (sf_dir, n) in seen and spark.catalog.tableExists(n):
+        # The memo is deliberately BLIND in the hot path: a runtime
+        # existence guard was measured at 2.7 ms/table
+        # (catalog.tableExists) — ~24 ms per SQL query, several suite
+        # seconds, to defend a staleness vector that can only originate
+        # inside this repo (dropTempView / shadowing one of the TABLES
+        # names). That invariant is enforced statically instead:
+        # tests/test_view_memo_invariant.py fails if any package code
+        # touches the TABLES view names outside this function. A second
+        # Python wrapper over the same JVM session is already safe — it
+        # carries a fresh memo and simply re-registers.
+        if (sf_dir, n) in seen:
             continue
         load(spark, sf_dir, n).createOrReplaceTempView(n)
         # a later sf_dir wins the view name: drop stale keys for n

@@ -801,9 +801,12 @@ def stream_join_outer(spark, sf_dir):
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(static.schema["ts"].dataType, T.TimestampNTZType):
         static = static.withColumn("ts", F.col("ts").cast("timestamp"))
-    mv = static.where(F.col("event_type") == "view").agg(F.max("ts")).first()[0]
-    mb = static.where(F.col("event_type") == "purchase").agg(
-        F.max("ts")).first()[0]
+    # ONE scan for both bounds (two .first() actions cost two scheduler
+    # jobs + two scans of events for two scalars)
+    mv, mb = static.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+    ).first()
     import datetime as _dt
     cut = min(mv, mb) - _dt.timedelta(minutes=90, seconds=60)
     return out.where(F.col("view_ts") < F.lit(cut)).select(
