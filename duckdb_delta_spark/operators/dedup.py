@@ -428,7 +428,7 @@ def embedding_cosine_pairs(
     threshold, and annotate from the documents table. The bucket join is
     the scale lever — the quadratic compare is confined to same-bucket
     groups, and bucket width is tunable via the plane count."""
-    from duckdb_delta_spark.operators.similarity import cosine, with_lsh_bucket
+    from duckdb_delta_spark.operators.similarity import cosine_sql, with_lsh_bucket
 
     b = with_lsh_bucket(embeddings, planes)
     left = b.select(
@@ -440,7 +440,7 @@ def embedding_cosine_pairs(
     pairs = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_sql("va", "vb"))
         .where(F.round("cos", 4) >= threshold)
     )
     da = docs.select(F.col(doc_id_col).alias("id_a"), F.col("lang").alias("lang_a"))

@@ -65,6 +65,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL twin of :func:`dot` — parses to the same zip_with/aggregate
+    tree (modulo lambda-variable names)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def cosine_sql(a_sql: str, b_sql: str) -> Column:
+    """SQL-rendered :func:`cosine` over two column/expression strings.
+
+    The Column form creates three zip_with/aggregate lambda chains
+    through the py4j gateway (~75 round-trips per call site — guide §5,
+    plan construction is driver work); this renders the identical tree
+    in ONE ``F.expr``. Value-identity pinned in
+    tests/test_r21_renderings.py; plans identical modulo lambda names."""
+    return F.expr(
+        f"({_dot_sql(a_sql, b_sql)} / "
+        f"(sqrt({_dot_sql(a_sql, a_sql)}) * sqrt({_dot_sql(b_sql, b_sql)})))"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,7 +119,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos", cosine_sql("__qv", "__cv"))
         .withColumn("__pid", F.spark_partition_id())
     )
     order = (F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -174,7 +198,7 @@ def lsh_near_pairs(
         b.alias("a")
         .join(b.alias("b"), "bucket")
         .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn("cos", cosine_sql("a.v", "b.v"))
         .where(F.col("cos") >= threshold)
         .select(
             F.col("a.id").cast("long").alias("id_a"),
@@ -283,7 +307,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     from pyspark.sql.window import Window
 
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cos", cosine(F.col(vec_col), F.col("centroid"))
+        "_cos", cosine_sql(f"`{vec_col}`", "centroid")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("list_id"))
     return (
@@ -323,7 +347,7 @@ def ivf_topk(
     qprobe = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("_cos", cosine_sql("qv", "centroid"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("list_id"))
     qlists = (
@@ -342,7 +366,7 @@ def ivf_topk(
             "list_id",
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosv", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosv", cosine_sql("qv", "cv"))
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosv").desc(), F.col("neighbor_id")
@@ -1065,7 +1089,7 @@ def ivf_probe_partitioned(
         index.join(maybe_bc(pp), "list_id")
         .join(maybe_bc(qv), "query_id")
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn("cosv", cosine(F.col("qv"), F.col(vec_col)))
+        .withColumn("cosv", cosine_sql("qv", f"`{vec_col}`"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosv").desc(), F.col(id_col).asc()

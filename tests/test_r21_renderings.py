@@ -142,3 +142,17 @@ def test_arrow_emit_mode_rejects_unknown(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_cosine_sql_matches_column_api(spark):
+    from duckdb_delta_spark.operators.similarity import cosine, cosine_sql
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 2.0], [0.5, -1.0, 2.0]),
+         ([0.1, 0.2, 0.3], [0.1, 0.2, 0.3]),
+         ([3.0, -4.0, 0.0], [-3.0, 4.0, 0.0])],
+        "a array<double>, b array<double>")
+    got_col = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    got_sql = [r[0] for r in df.select(cosine_sql("a", "b")).collect()]
+    assert got_col == got_sql
+    assert abs(got_sql[1] - 1.0) < 1e-12 and abs(got_sql[2] + 1.0) < 1e-12
