@@ -89,7 +89,11 @@ MT_CANARY_ITERS = 10_000_000  # per process
 # below the floor; readings above the ceiling are fine (faster box) and
 # only widen the band next round.
 CANARY_MT_HEALTHY_FLOOR = 157_000_000.0
-CANARY_MT_HEALTHY_CEILING = 215_000_000.0
+# ceiling widened r20→r21 to the observed healthy peak (224.9M in this
+# round's final suite run) — same rule as the r20 widening: readings
+# above the ceiling are a faster box, not an error, and only move the
+# band for the next round's reader
+CANARY_MT_HEALTHY_CEILING = 225_000_000.0
 CANARY_MT_THROTTLE_RATIO = 1.3
 
 
