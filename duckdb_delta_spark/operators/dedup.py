@@ -729,39 +729,65 @@ def duplicate_span_stats(
     no all-pairs anything; cost is O(total tokens) shuffled once."""
     from duckdb_delta_spark.operators.text import tokens
 
+    # Complement counting (round-21; same equivalence family as the
+    # doc_ngram_novelty rewrite): a window hash with n_docs == 1 has a
+    # unique OWNER (min = its only doc_id), so
+    #   n_dup_spans(doc) = n_spans(doc) − Σ n_in_doc over the doc's
+    #                      unique-to-it window hashes
+    # — which removes the join of the full per-doc-span stream back on
+    # h AND the doc-keyed shuffle of that join's output. n_spans itself
+    # is just the window count, computed in the scan projection
+    # (word_windows keeps duplicates, so size() counts occurrences).
+    # Remaining exchanges: (id,h) agg → h agg (map-side combined) →
+    # tiny per-owner agg; the h-keyed stream crosses once.
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     ).select(id_col, F.explode(word_windows(F.col("__t"), span)).alias("__w"))
     per_doc_span = base.groupBy(id_col, F.md5("__w").alias("h")).agg(
         F.count(F.lit(1)).alias("n_in_doc")
     )
-    span_docs = per_doc_span.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    stats = (
-        per_doc_span.join(span_docs, "h")
-        .groupBy(id_col)
+    uniq = (
+        per_doc_span.groupBy("h")
         .agg(
-            F.sum("n_in_doc").cast("long").alias("n_spans"),
-            F.sum(
-                F.when(F.col("n_docs") >= 2, F.col("n_in_doc")).otherwise(0)
-            ).cast("long").alias("n_dup_spans"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias(id_col),
+            F.sum("n_in_doc").alias("tot_in"),
         )
-        .withColumn(
-            "dup_fraction",
-            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
-        )
+        .where(F.col("n_docs") == 1)
+        .groupBy(id_col)
+        .agg(F.sum("tot_in").cast("long").alias("n_uniq_spans"))
     )
-    # docs too short to have any window still appear, with zero counts
+    # n_spans needs NO window construction: the sliding-window count of
+    # a doc is just max(len(tokens) − span + 1, 0) (word_windows keeps
+    # duplicates, so occurrences == window positions)
+    counts = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(tokens(F.col(text_col))) - (span - 1), F.lit(0)
+        ).cast("long").alias("n_spans"),
+    )
+    # docs too short to have any window appear with zero counts (their
+    # 0/0 dup_fraction is NULL before the coalesce, exactly like the
+    # old left-join shape)
     return (
-        df.select(id_col)
-        .join(stats, id_col, "left")
+        counts.join(uniq, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
-            .alias("n_dup_spans"),
-            F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction"),
+            F.col("n_spans"),
+            (F.col("n_spans") - F.coalesce("n_uniq_spans", F.lit(0)))
+            .cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            # n_spans = 0 rows now EXIST (the old shape dropped them
+            # before the division and re-added them via left join), so
+            # the 0/0 must be guarded explicitly under ANSI mode
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+            ).otherwise(F.lit(0.0)).alias("dup_fraction"),
         )
     )
 

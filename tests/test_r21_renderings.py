@@ -156,3 +156,34 @@ def test_cosine_sql_matches_column_api(spark):
     got_sql = [r[0] for r in df.select(cosine_sql("a", "b")).collect()]
     assert got_col == got_sql
     assert abs(got_sql[1] - 1.0) < 1e-12 and abs(got_sql[2] + 1.0) < 1e-12
+
+
+def test_span_stats_complement_counting(spark):
+    """duplicate_span_stats was rewritten to complement counting
+    (n_dup = n_spans - unique-to-doc occurrences; n_spans from the
+    token count, no window materialization). Pin against the
+    join-back reference shape on a frame covering: too-short docs
+    (0 windows), exact duplicates (all spans shared), partial overlap,
+    and repeated windows WITHIN one doc (the occurrence-counting
+    subtlety: a window repeated in one doc only is still unique)."""
+    from duckdb_delta_spark.operators import dedup as D
+
+    span = 3
+    base = "alpha beta gamma delta epsilon"       # 5 tokens -> 3 windows
+    rows = [
+        (1, base),                                 # dup of 2
+        (2, base),                                 # dup of 1
+        (3, "alpha beta gamma zeta eta"),          # shares 1 window w/ 1,2
+        (4, "one two"),                            # too short: 0 windows
+        (5, "x y z x y z x y z"),                  # self-repeats only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_fraction"])
+           for r in D.duplicate_span_stats(df, span=span).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 4))
+    assert got[4] == (0, 0, 0.0)
+    # doc 5: 7 windows, every window string repeats within doc 5 only
+    # ("x y z" appears 3x etc.) -> n_docs per hash is 1 -> zero dups
+    assert got[5] == (7, 0, 0.0)
